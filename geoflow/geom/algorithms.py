@@ -1,0 +1,1135 @@
+"""Computational-geometry kernels (pure numpy).
+
+Replaces the JTS calls the reference makes one-geometry-at-a-time
+(/root/reference/src/main/io/github/galbiston/geosparql_jena/implementation/GeometryWrapper.java
+relation methods at :822-938, measures at :676-690, set ops at :715-808)
+with numpy implementations designed to be called from vectorized
+`map_batches` kernels.
+
+Everything here is planar (cartesian) math; great-circle semantics live in
+`greatcircle.py`.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .types import (GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING,
+                    MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, Geometry)
+
+# ---------------------------------------------------------------------------
+# measures
+# ---------------------------------------------------------------------------
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area; positive = counter-clockwise."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def area(g: Geometry) -> float:
+    if g.type == POLYGON:
+        if not g.rings:
+            return 0.0
+        a = abs(ring_signed_area(g.rings[0]))
+        for hole in g.rings[1:]:
+            a -= abs(ring_signed_area(hole))
+        return a
+    if g.type in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        return sum(area(p) for p in g.parts)
+    return 0.0
+
+
+def _coords_length(c: np.ndarray) -> float:
+    if len(c) < 2:
+        return 0.0
+    d = np.diff(c[:, :2], axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def length(g: Geometry) -> float:
+    """Length of linear components (JTS Geometry#getLength: for polygons
+    this is the perimeter)."""
+    if g.type == LINESTRING:
+        return _coords_length(g.coords)
+    if g.type == POLYGON:
+        return sum(_coords_length(r) for r in g.rings)
+    if g.type in (MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        return sum(length(p) for p in g.parts)
+    return 0.0
+
+
+def perimeter(g: Geometry) -> float:
+    if g.type == POLYGON:
+        return sum(_coords_length(r) for r in g.rings)
+    if g.type in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        return sum(perimeter(p) for p in g.parts)
+    return 0.0
+
+
+def centroid(g: Geometry):
+    """(x, y) centroid with JTS dimension priority: areal > lineal > puntal."""
+    polys = _collect(g, (POLYGON,))
+    if polys:
+        asum = xs = ys = 0.0
+        for p in polys:
+            for k, ring in enumerate(p.rings):
+                x, y = ring[:, 0], ring[:, 1]
+                cross = x * np.roll(y, -1) - np.roll(x, -1) * y
+                a = 0.5 * float(cross.sum())
+                if k > 0:  # hole: flip sign against exterior orientation
+                    a = -abs(a) if asum >= 0 else abs(a)
+                if a == 0.0:
+                    continue
+                cx = float(((x + np.roll(x, -1)) * cross).sum()) / (6.0 * a)
+                cy = float(((y + np.roll(y, -1)) * cross).sum()) / (6.0 * a)
+                asum += a
+                xs += cx * a
+                ys += cy * a
+        if asum != 0.0:
+            return xs / asum, ys / asum
+    lines = _collect(g, (LINESTRING,))
+    if lines:
+        lsum = xs = ys = 0.0
+        for ln in lines:
+            c = ln.coords[:, :2]
+            if len(c) < 2:
+                continue
+            seg = np.diff(c, axis=0)
+            ls = np.sqrt((seg * seg).sum(axis=1))
+            mid = 0.5 * (c[:-1] + c[1:])
+            lsum += float(ls.sum())
+            xs += float((mid[:, 0] * ls).sum())
+            ys += float((mid[:, 1] * ls).sum())
+        if lsum > 0:
+            return xs / lsum, ys / lsum
+    c = g.all_coords()
+    if len(c) == 0:
+        return math.nan, math.nan
+    return float(c[:, 0].mean()), float(c[:, 1].mean())
+
+
+def _collect(g: Geometry, types) -> list:
+    if g.type in types:
+        return [g] if not g.is_empty else []
+    if g.parts is not None:
+        out = []
+        for p in g.parts:
+            out.extend(_collect(p, types))
+        return out
+    return []
+
+
+def num_points(g: Geometry) -> int:
+    return sum(len(b) for b in g.coord_blocks())
+
+
+def num_geometries(g: Geometry) -> int:
+    if g.parts is not None:
+        return len(g.parts)
+    return 0 if g.is_empty else 1
+
+
+def dimension(g: Geometry) -> int:
+    """Topological dimension (JTS Geometry#getDimension)."""
+    if g.type == POINT or g.type == MULTIPOINT:
+        return 0
+    if g.type in (LINESTRING, MULTILINESTRING):
+        return 1
+    if g.type in (POLYGON, MULTIPOLYGON):
+        return 2
+    return max((dimension(p) for p in g.parts), default=0)
+
+
+# ---------------------------------------------------------------------------
+# point in polygon (vectorized)
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray,
+                   on_boundary=True) -> np.ndarray:
+    """Crossing-number point-in-ring test, vectorized over points.
+
+    Boundary points count as inside when on_boundary=True (matching the
+    'covers'-style semantics the join refinement needs).
+    """
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    # edges straddling the horizontal ray at py
+    cond = (y0 <= py) != (y1 <= py)
+    # x coordinate of edge crossing at height py
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / np.where(y1 == y0, np.inf, y1 - y0)
+    crossings = (cond & (px < xint)).sum(axis=1)
+    inside = (crossings % 2) == 1
+    on = _points_on_segments(px, py, x0, y0, x1, y1)
+    if on_boundary:
+        inside = inside | on
+    else:
+        # crossing parity is undefined exactly on the boundary — exclude it
+        inside = inside & ~on
+    return inside
+
+
+def _points_on_segments(px, py, x0, y0, x1, y1, eps=1e-12):
+    """px/py are (n,1); segment arrays are (m,). True where point lies on any
+    segment (within eps cross-product tolerance)."""
+    dx, dy = x1 - x0, y1 - y0
+    cross = (px - x0) * dy - (py - y0) * dx
+    dot = (px - x0) * dx + (py - y0) * dy
+    seglen2 = dx * dx + dy * dy
+    scale = np.maximum(seglen2, eps)
+    on = (np.abs(cross) <= eps * np.sqrt(scale) * np.maximum(
+        1.0, np.maximum(np.abs(px), np.abs(py)))) & (dot >= -eps) & (dot <= seglen2 + eps)
+    return on.any(axis=1)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: Geometry,
+                      on_boundary=True) -> np.ndarray:
+    """Vectorized PIP for Polygon/MultiPolygon with holes."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(len(px), dtype=bool)
+    for p in _collect(poly, (POLYGON,)):
+        if not p.rings:
+            continue
+        inside = points_in_ring(px, py, p.rings[0], on_boundary)
+        for hole in p.rings[1:]:
+            in_hole = points_in_ring(px, py, hole, on_boundary=not on_boundary)
+            inside &= ~in_hole
+        out |= inside
+    return out
+
+
+# ---------------------------------------------------------------------------
+# segment primitives
+# ---------------------------------------------------------------------------
+
+def _segments(g: Geometry) -> np.ndarray:
+    """All 2D segments of a geometry as an (n, 4) array [x0,y0,x1,y1]."""
+    segs = []
+    for block in g.coord_blocks():
+        if len(block) >= 2 and g.type != MULTIPOINT:
+            c = block[:, :2]
+            segs.append(np.concatenate([c[:-1], c[1:]], axis=1))
+    # points contribute degenerate segments so distance code can treat
+    # everything uniformly
+    if g.type in (POINT, MULTIPOINT):
+        c = g.all_coords()[:, :2]
+        if len(c):
+            segs.append(np.concatenate([c, c], axis=1))
+    if not segs:
+        return np.empty((0, 4), dtype=np.float64)
+    return np.concatenate(segs, axis=0)
+
+
+def segments_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise proper-or-touching intersection between segment sets.
+
+    a: (n,4), b: (m,4) -> bool (n,m). Standard orientation test with
+    collinear-overlap handling.
+    """
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), dtype=bool)
+    p0 = a[:, None, 0:2]
+    p1 = a[:, None, 2:4]
+    q0 = b[None, :, 0:2]
+    q1 = b[None, :, 2:4]
+
+    def orient(o, a_, b_):
+        return ((a_[..., 0] - o[..., 0]) * (b_[..., 1] - o[..., 1])
+                - (a_[..., 1] - o[..., 1]) * (b_[..., 0] - o[..., 0]))
+
+    d1 = orient(q0, q1, p0)
+    d2 = orient(q0, q1, p1)
+    d3 = orient(p0, p1, q0)
+    d4 = orient(p0, p1, q1)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) \
+        & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(o, e, p):
+        collin = orient(o, e, p) == 0
+        within = (np.minimum(o[..., 0], e[..., 0]) <= p[..., 0]) \
+            & (p[..., 0] <= np.maximum(o[..., 0], e[..., 0])) \
+            & (np.minimum(o[..., 1], e[..., 1]) <= p[..., 1]) \
+            & (p[..., 1] <= np.maximum(o[..., 1], e[..., 1]))
+        return collin & within
+
+    touch = (on_seg(q0, q1, p0) | on_seg(q0, q1, p1)
+             | on_seg(p0, p1, q0) | on_seg(p0, p1, q1))
+    return proper | touch
+
+
+def _point_seg_dist2(px, py, s):
+    """Squared distance of points (k,) to segments (m,4) -> (k,m)."""
+    x0, y0, x1, y1 = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+    dx, dy = x1 - x0, y1 - y0
+    l2 = dx * dx + dy * dy
+    px = px[:, None]
+    py = py[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x0) * dx + (py - y0) * dy) / np.where(l2 == 0, 1.0, l2)
+    t = np.clip(np.where(l2 == 0, 0.0, t), 0.0, 1.0)
+    cx = x0 + t * dx
+    cy = y0 + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def distance(a: Geometry, b: Geometry) -> float:
+    """Planar min distance between two geometries (JTS DistanceOp
+    semantics; Distance.java:19-57). 0 when interiors overlap."""
+    sa = _segments(a)
+    sb = _segments(b)
+    if len(sa) == 0 or len(sb) == 0:
+        return math.nan
+    # containment: any point of one inside a polygon of the other
+    for g1, g2 in ((a, b), (b, a)):
+        if _collect(g2, (POLYGON,)):
+            c = g1.all_coords()
+            if len(c) and points_in_polygon(c[:, 0], c[:, 1], g2).any():
+                return 0.0
+    if segments_intersect(sa, sb).any():
+        return 0.0
+    d2 = np.minimum(
+        _point_seg_dist2(sa[:, 0], sa[:, 1], sb).min() if len(sb) else np.inf,
+        _point_seg_dist2(sa[:, 2], sa[:, 3], sb).min() if len(sb) else np.inf)
+    d2 = min(d2, _point_seg_dist2(sb[:, 0], sb[:, 1], sa).min(),
+             _point_seg_dist2(sb[:, 2], sb[:, 3], sa).min())
+    return float(math.sqrt(d2))
+
+
+def nearest_coordinate_pair(a: Geometry, b: Geometry):
+    """Vertex pair (pa, pb) minimizing euclidean distance — the pair the
+    reference feeds into great-circle distance (GeometryWrapper.java:596-640)."""
+    ca = a.all_coords()[:, :2]
+    cb = b.all_coords()[:, :2]
+    d2 = ((ca[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+    i, j = np.unravel_index(np.argmin(d2), d2.shape)
+    return ca[i], cb[j]
+
+
+def max_distance(a: Geometry, b: Geometry) -> float:
+    ca = a.all_coords()[:, :2]
+    cb = b.all_coords()[:, :2]
+    if len(ca) == 0 or len(cb) == 0:
+        return math.nan
+    d2 = ((ca[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+    return float(math.sqrt(d2.max()))
+
+
+def hausdorff_distance(a: Geometry, b: Geometry, densify_frac=None) -> float:
+    """Discrete Hausdorff distance (vertex-to-geometry, both directions),
+    optionally densified — matches JTS DiscreteHausdorffDistance used by
+    geometry/relation/HausdorffDistance.java."""
+    ga, gb = a, b
+    if densify_frac:
+        ga = densify_by_fraction(a, densify_frac)
+        gb = densify_by_fraction(b, densify_frac)
+    ca = ga.all_coords()[:, :2]
+    cb = gb.all_coords()[:, :2]
+    sa = _segments(a)
+    sb = _segments(b)
+    d_ab = np.sqrt(_point_seg_dist2(ca[:, 0], ca[:, 1], sb).min(axis=1)).max()
+    d_ba = np.sqrt(_point_seg_dist2(cb[:, 0], cb[:, 1], sa).min(axis=1)).max()
+    return float(max(d_ab, d_ba))
+
+
+def closest_points(a: Geometry, b: Geometry):
+    """((ax, ay), (bx, by)) realizing the planar min distance."""
+    sa = _segments(a)
+    sb = _segments(b)
+    best = (math.inf, None, None)
+    # sample: endpoints of a vs segments of b and vice versa
+    for pts, segs, swap in ((sa[:, :2], sb, False), (sa[:, 2:], sb, False),
+                            (sb[:, :2], sa, True), (sb[:, 2:], sa, True)):
+        if len(pts) == 0 or len(segs) == 0:
+            continue
+        d2 = _point_seg_dist2(pts[:, 0], pts[:, 1], segs)
+        i, j = np.unravel_index(np.argmin(d2), d2.shape)
+        d = math.sqrt(d2[i, j])
+        if d < best[0]:
+            p = pts[i]
+            s = segs[j]
+            dx, dy = s[2] - s[0], s[3] - s[1]
+            l2 = dx * dx + dy * dy
+            t = 0.0 if l2 == 0 else np.clip(
+                ((p[0] - s[0]) * dx + (p[1] - s[1]) * dy) / l2, 0, 1)
+            q = (s[0] + t * dx, s[1] + t * dy)
+            best = (d, tuple(p), q) if not swap else (d, q, tuple(p))
+    if segments_intersect(sa, sb).any() or distance(a, b) == 0.0:
+        # overlapping: pick any shared point — use a vertex of a inside/touching b
+        ca = a.all_coords()[:, :2]
+        inb = points_in_polygon(ca[:, 0], ca[:, 1], b) if _collect(b, (POLYGON,)) else None
+        if inb is not None and inb.any():
+            p = ca[int(np.argmax(inb))]
+            return tuple(p), tuple(p)
+    return best[1], best[2]
+
+
+# ---------------------------------------------------------------------------
+# predicates
+# ---------------------------------------------------------------------------
+
+def bounds_disjoint(a: Geometry, b: Geometry) -> bool:
+    ax0, ay0, ax1, ay1 = a.bounds()
+    bx0, by0, bx1, by1 = b.bounds()
+    return ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0
+
+
+def intersects(a: Geometry, b: Geometry) -> bool:
+    if a.is_empty or b.is_empty or bounds_disjoint(a, b):
+        return False
+    # any vertex containment either way
+    for g1, g2 in ((a, b), (b, a)):
+        if _collect(g2, (POLYGON,)):
+            c = g1.all_coords()
+            if len(c) and points_in_polygon(c[:, 0], c[:, 1], g2).any():
+                return True
+    sa = _segments(a)
+    sb = _segments(b)
+    if len(sa) and len(sb):
+        if a.type in (POINT, MULTIPOINT) or b.type in (POINT, MULTIPOINT):
+            # point-vs-line: on-segment test
+            if a.type in (POINT, MULTIPOINT):
+                pts, segs = a.all_coords()[:, :2], sb
+            else:
+                pts, segs = b.all_coords()[:, :2], sa
+            return bool(_points_on_segments(
+                pts[:, 0:1], pts[:, 1:2],
+                segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]).any())
+        return bool(segments_intersect(sa, sb).any())
+    return False
+
+
+def disjoint(a: Geometry, b: Geometry) -> bool:
+    return not intersects(a, b)
+
+
+def contains(a: Geometry, b: Geometry) -> bool:
+    """a contains b (JTS semantics approximated: all of b in a, with at
+    least one interior point; exact for point/line operands and for
+    polygon operands without boundary-grazing edge cases)."""
+    if a.is_empty or b.is_empty or bounds_disjoint(a, b):
+        return False
+    if _collect(a, (POLYGON,)):
+        cb = b.all_coords()
+        inside = points_in_polygon(cb[:, 0], cb[:, 1], a, on_boundary=True)
+        if not inside.all():
+            return False
+        strict = points_in_polygon(cb[:, 0], cb[:, 1], a, on_boundary=False)
+        if b.type in (POINT, MULTIPOINT):
+            # at least one point must be in the interior (JTS contains)
+            return bool(strict.any())
+        # no edge of b may properly cross a's boundary
+        sb = _segments(b)
+        for p in _collect(a, (POLYGON,)):
+            for ring in p.rings:
+                ringsegs = np.concatenate([ring[:-1, :2], ring[1:, :2]], axis=1)
+                if _proper_cross(sb, ringsegs).any():
+                    return False
+        # midpoints of b's segments must not fall outside (handles concavity)
+        mids = 0.5 * (sb[:, :2] + sb[:, 2:])
+        if not points_in_polygon(mids[:, 0], mids[:, 1], a, on_boundary=True).all():
+            return False
+        return bool(strict.any() or points_in_polygon(
+            mids[:, 0], mids[:, 1], a, on_boundary=False).any())
+    if a.type in (LINESTRING, MULTILINESTRING):
+        if b.type in (POINT, MULTIPOINT):
+            sa = _segments(a)
+            pts = b.all_coords()[:, :2]
+            on = _points_on_segments(pts[:, 0:1], pts[:, 1:2],
+                                     sa[:, 0], sa[:, 1], sa[:, 2], sa[:, 3])
+            if not on.all():
+                return False
+            # boundary (endpoints) of the line don't count as interior
+            ends = np.array([a.all_coords()[0, :2], a.all_coords()[-1, :2]])
+            interior = ~((pts[:, None, :] == ends[None, :, :]).all(axis=2).any(axis=1))
+            return bool(interior.any())
+        if b.type in (LINESTRING, MULTILINESTRING):
+            # all vertices + midpoints of b on a
+            sa = _segments(a)
+            cb = b.all_coords()[:, :2]
+            sb = _segments(b)
+            mids = 0.5 * (sb[:, :2] + sb[:, 2:])
+            pts = np.concatenate([cb, mids], axis=0)
+            return bool(_points_on_segments(pts[:, 0:1], pts[:, 1:2],
+                                            sa[:, 0], sa[:, 1], sa[:, 2], sa[:, 3]).all())
+        return False
+    if a.type == POINT:
+        return b.type == POINT and np.array_equal(a.coords[:2], b.coords[:2])
+    if a.type == MULTIPOINT:
+        pa = {tuple(c[:2]) for c in a.all_coords()}
+        pb = {tuple(c[:2]) for c in b.all_coords()}
+        return b.type in (POINT, MULTIPOINT) and pb <= pa
+    return False
+
+
+def _proper_cross(sa, sb):
+    """Proper (interior) segment crossings only — touching endpoints don't
+    count."""
+    n, m = len(sa), len(sb)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), dtype=bool)
+    p0 = sa[:, None, 0:2]
+    p1 = sa[:, None, 2:4]
+    q0 = sb[None, :, 0:2]
+    q1 = sb[None, :, 2:4]
+
+    def orient(o, a_, b_):
+        return ((a_[..., 0] - o[..., 0]) * (b_[..., 1] - o[..., 1])
+                - (a_[..., 1] - o[..., 1]) * (b_[..., 0] - o[..., 0]))
+
+    d1 = orient(q0, q1, p0)
+    d2 = orient(q0, q1, p1)
+    d3 = orient(p0, p1, q0)
+    d4 = orient(p0, p1, q1)
+    return ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) \
+        & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+
+def within(a: Geometry, b: Geometry) -> bool:
+    return contains(b, a)
+
+
+def covers(a: Geometry, b: Geometry) -> bool:
+    """Like contains but boundary-only containment qualifies."""
+    if a.is_empty or b.is_empty or bounds_disjoint(a, b):
+        return False
+    if _collect(a, (POLYGON,)):
+        cb = b.all_coords()
+        if not points_in_polygon(cb[:, 0], cb[:, 1], a, on_boundary=True).all():
+            return False
+        sb = _segments(b)
+        if len(sb):
+            mids = 0.5 * (sb[:, :2] + sb[:, 2:])
+            if not points_in_polygon(mids[:, 0], mids[:, 1], a, on_boundary=True).all():
+                return False
+        return True
+    return contains(a, b)
+
+
+def covered_by(a: Geometry, b: Geometry) -> bool:
+    return covers(b, a)
+
+
+def crosses(a: Geometry, b: Geometry) -> bool:
+    """dim(a∩b) < max(dim) with interiors intersecting — implemented for
+    line/line (point crossing), line/polygon and point/line|polygon cases."""
+    if not intersects(a, b):
+        return False
+    da, db = dimension(a), dimension(b)
+    if da == 1 and db == 1:
+        sa, sb = _segments(a), _segments(b)
+        return bool(_proper_cross(sa, sb).any())
+    if {da, db} == {1, 2}:
+        line, poly = (a, b) if da == 1 else (b, a)
+        # sample line vertices + segment midpoints: interior passage needs a
+        # sample strictly inside AND one strictly outside (or a proper ring
+        # crossing, which implies both)
+        sl = _segments(line)
+        mids = 0.5 * (sl[:, :2] + sl[:, 2:])
+        c = np.concatenate([line.all_coords()[:, :2], mids], axis=0)
+        strict_in = points_in_polygon(c[:, 0], c[:, 1], poly, on_boundary=False).any()
+        strict_out = (~points_in_polygon(c[:, 0], c[:, 1], poly, on_boundary=True)).any()
+        if not strict_in:
+            for p in _collect(poly, (POLYGON,)):
+                for ring in p.rings:
+                    ringsegs = np.concatenate([ring[:-1, :2], ring[1:, :2]], axis=1)
+                    if _proper_cross(sl, ringsegs).any():
+                        strict_in = True
+                        break
+        return bool(strict_in and strict_out)
+    if {da, db} == {0, 1} or {da, db} == {0, 2}:
+        pt = a if da == 0 else b
+        other = b if da == 0 else a
+        c = pt.all_coords()
+        if len(c) < 2:
+            return False
+        if _collect(other, (POLYGON,)):
+            inside = points_in_polygon(c[:, 0], c[:, 1], other)
+        else:
+            so = _segments(other)
+            inside = _points_on_segments(c[:, 0:1], c[:, 1:2],
+                                         so[:, 0], so[:, 1], so[:, 2], so[:, 3])
+        return bool(inside.any() and (~inside).any())
+    return False
+
+
+def overlaps(a: Geometry, b: Geometry) -> bool:
+    """Same-dimension partial overlap."""
+    da, db = dimension(a), dimension(b)
+    if da != db or not intersects(a, b):
+        return False
+    return not contains(a, b) and not contains(b, a) and not equals_topo(a, b)
+
+
+def touches(a: Geometry, b: Geometry) -> bool:
+    """Boundaries intersect, interiors don't. Implemented via: intersects
+    but no interior-interior evidence (strict containment / proper cross)."""
+    if not intersects(a, b):
+        return False
+    # polygon operand: any strictly-interior vertex of the other means no touch
+    for g1, g2 in ((a, b), (b, a)):
+        if _collect(g2, (POLYGON,)):
+            c = g1.all_coords()
+            if points_in_polygon(c[:, 0], c[:, 1], g2, on_boundary=False).any():
+                return False
+            sb = _segments(g1)
+            if len(sb):
+                mids = 0.5 * (sb[:, :2] + sb[:, 2:])
+                if points_in_polygon(mids[:, 0], mids[:, 1], g2, on_boundary=False).any():
+                    return False
+    sa, sb = _segments(a), _segments(b)
+    if dimension(a) >= 1 and dimension(b) >= 1 and _proper_cross(sa, sb).any():
+        if not (_collect(a, (POLYGON,)) or _collect(b, (POLYGON,))):
+            return False
+    return True
+
+
+def equals_exact(a: Geometry, b: Geometry, tolerance=0.0) -> bool:
+    if a.type != b.type:
+        return False
+    ca, cb = a.all_coords(), b.all_coords()
+    if ca.shape != cb.shape:
+        return False
+    if tolerance == 0.0:
+        return bool(np.array_equal(ca, cb))
+    return bool(np.max(np.abs(ca - cb)) <= tolerance) if ca.size else True
+
+
+def equals_topo(a: Geometry, b: Geometry) -> bool:
+    """Topological equality approximated as symmetric coverage."""
+    if a.is_empty and b.is_empty:
+        return True
+    if equals_exact(normalize(a), normalize(b)):
+        return True
+    return covers(a, b) and covers(b, a)
+
+
+def dwithin(a: Geometry, b: Geometry, d: float) -> bool:
+    return distance(a, b) <= d
+
+
+def relate(a: Geometry, b: Geometry) -> str:
+    """DE-9IM approximation built from the implemented predicates.
+
+    Returns a 9-char matrix with T/F entries (no dimension digits) — enough
+    for RelateMatch-style pattern checks on the common patterns.
+    """
+    ii = intersects(a, b) and not touches(a, b)
+    anyx = intersects(a, b)
+    m = ["F"] * 9
+    if anyx:
+        if ii:
+            m[0] = "T"
+        if touches(a, b) or (anyx and not contains(a, b) and not within(a, b)):
+            m[1] = "T"
+            m[3] = "T"
+    if not within(a, b):
+        m[2] = "T"
+    if not contains(a, b):
+        m[6] = "T"
+    m[4] = "T" if anyx else "F"
+    m[8] = "T"
+    return "".join(m)
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def affine(g: Geometry, a, b, d, e, xoff, yoff) -> Geometry:
+    """PostGIS-style 2D affine: x' = a x + b y + xoff, y' = d x + e y + yoff."""
+    def fn(c):
+        out = c.copy()
+        out[:, 0] = a * c[:, 0] + b * c[:, 1] + xoff
+        out[:, 1] = d * c[:, 0] + e * c[:, 1] + yoff
+        return out
+    return g.map_coords(fn)
+
+
+def translate(g: Geometry, dx, dy, dz=0.0) -> Geometry:
+    def fn(c):
+        out = c.copy()
+        out[:, 0] += dx
+        out[:, 1] += dy
+        if out.shape[1] > 2 and g.has_z:
+            out[:, 2] += dz
+        return out
+    return g.map_coords(fn)
+
+
+def scale(g: Geometry, sx, sy, sz=1.0) -> Geometry:
+    def fn(c):
+        out = c.copy()
+        out[:, 0] *= sx
+        out[:, 1] *= sy
+        if out.shape[1] > 2 and g.has_z:
+            out[:, 2] *= sz
+        return out
+    return g.map_coords(fn)
+
+
+def rotate(g: Geometry, theta, origin=(0.0, 0.0)) -> Geometry:
+    ox, oy = origin
+    ct, st = math.cos(theta), math.sin(theta)
+    def fn(c):
+        out = c.copy()
+        x = c[:, 0] - ox
+        y = c[:, 1] - oy
+        out[:, 0] = ct * x - st * y + ox
+        out[:, 1] = st * x + ct * y + oy
+        return out
+    return g.map_coords(fn)
+
+
+def reverse(g: Geometry) -> Geometry:
+    if g.type == POINT:
+        return g
+    if g.type == LINESTRING:
+        return Geometry(LINESTRING, coords=g.coords[::-1].copy(),
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    if g.type == POLYGON:
+        return Geometry(POLYGON, rings=[r[::-1].copy() for r in g.rings],
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    return Geometry(g.type, parts=[reverse(p) for p in g.parts],
+                    has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+
+
+def force_2d(g: Geometry) -> Geometry:
+    out = g.map_coords(lambda c: c[:, :2].copy())
+    out.has_z = out.has_m = False
+    def strip(x):
+        x.has_z = x.has_m = False
+        if x.parts is not None:
+            for p in x.parts:
+                strip(p)
+    strip(out)
+    return out
+
+
+def normalize(g: Geometry) -> Geometry:
+    """Canonical form: polygon exterior CW? JTS normalizes exterior CW,
+    holes CCW, rings rotated to min vertex, parts sorted. We implement the
+    ring-orientation + min-vertex-rotation part (enough for EqualNorm)."""
+    if g.type == POLYGON:
+        rings = []
+        for k, r in enumerate(g.rings):
+            ring = r[:-1] if len(r) > 1 and np.array_equal(r[0], r[-1]) else r
+            # rotate to lexicographically smallest vertex
+            idx = np.lexsort((ring[:, 1], ring[:, 0]))[0]
+            ring = np.roll(ring, -idx, axis=0)
+            sa = ring_signed_area(np.vstack([ring, ring[:1]]))
+            want_ccw = (k == 0)
+            if (sa > 0) != want_ccw:
+                ring = np.roll(ring[::-1], 1, axis=0)
+            rings.append(np.vstack([ring, ring[:1]]))
+        return Geometry(POLYGON, rings=rings, has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    if g.type == LINESTRING:
+        c = g.coords
+        if len(c) and tuple(c[0][:2]) > tuple(c[-1][:2]):
+            return reverse(g)
+        return g
+    if g.parts is not None:
+        parts = [normalize(p) for p in g.parts]
+        from .wkb import to_wkb
+        parts.sort(key=to_wkb)
+        return Geometry(g.type, parts=parts, has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    return g
+
+
+def convex_hull(g: Geometry) -> Geometry:
+    """Andrew's monotone chain; returns Polygon (or the input for <3 pts)."""
+    c = np.unique(g.all_coords()[:, :2], axis=0)
+    if len(c) == 0:
+        return Geometry.empty(POLYGON, g.srid)
+    if len(c) == 1:
+        return Geometry(POINT, coords=c[0].copy(), srid=g.srid)
+    if len(c) == 2:
+        return Geometry(LINESTRING, coords=c.copy(), srid=g.srid)
+    pts = c[np.lexsort((c[:, 1], c[:, 0]))]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    if len(hull) < 3:
+        return Geometry(LINESTRING, coords=hull, srid=g.srid)
+    ring = np.vstack([hull, hull[:1]])
+    return Geometry(POLYGON, rings=[ring], srid=g.srid)
+
+
+def simplify_dp(g: Geometry, tol: float) -> Geometry:
+    """Douglas–Peucker (JTS DouglasPeuckerSimplifier ~ ST_Simplify)."""
+    def simp_line(c):
+        if len(c) < 3:
+            return c
+        keep = np.zeros(len(c), dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, len(c) - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            seg = np.array([[c[i, 0], c[i, 1], c[j, 0], c[j, 1]]])
+            mid = c[i + 1:j, :2]
+            d2 = _point_seg_dist2(mid[:, 0], mid[:, 1], seg)[:, 0]
+            k = int(np.argmax(d2))
+            if d2[k] > tol * tol:
+                keep[i + 1 + k] = True
+                stack.append((i, i + 1 + k))
+                stack.append((i + 1 + k, j))
+        return c[keep]
+
+    if g.type == LINESTRING:
+        return Geometry(LINESTRING, coords=simp_line(g.coords),
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    if g.type == POLYGON:
+        rings = []
+        for r in g.rings:
+            s = simp_line(r)
+            if len(s) >= 4:
+                rings.append(s)
+        return Geometry(POLYGON, rings=rings, has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    if g.parts is not None:
+        return Geometry(g.type, parts=[simplify_dp(p, tol) for p in g.parts],
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    return g
+
+
+def simplify_vw(g: Geometry, area_tol: float) -> Geometry:
+    """Visvalingam–Whyatt simplification (ST_SimplifyVW)."""
+    def simp_line(c):
+        pts = list(range(len(c)))
+        def tri_area(i0, i1, i2):
+            p0, p1, p2 = c[i0, :2], c[i1, :2], c[i2, :2]
+            return 0.5 * abs((p1[0] - p0[0]) * (p2[1] - p0[1])
+                             - (p2[0] - p0[0]) * (p1[1] - p0[1]))
+        changed = True
+        while changed and len(pts) > 2:
+            changed = False
+            areas = [tri_area(pts[k - 1], pts[k], pts[k + 1])
+                     for k in range(1, len(pts) - 1)]
+            if not areas:
+                break
+            k = int(np.argmin(areas))
+            if areas[k] < area_tol:
+                pts.pop(k + 1)
+                changed = True
+        return c[pts]
+
+    if g.type == LINESTRING:
+        return Geometry(LINESTRING, coords=simp_line(g.coords),
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    if g.type == POLYGON:
+        return Geometry(POLYGON, rings=[simp_line(r) for r in g.rings],
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    if g.parts is not None:
+        return Geometry(g.type, parts=[simplify_vw(p, area_tol) for p in g.parts],
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    return g
+
+
+def densify_by_fraction(g: Geometry, frac: float) -> Geometry:
+    tol = length(g) * frac if length(g) > 0 else 0
+    if tol <= 0:
+        return g
+    return segmentize(g, tol)
+
+
+def segmentize(g: Geometry, max_len: float) -> Geometry:
+    """Insert vertices so no segment exceeds max_len (ST_Segmentize)."""
+    def seg_line(c):
+        if len(c) < 2:
+            return c
+        out = [c[0]]
+        for i in range(1, len(c)):
+            p0, p1 = c[i - 1], c[i]
+            d = float(np.linalg.norm((p1 - p0)[:2]))
+            n = max(1, int(math.ceil(d / max_len)))
+            for k in range(1, n + 1):
+                out.append(p0 + (p1 - p0) * (k / n))
+        return np.array(out)
+
+    if g.type == LINESTRING:
+        return Geometry(LINESTRING, coords=seg_line(g.coords),
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    if g.type == POLYGON:
+        return Geometry(POLYGON, rings=[seg_line(r) for r in g.rings],
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    if g.parts is not None:
+        return Geometry(g.type, parts=[segmentize(p, max_len) for p in g.parts],
+                        has_z=g.has_z, has_m=g.has_m, srid=g.srid)
+    return g
+
+
+def snap_to_grid(g: Geometry, size: float) -> Geometry:
+    def fn(c):
+        out = c.copy()
+        out[:, 0] = np.round(c[:, 0] / size) * size
+        out[:, 1] = np.round(c[:, 1] / size) * size
+        return out
+    return g.map_coords(fn)
+
+
+def line_interpolate_point(g: Geometry, frac: float) -> Geometry:
+    """Point at fraction of line length (ST_LineInterpolatePoint)."""
+    c = g.coords[:, :2]
+    seg = np.diff(c, axis=0)
+    ls = np.sqrt((seg * seg).sum(axis=1))
+    total = ls.sum()
+    target = np.clip(frac, 0, 1) * total
+    cum = np.concatenate([[0.0], np.cumsum(ls)])
+    i = int(np.searchsorted(cum, target, side="right")) - 1
+    i = min(i, len(ls) - 1)
+    rem = target - cum[i]
+    t = 0.0 if ls[i] == 0 else rem / ls[i]
+    p = c[i] + t * seg[i]
+    return Geometry(POINT, coords=p.copy(), srid=g.srid)
+
+
+def line_locate_point(g: Geometry, pt: Geometry) -> float:
+    """Fraction of line length nearest to pt (ST_LineLocatePoint)."""
+    c = g.coords[:, :2]
+    segs = np.concatenate([c[:-1], c[1:]], axis=1)
+    p = pt.coords[:2]
+    d2 = _point_seg_dist2(np.array([p[0]]), np.array([p[1]]), segs)[0]
+    j = int(np.argmin(d2))
+    s = segs[j]
+    dx, dy = s[2] - s[0], s[3] - s[1]
+    l2 = dx * dx + dy * dy
+    t = 0.0 if l2 == 0 else float(np.clip(
+        ((p[0] - s[0]) * dx + (p[1] - s[1]) * dy) / l2, 0, 1))
+    seg = np.diff(c, axis=0)
+    ls = np.sqrt((seg * seg).sum(axis=1))
+    total = ls.sum()
+    if total == 0:
+        return 0.0
+    return float((ls[:j].sum() + t * ls[j]) / total)
+
+
+def line_substring(g: Geometry, f0: float, f1: float) -> Geometry:
+    """ST_LineSubstring."""
+    if f1 < f0:
+        f0, f1 = f1, f0
+    c = g.coords[:, :2]
+    seg = np.diff(c, axis=0)
+    ls = np.sqrt((seg * seg).sum(axis=1))
+    total = ls.sum()
+    cum = np.concatenate([[0.0], np.cumsum(ls)])
+
+    def point_at(target):
+        i = min(int(np.searchsorted(cum, target, side="right")) - 1, len(ls) - 1)
+        t = 0.0 if ls[i] == 0 else (target - cum[i]) / ls[i]
+        return c[i] + t * seg[i], i
+
+    p0, i0 = point_at(f0 * total)
+    p1, i1 = point_at(f1 * total)
+    mids = c[i0 + 1:i1 + 1]
+    pts = [p0] + [m for m in mids] + [p1]
+    out = [pts[0]]
+    for p in pts[1:]:
+        if not np.array_equal(p, out[-1]):
+            out.append(p)
+    if len(out) == 1:
+        out.append(out[0])
+    return Geometry(LINESTRING, coords=np.array(out), srid=g.srid)
+
+
+def buffer_point(x, y, dist, quadsegs=8, srid=4326) -> Geometry:
+    n = max(4, 4 * quadsegs)
+    ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    ring = np.stack([x + dist * np.cos(ang), y + dist * np.sin(ang)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    return Geometry(POLYGON, rings=[ring], srid=srid)
+
+
+def buffer(g: Geometry, dist: float, quadsegs=8) -> Geometry:
+    """Positive buffer. Exact for points; for other geometries the result
+    is the convex hull of vertex discs + edge offsets — exact for convex
+    inputs, a slight over-estimate in concavities (documented limitation;
+    the reference's full JTS buffer incl. UTM unit logic is
+    GeometryWrapper.java:409-450)."""
+    if dist <= 0:
+        raise NotImplementedError("negative/zero buffer not supported")
+    if g.type == POINT:
+        return buffer_point(g.coords[0], g.coords[1], dist, quadsegs, g.srid)
+    pts = []
+    for block in g.coord_blocks():
+        for p in block:
+            circ = buffer_point(p[0], p[1], dist, quadsegs, g.srid)
+            pts.append(circ.rings[0][:-1])
+    allpts = np.concatenate(pts, axis=0)
+    return convex_hull(Geometry(MULTIPOINT, parts=[
+        Geometry(POINT, coords=p.copy(), srid=g.srid) for p in allpts], srid=g.srid))
+
+
+def clip_by_rect(g: Geometry, xmin, ymin, xmax, ymax) -> Geometry:
+    """Sutherland–Hodgman clip of polygon rings by an axis rect
+    (ST_ClipByBox2D)."""
+    def clip_ring(ring):
+        poly = [tuple(p[:2]) for p in ring[:-1]]
+        for edge in range(4):
+            if not poly:
+                return None
+            out = []
+            n = len(poly)
+            for i in range(n):
+                cur = poly[i]
+                prev = poly[i - 1]
+                if edge == 0:
+                    cin, pin = cur[0] >= xmin, prev[0] >= xmin
+                elif edge == 1:
+                    cin, pin = cur[0] <= xmax, prev[0] <= xmax
+                elif edge == 2:
+                    cin, pin = cur[1] >= ymin, prev[1] >= ymin
+                else:
+                    cin, pin = cur[1] <= ymax, prev[1] <= ymax
+
+                def isect():
+                    x0, y0 = prev
+                    x1, y1 = cur
+                    if edge == 0:
+                        t = (xmin - x0) / (x1 - x0)
+                        return (xmin, y0 + t * (y1 - y0))
+                    if edge == 1:
+                        t = (xmax - x0) / (x1 - x0)
+                        return (xmax, y0 + t * (y1 - y0))
+                    if edge == 2:
+                        t = (ymin - y0) / (y1 - y0)
+                        return (x0 + t * (x1 - x0), ymin)
+                    t = (ymax - y0) / (y1 - y0)
+                    return (x0 + t * (x1 - x0), ymax)
+
+                if cin:
+                    if not pin:
+                        out.append(isect())
+                    out.append(cur)
+                elif pin:
+                    out.append(isect())
+            poly = out
+        if len(poly) < 3:
+            return None
+        arr = np.array(poly + [poly[0]])
+        return arr
+
+    if g.type == POLYGON:
+        rings = [clip_ring(r) for r in g.rings]
+        rings = [r for r in rings if r is not None]
+        if not rings:
+            return Geometry.empty(POLYGON, g.srid)
+        return Geometry(POLYGON, rings=rings, srid=g.srid)
+    if g.type in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        parts = [clip_by_rect(p, xmin, ymin, xmax, ymax) for p in g.parts]
+        parts = [p for p in parts if not p.is_empty]
+        return Geometry(MULTIPOLYGON, parts=parts, srid=g.srid)
+    raise NotImplementedError("clip_by_rect implemented for areal geometries")
+
+
+def envelope_polygon(g: Geometry) -> Geometry:
+    x0, y0, x1, y1 = g.bounds()
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    return Geometry(POLYGON, rings=[ring], srid=g.srid)
+
+
+def minimum_bounding_circle(g: Geometry):
+    """Welzl's algorithm → (cx, cy, r)."""
+    import random
+    pts = [tuple(p) for p in np.unique(g.all_coords()[:, :2], axis=0)]
+    rng = random.Random(17)
+    rng.shuffle(pts)
+
+    def circle2(p, q):
+        return ((p[0] + q[0]) / 2, (p[1] + q[1]) / 2,
+                math.dist(p, q) / 2)
+
+    def circle3(p, q, r):
+        ax, ay = p
+        bx, by = q
+        cx, cy = r
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0:
+            return None
+        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+              + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+              + (cx * cx + cy * cy) * (bx - ax)) / d
+        return (ux, uy, math.dist((ux, uy), p))
+
+    def inside(c, p, eps=1e-9):
+        return c is not None and math.dist((c[0], c[1]), p) <= c[2] * (1 + eps) + eps
+
+    c = None
+    for i, p in enumerate(pts):
+        if inside(c, p):
+            continue
+        c = (p[0], p[1], 0.0)
+        for j in range(i):
+            q = pts[j]
+            if inside(c, q):
+                continue
+            c = circle2(p, q)
+            for k in range(j):
+                r = pts[k]
+                if inside(c, r):
+                    continue
+                c3 = circle3(p, q, r)
+                if c3 is not None:
+                    c = c3
+    return c if c is not None else (math.nan, math.nan, math.nan)
+
+
+def azimuth(p1: Geometry, p2: Geometry) -> float:
+    """Clockwise angle from north, radians (ST_Azimuth)."""
+    dx = p2.coords[0] - p1.coords[0]
+    dy = p2.coords[1] - p1.coords[1]
+    a = math.atan2(dx, dy)
+    return a if a >= 0 else a + 2 * math.pi
+
+
+def is_ccw(ring: np.ndarray) -> bool:
+    return ring_signed_area(ring) > 0
+
+
+def is_simple(g: Geometry) -> bool:
+    """No self-intersections between non-adjacent segments."""
+    segs = _segments(g)
+    n = len(segs)
+    if n < 2:
+        return True
+    hit = segments_intersect(segs, segs)
+    np.fill_diagonal(hit, False)
+    idx = np.arange(n)
+    adjacent = np.abs(idx[:, None] - idx[None, :]) == 1
+    hit &= ~adjacent
+    # closing segment of rings touches the first — allow ring closure contact
+    if g.type == POLYGON or g.type == LINESTRING:
+        hit[0, n - 1] = hit[n - 1, 0] = False
+    return not hit.any()
+
+
+def is_valid(g: Geometry) -> bool:
+    """Basic validity: rings closed with >=4 points, finite coords,
+    simple rings."""
+    c = g.all_coords()
+    if c.size and not np.isfinite(c).all():
+        return False
+    for p in _collect(g, (POLYGON,)):
+        for r in p.rings:
+            if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+                return False
+            ring_geom = Geometry(LINESTRING, coords=r)
+            if not is_simple(ring_geom):
+                return False
+    return True

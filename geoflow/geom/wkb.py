@@ -1,0 +1,190 @@
+"""WKB reader/writer + vectorized fast paths for point columns.
+
+Canonical columnar geometry format in geoflow pipelines is a WKB binary
+column (little-endian ISO WKB; Z=+1000 / M=+2000 / ZM=+3000 type offsets).
+The reader also accepts EWKB dimension flags (0x80000000 Z, 0x40000000 M)
+and the EWKB embedded-SRID flag (0x20000000), matching the reference's WKB
+datatype behavior (SRS from prefix or embedded SRID;
+/root/reference/src/main/io/github/galbiston/geosparql_jena/implementation/datatype/geometry/WKBDatatype.java:76-91).
+
+Fast paths: a column that is entirely 2D points round-trips to two float64
+numpy arrays without per-row Python parsing (`points_to_wkb` /
+`wkb_to_points`).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .types import (GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING,
+                    MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, DEFAULT_SRID,
+                    Geometry)
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+def _decode_type(raw: int):
+    """raw wkb type -> (base_type, has_z, has_m, has_srid)."""
+    has_srid = bool(raw & _EWKB_SRID)
+    has_z = bool(raw & _EWKB_Z)
+    has_m = bool(raw & _EWKB_M)
+    t = raw & 0x0FFFFFFF
+    if t >= 3000:
+        has_z = has_m = True
+        t -= 3000
+    elif t >= 2000:
+        has_m = True
+        t -= 2000
+    elif t >= 1000:
+        has_z = True
+        t -= 1000
+    return t, has_z, has_m, has_srid
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, srid=DEFAULT_SRID) -> Geometry:
+        byte_order = self.buf[self.pos]
+        self.pos += 1
+        ec = "<" if byte_order == 1 else ">"
+        raw_type, = struct.unpack_from(ec + "I", self.buf, self.pos)
+        self.pos += 4
+        t, has_z, has_m, has_srid = _decode_type(raw_type)
+        if has_srid:
+            srid, = struct.unpack_from(ec + "i", self.buf, self.pos)
+            self.pos += 4
+        ndim = 2 + int(has_z) + int(has_m)
+
+        def coords(n):
+            arr = np.frombuffer(self.buf, dtype=ec + "f8",
+                                count=n * ndim, offset=self.pos)
+            self.pos += n * ndim * 8
+            return arr.reshape(n, ndim).astype(np.float64, copy=False)
+
+        def count():
+            n, = struct.unpack_from(ec + "I", self.buf, self.pos)
+            self.pos += 4
+            return n
+
+        if t == POINT:
+            c = coords(1)[0]
+            if np.all(np.isnan(c)):
+                g = Geometry.empty(POINT, srid)
+            else:
+                g = Geometry(POINT, coords=c.copy(), srid=srid)
+            g.has_z, g.has_m = has_z, has_m
+            return g
+        if t == LINESTRING:
+            g = Geometry(LINESTRING, coords=coords(count()).copy(), srid=srid)
+            g.has_z, g.has_m = has_z, has_m
+            return g
+        if t == POLYGON:
+            nrings = count()
+            rings = [coords(count()).copy() for _ in range(nrings)]
+            g = Geometry(POLYGON, rings=rings, srid=srid)
+            g.has_z, g.has_m = has_z, has_m
+            return g
+        if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+            n = count()
+            parts = [self.read(srid) for _ in range(n)]
+            g = Geometry(t, parts=parts, srid=srid)
+            g.has_z, g.has_m = has_z, has_m
+            return g
+        raise ValueError(f"unsupported WKB type {t}")
+
+
+def from_wkb(buf: bytes, srid=DEFAULT_SRID) -> Geometry:
+    return _Reader(buf).read(srid)
+
+
+def _encode_type(t: int, has_z: bool, has_m: bool) -> int:
+    off = 0
+    if has_z and has_m:
+        off = 3000
+    elif has_m:
+        off = 2000
+    elif has_z:
+        off = 1000
+    return t + off
+
+
+def _write(g: Geometry, out: list):
+    t = _encode_type(g.type, g.has_z, g.has_m)
+    out.append(struct.pack("<BI", 1, t))
+    if g.type == POINT:
+        if g.is_empty:
+            out.append(struct.pack("<" + "d" * g.ndim, *([float("nan")] * g.ndim)))
+        else:
+            out.append(np.asarray(g.coords, dtype="<f8").tobytes())
+    elif g.type == LINESTRING:
+        out.append(struct.pack("<I", len(g.coords)))
+        out.append(np.ascontiguousarray(g.coords, dtype="<f8").tobytes())
+    elif g.type == POLYGON:
+        out.append(struct.pack("<I", len(g.rings)))
+        for r in g.rings:
+            out.append(struct.pack("<I", len(r)))
+            out.append(np.ascontiguousarray(r, dtype="<f8").tobytes())
+    else:
+        out.append(struct.pack("<I", len(g.parts)))
+        for p in g.parts:
+            _write(p, out)
+
+
+def to_wkb(g: Geometry) -> bytes:
+    out: list = []
+    _write(g, out)
+    return b"".join(out)
+
+
+# ---- vectorized point fast paths --------------------------------------
+
+_POINT2D_LEN = 21  # 1 byteorder + 4 type + 16 coords
+
+
+def points_to_wkb(x: np.ndarray, y: np.ndarray) -> list:
+    """Vector-encode 2D points to a list of 21-byte WKB buffers.
+
+    Builds one contiguous (n, 21) byte matrix with numpy, then splits —
+    no per-row struct packing.
+    """
+    n = len(x)
+    mat = np.empty((n, _POINT2D_LEN), dtype=np.uint8)
+    mat[:, 0] = 1
+    mat[:, 1:5] = np.frombuffer(struct.pack("<I", POINT), dtype=np.uint8)
+    mat[:, 5:13] = np.asarray(x, dtype="<f8").view(np.uint8).reshape(n, 8)
+    mat[:, 13:21] = np.asarray(y, dtype="<f8").view(np.uint8).reshape(n, 8)
+    b = mat.tobytes()
+    return [b[i * _POINT2D_LEN:(i + 1) * _POINT2D_LEN] for i in range(n)]
+
+
+def wkb_to_points(bufs) -> tuple:
+    """Vector-decode a homogeneous 2D-point WKB column -> (x, y) arrays.
+
+    Returns None if any element is not a little-endian 2D point (caller
+    falls back to the generic reader).
+    """
+    n = len(bufs)
+    x = np.empty(n, dtype=np.float64)
+    y = np.empty(n, dtype=np.float64)
+    # check homogeneity cheaply, then decode with one big frombuffer
+    joined = b"".join(bufs)
+    if len(joined) != n * _POINT2D_LEN:
+        return None
+    mat = np.frombuffer(joined, dtype=np.uint8).reshape(n, _POINT2D_LEN)
+    if not (mat[:, 0] == 1).all():
+        return None
+    type_ok = (mat[:, 1] == POINT) & (mat[:, 2] == 0) & (mat[:, 3] == 0) & (mat[:, 4] == 0)
+    if not type_ok.all():
+        return None
+    x[:] = np.ascontiguousarray(mat[:, 5:13]).view("<f8").ravel()
+    y[:] = np.ascontiguousarray(mat[:, 13:21]).view("<f8").ravel()
+    return x, y
