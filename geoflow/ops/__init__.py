@@ -1,0 +1,7 @@
+from . import (aggregates, measures, predicates, setops,  # noqa: F401
+               temporal, transforms, units)
+from .registry import REGISTRY, get_op, list_ops, register_op
+
+__all__ = ["REGISTRY", "get_op", "list_ops", "register_op", "aggregates",
+           "measures", "predicates", "setops", "temporal", "transforms",
+           "units"]
