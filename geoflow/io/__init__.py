@@ -1,0 +1,3 @@
+from .synth import make_corpus_block, make_corpus_dataset, make_polygon_table
+
+__all__ = ["make_corpus_block", "make_corpus_dataset", "make_polygon_table"]

@@ -1,0 +1,113 @@
+"""Broadcast spatial join: small polygon side shipped once via ray.put,
+probed by a stateful actor pool over the streaming point side.
+
+Replaces the reference's JVM-global STRtree memory index
+(GeoSPARQLConfig.setupMemoryIndex(), PostGISConfig.java:812) with the
+Ray-idiomatic pattern: the polygon corpus (WKB + envelopes) is `ray.put`
+ONCE; every actor of the map_batches pool builds its STRtree + prepared
+polygon list in `__init__` (once per actor, NOT per batch) and probes each
+Arrow batch vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import STRtree, algorithms as alg, from_wkb
+from ..geom.wkb import wkb_to_points
+
+
+class PolygonIndex:
+    """Driver-side container for the broadcast build side."""
+
+    def __init__(self, poly_table: pa.Table, wkb_col="geom_wkb",
+                 id_col="poly_id"):
+        self.ids = poly_table.column(id_col).to_numpy(zero_copy_only=False)
+        bufs = poly_table.column(wkb_col).to_pylist()
+        self.geoms = [from_wkb(b) for b in bufs]
+        self.boxes = np.array([g.bounds() for g in self.geoms])
+
+    def build_tree(self) -> STRtree:
+        return STRtree(self.boxes)
+
+
+class BroadcastPIPJoin:
+    """Actor-pool callable: point batches → (point rows × containing
+    polygon) join rows.
+
+    Usage:
+        ref = ray.put(PolygonIndex(poly_table))
+        ds.map_batches(BroadcastPIPJoin, fn_constructor_args=(ref,),
+                       batch_format="pyarrow", concurrency=N)
+    """
+
+    def __init__(self, index_ref, predicate="intersects",
+                 x_col=None, y_col=None, wkb_col="geom_wkb",
+                 out_cols=("url", "geom_idx")):
+        import ray
+        idx = ray.get(index_ref) if not isinstance(index_ref, PolygonIndex) else index_ref
+        self.idx = idx
+        self.tree = idx.build_tree()  # built once per actor
+        self.predicate = predicate
+        self.x_col = x_col
+        self.y_col = y_col
+        self.wkb_col = wkb_col
+        self.out_cols = tuple(out_cols)
+
+    def _probe_points(self, px, py):
+        """Vectorized candidate gen + exact PIP refinement grouped by
+        polygon (numpy inner loops per candidate polygon, not per pair)."""
+        pi, poly_i = self.tree.query_points(px, py)
+        if len(pi) == 0:
+            return pi, poly_i
+        keep = np.zeros(len(pi), dtype=bool)
+        order = np.argsort(poly_i, kind="stable")
+        pi_s, poly_s = pi[order], poly_i[order]
+        bnd = np.searchsorted(poly_s, np.unique(poly_s))
+        uniq = np.unique(poly_s)
+        bounds = np.append(bnd, len(poly_s))
+        for k, p in enumerate(uniq):
+            sl = slice(bounds[k], bounds[k + 1])
+            rows = pi_s[sl]
+            g = self.idx.geoms[int(p)]
+            inside = alg.points_in_polygon(px[rows], py[rows], g,
+                                           on_boundary=True)
+            keep[order[np.arange(sl.start, sl.stop)]] = inside
+        return pi[keep], poly_i[keep]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.x_col is not None:
+            px = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+            py = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+            valid = np.isfinite(px) & np.isfinite(py)
+            probe_rows = np.nonzero(valid)[0]
+            pi, poly_i = self._probe_points(px[probe_rows], py[probe_rows])
+            src_rows = probe_rows[pi]
+        else:
+            bufs = batch.column(self.wkb_col).to_pylist()
+            pts = wkb_to_points([b for b in bufs if b is not None]) \
+                if all(b is not None for b in bufs) else None
+            if pts is not None:
+                pi, poly_i = self._probe_points(pts[0], pts[1])
+                src_rows = pi
+            else:
+                # mixed geometries: bbox candidates then exact predicate
+                geoms = [from_wkb(b) if b is not None else None for b in bufs]
+                boxes = np.array([g.bounds() if g is not None else
+                                  (np.nan,) * 4 for g in geoms])
+                pi, poly_i = self.tree.query_boxes(boxes)
+                pred = getattr(alg, self.predicate)
+                keep = [n for n in range(len(pi))
+                        if geoms[pi[n]] is not None
+                        and pred(geoms[pi[n]], self.idx.geoms[int(poly_i[n])])]
+                pi, poly_i = pi[keep], poly_i[keep]
+                src_rows = pi
+
+        take = pa.array(src_rows, type=pa.int64())
+        cols = {c: batch.column(c).take(take) for c in self.out_cols
+                if c in batch.column_names}
+        cols["poly_id"] = pa.array(self.idx.ids[poly_i], type=pa.int64())
+        cols["predicate"] = pa.array([self.predicate] * len(poly_i),
+                                     type=pa.string())
+        return pa.table(cols)

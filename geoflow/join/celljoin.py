@@ -1,0 +1,191 @@
+"""Cell-keyed shuffle spatial join (the scale path of the north rule).
+
+Both sides are keyed by grid cells (exact bbox covering — no candidate
+pair can be missed, see cells/grid.py), unioned into one Dataset and
+shuffled ONCE with `groupby(cell).map_groups(refine)`; refinement builds a
+per-group STRtree over the polygon rows and runs vectorized PIP.
+
+Dedup: a point belongs to exactly one cell, so point×polygon pairs are
+emitted exactly once — no second dedup shuffle. (Polygon×polygon joins
+would use the reference-cell rule; not needed for the point probe side.)
+
+Skew: hot cells (dense urban areas — north_rule) are salted. A cheap
+pre-pass `groupby(cell).count()` on the build side finds cells whose
+polygon count exceeds `hot_threshold`; those cells' POINT rows are split
+across `n_salt` subkeys while the POLYGON rows are replicated to every
+subkey, bounding the largest group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..cells import grid
+from ..geom import STRtree, algorithms as alg, from_wkb
+
+
+_KEEP_TYPES = {"url": pa.string(), "geom_idx": pa.int32()}
+
+
+def prepare_point_side(ds, x_col="x", y_col="y", res=grid.DEFAULT_RES,
+                       keep_cols=("url", "geom_idx")):
+    """points Dataset → (cell, side=0, keep..., x, y) rows."""
+    keep = tuple(keep_cols)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        px = batch.column(x_col).to_numpy(zero_copy_only=False)
+        py = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cells = grid.lonlat_to_grid(px, py, res)
+        cols = {"cell": pa.array(cells.view(np.int64)),
+                "side": pa.array(np.zeros(len(px), dtype=np.int8)),
+                "x": pa.array(px), "y": pa.array(py),
+                "poly_id": pa.nulls(len(px), type=pa.int64()),
+                "geom_wkb": pa.nulls(len(px), type=pa.binary())}
+        for c in keep:
+            col = batch.column(c)
+            if c in _KEEP_TYPES and col.type != _KEEP_TYPES[c]:
+                import pyarrow.compute as pc
+                col = pc.cast(col, _KEEP_TYPES[c])
+            cols[c] = col
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def prepare_polygon_side(ds, wkb_col="geom_wkb", id_col="poly_id",
+                         res=grid.DEFAULT_RES, keep_cols=("url", "geom_idx")):
+    """polygons Dataset → one row per (covering cell, polygon)."""
+    keep = tuple(keep_cols)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        bufs = batch.column(wkb_col).to_pylist()
+        boxes = np.empty((len(bufs), 4))
+        for i, b in enumerate(bufs):
+            boxes[i] = from_wkb(b).bounds() if b is not None else (np.nan,) * 4
+        valid = np.isfinite(boxes[:, 0])
+        vidx = np.nonzero(valid)[0]
+        ri, cells = grid.cover_boxes(boxes[vidx, 0], boxes[vidx, 1],
+                                     boxes[vidx, 2], boxes[vidx, 3], res)
+        rows = vidx[ri]
+        take = pa.array(rows, type=pa.int64())
+        n = len(rows)
+        cols = {"cell": pa.array(cells.view(np.int64)),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "x": pa.nulls(n, type=pa.float64()),
+                "y": pa.nulls(n, type=pa.float64()),
+                "poly_id": batch.column(id_col).take(take),
+                "geom_wkb": batch.column(wkb_col).take(take)}
+        for c in keep:
+            cols[c] = pa.nulls(n, type=_KEEP_TYPES.get(c, pa.string()))
+        return pa.table(cols)
+
+    return ds.map_batches(cover, batch_format="pyarrow")
+
+
+def find_hot_cells(poly_side_ds, hot_threshold: int) -> dict:
+    """Pre-pass: polygon count per cell → {cell: count} above threshold.
+    The result is tiny (only hot cells) and is broadcast to the salting
+    stage."""
+    counts = poly_side_ds.groupby("cell").count()
+    hot = {}
+    for batch in counts.iter_batches(batch_format="pyarrow"):
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        cnt = batch.column("count()").to_numpy(zero_copy_only=False)
+        for c, n in zip(cells[cnt > hot_threshold], cnt[cnt > hot_threshold]):
+            hot[int(c)] = int(n)
+    return hot
+
+
+def apply_salt(ds, hot_cells: dict, n_salt: int = 8):
+    """Rewrite `cell` → salted key. Point rows in hot cells hash into one
+    of n_salt shards; polygon rows replicate into all shards. Non-hot rows
+    get salt 0 (key unchanged modulo encoding)."""
+    if not hot_cells:
+        def encode(batch: pa.Table) -> pa.Table:
+            cells = batch.column("cell").to_numpy(zero_copy_only=False)
+            return batch.set_column(batch.schema.get_field_index("cell"),
+                                    "cell", pa.array(cells * np.int64(64)))
+        return ds.map_batches(encode, batch_format="pyarrow")
+
+    hot = set(hot_cells)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        is_hot = np.isin(cells, np.fromiter(hot, dtype=np.int64))
+        base = cells * np.int64(64)  # 6 salt bits
+        # points: deterministic shard from coordinates
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        xs = np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+        h = np.where(np.isfinite(x), np.abs(xs * 1e6).astype(np.int64) % n_salt, 0)
+        pt_key = base + np.where(is_hot & (side == 0), h, 0)
+        # polygons in hot cells: replicate rows n_salt times
+        rep_rows = np.nonzero(is_hot & (side == 1))[0]
+        out = batch.set_column(batch.schema.get_field_index("cell"),
+                               "cell", pa.array(pt_key))
+        if len(rep_rows) == 0:
+            return out
+        tables = [out]
+        for s in range(1, n_salt):
+            t = batch.take(pa.array(rep_rows, type=pa.int64()))
+            t = t.set_column(t.schema.get_field_index("cell"), "cell",
+                             pa.array(base[rep_rows] + s))
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(salt, batch_format="pyarrow")
+
+
+def _refine_group(group: pa.Table) -> pa.Table:
+    """Per-cell exact refinement: STRtree over the group's polygons,
+    vectorized PIP of the group's points."""
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    pt_rows = np.nonzero(side == 0)[0]
+    poly_rows = np.nonzero(side == 1)[0]
+    empty = pa.table({
+        "url": pa.array([], type=pa.string()),
+        "geom_idx": pa.array([], type=pa.int32()),
+        "poly_id": pa.array([], type=pa.int64()),
+        "predicate": pa.array([], type=pa.string())})
+    if len(pt_rows) == 0 or len(poly_rows) == 0:
+        return empty
+    px = group.column("x").to_numpy(zero_copy_only=False)[pt_rows]
+    py = group.column("y").to_numpy(zero_copy_only=False)[pt_rows]
+    polys = [from_wkb(group.column("geom_wkb")[int(i)].as_py())
+             for i in poly_rows]
+    boxes = np.array([g.bounds() for g in polys])
+    tree = STRtree(boxes)
+    pi, gi = tree.query_points(px, py)
+    if len(pi) == 0:
+        return empty
+    keep = np.zeros(len(pi), dtype=bool)
+    order = np.argsort(gi, kind="stable")
+    gi_s = gi[order]
+    uniq, starts = np.unique(gi_s, return_index=True)
+    bounds = np.append(starts, len(gi_s))
+    for k, gidx in enumerate(uniq):
+        sl = order[bounds[k]:bounds[k + 1]]
+        rows = pi[sl]
+        keep[sl] = alg.points_in_polygon(px[rows], py[rows], polys[int(gidx)])
+    pi, gi = pi[keep], gi[keep]
+    take_pt = pa.array(pt_rows[pi], type=pa.int64())
+    take_poly = pa.array(poly_rows[gi], type=pa.int64())
+    return pa.table({
+        "url": group.column("url").take(take_pt),
+        "geom_idx": group.column("geom_idx").take(take_pt),
+        "poly_id": group.column("poly_id").take(take_poly),
+        "predicate": pa.array(["intersects"] * len(pi), type=pa.string())})
+
+
+def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
+              hot_threshold: int = 256, n_salt: int = 8,
+              keep_cols=("url", "geom_idx")):
+    """Full cell-keyed point-in-polygon join: returns Dataset of
+    (url, geom_idx, poly_id, predicate)."""
+    pts = prepare_point_side(points_ds, res=res, keep_cols=keep_cols)
+    pol = prepare_polygon_side(polys_ds, res=res, keep_cols=keep_cols)
+    hot = find_hot_cells(pol, hot_threshold) if hot_threshold else {}
+    unioned = apply_salt(pts.union(pol), hot, n_salt)
+    return unioned.groupby("cell").map_groups(_refine_group,
+                                              batch_format="pyarrow")
