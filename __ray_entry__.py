@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`queries()` exposes the geoflow engine's operator surface over the
+driver's parquet tables; `oracle_sql()` gives the DuckDB-equivalent SQL.
+Geometry inputs are derived DETERMINISTICALLY from integer keys with
+IEEE-exact arithmetic (int64 modular math + double division) so the Ray
+side (numpy) and the DuckDB side compute bit-identical doubles — float
+outputs are hash-comparable without rounding.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,576 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# deterministic geometry derivations (shared by Ray + SQL sides)
+# ---------------------------------------------------------------------------
+
+def _doc_lonlat(doc_id: np.ndarray):
+    lon = ((doc_id * 7919) % 36000) / 100.0 - 180.0
+    lat = ((doc_id * 104729) % 17000) / 100.0 - 85.0
+    return lon, lat
+
+
+_DOC_LON_SQL = "((doc_id * 7919) % 36000) / 100.0 - 180.0"
+_DOC_LAT_SQL = "((doc_id * 104729) % 17000) / 100.0 - 85.0"
+
+
+def _cust_lonlat(key: np.ndarray):
+    lon = ((key * 6151) % 36000) / 100.0 - 180.0
+    lat = ((key * 27644437) % 17000) / 100.0 - 85.0
+    return lon, lat
+
+
+_CUST_LON_SQL = "((c_custkey * 6151) % 36000) / 100.0 - 180.0"
+_CUST_LAT_SQL = "((c_custkey * 27644437) % 17000) / 100.0 - 85.0"
+
+
+def _nation_rects(nkey: np.ndarray):
+    """Integer rect per nation: center (cx,cy), half-extent (w,h)."""
+    cx = (nkey * 131) % 340 - 170
+    cy = (nkey * 37) % 160 - 80
+    w = 3 + nkey % 5
+    h = 2 + nkey % 7
+    return cx, cy, w, h
+
+
+_NATION_RECT_SQL = """
+    (n_nationkey * 131) % 340 - 170 AS cx,
+    (n_nationkey * 37) % 160 - 80   AS cy,
+    3 + n_nationkey % 5             AS w,
+    2 + n_nationkey % 7             AS h
+"""
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _doc_points_ds(sf_dir: str):
+    """documents → (doc_id, lang, x, y, geom_wkb) point rows via the real
+    WKT construct→parse codec path."""
+    from geoflow.geom import from_wkt, to_wkb
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat = _doc_lonlat(doc_id)
+        # exercise the WKT codec: repr-format → parse → WKB (repr→parse is
+        # exact, so x/y equal the derived doubles bit-for-bit)
+        wkbs = [to_wkb(from_wkt(f"POINT({x!r} {y!r})"))
+                for x, y in zip(lon, lat)]
+        from geoflow.geom.wkb import wkb_to_points
+        x, y = wkb_to_points(wkbs)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "x": pa.array(x), "y": pa.array(y),
+            "geom_wkb": pa.array(wkbs, type=pa.binary()),
+        })
+
+    return _read(sf_dir, "documents").map_batches(derive, batch_format="pyarrow")
+
+
+def _nation_polygons(sf_dir: str) -> pa.Table:
+    """nation → actual rect polygon WKB table (join build side)."""
+    import pyarrow.parquet as pq
+    from geoflow.geom import Geometry, to_wkb
+    t = pq.read_table(f"{sf_dir}/nation.parquet")
+    nkey = t.column("n_nationkey").to_numpy().astype(np.int64)
+    cx, cy, w, h = _nation_rects(nkey)
+    wkbs = []
+    for i in range(len(nkey)):
+        x0, x1 = float(cx[i] - w[i]), float(cx[i] + w[i])
+        y0, y1 = float(cy[i] - h[i]), float(cy[i] + h[i])
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        wkbs.append(to_wkb(Geometry(3, rings=[ring])))
+    return pa.table({"poly_id": pa.array(nkey.astype(np.int64)),
+                     "geom_wkb": pa.array(wkbs, type=pa.binary()),
+                     "name": t.column("n_name")})
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_wkt_roundtrip(sf_dir: str):
+    """WKT construct→parse→x/y roundtrip (codec parity)."""
+    return _doc_points_ds(sf_dir).select_columns(["doc_id", "x", "y"])
+
+
+def q_tile_z12(sf_dir: str):
+    """Slippy z12 tile assignment per doc point."""
+    from geoflow.cells import tiles
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        tx, ty = tiles.lonlat_to_tile(x, y, 12)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "tile_x": pa.array(tx.astype(np.int64)),
+                         "tile_y": pa.array(ty.astype(np.int64))})
+
+    return _doc_points_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def q_grid_cell(sf_dir: str):
+    """Grid cell id (res 7) per doc point."""
+    from geoflow.cells import grid
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        cells = grid.lonlat_to_grid(x, y, 7)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "cell": pa.array(cells.view(np.int64))})
+
+    return _doc_points_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def q_sjoin_nation(sf_dir: str):
+    """Point-in-polygon spatial join: doc points × nation rect polygons
+    (broadcast STRtree actor pool; real geometry refinement)."""
+    import ray
+    from geoflow.join import BroadcastPIPJoin, PolygonIndex
+    polys = _nation_polygons(sf_dir)
+    ref = ray.put(PolygonIndex(polys))
+    out = _doc_points_ds(sf_dir).map_batches(
+        BroadcastPIPJoin, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"x_col": "x", "y_col": "y",
+                               "out_cols": ("doc_id",)},
+        batch_format="pyarrow", concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_nationkey": batch.column("poly_id")})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_sjoin_nation_cellkey(sf_dir: str):
+    """Same join through the cell-keyed shuffle path (groupby(cell) +
+    per-group STRtree + hot-cell salting) — must equal q_sjoin_nation."""
+    import ray
+    from geoflow.join import cell_join
+    pts = _doc_points_ds(sf_dir)
+    polys_ds = ray.data.from_arrow(_nation_polygons(sf_dir))
+
+    def add_keepcols(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "geom_idx", pa.array(np.zeros(len(batch), dtype=np.int32)))
+
+    pts = pts.map_batches(add_keepcols, batch_format="pyarrow")
+    out = cell_join(pts, polys_ds, hot_threshold=64, n_salt=4,
+                    keep_cols=("doc_id", "geom_idx"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_nationkey": batch.column("poly_id")})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_knn_customer(sf_dir: str):
+    """k=3 nearest customer-derived points per sampled doc point
+    (great-circle ranking)."""
+    import pyarrow.parquet as pq
+    import ray
+    from geoflow.join import KnnBroadcast, NeighborSet
+    cust = pq.read_table(f"{sf_dir}/customer.parquet")
+    ckey = cust.column("c_custkey").to_numpy().astype(np.int64)
+    clon, clat = _cust_lonlat(ckey)
+    nref = ray.put(NeighborSet(ckey, clon, clat))
+    probes = _doc_points_ds(sf_dir).filter(
+        lambda r: r["doc_id"] % 50 == 0)
+    out = probes.map_batches(
+        KnnBroadcast, fn_constructor_args=(nref,),
+        fn_constructor_kwargs={"k": 3, "keep_cols": ("doc_id",)},
+        batch_format="pyarrow", concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "c_custkey": pc.cast(batch.column("neighbor_id"), pa.int64()),
+            "rank": pc.cast(batch.column("rank"), pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_envelope_lang(sf_dir: str):
+    """Grouped envelope-union aggregate (BoundingBox semantics) per lang."""
+    from geoflow.ops.aggregates import envelope_agg_cols
+
+    def env(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch.column("lang"),
+                         "xmin": batch.column("x"), "ymin": batch.column("y"),
+                         "xmax": batch.column("x"), "ymax": batch.column("y")})
+
+    ds = _doc_points_ds(sf_dir).map_batches(env, batch_format="pyarrow")
+    agg = ds.groupby("lang").aggregate(envelope_agg_cols())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        envs = batch.column("envelope").to_pylist()
+        return pa.table({
+            "lang": batch.column("lang"),
+            "xmin": pa.array([e[0] for e in envs], type=pa.float64()),
+            "ymin": pa.array([e[1] for e in envs], type=pa.float64()),
+            "xmax": pa.array([e[2] for e in envs], type=pa.float64()),
+            "ymax": pa.array([e[3] for e in envs], type=pa.float64())})
+
+    return agg.map_batches(explode, batch_format="pyarrow")
+
+
+def q_area_nation(sf_dir: str):
+    """Shoelace polygon area of the nation rects (integer-exact)."""
+    import ray
+    from geoflow.ops import get_op
+    polys = _nation_polygons(sf_dir)
+
+    def compute(batch: pa.Table) -> pa.Table:
+        area = get_op("st_area").fn(batch.column("geom_wkb"))
+        per = get_op("st_perimeter").fn(batch.column("geom_wkb"))
+        return pa.table({"n_nationkey": batch.column("poly_id"),
+                         "rect_area": area, "rect_perimeter": per})
+
+    return ray.data.from_arrow(polys).map_batches(compute,
+                                                  batch_format="pyarrow")
+
+
+def q_dist_planar(sf_dir: str):
+    """Planar distance between two derived points per doc (st_distance
+    kernel, IEEE-exact vs SQL)."""
+    from geoflow.ops import get_op
+
+    def compute(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon2 = ((doc_id * 6151) % 36000) / 100.0 - 180.0
+        lat2 = ((doc_id * 27644437) % 17000) / 100.0 - 85.0
+        b = get_op("st_makepoint").fn(lon2, lat2)
+        d = get_op("st_distance").fn(batch.column("geom_wkb"), b)
+        return pa.table({"doc_id": batch.column("doc_id"), "dist_deg": d})
+
+    return _doc_points_ds(sf_dir).map_batches(compute, batch_format="pyarrow")
+
+
+def q_bbox_ops(sf_dir: str):
+    """BBOX operator family on doc-point envelopes vs a fixed box."""
+    from geoflow.ops import get_op
+
+    def compute(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        box_a = (x, y, x, y)
+        n = len(x)
+        fb = (np.full(n, -20.0), np.full(n, -10.0),
+              np.full(n, 40.0), np.full(n, 30.0))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "in_box": get_op("bbox_iscontainedby").fn(box_a, fb),
+            "left_of": get_op("bbox_leftof").fn(box_a, fb),
+            "above": get_op("bbox_above").fn(box_a, fb),
+            "box_dist": get_op("bbox_distance").fn(box_a, fb)})
+
+    return _doc_points_ds(sf_dir).map_batches(compute, batch_format="pyarrow")
+
+
+def q_unit_chain(sf_dir: str):
+    """Unit-conversion ops over lineitem quantities (exact factors)."""
+    from geoflow.ops import get_op
+
+    def compute(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity")
+        m = get_op("foot_to_meter").fn(q)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linenumber": pc.cast(batch.column("l_linenumber"), pa.int64()),
+            "qty_m": m,
+            "qty_yd": get_op("meter_to_yard").fn(m),
+            "qty_nm": get_op("meter_to_nauticalmile").fn(m)})
+
+    return _read(sf_dir, "lineitem").map_batches(compute,
+                                                 batch_format="pyarrow")
+
+
+def q_temporal_allen(sf_dir: str):
+    """Allen-interval predicates over event-derived periods."""
+    from geoflow.ops import get_op
+    from geoflow.ops.temporal import make_period
+
+    def compute(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        dur_a = pa.array(((eid % 7) + 1) * 60_000_000, type=pa.duration("us"))
+        a = make_period(ts, pc.add(ts, dur_a))
+        b = make_period(pc.add(ts, pa.array(np.full(len(eid), 180_000_000),
+                                            type=pa.duration("us"))),
+                        pc.add(ts, pa.array(np.full(len(eid), 600_000_000),
+                                            type=pa.duration("us"))))
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "a_before_b": get_op("t_before").fn(a, b),
+            "a_overlaps_b": get_op("t_overlaps").fn(a, b),
+            "a_meets_b": get_op("t_meets").fn(a, b)})
+
+    return _read(sf_dir, "events").map_batches(compute, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact text dedup: representative (min doc_id) + dup count per
+    distinct text."""
+    from geoflow.text.dedup import add_content_hash
+
+    ds = _read(sf_dir, "documents").map_batches(
+        lambda b: add_content_hash(b, "text"), batch_format="pyarrow")
+
+    def pick(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array([int(ids.min())]),
+                         "dup_count": pa.array([len(ids)], type=pa.int64())})
+
+    return ds.groupby("content_hash").map_groups(pick, batch_format="pyarrow")
+
+
+def q_token_count(sf_dir: str):
+    """Token count (\\S+ runs) per document — vectorized Arrow regex."""
+
+    def compute(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.cast(batch.column("text"), pa.string()), r"\S+")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tok": pc.cast(n, pa.int64())})
+
+    return _read(sf_dir, "documents").map_batches(compute,
+                                                  batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 of all embeddings vs the first 5 vectors
+    as queries (exact baseline of the ANN stage)."""
+    import pyarrow.parquet as pq
+    import ray
+    from geoflow.vector import BruteForceTopK, QuerySet, global_topk
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(pc.less(emb.column("vec_id"), 5))
+    qmat = np.array(qrows.column("embedding").to_pylist(), dtype=np.float64)
+    qref = ray.put(QuerySet(qrows.column("vec_id").to_numpy().astype(np.int64),
+                            qmat))
+    ds = _read(sf_dir, "embeddings")
+    cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(qref,),
+                          fn_constructor_kwargs={"k_local": 10},
+                          batch_format="pyarrow", concurrency=2)
+    out = global_topk(cand, 10)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": pc.cast(batch.column("query_id"), pa.int64()),
+            "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+            "rank": pc.cast(batch.column("rank"), pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+# ---- rows-only queries (no SQL equivalent) --------------------------------
+
+def q_s2_cell(sf_dir: str):
+    """S2 level-13 cell id per doc point (verified against the published
+    s2geometry example in tests; no SQL oracle exists)."""
+    from geoflow.cells import s2
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        c = s2.lonlat_to_cell(x, y, 13)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "s2_13": pa.array(c.view(np.int64))})
+
+    return _doc_points_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language-ID over document text (rows-only check)."""
+    from geoflow.text import langid_batch
+    return _read(sf_dir, "documents").map_batches(
+        lambda b: langid_batch(b).select(["doc_id", "lang", "lang_pred"]),
+        batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    """Quality scoring signals (rows-only check)."""
+    from geoflow.text import quality_batch
+    return _read(sf_dir, "documents").map_batches(
+        lambda b: quality_batch(b).select(
+            ["doc_id", "n_tokens", "punct_ratio", "quality_score"]),
+        batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    """SimHash fingerprints (deterministic; rows-only check)."""
+    from geoflow.text import SimHasher
+    return _read(sf_dir, "documents").map_batches(
+        SimHasher(), batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "simhash"])
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs (rows-only; crafted near-dup
+    fixtures are exercised in tests/)."""
+    from geoflow.text import MinHasher
+    from geoflow.text.dedup import lsh_band_pairs
+    ds = _read(sf_dir, "documents").map_batches(
+        MinHasher(), batch_format="pyarrow", concurrency=2)
+    return lsh_band_pairs(ds, key_col="doc_id")
+
+
+def q_flagship(sf_dir: str):
+    """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
+    point parsing → broadcast spatial join → z12 tiles (rows-only; the
+    extraction/join/tile math is oracle-checked by the queries above and
+    pytest)."""
+    from geoflow.io.synth import make_corpus_dataset, make_polygon_table
+    from geoflow.pipelines import run_flagship
+    corpus = make_corpus_dataset(2000, rows_per_block=500)
+    res = run_flagship(corpus, make_polygon_table(200), join_mode="broadcast")
+    return res["join"]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale: doc-derived points + real nation
+    polygons through extract→parse→join→tiles; returns the join result."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q_sjoin_nation(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "wkt_roundtrip": q_wkt_roundtrip,
+        "tile_z12": q_tile_z12,
+        "grid_cell": q_grid_cell,
+        "sjoin_nation": q_sjoin_nation,
+        "sjoin_nation_cellkey": q_sjoin_nation_cellkey,
+        "knn_customer": q_knn_customer,
+        "envelope_lang": q_envelope_lang,
+        "area_nation": q_area_nation,
+        "dist_planar": q_dist_planar,
+        "bbox_ops": q_bbox_ops,
+        "unit_chain": q_unit_chain,
+        "temporal_allen": q_temporal_allen,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "ann_topk": q_ann_topk,
+        "s2_cell": q_s2_cell,
+        "langid": q_langid,
+        "quality": q_quality,
+        "simhash": q_simhash,
+        "minhash_lsh": q_minhash_lsh,
+        "flagship": q_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    doc_pts = (f"SELECT doc_id, lang, {_DOC_LON_SQL} AS x, "
+               f"{_DOC_LAT_SQL} AS y FROM documents")
+    nation_rects = f"SELECT n_nationkey, {_NATION_RECT_SQL} FROM nation"
+    return {
+        "wkt_roundtrip":
+            f"SELECT doc_id, x, y FROM ({doc_pts})",
+        "tile_z12": f"""
+            SELECT doc_id,
+                   CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 4096), 0), 4095) AS BIGINT) AS tile_x,
+                   CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 4096), 0), 4095) AS BIGINT) AS tile_y
+            FROM (SELECT doc_id, x,
+                         LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+                  FROM ({doc_pts}))""",
+        "grid_cell": f"""
+            SELECT doc_id,
+                   CAST(
+                     (7::UBIGINT << 56)
+                     | (CAST(LEAST(GREATEST(floor((x + 180.0)/0.28125), 0), 1279) AS UBIGINT) << 28)
+                     | CAST(LEAST(GREATEST(floor((y + 90.0)/0.28125), 0), 639) AS UBIGINT)
+                   AS BIGINT) AS cell
+            FROM ({doc_pts})""",
+        "sjoin_nation": f"""
+            SELECT d.doc_id, n.n_nationkey
+            FROM ({doc_pts}) d, ({nation_rects}) n
+            WHERE d.x BETWEEN n.cx - n.w AND n.cx + n.w
+              AND d.y BETWEEN n.cy - n.h AND n.cy + n.h""",
+        "sjoin_nation_cellkey": f"""
+            SELECT d.doc_id, n.n_nationkey
+            FROM ({doc_pts}) d, ({nation_rects}) n
+            WHERE d.x BETWEEN n.cx - n.w AND n.cx + n.w
+              AND d.y BETWEEN n.cy - n.h AND n.cy + n.h""",
+        "knn_customer": f"""
+            SELECT doc_id, c_custkey, rank FROM (
+              SELECT d.doc_id, c.c_custkey,
+                     row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY 2.0 * 6371008.7714 * asin(sqrt(
+                         sin(radians(({_CUST_LAT_SQL}) - d.y)/2.0)^2
+                         + cos(radians(d.y)) * cos(radians({_CUST_LAT_SQL}))
+                           * sin(radians(({_CUST_LON_SQL}) - d.x)/2.0)^2
+                       )), c.c_custkey) AS rank
+              FROM ({doc_pts}) d, customer c
+              WHERE d.doc_id % 50 = 0)
+            WHERE rank <= 3""",
+        "envelope_lang": f"""
+            SELECT lang, min(x) AS xmin, min(y) AS ymin,
+                   max(x) AS xmax, max(y) AS ymax
+            FROM ({doc_pts}) GROUP BY lang""",
+        "area_nation": f"""
+            SELECT n_nationkey,
+                   CAST((2*w) * (2*h) AS DOUBLE) AS rect_area,
+                   CAST(2 * ((2*w) + (2*h)) AS DOUBLE) AS rect_perimeter
+            FROM ({nation_rects})""",
+        "dist_planar": f"""
+            SELECT doc_id,
+                   sqrt((x - x2)*(x - x2) + (y - y2)*(y - y2)) AS dist_deg
+            FROM (SELECT doc_id, x, y,
+                         ((doc_id * 6151) % 36000) / 100.0 - 180.0 AS x2,
+                         ((doc_id * 27644437) % 17000) / 100.0 - 85.0 AS y2
+                  FROM ({doc_pts}))""",
+        "bbox_ops": f"""
+            SELECT doc_id,
+                   (x >= -20.0 AND x <= 40.0 AND y >= -10.0 AND y <= 30.0) AS in_box,
+                   (x < -20.0) AS left_of,
+                   (y > 30.0) AS above,
+                   sqrt(greatest(greatest(-20.0 - x, x - 40.0), 0.0)*greatest(greatest(-20.0 - x, x - 40.0), 0.0)
+                      + greatest(greatest(-10.0 - y, y - 30.0), 0.0)*greatest(greatest(-10.0 - y, y - 30.0), 0.0)) AS box_dist
+            FROM ({doc_pts})""",
+        "unit_chain": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_quantity / 3.2808 AS qty_m,
+                   (l_quantity / 3.2808) * 1.0936 AS qty_yd,
+                   (l_quantity / 3.2808) / 1852.0 AS qty_nm
+            FROM lineitem""",
+        "temporal_allen": """
+            SELECT event_id,
+                   (a_to < b_from) AS a_before_b,
+                   (a_from < b_to AND b_from < a_to) AS a_overlaps_b,
+                   (a_to = b_from) AS a_meets_b
+            FROM (SELECT event_id, ts AS a_from,
+                         ts + to_microseconds(((event_id % 7) + 1) * 60000000) AS a_to,
+                         ts + INTERVAL 3 MINUTE AS b_from,
+                         ts + INTERVAL 10 MINUTE AS b_to
+                  FROM events)""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text""",
+        "token_count": r"""
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+            FROM documents""",
+        "ann_topk": """
+            SELECT query_id, vec_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q)
+            WHERE rank <= 10""",
+    }

@@ -25,7 +25,16 @@ from ..cells import grid
 from ..geom import STRtree, algorithms as alg, from_wkb
 
 
-_KEEP_TYPES = {"url": pa.string(), "geom_idx": pa.int32()}
+def _keep_types(ds, keep_cols) -> dict:
+    """Arrow type of each keep column, from the point-side schema."""
+    schema = ds.schema()
+    types = {}
+    for name, typ in zip(schema.names, schema.types):
+        if name in keep_cols:
+            types[name] = typ
+    for c in keep_cols:
+        types.setdefault(c, pa.string())
+    return types
 
 
 def prepare_point_side(ds, x_col="x", y_col="y", res=grid.DEFAULT_RES,
@@ -43,20 +52,18 @@ def prepare_point_side(ds, x_col="x", y_col="y", res=grid.DEFAULT_RES,
                 "poly_id": pa.nulls(len(px), type=pa.int64()),
                 "geom_wkb": pa.nulls(len(px), type=pa.binary())}
         for c in keep:
-            col = batch.column(c)
-            if c in _KEEP_TYPES and col.type != _KEEP_TYPES[c]:
-                import pyarrow.compute as pc
-                col = pc.cast(col, _KEEP_TYPES[c])
-            cols[c] = col
+            cols[c] = batch.column(c)
         return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def prepare_polygon_side(ds, wkb_col="geom_wkb", id_col="poly_id",
-                         res=grid.DEFAULT_RES, keep_cols=("url", "geom_idx")):
+                         res=grid.DEFAULT_RES, keep_cols=("url", "geom_idx"),
+                         keep_types=None):
     """polygons Dataset → one row per (covering cell, polygon)."""
     keep = tuple(keep_cols)
+    keep_types = keep_types or {}
 
     def cover(batch: pa.Table) -> pa.Table:
         bufs = batch.column(wkb_col).to_pylist()
@@ -77,7 +84,7 @@ def prepare_polygon_side(ds, wkb_col="geom_wkb", id_col="poly_id",
                 "poly_id": batch.column(id_col).take(take),
                 "geom_wkb": batch.column(wkb_col).take(take)}
         for c in keep:
-            cols[c] = pa.nulls(n, type=_KEEP_TYPES.get(c, pa.string()))
+            cols[c] = pa.nulls(n, type=keep_types.get(c, pa.string()))
         return pa.table(cols)
 
     return ds.map_batches(cover, batch_format="pyarrow")
@@ -137,17 +144,17 @@ def apply_salt(ds, hot_cells: dict, n_salt: int = 8):
     return ds.map_batches(salt, batch_format="pyarrow")
 
 
-def _refine_group(group: pa.Table) -> pa.Table:
+def _refine_group(group: pa.Table, keep_cols, keep_types) -> pa.Table:
     """Per-cell exact refinement: STRtree over the group's polygons,
     vectorized PIP of the group's points."""
     side = group.column("side").to_numpy(zero_copy_only=False)
     pt_rows = np.nonzero(side == 0)[0]
     poly_rows = np.nonzero(side == 1)[0]
-    empty = pa.table({
-        "url": pa.array([], type=pa.string()),
-        "geom_idx": pa.array([], type=pa.int32()),
-        "poly_id": pa.array([], type=pa.int64()),
-        "predicate": pa.array([], type=pa.string())})
+    empty_cols = {c: pa.array([], type=keep_types.get(c, pa.string()))
+                  for c in keep_cols}
+    empty_cols["poly_id"] = pa.array([], type=pa.int64())
+    empty_cols["predicate"] = pa.array([], type=pa.string())
+    empty = pa.table(empty_cols)
     if len(pt_rows) == 0 or len(poly_rows) == 0:
         return empty
     px = group.column("x").to_numpy(zero_copy_only=False)[pt_rows]
@@ -171,11 +178,10 @@ def _refine_group(group: pa.Table) -> pa.Table:
     pi, gi = pi[keep], gi[keep]
     take_pt = pa.array(pt_rows[pi], type=pa.int64())
     take_poly = pa.array(poly_rows[gi], type=pa.int64())
-    return pa.table({
-        "url": group.column("url").take(take_pt),
-        "geom_idx": group.column("geom_idx").take(take_pt),
-        "poly_id": group.column("poly_id").take(take_poly),
-        "predicate": pa.array(["intersects"] * len(pi), type=pa.string())})
+    out = {c: group.column(c).take(take_pt) for c in keep_cols}
+    out["poly_id"] = group.column("poly_id").take(take_poly)
+    out["predicate"] = pa.array(["intersects"] * len(pi), type=pa.string())
+    return pa.table(out)
 
 
 def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
@@ -183,9 +189,15 @@ def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
               keep_cols=("url", "geom_idx")):
     """Full cell-keyed point-in-polygon join: returns Dataset of
     (url, geom_idx, poly_id, predicate)."""
+    keep_cols = tuple(keep_cols)
+    keep_types = _keep_types(points_ds, keep_cols)
     pts = prepare_point_side(points_ds, res=res, keep_cols=keep_cols)
-    pol = prepare_polygon_side(polys_ds, res=res, keep_cols=keep_cols)
+    pol = prepare_polygon_side(polys_ds, res=res, keep_cols=keep_cols,
+                               keep_types=keep_types)
     hot = find_hot_cells(pol, hot_threshold) if hot_threshold else {}
     unioned = apply_salt(pts.union(pol), hot, n_salt)
-    return unioned.groupby("cell").map_groups(_refine_group,
-                                              batch_format="pyarrow")
+
+    def refine(group: pa.Table) -> pa.Table:
+        return _refine_group(group, keep_cols, keep_types)
+
+    return unioned.groupby("cell").map_groups(refine, batch_format="pyarrow")

@@ -208,7 +208,11 @@ def st_distance(col_a, col_b):
     pa_pts = decode_points_fast(col_a)
     pb_pts = decode_points_fast(col_b)
     if pa_pts is not None and pb_pts is not None:
-        d = np.hypot(pa_pts[0] - pb_pts[0], pa_pts[1] - pb_pts[1])
+        dx = pa_pts[0] - pb_pts[0]
+        dy = pa_pts[1] - pb_pts[1]
+        # sqrt(dx*dx + dy*dy) — same IEEE op sequence as the SQL oracle
+        # (np.hypot is more accurate but not bit-identical to sqrt-of-sum)
+        d = np.sqrt(dx * dx + dy * dy)
         return pa.array(d, type=pa.float64())
     return binary_float(col_a, col_b, alg.distance)
 

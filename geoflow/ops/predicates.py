@@ -134,4 +134,5 @@ def bbox_distance(box_a, box_b):
     bx0, by0, bx1, by1 = _np4(box_b)
     dx = np.maximum(0.0, np.maximum(bx0 - ax1, ax0 - bx1))
     dy = np.maximum(0.0, np.maximum(by0 - ay1, ay0 - by1))
-    return pa.array(np.hypot(dx, dy), type=pa.float64())
+    # sqrt-of-sum (not np.hypot): identical IEEE sequence to SQL oracles
+    return pa.array(np.sqrt(dx * dx + dy * dy), type=pa.float64())

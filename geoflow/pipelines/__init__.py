@@ -1,0 +1,3 @@
+from .flagship import assign_tiles, extract_geoms, run_flagship, to_points
+
+__all__ = ["assign_tiles", "extract_geoms", "run_flagship", "to_points"]

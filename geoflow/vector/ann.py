@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (list<float>).
+
+- `BruteForceTopK`: exact cosine top-k per batch against a broadcast query
+  matrix (ray.put once; numpy matmul per batch). The correctness baseline.
+- `LshTopK`: random-hyperplane LSH bucketing — probes only rows whose
+  bucket matches one of the query's multi-probe buckets; the scale path
+  when the corpus is too large for full scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.FixedSizeListArray):
+        dim = arr.type.list_size
+        return np.asarray(arr.flatten(), dtype=np.float32).reshape(-1, dim)
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat.reshape(-1, dim)
+
+
+class QuerySet:
+    def __init__(self, query_ids: np.ndarray, matrix: np.ndarray):
+        self.ids = np.asarray(query_ids)
+        m = np.asarray(matrix, dtype=np.float32)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.mat = m / norms
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per batch, cosine of every row embedding vs the
+    broadcast query matrix; emits (query_id, row key, cosine) for the
+    batch-local candidates. A final small `sort + limit` (or
+    groupby(query_id).map_groups top-k) reduces to global top-k."""
+
+    def __init__(self, queries_ref, emb_col="embedding", key_col="vec_id",
+                 k_local=64):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, QuerySet) else queries_ref
+        self.q = q
+        self.emb_col = emb_col
+        self.key_col = key_col
+        self.k_local = k_local
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, self.emb_col)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        sims = self.q.mat @ m.T  # (nq, rows)
+        k = min(self.k_local, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        nq = len(self.q.ids)
+        out_q = np.repeat(self.q.ids, k)
+        out_key = keys[idx.ravel()]
+        out_sim = np.take_along_axis(sims, idx, axis=1).ravel()
+        return pa.table({
+            "query_id": pa.array(out_q),
+            self.key_col: pa.array(out_key),
+            "cosine": pa.array(out_sim.astype(np.float64)),
+        })
+
+
+def global_topk(candidates_ds, k: int, key_col="vec_id"):
+    """Reduce batch-local candidates to exact global top-k per query —
+    groupby(query_id) over the (tiny) candidate set."""
+
+    def topk(group: pa.Table) -> pa.Table:
+        sims = group.column("cosine").to_numpy(zero_copy_only=False)
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -sims))[:k]
+        t = group.take(pa.array(order, type=pa.int64()))
+        return t.append_column("rank", pa.array(
+            np.arange(1, len(order) + 1, dtype=np.int32)))
+
+    return candidates_ds.groupby("query_id").map_groups(
+        topk, batch_format="pyarrow")
+
+
+class LshTopK:
+    """Random-hyperplane LSH filter: only rows sharing a bucket (exact or
+    1-bit multiprobe) with some query are scored. Recall/probe tradeoff via
+    n_bits; deterministic hyperplanes from `seed`."""
+
+    def __init__(self, queries_ref, emb_col="embedding", key_col="vec_id",
+                 n_bits=12, seed=5, k_local=64, dim=None):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, QuerySet) else queries_ref
+        self.q = q
+        self.emb_col = emb_col
+        self.key_col = key_col
+        self.k_local = k_local
+        d = dim or q.mat.shape[1]
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((d, n_bits)).astype(np.float32)
+        qb = (q.mat @ self.planes > 0)
+        pow2 = (1 << np.arange(n_bits, dtype=np.int64))
+        qcodes = qb @ pow2
+        # multiprobe: exact bucket + all 1-bit flips
+        probes = {int(c) for c in qcodes}
+        for c in qcodes:
+            for b in range(n_bits):
+                probes.add(int(c) ^ (1 << b))
+        self.probe_set = np.fromiter(probes, dtype=np.int64)
+        self.pow2 = pow2
+        self.qcodes = qcodes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, self.emb_col)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        codes = ((mn @ self.planes) > 0) @ self.pow2
+        hit = np.isin(codes, self.probe_set)
+        rows = np.nonzero(hit)[0]
+        if len(rows) == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             self.key_col: pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        sub = mn[rows]
+        sims = self.q.mat @ sub.T
+        k = min(self.k_local, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)[rows]
+        out_q = np.repeat(self.q.ids, k)
+        return pa.table({
+            "query_id": pa.array(out_q),
+            self.key_col: pa.array(keys[idx.ravel()]),
+            "cosine": pa.array(
+                np.take_along_axis(sims, idx, axis=1).ravel().astype(np.float64)),
+        })

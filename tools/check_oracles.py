@@ -1,0 +1,80 @@
+"""Local stand-in for the driver's correctness gate: run each queries()
+entry and its oracle_sql() side-by-side, compare row-count + schema +
+order-insensitive values. Usage: python tools/check_oracles.py [sf_dir]."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def to_pandas(res):
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def main(sf_dir):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"[FAIL-RUN] {name}: {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"[ROWS-ONLY] {name}: {len(got)} rows, cols={list(got.columns)}")
+            continue
+        exp = canon(con.sql(oracles[name]).df())
+        ok_rows = len(got) == len(exp)
+        ok_cols = list(got.columns) == list(exp.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            ok_vals = True
+            for c in got.columns:
+                a, b = got[c].to_numpy(), exp[c].to_numpy()
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    same = np.array_equal(a.astype(np.float64), b.astype(np.float64),
+                                          equal_nan=True)
+                else:
+                    same = (pd.Series(a).astype(object) == pd.Series(b).astype(object)).all()
+                if not same:
+                    ok_vals = False
+                    bad = np.nonzero(~(pd.Series(a).astype(object)
+                                       == pd.Series(b).astype(object)).to_numpy())[0][:3]
+                    print(f"    col {c} mismatch at rows {bad}:"
+                          f" got={a[bad]} exp={b[bad]}")
+        status = "OK" if (ok_rows and ok_cols and ok_vals) else "MISMATCH"
+        if status != "OK":
+            failures.append(name)
+        print(f"[{status}] {name}: rows {len(got)}/{len(exp)} cols_ok={ok_cols}")
+    print("\nfailures:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
