@@ -508,6 +508,20 @@ def covers(a: Geometry, b: Geometry) -> bool:
             mids = 0.5 * (sb[:, :2] + sb[:, 2:])
             if not points_in_polygon(mids[:, 0], mids[:, 1], a, on_boundary=True).all():
                 return False
+        # holes of a: if b's interior reaches into a hole, b is not covered
+        # (vertex/midpoint sampling alone can miss this)
+        if _collect(b, (POLYGON,)):
+            for p in _collect(a, (POLYGON,)):
+                for hole in p.rings[1:]:
+                    hx = hole[:-1, 0].mean()
+                    hy = hole[:-1, 1].mean()
+                    probe = np.array([hx])
+                    probe_y = np.array([hy])
+                    in_hole = points_in_ring(probe, probe_y, hole,
+                                             on_boundary=False)[0]
+                    if in_hole and points_in_polygon(probe, probe_y, b,
+                                                     on_boundary=False)[0]:
+                        return False
         return True
     return contains(a, b)
 
@@ -563,6 +577,8 @@ def overlaps(a: Geometry, b: Geometry) -> bool:
     """Same-dimension partial overlap."""
     da, db = dimension(a), dimension(b)
     if da != db or not intersects(a, b):
+        return False
+    if touches(a, b):  # boundary-only contact is not an overlap
         return False
     return not contains(a, b) and not contains(b, a) and not equals_topo(a, b)
 

@@ -94,9 +94,10 @@ def quality_batch(batch: pa.Table, text_col="text") -> pa.Table:
 
 def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Whitespace token count, fully vectorized in Arrow compute (no
-    Python loop): count = utf8 split_whitespace list lengths."""
-    toks = pc.list_value_length(
-        pc.utf8_split_whitespace(batch.column(text_col)))
+    Python loop): number of \\S+ runs (empty string → 0, matching the SQL
+    regexp_extract_all oracle; utf8_split_whitespace would yield 1)."""
+    toks = pc.count_substring_regex(
+        pc.cast(batch.column(text_col), pa.string()), r"\S+")
     return batch.append_column("n_tokens_ws",
                                pc.cast(toks, pa.int64()))
 

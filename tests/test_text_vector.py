@@ -1,0 +1,142 @@
+"""Dedup / text-analysis / ANN stage tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geoflow.text import (MinHasher, SimHasher, detect_language,
+                          hamming_distance, ngram_jaccard)
+from geoflow.text.dedup import add_content_hash
+
+
+def test_content_hash_deterministic():
+    t = pa.table({"text": ["hello world", "hello world", "bye"]})
+    h = add_content_hash(t).column("content_hash").to_pylist()
+    assert h[0] == h[1] != h[2]
+
+
+def test_exact_dedup(ray_session):
+    import ray
+    from geoflow.text import exact_dedup
+    t = pa.table({"doc_id": [3, 1, 2, 4], "text": ["a", "a", "b", "b"]})
+    out = exact_dedup(ray.data.from_arrow(t), key_col="doc_id").take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [1, 2]
+
+
+def test_minhash_near_dup_detection():
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest looking for food and shelter "
+            "before the long cold winter arrives in the northern mountains")
+    near = base.replace("quick", "fast").replace("winter", "season")
+    far = ("completely different content about databases query engines and "
+           "distributed systems with columnar storage and vectorized "
+           "execution plans running on large compute clusters every day")
+    mh = MinHasher(num_hashes=128)
+    s_base = mh.signature(base)
+    s_near = mh.signature(near)
+    s_far = mh.signature(far)
+    sim_near = (s_base == s_near).mean()
+    sim_far = (s_base == s_far).mean()
+    assert sim_near > 0.6
+    assert sim_far < 0.2
+    # determinism across instances (fresh actor == same signature)
+    assert np.array_equal(MinHasher(num_hashes=128).signature(base), s_base)
+
+
+def test_lsh_pairs_pipeline(ray_session):
+    import ray
+    from geoflow.text.dedup import lsh_band_pairs
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    rows = [{"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base.replace("delta", "delta2")},
+            {"doc_id": 2, "text": "unrelated words " * 8},
+            {"doc_id": 3, "text": "other totally different tokens " * 6}]
+    ds = ray.data.from_items(rows).map_batches(MinHasher(),
+                                               batch_format="pyarrow")
+    pairs = lsh_band_pairs(ds, key_col="doc_id").take_all()
+    got = {(r["key_a"], r["key_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert (2, 3) not in got
+    # min-band rule: each pair appears exactly once
+    keys = [(r["key_a"], r["key_b"]) for r in pairs]
+    assert len(keys) == len(set(keys))
+
+
+def test_simhash_hamming():
+    a = SimHasher.fingerprint("the quick brown fox jumps over the lazy dog")
+    b = SimHasher.fingerprint("the quick brown fox jumps over the lazy cat")
+    c = SimHasher.fingerprint("vectorized columnar execution engines")
+    da = hamming_distance(np.array([a], dtype=np.uint64).view(np.int64),
+                          np.array([b], dtype=np.uint64).view(np.int64))[0]
+    dc = hamming_distance(np.array([a], dtype=np.uint64).view(np.int64),
+                          np.array([c], dtype=np.uint64).view(np.int64))[0]
+    assert da < dc
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("hello world", "hello world") == 1.0
+    assert ngram_jaccard("hello world", "hello werld") >= 0.5
+    assert ngram_jaccard("abcdef", "uvwxyz") == 0.0
+
+
+def test_langid():
+    assert detect_language("the cat is on the mat and it is happy") == "en"
+    assert detect_language("der Hund ist nicht mit der Katze") == "de"
+    assert detect_language("le chat est dans la maison pour que") == "fr"
+    assert detect_language("el perro es una mascota con la familia") == "es"
+    assert detect_language("数据库系统") == "zh"
+
+
+def test_quality_and_tokens():
+    from geoflow.text import quality_batch, token_count_batch
+    t = pa.table({"text": ["a good long sentence with many readable words here",
+                           "!!! ??? ... ;;;", ""]})
+    q = quality_batch(t)
+    scores = q.column("quality_score").to_pylist()
+    assert scores[0] > scores[1]
+    tc = token_count_batch(t).column("n_tokens_ws").to_pylist()
+    assert tc == [9, 4, 0]
+
+
+def test_ann_bruteforce_topk(ray_session):
+    import ray
+    from geoflow.vector import BruteForceTopK, QuerySet, global_topk
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((300, 32))
+    t = pa.table({"vec_id": pa.array(np.arange(300)),
+                  "embedding": pa.array(list(emb))})
+    q = QuerySet(np.array([0, 1]), emb[:2])
+    qref = ray.put(q)
+    ds = ray.data.from_arrow(t)
+    cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(qref,),
+                          fn_constructor_kwargs={"k_local": 5},
+                          batch_format="pyarrow", concurrency=2)
+    out = global_topk(cand, 5).take_all()
+    # numpy oracle
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for qi in (0, 1):
+        sims = en @ en[qi]
+        exp = sorted(range(300), key=lambda j: (-sims[j], j))[:5]
+        got = [r["vec_id"] for r in sorted(
+            (r for r in out if r["query_id"] == qi), key=lambda r: r["rank"])]
+        assert got == exp
+
+
+def test_ann_lsh_recall(ray_session):
+    import ray
+    from geoflow.vector import LshTopK, QuerySet
+    rng = np.random.default_rng(12)
+    emb = rng.standard_normal((500, 32))
+    # plant an exact near-duplicate of query 0
+    emb[250] = emb[0] + rng.standard_normal(32) * 0.01
+    t = pa.table({"vec_id": pa.array(np.arange(500)),
+                  "embedding": pa.array(list(emb))})
+    qref = ray.put(QuerySet(np.array([0]), emb[:1]))
+    ds = ray.data.from_arrow(t)
+    cand = ds.map_batches(LshTopK, fn_constructor_args=(qref,),
+                          fn_constructor_kwargs={"n_bits": 8, "k_local": 10},
+                          batch_format="pyarrow", concurrency=2).take_all()
+    found = {r["vec_id"] for r in cand}
+    assert 0 in found and 250 in found  # planted near-dup must be recalled
