@@ -1,0 +1,139 @@
+"""Benchmark harness.
+
+Default: time the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: run the flagship join+tile pipeline twice in FRESH subprocesses
+(num_cpus=8, then 32) over the same deterministically synthesized corpus,
+and report rows/s at both plus efficiency = rps_32 / (4 * rps_8) — the
+sandbox stand-in for the north rule's N vs 4N-node criterion
+(BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "wkt_roundtrip", "tile_z12", "grid_cell", "sjoin_nation",
+    "sjoin_nation_cellkey", "knn_customer", "envelope_lang", "dist_planar",
+    "unit_chain", "temporal_allen", "dedup_exact", "token_count",
+    "ann_topk", "s2_cell", "simhash", "flagship",
+]
+
+# flagship scaling-run corpus size (rows); generated in-task, never on the
+# driver
+SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "400000"))
+
+
+def _consume(res):
+    """Fully execute a query result without materializing it on the driver."""
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=65536):
+            n += b.num_rows
+        return n
+    return len(res)
+
+
+def run_queries():
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    # warm-up: spin up worker pool + import costs outside the timed region
+    _consume(qs["wkt_roundtrip"](SF_DIR))
+    times = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        n = _consume(qs[name](SF_DIR))
+        dt = time.monotonic() - t0
+        times[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "geoflow_query_suite_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+
+
+def _flagship_once(num_cpus: int, rows: int) -> dict:
+    """One fresh-process flagship run; returns {'rows': ..., 'sec': ...}.
+    Invoked via subprocess in --scaling mode."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from geoflow.io.synth import make_corpus_dataset, make_polygon_table
+    from geoflow.pipelines import run_flagship
+    # warm-up (small) to exclude one-time import/JIT costs
+    warm = run_flagship(make_corpus_dataset(20000, rows_per_block=5000),
+                        make_polygon_table(500), join_mode="broadcast",
+                        concurrency=max(2, num_cpus // 2))
+    _consume(warm["join"])
+
+    t0 = time.monotonic()
+    res = run_flagship(make_corpus_dataset(rows, rows_per_block=8192),
+                       make_polygon_table(2000), join_mode="broadcast",
+                       concurrency=max(2, num_cpus // 2))
+    n_join = _consume(res["join"])
+    n_tiles = _consume(res["tiles"])
+    dt = time.monotonic() - t0
+    ray.shutdown()
+    return {"rows": rows, "sec": dt, "join_rows": n_join,
+            "tile_rows": n_tiles, "rows_per_sec": rows / dt}
+
+
+def run_scaling():
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-once",
+             str(cpus), str(SCALE_ROWS)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"# num_cpus={cpus}: {results[cpus]['rows_per_sec']:.0f} rows/s "
+              f"({results[cpus]['sec']:.2f}s)", file=sys.stderr)
+    rps8 = results[8]["rows_per_sec"]
+    rps32 = results[32]["rows_per_sec"]
+    eff = rps32 / (4.0 * rps8)
+    print(json.dumps({
+        "metric": "flagship_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "queries": {"rows_per_sec_cpus8": round(rps8, 1),
+                    "rows_per_sec_cpus32": round(rps32, 1),
+                    "sec_cpus8": round(results[8]["sec"], 3),
+                    "sec_cpus32": round(results[32]["sec"], 3)},
+        "sf": f"synth:{SCALE_ROWS}",
+        "num_cpus": 32,
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        run_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--flagship-once":
+        print(json.dumps(_flagship_once(int(sys.argv[2]), int(sys.argv[3]))))
+    else:
+        run_queries()

@@ -1,7 +1,8 @@
 from .broadcast import BroadcastPIPJoin, PolygonIndex
-from .celljoin import cell_join, find_hot_cells, prepare_point_side, prepare_polygon_side
+from .celljoin import (cell_join, cell_join_groupby, find_hot_cells,
+                       prepare_point_side, prepare_polygon_side)
 from .knn import KnnBroadcast, NeighborSet
 
-__all__ = ["BroadcastPIPJoin", "PolygonIndex", "cell_join", "find_hot_cells",
-           "prepare_point_side", "prepare_polygon_side", "KnnBroadcast",
-           "NeighborSet"]
+__all__ = ["BroadcastPIPJoin", "PolygonIndex", "cell_join",
+           "cell_join_groupby", "find_hot_cells", "prepare_point_side",
+           "prepare_polygon_side", "KnnBroadcast", "NeighborSet"]

@@ -184,20 +184,127 @@ def _refine_group(group: pa.Table, keep_cols, keep_types) -> pa.Table:
     return pa.table(out)
 
 
-def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
-              hot_threshold: int = 256, n_salt: int = 8,
-              keep_cols=("url", "geom_idx")):
-    """Full cell-keyed point-in-polygon join: returns Dataset of
-    (url, geom_idx, poly_id, predicate)."""
+def cell_join_groupby(points_ds, polys_ds, res=grid.DEFAULT_RES,
+                      hot_threshold: int = 256, n_salt: int = 8,
+                      keep_cols=("url", "geom_idx")):
+    """Cell-keyed PIP join via union + groupby(cell).map_groups with
+    hot-cell salting. Correct but pays per-group call overhead; kept as
+    the explicit-salting variant."""
     keep_cols = tuple(keep_cols)
     keep_types = _keep_types(points_ds, keep_cols)
     pts = prepare_point_side(points_ds, res=res, keep_cols=keep_cols)
     pol = prepare_polygon_side(polys_ds, res=res, keep_cols=keep_cols,
                                keep_types=keep_types)
-    hot = find_hot_cells(pol, hot_threshold) if hot_threshold else {}
+    if hot_threshold:
+        # materialize the (small) covering side once: the hot-cell count
+        # pre-pass must not force a second execution of the covering stage
+        pol = pol.materialize()
+        hot = find_hot_cells(pol, hot_threshold)
+    else:
+        hot = {}
     unioned = apply_salt(pts.union(pol), hot, n_salt)
 
     def refine(group: pa.Table) -> pa.Table:
         return _refine_group(group, keep_cols, keep_types)
 
     return unioned.groupby("cell").map_groups(refine, batch_format="pyarrow")
+
+
+# per-worker-process polygon decode cache for _refine_pairs: the same
+# polygon appears in many candidate pairs; tasks in the same worker process
+# reuse it across batches (no actor pool → no CPU-slot reservation that
+# could starve the join's aggregator actors)
+_PAIR_GEOM_CACHE: dict = {}
+
+
+def _refine_pairs(batch: pa.Table, keep_cols) -> pa.Table:
+    """Per-batch refinement of hash-join candidate pairs: vectorized PIP
+    per unique polygon in the batch."""
+    n = batch.num_rows
+    if n == 0:
+        out = {c: batch.column(c) for c in keep_cols}
+        out["poly_id"] = batch.column("poly_id")
+        out["predicate"] = pa.array([], type=pa.string())
+        return pa.table(out)
+    px = batch.column("x").to_numpy(zero_copy_only=False)
+    py = batch.column("y").to_numpy(zero_copy_only=False)
+    pid = batch.column("poly_id").to_numpy(zero_copy_only=False)
+    wkbs = batch.column("geom_wkb")
+    keep = np.zeros(n, dtype=bool)
+    order = np.argsort(pid, kind="stable")
+    pid_s = pid[order]
+    uniq, starts = np.unique(pid_s, return_index=True)
+    bounds = np.append(starts, n)
+    for k in range(len(uniq)):
+        rows = order[bounds[k]:bounds[k + 1]]
+        key = int(uniq[k])
+        g = _PAIR_GEOM_CACHE.get(key)
+        if g is None:
+            g = from_wkb(wkbs[int(rows[0])].as_py())
+            if len(_PAIR_GEOM_CACHE) > 100_000:
+                _PAIR_GEOM_CACHE.clear()
+            _PAIR_GEOM_CACHE[key] = g
+        keep[rows] = alg.points_in_polygon(px[rows], py[rows], g)
+    take = pa.array(np.nonzero(keep)[0], type=pa.int64())
+    out = {c: batch.column(c).take(take) for c in keep_cols}
+    out["poly_id"] = batch.column("poly_id").take(take)
+    out["predicate"] = pa.array(["intersects"] * len(take), type=pa.string())
+    return pa.table(out)
+
+
+def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
+              num_partitions: int | None = None,
+              keep_cols=("url", "geom_idx"),
+              concurrency=None, hot_threshold=None, n_salt=None):
+    """Cell-keyed PIP join: hash `Dataset.join` on the covering cell, then
+    per-batch vectorized exact refinement (actor pool with a per-actor
+    polygon decode cache). The hash join distributes cells across
+    `num_partitions` aggregators — the shuffle moves only (cell, point,
+    poly ref) candidate rows, never the corpus payload.
+
+    hot_threshold/n_salt accepted for API compat with cell_join_groupby
+    (the hash-join path handles skew by partitioning pairs, not groups).
+
+    num_partitions defaults to the cluster CPU count (the join operator
+    schedules one aggregator actor per partition; more partitions than
+    CPUs deadlocks on small clusters)."""
+    keep_cols = tuple(keep_cols)
+    if num_partitions is None:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        num_partitions = max(2, min(cpus, 64))
+
+    def pts_prep(batch: pa.Table) -> pa.Table:
+        px = batch.column("x").to_numpy(zero_copy_only=False)
+        py = batch.column("y").to_numpy(zero_copy_only=False)
+        cells = grid.lonlat_to_grid(px, py, res)
+        cols = {"cell": pa.array(cells.view(np.int64)),
+                "x": pa.array(px), "y": pa.array(py)}
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def pol_prep(batch: pa.Table) -> pa.Table:
+        bufs = batch.column("geom_wkb").to_pylist()
+        boxes = np.empty((len(bufs), 4))
+        for i, b in enumerate(bufs):
+            boxes[i] = from_wkb(b).bounds() if b is not None else (np.nan,) * 4
+        valid = np.isfinite(boxes[:, 0])
+        vidx = np.nonzero(valid)[0]
+        ri, cells = grid.cover_boxes(boxes[vidx, 0], boxes[vidx, 1],
+                                     boxes[vidx, 2], boxes[vidx, 3], res)
+        rows = vidx[ri]
+        take = pa.array(rows, type=pa.int64())
+        return pa.table({"cell": pa.array(cells.view(np.int64)),
+                         "poly_id": batch.column("poly_id").take(take),
+                         "geom_wkb": batch.column("geom_wkb").take(take)})
+
+    pts = points_ds.map_batches(pts_prep, batch_format="pyarrow")
+    pol = polys_ds.map_batches(pol_prep, batch_format="pyarrow")
+    pairs = pts.join(pol, join_type="inner", num_partitions=num_partitions,
+                     on=("cell",))
+    import functools
+    return pairs.map_batches(functools.partial(_refine_pairs,
+                                               keep_cols=keep_cols),
+                             batch_format="pyarrow")

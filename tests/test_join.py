@@ -57,14 +57,24 @@ def test_broadcast_join_matches_oracle(ray_session, corpus_points, polys,
     assert got == oracle_pairs
 
 
-@pytest.mark.parametrize("hot_threshold,n_salt", [(0, 1), (10, 4)])
-def test_cell_join_matches_oracle(ray_session, corpus_points, polys,
-                                  oracle_pairs, hot_threshold, n_salt):
+def test_cell_join_hashjoin_matches_oracle(ray_session, corpus_points, polys,
+                                           oracle_pairs):
     import ray
     from geoflow.join import cell_join
     got_ds = cell_join(ray.data.from_arrow(corpus_points),
-                       ray.data.from_arrow(polys),
-                       hot_threshold=hot_threshold, n_salt=n_salt)
+                       ray.data.from_arrow(polys), num_partitions=8)
+    got = {(r["url"], r["geom_idx"], r["poly_id"]) for r in got_ds.take_all()}
+    assert got == oracle_pairs
+
+
+@pytest.mark.parametrize("hot_threshold,n_salt", [(0, 1), (10, 4)])
+def test_cell_join_groupby_matches_oracle(ray_session, corpus_points, polys,
+                                          oracle_pairs, hot_threshold, n_salt):
+    import ray
+    from geoflow.join import cell_join_groupby
+    got_ds = cell_join_groupby(ray.data.from_arrow(corpus_points),
+                               ray.data.from_arrow(polys),
+                               hot_threshold=hot_threshold, n_salt=n_salt)
     got = {(r["url"], r["geom_idx"], r["poly_id"]) for r in got_ds.take_all()}
     assert got == oracle_pairs
 
