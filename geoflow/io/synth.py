@@ -50,7 +50,10 @@ def make_corpus_block(block_id: int, rows: int, seed: int = 42,
                 cy = float(rng.uniform(-75.0, 75.0))
                 nv = int(rng.integers(4, 13))
                 ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
-                rad = rng.uniform(0.05, 2.0)
+                # doc-embedded polygons are neighborhood-scale: ≤ ~0.3°
+                # (a 2° polygon would cover ~2000 z12 tiles each and the
+                # tile table would dwarf the corpus)
+                rad = rng.uniform(0.01, 0.3)
                 xs = cx + rad * np.cos(ang)
                 ys = cy + rad * np.sin(ang)
                 ring = ", ".join(f"{x!r} {y!r}" for x, y in zip(xs, ys))
@@ -79,7 +82,9 @@ def make_corpus_dataset(total_rows: int, rows_per_block: int = 4096,
     n_blocks = (total_rows + rows_per_block - 1) // rows_per_block
     sizes = [(b, min(rows_per_block, total_rows - b * rows_per_block))
              for b in range(n_blocks)]
-    ds = ray.data.from_items([{"block_id": b, "rows": r} for b, r in sizes])
+    # one Ray block per corpus block → generation parallelism == n_blocks
+    ds = ray.data.from_items([{"block_id": b, "rows": r} for b, r in sizes],
+                             override_num_blocks=n_blocks)
 
     def gen(batch):
         tables = [make_corpus_block(int(b), int(r), seed)

@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..geom import STRtree, algorithms as alg, from_wkb
+from ..geom.pip import SegmentCSR, pip_pairs
 from ..geom.wkb import wkb_to_points
 
 
@@ -27,6 +28,7 @@ class PolygonIndex:
         bufs = poly_table.column(wkb_col).to_pylist()
         self.geoms = [from_wkb(b) for b in bufs]
         self.boxes = np.array([g.bounds() for g in self.geoms])
+        self.csr = SegmentCSR(self.geoms)
 
     def build_tree(self) -> STRtree:
         return STRtree(self.boxes)
@@ -56,24 +58,12 @@ class BroadcastPIPJoin:
         self.out_cols = tuple(out_cols)
 
     def _probe_points(self, px, py):
-        """Vectorized candidate gen + exact PIP refinement grouped by
-        polygon (numpy inner loops per candidate polygon, not per pair)."""
+        """Vectorized candidate gen + single-kernel bulk PIP refinement
+        (SegmentCSR + bincount parity — zero per-polygon Python calls)."""
         pi, poly_i = self.tree.query_points(px, py)
         if len(pi) == 0:
             return pi, poly_i
-        keep = np.zeros(len(pi), dtype=bool)
-        order = np.argsort(poly_i, kind="stable")
-        pi_s, poly_s = pi[order], poly_i[order]
-        bnd = np.searchsorted(poly_s, np.unique(poly_s))
-        uniq = np.unique(poly_s)
-        bounds = np.append(bnd, len(poly_s))
-        for k, p in enumerate(uniq):
-            sl = slice(bounds[k], bounds[k + 1])
-            rows = pi_s[sl]
-            g = self.idx.geoms[int(p)]
-            inside = alg.points_in_polygon(px[rows], py[rows], g,
-                                           on_boundary=True)
-            keep[order[np.arange(sl.start, sl.stop)]] = inside
+        keep = pip_pairs(px, py, pi, poly_i, self.idx.csr, on_boundary=True)
         return pi[keep], poly_i[keep]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

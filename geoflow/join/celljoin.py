@@ -166,15 +166,8 @@ def _refine_group(group: pa.Table, keep_cols, keep_types) -> pa.Table:
     pi, gi = tree.query_points(px, py)
     if len(pi) == 0:
         return empty
-    keep = np.zeros(len(pi), dtype=bool)
-    order = np.argsort(gi, kind="stable")
-    gi_s = gi[order]
-    uniq, starts = np.unique(gi_s, return_index=True)
-    bounds = np.append(starts, len(gi_s))
-    for k, gidx in enumerate(uniq):
-        sl = order[bounds[k]:bounds[k + 1]]
-        rows = pi[sl]
-        keep[sl] = alg.points_in_polygon(px[rows], py[rows], polys[int(gidx)])
+    from ..geom.pip import SegmentCSR, pip_pairs
+    keep = pip_pairs(px, py, pi, gi, SegmentCSR(polys))
     pi, gi = pi[keep], gi[keep]
     take_pt = pa.array(pt_rows[pi], type=pa.int64())
     take_poly = pa.array(poly_rows[gi], type=pa.int64())
@@ -230,21 +223,23 @@ def _refine_pairs(batch: pa.Table, keep_cols) -> pa.Table:
     py = batch.column("y").to_numpy(zero_copy_only=False)
     pid = batch.column("poly_id").to_numpy(zero_copy_only=False)
     wkbs = batch.column("geom_wkb")
-    keep = np.zeros(n, dtype=bool)
-    order = np.argsort(pid, kind="stable")
-    pid_s = pid[order]
-    uniq, starts = np.unique(pid_s, return_index=True)
-    bounds = np.append(starts, n)
+    # decode each unique polygon once (worker-process cache), then refine
+    # every pair in ONE vectorized kernel
+    from ..geom.pip import SegmentCSR, pip_pairs
+    uniq, first, inv = np.unique(pid, return_index=True,
+                                 return_inverse=True)
+    geoms = []
     for k in range(len(uniq)):
-        rows = order[bounds[k]:bounds[k + 1]]
         key = int(uniq[k])
         g = _PAIR_GEOM_CACHE.get(key)
         if g is None:
-            g = from_wkb(wkbs[int(rows[0])].as_py())
+            g = from_wkb(wkbs[int(first[k])].as_py())
             if len(_PAIR_GEOM_CACHE) > 100_000:
                 _PAIR_GEOM_CACHE.clear()
             _PAIR_GEOM_CACHE[key] = g
-        keep[rows] = alg.points_in_polygon(px[rows], py[rows], g)
+        geoms.append(g)
+    csr = SegmentCSR(geoms)
+    keep = pip_pairs(px, py, np.arange(n, dtype=np.int64), inv, csr)
     take = pa.array(np.nonzero(keep)[0], type=pa.int64())
     out = {c: batch.column(c).take(take) for c in keep_cols}
     out["poly_id"] = batch.column("poly_id").take(take)
@@ -273,7 +268,11 @@ def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
-        num_partitions = max(2, min(cpus, 64))
+        # each partition costs an aggregator actor (~0.3s startup + memory
+        # reservation): cpus/4 amortizes well from laptop to node scale;
+        # large multi-node jobs should pass num_partitions explicitly
+        # (rule of thumb: total input bytes / 512 MiB)
+        num_partitions = max(2, min(cpus // 4, 16))
 
     def pts_prep(batch: pa.Table) -> pa.Table:
         px = batch.column("x").to_numpy(zero_copy_only=False)

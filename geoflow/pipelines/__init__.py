@@ -1,3 +1,5 @@
-from .flagship import assign_tiles, extract_geoms, run_flagship, to_points
+from .flagship import (assign_tiles, extract_geoms, run_flagship,
+                       run_flagship_fused, to_points)
 
-__all__ = ["assign_tiles", "extract_geoms", "run_flagship", "to_points"]
+__all__ = ["assign_tiles", "extract_geoms", "run_flagship",
+           "run_flagship_fused", "to_points"]

@@ -1,0 +1,4 @@
+from . import ops  # noqa: F401  (registers rast_* operators)
+from .rastwkb import Raster, from_hexwkb, from_wkb, to_hexwkb, to_wkb
+
+__all__ = ["Raster", "from_hexwkb", "from_wkb", "to_hexwkb", "to_wkb", "ops"]

@@ -1,0 +1,139 @@
+"""Raster subsystem tests — codec fixtures from SampleRasters.java,
+map algebra, attributes, envelope relations."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geoflow.raster import Raster, from_hexwkb, from_wkb, to_hexwkb, to_wkb
+from geoflow.ops import get_op
+
+# SampleRasters.java:27-41 — field-by-field documented fixture
+MINWKB = ("01" "0000" "0100" "000000000000F03F" "0000000000000040"
+          "0000000000000840" "0000000000001040" "0000000000001440"
+          "0000000000001840" "0A000000" "0100" "0100" "40" "00" "01")
+
+# SampleRasters.java:47-58 — 3x2 16BSI big-endian
+WKB3 = ("00000000013FF00000000000004000000000000000400800000000000040100000"
+        "0000000040140000000000004018000000000000000010E6"
+        "0003" "0002" "05" "FFFF" "FFFF" "0000" "FFF0" "007F" "000A" "0002")
+
+
+def test_min_fixture_fields():
+    r = from_hexwkb(MINWKB)
+    assert (r.scale_x, r.scale_y, r.ip_x, r.ip_y) == (1.0, 2.0, 3.0, 4.0)
+    assert (r.skew_x, r.skew_y) == (5.0, 6.0)
+    assert r.srid == 10 and (r.width, r.height) == (1, 1)
+    assert r.num_bands == 1 and r.nodata[0] == 0
+    assert r.bands[0][0, 0] == 1
+
+
+def test_min_fixture_roundtrip():
+    assert to_hexwkb(from_hexwkb(MINWKB)) == MINWKB.upper()
+
+
+def test_bigendian_16bsi_fixture():
+    r = from_hexwkb(WKB3)
+    assert (r.width, r.height) == (3, 2)
+    assert np.array_equal(r.bands[0], [[-1, 0, -16], [127, 10, 2]])
+    # re-encode little-endian, re-read: same values
+    r2 = from_wkb(to_wkb(r))
+    assert np.array_equal(r2.bands[0], r.bands[0])
+    assert r2.srid == r.srid
+
+
+def _col(*rasters):
+    return pa.array([to_wkb(r) for r in rasters], type=pa.binary())
+
+
+@pytest.fixture
+def simple():
+    return Raster([np.array([[1, 2], [3, 4]], dtype=np.int16)],
+                  [5], [None], 1.0, -1.0, 10.0, 20.0, 0.0, 0.0, 4326)
+
+
+def test_map_algebra(simple):
+    col = _col(simple)
+    add = from_wkb(get_op("rast_add").fn(col, col).to_pylist()[0])
+    assert np.array_equal(add.bands[0], [[2, 4], [6, 8]])
+    mc = from_wkb(get_op("rast_multconst").fn(col, 10).to_pylist()[0])
+    assert np.array_equal(mc.bands[0], [[10, 20], [30, 40]])
+    binz = from_wkb(get_op("rast_binarize").fn(col, 3).to_pylist()[0])
+    assert np.array_equal(binz.bands[0], [[0, 0], [1, 1]])
+    div = from_wkb(get_op("rast_div").fn(col, col).to_pylist()[0])
+    assert np.array_equal(div.bands[0], [[1, 1], [1, 1]])
+
+
+def test_filters_and_dct(simple):
+    col = _col(simple)
+    mx = from_wkb(get_op("rast_maxfilter").fn(col, 3).to_pylist()[0])
+    assert mx.bands[0].max() == 4 and mx.bands[0][0, 0] == 4
+    d = get_op("rast_dct").fn(col).to_pylist()[0]
+    rec = from_wkb(get_op("rast_idct").fn(pa.array([d], type=pa.binary()))
+                   .to_pylist()[0])
+    assert np.allclose(rec.bands[0], simple.bands[0])
+
+
+def test_attributes(simple):
+    col = _col(simple)
+    assert get_op("rast_width").fn(col).to_pylist() == [2]
+    assert get_op("rast_height").fn(col).to_pylist() == [2]
+    assert get_op("rast_numbands").fn(col).to_pylist() == [1]
+    assert get_op("rast_maxvalue").fn(col, 0).to_pylist() == [4.0]
+    assert get_op("rast_minvalue").fn(col, 0).to_pylist() == [1.0]
+    assert get_op("rast_value").fn(col, 0, 1, 0).to_pylist() == [2.0]
+    stats = get_op("rast_summarystats").fn(col, 0).to_pylist()[0]
+    assert stats["count"] == 4 and stats["sum"] == 10.0
+    assert stats["mean"] == 2.5
+
+
+def test_nodata_excluded():
+    r = Raster([np.array([[0, 5], [0, 7]], dtype=np.int16)], [5], [0])
+    col = _col(r)
+    assert get_op("rast_minvalue").fn(col, 0).to_pylist() == [5.0]
+    s = get_op("rast_summarystats").fn(col, 0).to_pylist()[0]
+    assert s["count"] == 2 and s["mean"] == 6.0
+
+
+def test_georef_coords(simple):
+    col = _col(simple)
+    w = get_op("rast_rastertoworldcoord").fn(col, 1, 1).to_pylist()[0]
+    assert (w["x"], w["y"]) == (11.0, 19.0)
+    p = get_op("rast_worldtorastercoord").fn(col, 11.5, 18.5).to_pylist()[0]
+    assert (p["col"], p["row"]) == (1, 1)
+
+
+def test_envelope_and_relations(simple):
+    from geoflow.geom import from_wkb as g_from_wkb
+    col = _col(simple)
+    env = g_from_wkb(get_op("rast_envelope").fn(col).to_pylist()[0])
+    assert env.bounds() == (10.0, 18.0, 12.0, 20.0)
+    other = Raster([np.ones((2, 2), dtype=np.int16)], [5], [None],
+                   1.0, -1.0, 11.0, 19.5, 0.0, 0.0, 4326)
+    assert get_op("rast_intersects").fn(col, _col(other)).to_pylist() == [True]
+    far = Raster([np.ones((2, 2), dtype=np.int16)], [5], [None],
+                 1.0, -1.0, 100.0, 100.0, 0.0, 0.0, 4326)
+    assert get_op("rast_disjoint").fn(col, _col(far)).to_pylist() == [True]
+    # DistanceTest.java:42-47: distance(r, r) == 0
+    assert get_op("rast_distance").fn(col, col).to_pylist() == [0.0]
+
+
+def test_resize_and_crop(simple):
+    col = _col(simple)
+    r2 = from_wkb(get_op("rast_resize").fn(col, 4, 4).to_pylist()[0])
+    assert (r2.width, r2.height) == (4, 4)
+    assert r2.scale_x == 0.5  # extent preserved
+    c = from_wkb(get_op("rast_crop").fn(col, 1, 0, 2, 2).to_pylist()[0])
+    assert (c.width, c.height) == (1, 2)
+    assert np.array_equal(c.bands[0], [[2], [4]])
+    assert c.ip_x == 11.0
+
+
+def test_samealignment(simple):
+    col = _col(simple)
+    shifted = Raster(simple.bands, simple.pixtypes, simple.nodata,
+                     1.0, -1.0, 13.0, 17.0, 0.0, 0.0, 4326)
+    off = Raster(simple.bands, simple.pixtypes, simple.nodata,
+                 1.0, -1.0, 10.5, 20.0, 0.0, 0.0, 4326)
+    assert get_op("rast_sameal").fn(col, _col(shifted)).to_pylist() == [True]
+    assert get_op("rast_sameal").fn(col, _col(off)).to_pylist() == [False]
