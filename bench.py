@@ -142,8 +142,10 @@ def _flagship_once(num_cpus: int, rows: int) -> dict:
 
 def run_scaling():
     _ensure_bench_corpus(SCALE_ROWS)
+    pair = tuple(int(c) for c in os.environ.get(
+        "GRAFT_SCALE_CPUS", "8,32").split(","))
     results = {}
-    for cpus in (8, 32):
+    for cpus in pair:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flagship-once",
              str(cpus), str(SCALE_ROWS)],
@@ -153,19 +155,20 @@ def run_scaling():
         results[cpus] = json.loads(line)
         print(f"# num_cpus={cpus}: {results[cpus]['rows_per_sec']:.0f} rows/s "
               f"({results[cpus]['sec']:.2f}s)", file=sys.stderr)
-    rps8 = results[8]["rows_per_sec"]
-    rps32 = results[32]["rows_per_sec"]
-    eff = rps32 / (4.0 * rps8)
+    lo, hi = pair
+    rps_lo = results[lo]["rows_per_sec"]
+    rps_hi = results[hi]["rows_per_sec"]
+    eff = rps_hi / ((hi / lo) * rps_lo)
     print(json.dumps({
         "metric": "flagship_scaling_efficiency",
         "value": round(eff, 4),
         "unit": "ratio",
-        "queries": {"rows_per_sec_cpus8": round(rps8, 1),
-                    "rows_per_sec_cpus32": round(rps32, 1),
-                    "sec_cpus8": round(results[8]["sec"], 3),
-                    "sec_cpus32": round(results[32]["sec"], 3)},
+        "queries": {f"rows_per_sec_cpus{lo}": round(rps_lo, 1),
+                    f"rows_per_sec_cpus{hi}": round(rps_hi, 1),
+                    f"sec_cpus{lo}": round(results[lo]["sec"], 3),
+                    f"sec_cpus{hi}": round(results[hi]["sec"], 3)},
         "sf": f"synth:{SCALE_ROWS}",
-        "num_cpus": 32,
+        "num_cpus": hi,
     }))
 
 

@@ -130,14 +130,23 @@ class FusedJoinTiles:
             join_take = np.empty(0, dtype=np.int64)
             join_poly = np.empty(0, dtype=np.int64)
         # --- union output ---
+        # url/kind are dictionary-encoded: the tile expansion multiplies
+        # row count ~10x, and copying the url strings per output row was
+        # the pipeline's dominant memory traffic — indices into the
+        # batch's url array cost 4 bytes/row instead
         nt, nj = len(tile_take), len(join_take)
-        take = pa.array(np.concatenate([tile_take, join_take]),
-                        type=pa.int64())
+        take = np.concatenate([tile_take, join_take]).astype(np.int32)
+        url_dict = batch.column("url")
+        if isinstance(url_dict, pa.ChunkedArray):
+            url_dict = url_dict.combine_chunks()
+        kind_idx = np.concatenate([np.zeros(nt, dtype=np.int8),
+                                   np.ones(nj, dtype=np.int8)])
         return pa.table({
-            "kind": pa.array(["tile"] * nt + ["join"] * nj,
-                             type=pa.string()),
-            "url": batch.column("url").take(take),
-            "geom_idx": batch.column("geom_idx").take(take),
+            "kind": pa.DictionaryArray.from_arrays(
+                pa.array(kind_idx), pa.array(["tile", "join"])),
+            "url": pa.DictionaryArray.from_arrays(pa.array(take), url_dict),
+            "geom_idx": batch.column("geom_idx").take(
+                pa.array(take, type=pa.int64())),
             "z": pa.array(np.concatenate(
                 [np.full(nt, self.zoom, dtype=np.int8),
                  np.zeros(nj, dtype=np.int8)])),
