@@ -391,6 +391,70 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_topk_orders(sf_dir: str):
+    """Global top-k by sort (§2.6: ds.sort(desc).limit(k))."""
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+def q_groupby_lineitem(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregation; money sums as integer cents so
+    both engines sum exactly (float += order differs engine to engine)."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100.0)), pa.int64())
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_int": qty, "price_cents": cents})
+
+    ds = _read(sf_dir, "lineitem").map_batches(pre, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["qty_int", "price_cents"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": batch.column("sum(qty_int)"),
+            "sum_price_cents": batch.column("sum(price_cents)")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_window_events(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream (§2.8 —
+    batch windowing; no event-time/watermark semantics in the reference)."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        win = pc.floor_temporal(ts, unit="hour")
+        return pa.table({
+            "window_start": win,
+            "event_type": batch.column("event_type"),
+            "value_milli": pc.cast(pc.round(pc.multiply(
+                batch.column("value"), 1000.0)), pa.int64())})
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events").map_batches(pre, batch_format="pyarrow")
+    out = ds.groupby(["window_start", "event_type"]).aggregate(
+        Count(), Sum("value_milli"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": batch.column("window_start"),
+            "event_type": batch.column("event_type"),
+            "n_events": pc.cast(batch.column("count()"), pa.int64()),
+            "sum_value_milli": batch.column("sum(value_milli)")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 # ---- rows-only queries (no SQL equivalent) --------------------------------
 
 def q_s2_cell(sf_dir: str):
@@ -479,6 +543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "ann_topk": q_ann_topk,
+        "topk_orders": q_topk_orders,
+        "groupby_lineitem": q_groupby_lineitem,
+        "window_events": q_window_events,
         "s2_cell": q_s2_cell,
         "langid": q_langid,
         "quality": q_quality,
@@ -579,6 +646,19 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
             FROM documents""",
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "groupby_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "window_events": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 1000.0) AS BIGINT)) AS sum_value_milli
+            FROM events GROUP BY 1, 2""",
         "ann_topk": """
             SELECT query_id, vec_id, rank FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

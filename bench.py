@@ -142,8 +142,12 @@ def _flagship_once(num_cpus: int, rows: int) -> dict:
 
 def run_scaling():
     _ensure_bench_corpus(SCALE_ROWS)
+    # default pair 4→16: at 32 busy CPUs this single box is fully
+    # saturated including Ray's own (uncounted) system processes and drops
+    # to a lower all-core turbo bin — effects a real N vs 4N-node cluster
+    # does not have. Both pairs are reported in BENCH/BASELINE.md.
     pair = tuple(int(c) for c in os.environ.get(
-        "GRAFT_SCALE_CPUS", "8,32").split(","))
+        "GRAFT_SCALE_CPUS", "4,16").split(","))
     results = {}
     for cpus in pair:
         out = subprocess.run(
