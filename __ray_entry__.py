@@ -391,6 +391,49 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_webmercator(sf_dir: str):
+    """EPSG:4326 → 3857 projection of the doc points (st_transform path;
+    formula written op-for-op like the SQL oracle)."""
+    from geoflow.geom import crs
+
+    def proj(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        mx, my = crs.lonlat_to_webmercator(x, y)
+        # merc_x is a pure multiply (IEEE-exact across engines); merc_y
+        # goes through tan/ln whose libm implementations differ in the
+        # last ulp — quantize to cm for the cross-engine hash
+        my_cm = np.floor(my * 100.0).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "merc_x": pa.array(mx),
+                         "merc_y_cm": pa.array(my_cm)})
+
+    return _doc_points_ds(sf_dir).map_batches(proj, batch_format="pyarrow")
+
+
+def q_tile_density(sf_dir: str):
+    """Points per z12 tile (spatial groupby shuffle on the tile key)."""
+    from geoflow.cells import tiles
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        tx, ty = tiles.lonlat_to_tile(x, y, 12)
+        return pa.table({"tile_x": pa.array(tx.astype(np.int64)),
+                         "tile_y": pa.array(ty.astype(np.int64))})
+
+    ds = _doc_points_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
+    out = ds.groupby(["tile_x", "tile_y"]).count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"tile_x": batch.column("tile_x"),
+                         "tile_y": batch.column("tile_y"),
+                         "n_points": pc.cast(batch.column("count()"),
+                                             pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_topk_orders(sf_dir: str):
     """Global top-k by sort (§2.6: ds.sort(desc).limit(k))."""
     ds = _read(sf_dir, "orders").select_columns(
@@ -543,6 +586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "ann_topk": q_ann_topk,
+        "webmercator": q_webmercator,
+        "tile_density": q_tile_density,
         "topk_orders": q_topk_orders,
         "groupby_lineitem": q_groupby_lineitem,
         "window_events": q_window_events,
@@ -646,6 +691,20 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
             FROM documents""",
+        "webmercator": f"""
+            SELECT doc_id,
+                   6378137.0 * radians(x) AS merc_x,
+                   CAST(floor(6378137.0 * ln(tan(pi()/4.0 + radians(lat_c)/2.0)) * 100.0) AS BIGINT) AS merc_y_cm
+            FROM (SELECT doc_id, x,
+                         LEAST(GREATEST(y, -85.051128779806604), 85.051128779806604) AS lat_c
+                  FROM ({doc_pts}))""",
+        "tile_density": f"""
+            SELECT tile_x, tile_y, count(*) AS n_points FROM (
+              SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 4096), 0), 4095) AS BIGINT) AS tile_x,
+                     CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 4096), 0), 4095) AS BIGINT) AS tile_y
+              FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+                    FROM ({doc_pts})))
+            GROUP BY tile_x, tile_y""",
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
