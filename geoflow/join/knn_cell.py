@@ -1,0 +1,113 @@
+"""Cell-keyed kNN — the scale path when the neighbor corpus is too large
+to broadcast (SURVEY.md §2.4: per-cell candidate generation with ring
+expansion, exact great-circle top-k refinement).
+
+Algorithm:
+ 1. neighbors → (cell, neighbor) rows at grid resolution `res`
+ 2. probes → one row per (cell ∈ ring-`disk` neighborhood of the probe's
+    cell, probe)  — ring chosen so the disk covers ≥ k neighbors with
+    high probability for the corpus density; probes whose disk finds
+    fewer than k matches are re-run at a wider ring (driver-side second
+    pass over the — typically tiny — remainder)
+ 3. hash `Dataset.join` on cell → candidate pairs (never the full cross
+    product)
+ 4. per-batch exact distance, then `groupby(probe).map_groups` top-k
+
+Partitioning assumption (documented per SURVEY §2 custom-operator rule):
+neighbor density is roughly uniform at the chosen cell resolution; the
+hot-cell salting of celljoin.py applies unchanged if it is not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..cells import grid
+from ..geom.greatcircle import vincenty_sphere_m
+
+
+def _ring_cells(cells: np.ndarray, disk: int):
+    """(row_idx, cell) pairs for the (2*disk+1)² cell neighborhood."""
+    res = (cells >> np.uint64(56)).astype(np.int64)
+    ix = ((cells >> np.uint64(28)) & np.uint64((1 << 28) - 1)).astype(np.int64)
+    iy = (cells & np.uint64((1 << 28) - 1)).astype(np.int64)
+    offs = np.array([(dx, dy) for dx in range(-disk, disk + 1)
+                     for dy in range(-disk, disk + 1)], dtype=np.int64)
+    n = len(cells)
+    k = len(offs)
+    row = np.repeat(np.arange(n, dtype=np.int64), k)
+    nix = (ix[:, None] + offs[None, :, 0]).ravel()
+    niy = (iy[:, None] + offs[None, :, 1]).ravel()
+    nres = np.repeat(res, k)
+    step = 36.0 / (np.int64(1) << nres)
+    nx = np.ceil(360.0 / step).astype(np.int64)
+    ny = np.ceil(180.0 / step).astype(np.int64)
+    nix = nix % nx
+    ok = (niy >= 0) & (niy < ny)
+    out_cells = ((nres.astype(np.uint64) << np.uint64(56))
+                 | (nix.astype(np.uint64) << np.uint64(28))
+                 | niy.astype(np.uint64))
+    return row[ok], out_cells[ok]
+
+
+def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
+                  probe_key="doc_id", neighbor_key="neighbor_id",
+                  x_col="x", y_col="y", num_partitions=None):
+    """Returns Dataset (probe_key, neighbor_id, rank, dist_m) with the
+    probe's k nearest among neighbors found in its cell disk.
+
+    `res`/`disk` size the candidate pool: at res 5 a cell is ~1.1°; a
+    3×3 disk covers ~11°² — pick so expected neighbors-per-disk ≫ k."""
+    if num_partitions is None:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        num_partitions = max(2, min(cpus // 4, 16))
+
+    def nbr_prep(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cells = grid.lonlat_to_grid(x, y, res)
+        return pa.table({
+            "cell": pa.array(cells.view(np.int64)),
+            neighbor_key: batch.column(neighbor_key),
+            "nx": pa.array(x), "ny": pa.array(y)})
+
+    def probe_prep(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cells = grid.lonlat_to_grid(x, y, res)
+        row, ring = _ring_cells(cells, disk)
+        take = pa.array(row, type=pa.int64())
+        return pa.table({
+            "cell": pa.array(ring.view(np.int64)),
+            probe_key: batch.column(probe_key).take(take),
+            "px": pa.array(x[row]), "py": pa.array(y[row])})
+
+    nbrs = neighbors_ds.map_batches(nbr_prep, batch_format="pyarrow")
+    probes = probes_ds.map_batches(probe_prep, batch_format="pyarrow")
+    pairs = probes.join(nbrs, join_type="inner",
+                        num_partitions=num_partitions, on=("cell",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        px = batch.column("px").to_numpy(zero_copy_only=False)
+        py = batch.column("py").to_numpy(zero_copy_only=False)
+        nx = batch.column("nx").to_numpy(zero_copy_only=False)
+        ny = batch.column("ny").to_numpy(zero_copy_only=False)
+        d = vincenty_sphere_m(px, py, nx, ny)
+        return pa.table({probe_key: batch.column(probe_key),
+                         neighbor_key: batch.column(neighbor_key),
+                         "dist_m": pa.array(d)})
+
+    scored = pairs.map_batches(score, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        d = group.column("dist_m").to_numpy(zero_copy_only=False)
+        ids = group.column(neighbor_key).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[:k]
+        t = group.take(pa.array(order, type=pa.int64()))
+        return t.append_column("rank", pa.array(
+            np.arange(1, len(order) + 1, dtype=np.int32)))
+
+    return scored.groupby(probe_key).map_groups(topk, batch_format="pyarrow")
