@@ -391,6 +391,37 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_raster_stats(sf_dir: str):
+    """Raster pipeline parity: per part, build a deterministic 4x4 uint8
+    raster (pixel[i] = (p_partkey*16 + i) % 251), run it through the
+    raster-WKB codec + map algebra (x2 then +7) + summary stats. The SQL
+    oracle computes the same integer arithmetic without any raster code —
+    bit-exact check of codec + algebra + stats."""
+    from geoflow.ops import get_op
+    from geoflow.raster import Raster, to_wkb as rast_to_wkb
+
+    def build(batch: pa.Table) -> pa.Table:
+        keys = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        wkbs = []
+        for kv in keys:
+            px = (np.int64(kv) * 16 + np.arange(16, dtype=np.int64)) % 251
+            r = Raster([px.reshape(4, 4).astype(np.uint8)], [4], [None],
+                       1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 4326)
+            wkbs.append(rast_to_wkb(r))
+        col = pa.array(wkbs, type=pa.binary())
+        col = get_op("rast_addconst").fn(get_op("rast_multconst").fn(col, 2), 7)
+        stats = get_op("rast_summarystats").fn(col, 0)
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "px_count": pc.cast(pc.struct_field(stats, "count"), pa.int64()),
+            "px_sum": pc.cast(pc.struct_field(stats, "sum"), pa.float64()),
+            "px_min": pc.struct_field(stats, "min"),
+            "px_max": pc.struct_field(stats, "max"),
+            "px_mean": pc.struct_field(stats, "mean")})
+
+    return _read(sf_dir, "part").map_batches(build, batch_format="pyarrow")
+
+
 def q_webmercator(sf_dir: str):
     """EPSG:4326 → 3857 projection of the doc points (st_transform path;
     formula written op-for-op like the SQL oracle)."""
@@ -586,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "ann_topk": q_ann_topk,
+        "raster_stats": q_raster_stats,
         "webmercator": q_webmercator,
         "tile_density": q_tile_density,
         "topk_orders": q_topk_orders,
@@ -691,6 +723,17 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
             FROM documents""",
+        "raster_stats": """
+            SELECT p_partkey,
+                   count(*) AS px_count,
+                   CAST(sum(v) AS DOUBLE) AS px_sum,
+                   CAST(min(v) AS DOUBLE) AS px_min,
+                   CAST(max(v) AS DOUBLE) AS px_max,
+                   CAST(sum(v) AS DOUBLE) / count(*) AS px_mean
+            FROM (SELECT p_partkey,
+                         ((p_partkey * 16 + i) % 251) * 2 + 7 AS v
+                  FROM part, unnest(range(16)) AS t(i))
+            GROUP BY p_partkey""",
         "webmercator": f"""
             SELECT doc_id,
                    6378137.0 * radians(x) AS merc_x,
