@@ -391,6 +391,67 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_near_dup(sf_dir: str):
+    """MinHash-LSH near-dup detection with PLANTED duplicates: every doc
+    with doc_id % 10 == 0 gets a lightly-mutated copy (id + 1_000_000);
+    LSH must recover exactly the planted pairs. Random word-soup docs
+    cannot collide on a 4-hash band (p ≈ 2^-256), and the mutation keeps
+    shingle similarity ≈ 0.9 so every planted pair collides in some band
+    with near-certainty — making the LSH output deterministic enough for
+    an exact oracle."""
+    from geoflow.text import MinHasher
+    from geoflow.text.dedup import lsh_band_pairs
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        sel = np.nonzero(ids % 10 == 0)[0]
+        dup_ids = ids[sel] + 1_000_000
+        dup_texts = [texts[i] + " trailing marker token" for i in sel]
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, dup_ids])),
+            "text": pa.array(texts + dup_texts, type=pa.string())})
+
+    ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    ds = ds.map_batches(MinHasher(), batch_format="pyarrow")
+    pairs = lsh_band_pairs(ds, key_col="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        # the short word-soup docs also contain ORGANIC near-dups; the
+        # oracle checks recovery of the planted pair space (key_b ==
+        # key_a + 1e6) — recall of every planted pair, no false planted
+        # pairs
+        ka = batch.column("key_a").to_numpy(zero_copy_only=False)
+        kb = batch.column("key_b").to_numpy(zero_copy_only=False)
+        keep = pa.array(kb == ka + 1_000_000)
+        sub = batch.filter(keep)
+        return pa.table({"key_a": sub.column("key_a"),
+                         "key_b": sub.column("key_b")})
+
+    return pairs.map_batches(project, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gaps) per user — a stateful
+    per-key stage via groupby(user).map_groups over time-sorted events."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                  ("event_id", "ascending")])
+        g = group.take(order)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        new_sess = np.concatenate([[0], (np.diff(ts) > GAP_US).astype(np.int64)])
+        sess_idx = np.cumsum(new_sess)
+        return pa.table({"event_id": g.column("event_id"),
+                         "user_id": g.column("user_id"),
+                         "session_idx": pa.array(sess_idx)})
+
+    return _read(sf_dir, "events").groupby("user_id").map_groups(
+        sessions, batch_format="pyarrow")
+
+
 def q_raster_stats(sf_dir: str):
     """Raster pipeline parity: per part, build a deterministic 4x4 uint8
     raster (pixel[i] = (p_partkey*16 + i) % 251), run it through the
@@ -617,6 +678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "ann_topk": q_ann_topk,
+        "near_dup": q_near_dup,
+        "sessionize": q_sessionize,
         "raster_stats": q_raster_stats,
         "webmercator": q_webmercator,
         "tile_density": q_tile_density,
@@ -723,6 +786,19 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
             FROM documents""",
+        "near_dup": """
+            SELECT doc_id AS key_a, doc_id + 1000000 AS key_b
+            FROM documents WHERE doc_id % 10 = 0""",
+        "sessionize": """
+            SELECT event_id, user_id,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_idx
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id)
+                                   > INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM events)""",
         "raster_stats": """
             SELECT p_partkey,
                    count(*) AS px_count,
