@@ -1106,6 +1106,40 @@ def minimum_bounding_circle(g: Geometry):
     return c if c is not None else (math.nan, math.nan, math.nan)
 
 
+def minimum_clearance(g: Geometry):
+    """JTS MinimumClearance (MinimumClearanceTest golden 0.00032):
+    min over (a) distinct vertex-vertex distances and (b) vertex to
+    non-incident segment distances. Returns (value, (p0, p1))."""
+    c = g.all_coords()[:, :2]
+    segs = _segments(g)
+    best = (math.inf, None)
+    # vertex-vertex
+    d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    d2[d2 == 0] = np.inf  # duplicate coords (ring closure)
+    if d2.size:
+        i, j = np.unravel_index(np.argmin(d2), d2.shape)
+        if math.isfinite(d2[i, j]):
+            best = (math.sqrt(d2[i, j]), (c[i], c[j]))
+    # vertex-segment (exclude incident segments)
+    for k in range(len(segs)):
+        s = segs[k:k + 1]
+        pd2 = _point_seg_dist2(c[:, 0], c[:, 1], s)[:, 0]
+        incident = ((c[:, 0] == s[0, 0]) & (c[:, 1] == s[0, 1])) | \
+                   ((c[:, 0] == s[0, 2]) & (c[:, 1] == s[0, 3]))
+        pd2[incident] = np.inf
+        pd2[pd2 == 0] = np.inf
+        m = int(np.argmin(pd2))
+        if pd2[m] < best[0] ** 2:
+            dx, dy = s[0, 2] - s[0, 0], s[0, 3] - s[0, 1]
+            l2 = dx * dx + dy * dy
+            t = 0.0 if l2 == 0 else float(np.clip(
+                ((c[m, 0] - s[0, 0]) * dx + (c[m, 1] - s[0, 1]) * dy) / l2, 0, 1))
+            q = np.array([s[0, 0] + t * dx, s[0, 1] + t * dy])
+            best = (math.sqrt(pd2[m]), (c[m], q))
+    return best
+
+
 def azimuth(p1: Geometry, p2: Geometry) -> float:
     """Clockwise angle from north, radians (ST_Azimuth)."""
     dx = p2.coords[0] - p1.coords[0]

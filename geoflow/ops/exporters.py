@@ -315,6 +315,26 @@ def st_asgpx(col):
     return pa.array(out, type=pa.string())
 
 
+@register_op("st_astwkb", 2, "exporter")
+def st_astwkb(col, precision=7):
+    """AsTWKB.java:19 — TWKB binary (verified vs the published spec
+    vector; see geom/twkb.py)."""
+    from ..geom.twkb import to_twkb
+    out = [to_twkb(g, precision) if g is not None else None
+           for g in decode_geoms(col)]
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("st_geomfromtwkb", 1, "constructor")
+def st_geomfromtwkb(col):
+    """TWKB → geometry (TWKBDatatype in the reference)."""
+    from ..geom import to_wkb
+    from ..geom.twkb import from_twkb
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = [to_wkb(from_twkb(b)) if b is not None else None for b in vals]
+    return pa.array(out, type=pa.binary())
+
+
 @register_op("st_dump", 1, "exporter")
 def st_dump(col):
     """Dump.java:28 — list<wkb> of component geometries."""

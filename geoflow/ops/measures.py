@@ -174,6 +174,23 @@ def st_minimumboundingcircle(col):
     return unary_geom(col, f)
 
 
+@register_op("st_minimumclearance", 1, "measure")
+def st_minimumclearance(col):
+    """MinimumClearance.java:19 (golden 0.00032)."""
+    return unary_float(col, lambda g: alg.minimum_clearance(g)[0])
+
+
+@register_op("st_minimumclearanceline", 1, "measure")
+def st_minimumclearanceline(col):
+    """MinimumClearanceLine.java:21."""
+    from ..geom import Geometry
+
+    def f(g):
+        _, pts = alg.minimum_clearance(g)
+        return Geometry.linestring(np.array(pts), srid=g.srid)
+    return unary_geom(col, f)
+
+
 @register_op("st_circularity", 1, "measure")
 def st_circularity(col):
     """4πA/P² (polygon/attribute/CircularityIndex.java:12; golden value

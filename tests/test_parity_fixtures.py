@@ -121,6 +121,53 @@ def test_centroid_polygon():
     assert alg.centroid(g) == (1.0, 1.0)
 
 
+def test_length_perimeter_golden():
+    # LengthTest.java / PerimeterTest.java: 122.63074400009504
+    line = from_wkt("LINESTRING(743238 2967416,743238 2967450,"
+                    "743265 2967450, 743265.625 2967416,743238 2967416)")
+    assert alg.length(line) == 122.63074400009504
+    poly = from_wkt("POLYGON((743238 2967416,743238 2967450,"
+                    "743265 2967450, 743265.625 2967416,743238 2967416))")
+    assert alg.perimeter(poly) == 122.63074400009504
+
+
+def test_centroid_golden():
+    # CentroidTest.java: POINT(0.8331201364460079 0.33322680311267455)
+    g = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0.5 3.2e-4, 0 0))")
+    cx, cy = alg.centroid(g)
+    assert cx == pytest.approx(0.8331201364460079, rel=1e-14)
+    assert cy == pytest.approx(0.33322680311267455, rel=1e-14)
+
+
+def test_minimum_bounding_radius_golden():
+    # MinimumBoundingRadiusTest.java: 247.4360455914027
+    g = from_wkt("POLYGON((26426 65078,26531 65242,26075 65136,"
+                 "26096 65427,26426 65078))")
+    _, _, r = alg.minimum_bounding_circle(g)
+    assert r == pytest.approx(247.4360455914027, rel=1e-12)
+
+
+def test_minimum_clearance_golden():
+    # MinimumClearanceTest.java: 0.00032
+    g = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0.5 3.2e-4, 0 0))")
+    v, _ = alg.minimum_clearance(g)
+    assert v == pytest.approx(0.00032, rel=1e-12)
+
+
+def test_hausdorff_golden():
+    # HausdorffDistanceTest.java: line vs multipoint → 1.0
+    a = from_wkt("LINESTRING (0 0, 2 0)")
+    b = from_wkt("MULTIPOINT ((0 1), (1 0), (2 1))")
+    assert alg.hausdorff_distance(a, b) == 1.0
+
+
+def test_maxdistance_golden():
+    # MaxDistanceTest.java: 76.37541489249011
+    a = from_wkt(A_LINE)
+    b = from_wkt(B_LINE)
+    assert alg.max_distance(a, b) == 76.37541489249011
+
+
 def test_envelope_and_boundingdiagonal():
     col = _wkb_col("LINESTRING(1 2, 5 8)")
     env = get_op("st_astext").fn(get_op("st_envelope").fn(col)).to_pylist()[0]
