@@ -108,11 +108,15 @@ def main():
     total_in = sum(r["rows_in"] for r in recs)
     total_out = sum(r["rows_out"] for r in recs)
     wall = time.monotonic() - t_start
+    # throughput counts only rows processed THIS run (a fully-resumed run
+    # did no work — reporting corpus_rows/epsilon would be nonsense)
+    rows_this_run = sum(r["rows_in"] for r in recs
+                        if r["partition"] in {pid for pid, _ in todo})
     print(json.dumps({
         "partitions_run": done, "partitions_total": len(recs),
         "rows_in": total_in, "rows_out": total_out,
         "wall_s": round(wall, 2),
-        "rows_per_sec": round(total_in / wall, 1) if wall > 0 else None,
+        "rows_per_sec": round(rows_this_run / wall, 1) if wall > 0.01 and rows_this_run else None,
     }))
 
 
