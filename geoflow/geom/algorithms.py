@@ -588,6 +588,11 @@ def touches(a: Geometry, b: Geometry) -> bool:
     but no interior-interior evidence (strict containment / proper cross)."""
     if not intersects(a, b):
         return False
+    # two areal geometries where one covers the other share interior —
+    # never a touch (fixes equal polygons reporting touches=True)
+    if _collect(a, (POLYGON,)) and _collect(b, (POLYGON,)):
+        if covers(a, b) or covers(b, a):
+            return False
     # polygon operand: any strictly-interior vertex of the other means no touch
     for g1, g2 in ((a, b), (b, a)):
         if _collect(g2, (POLYGON,)):
@@ -631,27 +636,10 @@ def dwithin(a: Geometry, b: Geometry, d: float) -> bool:
 
 
 def relate(a: Geometry, b: Geometry) -> str:
-    """DE-9IM approximation built from the implemented predicates.
-
-    Returns a 9-char matrix with T/F entries (no dimension digits) — enough
-    for RelateMatch-style pattern checks on the common patterns.
-    """
-    ii = intersects(a, b) and not touches(a, b)
-    anyx = intersects(a, b)
-    m = ["F"] * 9
-    if anyx:
-        if ii:
-            m[0] = "T"
-        if touches(a, b) or (anyx and not contains(a, b) and not within(a, b)):
-            m[1] = "T"
-            m[3] = "T"
-    if not within(a, b):
-        m[2] = "T"
-    if not contains(a, b):
-        m[6] = "T"
-    m[4] = "T" if anyx else "F"
-    m[8] = "T"
-    return "".join(m)
+    """DE-9IM dimension matrix — delegates to geom/relate.py (verified
+    against known JTS matrices)."""
+    from .relate import relate_matrix
+    return relate_matrix(a, b)
 
 
 # ---------------------------------------------------------------------------

@@ -42,13 +42,24 @@ _pred("st_equalsexact_pairs", alg.equals_exact, "equalsExact (GeometryWrapper.ja
 
 @register_op("st_relate", 2, "predicate")
 def st_relate(col_a, col_b):
-    """DE-9IM T/F matrix (Relate.java:13; approximation documented in
-    algorithms.relate)."""
+    """DE-9IM dimension matrix (Relate.java:13; geom/relate.py —
+    verified against 15 known JTS matrices)."""
+    from ..geom.relate import relate_matrix
     ga = decode_geoms(col_a)
     gb = decode_geoms(col_b)
-    out = [alg.relate(a, b) if a is not None and b is not None else None
+    out = [relate_matrix(a, b) if a is not None and b is not None else None
            for a, b in zip(ga, gb)]
     return pa.array(out, type=pa.string())
+
+
+@register_op("st_relatematch", 2, "predicate")
+def st_relatematch(matrix_col, pattern):
+    """RelateMatch.java:6 — DE-9IM pattern match (T/F/0/1/2/*)."""
+    from ..geom.relate import relate_match
+    vals = matrix_col.to_pylist() if hasattr(matrix_col, "to_pylist") \
+        else matrix_col
+    out = [relate_match(v, pattern) if v is not None else None for v in vals]
+    return pa.array(out, type=pa.bool_())
 
 
 @register_op("st_point_in_polygon", 2, "predicate")

@@ -107,6 +107,17 @@ def test_convex_polygon_pip_consistency(nv, seed):
     assert alg.contains(poly, pt)
 
 
-def test_relate_pattern_sanity():
-    m = alg.relate(from_wkt("POINT(5 5)"), SQ)
-    assert len(m) == 9 and m[0] == "T"
+def test_relate_de9im_matrices():
+    from geoflow.geom.relate import relate_match, relate_matrix
+    assert relate_matrix(from_wkt("POINT(5 5)"), SQ) == "0FFFFF212"
+    assert relate_matrix(SQ, SQ) == "2FFF1FFF2"
+    assert relate_matrix(SQ, from_wkt(
+        "POLYGON((5 5,15 5,15 15,5 15,5 5))")) == "212101212"
+    assert relate_matrix(SQ, from_wkt(
+        "POLYGON((10 0,20 0,20 10,10 10,10 0))")) == "FF2F11212"
+    assert relate_matrix(from_wkt("LINESTRING(-5 5, 15 5)"), SQ) == "101FF0212"
+    assert relate_matrix(from_wkt("LINESTRING(0 0, 10 10)"),
+                         from_wkt("LINESTRING(0 10, 10 0)")) == "0F1FF0102"
+    # matches: overlaps pattern
+    assert relate_match("212101212", "T*T***T**")
+    assert not relate_match("FF2FF1212", "T*T***T**")
