@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "sjoin_nation_cellkey", "knn_customer", "envelope_lang", "dist_planar",
     "unit_chain", "temporal_allen", "dedup_exact", "token_count",
     "ann_topk", "s2_cell", "simhash", "flagship",
+    "webmercator", "tile_density", "raster_stats", "topk_orders",
+    "groupby_lineitem", "window_events", "sessionize", "near_dup",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
