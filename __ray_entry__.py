@@ -567,7 +567,10 @@ def q_window_events(sf_dir: str):
 
     def pre(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts")
-        win = pc.floor_temporal(ts, unit="hour")
+        # timestamp("us") to match DuckDB's date_trunc output unit (the
+        # driver's value-hash is dtype-sensitive; floor_temporal keeps the
+        # input unit which may be [s])
+        win = pc.cast(pc.floor_temporal(ts, unit="hour"), pa.timestamp("us"))
         return pa.table({
             "window_start": win,
             "event_type": batch.column("event_type"),
@@ -791,8 +794,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 10 = 0""",
         "sessionize": """
             SELECT event_id, user_id,
-                   sum(new_sess) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS session_idx
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                        AS BIGINT) AS session_idx
             FROM (SELECT event_id, user_id, ts,
                          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                                       ORDER BY ts, event_id)
@@ -829,13 +833,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
         "groupby_lineitem": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "window_events": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,
-                   sum(CAST(round(value * 1000.0) AS BIGINT)) AS sum_value_milli
+                   CAST(sum(CAST(round(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_value_milli
             FROM events GROUP BY 1, 2""",
         "ann_topk": """
             SELECT query_id, vec_id, rank FROM (
