@@ -318,7 +318,10 @@ def _fill_interactions(m, a, b, da, db):
                                  for r in p.rings], axis=0)
         if _collinear_overlap(ring_a, ring_b):
             _set(m, 1, 1, "1")
-        elif (loc_ab == "B").any():
+        elif _proper_cross(ring_a, ring_b).any() or (loc_ab == "B").any():
+            # generically overlapping polygons: ring segments properly
+            # cross at points that are rarely ring vertices/midpoints, so
+            # the sample test alone would miss the 0-dim B∩B intersection
             _set(m, 1, 1, "0")
         if (loc_ab == "I").any():
             _set(m, 1, 0, "1")

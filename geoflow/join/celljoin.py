@@ -203,16 +203,26 @@ def cell_join_groupby(points_ds, polys_ds, res=grid.DEFAULT_RES,
     return unioned.groupby("cell").map_groups(refine, batch_format="pyarrow")
 
 
-# per-worker-process polygon decode cache for _refine_pairs: the same
-# polygon appears in many candidate pairs; tasks in the same worker process
-# reuse it across batches (no actor pool → no CPU-slot reservation that
-# could starve the join's aggregator actors)
+# Per-worker-process caches for _refine_pairs (task pool → workers persist
+# across tasks; no actor pool → no CPU-slot reservation that could starve
+# the join's aggregator actors).
+#   _PAIR_WKB_MAP:   join-token → {poly_id: wkb} (one ray.get per worker
+#                    process per join, not per batch)
+#   _PAIR_GEOM_CACHE: (join-token, poly_id) → decoded Geometry. The token
+#                    keys the cache per join run: two joins in one session
+#                    over different polygon corpora that reuse poly_ids
+#                    (e.g. nation 0-24 vs make_polygon_table 0-N) must not
+#                    refine against each other's stale geometries.
+_PAIR_WKB_MAP: dict = {}
 _PAIR_GEOM_CACHE: dict = {}
 
 
-def _refine_pairs(batch: pa.Table, keep_cols) -> pa.Table:
+def _refine_pairs(batch: pa.Table, keep_cols, lookup_ref=None,
+                  token: str = "") -> pa.Table:
     """Per-batch refinement of hash-join candidate pairs: vectorized PIP
-    per unique polygon in the batch."""
+    per unique polygon in the batch. Geometry comes from the broadcast
+    {poly_id: wkb} map (`lookup_ref`) — pair rows carry only poly_id, so
+    the shuffle never ships WKB bytes per candidate pair."""
     n = batch.num_rows
     if n == 0:
         out = {c: batch.column(c) for c in keep_cols}
@@ -222,18 +232,22 @@ def _refine_pairs(batch: pa.Table, keep_cols) -> pa.Table:
     px = batch.column("x").to_numpy(zero_copy_only=False)
     py = batch.column("y").to_numpy(zero_copy_only=False)
     pid = batch.column("poly_id").to_numpy(zero_copy_only=False)
-    wkbs = batch.column("geom_wkb")
+    wkb_map = _PAIR_WKB_MAP.get(token)
+    if wkb_map is None:
+        import ray
+        wkb_map = ray.get(lookup_ref)
+        _PAIR_WKB_MAP.clear()   # one live join map per worker is enough
+        _PAIR_WKB_MAP[token] = wkb_map
     # decode each unique polygon once (worker-process cache), then refine
     # every pair in ONE vectorized kernel
     from ..geom.pip import SegmentCSR, pip_pairs
-    uniq, first, inv = np.unique(pid, return_index=True,
-                                 return_inverse=True)
+    uniq, inv = np.unique(pid, return_inverse=True)
     geoms = []
     for k in range(len(uniq)):
-        key = int(uniq[k])
+        key = (token, int(uniq[k]))
         g = _PAIR_GEOM_CACHE.get(key)
         if g is None:
-            g = from_wkb(wkbs[int(first[k])].as_py())
+            g = from_wkb(wkb_map[int(uniq[k])])
             if len(_PAIR_GEOM_CACHE) > 100_000:
                 _PAIR_GEOM_CACHE.clear()
             _PAIR_GEOM_CACHE[key] = g
@@ -252,10 +266,16 @@ def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
               keep_cols=("url", "geom_idx"),
               concurrency=None, hot_threshold=None, n_salt=None):
     """Cell-keyed PIP join: hash `Dataset.join` on the covering cell, then
-    per-batch vectorized exact refinement (actor pool with a per-actor
-    polygon decode cache). The hash join distributes cells across
-    `num_partitions` aggregators — the shuffle moves only (cell, point,
-    poly ref) candidate rows, never the corpus payload.
+    per-batch vectorized exact refinement. The shuffle moves only
+    (cell, point, poly_id) candidate rows — never the corpus payload and
+    never polygon WKB: geometry is resolved inside the refine stage from
+    a broadcast {poly_id: wkb} map (`ray.put` once, fetched once per
+    worker process, decoded polygons cached per (join, poly_id)).
+
+    Scale assumption: the polygon side fits in the object store (the
+    north-star shape — polygon corpus ≪ page corpus). When it does not,
+    use cell_join_groupby, which shuffles WKB once per covering cell
+    instead of broadcasting.
 
     hot_threshold/n_salt accepted for API compat with cell_join_groupby
     (the hash-join path handles skew by partitioning pairs, not groups).
@@ -296,8 +316,21 @@ def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
         rows = vidx[ri]
         take = pa.array(rows, type=pa.int64())
         return pa.table({"cell": pa.array(cells.view(np.int64)),
-                         "poly_id": batch.column("poly_id").take(take),
-                         "geom_wkb": batch.column("geom_wkb").take(take)})
+                         "poly_id": batch.column("poly_id").take(take)})
+
+    import ray
+
+    # broadcast the polygon WKB lookup once (small side); materialize the
+    # polygon Dataset first so the cover stage below does not re-execute
+    # its lineage a second time
+    polys_ds = polys_ds.materialize()
+    wkb_map: dict = {}
+    for b in polys_ds.select_columns(["poly_id", "geom_wkb"]).iter_batches(
+            batch_format="pyarrow"):
+        wkb_map.update(zip(b.column("poly_id").to_pylist(),
+                           b.column("geom_wkb").to_pylist()))
+    lookup_ref = ray.put(wkb_map)
+    token = lookup_ref.hex()   # unique per join run → no stale cache reuse
 
     pts = points_ds.map_batches(pts_prep, batch_format="pyarrow")
     pol = polys_ds.map_batches(pol_prep, batch_format="pyarrow")
@@ -305,5 +338,7 @@ def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
                      on=("cell",))
     import functools
     return pairs.map_batches(functools.partial(_refine_pairs,
-                                               keep_cols=keep_cols),
+                                               keep_cols=keep_cols,
+                                               lookup_ref=lookup_ref,
+                                               token=token),
                              batch_format="pyarrow")

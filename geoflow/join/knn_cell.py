@@ -51,28 +51,11 @@ def _ring_cells(cells: np.ndarray, disk: int):
     return row[ok], out_cells[ok]
 
 
-def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
-                  probe_key="doc_id", neighbor_key="neighbor_id",
-                  x_col="x", y_col="y", num_partitions=None):
-    """Returns Dataset (probe_key, neighbor_id, rank, dist_m) with the
-    probe's k nearest among neighbors found in its cell disk.
-
-    `res`/`disk` size the candidate pool: at res 5 a cell is ~1.1°; a
-    3×3 disk covers ~11°² — pick so expected neighbors-per-disk ≫ k."""
-    if num_partitions is None:
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        num_partitions = max(2, min(cpus // 4, 16))
-
-    def nbr_prep(batch: pa.Table) -> pa.Table:
-        x = batch.column(x_col).to_numpy(zero_copy_only=False)
-        y = batch.column(y_col).to_numpy(zero_copy_only=False)
-        cells = grid.lonlat_to_grid(x, y, res)
-        return pa.table({
-            "cell": pa.array(cells.view(np.int64)),
-            neighbor_key: batch.column(neighbor_key),
-            "nx": pa.array(x), "ny": pa.array(y)})
+def _knn_one_pass(probes_ds, nbrs, k, disk, res, probe_key, neighbor_key,
+                  x_col, y_col, num_partitions):
+    """One cell-disk kNN pass: ring-expand probes, hash-join on cell,
+    exact distance, per-probe top-k. Returns a lazy Dataset
+    (probe_key, neighbor_key, dist_m, rank)."""
 
     def probe_prep(batch: pa.Table) -> pa.Table:
         x = batch.column(x_col).to_numpy(zero_copy_only=False)
@@ -85,7 +68,6 @@ def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
             probe_key: batch.column(probe_key).take(take),
             "px": pa.array(x[row]), "py": pa.array(y[row])})
 
-    nbrs = neighbors_ds.map_batches(nbr_prep, batch_format="pyarrow")
     probes = probes_ds.map_batches(probe_prep, batch_format="pyarrow")
     pairs = probes.join(nbrs, join_type="inner",
                         num_partitions=num_partitions, on=("cell",))
@@ -111,3 +93,103 @@ def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
             np.arange(1, len(order) + 1, dtype=np.int32)))
 
     return scored.groupby(probe_key).map_groups(topk, batch_format="pyarrow")
+
+
+def _short_probe_keys(result, probes_ds, k, probe_key) -> np.ndarray:
+    """Probe keys with fewer than k result rows (including probes with
+    ZERO candidates, which are absent from `result` entirely): union
+    0-contribution markers from the probe set with 1-contribution rows
+    from the result, sum per probe, keep sums < k. Output is one row per
+    short probe — the 'typically tiny remainder'."""
+
+    def mark0(batch: pa.Table) -> pa.Table:
+        return pa.table({probe_key: batch.column(probe_key),
+                         "contrib": pa.array(
+                             np.zeros(batch.num_rows, dtype=np.int64))})
+
+    def mark1(batch: pa.Table) -> pa.Table:
+        return pa.table({probe_key: batch.column(probe_key),
+                         "contrib": pa.array(
+                             np.ones(batch.num_rows, dtype=np.int64))})
+
+    marks = probes_ds.map_batches(mark0, batch_format="pyarrow").union(
+        result.map_batches(mark1, batch_format="pyarrow"))
+    counts = marks.groupby(probe_key).sum("contrib")
+
+    def shorts(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(contrib)").to_numpy(zero_copy_only=False)
+        return batch.select([probe_key]).filter(pa.array(c < k))
+
+    out = counts.map_batches(shorts, batch_format="pyarrow").take_all()
+    return np.array([r[probe_key] for r in out], dtype=np.int64)
+
+
+def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
+                  probe_key="doc_id", neighbor_key="neighbor_id",
+                  x_col="x", y_col="y", num_partitions=None,
+                  max_widen=2):
+    """Returns Dataset (probe_key, neighbor_id, rank, dist_m) with the
+    probe's k nearest among neighbors found in its cell disk.
+
+    `res`/`disk` size the candidate pool: at res 5 a cell is ~1.1°; a
+    3×3 disk covers ~11°² — pick so expected neighbors-per-disk ≫ k.
+
+    Probes whose disk finds fewer than k matches (including zero) are
+    re-run up to `max_widen` times at a 3×-wider disk each time (the
+    under-filled remainder is found distributedly, then only its keys are
+    collected — assumed small per the uniform-density partitioning
+    assumption; probe keys must be int64). After the final widening,
+    still-short probes keep whatever neighbors exist (a sparse corpus may
+    simply hold fewer than k). Note: the first pass is materialized to
+    drive the retry decision, so this operator is eager, with output-sized
+    (≤ k rows/probe) memory in the object store."""
+    if num_partitions is None:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        num_partitions = max(2, min(cpus // 4, 16))
+
+    def nbr_prep(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cells = grid.lonlat_to_grid(x, y, res)
+        return pa.table({
+            "cell": pa.array(cells.view(np.int64)),
+            neighbor_key: batch.column(neighbor_key),
+            "nx": pa.array(x), "ny": pa.array(y)})
+
+    # keyed neighbor corpus is reused by every widening pass — materialize
+    # once instead of re-executing the upstream lineage per pass
+    nbrs = neighbors_ds.map_batches(
+        nbr_prep, batch_format="pyarrow").materialize()
+
+    result = _knn_one_pass(probes_ds, nbrs, k, disk, res, probe_key,
+                           neighbor_key, x_col, y_col,
+                           num_partitions).materialize()
+    wide = disk
+    for _ in range(max_widen):
+        short = _short_probe_keys(result, probes_ds, k, probe_key)
+        if len(short) == 0:
+            break
+        wide = wide * 3 + 1
+        short_set = set(short.tolist())
+
+        def only_short(batch: pa.Table, _keys=short_set) -> pa.Table:
+            kv = batch.column(probe_key).to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(v) in _keys for v in kv),
+                               dtype=bool, count=len(kv))
+            return batch.filter(pa.array(mask))
+
+        def drop_short(batch: pa.Table, _keys=short_set) -> pa.Table:
+            kv = batch.column(probe_key).to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(v) not in _keys for v in kv),
+                               dtype=bool, count=len(kv))
+            return batch.filter(pa.array(mask))
+
+        retry = _knn_one_pass(
+            probes_ds.map_batches(only_short, batch_format="pyarrow"),
+            nbrs, k, wide, res, probe_key, neighbor_key, x_col, y_col,
+            num_partitions)
+        result = result.map_batches(drop_short, batch_format="pyarrow") \
+            .union(retry).materialize()
+    return result

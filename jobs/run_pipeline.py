@@ -27,6 +27,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def partition_chains(files: list, partitions: int, zoom: int,
+                     polygons: int) -> tuple:
+    """(groups, per-partition chain hashes). Each chain covers ops +
+    params + partition count + that partition's exact file group, so a
+    resume with a different --partitions or a changed input dir re-runs
+    every partition whose file group changed instead of silently skipping
+    against stale output (lineage input_desc alone was never validated)."""
+    from geoflow.io.lineage import op_chain_hash
+    base = (f"extract_wkt:v1|fused_join_tiles:z{zoom}"
+            f"|polys:{polygons}|nparts:{partitions}")
+    groups = [files[i::partitions] for i in range(partitions)]
+    chains = [op_chain_hash(base + "|files:" + ",".join(grp))
+              for grp in groups]
+    return groups, chains
+
+
 def run_partition(pid: int, files: list, out_dir: str, chain: str,
                   polygons_ref, zoom: int) -> dict:
     """Process one partition (runs inside a Ray task)."""
@@ -71,19 +87,30 @@ def main():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False)
 
-    from geoflow.io.lineage import is_partition_done, op_chain_hash, read_lineage
+    from geoflow.io.lineage import is_partition_done, read_lineage
     from geoflow.io.synth import make_polygon_table
     from geoflow.join import PolygonIndex
 
     files = sorted(os.path.join(args.input, f)
                    for f in os.listdir(args.input)
                    if f.endswith(".parquet"))
-    chain = op_chain_hash(
-        f"extract_wkt:v1|fused_join_tiles:z{args.zoom}|polys:{args.polygons}")
-    groups = [files[i::args.partitions] for i in range(args.partitions)]
+    groups, chains = partition_chains(files, args.partitions, args.zoom,
+                                      args.polygons)
+
+    # drop orphan partitions from an earlier run with a larger
+    # --partitions: their files would otherwise sit beside the new output
+    # and be read by any consumer globbing out_dir/*.parquet
+    from geoflow.io.lineage import lineage_path, part_path
+    pid = args.partitions
+    while os.path.exists(part_path(args.output, pid)) or \
+            os.path.exists(lineage_path(args.output, pid)):
+        for p in (part_path(args.output, pid), lineage_path(args.output, pid)):
+            if os.path.exists(p):
+                os.remove(p)
+        pid += 1
 
     todo = [(pid, grp) for pid, grp in enumerate(groups)
-            if grp and not is_partition_done(args.output, pid, chain)]
+            if grp and not is_partition_done(args.output, pid, chains[pid])]
     print(f"partitions: {args.partitions} total, {len(todo)} to run "
           f"({args.partitions - len(todo)} resumed from checkpoint)")
 
@@ -95,7 +122,7 @@ def main():
     t_start = time.monotonic()
     done = 0
     for pid, grp in todo:
-        pending.append(task.remote(pid, grp, args.output, chain,
+        pending.append(task.remote(pid, grp, args.output, chains[pid],
                                    polygons_ref, args.zoom))
         if len(pending) >= max_parallel:
             ready, pending = ray.wait(pending, num_returns=1)

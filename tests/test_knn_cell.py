@@ -31,3 +31,34 @@ def test_knn_cell_join_matches_bruteforce(ray_session):
         exp = sorted(range(nn), key=lambda j: (d[j], j))[:4]
         got = [r["neighbor_id"] for r in sorted(by[i], key=lambda r: r["rank"])]
         assert got == exp
+
+
+def test_knn_cell_join_widens_for_sparse_probes(ray_session):
+    """Probes whose 3x3 cell disk holds < k (or zero) neighbors must be
+    retried at a wider ring, not silently dropped/truncated."""
+    import ray
+    from geoflow.join import knn_cell_join
+    # neighbors clustered near (10, 50); one lone neighbor far away
+    rng = np.random.default_rng(7)
+    nn = 200
+    nx = np.concatenate([rng.uniform(9, 11, nn - 1), [30.0]])
+    ny = np.concatenate([rng.uniform(49, 51, nn - 1), [50.0]])
+    nbrs = pa.table({"neighbor_id": pa.array(np.arange(nn)),
+                     "x": pa.array(nx), "y": pa.array(ny)})
+    # probe 0 sits inside the cluster; probe 1 is ~8 cells away from
+    # everything (res 5 → ~1.1° cells), so its 3x3 disk finds nothing
+    probes = pa.table({"doc_id": pa.array([0, 1]),
+                       "x": pa.array([10.0, 21.0]),
+                       "y": pa.array([50.0, 50.0])})
+    out = knn_cell_join(ray.data.from_arrow(probes),
+                        ray.data.from_arrow(nbrs), k=3, res=5, disk=1,
+                        num_partitions=2)
+    by = {}
+    for r in out.take_all():
+        by.setdefault(r["doc_id"], []).append(r)
+    assert len(by[0]) == 3
+    # the sparse probe gets its true 3 nearest via the widened disk
+    d = vincenty_sphere_m(21.0, 50.0, nx, ny)
+    exp = sorted(range(nn), key=lambda j: (d[j], j))[:3]
+    got = [r["neighbor_id"] for r in sorted(by[1], key=lambda r: r["rank"])]
+    assert got == exp

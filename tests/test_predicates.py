@@ -121,3 +121,24 @@ def test_relate_de9im_matrices():
     # matches: overlaps pattern
     assert relate_match("212101212", "T*T***T**")
     assert not relate_match("FF2FF1212", "T*T***T**")
+
+
+def test_relate_generic_overlap_bb_digit():
+    """Generic (non-axis-aligned-sample) polygon overlap: ring segments
+    properly cross at points that are not ring vertices/midpoints, so
+    the B/B digit must come from the proper-cross test (JTS returns
+    212101212 for these)."""
+    from geoflow.geom.relate import relate_matrix
+    a = from_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    b = from_wkt("POLYGON((1 1,9 1,9 9,1 9,1 1))")
+    assert relate_matrix(a, b) == "212101212"
+    assert relate_matrix(b, a) == "212101212"
+    # skewed overlap — crossing points at non-rational sample positions
+    c = from_wkt("POLYGON((2 -1,7 2,4 7,-1 4,2 -1))")
+    assert relate_matrix(a, c) == "212101212"
+    # corner touch keeps B/B = 0 with empty I/I
+    d = from_wkt("POLYGON((4 4,6 4,6 6,4 6,4 4))")
+    assert relate_matrix(a, d) == "FF2F01212"
+    # strict containment unaffected
+    e = from_wkt("POLYGON((1 1,2 1,2 2,1 2,1 1))")
+    assert relate_matrix(a, e) == "212FF1FF2"

@@ -58,6 +58,25 @@ def test_chain_hash_invalidates(tmp_path):
     assert not is_partition_done(out, 0, op_chain_hash("v2"))
 
 
+def test_partition_chains_cover_files_and_count():
+    """Changing the partition count or the input file set changes every
+    affected partition's chain hash (the resume gate), so stale output is
+    re-run, never silently skipped."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs.run_pipeline import partition_chains
+    files = [f"/in/f{i}.parquet" for i in range(8)]
+    g4, c4 = partition_chains(files, 4, 12, 2000)
+    g4b, c4b = partition_chains(files, 4, 12, 2000)
+    assert c4 == c4b and g4 == g4b          # deterministic
+    _, c2 = partition_chains(files, 2, 12, 2000)
+    assert set(c4).isdisjoint(c2)           # partition count in the hash
+    _, c4x = partition_chains(files[:-1], 4, 12, 2000)
+    assert c4 != c4x                        # file list in the hash
+    _, c4z = partition_chains(files, 4, 13, 2000)
+    assert set(c4).isdisjoint(c4z)          # op params in the hash
+
+
 def test_lineage_records(tmp_path):
     out = str(tmp_path / "out")
     chain = op_chain_hash("v1")
