@@ -200,8 +200,12 @@ def q_knn_customer(sf_dir: str):
     ckey = cust.column("c_custkey").to_numpy().astype(np.int64)
     clon, clat = _cust_lonlat(ckey)
     nref = ray.put(NeighborSet(ckey, clon, clat))
-    probes = _doc_points_ds(sf_dir).filter(
-        lambda r: r["doc_id"] % 50 == 0)
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 50 == 0))
+
+    probes = _doc_points_ds(sf_dir).map_batches(sample,
+                                                batch_format="pyarrow")
     out = probes.map_batches(
         KnnBroadcast, fn_constructor_args=(nref,),
         fn_constructor_kwargs={"k": 3, "keep_cols": ("doc_id",)},
@@ -338,18 +342,25 @@ def q_temporal_allen(sf_dir: str):
 
 def q_dedup_exact(sf_dir: str):
     """Exact text dedup: representative (min doc_id) + dup count per
-    distinct text."""
-    from geoflow.text.dedup import add_content_hash
+    distinct text. Scale shape: the shuffle carries only (hash64, key)
+    16-byte rows — the text payload never leaves the map stage."""
+    from ray.data.aggregate import Count, Min
+    from geoflow.text.dedup import content_hash64
 
-    ds = _read(sf_dir, "documents").map_batches(
-        lambda b: add_content_hash(b, "text"), batch_format="pyarrow")
+    def pre(batch: pa.Table) -> pa.Table:
+        h = content_hash64(batch.column("text"))
+        return pa.table({"h64": pa.array(h.view(np.int64)),
+                         "doc_id": batch.column("doc_id")})
 
-    def pick(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": pa.array([int(ids.min())]),
-                         "dup_count": pa.array([len(ids)], type=pa.int64())})
+    ds = _read(sf_dir, "documents").map_batches(pre, batch_format="pyarrow")
+    out = ds.groupby("h64").aggregate(Min("doc_id"), Count())
 
-    return ds.groupby("content_hash").map_groups(pick, batch_format="pyarrow")
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("min(doc_id)"), pa.int64()),
+            "dup_count": pc.cast(batch.column("count()"), pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def q_token_count(sf_dir: str):
@@ -567,10 +578,7 @@ def q_window_events(sf_dir: str):
 
     def pre(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts")
-        # timestamp("us") to match DuckDB's date_trunc output unit (the
-        # driver's value-hash is dtype-sensitive; floor_temporal keeps the
-        # input unit which may be [s])
-        win = pc.cast(pc.floor_temporal(ts, unit="hour"), pa.timestamp("us"))
+        win = pc.floor_temporal(ts, unit="hour")
         return pa.table({
             "window_start": win,
             "event_type": batch.column("event_type"),
@@ -584,8 +592,13 @@ def q_window_events(sf_dir: str):
         Count(), Sum("value_milli"))
 
     def rename(batch: pa.Table) -> pa.Table:
+        # timestamp("us") to match DuckDB's date_trunc output unit (the
+        # driver's value-hash covers the underlying int64, which scales
+        # with the unit) — cast AFTER the groupby: Ray's shuffle
+        # normalizes timestamp columns back to their native block unit
         return pa.table({
-            "window_start": batch.column("window_start"),
+            "window_start": pc.cast(batch.column("window_start"),
+                                    pa.timestamp("us")),
             "event_type": batch.column("event_type"),
             "n_events": pc.cast(batch.column("count()"), pa.int64()),
             "sum_value_milli": batch.column("sum(value_milli)")})
@@ -792,6 +805,43 @@ def oracle_sql() -> dict[str, str]:
         "near_dup": """
             SELECT doc_id AS key_a, doc_id + 1000000 AS key_b
             FROM documents WHERE doc_id % 10 = 0""",
+        "langid": r"""
+            WITH toks AS (
+              SELECT doc_id, lang, text,
+                     list_distinct(regexp_extract_all(lower(text),
+                                   '[\p{L}\p{N}_]+')) AS tk
+              FROM documents),
+            cnts AS (
+              SELECT doc_id, lang, text,
+                     len(list_intersect(tk, ['the','and','of','to','in','is','that','it','for','with'])) AS n_en,
+                     len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS n_de,
+                     len(list_intersect(tk, ['le','la','les','et','est','une','des','dans','pour','que'])) AS n_fr,
+                     len(list_intersect(tk, ['el','la','los','las','es','una','por','con','para','que'])) AS n_es
+              FROM toks)
+            SELECT doc_id, lang,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+                        WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                        WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                        WHEN n_fr >= n_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM cnts""",
+        "quality": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS nt,
+                     len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS np_,
+                     len(regexp_extract_all(text, '\S')) AS ns,
+                     length(text) AS nc
+              FROM documents)
+            SELECT doc_id,
+                   CAST(nt AS BIGINT) AS n_tokens,
+                   CAST(np_ AS DOUBLE) / greatest(1, nc) AS punct_ratio,
+                   least(greatest(nt / 64.0, 0), 1) * 0.4
+                   + least(greatest(1.0 - (CAST(np_ AS DOUBLE) / greatest(1, nc)) * 4.0, 0), 1) * 0.3
+                   + least(greatest((CAST(ns AS DOUBLE) / greatest(1, nt)) / 8.0, 0), 1) * 0.3
+                     AS quality_score
+            FROM m""",
         "sessionize": """
             SELECT event_id, user_id,
                    CAST(sum(new_sess) OVER (PARTITION BY user_id

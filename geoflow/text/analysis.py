@@ -1,85 +1,126 @@
 """Text analysis stages: language-ID, quality scoring, token counting,
-document fingerprinting. All stateless-vectorizable map_batches kernels;
-the language profiles / stopword tables are module-level constants loaded
-once per worker process."""
+document fingerprinting. All batch-vectorized (Arrow RE2 kernels + numpy
+over Arrow buffers — no per-row Python); the language-marker / stopword
+hash tables are module-level constants computed once per worker process.
+
+Regex semantics note: counting kernels use RE2 via pyarrow.compute — the
+same engine DuckDB uses — so every count here is reproducible in oracle
+SQL with the identical pattern.
+"""
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# character/stopword n-gram profiles per language (public common-word lists)
+from .hashing import _offsets_data, hash64, mix64, tokenize
+
+# stopword-marker profiles per language (public common-word lists)
 _LANG_MARKERS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
     "fr": {"le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"},
     "es": {"el", "la", "los", "las", "es", "una", "por", "con", "para", "que"},
-    "zh": set(),  # CJK handled by script detection below
 }
+_LANGS = list(_LANG_MARKERS)   # tie-break: first language wins (en,de,fr,es)
+_MARKER_HASHES = {
+    lang: np.sort(hash64(pa.array(sorted(words), type=pa.string())))
+    for lang, words in _LANG_MARKERS.items()
+}
+_CJK_PATTERN = "[一-鿿]"
 
-_TOKEN_RE = re.compile(r"[a-zA-ZÀ-ÿ]+")
-_CJK_RE = re.compile(r"[一-鿿]")
 _STOPWORDS_EN = _LANG_MARKERS["en"] | {"a", "an", "was", "are", "on", "as",
                                        "at", "by", "be", "this", "from"}
-# BPE-ish subword split: words, numbers, punctuation runs (public GPT-2-style
-# pre-tokenizer shape, simplified)
-_BPE_RE = re.compile(r"\w+|[^\w\s]+")
+_STOPWORD_HASHES = np.sort(hash64(pa.array(sorted(_STOPWORDS_EN),
+                                           type=pa.string())))
+
+# BPE-ish subword split: words, numbers, punctuation runs (public
+# GPT-2-style pre-tokenizer shape, simplified; RE2 \w is ASCII)
+_BPE_PATTERN = r"\w+|[^\w\s]+"
 
 
-def detect_language(text: str) -> str:
-    """n-gram/stopword-marker heuristic language ID."""
-    if not text:
-        return "und"
-    if _CJK_RE.search(text):
-        return "zh"
-    toks = _TOKEN_RE.findall(text.lower())
-    if not toks:
-        return "und"
-    ts = set(toks)
-    best, best_n = "und", 0
-    for lang, markers in _LANG_MARKERS.items():
-        n = len(ts & markers)
-        if n > best_n:
-            best, best_n = lang, n
-    return best
+def _count_regex(texts, pattern) -> np.ndarray:
+    c = pc.fill_null(pc.count_substring_regex(texts, pattern), 0)
+    return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _distinct_marker_counts(th: np.ndarray, parent: np.ndarray, n_docs: int,
+                            marker_hashes: np.ndarray) -> np.ndarray:
+    """Per-doc count of DISTINCT tokens present in the marker set."""
+    pos = np.clip(np.searchsorted(marker_hashes, th), 0,
+                  max(len(marker_hashes) - 1, 0))
+    member = (marker_hashes[pos] == th) if len(marker_hashes) else \
+        np.zeros(len(th), dtype=bool)
+    if not member.any():
+        return np.zeros(n_docs, dtype=np.int64)
+    p, t = parent[member], th[member]
+    o = np.lexsort((t, p))
+    p, t = p[o], t[o]
+    first = np.ones(len(p), dtype=bool)
+    first[1:] = (p[1:] != p[:-1]) | (t[1:] != t[:-1])
+    return np.bincount(p[first], minlength=n_docs)
 
 
 def langid_batch(batch: pa.Table, text_col="text",
                  out_col="lang_pred") -> pa.Table:
-    preds = [detect_language(t) for t in batch.column(text_col).to_pylist()]
+    """Language ID: CJK script → zh; else the language with the most
+    DISTINCT marker stopwords present (first language wins ties); und
+    when no tokens or no markers."""
+    texts = pc.cast(batch.column(text_col), pa.string())
+    n = len(texts)
+    cjk = _count_regex(texts, _CJK_PATTERN) > 0
+    flat, parent = tokenize(texts)
+    th = hash64(flat)
+    counts = np.zeros((n, len(_LANGS)), dtype=np.int64)
+    for li, lang in enumerate(_LANGS):
+        counts[:, li] = _distinct_marker_counts(th, parent, n,
+                                                _MARKER_HASHES[lang])
+    best = counts.argmax(axis=1)
+    best_n = counts.max(axis=1) if n else np.empty(0, dtype=np.int64)
+    names = np.array(_LANGS, dtype=object)
+    preds = np.where(best_n > 0, names[best], "und")
+    preds = np.where(cjk, "zh", preds)
     return batch.append_column(out_col, pa.array(preds, type=pa.string()))
 
 
+def detect_language(text: str) -> str:
+    """Single-string convenience wrapper over the batch kernel."""
+    t = pa.table({"text": pa.array([text], type=pa.string())})
+    return langid_batch(t).column("lang_pred")[0].as_py()
+
+
 def quality_batch(batch: pa.Table, text_col="text") -> pa.Table:
-    """Quality signals: n_chars, n_tokens (whitespace), n_subtokens
+    """Quality signals: n_chars, n_tokens (\\S+ runs), n_subtokens
     (BPE-ish regex), punct_ratio, stopword_ratio, mean_token_len,
-    quality_score ∈ [0,1]."""
-    texts = batch.column(text_col).to_pylist()
+    quality_score ∈ [0,1]. Every count is an RE2 kernel; every ratio is
+    an IEEE op-for-op expression reproducible in oracle SQL."""
+    texts = pc.cast(batch.column(text_col), pa.string())
     n = len(texts)
-    n_chars = np.zeros(n, dtype=np.int64)
-    n_tokens = np.zeros(n, dtype=np.int64)
-    n_sub = np.zeros(n, dtype=np.int64)
-    punct = np.zeros(n)
-    stop = np.zeros(n)
-    mtl = np.zeros(n)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        n_chars[i] = len(t)
-        toks = t.split()
-        n_tokens[i] = len(toks)
-        sub = _BPE_RE.findall(t)
-        n_sub[i] = len(sub)
-        np_punct = sum(1 for c in t if not c.isalnum() and not c.isspace())
-        punct[i] = np_punct / max(1, len(t))
-        low = [w.strip(".,;:!?").lower() for w in toks]
-        stop[i] = sum(1 for w in low if w in _STOPWORDS_EN) / max(1, len(toks))
-        mtl[i] = float(np.mean([len(w) for w in toks])) if toks else 0.0
-    # simple monotone quality blend: long enough, readable token lengths,
-    # not punctuation-soup
+    n_chars = pc.fill_null(pc.utf8_length(texts), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = _count_regex(texts, r"\S+")
+    n_sub = _count_regex(texts, _BPE_PATTERN)
+    punct_cnt = _count_regex(texts, r"[^\p{L}\p{N}\s]")
+    nonspace = _count_regex(texts, r"\S")
+    punct = punct_cnt / np.maximum(1, n_chars)
+    # stopword occurrences: whitespace tokens, stripped of edge
+    # punctuation, lowercased, membership-tested via sorted hash table
+    wlists = pc.utf8_split_whitespace(texts)
+    wflat = pc.list_flatten(wlists)
+    wparent = pc.list_parent_indices(wlists).to_numpy(zero_copy_only=False)
+    wnorm = pc.utf8_lower(pc.utf8_trim(wflat, characters=".,;:!?"))
+    wh = hash64(wnorm)
+    if len(wh):
+        pos = np.clip(np.searchsorted(_STOPWORD_HASHES, wh), 0,
+                      len(_STOPWORD_HASHES) - 1)
+        member = _STOPWORD_HASHES[pos] == wh
+        stop_cnt = np.bincount(wparent[member], minlength=n)
+    else:
+        stop_cnt = np.zeros(n, dtype=np.int64)
+    stop = stop_cnt / np.maximum(1, n_tokens)
+    # mean whitespace-token length = non-space chars / token count
+    mtl = nonspace / np.maximum(1, n_tokens)
     score = (np.clip(n_tokens / 64.0, 0, 1) * 0.4
              + np.clip(1.0 - punct * 4.0, 0, 1) * 0.3
              + np.clip(mtl / 8.0, 0, 1) * 0.3)
@@ -105,20 +146,41 @@ def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
 def fingerprint_batch(batch: pa.Table, text_col="text", window: int = 16,
                       out_col="doc_fingerprint") -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over
-    `window`-char windows (deterministic; numpy-vectorized per doc)."""
-    from .dedup import _mix64
-    texts = batch.column(text_col).to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        b = np.frombuffer(t.encode(errors="ignore"), dtype=np.uint8)
-        if len(b) < window:
-            out[i] = _mix64(np.array([len(b)], dtype=np.uint64)
-                            + b.sum().astype(np.uint64))[0]
-            continue
-        acc = np.zeros(len(b) - window + 1, dtype=np.uint64)
+    `window`-byte windows — vectorized across ALL docs in the batch (one
+    global byte array, window loop over byte positions, per-doc min via
+    reduceat)."""
+    texts = pc.cast(batch.column(text_col), pa.string())
+    n_docs = len(texts)
+    starts, lens, data = _offsets_data(texts.combine_chunks()
+                                       if isinstance(texts, pa.ChunkedArray)
+                                       else texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    N = len(data)
+    long = lens >= window
+    if long.any() and N >= window:
+        nw = N - window + 1
+        acc = np.zeros(nw, dtype=np.uint64)
+        d64 = data.astype(np.uint64)
         for w in range(window):
-            acc = _mix64(acc * np.uint64(31) + b[w:len(b) - window + 1 + w])
-        out[i] = acc.min()
+            acc = mix64(acc * np.uint64(31) + d64[w:nw + w])
+        # valid window start positions per doc: [starts, starts+len-window]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        valid = np.zeros(nw, dtype=bool)
+        li = np.nonzero(long)[0]
+        # mark ranges via diff trick
+        marks = np.zeros(nw + 1, dtype=np.int64)
+        np.add.at(marks, starts[li], 1)
+        np.add.at(marks, starts[li] + lens[li] - window + 1, -1)
+        valid = np.cumsum(marks[:-1]) > 0
+        vpos = np.nonzero(valid)[0]
+        vdoc = doc_of[vpos]
+        seg = np.searchsorted(vdoc, li)
+        mins = np.minimum.reduceat(acc[vpos], seg)
+        out[li] = mins
+    # short docs (0 < len < window): mix of length + byte sum
+    short = np.nonzero((lens > 0) & ~long)[0]
+    for i in short:
+        b = data[starts[i]:starts[i] + lens[i]]
+        out[i] = mix64(np.array([lens[i]], dtype=np.uint64)
+                       + b.sum().astype(np.uint64))[0]
     return batch.append_column(out_col, pa.array(out.view(np.int64)))

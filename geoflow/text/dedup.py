@@ -4,38 +4,33 @@ Beyond the reference surface (RDF makes triples unique by construction —
 SURVEY.md §2.7); these are first-class engine components for the 100 TB
 corpus use case:
 
-- exact dedup: hash-partition by content hash, keep first by key order —
-  one groupby shuffle of (hash, key) pairs only (never the payload).
-- MinHash-LSH near-dup: shingle → minhash signature (vectorized numpy) →
-  band buckets → groupby(bucket) emits candidate pairs → union-find /
-  keep-min representative.
+- exact dedup: tiny (hash, key) shuffle picks winners; the payload is
+  then FILTERED against the broadcast winner set — the text column never
+  enters a shuffle.
+- MinHash-LSH near-dup: shingle → minhash signature (batch-vectorized
+  numpy over Arrow buffers, no per-token Python) → band buckets →
+  groupby(bucket) emits candidate pairs (bucket-size-capped, vectorized)
+  → groupby(pair) dedups across bands. Only (key, bucket) rows are
+  shuffled — signatures stay in the map stage.
 - SimHash: 64-bit fingerprint from token hashes, hamming-ball buckets.
 - n-gram Jaccard verification for candidate pairs.
+
+All hashes are process-independent (see hashing.py) — required for
+deterministic task retries / resume.
 """
 
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+from .hashing import _GOLD, hash64, mix64, tokenize
 
-# 64-bit hashing: splitmix-style avalanche over numpy uint64
-_GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _mix64(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
+# back-compat alias (analysis.py and external callers import _mix64)
+_mix64 = mix64
 
 
 def content_hash(texts) -> pa.Array:
@@ -55,177 +50,311 @@ def add_content_hash(batch: pa.Table, text_col="text",
                                content_hash(batch.column(text_col).to_pylist()))
 
 
+def content_hash64(texts) -> np.ndarray:
+    """Vectorized uint64 content hash over full text bytes (cap disabled:
+    exact dedup must distinguish texts sharing a 64-byte prefix)."""
+    return hash64(pc.cast(texts, pa.string()), cap=1 << 62)
+
+
 def exact_dedup(ds, text_col="text", key_col=None):
-    """Exact dedup: keep one representative per identical text.
+    """Exact dedup: keep one representative (min key) per identical text.
 
-    Scale design: map_batches adds an 8-byte hash; the groupby shuffles
-    (hash + row) — for a real 100 TB run you would project to
-    (hash, key) first, pick winners, then semi-join back; at the sizes the
-    gate tests this single-shuffle form is equivalent and simpler.
-    Winner = min key_col (or min hash order if no key)."""
-    ds = ds.map_batches(lambda b: add_content_hash(b, text_col),
-                        batch_format="pyarrow")
+    Scale shape (100 TB): the payload NEVER enters a shuffle.
+      1. project each row to (content_hash64, key) — map stage only;
+      2. groupby(hash).min(key) — a tiny 16-byte/row shuffle — yields the
+         winner key set;
+      3. broadcast the sorted winner keys (`ray.put`), re-read the input
+         and keep rows whose key is in the set (np.isin, vectorized).
+    The input lineage executes twice (two read passes) — at scale a
+    second columnar read is far cheaper than an all-to-all shuffle of the
+    text payload. Winner set must fit in the object store: output_rows ×
+    8 B (e.g. 10^9 survivors ≈ 8 GB) — beyond that, swap step 3 for a
+    key-partitioned hash join.
 
-    def pick_first(group: pa.Table) -> pa.Table:
-        if key_col is not None:
-            order = pc.sort_indices(group, sort_keys=[(key_col, "ascending")])
-            return group.take(order[:1])
-        return group.slice(0, 1)
+    With key_col=None falls back to a single groupby(hash) shuffle
+    carrying the payload (small-data convenience path)."""
+    if key_col is None:
+        ds2 = ds.map_batches(lambda b: add_content_hash(b, text_col),
+                             batch_format="pyarrow")
+        return ds2.groupby("content_hash").map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow")
 
-    return ds.groupby("content_hash").map_groups(pick_first,
-                                                 batch_format="pyarrow")
+    def project(batch: pa.Table) -> pa.Table:
+        h = content_hash64(batch.column(text_col))
+        return pa.table({"h64": pa.array(h.view(np.int64)),
+                         key_col: batch.column(key_col)})
+
+    winners_ds = ds.map_batches(project, batch_format="pyarrow") \
+        .groupby("h64").min(key_col)
+    keys = []
+    for b in winners_ds.iter_batches(batch_format="pyarrow"):
+        keys.append(b.column(f"min({key_col})").to_numpy(zero_copy_only=False))
+    winner_keys = np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+    import ray
+    ref = ray.put(winner_keys)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        wk = _winner_cache_get(ref)
+        kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if len(wk) == 0:
+            mask = np.zeros(len(kv), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(wk, kv), 0, len(wk) - 1)
+            mask = wk[pos] == kv
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
-def _token_hash64(tok: str) -> int:
-    """Deterministic 64-bit token hash. Python's builtin hash() is
-    randomized per process (PYTHONHASHSEED) — it would make signatures
-    differ across Ray workers and task retries, breaking the determinism
-    the lineage/resume design requires (SURVEY.md §4.2)."""
-    return int.from_bytes(
-        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+# per-worker-process cache of fetched winner arrays (task pool pattern:
+# workers persist across tasks; one ray.get per worker, not per batch)
+_WINNER_CACHE: dict = {}
 
 
-def _shingle_hashes(text: str, k: int = 5):
-    """Hashes of word k-shingles (vectorized over the token array)."""
-    toks = _TOKEN_RE.findall(text.lower())
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    th = np.array([_token_hash64(t) & 0x7FFFFFFFFFFFFFFF for t in toks],
-                  dtype=np.uint64)
-    n = len(th) - k + 1
-    if n <= 0:
-        return _mix64(th[:1])
-    # rolling combine of k consecutive token hashes
-    acc = np.zeros(n, dtype=np.uint64)
-    for i in range(k):
-        acc = _mix64(acc + th[i:i + n] * _GOLD)
-    return np.unique(acc)
+def _winner_cache_get(ref):
+    key = ref.hex()
+    arr = _WINNER_CACHE.get(key)
+    if arr is None:
+        import ray
+        arr = ray.get(ref)
+        _WINNER_CACHE.clear()
+        _WINNER_CACHE[key] = arr
+    return arr
 
 
 class MinHasher:
-    """Stateful minhash signature computer (actor-pool stage): permutation
-    parameters generated once per actor in __init__."""
+    """Stateful minhash signature stage: permutation parameters generated
+    once per actor/worker in __init__; __call__ is batch-vectorized —
+    tokenization in Arrow (RE2), token hashing as a numpy byte loop,
+    shingling and per-doc minima via reduceat. No per-row Python."""
 
     def __init__(self, num_hashes: int = 128, shingle_k: int = 5, seed: int = 13):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, 1 << 61, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+        self.a = rng.integers(1, 1 << 61, size=num_hashes,
+                              dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, 1 << 61, size=num_hashes, dtype=np.uint64)
         self.k = shingle_k
         self.num = num_hashes
 
+    def _shingles(self, texts):
+        """(shingle hashes uint64, doc index per shingle, n_docs). Every
+        doc contributes ≥1 shingle: docs with < k tokens get a fallback
+        hash of their combined token hashes + count."""
+        n_docs = len(texts)
+        flat, parent = tokenize(texts)
+        th = hash64(flat)
+        k = self.k
+        n_tok = len(th)
+        counts = np.bincount(parent, minlength=n_docs) if n_tok else \
+            np.zeros(n_docs, dtype=np.int64)
+        # rolling k-window combine over the flat token-hash array; windows
+        # crossing doc boundaries masked out
+        if n_tok >= k:
+            nw = n_tok - k + 1
+            acc = np.zeros(nw, dtype=np.uint64)
+            for i in range(k):
+                acc = mix64(acc + th[i:i + nw] * _GOLD)
+            valid = parent[:nw] == parent[k - 1:]
+            sh = acc[valid]
+            sh_doc = parent[:nw][valid]
+        else:
+            sh = np.empty(0, dtype=np.uint64)
+            sh_doc = np.empty(0, dtype=np.int64)
+        # fallback for short docs (< k tokens, incl. empty): order-free
+        # combine of the doc's token hashes
+        short = np.nonzero(counts < k)[0]
+        if len(short):
+            seg = np.zeros(n_docs, dtype=np.uint64)
+            if n_tok:
+                np.add.at(seg, parent, mix64(th))
+            fb = mix64(seg[short] + counts[short].astype(np.uint64) + _GOLD)
+            sh = np.concatenate([sh, fb])
+            sh_doc = np.concatenate([sh_doc, short])
+        order = np.argsort(sh_doc, kind="stable")
+        return sh[order], sh_doc[order], n_docs
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_hashes) uint64 signature matrix."""
+        sh, sh_doc, n_docs = self._shingles(texts)
+        starts = np.searchsorted(sh_doc, np.arange(n_docs))
+        out = np.empty((n_docs, self.num), dtype=np.uint64)
+        # chunk the hash functions: full (num × n_shingles) would be GBs
+        step = 8
+        for c in range(0, self.num, step):
+            v = self.a[c:c + step, None] * sh[None, :] + self.b[c:c + step, None]
+            out[:, c:c + step] = np.minimum.reduceat(v, starts, axis=1).T
+        return out
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # (num_hashes, n_shingles) universal hash, min over shingles
-        v = (self.a[:, None] * sh[None, :] + self.b[:, None])
-        return v.min(axis=1)
+        return self.signatures(pa.array([text or ""]))[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        sigs = self.signatures(batch.column("text"))
         return batch.append_column(
             "minhash", pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.ravel(), type=pa.uint64()), self.num))
 
 
-def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id"):
-    """MinHash-LSH candidate pairs: band-hash buckets → groupby → pairs.
+def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
+                   bucket_cap=512):
+    """MinHash-LSH candidate pairs, scale-safe.
 
-    Returns Dataset of (key_a, key_b) candidate near-dup pairs (key_a <
-    key_b, deduped via min-band rule: a pair is emitted only by its first
-    matching band, so no global dedup shuffle is needed)."""
+    Stage 1 (map): per doc, hash each of `bands` signature segments with
+    the band index mixed in → `bands` rows of (key, bucket) — 16 bytes
+    each; the 1 KB signature never enters the shuffle.
+    Stage 2 (groupby bucket): rows in one bucket collide on that band —
+    emit all pairs (vectorized triu). Buckets larger than `bucket_cap`
+    (boilerplate hot buckets, ubiquitous in web corpora) emit a STAR to
+    the minimum key instead: n-1 pairs, preserving connected-component /
+    representative-dedup semantics at O(n) instead of O(n²).
+    Stage 3 (groupby pair): count the bands each pair collided in →
+    one output row per pair, est_jaccard = (n_bands/bands)^(1/r)
+    (inverse of the band-collision probability J^r).
+
+    Returns Dataset (key_a, key_b, est_jaccard), key_a < key_b, each pair
+    once."""
     rows_per_band = num_hashes // bands
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         sig = batch.column("minhash")
-        flat = np.asarray(sig.combine_chunks().flatten(), dtype=np.uint64)
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        flat = np.asarray(sig.flatten(), dtype=np.uint64)
         sigs = flat.reshape(-1, num_hashes)
         n = len(sigs)
         keys = batch.column(key_col)
-        out_key = []
         out_bucket = np.empty(n * bands, dtype=np.uint64)
-        out_band = np.empty(n * bands, dtype=np.int32)
         for b in range(bands):
             seg = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
-            h = np.zeros(n, dtype=np.uint64)
+            h = np.full(n, np.uint64(b + 1), dtype=np.uint64) * _GOLD
             for c in range(rows_per_band):
-                h = _mix64(h + seg[:, c] * _GOLD)
+                h = mix64(h + seg[:, c] * _GOLD)
             out_bucket[b * n:(b + 1) * n] = h
-            out_band[b * n:(b + 1) * n] = b
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
         return pa.table({
             key_col: keys.take(idx),
-            "band": pa.array(out_band),
             "bucket": pa.array(out_bucket.view(np.int64)),
-            "minhash": sig.take(idx),
         })
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         n = len(group)
+        empty = pa.table({"key_a": pa.array([], type=pa.int64()),
+                          "key_b": pa.array([], type=pa.int64())})
         if n < 2:
-            return pa.table({"key_a": pa.array([], type=pa.int64()),
-                             "key_b": pa.array([], type=pa.int64()),
-                             "est_jaccard": pa.array([], type=pa.float64())})
-        keys = group.column(key_col).to_numpy(zero_copy_only=False)
-        band = int(group.column("band")[0].as_py())
-        flat = np.asarray(group.column("minhash").combine_chunks().flatten(),
-                          dtype=np.uint64)
-        sigs = flat.reshape(n, num_hashes)
-        order = np.argsort(keys, kind="stable")
-        keys, sigs = keys[order], sigs[order]
-        ka, kb, ej = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if keys[i] == keys[j]:
-                    continue
-                eq = (sigs[i] == sigs[j])
-                # min-band rule: emit only in the FIRST band where the two
-                # signatures collide
-                first_band = -1
-                for bb in range(bands):
-                    if eq[bb * rows_per_band:(bb + 1) * rows_per_band].all():
-                        first_band = bb
-                        break
-                if first_band != band:
-                    continue
-                ka.append(int(keys[i]))
-                kb.append(int(keys[j]))
-                ej.append(float(eq.mean()))
+            return empty
+        keys = np.unique(group.column(key_col).to_numpy(zero_copy_only=False))
+        n = len(keys)
+        if n < 2:
+            return empty
+        if n <= bucket_cap:
+            ii, jj = np.triu_indices(n, k=1)
+            ka, kb = keys[ii], keys[jj]
+        else:
+            # hot bucket: star to the min key — O(n) rows, same connected
+            # components as the full clique
+            ka = np.full(n - 1, keys[0])
+            kb = keys[1:]
         return pa.table({"key_a": pa.array(ka, type=pa.int64()),
-                         "key_b": pa.array(kb, type=pa.int64()),
-                         "est_jaccard": pa.array(ej, type=pa.float64())})
+                         "key_b": pa.array(kb, type=pa.int64())})
 
-    return buckets.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pyarrow")
+    pairs = buckets.groupby("bucket").map_groups(emit_pairs,
+                                                 batch_format="pyarrow")
+    counted = pairs.groupby(["key_a", "key_b"]).count()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("count()").to_numpy(zero_copy_only=False)
+        est = np.minimum(c / bands, 1.0) ** (1.0 / rows_per_band)
+        return pa.table({"key_a": batch.column("key_a"),
+                         "key_b": batch.column("key_b"),
+                         "est_jaccard": pa.array(est)})
+
+    return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def estimate_pair_jaccard(pairs_ds, sig_ds, key_col="doc_id",
+                          num_hashes=128):
+    """Signature-level est_jaccard for candidate pairs: collect the pair
+    key set (pairs ≪ corpus), filter the signature Dataset to it
+    (broadcast set, map-only), then compare signatures per pair locally.
+    Returns pyarrow Table (key_a, key_b, sig_jaccard)."""
+    import ray
+    prs = pairs_ds.select_columns(["key_a", "key_b"]).take_all()
+    need = sorted({r["key_a"] for r in prs} | {r["key_b"] for r in prs})
+    need_arr = np.array(need, dtype=np.int64)
+    ref = ray.put(need_arr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        wk = _winner_cache_get(ref)
+        kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(wk, kv), 0, max(len(wk) - 1, 0))
+        mask = (wk[pos] == kv) if len(wk) else np.zeros(len(kv), bool)
+        return batch.select([key_col, "minhash"]).filter(pa.array(mask))
+
+    sigs = {}
+    for b in sig_ds.map_batches(filt, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        ks = b.column(key_col).to_numpy(zero_copy_only=False)
+        col = b.column("minhash")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = np.asarray(col.flatten(), dtype=np.uint64).reshape(-1, num_hashes)
+        for i, kk in enumerate(ks):
+            sigs[int(kk)] = m[i]
+    ka = [r["key_a"] for r in prs]
+    kb = [r["key_b"] for r in prs]
+    sj = [float((sigs[a] == sigs[b]).mean()) for a, b in zip(ka, kb)]
+    return pa.table({"key_a": pa.array(ka, type=pa.int64()),
+                     "key_b": pa.array(kb, type=pa.int64()),
+                     "sig_jaccard": pa.array(sj, type=pa.float64())})
 
 
 class SimHasher:
-    """64-bit SimHash fingerprints (actor-pool stage)."""
+    """64-bit SimHash fingerprints — batch-vectorized: token bit matrix
+    summed per doc with one reduceat pass."""
 
     def __init__(self, text_col="text", out_col="simhash"):
         self.text_col = text_col
         self.out_col = out_col
 
     @staticmethod
+    def fingerprints(texts) -> np.ndarray:
+        """uint64 fingerprint per text (empty/tokenless → 0)."""
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(list(texts), type=pa.string())
+        n_docs = len(texts)
+        flat, parent = tokenize(texts)
+        th = hash64(flat)
+        if len(th) == 0:
+            return np.zeros(n_docs, dtype=np.uint64)
+        # per-doc majority vote per bit, one hash BYTE at a time (the
+        # full (n_tok, 64) matrix would be 512 B/token of intermediate)
+        tb = th.view(np.uint8).reshape(-1, 8)   # little-endian byte j =
+        starts = np.searchsorted(parent, np.arange(n_docs))  # bits 8j..8j+7
+        ntok = np.bincount(parent, minlength=n_docs)
+        shifts = np.arange(8, dtype=np.uint8)
+        fp = np.zeros(n_docs, dtype=np.uint64)
+        for j in range(8):
+            bits = ((tb[:, j, None] >> shifts[None, :])
+                    & np.uint8(1)).astype(np.int32)
+            cnt = np.add.reduceat(bits, starts, axis=0)
+            # signed sum = 2*cnt - ntok; bit set iff sum > 0
+            pos = (2 * cnt) > ntok[:, None]
+            w = np.uint64(1) << (np.arange(8, dtype=np.uint64)
+                                 + np.uint64(8 * j))
+            fp |= (pos.astype(np.uint64) * w[None, :]).sum(
+                axis=1, dtype=np.uint64)
+        # docs with zero tokens: reduceat returned a neighbor's row — mask
+        fp[ntok == 0] = np.uint64(0)
+        return fp
+
+    @staticmethod
     def fingerprint(text: str) -> int:
-        toks = _TOKEN_RE.findall(text.lower())
-        if not toks:
-            return 0
-        th = np.array([_token_hash64(t) for t in toks], dtype=np.uint64)
-        th = _mix64(th)
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        fp = np.uint64(0)
-        for b in np.nonzero(v > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(b)
-        return int(fp)
+        return int(SimHasher.fingerprints([text or ""])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        fps = np.array([self.fingerprint(t or "") for t in texts],
-                       dtype=np.uint64)
+        fps = self.fingerprints(batch.column(self.text_col))
         return batch.append_column(self.out_col,
                                    pa.array(fps.view(np.int64)))
 

@@ -1,0 +1,103 @@
+"""Vectorized deterministic string hashing over Arrow buffers.
+
+The hot inner loop of every text stage (MinHash, SimHash, langid,
+stopword ratios) is "hash each token". Round 1 did one Python
+hashlib call per token per doc — at 100 TB that dominates total cost.
+This module hashes an entire flat Arrow string array with numpy only:
+a byte-position loop (≤ `cap` iterations, each vectorized over all
+strings still active at that position) computing an FNV-style
+polynomial hash, finished with a splitmix64 avalanche.
+
+Determinism: no Python hash(), no per-process state — identical output
+across Ray workers and task retries (required by the lineage/resume
+design, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_FNV = np.uint64(0x100000001B3)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 avalanche (public domain constant set)."""
+    x = x.astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _offsets_data(arr: pa.Array):
+    """(int64 start offsets, int64 lengths, uint8 data view) of a flat
+    Arrow string/binary array, honoring the array's slice offset."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    odt = np.int64 if (pa.types.is_large_string(t)
+                       or pa.types.is_large_binary(t)) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[arr.offset: arr.offset + len(arr) + 1]
+    off = off.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    return off[:-1], off[1:] - off[:-1], data
+
+
+def hash64(arr, cap: int = 64) -> np.ndarray:
+    """uint64 hash per string: polynomial FNV over the first `cap` UTF-8
+    bytes, length mixed in, splitmix64 finish. Nulls hash like "".
+
+    `cap` bounds the byte-position loop for pathological megabyte
+    "tokens" (garbage text); two strings sharing their first `cap` bytes
+    AND length collide — irrelevant at cap=64 for natural-language
+    tokens."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts, lens, data = _offsets_data(arr)
+    h = mix64(lens.astype(np.uint64) + _GOLD)
+    m = int(min(lens.max(initial=0), cap))
+    for i in range(m):
+        active = lens > i
+        if not active.any():
+            break
+        idx = np.nonzero(active)[0]
+        h[idx] = (h[idx] * _FNV) ^ data[starts[idx] + i]
+    return mix64(h)
+
+
+# token pattern: complement split of unicode word chars. RE2 (used by both
+# Arrow and DuckDB) supports \p classes, so an oracle SQL tokenizer can
+# reproduce this byte-for-byte.
+TOKEN_SPLIT = r"[^\p{L}\p{N}_]+"
+TOKEN_MATCH = r"[\p{L}\p{N}_]+"
+
+
+def tokenize(texts, lower: bool = True):
+    """(flat token StringArray, int64 doc index per token). Tokens are
+    maximal unicode-word-char runs; empty tokens (leading/trailing
+    separators) are dropped. Fully Arrow-vectorized (RE2)."""
+    s = pc.cast(texts, pa.string())
+    if lower:
+        s = pc.utf8_lower(s)
+    lists = pc.split_pattern_regex(s, pattern=TOKEN_SPLIT)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = lens > 0
+    if not keep.all():
+        ki = np.nonzero(keep)[0]
+        flat = flat.take(pa.array(ki, type=pa.int64()))
+        parent = parent[ki]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parent.astype(np.int64)

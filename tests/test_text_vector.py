@@ -38,8 +38,11 @@ def test_minhash_near_dup_detection():
     s_far = mh.signature(far)
     sim_near = (s_base == s_near).mean()
     sim_far = (s_base == s_far).mean()
-    assert sim_near > 0.6
+    # true shingle-set Jaccard of (base, near) is ~0.62; the 128-hash
+    # estimate has σ≈0.043 — assert the estimate bracket + separation
+    assert sim_near > 0.45
     assert sim_far < 0.2
+    assert sim_near > sim_far + 0.3
     # determinism across instances (fresh actor == same signature)
     assert np.array_equal(MinHasher(num_hashes=128).signature(base), s_base)
 
@@ -62,6 +65,44 @@ def test_lsh_pairs_pipeline(ray_session):
     # min-band rule: each pair appears exactly once
     keys = [(r["key_a"], r["key_b"]) for r in pairs]
     assert len(keys) == len(set(keys))
+
+
+def test_lsh_hot_bucket_no_quadratic_blowup(ray_session):
+    """10k identical docs collide into one bucket per band. The full
+    clique would be ~50M pairs (O(n²) — the round-1 scale-killer); the
+    star cap must emit exactly n-1 connected pairs, fast."""
+    import time
+    import ray
+    from geoflow.text import MinHasher
+    from geoflow.text.dedup import lsh_band_pairs
+    n = 10_000
+    boiler = ("common boilerplate navigation footer text repeated on "
+              "every page of the site all rights reserved contact us")
+    t = pa.table({"doc_id": pa.array(np.arange(n)),
+                  "text": pa.array([boiler] * n)})
+    ds = ray.data.from_arrow(t).map_batches(MinHasher(),
+                                            batch_format="pyarrow")
+    t0 = time.monotonic()
+    pairs = lsh_band_pairs(ds, key_col="doc_id", bucket_cap=512)
+    cnt = pairs.count()
+    dt = time.monotonic() - t0
+    assert cnt == n - 1
+    assert dt < 60.0
+
+
+def test_lsh_star_cap_preserves_components(ray_session):
+    """A capped hot bucket must keep every member connected to the
+    representative (min key) so downstream dedup drops the same docs."""
+    import ray
+    from geoflow.text import MinHasher
+    from geoflow.text.dedup import lsh_band_pairs
+    rows = [{"doc_id": i, "text": "identical text for the cap test here"}
+            for i in range(20)]
+    ds = ray.data.from_items(rows).map_batches(MinHasher(),
+                                               batch_format="pyarrow")
+    pairs = lsh_band_pairs(ds, key_col="doc_id", bucket_cap=5).take_all()
+    got = {(r["key_a"], r["key_b"]) for r in pairs}
+    assert got == {(0, i) for i in range(1, 20)}
 
 
 def test_simhash_hamming():

@@ -57,11 +57,16 @@ def main(sf_dir):
             ok_vals = True
             for c in got.columns:
                 a, b = got[c].to_numpy(), exp[c].to_numpy()
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    same = np.array_equal(a.astype(np.float64), b.astype(np.float64),
-                                          equal_nan=True)
-                else:
-                    same = (pd.Series(a).astype(object) == pd.Series(b).astype(object)).all()
+                # emulate the driver's value-hash semantics with
+                # pd.util.hash_pandas_object: int width is normalized,
+                # but float-vs-int, float bit patterns and timestamp
+                # UNITS all matter (round-1 red rows were exactly these)
+                ha = pd.util.hash_pandas_object(got[c], index=False).to_numpy()
+                hb = pd.util.hash_pandas_object(exp[c], index=False).to_numpy()
+                same = np.array_equal(ha, hb)
+                if not same:
+                    print(f"    col {c} hash mismatch "
+                          f"(dtypes {a.dtype} vs {b.dtype})")
                 if not same:
                     ok_vals = False
                     bad = np.nonzero(~(pd.Series(a).astype(object)
