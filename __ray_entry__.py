@@ -463,6 +463,52 @@ def q_sessionize(sf_dir: str):
         sessions, batch_format="pyarrow")
 
 
+def q_setops_overlay(sf_dir: str):
+    """General polygon boolean ops (overlay engine) vs analytic SQL: per
+    doc, A = 4x4 axis square at (doc_id%7, doc_id%5); B = CONCAVE
+    L-shape (6x6 square at (doc_id%3, doc_id%4) minus its top-right 3x3
+    quadrant). All four boolean areas are integers — the SQL oracle
+    computes them by rectangle inclusion-exclusion with no geometry
+    code, so the overlay engine (geom/clipping.py) is value-gated."""
+    from geoflow.geom import Geometry
+    from geoflow.geom.wkb import to_wkb
+    from geoflow.ops import get_op
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        awkb, bwkb = [], []
+        for i in ids:
+            ax, ay = float(i % 7), float(i % 5)
+            bx, by = float(i % 3), float(i % 4)
+            a = Geometry.polygon([np.array(
+                [[ax, ay], [ax + 4, ay], [ax + 4, ay + 4], [ax, ay + 4],
+                 [ax, ay]])])
+            l = Geometry.polygon([np.array(
+                [[bx, by], [bx + 6, by], [bx + 6, by + 3], [bx + 3, by + 3],
+                 [bx + 3, by + 6], [bx, by + 6], [bx, by]])])
+            awkb.append(to_wkb(a))
+            bwkb.append(to_wkb(l))
+        ca = pa.array(awkb, type=pa.binary())
+        cb = pa.array(bwkb, type=pa.binary())
+        inter = get_op("st_intersection_area").fn(ca, cb)
+        from geoflow.geom.wkb import from_wkb as _fw
+        from geoflow.geom import algorithms as _alg
+
+        def areas(col):
+            return pa.array([_alg.area(_fw(v.as_py())) for v in col],
+                            type=pa.float64())
+
+        un = areas(get_op("st_union").fn(ca, cb))
+        df = areas(get_op("st_difference").fn(ca, cb))
+        sy = areas(get_op("st_symdifference").fn(ca, cb))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "inter_area": inter, "union_area": un,
+                         "diff_area": df, "sym_area": sy})
+
+    return _read(sf_dir, "documents").map_batches(build,
+                                                  batch_format="pyarrow")
+
+
 def q_raster_stats(sf_dir: str):
     """Raster pipeline parity: per part, build a deterministic 4x4 uint8
     raster (pixel[i] = (p_partkey*16 + i) % 251), run it through the
@@ -696,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "near_dup": q_near_dup,
         "sessionize": q_sessionize,
+        "setops_overlay": q_setops_overlay,
         "raster_stats": q_raster_stats,
         "webmercator": q_webmercator,
         "tile_density": q_tile_density,
@@ -853,6 +900,26 @@ def oracle_sql() -> dict[str, str]:
                                    > INTERVAL 30 MINUTE
                               THEN 1 ELSE 0 END AS new_sess
                   FROM events)""",
+        "setops_overlay": """
+            WITH p AS (
+              SELECT doc_id,
+                     doc_id % 7 AS ax, doc_id % 5 AS ay,
+                     doc_id % 3 AS bx, doc_id % 4 AS by
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     GREATEST(0, LEAST(ax + 4, bx + 6) - GREATEST(ax, bx))
+                     * GREATEST(0, LEAST(ay + 4, by + 6) - GREATEST(ay, by))
+                     - GREATEST(0, LEAST(ax + 4, bx + 6) - GREATEST(ax, bx + 3))
+                     * GREATEST(0, LEAST(ay + 4, by + 6) - GREATEST(ay, by + 3))
+                       AS inter
+              FROM p)
+            SELECT doc_id,
+                   CAST(inter AS DOUBLE) AS inter_area,
+                   CAST(16 + 27 - inter AS DOUBLE) AS union_area,
+                   CAST(16 - inter AS DOUBLE) AS diff_area,
+                   CAST(16 + 27 - 2 * inter AS DOUBLE) AS sym_area
+            FROM q""",
         "raster_stats": """
             SELECT p_partkey,
                    count(*) AS px_count,

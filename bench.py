@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "ann_topk", "s2_cell", "simhash", "flagship",
     "webmercator", "tile_density", "raster_stats", "topk_orders",
     "groupby_lineitem", "window_events", "sessionize", "near_dup",
-    "langid", "quality", "minhash_lsh",
+    "langid", "quality", "minhash_lsh", "setops_overlay",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -1,11 +1,11 @@
 """Per-row geometry set operations (GeometryWrapper union :808 /
 intersection :755 / difference :715 / symDifference :794).
 
-Without GEOS, general polygon boolean ops are out of scope for round 1;
-implemented here: intersection with axis-rect (exact, Sutherland-Hodgman),
-convex-polygon intersection (exact), union as collection-combine +
-unary_union over disjoint inputs, intersection area/percentage for convex
-operands. Documented limitation for concave∩concave."""
+General polygon booleans (incl. concave∩concave, holes, multipolygons)
+run on the planar-overlay engine in geom/clipping.py; the convex
+Sutherland-Hodgman path is kept as a fast path for convex clip shapes.
+Dimension collapse follows JTS (edge-adjacent polygons intersect in a
+LINESTRING, corner-touching in a POINT)."""
 
 from __future__ import annotations
 
@@ -13,6 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..geom import Geometry, algorithms as alg
+from ..geom.clipping import polygon_overlay, unary_union_polygons
 from .kernels import binary_geom, decode_geoms
 from .registry import register_op
 
@@ -75,22 +76,25 @@ def convex_clip(subject: Geometry, clip: Geometry) -> Geometry:
 
 @register_op("st_intersection", 2, "setop")
 def st_intersection(col_a, col_b):
-    """Intersection (GeometryWrapper.java:755). Exact when either operand
-    is convex; falls back to envelope clip otherwise (documented)."""
+    """Intersection (GeometryWrapper.java:755). Areal×areal runs the
+    general overlay (concave, holes, multi all exact); the convex
+    Sutherland-Hodgman clip is kept as a fast path. Point operands keep
+    the trivial membership path; line×polygon clips the line."""
     def f(a, b):
         if a.type in (3, 6) and b.type in (3, 6):
+            # fast path: clip shape convex → Sutherland-Hodgman
             bc = alg.convex_hull(b)
             if abs(alg.area(bc) - alg.area(b)) <= 1e-12 * max(1.0, alg.area(b)):
                 return convex_clip(a, bc if bc.type == 3 else b)
-            ac = alg.convex_hull(a)
-            if abs(alg.area(ac) - alg.area(a)) <= 1e-12 * max(1.0, alg.area(a)):
-                return convex_clip(b, ac if ac.type == 3 else a)
-            x0, y0, x1, y1 = b.bounds()
-            return alg.clip_by_rect(a, x0, y0, x1, y1)
+            return polygon_overlay(a, b, "intersection")
         if a.type == 1:
             return a if alg.intersects(a, b) else Geometry.empty(1, a.srid)
         if b.type == 1:
             return b if alg.intersects(a, b) else Geometry.empty(1, a.srid)
+        if a.type in (2, 5) and b.type in (3, 6):
+            return line_poly_clip(a, b, inside=True)
+        if b.type in (2, 5) and a.type in (3, 6):
+            return line_poly_clip(b, a, inside=True)
         x0, y0, x1, y1 = b.bounds()
         try:
             return alg.clip_by_rect(a, x0, y0, x1, y1)
@@ -99,12 +103,94 @@ def st_intersection(col_a, col_b):
     return binary_geom(col_a, col_b, f)
 
 
+@register_op("st_difference", 2, "setop")
+def st_difference(col_a, col_b):
+    """Difference (GeometryWrapper.java:715, Difference.java:18): parts
+    of A not in B. Areal×areal via the overlay; line−polygon clips the
+    line to B's exterior; lower-dim B leaves areal A unchanged (JTS)."""
+    def f(a, b):
+        if a.type in (3, 6) and b.type in (3, 6):
+            return polygon_overlay(a, b, "difference")
+        if a.type in (2, 5) and b.type in (3, 6):
+            return line_poly_clip(a, b, inside=False)
+        if a.type == 1:
+            return Geometry.empty(1, a.srid) if alg.intersects(a, b) else a
+        # B of lower dimension than A cannot remove area/length
+        return a
+    return binary_geom(col_a, col_b, f)
+
+
+@register_op("st_symdifference", 2, "setop")
+def st_symdifference(col_a, col_b):
+    """Symmetric difference (GeometryWrapper.java:794)."""
+    def f(a, b):
+        if a.type in (3, 6) and b.type in (3, 6):
+            return polygon_overlay(a, b, "symdifference")
+        # mixed dims: JTS symDifference = union of the two differences
+        ta = a.parts if a.parts is not None else [a]
+        tb = b.parts if b.parts is not None else [b]
+        return Geometry.multi(7, list(ta) + list(tb), srid=a.srid)
+    return binary_geom(col_a, col_b, f)
+
+
+def line_poly_clip(line: Geometry, poly: Geometry, inside: bool) -> Geometry:
+    """Clip a (multi)linestring to a polygon's interior (inside=True) or
+    exterior (inside=False): node line segments at polygon boundary
+    crossings, keep subsegments by midpoint membership."""
+    from ..geom.clipping import _even_odd_many, _poly_rings
+    rings = _poly_rings(poly)
+    segs_p = []
+    for r in rings:
+        segs_p.append(np.concatenate([r[:-1, :2], r[1:, :2]], axis=1))
+    sp = np.concatenate(segs_p, axis=0) if segs_p else np.empty((0, 4))
+    pieces = []
+    for part in (line.parts if line.parts is not None else [line]):
+        c = part.coords[:, :2]
+        for i in range(len(c) - 1):
+            a0, a1 = c[i], c[i + 1]
+            d = a1 - a0
+            ts = [0.0, 1.0]
+            if len(sp):
+                e = sp[:, 2:4] - sp[:, 0:2]
+                denom = d[0] * e[:, 1] - d[1] * e[:, 0]
+                w0 = sp[:, 0] - a0[0]
+                w1 = sp[:, 1] - a0[1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (w0 * e[:, 1] - w1 * e[:, 0]) / denom
+                    u = (w0 * d[1] - w1 * d[0]) / denom
+                ok = (np.abs(denom) > 1e-300) & (t >= 0) & (t <= 1) \
+                    & (u >= 0) & (u <= 1)
+                ts.extend(t[ok].tolist())
+            ts = sorted(set(min(max(tv, 0.0), 1.0) for tv in ts))
+            for t0, t1 in zip(ts[:-1], ts[1:]):
+                if t1 - t0 <= 1e-12:
+                    continue
+                mid = a0 + 0.5 * (t0 + t1) * d
+                if _even_odd_many(mid[None, :], rings)[0] == inside:
+                    pieces.append(np.array([a0 + t0 * d, a0 + t1 * d]))
+    if not pieces:
+        return Geometry.empty(2, line.srid)
+    # merge consecutive collinear pieces sharing endpoints
+    merged = [pieces[0]]
+    for p in pieces[1:]:
+        if np.array_equal(merged[-1][-1], p[0]):
+            merged[-1] = np.concatenate([merged[-1], p[1:]], axis=0)
+        else:
+            merged.append(p)
+    parts = [Geometry(2, coords=m, srid=line.srid) for m in merged]
+    if len(parts) == 1:
+        return parts[0]
+    return Geometry.multi(5, parts, srid=line.srid)
+
+
 @register_op("st_union", 2, "setop")
 def st_union(col_a, col_b):
-    """Union (GeometryWrapper.java:808) — collected as MultiGeometry /
-    GeometryCollection (dissolve of overlapping polygons not performed;
-    documented)."""
+    """Union (GeometryWrapper.java:808). Areal×areal DISSOLVES via the
+    overlay engine; mixed/lower-dim operands collect into the narrowest
+    multi-type (JTS collection semantics)."""
     def f(a, b):
+        if a.type in (3, 6) and b.type in (3, 6):
+            return polygon_overlay(a, b, "union")
         ta = a.parts if a.parts is not None else [a]
         tb = b.parts if b.parts is not None else [b]
         parts = list(ta) + list(tb)
@@ -119,9 +205,33 @@ def st_union(col_a, col_b):
     return binary_geom(col_a, col_b, f)
 
 
+@register_op("st_unary_union", 1, "setop")
+def st_unary_union(col_a):
+    """unaryUnion (GeometryWrapper.java:~820): dissolve all areal parts
+    of each row's geometry/collection."""
+    ga = decode_geoms(col_a)
+    from ..geom.wkb import to_wkb
+    out = []
+    for g in ga:
+        if g is None:
+            out.append(None)
+            continue
+        parts = g.parts if g.parts is not None else [g]
+        areal = [p for p in parts if p.type in (3, 6)]
+        rest = [p for p in parts if p.type not in (3, 6)]
+        if areal:
+            u = unary_union_polygons(areal)
+            if rest:
+                u = Geometry.multi(7, [u] + rest, srid=g.srid)
+            out.append(to_wkb(u))
+        else:
+            out.append(to_wkb(g))
+    return pa.array(out, type=pa.binary())
+
+
 @register_op("st_intersection_area", 2, "setop")
 def st_intersection_area(col_a, col_b):
-    """Area of intersection (convex-exact path of st_intersection)."""
+    """Area of intersection (exact via the overlay engine)."""
     ga = decode_geoms(col_a)
     gb = decode_geoms(col_b)
     out = np.full(len(ga), np.nan)
@@ -131,7 +241,7 @@ def st_intersection_area(col_a, col_b):
         if not alg.intersects(a, b):
             out[i] = 0.0
             continue
-        out[i] = alg.area(convex_clip(a, alg.convex_hull(b)))
+        out[i] = alg.area(polygon_overlay(a, b, "intersection"))
     return pa.array(out, type=pa.float64())
 
 
