@@ -959,24 +959,106 @@ def buffer_point(x, y, dist, quadsegs=8, srid=4326) -> Geometry:
     return Geometry(POLYGON, rings=[ring], srid=srid)
 
 
+def _capsule(p, q, r, quadsegs=8):
+    """Stadium polygon around segment pq with radius r (= convex hull of
+    the endpoint discs): half-circle arc around q, half-circle around p,
+    arc step π/(2·quadsegs) like JTS's quadrant discretization."""
+    p = np.asarray(p[:2], dtype=np.float64)
+    q = np.asarray(q[:2], dtype=np.float64)
+    d = q - p
+    ln = math.hypot(d[0], d[1])
+    if ln == 0:
+        c = buffer_point(p[0], p[1], r, quadsegs)
+        return c.rings[0]
+    theta = math.atan2(d[1], d[0])
+    n = 2 * quadsegs   # segments per half circle
+    # arc around q from theta-π/2 to theta+π/2 (right side sweep CCW)
+    a1 = theta - math.pi / 2 + np.arange(n + 1) * (math.pi / n)
+    arc_q = np.stack([q[0] + r * np.cos(a1), q[1] + r * np.sin(a1)], axis=1)
+    a2 = theta + math.pi / 2 + np.arange(n + 1) * (math.pi / n)
+    arc_p = np.stack([p[0] + r * np.cos(a2), p[1] + r * np.sin(a2)], axis=1)
+    ring = np.concatenate([arc_q, arc_p, arc_q[:1]], axis=0)
+    return ring
+
+
+def _union_fold(polys) -> Geometry:
+    """Dissolve polygons by divide-and-conquer overlay union with a
+    disjoint-bbox short-circuit (disjoint pieces just concatenate as
+    multipolygon parts — no noding)."""
+    from .clipping import polygon_overlay
+
+    def bbox(g):
+        return g.bounds()
+
+    def merge(a, b):
+        ax0, ay0, ax1, ay1 = bbox(a)
+        bx0, by0, bx1, by1 = bbox(b)
+        if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+            pa_ = a.parts if a.type == MULTIPOLYGON else [a]
+            pb_ = b.parts if b.type == MULTIPOLYGON else [b]
+            return Geometry.multi(MULTIPOLYGON, list(pa_) + list(pb_),
+                                  srid=a.srid)
+        return polygon_overlay(a, b, "union")
+
+    items = [p for p in polys if p is not None and not p.is_empty]
+    if not items:
+        return Geometry.empty(POLYGON)
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            nxt.append(merge(items[i], items[i + 1]))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
+
+
+def _boundary_capsules(g: Geometry, r: float, quadsegs: int):
+    """Capsule polygons covering every boundary/coordinate segment of g
+    (isolated vertices get discs)."""
+    caps = []
+    for block in g.coord_blocks():
+        b = np.asarray(block)[:, :2]
+        if len(b) == 1:
+            caps.append(Geometry(POLYGON,
+                                 rings=[_capsule(b[0], b[0], r, quadsegs)],
+                                 srid=g.srid))
+            continue
+        for i in range(len(b) - 1):
+            caps.append(Geometry(POLYGON,
+                                 rings=[_capsule(b[i], b[i + 1], r, quadsegs)],
+                                 srid=g.srid))
+    return caps
+
+
 def buffer(g: Geometry, dist: float, quadsegs=8) -> Geometry:
-    """Positive buffer. Exact for points; for other geometries the result
-    is the convex hull of vertex discs + edge offsets — exact for convex
-    inputs, a slight over-estimate in concavities (documented limitation;
-    the reference's full JTS buffer incl. UTM unit logic is
-    GeometryWrapper.java:409-450)."""
-    if dist <= 0:
-        raise NotImplementedError("negative/zero buffer not supported")
+    """JTS-semantics buffer (GeometryWrapper.java:409-450 delegates to
+    JTS BufferOp): the Minkowski sum of g with a disc of radius |dist|
+    discretized at quadsegs segments per quadrant.
+
+    - positive: union of per-segment capsules (round joins/caps emerge
+      from the overlapping endpoint discs) ∪ the areal interior;
+    - negative (areal only): erosion — A minus the capsule-union of its
+      boundary, which is exactly the set of points deeper than |dist|;
+    - zero: the input (areal) / empty polygon (lower dim, as JTS)."""
+    if dist == 0:
+        if g.type in (POLYGON, MULTIPOLYGON):
+            return g
+        return Geometry.empty(POLYGON, g.srid)
+    if dist < 0:
+        if g.type not in (POLYGON, MULTIPOLYGON, GEOMETRYCOLLECTION):
+            return Geometry.empty(POLYGON, g.srid)   # JTS: empty
+        from .clipping import polygon_overlay
+        shave = _union_fold(_boundary_capsules(g, -dist, quadsegs))
+        return polygon_overlay(g, shave, "difference")
     if g.type == POINT:
         return buffer_point(g.coords[0], g.coords[1], dist, quadsegs, g.srid)
-    pts = []
-    for block in g.coord_blocks():
-        for p in block:
-            circ = buffer_point(p[0], p[1], dist, quadsegs, g.srid)
-            pts.append(circ.rings[0][:-1])
-    allpts = np.concatenate(pts, axis=0)
-    return convex_hull(Geometry(MULTIPOINT, parts=[
-        Geometry(POINT, coords=p.copy(), srid=g.srid) for p in allpts], srid=g.srid))
+    caps = _boundary_capsules(g, dist, quadsegs)
+    if g.type in (POLYGON, MULTIPOLYGON):
+        caps.append(g)
+    if g.type == GEOMETRYCOLLECTION:
+        caps.extend(p for p in g.parts if p.type in (POLYGON, MULTIPOLYGON))
+    return _union_fold(caps)
 
 
 def clip_by_rect(g: Geometry, xmin, ymin, xmax, ymax) -> Geometry:

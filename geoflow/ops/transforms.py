@@ -87,8 +87,9 @@ def st_snaptogrid(col, size):
 
 @register_op("st_buffer", 2, "transform")
 def st_buffer(col, dist):
-    """Buffer (engine GeometryWrapper.java:409-450). Exact for points;
-    convex-hull-of-discs approximation otherwise (see algorithms.buffer)."""
+    """Buffer (engine GeometryWrapper.java:409-450): JTS-semantics
+    Minkowski disc sum via capsule union on the overlay engine; negative
+    distances erode areal geometries (see algorithms.buffer)."""
     return unary_geom(col, lambda g: alg.buffer(g, dist))
 
 
