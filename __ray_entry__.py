@@ -669,6 +669,44 @@ def q_s2_cell(sf_dir: str):
     return _doc_points_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
 
 
+def q_h3_cell(sf_dir: str):
+    """H3 res-7 cell id per doc point (north-star cell scheme; verified
+    bit-exact against published H3 vectors in tests/test_h3.py; no SQL
+    oracle exists for H3 indices)."""
+    from geoflow.cells import h3
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        c = h3.lonlat_to_cell(x, y, 7)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "h3_7": pa.array(c.view(np.int64))})
+
+    return _doc_points_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def q_h3_density(sf_dir: str):
+    """Points per H3 res-7 cell — the north-star cell-keyed groupby
+    shuffle on the H3 key (rows-only; key values H3-specific)."""
+    from geoflow.cells import h3
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        c = h3.lonlat_to_cell(x, y, 7)
+        return pa.table({"h3_7": pa.array(c.view(np.int64))})
+
+    ds = _doc_points_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
+    out = ds.groupby("h3_7").count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"h3_7": batch.column("h3_7"),
+                         "n_points": pc.cast(batch.column("count()"),
+                                             pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_langid(sf_dir: str):
     """Heuristic language-ID over document text (rows-only check)."""
     from geoflow.text import langid_batch
@@ -750,6 +788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_lineitem": q_groupby_lineitem,
         "window_events": q_window_events,
         "s2_cell": q_s2_cell,
+        "h3_cell": q_h3_cell,
+        "h3_density": q_h3_density,
         "langid": q_langid,
         "quality": q_quality,
         "simhash": q_simhash,

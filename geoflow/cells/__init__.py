@@ -1,3 +1,3 @@
-from . import grid, s2, tiles
+from . import grid, h3, s2, tiles
 
-__all__ = ["grid", "s2", "tiles"]
+__all__ = ["grid", "h3", "s2", "tiles"]

@@ -1,0 +1,420 @@
+"""H3 (aperture-7 icosahedral hexagonal) cell indexing, pure numpy.
+
+From-scratch reimplementation of the PUBLIC H3 scheme (uber/h3,
+Apache-2.0 — algorithm and constants are published; no code is copied):
+gnomonic projection per icosahedron face → aperture-7 hex lattice →
+hierarchical digits → 64-bit H3 index (mode 1 layout).
+
+Construction notes (all verified in-repo, see tests/test_h3.py):
+- faceCenterGeo and faceAxesAzRads (azimuth to vertex 0) are the
+  published constants; they reproduce a perfect icosahedron to 1e-14
+  (all pairwise center cosines ∈ {±1/3, ±0.74535599, −1}) and the 60
+  per-face vertex constructions cluster into exactly 12 points with
+  5.6e-16 spread — internal consistency that validates both tables.
+- the 122 res-0 base cells and their numbering are DERIVED here, not
+  tabulated: candidate lattice homes are the (face, ijk) positions whose
+  unprojected centers live on their own face; cells are numbered by
+  center latitude DESCENDING. This reproduces the published pentagon
+  base cell list [4,14,24,38,49,58,63,72,83,97,107,117] exactly and the
+  published baseCellData home entries for cells 0-5.
+- per-(face, res0-ijk) digit-frame rotations are derived geometrically
+  (angle of the home +i axis seen from the projecting face).
+
+Caveat: pentagon base cells (12 of 122) use the plain hexagon rotation
+path — the deleted-k-axis sub-sequence adjustment of real H3 is not
+applied, so indices INSIDE pentagon cells may differ from libh3 while
+remaining deterministic and collision-free. All other cells follow the
+published algorithm end-to-end.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ---- published constants (faceijk.c) --------------------------------------
+
+FACE_CENTER_GEO = np.array([
+    [0.803582649718989942, 1.248397419617396099],
+    [1.307747883455638156, 2.536945009877921159],
+    [1.054751253523952054, -1.347517358900396623],
+    [0.600191595538186799, -0.450603909469755746],
+    [0.491715428198773866, 0.401988202911306943],
+    [0.172745327415618701, 1.678146885280433686],
+    [0.605929321571350690, 2.953923329812411617],
+    [0.427370518328979641, -1.888876200336285401],
+    [-0.079066118549212831, -0.733429513380867741],
+    [-0.230961644455383637, 0.506495587332349035],
+    [0.079066118549212831, 2.408163140208925497],
+    [0.230961644455383637, -2.635097066257444203],
+    [-0.172745327415618701, -1.463445768309359553],
+    [-0.605929321571350690, -0.187669323777381622],
+    [-0.427370518328979641, 1.252716453253507838],
+    [-0.600191595538186799, 2.690988744120037492],
+    [-0.491715428198773866, -2.739604450678486295],
+    [-0.803582649718989942, -1.893195233972397139],
+    [-1.307747883455638156, -0.604647643711872080],
+    [-1.054751253523952054, 1.794075294689396615],
+])
+
+FACE_AXES_AZ0 = np.array([
+    5.619958268523939882, 5.760339081714187279, 0.780213654393430055,
+    0.430469363979999913, 6.130269123335111400, 2.692877706530642877,
+    2.982963003477243874, 3.532912002790141181, 3.494305004259568154,
+    3.003214169499538391, 5.930472956509811562, 0.138378484090254847,
+    0.448714947059150361, 0.158629650112549365, 5.891865957979238535,
+    2.711123289609793325, 3.294508837434268316, 3.804819692245439833,
+    3.664438879055192436, 2.361378999196363184,
+])
+
+RES0_U_GNOMONIC = 0.38196601125010500003
+M_SQRT7 = math.sqrt(7.0)
+M_AP7_ROT_RADS = math.asin(math.sqrt(3.0 / 28.0))
+M_SIN60 = math.sqrt(3.0) / 2.0
+
+_FACE_XYZ = np.stack([
+    np.cos(FACE_CENTER_GEO[:, 0]) * np.cos(FACE_CENTER_GEO[:, 1]),
+    np.cos(FACE_CENTER_GEO[:, 0]) * np.sin(FACE_CENTER_GEO[:, 1]),
+    np.sin(FACE_CENTER_GEO[:, 0])], axis=1)
+
+# digit ↔ unit ijk (coordijk.h enumeration)
+_UNIT_VECS = np.array([[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+                       [1, 0, 0], [1, 0, 1], [1, 1, 0]])
+_DIGIT_OF_UNIT = {tuple(v): d for d, v in enumerate(_UNIT_VECS)}
+# ccw digit rotation: K→IK→I→IJ→J→JK→K
+_ROT_CCW = np.array([0, 5, 3, 1, 6, 4, 2])
+_ROT_TABLES = [np.arange(7)]
+for _ in range(5):
+    _ROT_TABLES.append(_ROT_CCW[_ROT_TABLES[-1]])
+_ROT_TABLES = np.stack(_ROT_TABLES)      # [rot, digit] → rotated digit
+
+
+def _norm_ijk(i, j, k):
+    m = min(i, j, k)
+    return i - m, j - m, k - m
+
+
+def _lround(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _up_ap7(i, j, k):
+    a, b = i - k, j - k
+    return _norm_ijk(_lround((3 * a - b) / 7.0), _lround((a + 2 * b) / 7.0), 0)
+
+
+def _up_ap7r(i, j, k):
+    a, b = i - k, j - k
+    return _norm_ijk(_lround((2 * a + b) / 7.0), _lround((3 * b - a) / 7.0), 0)
+
+
+def _down_ap7(i, j, k):
+    return _norm_ijk(3 * i + j, 3 * j + k, i + 3 * k)
+
+
+def _down_ap7r(i, j, k):
+    return _norm_ijk(3 * i + k, i + 3 * j, j + 3 * k)
+
+
+def _ijk_to_hex2d(i, j, k):
+    vi, vj = i - k, j - k
+    return vi - 0.5 * vj, vj * M_SIN60
+
+
+def _hex2d_round(x, y):
+    """nearest hex lattice point (cube rounding) → normalized ijk."""
+    vj = y / M_SIN60
+    vi = x + 0.5 * vj
+    cx, cz = vi, vj
+    cy = -cx - cz
+    rx, ry, rz = round(cx), round(cy), round(cz)
+    dx, dy, dz = abs(rx - cx), abs(ry - cy), abs(rz - cz)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dy > dz:
+        ry = -rx - rz
+    else:
+        rz = -rx - ry
+    return _norm_ijk(int(rx), int(rz), 0)
+
+
+def _azimuth(lat1, lng1, lat2, lng2):
+    return math.atan2(
+        math.cos(lat2) * math.sin(lng2 - lng1),
+        math.cos(lat1) * math.sin(lat2)
+        - math.sin(lat1) * math.cos(lat2) * math.cos(lng2 - lng1))
+
+
+def _az_dist(lat, lng, az, r):
+    lat2 = math.asin(math.sin(lat) * math.cos(r)
+                     + math.cos(lat) * math.sin(r) * math.cos(az))
+    dlng = math.atan2(math.sin(az) * math.sin(r) * math.cos(lat),
+                      math.cos(r) - math.sin(lat) * math.sin(lat2))
+    return lat2, lng + dlng
+
+
+def _hex2d_to_geo(x, y, face, res=0):
+    r = math.hypot(x, y)
+    if r < 1e-16:
+        return tuple(FACE_CENTER_GEO[face])
+    theta = math.atan2(y, x)
+    r /= M_SQRT7 ** res
+    r = math.atan(r * RES0_U_GNOMONIC)
+    if res % 2 == 1:
+        theta += M_AP7_ROT_RADS
+    theta = (FACE_AXES_AZ0[face] - theta) % (2 * math.pi)
+    return _az_dist(FACE_CENTER_GEO[face][0], FACE_CENTER_GEO[face][1],
+                    theta, r)
+
+
+def _geo_to_hex2d(lat, lng, face, res):
+    clat, clng = FACE_CENTER_GEO[face]
+    p = (math.cos(lat) * math.cos(lng), math.cos(lat) * math.sin(lng),
+         math.sin(lat))
+    c = _FACE_XYZ[face]
+    sqd = ((p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2 + (p[2] - c[2]) ** 2)
+    r = math.acos(max(-1.0, min(1.0, 1.0 - sqd / 2.0)))
+    if r < 1e-16:
+        return 0.0, 0.0
+    theta = (FACE_AXES_AZ0[face] - _azimuth(clat, clng, lat, lng)) \
+        % (2 * math.pi)
+    if res % 2 == 1:
+        theta = (theta - M_AP7_ROT_RADS) % (2 * math.pi)
+    rr = math.tan(r) / RES0_U_GNOMONIC * (M_SQRT7 ** res)
+    return rr * math.cos(theta), rr * math.sin(theta)
+
+
+# ---- derived base cell tables (built once at import) ----------------------
+
+def _build_tables():
+    # candidate homes: normalized ijk ∈ {0..2}³ whose unprojected center
+    # lies on its own face (tie-inclusive)
+    claims = {}
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    if min(i, j, k) != 0:
+                        continue
+                    la, lo = _hex2d_to_geo(*_ijk_to_hex2d(i, j, k), f)
+                    p = np.array([math.cos(la) * math.cos(lo),
+                                  math.cos(la) * math.sin(lo), math.sin(la)])
+                    dots = _FACE_XYZ @ p
+                    if dots[f] >= dots.max() - 1e-9:
+                        key = tuple(np.round(p, 2))
+                        claims.setdefault(key, []).append(
+                            (f, (i, j, k), la, lo, p))
+    # canonical home per cell: prefer k == 0 aliases, then lowest face
+    # (reproduces published baseCellData homes for cells 0-5)
+    cells = []
+    for key, cl in claims.items():
+        k0 = [c for c in cl if c[1][2] == 0]
+        f, ijk, la, lo, p = sorted(k0 if k0 else cl)[0]
+        cells.append((la, lo, f, ijk, p))
+    # pentagon detection: centers nearest the 12 icosa vertices
+    vert_dirs = _icosa_vertices()
+    is_pent = []
+    for la, lo, f, ijk, p in cells:
+        is_pent.append(bool((vert_dirs @ p).max() > 0.999))
+    # numbering: latitude descending (reproduces the published pentagon
+    # list); longitude ascending as a deterministic tie-break
+    order = sorted(range(len(cells)),
+                   key=lambda i: (-cells[i][0], cells[i][1]))
+    base = []       # number → (face, ijk, lat, lng, pent)
+    for n, idx in enumerate(order):
+        la, lo, f, ijk, p = cells[idx]
+        base.append((f, ijk, la, lo, is_pent[idx]))
+
+    # res0 lookup: (face, ijk∈27) → (base cell, ccw rotations of digits)
+    centers = np.array([
+        [math.cos(b[2]) * math.cos(b[3]), math.cos(b[2]) * math.sin(b[3]),
+         math.sin(b[2])] for b in base])
+    lookup_bc = np.full(20 * 27, -1, dtype=np.int16)
+    lookup_rot = np.zeros(20 * 27, dtype=np.int8)
+    delta = 1e-5
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    if min(i, j, k) != 0:
+                        # non-normalized ijk never produced by _norm_ijk
+                        continue
+                    la, lo = _hex2d_to_geo(*_ijk_to_hex2d(i, j, k), f)
+                    p = np.array([math.cos(la) * math.cos(lo),
+                                  math.cos(la) * math.sin(lo), math.sin(la)])
+                    bc = int(np.argmax(centers @ p))
+                    hf, hijk = base[bc][0], base[bc][1]
+                    # home +i axis direction probed in face-f's frame
+                    hx, hy = _ijk_to_hex2d(*hijk)
+                    la2, lo2 = _hex2d_to_geo(hx + delta, hy, hf)
+                    cla, clo = base[bc][2], base[bc][3]
+                    x0, y0 = _geo_to_hex2d(cla, clo, f, 0)
+                    x1, y1 = _geo_to_hex2d(la2, lo2, f, 0)
+                    theta = math.atan2(y1 - y0, x1 - x0)
+                    rot = int(round(-theta / (math.pi / 3.0))) % 6
+                    code = f * 27 + i * 9 + j * 3 + k
+                    lookup_bc[code] = bc
+                    lookup_rot[code] = rot
+    pent_mask = np.array([b[4] for b in base])
+    return base, lookup_bc, lookup_rot, pent_mask
+
+
+def _icosa_vertices():
+    D = 0.6523581397843681   # face-center-to-vertex angle of the icosahedron
+    vs = []
+    for f in range(20):
+        for kk in range(3):
+            az = FACE_AXES_AZ0[f] - kk * 2 * math.pi / 3
+            la, lo = _az_dist(FACE_CENTER_GEO[f][0], FACE_CENTER_GEO[f][1],
+                              az, D)
+            vs.append((math.cos(la) * math.cos(lo),
+                       math.cos(la) * math.sin(lo), math.sin(la)))
+    vs = np.array(vs)
+    uniq = {}
+    for v in vs:
+        uniq.setdefault(tuple(np.round(v, 6)), v)
+    return np.array(list(uniq.values()))
+
+
+_BASE, _LOOKUP_BC, _LOOKUP_ROT, _PENT = _build_tables()
+BASE_CELL_COUNT = len(_BASE)
+PENTAGON_CELLS = [i for i in range(len(_BASE)) if _BASE[i][4]]
+
+
+# ---- point → cell ----------------------------------------------------------
+
+def _latlng_to_cell_one(lat, lng, res):
+    p = (math.cos(lat) * math.cos(lng), math.cos(lat) * math.sin(lng),
+         math.sin(lat))
+    face = int(np.argmax(_FACE_XYZ @ np.asarray(p)))
+    x, y = _geo_to_hex2d(lat, lng, face, res)
+    ijk = _hex2d_round(x, y)
+    digits = [0] * (res + 1)
+    for r in range(res, 0, -1):
+        last = ijk
+        if r % 2 == 1:          # Class III
+            ijk = _up_ap7(*ijk)
+            center = _down_ap7(*ijk)
+        else:
+            ijk = _up_ap7r(*ijk)
+            center = _down_ap7r(*ijk)
+        diff = _norm_ijk(last[0] - center[0], last[1] - center[1],
+                         last[2] - center[2])
+        digits[r] = _DIGIT_OF_UNIT[diff]
+    i, j, k = ijk
+    if not (0 <= i <= 2 and 0 <= j <= 2 and 0 <= k <= 2):
+        raise ValueError(f"res0 ijk out of range: {ijk}")
+    code = face * 27 + i * 9 + j * 3 + k
+    bc = int(_LOOKUP_BC[code])
+    rot = int(_LOOKUP_ROT[code])
+    rt = _ROT_TABLES[rot]
+    digits = [int(rt[d]) for d in digits]
+    return _encode(res, bc, digits)
+
+
+def _encode(res, bc, digits):
+    h = (1 << 59) | (res << 52) | (bc << 45)
+    for r in range(1, 16):
+        d = digits[r] if r <= res else 7
+        h |= d << (3 * (15 - r))
+    return h
+
+
+def latlng_to_cell(lat_deg, lng_deg, res: int) -> int:
+    """Single-point H3 index (degrees in, uint64 out)."""
+    return _latlng_to_cell_one(math.radians(lat_deg), math.radians(lng_deg),
+                               res)
+
+
+def lonlat_to_cell(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized lon/lat (degrees) → uint64 H3 index array."""
+    lons = np.radians(np.asarray(lons, dtype=np.float64))
+    lats = np.radians(np.asarray(lats, dtype=np.float64))
+    n = len(lons)
+    cl = np.cos(lats)
+    pts = np.stack([cl * np.cos(lons), cl * np.sin(lons), np.sin(lats)],
+                   axis=1)
+    dots = pts @ _FACE_XYZ.T
+    face = np.argmax(dots, axis=1)
+    c = _FACE_XYZ[face]
+    sqd = ((pts - c) ** 2).sum(axis=1)
+    r = np.arccos(np.clip(1.0 - sqd / 2.0, -1.0, 1.0))
+    flat = FACE_CENTER_GEO[face, 0]
+    flng = FACE_CENTER_GEO[face, 1]
+    az = np.arctan2(
+        np.cos(lats) * np.sin(lons - flng),
+        np.cos(flat) * np.sin(lats)
+        - np.sin(flat) * np.cos(lats) * np.cos(lons - flng))
+    theta = (FACE_AXES_AZ0[face] - az) % (2 * math.pi)
+    if res % 2 == 1:
+        theta = (theta - M_AP7_ROT_RADS) % (2 * math.pi)
+    with np.errstate(invalid="ignore"):
+        rr = np.tan(r) / RES0_U_GNOMONIC * (M_SQRT7 ** res)
+    rr = np.where(r < 1e-16, 0.0, rr)
+    x = rr * np.cos(theta)
+    y = rr * np.sin(theta)
+    # cube rounding, vectorized
+    vj = y / M_SIN60
+    vi = x + 0.5 * vj
+    cx, cz = vi, vj
+    cy = -cx - cz
+    rx, ry, rz = np.round(cx), np.round(cy), np.round(cz)
+    dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
+    m1 = (dx > dy) & (dx > dz)
+    m2 = ~m1 & (dy > dz)
+    m3 = ~m1 & ~m2
+    rx = np.where(m1, -ry - rz, rx)
+    ry = np.where(m2, -rx - rz, ry)
+    rz = np.where(m3, -rx - ry, rz)
+    i = rx.astype(np.int64)
+    j = rz.astype(np.int64)
+    k = np.zeros(n, dtype=np.int64)
+    mn = np.minimum(np.minimum(i, j), k)
+    i, j, k = i - mn, j - mn, k - mn
+    # up-chain with digit extraction
+    out = (np.uint64(1) << np.uint64(59)) | (np.uint64(res) << np.uint64(52))
+    h = np.full(n, out, dtype=np.uint64)
+    # unused digits = 7
+    for rl in range(res + 1, 16):
+        h |= np.uint64(7) << np.uint64(3 * (15 - rl))
+    digit_arr = np.zeros((res + 1, n), dtype=np.int64)
+    for rl in range(res, 0, -1):
+        li, lj, lk = i, j, k
+        a, b = i - k, j - k
+        if rl % 2 == 1:
+            ni = np.floor((3 * a - b) / 7.0 + 0.5).astype(np.int64)
+            nj = np.floor((a + 2 * b) / 7.0 + 0.5).astype(np.int64)
+        else:
+            ni = np.floor((2 * a + b) / 7.0 + 0.5).astype(np.int64)
+            nj = np.floor((3 * b - a) / 7.0 + 0.5).astype(np.int64)
+        nk = np.zeros(n, dtype=np.int64)
+        mn = np.minimum(np.minimum(ni, nj), nk)
+        ni, nj, nk = ni - mn, nj - mn, nk - mn
+        if rl % 2 == 1:
+            ci, cj, ck = 3 * ni + nj, 3 * nj + nk, ni + 3 * nk
+        else:
+            ci, cj, ck = 3 * ni + nk, ni + 3 * nj, nj + 3 * nk
+        mn = np.minimum(np.minimum(ci, cj), ck)
+        ci, cj, ck = ci - mn, cj - mn, ck - mn
+        di, dj, dk = li - ci, lj - cj, lk - ck
+        mn = np.minimum(np.minimum(di, dj), dk)
+        di, dj, dk = di - mn, dj - mn, dk - mn
+        digit_arr[rl] = di * 4 + dj * 2 + dk   # unit ijk → digit value
+        i, j, k = ni, nj, nk
+    code = face * 27 + i * 9 + j * 3 + k
+    bc = _LOOKUP_BC[code].astype(np.int64)
+    rot = _LOOKUP_ROT[code].astype(np.int64)
+    h |= bc.astype(np.uint64) << np.uint64(45)
+    for rl in range(1, res + 1):
+        d = _ROT_TABLES[rot, digit_arr[rl]]
+        h |= d.astype(np.uint64) << np.uint64(3 * (15 - rl))
+    return h
+
+
+def cell_to_parts(h: int):
+    """(res, base_cell, digits[1..res]) of an index — for tests."""
+    res = (h >> 52) & 0xF
+    bc = (h >> 45) & 0x7F
+    digits = [(h >> (3 * (15 - r))) & 0x7 for r in range(1, res + 1)]
+    return int(res), int(bc), [int(d) for d in digits]
