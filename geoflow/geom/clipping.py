@@ -318,11 +318,16 @@ def _build_polygons(shells, holes, srid) -> Geometry:
     shell_areas = [abs(_signed_area(s)) for s in shells]
     assign = [[] for _ in shells]
     for h in holes:
-        # attach to the smallest shell containing the hole's first vertex
-        pt = h[0]
+        # attach to the smallest shell containing a point strictly inside
+        # the hole (hole vertices may lie ON a shell boundary when the
+        # hole touches it)
+        e = h[1] - h[0]
+        ln = np.hypot(e[0], e[1])
+        q = 0.5 * (h[0] + h[1]) + np.array([e[1], -e[0]]) / ln * (
+            1e-9 * max(1.0, float(np.abs(h).max())))
         best, best_area = None, None
         for i, s in enumerate(shells):
-            if _even_odd_many(pt[None, :], [s])[0]:
+            if _even_odd_many(q[None, :], [s])[0]:
                 if best_area is None or shell_areas[i] < best_area:
                     best, best_area = i, shell_areas[i]
         if best is not None:

@@ -1,6 +1,6 @@
-from . import (aggregates, exporters, linestring, measures,  # noqa: F401
-               predicates, setops, splitting, srid, temporal, tessellation,
-               transforms, units)
+from . import (aggregates, codecs_xml, exporters, linestring,  # noqa: F401
+               measures, ops3d, predicates, setops, splitting, srid,
+               temporal, tessellation, topology, transforms, units)
 from .registry import REGISTRY, get_op, list_ops, register_op
 
 __all__ = ["REGISTRY", "get_op", "list_ops", "register_op", "aggregates",

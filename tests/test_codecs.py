@@ -98,3 +98,76 @@ def test_repr_float_exact_roundtrip():
         x, y = rng.uniform(-180, 180), rng.uniform(-85, 85)
         g = from_wkt(f"POINT({x!r} {y!r})")
         assert g.coords[0] == x and g.coords[1] == y
+
+
+def test_polyshape_reference_golden():
+    """AsPolyshapeTest.java golden: POINT(49.9928617 8.2472526) →
+    '0kfcpHixiq@' (spatial4j polyshape, x-first polyline at 1e5)."""
+    import pyarrow as pa
+    from geoflow.geom.wkb import to_wkb
+    from geoflow.ops import get_op
+    col = pa.array([to_wkb(from_wkt("POINT(49.9928617 8.2472526)"))],
+                   type=pa.binary())
+    assert get_op("st_aspolyshape").fn(col)[0].as_py() == "0kfcpHixiq@"
+
+
+def test_polyshape_roundtrip():
+    import pyarrow as pa
+    from geoflow.geom.wkb import from_wkb, to_wkb
+    from geoflow.ops import get_op
+    for w in ["POINT(-122.41 37.77)", "LINESTRING(0 0,1 1,2 0)",
+              "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+              "MULTIPOINT((1 1),(2 2))"]:
+        col = pa.array([to_wkb(from_wkt(w))], type=pa.binary())
+        s = get_op("st_aspolyshape").fn(col)[0].as_py()
+        g = from_wkb(get_op("st_geomfrompolyshape").fn(
+            pa.array([s]))[0].as_py())
+        assert to_wkt(g) == to_wkt(from_wkt(w))
+
+
+def test_asx3d_reference_golden():
+    """AsX3DTest.java golden, char-for-char (incl. the reference's
+    unclosed coordIndex attribute and unseparated 2D coords)."""
+    import pyarrow as pa
+    from geoflow.geom.wkb import to_wkb
+    from geoflow.ops import get_op
+    col = pa.array([to_wkb(from_wkt("POINT(49.9928617 8.2472526)"))],
+                   type=pa.binary())
+    got = get_op("st_asx3d").fn(col, 1, 1)[0].as_py()
+    exp = ('<?xml version="1.0" encoding="UTF-8"?>'
+           '<!DOCTYPE X3D PUBLIC "ISO//Web3D//DTD X3D 3.2//EN"'
+           'http://www.web3d.org/specifications/x3d-3.2.dtd">'
+           '<Scene><Shape><IndexedFaceSet coordIndex="0</IndexedFaceSet>'
+           '<Coordinate point="49.9928617 8.2472526"/></Shape></Scene></X3D>')
+    assert got == exp
+
+
+def test_gml_kml_readers_roundtrip():
+    import pyarrow as pa
+    from geoflow.geom.wkb import from_wkb, to_wkb
+    from geoflow.ops import get_op
+    for w in ["POINT(1 2)", "LINESTRING(0 0,1 1,2 0)",
+              "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))"]:
+        col = pa.array([to_wkb(from_wkt(w))], type=pa.binary())
+        gml = get_op("st_asgml").fn(col)[0].as_py()
+        g = from_wkb(get_op("st_geomfromgml").fn(pa.array([gml]))[0].as_py())
+        assert to_wkt(g) == to_wkt(from_wkt(w))
+        kml = get_op("st_askml").fn(col)[0].as_py()
+        g2 = from_wkb(get_op("st_geomfromkml").fn(pa.array([kml]))[0].as_py())
+        assert to_wkt(g2) == to_wkt(from_wkt(w))
+    # GML2 coordinates element also accepted
+    gml2 = "<gml:Point><gml:coordinates>3,4</gml:coordinates></gml:Point>"
+    g = from_wkb(get_op("st_geomfromgml").fn(pa.array([gml2]))[0].as_py())
+    assert to_wkt(g) == "POINT (3 4)"
+
+
+def test_asgeorss_deterministic():
+    import pyarrow as pa
+    from geoflow.geom.wkb import to_wkb
+    from geoflow.ops import get_op
+    col = pa.array([to_wkb(from_wkt("POINT(1 2)"))], type=pa.binary())
+    a = get_op("st_asgeorss").fn(col)[0].as_py()
+    b = get_op("st_asgeorss").fn(col)[0].as_py()
+    assert a == b                       # no wall clock in the kernel
+    assert a.startswith('<?xml version="1.0" encoding="UTF-8"?><rss')
+    assert "<gml:Point>" in a and a.endswith("</item></channel></rss>")
