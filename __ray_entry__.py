@@ -505,8 +505,10 @@ def q_setops_overlay(sf_dir: str):
                          "inter_area": inter, "union_area": un,
                          "diff_area": df, "sym_area": sy})
 
-    return _read(sf_dir, "documents").map_batches(build,
-                                                  batch_format="pyarrow")
+    # documents is a single parquet file → one block; the overlay is a
+    # CPU-bound per-row op, so split it across workers
+    return _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .repartition(16).map_batches(build, batch_format="pyarrow")
 
 
 def q_raster_stats(sf_dir: str):

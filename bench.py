@@ -153,7 +153,13 @@ def run_scaling():
     pair = tuple(int(c) for c in os.environ.get(
         "GRAFT_SCALE_CPUS", "4,16").split(","))
     results = {}
-    for cpus in pair:
+    for n, cpus in enumerate(pair):
+        if n:
+            # let the box settle: a run started while the previous one's
+            # workers/object store unwind measures contention, not
+            # scaling (observed: 627k rows/s clean vs 296k back-to-back
+            # at num_cpus=32)
+            time.sleep(20)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flagship-once",
              str(cpus), str(SCALE_ROWS)],

@@ -431,6 +431,56 @@ def rast_crop(col, x0, y0, x1, y1):
     return _map_unary(col, f)
 
 
+@register_op("rast_reproject", 2, "raster_transform")
+def rast_reproject(col, dst_srid):
+    """Reproject / Transform (raster): inverse-mapping nearest-neighbor
+    resample between the supported CRS (4326 ↔ 3857 ↔ UTM — the same
+    envelope as vector st_transform; arbitrary-EPSG is out of scope,
+    matching geom/crs.py). Output keeps the source pixel count; its
+    georeference is the dst-CRS bounding box of the source extent."""
+    from ..geom.crs import get_transformer
+
+    def f(r):
+        if r.srid == dst_srid or r.width == 0 or r.height == 0:
+            return r
+        fwd = get_transformer(r.srid, dst_srid)
+        inv = get_transformer(dst_srid, r.srid)
+        # dst bbox from the source corner points
+        cx = np.array([0, r.width, 0, r.width], dtype=np.float64)
+        cy = np.array([0, 0, r.height, r.height], dtype=np.float64)
+        wx = r.ip_x + cx * r.scale_x + cy * r.skew_x
+        wy = r.ip_y + cx * r.skew_y + cy * r.scale_y
+        dx, dy = fwd(wx, wy)
+        x0, x1 = float(np.min(dx)), float(np.max(dx))
+        y0, y1 = float(np.min(dy)), float(np.max(dy))
+        w, h = r.width, r.height
+        sx = (x1 - x0) / w
+        sy = (y0 - y1) / h          # north-up: negative scale_y
+        # inverse map each dst pixel center to a source pixel
+        jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+        dwx = x0 + (jj + 0.5) * sx
+        dwy = y1 + (ii + 0.5) * sy
+        swx, swy = inv(dwx.ravel(), dwy.ravel())
+        det = r.scale_x * r.scale_y - r.skew_x * r.skew_y
+        px = ((swx - r.ip_x) * r.scale_y - (swy - r.ip_y) * r.skew_x) / det
+        py = ((swy - r.ip_y) * r.scale_x - (swx - r.ip_x) * r.skew_y) / det
+        pxi = np.floor(px).astype(np.int64)
+        pyi = np.floor(py).astype(np.int64)
+        valid = (pxi >= 0) & (pxi < w) & (pyi >= 0) & (pyi < h)
+        pxi = np.clip(pxi, 0, w - 1)
+        pyi = np.clip(pyi, 0, h - 1)
+        bands = []
+        for bi, b in enumerate(r.bands):
+            out = b[pyi, pxi].reshape(h, w).copy()
+            nod = r.nodata[bi]
+            fill = nod if nod is not None else 0
+            out[~valid.reshape(h, w)] = fill
+            bands.append(out)
+        return Raster(bands, r.pixtypes, r.nodata, sx, sy, x0, y1,
+                      0.0, 0.0, dst_srid, shape=(h, w))
+    return _map_unary(col, f)
+
+
 @register_op("rast_reclass", 2, "raster_transform")
 def rast_reclass(col, mapping):
     """Reclass — {old_value: new_value} remap, others passthrough."""

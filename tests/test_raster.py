@@ -137,3 +137,26 @@ def test_samealignment(simple):
                  1.0, -1.0, 10.5, 20.0, 0.0, 0.0, 4326)
     assert get_op("rast_sameal").fn(col, _col(shifted)).to_pylist() == [True]
     assert get_op("rast_sameal").fn(col, _col(off)).to_pylist() == [False]
+
+
+def test_rast_reproject_roundtrip():
+    """4326 → 3857 → 4326 nearest-neighbor reprojection: georeference
+    maps to the web-mercator bbox and the value grid survives the round
+    trip exactly at matching pixel counts."""
+    import pyarrow as pa
+    from geoflow.geom.crs import lonlat_to_webmercator
+    from geoflow.ops import get_op
+    from geoflow.raster import Raster, from_wkb as rfw, to_wkb as rtw
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    r = Raster([px], [4], [None], 1.0, -1.0, 0.0, 44.0, 0.0, 0.0, 4326)
+    out = get_op("rast_reproject").fn(pa.array([rtw(r)], type=pa.binary()),
+                                      3857)
+    r2 = rfw(out[0].as_py())
+    assert r2.srid == 3857 and (r2.width, r2.height) == (4, 4)
+    mx0, my1 = lonlat_to_webmercator(np.array([0.0]), np.array([44.0]))
+    assert abs(r2.ip_x - mx0[0]) < 1e-6 and abs(r2.ip_y - my1[0]) < 1e-6
+    back = get_op("rast_reproject").fn(pa.array([rtw(r2)], type=pa.binary()),
+                                       4326)
+    r3 = rfw(back[0].as_py())
+    assert r3.srid == 4326
+    assert np.array_equal(r3.bands[0], px)
