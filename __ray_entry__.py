@@ -511,6 +511,35 @@ def q_setops_overlay(sf_dir: str):
         .repartition(16).map_batches(build, batch_format="pyarrow")
 
 
+def q_media_stats(sf_dir: str):
+    """Multimodal pipeline plumbing, oracle-gated: synthesize a 16x12
+    uint8 'image' payload per doc (byte i = (doc_id*7+i) % 251), run it
+    through the actor-pool decode → nearest-neighbor resize(8x8) →
+    integer pixel stats. The SQL oracle recomputes the resize index
+    arithmetic directly — value-gates the decode/resize/stats chain."""
+    from geoflow.media import ImageStats, MediaDecoder, MediaResize, \
+        make_media_batch
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return make_media_batch(ids, width=16, height=12, channels=1)
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow") \
+        .map_batches(MediaDecoder, batch_format="pyarrow", concurrency=2) \
+        .map_batches(MediaResize, fn_constructor_args=(8, 8),
+                     batch_format="pyarrow", concurrency=2) \
+        .map_batches(ImageStats(), batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("key"),
+                         "px_sum": batch.column("px_sum"),
+                         "px_min": batch.column("px_min"),
+                         "px_max": batch.column("px_max")})
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
 def q_raster_stats(sf_dir: str):
     """Raster pipeline parity: per part, build a deterministic 4x4 uint8
     raster (pixel[i] = (p_partkey*16 + i) % 251), run it through the
@@ -783,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup": q_near_dup,
         "sessionize": q_sessionize,
         "setops_overlay": q_setops_overlay,
+        "media_stats": q_media_stats,
         "raster_stats": q_raster_stats,
         "webmercator": q_webmercator,
         "tile_density": q_tile_density,
@@ -962,6 +992,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 - inter AS DOUBLE) AS diff_area,
                    CAST(16 + 27 - 2 * inter AS DOUBLE) AS sym_area
             FROM q""",
+        "media_stats": """
+            SELECT doc_id,
+                   CAST(sum(v) AS BIGINT) AS px_sum,
+                   CAST(min(v) AS BIGINT) AS px_min,
+                   CAST(max(v) AS BIGINT) AS px_max
+            FROM (SELECT doc_id,
+                         (doc_id * 7 + ((r * 12) // 8) * 16
+                          + ((c * 16) // 8)) % 251 AS v
+                  FROM documents,
+                       unnest(range(8)) AS tr(r),
+                       unnest(range(8)) AS tc(c))
+            GROUP BY doc_id""",
         "raster_stats": """
             SELECT p_partkey,
                    count(*) AS px_count,

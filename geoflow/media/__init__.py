@@ -1,0 +1,28 @@
+"""Multimodal (image/audio/video) columns for the training-data
+pipeline: opaque `binary` payloads + typed metadata, processed by
+actor-pool map_batches stages.
+
+Design (the part that matters at 100 TB):
+- media rows are (key, media_type, payload: binary, meta struct) — the
+  payload NEVER converts to Python objects outside the decode stage and
+  flows zero-copy through the object store;
+- decode / resize / feature stages are callable CLASSES for
+  `map_batches(Cls, concurrency=N, batch_size=B)` — codec/model state
+  loads once per actor in __init__, per-batch work in __call__;
+- batches stay small for large payloads (batch_size is the caller's
+  memory knob: batch_size × payload_size × concurrency must fit the
+  worker heap).
+
+Container note: no image/audio libraries ship in this environment, so
+REAL codec decode (png/jpeg/...) is stubbed behind an import-try that
+raises NotImplementedError with the library name; the "fake8" codec is
+a deterministic byte-stream decoder (payload bytes = row-major uint8
+pixels, shaped by meta) that keeps every downstream kernel — resize,
+stats, frame sampling, audio features — real, vectorized and testable.
+"""
+
+from .stages import (AudioFeatures, FrameSampler, ImageStats, MediaDecoder,
+                     MediaResize, make_media_batch)
+
+__all__ = ["MediaDecoder", "MediaResize", "ImageStats", "FrameSampler",
+           "AudioFeatures", "make_media_batch"]

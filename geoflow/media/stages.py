@@ -1,0 +1,192 @@
+"""Actor-pool media stages (see package docstring for the design).
+
+Schema convention:
+  input   (key:int64, media_type:string, payload:binary,
+           width:int32, height:int32, channels:int32,
+           sample_rate:int32, n_frames:int32, codec:string)
+  decoded adds pixels:binary (row-major uint8, h*w*c) — still opaque
+          bytes so downstream stages stay zero-copy-friendly
+  stats   adds per-image aggregate columns
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def make_media_batch(keys: np.ndarray, width=16, height=12, channels=1,
+                     media_type="image", codec="fake8",
+                     sample_rate=8000, n_frames=1) -> pa.Table:
+    """Deterministic synthetic media rows: payload byte i of row k is
+    (k*7 + i) % 251 — reproducible from the key alone, so an external
+    (SQL) oracle can recompute any derived statistic."""
+    keys = np.asarray(keys, dtype=np.int64)
+    n = len(keys)
+    size = width * height * channels * n_frames
+    idx = np.arange(size, dtype=np.int64)
+    payload_mat = ((keys[:, None] * 7 + idx[None, :]) % 251).astype(np.uint8)
+    payloads = [payload_mat[i].tobytes() for i in range(n)]
+    return pa.table({
+        "key": pa.array(keys),
+        "media_type": pa.array([media_type] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(np.full(n, width, dtype=np.int32)),
+        "height": pa.array(np.full(n, height, dtype=np.int32)),
+        "channels": pa.array(np.full(n, channels, dtype=np.int32)),
+        "sample_rate": pa.array(np.full(n, sample_rate, dtype=np.int32)),
+        "n_frames": pa.array(np.full(n, n_frames, dtype=np.int32)),
+        "codec": pa.array([codec] * n, type=pa.string()),
+    })
+
+
+class MediaDecoder:
+    """payload → pixels (row-major uint8 bytes). Actor-pool stage:
+    codec dispatch table built once per actor.
+
+    codecs:
+      fake8      payload bytes ARE the pixels (deterministic test codec)
+      png/jpeg   require PIL — absent in this container, so the stage
+                 raises NotImplementedError naming the dependency (the
+                 Ray plumbing around it is identical)."""
+
+    def __init__(self):
+        self._codecs = {"fake8": self._decode_fake8}
+        try:  # pragma: no cover - library absent in this container
+            from PIL import Image  # noqa: F401
+            self._codecs["png"] = self._decode_pil
+            self._codecs["jpeg"] = self._decode_pil
+        except ImportError:
+            pass
+
+    @staticmethod
+    def _decode_fake8(buf: bytes, w: int, h: int, c: int, f: int) -> bytes:
+        need = w * h * c * f
+        if len(buf) < need:
+            buf = buf + b"\x00" * (need - len(buf))
+        return buf[:need]
+
+    @staticmethod
+    def _decode_pil(buf, w, h, c, f):  # pragma: no cover
+        raise NotImplementedError("PIL decode path exercised only where "
+                                  "pillow is installed")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("payload").to_pylist()
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        c = batch.column("channels").to_numpy(zero_copy_only=False)
+        f = batch.column("n_frames").to_numpy(zero_copy_only=False)
+        codecs = batch.column("codec").to_pylist()
+        out = []
+        for i, buf in enumerate(bufs):
+            fn = self._codecs.get(codecs[i])
+            if fn is None:
+                raise NotImplementedError(
+                    f"codec {codecs[i]!r} needs an image library not in "
+                    f"this container (available: {sorted(self._codecs)})")
+            out.append(fn(buf, int(w[i]), int(h[i]), int(c[i]), int(f[i])))
+        return batch.append_column("pixels", pa.array(out, type=pa.binary()))
+
+
+class MediaResize:
+    """Nearest-neighbor resize of decoded frames to (out_w, out_h) —
+    real vectorized kernel (index gather per batch)."""
+
+    def __init__(self, out_w: int, out_h: int):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("pixels").to_pylist()
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        c = batch.column("channels").to_numpy(zero_copy_only=False)
+        ow, oh = self.out_w, self.out_h
+        out = []
+        for i, buf in enumerate(bufs):
+            wi, hi, ci = int(w[i]), int(h[i]), int(c[i])
+            px = np.frombuffer(buf, dtype=np.uint8)[:wi * hi * ci] \
+                .reshape(hi, wi, ci)
+            ri = (np.arange(oh, dtype=np.int64) * hi) // oh
+            cj = (np.arange(ow, dtype=np.int64) * wi) // ow
+            out.append(px[np.ix_(ri, cj)].tobytes())
+        t = batch.drop_columns(["pixels"])
+        t = t.append_column("pixels", pa.array(out, type=pa.binary()))
+        t = t.set_column(t.schema.get_field_index("width"), "width",
+                         pa.array(np.full(len(out), ow, dtype=np.int32)))
+        t = t.set_column(t.schema.get_field_index("height"), "height",
+                         pa.array(np.full(len(out), oh, dtype=np.int32)))
+        return t
+
+
+class ImageStats:
+    """Per-image pixel aggregates (integer-exact: px_sum/min/max as
+    int64 — hashable across engines)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("pixels").to_pylist()
+        sums = np.zeros(len(bufs), dtype=np.int64)
+        mins = np.zeros(len(bufs), dtype=np.int64)
+        maxs = np.zeros(len(bufs), dtype=np.int64)
+        for i, buf in enumerate(bufs):
+            px = np.frombuffer(buf, dtype=np.uint8)
+            sums[i] = int(px.sum(dtype=np.int64))
+            mins[i] = int(px.min()) if len(px) else 0
+            maxs[i] = int(px.max()) if len(px) else 0
+        return pa.table({
+            "key": batch.column("key"),
+            "px_sum": pa.array(sums),
+            "px_min": pa.array(mins),
+            "px_max": pa.array(maxs)})
+
+
+class FrameSampler:
+    """Keep every `stride`-th frame of a multi-frame (video) payload —
+    emits one row per sampled frame with frame_idx."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("pixels").to_pylist()
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        c = batch.column("channels").to_numpy(zero_copy_only=False)
+        f = batch.column("n_frames").to_numpy(zero_copy_only=False)
+        keys = batch.column("key").to_numpy(zero_copy_only=False)
+        ok, ofr, opx = [], [], []
+        for i, buf in enumerate(bufs):
+            fsz = int(w[i]) * int(h[i]) * int(c[i])
+            for fi in range(0, int(f[i]), self.stride):
+                ok.append(int(keys[i]))
+                ofr.append(fi)
+                opx.append(buf[fi * fsz:(fi + 1) * fsz])
+        return pa.table({
+            "key": pa.array(ok, type=pa.int64()),
+            "frame_idx": pa.array(ofr, type=pa.int32()),
+            "pixels": pa.array(opx, type=pa.binary())})
+
+
+class AudioFeatures:
+    """PCM (uint8 centered at 128 for the fake codec) → integer-exact
+    features: rms_milli (int64, floor of RMS*1000) + zero crossings."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("payload").to_pylist()
+        rms = np.zeros(len(bufs), dtype=np.int64)
+        zc = np.zeros(len(bufs), dtype=np.int64)
+        for i, buf in enumerate(bufs):
+            s = np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128
+            if len(s) == 0:
+                continue
+            rms[i] = int(np.floor(np.sqrt((s * s).mean()) * 1000.0))
+            sgn = np.sign(s)
+            nz = sgn != 0
+            sg = sgn[nz]
+            zc[i] = int((sg[1:] != sg[:-1]).sum()) if len(sg) > 1 else 0
+        return pa.table({
+            "key": batch.column("key"),
+            "rms_milli": pa.array(rms),
+            "zero_crossings": pa.array(zc)})
