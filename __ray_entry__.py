@@ -402,6 +402,39 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_embed_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup with PLANTED duplicates: every vector
+    with vec_id % 20 == 0 gets an exact copy at id + 1_000_000; the
+    LSH-bucketed pipeline must recover exactly the planted pairs
+    (organic max cosine in this corpus is ~0.55, threshold 0.8 — no
+    boundary sensitivity)."""
+    from geoflow.vector import cosine_near_dup_pairs
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % 20 == 0)[0]
+        take = pa.array(sel, type=pa.int64())
+        dup = pa.table({
+            "vec_id": pa.array(ids[sel] + 1_000_000),
+            "embedding": batch.column("embedding").take(take)})
+        base = pa.table({"vec_id": batch.column("vec_id"),
+                         "embedding": batch.column("embedding")})
+        return pa.concat_tables([base, dup])
+
+    ds = _read(sf_dir, "embeddings").map_batches(plant,
+                                                 batch_format="pyarrow")
+    pairs = cosine_near_dup_pairs(ds, threshold=0.8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ka = batch.column("key_a").to_numpy(zero_copy_only=False)
+        kb = batch.column("key_b").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(kb == ka + 1_000_000))
+        return pa.table({"key_a": sub.column("key_a"),
+                         "key_b": sub.column("key_b")})
+
+    return pairs.map_batches(project, batch_format="pyarrow")
+
+
 def q_near_dup(sf_dir: str):
     """MinHash-LSH near-dup detection with PLANTED duplicates: every doc
     with doc_id % 10 == 0 gets a lightly-mutated copy (id + 1_000_000);
@@ -810,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "ann_topk": q_ann_topk,
         "near_dup": q_near_dup,
+        "embed_near_dup": q_embed_near_dup,
         "sessionize": q_sessionize,
         "setops_overlay": q_setops_overlay,
         "media_stats": q_media_stats,
@@ -924,6 +958,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup": """
             SELECT doc_id AS key_a, doc_id + 1000000 AS key_b
             FROM documents WHERE doc_id % 10 = 0""",
+        "embed_near_dup": """
+            SELECT vec_id AS key_a, vec_id + 1000000 AS key_b
+            FROM embeddings WHERE vec_id % 20 = 0""",
         "langid": r"""
             WITH toks AS (
               SELECT doc_id, lang, text,

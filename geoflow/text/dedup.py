@@ -380,3 +380,70 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def simhash_near_dup_pairs(ds, max_hamming=3, key_col="doc_id",
+                           sim_col="simhash", bucket_cap=4096):
+    """SimHash hamming-ball near-dup pairs: band the 64-bit fingerprint
+    into 4 × 16-bit segments — two fingerprints within hamming distance
+    3 must agree on at least one band (pigeonhole), so banding gives
+    guaranteed recall; in-bucket pairs are verified by exact hamming.
+    The shuffle carries (key, bucket, fingerprint) = 24 bytes/row.
+    Returns Dataset (key_a, key_b, hamming)."""
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        fp = batch.column(sim_col).to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        keys = batch.column(key_col)
+        n = len(fp)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), 4))
+        buckets = np.empty(4 * n, dtype=np.uint64)
+        for b in range(4):
+            seg = (fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            buckets[b * n:(b + 1) * n] = mix64(
+                seg + np.uint64(b + 1) * _GOLD)
+        return pa.table({key_col: keys.take(idx),
+                         "bucket": pa.array(buckets.view(np.int64)),
+                         sim_col: batch.column(sim_col).take(idx)})
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table({"key_a": pa.array([], type=pa.int64()),
+                          "key_b": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int64())})
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        fps = group.column(sim_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, fps = keys[order], fps[order]
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        keys, fps = keys[first], fps[first]
+        n = len(keys)
+        if n < 2:
+            return empty
+        if n > bucket_cap:
+            ka = np.full(n - 1, keys[0])
+            kb, fb = keys[1:], fps[1:]
+            fa = np.full(n - 1, fps[0])
+        else:
+            ii, jj = np.triu_indices(n, k=1)
+            ka, kb = keys[ii], keys[jj]
+            fa, fb = fps[ii], fps[jj]
+        hd = hamming_distance(fa, fb)
+        keep = hd <= max_hamming
+        return pa.table({"key_a": pa.array(ka[keep]),
+                         "key_b": pa.array(kb[keep]),
+                         "hamming": pa.array(hd[keep])})
+
+    pairs = buckets.groupby("bucket").map_groups(emit,
+                                                 batch_format="pyarrow")
+    dedup = pairs.groupby(["key_a", "key_b"]).min("hamming")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"key_a": batch.column("key_a"),
+                         "key_b": batch.column("key_b"),
+                         "hamming": pc.cast(batch.column("min(hamming)"),
+                                            pa.int64())})
+
+    return dedup.map_batches(rename, batch_format="pyarrow")

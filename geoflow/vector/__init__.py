@@ -1,3 +1,5 @@
-from .ann import BruteForceTopK, LshTopK, QuerySet, global_topk
+from .ann import (BruteForceTopK, HyperplaneBucketer, LshTopK, QuerySet,
+                  cosine_near_dup_pairs, global_topk)
 
-__all__ = ["BruteForceTopK", "LshTopK", "QuerySet", "global_topk"]
+__all__ = ["BruteForceTopK", "HyperplaneBucketer", "LshTopK", "QuerySet",
+           "cosine_near_dup_pairs", "global_topk"]

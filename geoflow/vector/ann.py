@@ -138,3 +138,118 @@ class LshTopK:
             "cosine": pa.array(
                 np.take_along_axis(sims, idx, axis=1).ravel().astype(np.float64)),
         })
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (dedup family)
+# ---------------------------------------------------------------------------
+
+class HyperplaneBucketer:
+    """Map stage: per vector, one (key, bucket) row per LSH table —
+    16 bytes/row/table through the shuffle; the embedding itself never
+    enters the shuffle. Hyperplanes are seeded in __init__ (identical
+    on every worker — deterministic retries)."""
+
+    def __init__(self, dim: int, n_tables=6, n_bits=16, seed=17,
+                 emb_col="embedding", key_col="vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal(
+            (n_tables, dim, n_bits)).astype(np.float32)
+        self.pow2 = (1 << np.arange(n_bits, dtype=np.int64))
+        self.n_tables = n_tables
+        self.emb_col = emb_col
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, self.emb_col)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        out_k = np.tile(keys, self.n_tables)
+        out_b = np.empty(n * self.n_tables, dtype=np.int64)
+        for t in range(self.n_tables):
+            codes = ((mn @ self.planes[t]) > 0) @ self.pow2
+            # mix the table id into the bucket so one groupby key suffices
+            out_b[t * n:(t + 1) * n] = codes * np.int64(131) + t
+        return pa.table({self.key_col: pa.array(out_k),
+                         "bucket": pa.array(out_b)})
+
+
+def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
+                          seed=17, emb_col="embedding", key_col="vec_id",
+                          bucket_cap=4096, dim=None):
+    """Embedding-cosine near-dup pairs, scale-safe three-stage shape:
+      1. hyperplane-LSH buckets (map; embeddings stay in the map stage),
+      2. groupby(bucket) → candidate pairs (capped), groupby(pair) dedup,
+      3. verify: fetch ONLY the candidate keys' embeddings via a
+         broadcast key set (pairs ≪ corpus) and keep cosine ≥ threshold.
+    Exact/near duplicates collide in every/most tables, so recall for
+    true near-dups is ~1; random pairs need all n_bits to agree.
+    Returns Dataset (key_a, key_b, cos_sim)."""
+    import ray
+
+    if dim is None:
+        first = ds.take(1)[0][emb_col]
+        dim = len(first)
+    buckets = ds.map_batches(
+        HyperplaneBucketer, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(dim=dim, n_tables=n_tables,
+                                   n_bits=n_bits, seed=seed,
+                                   emb_col=emb_col, key_col=key_col),
+        concurrency=2)
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        keys = np.unique(group.column(key_col).to_numpy(zero_copy_only=False))
+        if len(keys) < 2:
+            return pa.table({"key_a": pa.array([], type=pa.int64()),
+                             "key_b": pa.array([], type=pa.int64())})
+        if len(keys) > bucket_cap:
+            ka = np.full(len(keys) - 1, keys[0])
+            kb = keys[1:]
+        else:
+            ii, jj = np.triu_indices(len(keys), k=1)
+            ka, kb = keys[ii], keys[jj]
+        return pa.table({"key_a": pa.array(ka, type=pa.int64()),
+                         "key_b": pa.array(kb, type=pa.int64())})
+
+    pairs = buckets.groupby("bucket").map_groups(emit_pairs,
+                                                 batch_format="pyarrow")
+    uniq = pairs.groupby(["key_a", "key_b"]).count() \
+        .select_columns(["key_a", "key_b"])
+
+    prs = uniq.take_all()
+    if not prs:
+        return ray.data.from_arrow(pa.table({
+            "key_a": pa.array([], type=pa.int64()),
+            "key_b": pa.array([], type=pa.int64()),
+            "cos_sim": pa.array([], type=pa.float64())}))
+    need = np.array(sorted({r["key_a"] for r in prs}
+                           | {r["key_b"] for r in prs}), dtype=np.int64)
+    ref = ray.put(need)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        wk = ray.get(ref)
+        kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(wk, kv), 0, len(wk) - 1)
+        return batch.select([key_col, emb_col]).filter(
+            pa.array(wk[pos] == kv))
+
+    embs = {}
+    for b in ds.map_batches(filt, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        ks = b.column(key_col).to_numpy(zero_copy_only=False)
+        m = _embedding_matrix(b, emb_col)
+        nm = np.linalg.norm(m, axis=1, keepdims=True)
+        nm[nm == 0] = 1.0
+        m = m / nm
+        for i, kk in enumerate(ks):
+            embs[int(kk)] = m[i]
+    ka = np.array([r["key_a"] for r in prs], dtype=np.int64)
+    kb = np.array([r["key_b"] for r in prs], dtype=np.int64)
+    cs = np.array([float(embs[a] @ embs[b]) for a, b in zip(ka, kb)])
+    keep = cs >= threshold
+    return ray.data.from_arrow(pa.table({
+        "key_a": pa.array(ka[keep]), "key_b": pa.array(kb[keep]),
+        "cos_sim": pa.array(cs[keep])}))

@@ -181,3 +181,41 @@ def test_ann_lsh_recall(ray_session):
                           batch_format="pyarrow", concurrency=2).take_all()
     found = {r["vec_id"] for r in cand}
     assert 0 in found and 250 in found  # planted near-dup must be recalled
+
+
+def test_simhash_near_dup_pairs(ray_session):
+    """Hamming-banded simhash dedup: exact duplicate docs (hamming 0)
+    are always recovered; distinct docs far apart are not paired."""
+    import ray
+    from geoflow.text import SimHasher
+    from geoflow.text.dedup import simhash_near_dup_pairs
+    docs = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog " * 4},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog " * 4},
+        {"doc_id": 2, "text": "completely different database engine words " * 4},
+        {"doc_id": 3, "text": "vector search with embeddings and clusters " * 4},
+    ]
+    ds = ray.data.from_items(docs).map_batches(SimHasher(),
+                                               batch_format="pyarrow")
+    got = {(r["key_a"], r["key_b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(ds, max_hamming=3).take_all()}
+    assert got.get((0, 1)) == 0
+    assert (2, 3) not in got
+
+
+def test_cosine_near_dup_pairs(ray_session):
+    import ray
+    from geoflow.vector import cosine_near_dup_pairs
+    rng = np.random.default_rng(21)
+    emb = rng.standard_normal((400, 64)).astype(np.float32)
+    emb[200] = emb[0] * 2.0          # same direction: cosine exactly 1
+    emb[201] = emb[1] + rng.standard_normal(64).astype(np.float32) * 0.05
+    t = pa.table({"vec_id": pa.array(np.arange(400)),
+                  "embedding": pa.array(list(emb))})
+    out = cosine_near_dup_pairs(ray.data.from_arrow(t),
+                                threshold=0.9).take_all()
+    got = {(r["key_a"], r["key_b"]) for r in out}
+    assert (0, 200) in got
+    assert (1, 201) in got
+    # random pairs at 64 dims can't reach 0.9
+    assert all(a in (0, 1) or b in (200, 201) for a, b in got) or len(got) == 2
