@@ -188,3 +188,84 @@ def wkb_to_points(bufs) -> tuple:
     x[:] = np.ascontiguousarray(mat[:, 5:13]).view("<f8").ravel()
     y[:] = np.ascontiguousarray(mat[:, 13:21]).view("<f8").ravel()
     return x, y
+
+
+def _bounds_scan(mv: memoryview, pos: int, acc: list) -> int:
+    """Advance through one WKB geometry starting at `pos`, appending its
+    coordinate blocks (as float64 arrays, ndim-strided) to `acc`.
+    Returns the new position. Little-endian only (our writer's output and
+    the corpus norm); callers fall back to from_wkb otherwise."""
+    if mv[pos] != 1:
+        raise ValueError("big-endian WKB")
+    raw = int.from_bytes(mv[pos + 1:pos + 5], "little")
+    t, has_z, has_m, has_srid = _decode_type(raw)
+    pos += 5
+    if has_srid:
+        pos += 4
+    ndim = 2 + int(has_z) + int(has_m)
+    step = 8 * ndim
+    if t == POINT:
+        acc.append(np.frombuffer(mv, dtype="<f8", count=ndim, offset=pos)
+                   .reshape(1, ndim))
+        return pos + step
+    if t == LINESTRING:
+        n = int.from_bytes(mv[pos:pos + 4], "little")
+        pos += 4
+        acc.append(np.frombuffer(mv, dtype="<f8", count=n * ndim,
+                                 offset=pos).reshape(n, ndim))
+        return pos + n * step
+    if t == POLYGON:
+        nr = int.from_bytes(mv[pos:pos + 4], "little")
+        pos += 4
+        for _ in range(nr):
+            n = int.from_bytes(mv[pos:pos + 4], "little")
+            pos += 4
+            acc.append(np.frombuffer(mv, dtype="<f8", count=n * ndim,
+                                     offset=pos).reshape(n, ndim))
+            pos += n * step
+        return pos
+    # multi / collection
+    np_ = int.from_bytes(mv[pos:pos + 4], "little")
+    pos += 4
+    for _ in range(np_):
+        pos = _bounds_scan(mv, pos, acc)
+    return pos
+
+
+def wkb_bounds(bufs) -> np.ndarray:
+    """(n, 4) [xmin, ymin, xmax, ymax] per WKB buffer WITHOUT building
+    Geometry objects: a per-row header scan collects zero-copy coordinate
+    views, then ONE concatenate + reduceat pass computes every row's
+    min/max (the hot path of polygon-side cell covering). None / empty →
+    NaN row."""
+    n = len(bufs)
+    out = np.full((n, 4), np.nan)
+    blocks: list = []
+    rows: list = []
+    for i, b in enumerate(bufs):
+        if b is None or len(b) < 5:
+            continue
+        try:
+            acc: list = []
+            _bounds_scan(memoryview(b), 0, acc)
+        except (ValueError, IndexError):
+            out[i] = from_wkb(b).bounds()
+            continue
+        for a in acc:
+            if len(a):
+                blocks.append(a[:, :2])
+                rows.append(np.full(len(a), i, dtype=np.int64))
+    if not blocks:
+        return out
+    big = np.concatenate(blocks)
+    rid = np.concatenate(rows)
+    # blocks were appended in row order → rid is nondecreasing
+    starts = np.flatnonzero(np.diff(rid, prepend=rid[0] - 1))
+    present = rid[starts]
+    mins = np.minimum.reduceat(big, starts, axis=0)
+    maxs = np.maximum.reduceat(big, starts, axis=0)
+    out[present, 0] = mins[:, 0]
+    out[present, 1] = mins[:, 1]
+    out[present, 2] = maxs[:, 0]
+    out[present, 3] = maxs[:, 1]
+    return out

@@ -82,15 +82,20 @@ class BroadcastPIPJoin:
                 pi, poly_i = self._probe_points(pts[0], pts[1])
                 src_rows = pi
             else:
-                # mixed geometries: bbox candidates then exact predicate
-                geoms = [from_wkb(b) if b is not None else None for b in bufs]
-                boxes = np.array([g.bounds() if g is not None else
-                                  (np.nan,) * 4 for g in geoms])
+                # mixed geometries: bbox candidates from a header scan
+                # (no full decode), then decode ONLY candidate rows for
+                # the exact predicate
+                from ..geom.wkb import wkb_bounds
+                boxes = wkb_bounds(bufs)
                 pi, poly_i = self.tree.query_boxes(boxes)
                 pred = getattr(alg, self.predicate)
+                cand_rows = np.unique(pi) if len(pi) else pi
+                dec = {int(r): from_wkb(bufs[int(r)]) for r in cand_rows
+                       if bufs[int(r)] is not None}
                 keep = [n for n in range(len(pi))
-                        if geoms[pi[n]] is not None
-                        and pred(geoms[pi[n]], self.idx.geoms[int(poly_i[n])])]
+                        if int(pi[n]) in dec
+                        and pred(dec[int(pi[n])],
+                                 self.idx.geoms[int(poly_i[n])])]
                 pi, poly_i = pi[keep], poly_i[keep]
                 src_rows = pi
 

@@ -66,10 +66,8 @@ def prepare_polygon_side(ds, wkb_col="geom_wkb", id_col="poly_id",
     keep_types = keep_types or {}
 
     def cover(batch: pa.Table) -> pa.Table:
-        bufs = batch.column(wkb_col).to_pylist()
-        boxes = np.empty((len(bufs), 4))
-        for i, b in enumerate(bufs):
-            boxes[i] = from_wkb(b).bounds() if b is not None else (np.nan,) * 4
+        from ..geom.wkb import wkb_bounds
+        boxes = wkb_bounds(batch.column(wkb_col).to_pylist())
         valid = np.isfinite(boxes[:, 0])
         vidx = np.nonzero(valid)[0]
         ri, cells = grid.cover_boxes(boxes[vidx, 0], boxes[vidx, 1],
@@ -305,10 +303,8 @@ def cell_join(points_ds, polys_ds, res=grid.DEFAULT_RES,
         return pa.table(cols)
 
     def pol_prep(batch: pa.Table) -> pa.Table:
-        bufs = batch.column("geom_wkb").to_pylist()
-        boxes = np.empty((len(bufs), 4))
-        for i, b in enumerate(bufs):
-            boxes[i] = from_wkb(b).bounds() if b is not None else (np.nan,) * 4
+        from ..geom.wkb import wkb_bounds
+        boxes = wkb_bounds(batch.column("geom_wkb").to_pylist())
         valid = np.isfinite(boxes[:, 0])
         vidx = np.nonzero(valid)[0]
         ri, cells = grid.cover_boxes(boxes[vidx, 0], boxes[vidx, 1],

@@ -150,15 +150,15 @@ def bounding_box(col="geom_wkb"):
             x0, y0 = float(pts[0].min()), float(pts[1].min())
             x1, y1 = float(pts[0].max()), float(pts[1].max())
         else:
-            from ..geom import from_wkb
-            x0 = y0 = math.inf
-            x1 = y1 = -math.inf
-            for b in bufs:
-                bx0, by0, bx1, by1 = from_wkb(b).bounds()
-                if math.isnan(bx0):
-                    continue
-                x0, y0 = min(x0, bx0), min(y0, by0)
-                x1, y1 = max(x1, bx1), max(y1, by1)
+            from ..geom.wkb import wkb_bounds
+            boxes = wkb_bounds(bufs)
+            fin_rows = np.isfinite(boxes[:, 0])
+            if not fin_rows.any():
+                return a
+            x0 = float(boxes[fin_rows, 0].min())
+            y0 = float(boxes[fin_rows, 1].min())
+            x1 = float(boxes[fin_rows, 2].max())
+            y1 = float(boxes[fin_rows, 3].max())
         return (min(a[0], x0), min(a[1], y0), max(a[2], x1), max(a[3], y1))
 
     def fin(a):
