@@ -253,3 +253,85 @@ def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
     return ray.data.from_arrow(pa.table({
         "key_a": pa.array(ka[keep]), "key_b": pa.array(kb[keep]),
         "cos_sim": pa.array(cs[keep])}))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(sample: np.ndarray, n_lists: int = 64,
+                        iters: int = 10, seed: int = 23) -> np.ndarray:
+    """Lloyd k-means over a (normalized) sample — deterministic:
+    seeded subsample init, fixed iteration count. Returns (n_lists, d)
+    L2-normalized centroids."""
+    m = np.asarray(sample, dtype=np.float64)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    m = m / nrm
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(m))
+    cent = m[rng.choice(len(m), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_lists):
+            rows = m[assign == c]
+            if len(rows):
+                v = rows.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class IvfTopK:
+    """IVF filter stage: rows whose coarse list is among the n_probe
+    lists nearest to SOME query are scored; everything else is skipped
+    without a dot product against the query matrix. Centroids + queries
+    are broadcast refs; assignment happens batch-vectorized per actor.
+
+    At cluster scale the same structure becomes a two-stage shuffle
+    (partition by list id, co-locate queries' probe lists); here the
+    filter-in-place form keeps it a single streaming pass."""
+
+    def __init__(self, queries_ref, centroids_ref, emb_col="embedding",
+                 key_col="vec_id", n_probe=4, k_local=64):
+        import ray
+        self.q = ray.get(queries_ref) \
+            if not isinstance(queries_ref, QuerySet) else queries_ref
+        cent = ray.get(centroids_ref) \
+            if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.cent = cent
+        self.emb_col = emb_col
+        self.key_col = key_col
+        self.k_local = k_local
+        qsims = self.q.mat @ cent.T
+        order = np.argsort(-qsims, axis=1)[:, :n_probe]
+        self.probe_lists = np.unique(order.ravel())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, self.emb_col)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mn = m / nrm
+        assign = np.argmax(mn @ self.cent.T, axis=1)
+        rows = np.nonzero(np.isin(assign, self.probe_lists))[0]
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          self.key_col: pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if len(rows) == 0:
+            return empty
+        sub = mn[rows]
+        sims = self.q.mat @ sub.T
+        keys = batch.column(self.key_col).to_numpy(
+            zero_copy_only=False)[rows]
+        out_q, out_k, out_s = [], [], []
+        k = min(self.k_local, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            top = np.argpartition(-sims[qi], k - 1)[:k]
+            out_q.append(np.full(k, self.q.ids[qi], dtype=np.int64))
+            out_k.append(keys[top])
+            out_s.append(sims[qi][top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            self.key_col: pa.array(np.concatenate(out_k).astype(np.int64)),
+            "cosine": pa.array(np.concatenate(out_s))})

@@ -219,3 +219,24 @@ def test_cosine_near_dup_pairs(ray_session):
     assert (1, 201) in got
     # random pairs at 64 dims can't reach 0.9
     assert all(a in (0, 1) or b in (200, 201) for a, b in got) or len(got) == 2
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF (k-means inverted lists) scale path: the planted near-dup of
+    the query must be recalled through the probe lists."""
+    import ray
+    from geoflow.vector import IvfTopK, QuerySet, train_ivf_centroids
+    rng = np.random.default_rng(31)
+    emb = rng.standard_normal((600, 32))
+    emb[300] = emb[0] + rng.standard_normal(32) * 0.01
+    cent = train_ivf_centroids(emb[:256], n_lists=16)
+    t = pa.table({"vec_id": pa.array(np.arange(600)),
+                  "embedding": pa.array(list(emb))})
+    qref = ray.put(QuerySet(np.array([0]), emb[:1]))
+    cref = ray.put(cent)
+    cand = ray.data.from_arrow(t).map_batches(
+        IvfTopK, fn_constructor_args=(qref, cref),
+        fn_constructor_kwargs={"n_probe": 4, "k_local": 10},
+        batch_format="pyarrow", concurrency=2).take_all()
+    found = {r["vec_id"] for r in cand}
+    assert 0 in found and 300 in found
