@@ -1,6 +1,7 @@
-from . import (aggregates, codecs_xml, exporters, linestring,  # noqa: F401
-               measures, ops3d, predicates, setops, splitting, srid,
-               temporal, tessellation, topology, transforms, units)
+from . import (aggregates, attrs_ext, codecs_xml, editors_ext,  # noqa: F401
+               exporters, linestring, measures, ops3d, predicates, setops,
+               splitting, srid, temporal, tessellation, topology,
+               transforms, units)
 from .registry import REGISTRY, get_op, list_ops, register_op
 
 __all__ = ["REGISTRY", "get_op", "list_ops", "register_op", "aggregates",

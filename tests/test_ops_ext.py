@@ -1,0 +1,195 @@
+"""Extended attribute/editor/constructor ops (ops/attrs_ext.py,
+ops/editors_ext.py) — class-granularity tail of the reference surface."""
+
+import numpy as np
+import pyarrow as pa
+
+from geoflow.geom import algorithms as alg
+from geoflow.geom.wkb import from_wkb, to_wkb
+from geoflow.geom.wkt import from_wkt, to_wkt
+from geoflow.ops import get_op
+
+
+def _col(*wkts):
+    return pa.array([to_wkb(from_wkt(w)) for w in wkts], type=pa.binary())
+
+
+def _w(v):
+    return to_wkt(from_wkb(v.as_py()))
+
+
+def test_boundary():
+    assert _w(get_op("st_boundary").fn(
+        _col("POLYGON((0 0,4 0,4 4,0 4,0 0))"))[0]) == \
+        "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"
+    assert _w(get_op("st_boundary").fn(
+        _col("LINESTRING(0 0,1 1,2 2)"))[0]) == "MULTIPOINT ((0 0), (2 2))"
+    # closed ring: empty boundary
+    b = from_wkb(get_op("st_boundary").fn(
+        _col("LINESTRING(0 0,1 0,1 1,0 0)"))[0].as_py())
+    assert b.is_empty
+
+
+def test_interior_point_concave():
+    """Centroid of this C-shape is outside; interior point must be in."""
+    C = "POLYGON((0 0,5 0,5 1,1 1,1 4,5 4,5 5,0 5,0 0))"
+    ip = from_wkb(get_op("st_interiorpoint").fn(_col(C))[0].as_py())
+    g = from_wkt(C)
+    assert alg.points_in_polygon(np.array([ip.coords[0]]),
+                                 np.array([ip.coords[1]]), g)[0]
+
+
+def test_introspection_ops():
+    assert get_op("st_numpoints").fn(
+        _col("LINESTRING(0 0,1 1,2 2)"))[0].as_py() == 3
+    assert get_op("st_numgeometries").fn(
+        _col("MULTIPOINT((1 1),(2 2))"))[0].as_py() == 2
+    assert get_op("st_numdistinctpoints").fn(
+        _col("LINESTRING(0 0,1 1,0 0)"))[0].as_py() == 2
+    flags = [get_op("st_zmflag").fn(_col(w))[0].as_py()
+             for w in ["POINT(1 2)", "POINT M(1 2 3)", "POINT Z(1 2 3)",
+                       "POINT ZM(1 2 3 4)"]]
+    assert flags == [0, 1, 2, 3]
+    assert get_op("st_ndims").fn(_col("POINT Z(1 2 3)"))[0].as_py() == 3
+    assert get_op("st_is3d").fn(_col("POINT Z(1 2 3)"))[0].as_py()
+    assert not get_op("st_is3d").fn(_col("POINT(1 2)"))[0].as_py()
+    assert get_op("st_iscollection").fn(
+        _col("MULTIPOINT((1 1))"))[0].as_py()
+
+
+def test_rectangle_square_octagon():
+    assert get_op("st_isrectangle").fn(
+        _col("POLYGON((0 0,4 0,4 2,0 2,0 0))"))[0].as_py()
+    assert not get_op("st_issquare").fn(
+        _col("POLYGON((0 0,4 0,4 2,0 2,0 0))"))[0].as_py()
+    assert get_op("st_issquare").fn(
+        _col("POLYGON((0 0,2 0,2 2,0 2,0 0))"))[0].as_py()
+    # octagonal envelope of a diamond IS the diamond (area 8)
+    o = from_wkb(get_op("st_octogonalenvelope").fn(
+        _col("POLYGON((2 0,4 2,2 4,0 2,2 0))"))[0].as_py())
+    assert alg.area(o) == 8.0
+    # of a square: the square itself (area 16)
+    o2 = from_wkb(get_op("st_octogonalenvelope").fn(
+        _col("POLYGON((0 0,4 0,4 4,0 4,0 0))"))[0].as_py())
+    assert alg.area(o2) == 16.0
+
+
+def test_equality_family():
+    a = _col("LINESTRING(0 0,1 1)")
+    b = _col("LINESTRING(1 1,0 0)")
+    assert not get_op("st_orderingequals").fn(a, b)[0].as_py()
+    assert get_op("st_equalnorm").fn(a, b)[0].as_py()
+    assert get_op("st_equaltype").fn(a, b)[0].as_py()
+    assert get_op("st_equalstopo").fn(a, b)[0].as_py()
+
+
+def test_coordinate_pickers_and_3d():
+    sq = "POLYGON((1 1,2 1,2 2,1 2,1 1))"
+    assert _w(get_op("st_closestcoordinate").fn(
+        _col(sq), _col("POINT(0 0)"))[0]) == "POINT (1 1)"
+    assert _w(get_op("st_furthestcoordinate").fn(
+        _col(sq), _col("POINT(0 0)"))[0]) == "POINT (2 2)"
+    ll = from_wkb(get_op("st_longestline").fn(
+        _col("POINT(0 0)"), _col(sq))[0].as_py())
+    assert alg.length(ll) == np.hypot(2, 2)
+    assert get_op("st_dwithin3d").fn(
+        _col("POINT Z(0 0 0)"), _col("POINT Z(0 0 3)"), 3.5)[0].as_py()
+    assert get_op("st_area3d").fn(
+        _col("POLYGON Z((0 0 0,1 0 0,1 1 0,0 1 0,0 0 0))"))[0].as_py() == 1.0
+    assert get_op("st_perimeter3d").fn(
+        _col("POLYGON Z((0 0 0,1 0 0,1 1 0,0 1 0,0 0 0))"))[0].as_py() == 4.0
+
+
+def test_triangle_and_linework():
+    assert _w(get_op("st_circumcentre").fn(
+        _col("POLYGON((0 0,4 0,0 4,0 0))"))[0]) == "POINT (2 2)"
+    assert not get_op("st_isacute").fn(
+        _col("POLYGON((0 0,4 0,0 4,0 0))"))[0].as_py()   # right angle
+    assert get_op("st_isscalenetriangle").fn(
+        _col("POLYGON((0 0,4 0,1 3,0 0))"))[0].as_py()
+    assert get_op("st_orientation").fn(
+        _col("POLYGON((0 0,4 0,4 4,0 4,0 0))"))[0].as_py() == 1
+    si = _w(get_op("st_selfintersections").fn(
+        _col("LINESTRING(0 0,2 2,2 0,0 2)"))[0])
+    assert si == "MULTIPOINT ((1 1))"
+    assert not get_op("st_isnodingvalid").fn(
+        _col("LINESTRING(0 0,2 2,2 0,0 2)"))[0].as_py()
+    sp = _w(get_op("st_sharedpaths").fn(
+        _col("LINESTRING(0 0,10 0)"), _col("LINESTRING(2 0,5 0)"))[0])
+    assert sp == "MULTILINESTRING ((2 0, 5 0))"
+    l2p = get_op("st_lengthtopoint").fn(
+        _col("LINESTRING(0 0,10 0)"), _col("POINT(4 1)"))[0].as_py()
+    assert l2p == 4.0
+
+
+def test_zm_editors():
+    assert _w(get_op("st_addz").fn(_col("POINT(1 2)"), 7.0)[0]) == \
+        "POINT Z (1 2 7)"
+    assert _w(get_op("st_multiplyz").fn(
+        _col("POINT Z(1 2 3)"), 2.0)[0]) == "POINT Z (1 2 6)"
+    assert _w(get_op("st_force3d").fn(_col("POINT(1 2)"))[0]) == \
+        "POINT Z (1 2 0)"
+    assert _w(get_op("st_force4d").fn(_col("POINT Z(1 2 3)"))[0]) == \
+        "POINT ZM (1 2 3 0)"
+    assert _w(get_op("st_swapordinates").fn(
+        _col("POINT(1 2)"), "x", "y")[0]) == "POINT (2 1)"
+    fm = _w(get_op("st_filterbym").fn(
+        _col("LINESTRING M(0 0 1,1 1 5,2 2 9)"), 2, 8)[0])
+    assert fm == "MULTIPOINT ((1 1))"
+
+
+def test_affine_extensions():
+    assert _w(get_op("st_reflect").fn(
+        _col("POINT(3 1)"), _col("POINT(0 0)"))[0]) == "POINT (-3 -1)"
+    assert _w(get_op("st_reflect").fn(
+        _col("POINT(2 1)"), _col("LINESTRING(0 0,4 0)"))[0]) == "POINT (2 -1)"
+    r = from_wkb(get_op("st_rotatez").fn(
+        _col("POINT(1 0)"), np.pi / 2)[0].as_py())
+    assert abs(r.coords[0]) < 1e-15 and abs(r.coords[1] - 1) < 1e-15
+    assert _w(get_op("st_transscale").fn(
+        _col("POINT(1 1)"), 1, 2, 2, 3)[0]) == "POINT (4 9)"
+    assert _w(get_op("st_shear").fn(
+        _col("POINT(1 1)"), 1, 0)[0]) == "POINT (2 1)"
+    assert _w(get_op("st_snap").fn(
+        _col("LINESTRING(0 0,1.05 1)"), _col("POINT(1 1)"),
+        0.1)[0]) == "LINESTRING (0 0, 1 1)"
+
+
+def test_structure_editors():
+    assert _w(get_op("st_points").fn(_col("LINESTRING(0 0,1 1)"))[0]) == \
+        "MULTIPOINT ((0 0), (1 1))"
+    assert _w(get_op("st_collectionhomogenize").fn(
+        _col("GEOMETRYCOLLECTION(POINT(1 1))"))[0]) == "POINT (1 1)"
+    assert _w(get_op("st_ensureclosed").fn(
+        _col("LINESTRING(0 0,1 0,1 1)"))[0]) == \
+        "LINESTRING (0 0, 1 0, 1 1, 0 0)"
+    assert _w(get_op("st_setstartpoint").fn(
+        _col("LINESTRING(0 0,1 1)"), _col("POINT(5 5)"))[0]) == \
+        "LINESTRING (5 5, 1 1)"
+    p = from_wkb(get_op("st_addring").fn(
+        _col("POLYGON((0 0,4 0,4 4,0 4,0 0))"),
+        _col("LINESTRING(1 1,2 1,2 2,1 2,1 1)"))[0].as_py())
+    assert len(p.rings) == 2 and alg.area(p) == 15.0
+    p2 = from_wkb(get_op("st_removering").fn(
+        pa.array([to_wkb(p)], type=pa.binary()), 1)[0].as_py())
+    assert alg.area(p2) == 16.0
+
+
+def test_typed_constructors():
+    assert _w(get_op("st_pointfromtext").fn(
+        pa.array(["POINT(1 2)"]))[0]) == "POINT (1 2)"
+    assert _w(get_op("st_linefrommultipoint").fn(
+        _col("MULTIPOINT((0 0),(1 1),(2 0))"))[0]) == \
+        "LINESTRING (0 0, 1 1, 2 0)"
+    assert _w(get_op("st_makebox2d").fn(
+        _col("POINT(2 3)"), _col("POINT(0 0)"))[0]) == \
+        "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"
+    mpm = _w(get_op("st_makepointm").fn(
+        pa.array([1.0]), pa.array([2.0]), pa.array([9.0]))[0])
+    assert mpm == "POINT M (1 2 9)"
+    circ = from_wkb(get_op("st_makecircle").fn(
+        _col("POINT(0 0)"), 2.0)[0].as_py())
+    assert 12.0 < alg.area(circ) < 4 * np.pi
+    ba = from_wkb(get_op("st_buildarea").fn(
+        _col("LINESTRING(0 0,4 0,4 4,0 4,0 0)"))[0].as_py())
+    assert alg.area(ba) == 16.0
