@@ -569,3 +569,325 @@ def rast_distance(col_a, col_b):
         out.append(alg.distance(from_wkb(a).envelope_polygon(),
                                 from_wkb(b).envelope_polygon()))
     return pa.array(out, type=pa.float64())
+
+
+# ---------------------------------------------------------------------------
+# tiling / memory metadata (single-tile rendering model) + value-window
+# relations — raster class tail
+# ---------------------------------------------------------------------------
+
+def _int_attr(col, fn):
+    from .rastwkb import from_wkb as _fw
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for b in vals:
+        if b is None:
+            out.append(None)
+            continue
+        out.append(int(fn(_fw(b))))
+    return pa.array(out, type=pa.int64())
+
+
+@register_op("rast_numxtiles", 1, "raster_attr")
+def rast_numxtiles(col):
+    """NumXTiles.java — 1 in this engine's single-tile model."""
+    return _int_attr(col, lambda r: 1)
+
+
+@register_op("rast_numytiles", 1, "raster_attr")
+def rast_numytiles(col):
+    """NumYTiles.java."""
+    return _int_attr(col, lambda r: 1)
+
+
+@register_op("rast_tilewidth", 1, "raster_attr")
+def rast_tilewidth(col):
+    """TileWidth.java — tile == raster in the single-tile model."""
+    return _int_attr(col, lambda r: r.width)
+
+
+@register_op("rast_tileheight", 1, "raster_attr")
+def rast_tileheight(col):
+    """TileHeight.java."""
+    return _int_attr(col, lambda r: r.height)
+
+
+@register_op("rast_mintilex", 1, "raster_attr")
+def rast_mintilex(col):
+    """MinTileX.java."""
+    return _int_attr(col, lambda r: 0)
+
+
+@register_op("rast_mintiley", 1, "raster_attr")
+def rast_mintiley(col):
+    """MinTileY.java."""
+    return _int_attr(col, lambda r: 0)
+
+
+@register_op("rast_tilegridxoffset", 1, "raster_attr")
+def rast_tilegridxoffset(col):
+    """TileGridXOffset.java (also the reference's PixelSize.java, which
+    returns the tile grid X offset)."""
+    return _int_attr(col, lambda r: 0)
+
+
+@register_op("rast_tilegridyoffset", 1, "raster_attr")
+def rast_tilegridyoffset(col):
+    """TileGridYOffset.java."""
+    return _int_attr(col, lambda r: 0)
+
+
+@register_op("rast_memsize", 1, "raster_attr")
+def rast_memsize(col):
+    """MemSize.java — data buffer element count (w·h·bands)."""
+    return _int_attr(col, lambda r: r.width * r.height * len(r.bands))
+
+
+@register_op("rast_hasnoband", 2, "raster_attr")
+def rast_hasnoband(col, band=0):
+    """HasNoBand.java."""
+    from .rastwkb import from_wkb as _fw
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = [None if b is None else not (0 <= band < len(_fw(b).bands))
+           for b in vals]
+    return pa.array(out, type=pa.bool_())
+
+
+@register_op("rast_bandpixeltype", 2, "raster_attr")
+def rast_bandpixeltype(col, band=0):
+    """BandPixelType.java — PostGIS pixel type name of the band."""
+    from .rastwkb import PIXTYPE_NAMES, from_wkb as _fw
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for b in vals:
+        if b is None:
+            out.append(None)
+            continue
+        r = _fw(b)
+        out.append(PIXTYPE_NAMES.get(r.pixtypes[band], "unknown")
+                   if 0 <= band < len(r.pixtypes) else None)
+    return pa.array(out, type=pa.string())
+
+
+@register_op("rast_nearestvalue", 4, "raster_attr")
+def rast_nearestvalue(col, band, px, py):
+    """NearestValue.java — band value at (column, row)."""
+    from .rastwkb import from_wkb as _fw
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for b in vals:
+        if b is None:
+            out.append(None)
+            continue
+        r = _fw(b)
+        if not (0 <= band < len(r.bands)) or not \
+                (0 <= py < r.height and 0 <= px < r.width):
+            out.append(None)
+            continue
+        out.append(float(r.bands[band][py, px]))
+    return pa.array(out, type=pa.float64())
+
+
+@register_op("rast_translate", 3, "raster_transform")
+def rast_translate(col, dx, dy):
+    """TranslateX.java / TranslateY.java — shift the georeference."""
+    def f(r):
+        return Raster(r.bands, r.pixtypes, r.nodata, r.scale_x, r.scale_y,
+                      r.ip_x + dx, r.ip_y + dy, r.skew_x, r.skew_y, r.srid,
+                      shape=r.shape)
+    return _map_unary(col, f)
+
+
+@register_op("rast_reskew", 3, "raster_transform")
+def rast_reskew(col, skew_x, skew_y):
+    """Reskew — set the georeference skew terms."""
+    def f(r):
+        return Raster(r.bands, r.pixtypes, r.nodata, r.scale_x, r.scale_y,
+                      r.ip_x, r.ip_y, skew_x, skew_y, r.srid, shape=r.shape)
+    return _map_unary(col, f)
+
+
+@register_op("rast_setgeoreference", 7, "raster_transform")
+def rast_setgeoreference(col, ip_x, ip_y, scale_x, scale_y,
+                         skew_x=0.0, skew_y=0.0):
+    """SetGeoReference.java."""
+    def f(r):
+        return Raster(r.bands, r.pixtypes, r.nodata, scale_x, scale_y,
+                      ip_x, ip_y, skew_x, skew_y, r.srid, shape=r.shape)
+    return _map_unary(col, f)
+
+
+@register_op("rast_setupperleft", 3, "raster_transform")
+def rast_setupperleft(col, ip_x, ip_y):
+    """SetUpperLeft.java."""
+    def f(r):
+        return Raster(r.bands, r.pixtypes, r.nodata, r.scale_x, r.scale_y,
+                      ip_x, ip_y, r.skew_x, r.skew_y, r.srid, shape=r.shape)
+    return _map_unary(col, f)
+
+
+@register_op("rast_retile", 3, "raster_transform")
+def rast_retile(col, tile_w, tile_h):
+    """Retile — list<raster wkb> of tile_w×tile_h tiles covering the
+    raster (ragged edge tiles clipped)."""
+    from .rastwkb import from_wkb as _fw, to_wkb as _tw
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for b in vals:
+        if b is None:
+            out.append(None)
+            continue
+        r = _fw(b)
+        tiles = []
+        for y0 in range(0, r.height, tile_h):
+            for x0 in range(0, r.width, tile_w):
+                y1 = min(y0 + tile_h, r.height)
+                x1 = min(x0 + tile_w, r.width)
+                bands = [bb[y0:y1, x0:x1] for bb in r.bands]
+                nix, niy = r.raster_to_world(x0, y0)
+                tiles.append(_tw(Raster(bands, r.pixtypes, r.nodata,
+                                        r.scale_x, r.scale_y,
+                                        float(nix), float(niy), r.skew_x,
+                                        r.skew_y, r.srid,
+                                        shape=(y1 - y0, x1 - x0))))
+        out.append(tiles)
+    return pa.array(out, type=pa.list_(pa.binary()))
+
+
+@register_op("rast_rasterequals", 2, "raster_relation")
+def rast_rasterequals(col_a, col_b):
+    """RasterEquals.java — same georeference, shape and band values."""
+    from .rastwkb import from_wkb as _fw
+    va = col_a.to_pylist() if hasattr(col_a, "to_pylist") else col_a
+    vb = col_b.to_pylist() if hasattr(col_b, "to_pylist") else col_b
+    out = []
+    for a, b in zip(va, vb):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        ra, rb = _fw(a), _fw(b)
+        same = (ra.shape == rb.shape and len(ra.bands) == len(rb.bands)
+                and ra.ip_x == rb.ip_x and ra.ip_y == rb.ip_y
+                and ra.scale_x == rb.scale_x and ra.scale_y == rb.scale_y
+                and all(np.array_equal(x, y)
+                        for x, y in zip(ra.bands, rb.bands)))
+        out.append(bool(same))
+    return pa.array(out, type=pa.bool_())
+
+
+def _env_overlap_window(r, env):
+    """pixel window [x0,x1)×[y0,y1) of r overlapping world envelope."""
+    ex0, ey0, ex1, ey1 = env
+    rx0, ry0, rx1, ry1 = r.envelope()
+    ox0, oy0 = max(ex0, rx0), max(ey0, ry0)
+    ox1, oy1 = min(ex1, rx1), min(ey1, ry1)
+    if ox0 >= ox1 or oy0 >= oy1:
+        return None
+    # assume north-up, no skew (the engine's relation envelope model)
+    px0 = int(np.floor((ox0 - r.ip_x) / r.scale_x))
+    px1 = int(np.ceil((ox1 - r.ip_x) / r.scale_x))
+    if r.scale_y < 0:
+        py0 = int(np.floor((oy1 - r.ip_y) / r.scale_y))
+        py1 = int(np.ceil((oy0 - r.ip_y) / r.scale_y))
+    else:
+        py0 = int(np.floor((oy0 - r.ip_y) / r.scale_y))
+        py1 = int(np.ceil((oy1 - r.ip_y) / r.scale_y))
+    px0, py0 = max(px0, 0), max(py0, 0)
+    px1, py1 = min(px1, r.width), min(py1, r.height)
+    if px0 >= px1 or py0 >= py1:
+        return None
+    return px0, py0, px1, py1
+
+
+def _value_window_relation(col_a, col_b, band, agg_pred):
+    """Shared body of the *Intersects value relations: crop A to the
+    envelope overlap with B, apply agg_pred(values) — reference
+    raster/relation/{Smaller,Greater,Value,Median}Intersects.java."""
+    from .rastwkb import from_wkb as _fw
+    va = col_a.to_pylist() if hasattr(col_a, "to_pylist") else col_a
+    vb = col_b.to_pylist() if hasattr(col_b, "to_pylist") else col_b
+    out = []
+    for a, b in zip(va, vb):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        ra, rb = _fw(a), _fw(b)
+        if not (0 <= band < len(ra.bands)):
+            out.append(None)
+            continue
+        win = _env_overlap_window(ra, rb.envelope())
+        if win is None:
+            out.append(False)
+            continue
+        x0, y0, x1, y1 = win
+        vals = ra.bands[band][y0:y1, x0:x1].astype(np.float64)
+        out.append(bool(agg_pred(vals)))
+    return pa.array(out, type=pa.bool_())
+
+
+@register_op("rast_smallerintersects", 4, "raster_relation")
+def rast_smallerintersects(col_a, col_b, band=0, value=0.0):
+    """SmallerIntersects.java — max of the overlap window < value."""
+    return _value_window_relation(col_a, col_b, band,
+                                  lambda v: v.max() < value)
+
+
+@register_op("rast_greaterintersects", 4, "raster_relation")
+def rast_greaterintersects(col_a, col_b, band=0, value=0.0):
+    """GreaterIntersects.java — min of the overlap window > value."""
+    return _value_window_relation(col_a, col_b, band,
+                                  lambda v: v.min() > value)
+
+
+@register_op("rast_valueintersects", 4, "raster_relation")
+def rast_valueintersects(col_a, col_b, band=0, value=0.0):
+    """ValueIntersects.java — overlap window contains the value."""
+    return _value_window_relation(col_a, col_b, band,
+                                  lambda v: bool((v == value).any()))
+
+
+@register_op("rast_medianintersects", 4, "raster_relation")
+def rast_medianintersects(col_a, col_b, band=0, value=0.0):
+    """MedianIntersects.java — the reference compares the arithmetic
+    MEAN of the overlap window against value with ±1 tolerance."""
+    return _value_window_relation(
+        col_a, col_b, band,
+        lambda v: (value - 1) <= v.mean() <= (value + 1))
+
+
+@register_op("rast_containsproperly", 2, "raster_relation")
+def rast_containsproperly(col_a, col_b):
+    """ContainsProperly.java — B's envelope strictly inside A's."""
+    from .rastwkb import from_wkb as _fw
+    va = col_a.to_pylist() if hasattr(col_a, "to_pylist") else col_a
+    vb = col_b.to_pylist() if hasattr(col_b, "to_pylist") else col_b
+    out = []
+    for a, b in zip(va, vb):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        ax0, ay0, ax1, ay1 = _fw(a).envelope()
+        bx0, by0, bx1, by1 = _fw(b).envelope()
+        out.append(bool(ax0 < bx0 and ay0 < by0 and bx1 < ax1
+                        and by1 < ay1))
+    return pa.array(out, type=pa.bool_())
+
+
+@register_op("rast_summary", 1, "raster_attr")
+def rast_summary(col):
+    """Summary.java — human-readable raster description (this engine's
+    single-tile rendering model)."""
+    from .rastwkb import from_wkb as _fw
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for b in vals:
+        if b is None:
+            out.append(None)
+            continue
+        r = _fw(b)
+        out.append(
+            f"Raster of {r.width}x{r.height}\n MemSize: "
+            f"{r.width * r.height * len(r.bands)}\nMINX/Y: [0,0] pixels "
+            f"has {len(r.bands)} bands\n and extent of {r.envelope()}\n"
+            f"Tiles: 1/1[{r.width}/{r.height}] Offset: [0/0]")
+    return pa.array(out, type=pa.string())

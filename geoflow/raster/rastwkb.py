@@ -32,6 +32,13 @@ PT_32BUI = 8
 PT_32BF = 10
 PT_64BF = 11
 
+PIXTYPE_NAMES = {
+    PT_1BB: "1BB", PT_2BUI: "2BUI", PT_4BUI: "4BUI", PT_8BSI: "8BSI",
+    PT_8BUI: "8BUI", PT_16BSI: "16BSI", PT_16BUI: "16BUI",
+    PT_32BSI: "32BSI", PT_32BUI: "32BUI", PT_32BF: "32BF",
+    PT_64BF: "64BF",
+}
+
 # numpy dtype + bytes-per-pixel per pixel type (sub-byte types decode
 # through uint8)
 _PT_INFO = {

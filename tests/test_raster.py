@@ -160,3 +160,44 @@ def test_rast_reproject_roundtrip():
     r3 = rfw(back[0].as_py())
     assert r3.srid == 4326
     assert np.array_equal(r3.bands[0], px)
+
+
+def test_raster_tail_ops():
+    """Tiling/memory metadata + value-window relations + geo editors
+    (raster class tail)."""
+    import pyarrow as pa
+    from geoflow.ops import get_op
+    from geoflow.raster import Raster, from_wkb as rfw, to_wkb as rtw
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    r = Raster([px], [4], [None], 1.0, -1.0, 0.0, 4.0, 0.0, 0.0, 4326)
+    c = pa.array([rtw(r)], type=pa.binary())
+    assert get_op("rast_memsize").fn(c)[0].as_py() == 16
+    assert get_op("rast_numxtiles").fn(c)[0].as_py() == 1
+    assert get_op("rast_tilewidth").fn(c)[0].as_py() == 4
+    assert get_op("rast_bandpixeltype").fn(c, 0)[0].as_py() == "8BUI"
+    assert get_op("rast_hasnoband").fn(c, 2)[0].as_py()
+    assert not get_op("rast_hasnoband").fn(c, 0)[0].as_py()
+    assert get_op("rast_nearestvalue").fn(c, 0, 1, 2)[0].as_py() == 9.0
+    tiles = get_op("rast_retile").fn(c, 2, 2)[0].as_py()
+    assert len(tiles) == 4
+    t0 = rfw(tiles[0])
+    assert t0.bands[0].ravel().tolist() == [0, 1, 4, 5]
+    assert get_op("rast_rasterequals").fn(c, c)[0].as_py()
+    # value-window relations vs a raster strictly inside
+    r2 = Raster([np.full((2, 2), 5, dtype=np.uint8)], [4], [None],
+                1.0, -1.0, 1.0, 3.0, 0.0, 0.0, 4326)
+    c2 = pa.array([rtw(r2)], type=pa.binary())
+    assert get_op("rast_smallerintersects").fn(c, c2, 0, 100.0)[0].as_py()
+    assert not get_op("rast_greaterintersects").fn(c, c2, 0, 100.0)[0].as_py()
+    assert get_op("rast_valueintersects").fn(c, c2, 0, 5.0)[0].as_py()
+    assert not get_op("rast_valueintersects").fn(c, c2, 0, 200.0)[0].as_py()
+    assert get_op("rast_containsproperly").fn(c, c2)[0].as_py()
+    assert not get_op("rast_containsproperly").fn(c2, c)[0].as_py()
+    # median(=mean±1) of the overlap window [5,6,9,10] is 7.5 → true at 7
+    assert get_op("rast_medianintersects").fn(c, c2, 0, 7.0)[0].as_py()
+    t = rfw(get_op("rast_translate").fn(c, 10.0, 20.0)[0].as_py())
+    assert (t.ip_x, t.ip_y) == (10.0, 24.0)
+    s = rfw(get_op("rast_setupperleft").fn(c, 7.0, 8.0)[0].as_py())
+    assert (s.ip_x, s.ip_y) == (7.0, 8.0)
+    assert get_op("rast_summary").fn(c)[0].as_py().startswith(
+        "Raster of 4x4")
