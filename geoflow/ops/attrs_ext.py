@@ -722,3 +722,238 @@ def st_lengthtopoint(col_line, col_pt):
         frac = alg.line_locate_point(line, p)
         return frac * alg.length(line)
     return binary_float(col_line, col_pt, f)
+
+
+# ---- WKB/text aliases + CRS introspection + 3D tail -----------------------
+
+@register_op("st_asbinary", 1, "exporter")
+def st_asbinary(col):
+    """AsBinary.java — the WKB bytes (identity on this engine's columnar
+    form, validated by decoding)."""
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for b in vals:
+        if b is None:
+            out.append(None)
+            continue
+        from ..geom.wkb import from_wkb
+        from_wkb(b)          # validate
+        out.append(b)
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("st_ashexewkb", 1, "exporter")
+def st_ashexewkb(col):
+    """AsHEXEWKB.java — uppercase hex of the WKB."""
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = [b.hex().upper() if b is not None else None for b in vals]
+    return pa.array(out, type=pa.string())
+
+
+@register_op("st_astextraw", 1, "exporter")
+def st_astextraw(col):
+    """AsTextRaw.java — WKT at full floating precision (this engine's
+    st_astext already emits shortest-roundtrip doubles)."""
+    from ..geom.wkt import to_wkt
+    out = [to_wkt(g) if g is not None else None for g in decode_geoms(col)]
+    return pa.array(out, type=pa.string())
+
+
+@register_op("st_geomfromwkb", 1, "constructor")
+def st_geomfromwkb(col):
+    """GeomFromWKB.java — parse + re-emit (validates ISO/EWKB input)."""
+    from ..geom.wkb import from_wkb
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = [to_wkb(from_wkb(b)) if b is not None else None for b in vals]
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("st_equalsrs", 2, "predicate")
+def st_equalsrs(col_a, col_b):
+    """EqualSRS.java."""
+    return binary_bool(col_a, col_b, lambda a, b: a.srid == b.srid)
+
+
+# CRS axis metadata for the supported EPSG set (EPSG registry values)
+def _axis_info(srid: int):
+    if srid == 4326:
+        return (("Geodetic latitude", "north"),
+                ("Geodetic longitude", "east"))
+    if srid == 3857 or 32600 < srid < 32761:
+        return (("Easting", "east"), ("Northing", "north"))
+    return None
+
+
+def _axis_op(col, axis, field):
+    out = []
+    for g in decode_geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        info = _axis_info(g.srid)
+        out.append(info[axis][field] if info else None)
+    return pa.array(out, type=pa.string())
+
+
+@register_op("st_sridgetaxis1name", 1, "srid")
+def st_sridgetaxis1name(col):
+    """SRIDGetAxis1Name.java."""
+    return _axis_op(col, 0, 0)
+
+
+@register_op("st_sridgetaxis2name", 1, "srid")
+def st_sridgetaxis2name(col):
+    """SRIDGetAxis2Name.java."""
+    return _axis_op(col, 1, 0)
+
+
+@register_op("st_sridgetaxis1orientation", 1, "srid")
+def st_sridgetaxis1orientation(col):
+    """SRIDGetAxis1Orientation.java."""
+    return _axis_op(col, 0, 1)
+
+
+@register_op("st_sridgetaxis2orientation", 1, "srid")
+def st_sridgetaxis2orientation(col):
+    """SRIDGetAxis2Orientation.java."""
+    return _axis_op(col, 1, 1)
+
+
+@register_op("st_sridhasflippedaxis", 1, "srid")
+def st_sridhasflippedaxis(col):
+    """SRIDHasFlippedAxis.java — true iff the official axis order is
+    (north, east), i.e. EPSG geographic lat-first (the reference's
+    literal "Y"/"X" string test never fires with SIS axis names; this
+    implements the intended semantic)."""
+    return unary_bool(col, lambda g: g.srid == 4326)
+
+
+@register_op("st_hashorizontalcrs", 1, "srid")
+def st_hashorizontalcrs(col):
+    """HasHorizontalCRS.java — true for every supported 2D CRS."""
+    return unary_bool(col, lambda g: _axis_info(g.srid) is not None)
+
+
+@register_op("st_isincrsareaofvalidity", 1, "srid")
+def st_isincrsareaofvalidity(col):
+    """IsInCRSAreaOfValidity.java — geometry within the CRS's domain of
+    validity (4326: world; 3857: |lat|≤85.06 in degrees terms — checked
+    via the projected bound ±20037508.34; UTM: its 6° zone band)."""
+    def f(g):
+        x0, y0, x1, y1 = g.bounds()
+        if g.srid == 4326:
+            return -180 <= x0 and x1 <= 180 and -90 <= y0 and y1 <= 90
+        if g.srid == 3857:
+            lim = 20037508.342789244
+            return abs(x0) <= lim and abs(x1) <= lim \
+                and abs(y0) <= lim and abs(y1) <= lim
+        if 32600 < g.srid < 32761:
+            return 0 <= x0 and x1 <= 1_000_000   # easting envelope
+        return False
+    return unary_bool(col, f)
+
+
+@register_op("st_ismoreprecise", 2, "predicate")
+def st_ismoreprecise(col_a, col_b):
+    """IsMorePrecise.java — both operands carry FLOATING precision in
+    this engine (as in the reference, whose implementation compares v1
+    with itself and always yields 0)."""
+    ga = decode_geoms(col_a)
+    gb = decode_geoms(col_b)
+    out = [0 if (a is not None and b is not None) else None
+           for a, b in zip(ga, gb)]
+    return pa.array(out, type=pa.int64())
+
+
+@register_op("st_shortestline3d", 2, "measure")
+def st_shortestline3d(col_a, col_b):
+    """ShortestLine3D.java — segment between the 3D nearest points
+    (2D output coordinates, like ClosestPoint3D)."""
+    from .ops3d import _coords3d, _seg_seg_3d, _segments3d, _z0, _pt_seg_3d
+    def f(a, b):
+        best = None
+        sa = _z0(_segments3d(a))
+        sb = _z0(_segments3d(b))
+        pa3 = _z0(_coords3d(a))
+        pb3 = _z0(_coords3d(b))
+        if len(sa) and len(sb):
+            for s1 in sa:
+                for s2 in sb:
+                    d, c1, c2 = _seg_seg_3d(s1[0], s1[1], s2[0], s2[1])
+                    if best is None or d < best[0]:
+                        best = (d, c1, c2)
+        elif len(sb):
+            for p in pa3:
+                for s in sb:
+                    d, c = _pt_seg_3d(p, s[0], s[1])
+                    if best is None or d < best[0]:
+                        best = (d, p, c)
+        elif len(sa):
+            for p in pb3:
+                for s in sa:
+                    d, c = _pt_seg_3d(p, s[0], s[1])
+                    if best is None or d < best[0]:
+                        best = (d, c, p)
+        else:
+            dd = np.linalg.norm(pa3[:, None] - pb3[None, :], axis=2)
+            i, j = np.unravel_index(int(np.argmin(dd)), dd.shape)
+            best = (float(dd[i, j]), pa3[i], pb3[j])
+        _d, c1, c2 = best
+        return Geometry(LINESTRING,
+                        coords=np.array([c1[:2], c2[:2]]), srid=a.srid)
+    return binary_geom(col_a, col_b, f)
+
+
+@register_op("st_isplanar", 1, "predicate")
+def st_isplanar(col):
+    """IsPlanar.java — reference semantics: true iff no coordinate has
+    a Z value."""
+    return unary_bool(col, lambda g: not g.has_z)
+
+
+@register_op("st_issolid", 1, "predicate")
+def st_issolid(col):
+    """IsSolid.java — always false for this engine's 2D/2.5D model
+    (no polyhedral solids; the reference's solid support is via SIS
+    types it never constructs)."""
+    return unary_bool(col, lambda g: False)
+
+
+@register_op("st_numpatches", 1, "measure")
+def st_numpatches(col):
+    """NumPatches.java — number of polygonal patches (the reference's
+    PolyhedralSurface path returns null; here multipolygon components
+    count as patches)."""
+    out = []
+    for g in decode_geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        out.append(len(alg._collect(g, (POLYGON,))))
+    return pa.array(out, type=pa.int64())
+
+
+@register_op("st_patchn", 2, "measure")
+def st_patchn(col, n):
+    """PatchN.java — n-th polygonal patch."""
+    def f(g):
+        patches = alg._collect(g, (POLYGON,))
+        if 0 <= n < len(patches):
+            return patches[n]
+        return g
+    return unary_geom(col, f)
+
+
+@register_op("st_islocationonedge", 2, "predicate")
+def st_islocationonedge(col_pt, col_geom):
+    """IsLocationOnEdge.java — point lies on the boundary linework."""
+    def f(p, g):
+        if p.type != POINT:
+            return False
+        s = alg._segments(g)
+        if len(s) == 0:
+            return False
+        return bool(alg._points_on_segments(
+            np.array([[p.coords[0]]]), np.array([[p.coords[1]]]),
+            s[:, 0], s[:, 1], s[:, 2], s[:, 3])[0])
+    return binary_bool(col_pt, col_geom, f)

@@ -699,3 +699,17 @@ def st_buildarea(col):
     def f(g):
         return polygonize_geometry(g)
     return unary_geom(col, f)
+
+
+@register_op("st_makepointt", 3, "constructor")
+def st_makepointt(x_col, y_col, t_col):
+    """MakePointT.java — POINT M with a time measure (same layout as
+    MakePointM)."""
+    return st_makepointm(x_col, y_col, t_col)
+
+
+@register_op("st_makebox3d", 2, "constructor")
+def st_makebox3d(col_a, col_b):
+    """MakeBox3D.java — the reference builds the 2D envelope polygon of
+    the two corner points (JTS Envelope has no Z); same here."""
+    return st_makebox2d(col_a, col_b)

@@ -193,3 +193,42 @@ def test_typed_constructors():
     ba = from_wkb(get_op("st_buildarea").fn(
         _col("LINESTRING(0 0,4 0,4 4,0 4,0 0)"))[0].as_py())
     assert alg.area(ba) == 16.0
+
+
+def test_wkb_aliases_and_crs_introspection():
+    c = _col("POINT(1 2)")
+    assert get_op("st_asbinary").fn(c)[0].as_py() == c[0].as_py()
+    hexv = get_op("st_ashexewkb").fn(c)[0].as_py()
+    assert hexv == c[0].as_py().hex().upper()
+    assert _w(get_op("st_geomfromwkb").fn(c)[0]) == "POINT (1 2)"
+    assert get_op("st_equalsrs").fn(c, c)[0].as_py()
+    assert get_op("st_sridgetaxis1name").fn(c)[0].as_py() == \
+        "Geodetic latitude"
+    assert get_op("st_sridgetaxis2orientation").fn(c)[0].as_py() == "east"
+    assert get_op("st_sridhasflippedaxis").fn(c)[0].as_py()
+    assert get_op("st_hashorizontalcrs").fn(c)[0].as_py()
+    assert get_op("st_isincrsareaofvalidity").fn(c)[0].as_py()
+    assert not get_op("st_isincrsareaofvalidity").fn(
+        _col("POINT(200 95)"))[0].as_py()
+    assert get_op("st_ismoreprecise").fn(c, c)[0].as_py() == 0
+
+
+def test_3d_tail_and_patches():
+    sl = _w(get_op("st_shortestline3d").fn(
+        _col("LINESTRING Z(0 0 0,10 0 0)"), _col("POINT Z(4 3 4)"))[0])
+    assert sl == "LINESTRING (4 0, 4 3)"
+    assert get_op("st_isplanar").fn(_col("POINT(1 2)"))[0].as_py()
+    assert not get_op("st_isplanar").fn(_col("POINT Z(1 2 3)"))[0].as_py()
+    assert not get_op("st_issolid").fn(_col("POINT(1 2)"))[0].as_py()
+    m = "MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))"
+    assert get_op("st_numpatches").fn(_col(m))[0].as_py() == 2
+    p1 = from_wkb(get_op("st_patchn").fn(_col(m), 1)[0].as_py())
+    assert alg.area(p1) == 0.5
+    assert get_op("st_islocationonedge").fn(
+        _col("POINT(2 0)"), _col("POLYGON((0 0,4 0,4 4,0 4,0 0))"))[0].as_py()
+    assert _w(get_op("st_makepointt").fn(
+        pa.array([1.0]), pa.array([2.0]), pa.array([3.0]))[0]) == \
+        "POINT M (1 2 3)"
+    assert _w(get_op("st_makebox3d").fn(
+        _col("POINT Z(0 0 1)"), _col("POINT Z(2 3 9)"))[0]) == \
+        "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"
