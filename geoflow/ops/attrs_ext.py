@@ -957,3 +957,44 @@ def st_islocationonedge(col_pt, col_geom):
             np.array([[p.coords[0]]]), np.array([[p.coords[1]]]),
             s[:, 0], s[:, 1], s[:, 2], s[:, 3])[0])
     return binary_bool(col_pt, col_geom, f)
+
+
+@register_op("st_circularityindex", 1, "measure")
+def st_circularityindex(col):
+    """CircularityIndex.java — 4π·area/perimeter² for polygons, 0
+    otherwise (the reference's per-component loop re-adds the whole
+    geometry's totals, which reduces to this for simple polygons)."""
+    def f(g):
+        if g.type not in (POLYGON, MULTIPOLYGON):
+            return 0.0
+        a = alg.area(g)
+        p = alg.perimeter(g)
+        return (4 * np.pi * a) / (p * p) if p > 0 else 0.0
+    return unary_float(col, f)
+
+
+@register_op("st_isvalidtrajectory", 1, "predicate")
+def st_isvalidtrajectory(col):
+    """IsValidTrajectory.java — lineal geometry whose M measures are
+    present and strictly increasing."""
+    def f(g):
+        if g.type != LINESTRING or not g.has_m:
+            return False
+        m = _dim_vals(g, "m")
+        if len(m) == 0 or np.isnan(m).any():
+            return False
+        return bool((np.diff(m) > 0).all())
+    return unary_bool(col, f)
+
+
+@register_op("st_hasconnectedinterior", 1, "predicate")
+def st_hasconnectedinterior(col):
+    """HasConnectedInterior.java (JTS ConnectedInteriorTester):
+    approximated as validity — a valid OGC polygon's interior is
+    connected by definition; the self-touch chains JTS detects are
+    exactly the invalid inputs this engine's is_valid rejects."""
+    def f(g):
+        if g.type != POLYGON:
+            return False
+        return bool(alg.is_valid(g))
+    return unary_bool(col, f)

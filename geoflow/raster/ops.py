@@ -891,3 +891,88 @@ def rast_summary(col):
             f"has {len(r.bands)} bands\n and extent of {r.envelope()}\n"
             f"Tiles: 1/1[{r.width}/{r.height}] Offset: [0/0]")
     return pa.array(out, type=pa.string())
+
+
+# ---------------------------------------------------------------------------
+# CoverageJSON codec (spec: covjson.org; CoverageJsonWriter.java:47,
+# RastFromCoverageJSON.java — JSON-only, no image libraries needed)
+# ---------------------------------------------------------------------------
+
+@register_op("rast_ascoveragejson", 1, "raster_exporter")
+def rast_ascoveragejson(col):
+    """AsCoverageJSON — CovJSON 'Coverage' document with a Grid domain
+    (x/y axes start/stop/num from the georeference) and one NdArray
+    range per band."""
+    import json
+    from .rastwkb import from_wkb as _fw
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for b in vals:
+        if b is None:
+            out.append(None)
+            continue
+        r = _fw(b)
+        x0, y0, x1, y1 = r.envelope()
+        doc = {
+            "type": "Coverage",
+            "domain": {
+                "type": "Domain",
+                "domainType": "Grid",
+                "axes": {
+                    "x": {"start": x0, "stop": x1, "num": r.width},
+                    "y": {"start": y1, "stop": y0, "num": r.height},
+                },
+                "referencing": [{
+                    "coordinates": ["x", "y"],
+                    "system": {"type": "GeographicCRS"
+                               if r.srid == 4326 else "ProjectedCRS",
+                               "id": f"EPSG:{r.srid}"},
+                }],
+            },
+            "ranges": {
+                f"band{i}": {
+                    "type": "NdArray",
+                    "dataType": "float",
+                    "axisNames": ["y", "x"],
+                    "shape": [r.height, r.width],
+                    "values": band.astype(np.float64).ravel().tolist(),
+                } for i, band in enumerate(r.bands)
+            },
+        }
+        out.append(json.dumps(doc))
+    return pa.array(out, type=pa.string())
+
+
+@register_op("rast_fromcoveragejson", 1, "raster_constructor")
+def rast_fromcoveragejson(col):
+    """RastFromCoverageJSON.java — parse a CovJSON Grid coverage back
+    into the raster WKB form (float64 bands)."""
+    import json
+    from .rastwkb import from_wkb as _fw, to_wkb as _tw  # noqa: F401
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for s in vals:
+        if s is None:
+            out.append(None)
+            continue
+        doc = json.loads(s)
+        ax = doc["domain"]["axes"]
+        w, h = int(ax["x"]["num"]), int(ax["y"]["num"])
+        x0, x1 = float(ax["x"]["start"]), float(ax["x"]["stop"])
+        ytop, ybot = float(ax["y"]["start"]), float(ax["y"]["stop"])
+        srid = 0
+        for ref in doc["domain"].get("referencing", []):
+            rid = ref.get("system", {}).get("id", "")
+            if rid.startswith("EPSG:"):
+                srid = int(rid[5:])
+        bands = []
+        for _name, rng in sorted(doc.get("ranges", {}).items()):
+            arr = np.asarray(rng["values"], dtype=np.float64).reshape(
+                rng.get("shape", [h, w]))
+            bands.append(arr)
+        sx = (x1 - x0) / w if w else 1.0
+        sy = (ybot - ytop) / h if h else -1.0
+        out.append(to_wkb(Raster(bands, [PT_64BF] * len(bands),
+                                 [None] * len(bands), sx, sy, x0, ytop,
+                                 0.0, 0.0, srid, shape=(h, w))))
+    return pa.array(out, type=pa.binary())

@@ -232,3 +232,18 @@ def test_3d_tail_and_patches():
     assert _w(get_op("st_makebox3d").fn(
         _col("POINT Z(0 0 1)"), _col("POINT Z(2 3 9)"))[0]) == \
         "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"
+
+
+def test_final_tail_ops():
+    import math
+    ci = get_op("st_circularityindex").fn(
+        _col("POLYGON((0 0,4 0,4 4,0 4,0 0))"))[0].as_py()
+    assert ci == 4 * math.pi * 16 / 256
+    assert get_op("st_isvalidtrajectory").fn(
+        _col("LINESTRING M(0 0 1,1 1 2,2 2 5)"))[0].as_py()
+    assert not get_op("st_isvalidtrajectory").fn(
+        _col("LINESTRING M(0 0 3,1 1 2,2 2 5)"))[0].as_py()
+    assert not get_op("st_isvalidtrajectory").fn(
+        _col("LINESTRING(0 0,1 1)"))[0].as_py()
+    assert get_op("st_hasconnectedinterior").fn(
+        _col("POLYGON((0 0,4 0,4 4,0 4,0 0))"))[0].as_py()

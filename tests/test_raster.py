@@ -201,3 +201,24 @@ def test_raster_tail_ops():
     assert (s.ip_x, s.ip_y) == (7.0, 8.0)
     assert get_op("rast_summary").fn(c)[0].as_py().startswith(
         "Raster of 4x4")
+
+
+def test_covjson_roundtrip():
+    """CovJSON codec: Coverage/Grid document round-trips georeference,
+    srid and band values exactly."""
+    import pyarrow as pa
+    from geoflow.ops import get_op
+    from geoflow.raster import Raster, from_wkb as rfw, to_wkb as rtw
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    r = Raster([px], [4], [None], 1.0, -1.0, 0.0, 4.0, 0.0, 0.0, 4326)
+    c = pa.array([rtw(r)], type=pa.binary())
+    cj = get_op("rast_ascoveragejson").fn(c)
+    import json
+    doc = json.loads(cj[0].as_py())
+    assert doc["type"] == "Coverage"
+    assert doc["domain"]["domainType"] == "Grid"
+    assert doc["ranges"]["band0"]["shape"] == [4, 4]
+    back = rfw(get_op("rast_fromcoveragejson").fn(cj)[0].as_py())
+    assert back.shape == (4, 4) and back.srid == 4326
+    assert np.array_equal(back.bands[0], px.astype(np.float64))
+    assert back.envelope() == r.envelope()
