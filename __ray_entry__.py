@@ -421,8 +421,11 @@ def q_embed_near_dup(sf_dir: str):
                          "embedding": batch.column("embedding")})
         return pa.concat_tables([base, dup])
 
-    ds = _read(sf_dir, "embeddings").map_batches(plant,
-                                                 batch_format="pyarrow")
+    # materialize: the near-dup operator consumes the dataset twice
+    # (bucket pass + candidate-embedding fetch) — without this the plant
+    # lineage re-executes per consumer
+    ds = _read(sf_dir, "embeddings").map_batches(
+        plant, batch_format="pyarrow").materialize()
     pairs = cosine_near_dup_pairs(ds, threshold=0.8)
 
     def project(batch: pa.Table) -> pa.Table:

@@ -236,7 +236,9 @@ def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
             "bucket": pa.array(out_bucket.view(np.int64)),
         })
 
-    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    from .hashing import filter_to_collision_buckets
+    buckets = filter_to_collision_buckets(
+        ds.map_batches(to_buckets, batch_format="pyarrow"))
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         n = len(group)
@@ -406,7 +408,9 @@ def simhash_near_dup_pairs(ds, max_hamming=3, key_col="doc_id",
                          "bucket": pa.array(buckets.view(np.int64)),
                          sim_col: batch.column(sim_col).take(idx)})
 
-    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    from .hashing import filter_to_collision_buckets
+    buckets = filter_to_collision_buckets(
+        ds.map_batches(to_buckets, batch_format="pyarrow"))
 
     def emit(group: pa.Table) -> pa.Table:
         empty = pa.table({"key_a": pa.array([], type=pa.int64()),

@@ -101,3 +101,48 @@ def tokenize(texts, lower: bool = True):
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     return flat, parent.astype(np.int64)
+
+
+def filter_to_collision_buckets(buckets_ds, bucket_col="bucket",
+                                materialize=True):
+    """Keep only rows whose bucket holds ≥ 2 rows.
+
+    groupby(bucket).map_groups pays one Python call per group — and LSH
+    bucket tables are ~n_docs × n_bands groups, almost all singletons.
+    This pre-pass counts buckets with a vectorized aggregate, collects
+    ONLY the collision bucket ids (tiny: true near-dups + hash
+    collisions), broadcasts them sorted, and semi-joins the bucket rows
+    against them — so the expensive per-group stage runs on real
+    collisions only.
+
+    The bucket table is consumed twice (count pass + filter pass);
+    materialize=True keeps the ~16-byte/row table in the object store
+    instead of re-running the signature lineage. At extreme scale
+    (bucket table beyond object-store capacity) pass materialize=False
+    to trade a signature recompute for memory."""
+    import ray
+
+    if materialize:
+        buckets_ds = buckets_ds.materialize()
+    counts = buckets_ds.groupby(bucket_col).count()
+
+    def hot(batch: pa.Table) -> pa.Table:
+        c = batch.column("count()").to_numpy(zero_copy_only=False)
+        return batch.select([bucket_col]).filter(pa.array(c >= 2))
+
+    ids = []
+    for b in counts.map_batches(hot, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        ids.append(b.column(bucket_col).to_numpy(zero_copy_only=False))
+    hot_ids = np.sort(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+    ref = ray.put(hot_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hb = ray.get(ref)
+        bv = batch.column(bucket_col).to_numpy(zero_copy_only=False)
+        if len(hb) == 0:
+            return batch.slice(0, 0)
+        pos = np.clip(np.searchsorted(hb, bv), 0, len(hb) - 1)
+        return batch.filter(pa.array(hb[pos] == bv))
+
+    return buckets_ds.map_batches(keep, batch_format="pyarrow")

@@ -193,12 +193,13 @@ def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
     if dim is None:
         first = ds.take(1)[0][emb_col]
         dim = len(first)
-    buckets = ds.map_batches(
+    from ..text.hashing import filter_to_collision_buckets
+    buckets = filter_to_collision_buckets(ds.map_batches(
         HyperplaneBucketer, batch_format="pyarrow",
         fn_constructor_kwargs=dict(dim=dim, n_tables=n_tables,
                                    n_bits=n_bits, seed=seed,
                                    emb_col=emb_col, key_col=key_col),
-        concurrency=2)
+        concurrency=2))
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         keys = np.unique(group.column(key_col).to_numpy(zero_copy_only=False))
