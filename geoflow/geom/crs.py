@@ -120,6 +120,26 @@ def utm_to_lonlat(e_coord, n_coord, epsg: int):
 _TRANSFORMERS: dict = {}
 
 
+def _widened(code: int):
+    from .projections import projection_for_epsg
+    return projection_for_epsg(code)
+
+
+def _crs_known(code: int) -> bool:
+    return (code in (4326, 3857) or 32600 < code < 32761
+            or _widened(code) is not None
+            or _datum_utm_zone(code) is not None)
+
+
+def _datum_utm_zone(code: int):
+    """ETRS89 / NAD83 UTM codes → equivalent WGS84 UTM EPSG (or None)."""
+    if 25828 <= code <= 25838:          # ETRS89 / UTM 28N..38N
+        return 32600 + (code - 25800)
+    if 26901 <= code <= 26923:          # NAD83 / UTM 1N..23N
+        return 32600 + (code - 26900)
+    return None
+
+
 def get_transformer(src: int, dst: int):
     """(src_epsg, dst_epsg) → vectorized fn(x, y) -> (x', y'); cached per
     worker process."""
@@ -138,14 +158,26 @@ def get_transformer(src: int, dst: int):
         fn = lambda x, y, _d=dst: lonlat_to_utm(x, y, _d)
     elif 32600 < src < 32761 and dst == 4326:
         fn = lambda x, y, _s=src: utm_to_lonlat(x, y, _s)
-    elif 32600 < src < 32761 or src == 3857:
+    elif src == 4326 and _widened(dst) is not None:
+        fn = _widened(dst).forward
+    elif dst == 4326 and _widened(src) is not None:
+        fn = _widened(src).inverse
+    elif src == 4326 and _datum_utm_zone(dst):
+        # ETRS89 (258xx) / NAD83 (269xx) UTM: same Krüger series; the
+        # GRS80-vs-WGS84 flattening difference is sub-mm (documented
+        # no-datum-grid treatment)
+        fn = lambda x, y, _z=_datum_utm_zone(dst): lonlat_to_utm(x, y, _z)
+    elif dst == 4326 and _datum_utm_zone(src):
+        fn = lambda x, y, _z=_datum_utm_zone(src): utm_to_lonlat(x, y, _z)
+    elif src != 4326 and _crs_known(src) and _crs_known(dst):
         # route through 4326
         to_geo = get_transformer(src, 4326)
         geo_to = get_transformer(4326, dst)
         fn = lambda x, y: geo_to(*to_geo(x, y))
     else:
-        raise ValueError(f"unsupported CRS pair {src}->{dst} "
-                         f"(supported: 4326, 3857, UTM 326xx/327xx)")
+        raise ValueError(
+            f"unsupported CRS pair {src}->{dst} (supported: 4326, 3857, "
+            f"UTM 326xx/327xx/258xx/269xx, 2154, 3035, 5070, 3413, 3976)")
     _TRANSFORMERS[key] = fn
     return fn
 

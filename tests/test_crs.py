@@ -83,3 +83,45 @@ def test_srid_uri_ops():
     assert get_op("srid_to_epsg").fn(uris).to_pylist() == [25832, 4326]
     back = get_op("epsg_to_srid").fn(pa.array([25832])).to_pylist()[0]
     assert back.endswith("EPSG/0/25832")
+
+
+def test_widened_epsg_projections():
+    """Lambert-93 / LAEA Europe / CONUS Albers / polar stereographic +
+    ETRS89/NAD83 UTM — exact EPSG false-origin goldens and sub-mm
+    round trips through get_transformer."""
+    import numpy as np
+    from geoflow.geom.crs import get_transformer
+    # false origins are EXACT per the EPSG definitions
+    fx = get_transformer(4326, 2154)
+    x, y = fx(np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700000.0) < 1e-6 and abs(y[0] - 6600000.0) < 1e-6
+    fx = get_transformer(4326, 3035)
+    x, y = fx(np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+    fx = get_transformer(4326, 5070)
+    x, y = fx(np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # round trips incl. cross-CRS routing through 4326
+    rng = np.random.default_rng(2)
+    for code, lo, hi, la0, la1 in [(2154, -5, 9, 41, 51),
+                                   (3035, -10, 30, 35, 70),
+                                   (5070, -120, -75, 25, 48),
+                                   (3413, -180, 180, 60, 89),
+                                   (3976, -180, 180, -89, -60),
+                                   (25832, 6, 12, 40, 70),
+                                   (26910, -126, -120, 30, 55)]:
+        lons = rng.uniform(lo, hi, 200)
+        lats = rng.uniform(la0, la1, 200)
+        X, Y = get_transformer(4326, code)(lons, lats)
+        lo2, la2 = get_transformer(code, 4326)(X, Y)
+        dl = (np.abs(lo2 - lons) + 180) % 360 - 180
+        assert max(np.abs(dl).max(), np.abs(la2 - lats).max()) < 1e-7
+    # chained: Lambert-93 → LAEA directly
+    X, Y = get_transformer(4326, 2154)(np.array([2.35]), np.array([48.85]))
+    U, V = get_transformer(2154, 3035)(X, Y)
+    lo3, la3 = get_transformer(3035, 4326)(U, V)
+    assert abs(lo3[0] - 2.35) < 1e-7 and abs(la3[0] - 48.85) < 1e-7
+    # unknown CRS still raises cleanly
+    import pytest
+    with pytest.raises(ValueError):
+        get_transformer(9999, 4326)
