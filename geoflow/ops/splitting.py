@@ -2,9 +2,8 @@
 
 Subdivide.java:11 — recursively halve a polygon's bbox until each part
 has ≤ max_vertices vertices (exact: Sutherland-Hodgman rect clipping).
-Split.java:34 — split by a straight 2-point blade line (exact via
-half-plane clips on both sides; general polyline blades need full noding
-and are out of round-1 scope, documented)."""
+Split.java:34 — split by a blade line, general polyline blades
+included (noding + polygonize over the combined linework)."""
 
 from __future__ import annotations
 
@@ -59,10 +58,18 @@ def st_subdivide(col, max_vertices=8):
 
 @register_op("st_split", 2, "transform")
 def st_split(col, col_blade):
-    """Split.java:34 — polygon split by a straight blade line (exact for
-    2-point blades via half-plane clipping both sides)."""
+    """Split.java:34 — split areal geometry by a blade line, GENERAL
+    polyline blades included: the blade (clipped to the polygon) is
+    noded with the boundary rings and the combined linework is
+    polygonized; output faces whose interior lies in the original
+    polygon are the split pieces (exact intersection-formula vertices —
+    same machinery as the overlay engine). Straight 2-point blades are
+    a special case of the same path."""
     from ..geom import to_wkb
+    from ..geom.clipping import _even_odd_many, _poly_rings
     from .kernels import decode_geoms
+    from .setops import line_poly_clip
+    from .topology import polygonize_geometry
     import pyarrow as pa
     gs = decode_geoms(col)
     blades = decode_geoms(col_blade)
@@ -71,18 +78,36 @@ def st_split(col, col_blade):
         if g is None or blade is None:
             out.append(None)
             continue
-        bc = blade.all_coords()[:, :2]
-        a, b = bc[0], bc[-1]
-        parts = []
+        if g.type not in (3, 6):
+            out.append(to_wkb(g))
+            continue
+        clipped = line_poly_clip(blade, g, inside=True)
+        lines = []
         for p in alg._collect(g, (3,)):
-            ring = [np.asarray(v[:2]) for v in p.rings[0][:-1]]
-            left = _clip_halfplane(ring, *_halfplane_points(a, b, True))
-            right = _clip_halfplane(ring, *_halfplane_points(a, b, False))
-            for cell in (left, right):
-                if len(cell) >= 3:
-                    r = np.vstack([cell, cell[:1]])
-                    parts.append(Geometry(3, rings=[r], srid=g.srid))
-        out.append(to_wkb(Geometry.multi(6, parts, srid=g.srid)))
+            for r in p.rings:
+                lines.append(Geometry(2, coords=np.asarray(r)[:, :2],
+                                      srid=g.srid))
+        if not clipped.is_empty:
+            for part in (clipped.parts if clipped.parts is not None
+                         else [clipped]):
+                lines.append(part)
+        faces = polygonize_geometry(Geometry.multi(5, lines, srid=g.srid))
+        rings_g = _poly_rings(g)
+        parts = []
+        for face in (faces.parts if faces.parts is not None else [faces]):
+            if face.is_empty or face.type != 3:
+                continue
+            r0 = face.rings[0]
+            e = r0[1] - r0[0]
+            ln = np.hypot(e[0], e[1])
+            q = 0.5 * (r0[0] + r0[1]) + np.array([-e[1], e[0]]) / ln * (
+                1e-9 * max(1.0, float(np.abs(r0).max())))
+            if _even_odd_many(q[None, :2], rings_g)[0]:
+                parts.append(face)
+        if not parts:
+            out.append(to_wkb(g))
+        else:
+            out.append(to_wkb(Geometry.multi(6, parts, srid=g.srid)))
     return pa.array(out, type=pa.binary())
 
 

@@ -47,3 +47,29 @@ def test_subdivide_min_vertices_terminates():
     col = _col("POLYGON((0 0,10 0,10 10,0 10,0 0))")
     out = from_wkb(get_op("st_subdivide").fn(col, 1).to_pylist()[0])
     assert sum(alg.area(p) for p in out.parts) == pytest.approx(100.0)
+
+
+def test_split_general_polyline_blade():
+    """General (multi-segment) blades via noding+polygonize: an L-cut
+    from boundary to boundary yields two exact pieces; non-crossing
+    blades leave the input unchanged."""
+    import pyarrow as pa
+    from geoflow.geom.wkb import from_wkb, to_wkb
+    from geoflow.ops import get_op
+
+    def col(*w):
+        return pa.array([to_wkb(from_wkt(x)) for x in w], type=pa.binary())
+
+    sq = "POLYGON((0 0,4 0,4 4,0 4,0 0))"
+    r = from_wkb(get_op("st_split").fn(
+        col(sq), col("LINESTRING(2 -1,2 2,5 2)"))[0].as_py())
+    areas = sorted(round(alg.area(p), 9) for p in r.parts)
+    assert areas == [4.0, 12.0]
+    # diagonal blade still exact
+    r2 = from_wkb(get_op("st_split").fn(
+        col(sq), col("LINESTRING(-1 -1,5 5)"))[0].as_py())
+    assert sorted(alg.area(p) for p in r2.parts) == [8.0, 8.0]
+    # non-crossing blade: unchanged geometry
+    r3 = from_wkb(get_op("st_split").fn(
+        col(sq), col("LINESTRING(10 10,12 12)"))[0].as_py())
+    assert alg.area(r3) == 16.0
