@@ -284,6 +284,49 @@ PENTAGON_CELLS = [i for i in range(len(_BASE)) if _BASE[i][4]]
 
 # ---- point → cell ----------------------------------------------------------
 
+def _leading_nonzero(digits, res):
+    for r in range(1, res + 1):
+        if digits[r] != 0:
+            return digits[r]
+    return 0
+
+
+def _rotate_all_ccw(digits, res):
+    return [digits[0]] + [int(_ROT_CCW[d]) for d in digits[1:res + 1]] \
+        + digits[res + 1:]
+
+
+def _pent_rotate_ccw(digits, res):
+    """H3 _h3RotatePent60ccw: rotate every digit ccw; when the first
+    nonzero digit appears, escape a leading K (deleted sub-sequence on
+    pentagons) with one extra plain ccw rotation."""
+    found = False
+    for r in range(1, res + 1):
+        digits[r] = int(_ROT_CCW[digits[r]])
+        if not found and digits[r] != 0:
+            found = True
+            if _leading_nonzero(digits, res) == 1:
+                digits = _rotate_all_ccw(digits, res)
+    return digits
+
+
+def _apply_base_rotation(digits, res, bc, rot):
+    """Rotate digits from the projection-face frame into the base cell's
+    canonical frame. Pentagons use the deleted-k-axis rules (leading-K
+    escape ccw — the cw-offset-face variant of real H3 depends on the
+    published cwOffsetPent table, which is not derivable here; those 12
+    cells may deviate, documented)."""
+    if _PENT[bc]:
+        if _leading_nonzero(digits, res) == 1:
+            digits = _rotate_all_ccw(digits, res)
+        for _ in range(rot):
+            digits = _pent_rotate_ccw(digits, res)
+        return digits
+    rt = _ROT_TABLES[rot]
+    return [digits[0]] + [int(rt[d]) for d in digits[1:res + 1]] \
+        + digits[res + 1:]
+
+
 def _latlng_to_cell_one(lat, lng, res):
     p = (math.cos(lat) * math.cos(lng), math.cos(lat) * math.sin(lng),
          math.sin(lat))
@@ -308,8 +351,7 @@ def _latlng_to_cell_one(lat, lng, res):
     code = face * 27 + i * 9 + j * 3 + k
     bc = int(_LOOKUP_BC[code])
     rot = int(_LOOKUP_ROT[code])
-    rt = _ROT_TABLES[rot]
-    digits = [int(rt[d]) for d in digits]
+    digits = _apply_base_rotation(list(digits), res, bc, rot)
     return _encode(res, bc, digits)
 
 
@@ -409,6 +451,12 @@ def lonlat_to_cell(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
     for rl in range(1, res + 1):
         d = _ROT_TABLES[rot, digit_arr[rl]]
         h |= d.astype(np.uint64) << np.uint64(3 * (15 - rl))
+    # pentagon rows (rare: 12 of 122 base cells, ocean/polar): redo via
+    # the scalar path, which applies the deleted-k-axis digit rules
+    pent_rows = np.nonzero(_PENT[bc])[0]
+    for ri in pent_rows:
+        h[ri] = np.uint64(_latlng_to_cell_one(float(lats[ri]),
+                                              float(lons[ri]), res))
     return h
 
 

@@ -99,3 +99,19 @@ def test_neighbors_share_cell():
     for dlat, dlng in ((1e-7, 0), (0, 1e-7), (-1e-7, -1e-7)):
         assert h3.latlng_to_cell(37.7752702151959257 + dlat,
                                  -122.418307270836565 + dlng, 7) == base
+
+
+def test_pentagon_indices_have_no_leading_k():
+    """Pentagon cells delete the K sub-axis: no valid pentagon index has
+    leading nonzero digit 1 (H3 invariant)."""
+    rng = np.random.default_rng(55)
+    lons = rng.uniform(-180, 180, 50000)
+    lats = np.degrees(np.arcsin(rng.uniform(-1, 1, 50000)))
+    c = h3.lonlat_to_cell(lons, lats, 7)
+    bc = ((c >> np.uint64(45)) & np.uint64(127)).astype(int)
+    pent_rows = np.isin(bc, h3.PENTAGON_CELLS)
+    assert pent_rows.sum() > 0      # the sample hits some pentagons
+    for hv in c[pent_rows]:
+        _res, _b, digits = h3.cell_to_parts(int(hv))
+        lead = next((d for d in digits if d != 0), 0)
+        assert lead != 1
