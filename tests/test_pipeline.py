@@ -114,3 +114,36 @@ def test_avg_distinct(ray_session):
     ds = ray.data.from_arrow(t)
     out = ds.groupby("g").aggregate(avg_x(distinct=True)).take_all()
     assert out[0]["avg_x"] == 2.0  # distinct {1,3} → 2 (AvgXDistinct.java:7)
+
+
+def test_geojson_sink(ray_session, tmp_path):
+    """GeoJSONSeq sink: distributed per-block writes, valid Features,
+    idempotent re-run (content-hash filenames)."""
+    import glob
+    import json
+    import ray
+    import pyarrow as pa
+    from geoflow.geom.wkb import to_wkb
+    from geoflow.geom.wkt import from_wkt
+    from geoflow.io import write_geojson
+    t = pa.table({
+        "doc_id": pa.array([1, 2]),
+        "geom_wkb": pa.array([
+            to_wkb(from_wkt("POINT(1 2)")),
+            to_wkb(from_wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))"))],
+            type=pa.binary())})
+    out = str(tmp_path / "gj")
+    recs = write_geojson(ray.data.from_arrow(t), out)
+    assert sum(r["rows"] for r in recs) == 2
+    files = sorted(glob.glob(out + "/part-*.geojsonl"))
+    assert files
+    feats = []
+    for fp in files:
+        for line in open(fp):
+            feats.append(json.loads(line))
+    assert {f["properties"]["doc_id"] for f in feats} == {1, 2}
+    kinds = {f["geometry"]["type"] for f in feats}
+    assert kinds == {"Point", "Polygon"}
+    # idempotent: second run adds no new files
+    write_geojson(ray.data.from_arrow(t), out)
+    assert sorted(glob.glob(out + "/part-*.geojsonl")) == files
