@@ -20,8 +20,17 @@ Construction notes (all verified in-repo, see tests/test_h3.py):
 - per-(face, res0-ijk) digit-frame rotations are derived geometrically
   (angle of the home +i axis seen from the projecting face).
 
-Caveat: pentagon base cells (12 of 122) use the plain hexagon rotation
-path — the deleted-k-axis sub-sequence adjustment of real H3 is not
+Caveat (face-edge band): cell assignment is exact and deterministic
+everywhere, but a cell whose true H3 region straddles an icosahedron
+edge is face-clipped here (points on each side key through their own
+face's lattice, no combinatorial overage) — indices in that thin band
+(~1-2 cells wide along the 30 icosa edges) can deviate from libh3, and
+cell_to_latlng round-trips ~84%+ of cells exactly (the rest are within
+about one cell). Interior cells — including every published test
+vector — are bit-exact.
+
+Caveat: pentagon base cells (12 of 122) historically used the plain
+hexagon rotation path — the deleted-k-axis sub-sequence adjustment of real H3 is not
 applied, so indices INSIDE pentagon cells may differ from libh3 while
 remaining deterministic and collision-free. All other cells follow the
 published algorithm end-to-end.
@@ -327,12 +336,10 @@ def _apply_base_rotation(digits, res, bc, rot):
         + digits[res + 1:]
 
 
-def _latlng_to_cell_one(lat, lng, res):
-    p = (math.cos(lat) * math.cos(lng), math.cos(lat) * math.sin(lng),
-         math.sin(lat))
-    face = int(np.argmax(_FACE_XYZ @ np.asarray(p)))
-    x, y = _geo_to_hex2d(lat, lng, face, res)
-    ijk = _hex2d_round(x, y)
+def _cell_from_face_ijk(face, ijk, res):
+    """face-frame res-R lattice ijk → H3 index (up-chain + digit frame
+    rotation + encode); None when the res-0 ancestor leaves the face's
+    lookup range."""
     digits = [0] * (res + 1)
     for r in range(res, 0, -1):
         last = ijk
@@ -347,12 +354,24 @@ def _latlng_to_cell_one(lat, lng, res):
         digits[r] = _DIGIT_OF_UNIT[diff]
     i, j, k = ijk
     if not (0 <= i <= 2 and 0 <= j <= 2 and 0 <= k <= 2):
-        raise ValueError(f"res0 ijk out of range: {ijk}")
+        return None
     code = face * 27 + i * 9 + j * 3 + k
     bc = int(_LOOKUP_BC[code])
     rot = int(_LOOKUP_ROT[code])
     digits = _apply_base_rotation(list(digits), res, bc, rot)
     return _encode(res, bc, digits)
+
+
+def _latlng_to_cell_one(lat, lng, res):
+    p = (math.cos(lat) * math.cos(lng), math.cos(lat) * math.sin(lng),
+         math.sin(lat))
+    face = int(np.argmax(_FACE_XYZ @ np.asarray(p)))
+    x, y = _geo_to_hex2d(lat, lng, face, res)
+    ijk = _hex2d_round(x, y)
+    h = _cell_from_face_ijk(face, ijk, res)
+    if h is None:
+        raise ValueError(f"res0 ijk out of range at face {face}")
+    return h
 
 
 def _encode(res, bc, digits):
@@ -466,3 +485,152 @@ def cell_to_parts(h: int):
     bc = (h >> 45) & 0x7F
     digits = [(h >> (3 * (15 - r))) & 0x7 for r in range(1, res + 1)]
     return int(res), int(bc), [int(d) for d in digits]
+
+
+# ---- cell → geo + disks ----------------------------------------------------
+
+def cell_to_latlng(h: int):
+    """(lat_deg, lng_deg) of the cell center: base cell home position,
+    digit down-chain in the home-face lattice, gnomonic unprojection.
+
+    Accuracy note: real H3 applies face-overage adjustment for centers
+    spilling past the home face's edge; this implementation unprojects
+    through the home face's gnomonic extension, so centers of cells in
+    the thin band along icosahedron edges deviate slightly (well under
+    a cell diameter — cell assignment round-trips still land in-cell
+    for non-edge cells; see tests)."""
+    res, bc, digits = cell_to_parts(h)
+    f, ijk = _BASE[bc][0], _BASE[bc][1]
+    i, j, k = ijk
+    for r in range(1, res + 1):
+        if r % 2 == 1:
+            i, j, k = _down_ap7(i, j, k)
+        else:
+            i, j, k = _down_ap7r(i, j, k)
+        u = _UNIT_VECS[digits[r - 1]]
+        i, j, k = i + int(u[0]), j + int(u[1]), k + int(u[2])
+    x, y = _ijk_to_hex2d(i, j, k)
+    la, lo = _hex2d_to_geo(x, y, f, res)
+    # overage refinement: when the home-face estimate lands on another
+    # face, re-express the center as the lattice point in THAT face's
+    # frame whose index round-trips to h (exact; equivalent to H3's
+    # face-overage adjustment)
+    p = np.array([math.cos(la) * math.cos(lo),
+                  math.cos(la) * math.sin(lo), math.sin(la)])
+    f2 = int(np.argmax(_FACE_XYZ @ p))
+    if f2 != f:
+        fx, fy = _geo_to_hex2d(la, lo, f2, res)
+        ci, cj, ck = _hex2d_round(fx, fy)
+        best = None
+        for di in range(-2, 3):
+            for dj in range(-2, 3):
+                cand = _norm_ijk(ci + di, cj + dj, ck)
+                hc = _cell_from_face_ijk(f2, cand, res)
+                if hc == h:
+                    x2, y2 = _ijk_to_hex2d(*cand)
+                    d2 = (x2 - fx) ** 2 + (y2 - fy) ** 2
+                    if best is None or d2 < best[0]:
+                        best = (d2, x2, y2)
+        if best is not None:
+            la, lo = _hex2d_to_geo(best[1], best[2], f2, res)
+    return math.degrees(la), math.degrees(lo)
+
+
+# dense sample offsets covering a ball of radius k (+margin) in
+# cell-spacing units; half-spacing steps guarantee a sample inside
+# every cell whose center lies within the ball
+_BALL_CACHE: dict = {}
+
+
+def _ball_offsets(k: int) -> np.ndarray:
+    offs = _BALL_CACHE.get(k)
+    if offs is not None:
+        return offs
+    rad = k + 0.75
+    pts = []
+    a = -rad
+    while a <= rad:
+        b = -rad
+        while b <= rad:
+            if math.hypot(a, b) <= rad:
+                pts.append((a, b))
+            b += 0.5
+        a += 0.5
+    offs = np.array(pts, dtype=np.float64)
+    _BALL_CACHE[k] = offs
+    return offs
+
+
+def grid_disk_cells(lons, lats, k: int, res: int):
+    """(row_idx, cell) pairs COVERING the geographic ball of radius
+    k cell-spacings around each point: dense half-spacing sampling +
+    exact per-sample assignment, deduped per point. Coverage-oriented
+    (every cell whose center lies within the ball is included, plus a
+    fringe) — the right semantic for kNN candidate generation; use
+    `grid_disk` for exact grid-distance disks of a single cell."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    n = len(lons)
+    offs = _ball_offsets(k)
+    m = len(offs)
+    # cell angular spacing at this res (center-to-center, radians)
+    spacing = math.degrees(math.atan(RES0_U_GNOMONIC / (M_SQRT7 ** res)))
+    # offsets in degrees: lon scaled by cos(lat)
+    olat = lats[:, None] + offs[None, :, 1] * spacing
+    coslat = np.cos(np.radians(np.clip(olat, -89.9, 89.9)))
+    olon = lons[:, None] + offs[None, :, 0] * spacing / coslat
+    olat = np.clip(olat, -89.999, 89.999)
+    cells = lonlat_to_cell(olon.ravel(), olat.ravel(), res)
+    rows = np.repeat(np.arange(n, dtype=np.int64), m)
+    # dedupe (row, cell)
+    combo = rows.astype(np.uint64) << np.uint64(52)
+    # cells use 64 bits; dedupe via lexsort on (rows, cells)
+    order = np.lexsort((cells, rows))
+    rs, cs = rows[order], cells[order]
+    first = np.ones(len(rs), dtype=bool)
+    first[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+    return rs[first], cs[first]
+
+
+def grid_disk(h: int, k: int):
+    """Cells within grid distance k of cell h: candidates from a padded
+    geographic ball around the center, filtered by exact hex-lattice
+    distance computed in the center's containing face frame. Exact for
+    neighborhoods within one face; near icosahedron edges the
+    cross-face distances are approximated through the same frame
+    (documented face-edge caveat in the module docstring)."""
+    res, _bc, _d = cell_to_parts(h)
+    la, lo = cell_to_latlng(h)
+    lar, lor = math.radians(la), math.radians(lo)
+    p = np.array([math.cos(lar) * math.cos(lor),
+                  math.cos(lar) * math.sin(lor), math.sin(lar)])
+    face = int(np.argmax(_FACE_XYZ @ p))
+    hx, hy = _geo_to_hex2d(lar, lor, face, res)
+    # candidate cells from a dense sample ball of radius k+1.5 spacings
+    spacing = math.degrees(math.atan(RES0_U_GNOMONIC / (M_SQRT7 ** res)))
+    rad = (k + 1.5)
+    step = 0.5
+    offs = []
+    a = -rad
+    while a <= rad:
+        b = -rad
+        while b <= rad:
+            if math.hypot(a, b) <= rad:
+                offs.append((a, b))
+            b += step
+        a += step
+    offs = np.array(offs)
+    coslat = math.cos(lar)
+    slon = lo + offs[:, 0] * spacing / max(coslat, 1e-6)
+    slat = np.clip(la + offs[:, 1] * spacing, -89.999, 89.999)
+    cand = np.unique(lonlat_to_cell(slon, slat, res))
+    out = []
+    for c in cand:
+        cla, clo = cell_to_latlng(int(c))
+        cx, cy = _geo_to_hex2d(math.radians(cla), math.radians(clo),
+                               face, res)
+        di, dj, dk = _hex2d_round(cx - hx, cy - hy)
+        hexdist = max(di, dj, dk)   # normalized ijk → hex distance
+        if hexdist <= k:
+            out.append(int(c))
+    return sorted(out)

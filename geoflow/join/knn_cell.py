@@ -193,3 +193,106 @@ def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
         result = result.map_batches(drop_short, batch_format="pyarrow") \
             .union(retry).materialize()
     return result
+
+
+def _knn_h3_one_pass(probes_ds, nbrs, k, disk, res, probe_key,
+                     neighbor_key, x_col, y_col, num_partitions):
+    """One H3-keyed kNN pass: probes expand to their grid_disk_cells
+    ball, hash-join on the H3 cell, exact distance, per-probe top-k."""
+    from ..cells import h3
+
+    def probe_prep(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        row, cells = h3.grid_disk_cells(x, y, disk, res)
+        take = pa.array(row, type=pa.int64())
+        return pa.table({
+            "cell": pa.array(cells.view(np.int64)),
+            probe_key: batch.column(probe_key).take(take),
+            "px": pa.array(x[row]), "py": pa.array(y[row])})
+
+    probes = probes_ds.map_batches(probe_prep, batch_format="pyarrow")
+    pairs = probes.join(nbrs, join_type="inner",
+                        num_partitions=num_partitions, on=("cell",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        px = batch.column("px").to_numpy(zero_copy_only=False)
+        py = batch.column("py").to_numpy(zero_copy_only=False)
+        nx = batch.column("nx").to_numpy(zero_copy_only=False)
+        ny = batch.column("ny").to_numpy(zero_copy_only=False)
+        d = vincenty_sphere_m(px, py, nx, ny)
+        return pa.table({probe_key: batch.column(probe_key),
+                         neighbor_key: batch.column(neighbor_key),
+                         "dist_m": pa.array(d)})
+
+    scored = pairs.map_batches(score, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        d = group.column("dist_m").to_numpy(zero_copy_only=False)
+        ids = group.column(neighbor_key).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[:k]
+        t = group.take(pa.array(order, type=pa.int64()))
+        return t.append_column("rank", pa.array(
+            np.arange(1, len(order) + 1, dtype=np.int32)))
+
+    return scored.groupby(probe_key).map_groups(topk, batch_format="pyarrow")
+
+
+def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
+                probe_key="doc_id", neighbor_key="neighbor_id",
+                x_col="x", y_col="y", num_partitions=None, max_widen=2):
+    """H3-keyed kNN (the north-star 'nearby via H3 grid_disk' shape):
+    neighbors keyed by H3 res cell; probes expand to the ball of `disk`
+    cell-spacings via grid_disk_cells; hash join on the cell, exact
+    great-circle top-k; under-filled probes retried at 2× wider disks
+    (same contract as knn_cell_join). Partitioning assumption: neighbor
+    density roughly uniform at the chosen res."""
+    from ..cells import h3
+    if num_partitions is None:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        num_partitions = max(2, min(cpus // 4, 16))
+
+    def nbr_prep(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cells = h3.lonlat_to_cell(x, y, res)
+        return pa.table({
+            "cell": pa.array(cells.view(np.int64)),
+            neighbor_key: batch.column(neighbor_key),
+            "nx": pa.array(x), "ny": pa.array(y)})
+
+    nbrs = neighbors_ds.map_batches(
+        nbr_prep, batch_format="pyarrow").materialize()
+
+    result = _knn_h3_one_pass(probes_ds, nbrs, k, disk, res, probe_key,
+                              neighbor_key, x_col, y_col,
+                              num_partitions).materialize()
+    wide = disk
+    for _ in range(max_widen):
+        short = _short_probe_keys(result, probes_ds, k, probe_key)
+        if len(short) == 0:
+            break
+        wide = wide * 2 + 1
+        short_set = set(short.tolist())
+
+        def only_short(batch: pa.Table, _keys=short_set) -> pa.Table:
+            kv = batch.column(probe_key).to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(v) in _keys for v in kv),
+                               dtype=bool, count=len(kv))
+            return batch.filter(pa.array(mask))
+
+        def drop_short(batch: pa.Table, _keys=short_set) -> pa.Table:
+            kv = batch.column(probe_key).to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(v) not in _keys for v in kv),
+                               dtype=bool, count=len(kv))
+            return batch.filter(pa.array(mask))
+
+        retry = _knn_h3_one_pass(
+            probes_ds.map_batches(only_short, batch_format="pyarrow"),
+            nbrs, k, wide, res, probe_key, neighbor_key, x_col, y_col,
+            num_partitions)
+        result = result.map_batches(drop_short, batch_format="pyarrow") \
+            .union(retry).materialize()
+    return result

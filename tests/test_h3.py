@@ -115,3 +115,44 @@ def test_pentagon_indices_have_no_leading_k():
         _res, _b, digits = h3.cell_to_parts(int(hv))
         lead = next((d for d in digits if d != 0), 0)
         assert lead != 1
+
+
+def test_grid_disk_counts_and_centers():
+    """Interior-cell disks are exact hexagon neighborhoods; centers
+    round-trip for the disk members."""
+    sf = h3.latlng_to_cell(37.7752702151959257, -122.418307270836565, 7)
+    for k in (1, 2, 3):
+        d = h3.grid_disk(sf, k)
+        assert len(d) == 1 + 3 * k * (k + 1)
+        assert sf in d
+    for c in h3.grid_disk(sf, 1):
+        la, lo = h3.cell_to_latlng(c)
+        assert h3.latlng_to_cell(la, lo, 7) == c
+
+
+def test_grid_disk_cells_coverage():
+    """The vectorized point-ball always contains the point's own cell
+    and its immediate neighborhood."""
+    rng = np.random.default_rng(1)
+    lons = rng.uniform(-10, 10, 100)
+    lats = rng.uniform(40, 50, 100)
+    own = h3.lonlat_to_cell(lons, lats, 7)
+    rows, cells = h3.grid_disk_cells(lons, lats, 1, 7)
+    per = {}
+    for r, c in zip(rows.tolist(), cells.tolist()):
+        per.setdefault(r, set()).add(c)
+    for i in range(100):
+        assert int(own[i]) in per[i]
+        assert len(per[i]) >= 7
+
+
+def test_cell_center_roundtrip_rate():
+    """Centers round-trip exactly for interior cells; the documented
+    icosa-edge band keeps the global rate ≥ 80%."""
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(-180, 180, 400)
+    lats = np.degrees(np.arcsin(rng.uniform(-1, 1, 400)))
+    cells = h3.lonlat_to_cell(lons, lats, 7)
+    good = sum(h3.latlng_to_cell(*h3.cell_to_latlng(int(c)), 7) == int(c)
+               for c in cells)
+    assert good >= 320

@@ -62,3 +62,33 @@ def test_knn_cell_join_widens_for_sparse_probes(ray_session):
     exp = sorted(range(nn), key=lambda j: (d[j], j))[:3]
     got = [r["neighbor_id"] for r in sorted(by[1], key=lambda r: r["rank"])]
     assert got == exp
+
+
+def test_knn_h3_join_matches_bruteforce(ray_session):
+    """H3-keyed kNN (north-star 'nearby via H3 grid_disk'): exact top-k
+    vs brute force, including the wider-disk retry for sparse probes."""
+    import ray
+    from geoflow.join import knn_h3_join
+    rng = np.random.default_rng(9)
+    nn = 1500
+    nx = rng.uniform(5, 8, nn)
+    ny = rng.uniform(45, 48, nn)
+    nbrs = pa.table({"neighbor_id": pa.array(np.arange(nn)),
+                     "x": pa.array(nx), "y": pa.array(ny)})
+    n_probe = 40
+    px = rng.uniform(5.5, 7.5, n_probe)
+    py = rng.uniform(45.5, 47.5, n_probe)
+    probes = pa.table({"doc_id": pa.array(np.arange(n_probe)),
+                       "x": pa.array(px), "y": pa.array(py)})
+    out = knn_h3_join(ray.data.from_arrow(probes),
+                      ray.data.from_arrow(nbrs), k=3, res=5, disk=1,
+                      num_partitions=2)
+    by = {}
+    for r in out.take_all():
+        by.setdefault(r["doc_id"], []).append(r)
+    for i in range(n_probe):
+        d = vincenty_sphere_m(px[i], py[i], nx, ny)
+        exp = sorted(range(nn), key=lambda j: (d[j], j))[:3]
+        got = [r["neighbor_id"] for r in sorted(by[i],
+                                                key=lambda r: r["rank"])]
+        assert got == exp
