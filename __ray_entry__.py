@@ -220,6 +220,43 @@ def q_knn_customer(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_h3_knn(sf_dir: str):
+    """k=3 nearest customers per sampled doc point via the H3-KEYED
+    shuffle kNN (north-star 'nearby via H3 grid_disk'): neighbors keyed
+    by H3 cell, probes expanded to grid_disk balls, hash join + exact
+    great-circle top-k, under-filled/unguaranteed probes retried at
+    wider disks until the k-th distance is provably covered — so the
+    result is exactly the global top-k and shares knn_customer's
+    oracle."""
+    import pyarrow.parquet as pq
+    import ray
+    from geoflow.join import knn_h3_join
+    cust = pq.read_table(f"{sf_dir}/customer.parquet")
+    ckey = cust.column("c_custkey").to_numpy().astype(np.int64)
+    clon, clat = _cust_lonlat(ckey)
+    nbrs = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array(ckey), "x": pa.array(clon),
+        "y": pa.array(clat)}))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 50 == 0))
+
+    probes = _doc_points_ds(sf_dir).map_batches(sample,
+                                                batch_format="pyarrow")
+    out = knn_h3_join(probes, nbrs, k=3, res=4, disk=2,
+                      probe_key="doc_id", neighbor_key="c_custkey",
+                      max_widen=4)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+            "rank": pc.cast(batch.column("rank"), pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_envelope_lang(sf_dir: str):
     """Grouped envelope-union aggregate (BoundingBox semantics) per lang."""
     from geoflow.ops.aggregates import envelope_agg_cols
@@ -836,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sjoin_nation": q_sjoin_nation,
         "sjoin_nation_cellkey": q_sjoin_nation_cellkey,
         "knn_customer": q_knn_customer,
+        "h3_knn": q_h3_knn,
         "envelope_lang": q_envelope_lang,
         "area_nation": q_area_nation,
         "dist_planar": q_dist_planar,
@@ -900,6 +938,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.x BETWEEN n.cx - n.w AND n.cx + n.w
               AND d.y BETWEEN n.cy - n.h AND n.cy + n.h""",
         "knn_customer": f"""
+            SELECT doc_id, c_custkey, rank FROM (
+              SELECT d.doc_id, c.c_custkey,
+                     row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY 2.0 * 6371008.7714 * asin(sqrt(
+                         sin(radians(({_CUST_LAT_SQL}) - d.y)/2.0)^2
+                         + cos(radians(d.y)) * cos(radians({_CUST_LAT_SQL}))
+                           * sin(radians(({_CUST_LON_SQL}) - d.x)/2.0)^2
+                       )), c.c_custkey) AS rank
+              FROM ({doc_pts}) d, customer c
+              WHERE d.doc_id % 50 = 0)
+            WHERE rank <= 3""",
+        "h3_knn": f"""
             SELECT doc_id, c_custkey, rank FROM (
               SELECT d.doc_id, c.c_custkey,
                      row_number() OVER (

@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "webmercator", "tile_density", "raster_stats", "topk_orders",
     "groupby_lineitem", "window_events", "sessionize", "near_dup",
     "langid", "quality", "minhash_lsh", "setops_overlay",
-    "h3_cell", "h3_density", "media_stats", "embed_near_dup",
+    "h3_cell", "h3_density", "h3_knn", "media_stats", "embed_near_dup",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

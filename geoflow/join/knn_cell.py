@@ -20,6 +20,8 @@ hot-cell salting of celljoin.py applies unchanged if it is not.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -124,6 +126,26 @@ def _short_probe_keys(result, probes_ds, k, probe_key) -> np.ndarray:
     return np.array([r[probe_key] for r in out], dtype=np.int64)
 
 
+def _unguaranteed_probe_keys(result, probe_key, max_dist_m) -> np.ndarray:
+    """Probes whose k-th neighbor distance exceeds the disk's guaranteed
+    coverage radius: their in-disk top-k might not be the global top-k
+    (standard ring-expansion termination criterion), so they must be
+    retried at a wider disk even though they found k candidates."""
+    if not np.isfinite(max_dist_m):
+        return np.empty(0, dtype=np.int64)
+    maxd = result.groupby(probe_key).max("dist_m")
+
+    def over(batch: pa.Table) -> pa.Table:
+        d = batch.column("max(dist_m)").to_numpy(zero_copy_only=False)
+        return batch.select([probe_key]).filter(pa.array(d > max_dist_m))
+
+    out = maxd.map_batches(over, batch_format="pyarrow").take_all()
+    return np.array([r[probe_key] for r in out], dtype=np.int64)
+
+
+_M_PER_DEG = math.pi / 180.0 * 6371008.7714
+
+
 def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
                   probe_key="doc_id", neighbor_key="neighbor_id",
                   x_col="x", y_col="y", num_partitions=None,
@@ -167,8 +189,15 @@ def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
                            neighbor_key, x_col, y_col,
                            num_partitions).materialize()
     wide = disk
+    spacing_deg = 36.0 / (1 << res)
     for _ in range(max_widen):
         short = _short_probe_keys(result, probes_ds, k, probe_key)
+        # exactness criterion: the (2*wide+1)² neighborhood guarantees
+        # coverage of ground distance wide*spacing (conservative at high
+        # latitude the lon span shrinks, so guarantee via lat spacing)
+        guard_m = max(0.0, wide * spacing_deg) * _M_PER_DEG
+        over = _unguaranteed_probe_keys(result, probe_key, guard_m)
+        short = np.union1d(short, over)
         if len(short) == 0:
             break
         wide = wide * 3 + 1
@@ -270,8 +299,16 @@ def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
                               neighbor_key, x_col, y_col,
                               num_partitions).materialize()
     wide = disk
+    from ..cells.h3 import M_SQRT7, RES0_U_GNOMONIC
+    spacing_deg = math.degrees(math.atan(RES0_U_GNOMONIC / M_SQRT7 ** res))
     for _ in range(max_widen):
         short = _short_probe_keys(result, probes_ds, k, probe_key)
+        # ball of `wide` spacings guarantees neighbors within
+        # (wide-1)·spacing ground distance (one spacing of margin for
+        # cell assignment fringe)
+        guard_m = max(0.0, (wide - 1) * spacing_deg) * _M_PER_DEG
+        over = _unguaranteed_probe_keys(result, probe_key, guard_m)
+        short = np.union1d(short, over)
         if len(short) == 0:
             break
         wide = wide * 2 + 1
