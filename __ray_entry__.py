@@ -190,6 +190,31 @@ def q_sjoin_nation_cellkey(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_sjoin_nation_h3key(sf_dir: str):
+    """Same PIP join through the H3-KEYED shuffle path (the north-star
+    shape verbatim: points by their H3 cell, polygons by the
+    exact-by-construction h3.cover_boxes cover, hash join + exact
+    refinement) — must equal q_sjoin_nation."""
+    import ray
+    from geoflow.join import cell_join_h3
+    pts = _doc_points_ds(sf_dir)
+    polys_ds = ray.data.from_arrow(_nation_polygons(sf_dir))
+
+    def add_keepcols(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "geom_idx", pa.array(np.zeros(len(batch), dtype=np.int32)))
+
+    pts = pts.map_batches(add_keepcols, batch_format="pyarrow")
+    out = cell_join_h3(pts, polys_ds, res=4,
+                       keep_cols=("doc_id", "geom_idx"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_nationkey": batch.column("poly_id")})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_knn_customer(sf_dir: str):
     """k=3 nearest customer-derived points per sampled doc point
     (great-circle ranking)."""
@@ -872,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_cell": q_grid_cell,
         "sjoin_nation": q_sjoin_nation,
         "sjoin_nation_cellkey": q_sjoin_nation_cellkey,
+        "sjoin_nation_h3key": q_sjoin_nation_h3key,
         "knn_customer": q_knn_customer,
         "h3_knn": q_h3_knn,
         "envelope_lang": q_envelope_lang,
@@ -933,6 +959,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.x BETWEEN n.cx - n.w AND n.cx + n.w
               AND d.y BETWEEN n.cy - n.h AND n.cy + n.h""",
         "sjoin_nation_cellkey": f"""
+            SELECT d.doc_id, n.n_nationkey
+            FROM ({doc_pts}) d, ({nation_rects}) n
+            WHERE d.x BETWEEN n.cx - n.w AND n.cx + n.w
+              AND d.y BETWEEN n.cy - n.h AND n.cy + n.h""",
+"sjoin_nation_h3key": f"""
             SELECT d.doc_id, n.n_nationkey
             FROM ({doc_pts}) d, ({nation_rects}) n
             WHERE d.x BETWEEN n.cx - n.w AND n.cx + n.w

@@ -26,7 +26,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "wkt_roundtrip", "tile_z12", "grid_cell", "sjoin_nation",
-    "sjoin_nation_cellkey", "knn_customer", "envelope_lang", "dist_planar",
+    "sjoin_nation_cellkey", "sjoin_nation_h3key", "knn_customer", "envelope_lang", "dist_planar",
     "unit_chain", "temporal_allen", "dedup_exact", "token_count",
     "ann_topk", "s2_cell", "simhash", "flagship",
     "webmercator", "tile_density", "raster_stats", "topk_orders",

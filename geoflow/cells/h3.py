@@ -634,3 +634,79 @@ def grid_disk(h: int, k: int):
         if hexdist <= k:
             out.append(int(c))
     return sorted(out)
+
+
+def cover_boxes(x0, y0, x1, y1, res: int):
+    """(row_idx, cell) pairs covering each [x0,x1]×[y0,y1] lon/lat box
+    with H3 cells at `res` — EXACT by construction: for every face the
+    box touches, project a dense sample grid onto that face's hex
+    lattice, take the axial bounding range (padded), enumerate the
+    integer lattice points and encode each through the same
+    face→index path the point assignment uses. Any point in the box on
+    face f cube-rounds to a lattice point inside the padded range, so
+    its index is guaranteed present (no sampling gaps — this also
+    covers the thin face-clip bands near icosahedron edges and
+    pentagons that defeat pure point sampling)."""
+    x0 = np.asarray(x0, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    spacing = math.degrees(math.atan(RES0_U_GNOMONIC / (M_SQRT7 ** res)))
+    rows_out = []
+    cells_out = []
+    for i in range(len(x0)):
+        la0 = max(y0[i], -89.999)
+        la1 = min(max(y1[i], la0), 89.999)
+        # dense sample grid (~half-spacing, capped count) to find the
+        # faces touched and each face's hex-coordinate extent
+        nlat = int(min(64, max(5, (la1 - la0) / (0.5 * spacing) + 2)))
+        nlon = int(min(64, max(5, (x1[i] - x0[i]) / (0.5 * spacing) + 2)))
+        glat = np.linspace(la0, la1, nlat)
+        glon = np.linspace(x0[i], x1[i], nlon)
+        LO, LA = np.meshgrid(glon, glat)
+        lo_r = np.radians(LO.ravel())
+        la_r = np.radians(LA.ravel())
+        cl = np.cos(la_r)
+        pts = np.stack([cl * np.cos(lo_r), cl * np.sin(lo_r),
+                        np.sin(la_r)], axis=1)
+        dots = pts @ _FACE_XYZ.T
+        faces = np.argmax(dots, axis=1)
+        # scan argmax faces plus their icosahedron neighbors: a face can
+        # intersect the box in a sliver thinner than the sample grid and
+        # receive no argmax sample — neighbors of sampled faces cover it
+        scan = set(int(f) for f in np.unique(faces))
+        adj = _FACE_XYZ @ _FACE_XYZ.T
+        for f in list(scan):
+            scan |= set(int(g) for g in np.nonzero(adj[f] > 0.7)[0])
+        seen = set()
+        for f in scan:
+            # samples within this face's extended neighborhood (face
+            # circumradius ≈ 0.652 rad + slack) project sanely
+            sel = np.nonzero(dots[:, f] > math.cos(0.75))[0]
+            if len(sel) == 0:
+                continue
+            # hex axial coords of this face's samples
+            vis, vjs = [], []
+            for sidx in sel:
+                hx, hy = _geo_to_hex2d(float(la_r[sidx]), float(lo_r[sidx]),
+                                       f, res)
+                vj = hy / M_SIN60
+                vi = hx + 0.5 * vj
+                vis.append(vi)
+                vjs.append(vj)
+            # pad: sample-gap slack + cube-round reach + gnomonic bend
+            pad = 3
+            i0, i1 = int(math.floor(min(vis))) - pad,                 int(math.ceil(max(vis))) + pad
+            j0, j1 = int(math.floor(min(vjs))) - pad,                 int(math.ceil(max(vjs))) + pad
+            for ii in range(i0, i1 + 1):
+                for jj in range(j0, j1 + 1):
+                    ijk = _norm_ijk(ii, jj, 0)
+                    h = _cell_from_face_ijk(f, ijk, res)
+                    if h is not None:
+                        seen.add(h)
+        cells = np.array(sorted(seen), dtype=np.uint64)
+        rows_out.append(np.full(len(cells), i, dtype=np.int64))
+        cells_out.append(cells)
+    if not rows_out:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    return np.concatenate(rows_out), np.concatenate(cells_out)

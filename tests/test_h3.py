@@ -156,3 +156,22 @@ def test_cell_center_roundtrip_rate():
     good = sum(h3.latlng_to_cell(*h3.cell_to_latlng(int(c)), 7) == int(c)
                for c in cells)
     assert good >= 320
+
+
+def test_cover_boxes_guaranteed():
+    """Exact-by-construction box covering: every random in-box point's
+    cell is in the cover, including icosa-edge and pentagon bands."""
+    rng = np.random.default_rng(7)
+    x0 = rng.uniform(-178, 168, 12)
+    y0 = rng.uniform(-86, 80, 12)
+    x1 = x0 + rng.uniform(0.5, 9, 12)
+    y1 = np.minimum(y0 + rng.uniform(0.5, 6, 12), 86)
+    rows, cells = h3.cover_boxes(x0, y0, x1, y1, 4)
+    cov = {}
+    for r, c in zip(rows.tolist(), cells.tolist()):
+        cov.setdefault(r, set()).add(c)
+    for i in range(12):
+        px = rng.uniform(x0[i], x1[i], 1500)
+        py = rng.uniform(y0[i], y1[i], 1500)
+        pc = h3.lonlat_to_cell(px, py, 4)
+        assert all(int(c) in cov[i] for c in pc)
