@@ -269,7 +269,10 @@ def q_h3_knn(sf_dir: str):
 
     probes = _doc_points_ds(sf_dir).map_batches(sample,
                                                 batch_format="pyarrow")
-    out = knn_h3_join(probes, nbrs, k=3, res=4, disk=2,
+    # initial disk sized to the corpus density (customers ≈ 0.03-0.3/deg²
+    # across sf scales → 3rd-nearest within a few degrees; res-4 cells
+    # are ~0.45°) so the exactness-guarantee loop converges in ≤2 rounds
+    out = knn_h3_join(probes, nbrs, k=3, res=4, disk=8,
                       probe_key="doc_id", neighbor_key="c_custkey",
                       max_widen=4)
 

@@ -146,6 +146,25 @@ def _unguaranteed_probe_keys(result, probe_key, max_dist_m) -> np.ndarray:
 _M_PER_DEG = math.pi / 180.0 * 6371008.7714
 
 
+def _collect_probe_subset(probes_ds, only_short):
+    """Materialize the (tiny) short-probe subset into ONE well-formed
+    arrow block. A lazy filter leaves zero-row blocks with degraded
+    schemas in the stream, and Ray's join planner races on the first
+    bundle's schema ('No match for key field cell') — a single compact
+    block sidesteps that entirely and avoids re-reading the probe
+    lineage inside the retry."""
+    import ray
+    parts = []
+    for b in probes_ds.map_batches(only_short,
+                                   batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b)
+    if not parts:
+        return None
+    return ray.data.from_arrow(pa.concat_tables(parts))
+
+
 def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
                   probe_key="doc_id", neighbor_key="neighbor_id",
                   x_col="x", y_col="y", num_partitions=None,
@@ -215,10 +234,12 @@ def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
                                dtype=bool, count=len(kv))
             return batch.filter(pa.array(mask))
 
+        sub = _collect_probe_subset(probes_ds, only_short)
+        if sub is None:
+            break
         retry = _knn_one_pass(
-            probes_ds.map_batches(only_short, batch_format="pyarrow"),
-            nbrs, k, wide, res, probe_key, neighbor_key, x_col, y_col,
-            num_partitions)
+            sub, nbrs, k, wide, res, probe_key, neighbor_key, x_col,
+            y_col, num_partitions)
         result = result.map_batches(drop_short, batch_format="pyarrow") \
             .union(retry).materialize()
     return result
@@ -326,10 +347,12 @@ def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
                                dtype=bool, count=len(kv))
             return batch.filter(pa.array(mask))
 
+        sub = _collect_probe_subset(probes_ds, only_short)
+        if sub is None:
+            break
         retry = _knn_h3_one_pass(
-            probes_ds.map_batches(only_short, batch_format="pyarrow"),
-            nbrs, k, wide, res, probe_key, neighbor_key, x_col, y_col,
-            num_partitions)
+            sub, nbrs, k, wide, res, probe_key, neighbor_key, x_col,
+            y_col, num_partitions)
         result = result.map_batches(drop_short, batch_format="pyarrow") \
             .union(retry).materialize()
     return result
