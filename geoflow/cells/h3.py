@@ -132,10 +132,17 @@ def _ijk_to_hex2d(i, j, k):
 
 
 def _hex2d_round(x, y):
-    """nearest hex lattice point (cube rounding) → normalized ijk."""
+    """nearest hex lattice point → normalized ijk.
+
+    The (vi, vj) basis here is 120° apart (e_i=(1,0), e_j=(-1/2,√3/2)),
+    so cube rounding must run in STANDARD 60° axial coordinates
+    q = vi - vj, r = vj (e_q = e_i, e_r = e_i + e_j) — running it on
+    (vi, vj) directly misassigns a wedge of every hexagon (cube-space
+    error ties are not euclidean boundaries in the 120° basis)."""
     vj = y / M_SIN60
     vi = x + 0.5 * vj
-    cx, cz = vi, vj
+    q, r = vi - vj, vj
+    cx, cz = q, r
     cy = -cx - cz
     rx, ry, rz = round(cx), round(cy), round(cz)
     dx, dy, dz = abs(rx - cx), abs(ry - cy), abs(rz - cz)
@@ -145,7 +152,7 @@ def _hex2d_round(x, y):
         ry = -rx - rz
     else:
         rz = -rx - ry
-    return _norm_ijk(int(rx), int(rz), 0)
+    return _norm_ijk(int(rx + rz), int(rz), 0)
 
 
 def _azimuth(lat1, lng1, lat2, lng2):
@@ -415,10 +422,11 @@ def lonlat_to_cell(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
     rr = np.where(r < 1e-16, 0.0, rr)
     x = rr * np.cos(theta)
     y = rr * np.sin(theta)
-    # cube rounding, vectorized
+    # cube rounding, vectorized — in STANDARD 60° axial coords
+    # q = vi - vj, r = vj (see _hex2d_round for why)
     vj = y / M_SIN60
     vi = x + 0.5 * vj
-    cx, cz = vi, vj
+    cx, cz = vi - vj, vj
     cy = -cx - cz
     rx, ry, rz = np.round(cx), np.round(cy), np.round(cz)
     dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
@@ -428,7 +436,7 @@ def lonlat_to_cell(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
     rx = np.where(m1, -ry - rz, rx)
     ry = np.where(m2, -rx - rz, ry)
     rz = np.where(m3, -rx - ry, rz)
-    i = rx.astype(np.int64)
+    i = (rx + rz).astype(np.int64)
     j = rz.astype(np.int64)
     k = np.zeros(n, dtype=np.int64)
     mn = np.minimum(np.minimum(i, j), k)
@@ -710,3 +718,29 @@ def cover_boxes(x0, y0, x1, y1, res: int):
     if not rows_out:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
     return np.concatenate(rows_out), np.concatenate(cells_out)
+
+
+def cell_to_boundary(h: int) -> np.ndarray:
+    """(n, 2) [lat_deg, lng_deg] boundary vertices of the cell: the
+    hexagon of circumradius spacing/√3 around the center, constructed in
+    the containing face's lattice frame and unprojected vertex by
+    vertex. Exact for in-face hexagon cells (vertex positions are the
+    class-II/III lattice's hex corners); pentagon cells return the same
+    6-vertex construction (真 H3 clips one — documented approximation),
+    and face-edge-band cells inherit the face-clip caveat."""
+    res, _bc, _d = cell_to_parts(h)
+    la, lo = cell_to_latlng(h)
+    lar, lor = math.radians(la), math.radians(lo)
+    p = np.array([math.cos(lar) * math.cos(lor),
+                  math.cos(lar) * math.sin(lor), math.sin(lar)])
+    face = int(np.argmax(_FACE_XYZ @ p))
+    cx, cy = _geo_to_hex2d(lar, lor, face, res)
+    r = 1.0 / math.sqrt(3.0)     # hex circumradius in lattice units
+    out = []
+    for k in range(6):
+        ang = math.pi / 6 + k * math.pi / 3
+        vx = cx + r * math.cos(ang)
+        vy = cy + r * math.sin(ang)
+        vla, vlo = _hex2d_to_geo(vx, vy, face, res)
+        out.append((math.degrees(vla), math.degrees(vlo)))
+    return np.array(out)

@@ -66,8 +66,9 @@ def test_index_layout_and_determinism():
 
 def test_aperture7_structure():
     """Interior res-7 parents (by index truncation) have exactly 7
-    res-8 children; the point-level parent agreement matches the known
-    aperture-7 flower/hexagon overlap (~2/3)."""
+    res-8 children; point-level parent agreement is high (~0.93 — the
+    residual is the genuine aperture-7 children-overhang plus the
+    face-edge band)."""
     g = np.linspace(0, 0.08, 120)
     lons, lats = np.meshgrid(-122.44 + g, 37.74 + g)
     lons, lats = lons.ravel(), lats.ravel()
@@ -88,7 +89,7 @@ def test_aperture7_structure():
         kids[a].add(b)
     assert max(len(v) for v in kids.values()) == 7
     agree = (c7 == p8).mean()
-    assert 0.55 < agree < 0.8   # flower/hexagon overlap ≈ 0.66
+    assert agree > 0.85
 
 
 def test_neighbors_share_cell():
