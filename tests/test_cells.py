@@ -108,3 +108,31 @@ def test_tile_cover_contains_point_tile(lon, lat):
                                          np.array([lon + 0.01]),
                                          np.array([lat + 0.01]), 12)
     assert (int(tx[0]), int(ty[0])) in set(zip(cx.tolist(), cy.tolist()))
+
+
+def test_s2_quadtree_nesting_exact():
+    """S2 subdivision is a strict quadtree: the level-12 cell of a point
+    must equal the parent (child-bit truncation) of its level-13 cell
+    for EVERY point — a 100% invariant, not a rate (the kind of
+    geometric invariant that caught the H3 rounding-basis bug)."""
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-180, 180, 20000)
+    lats = np.degrees(np.arcsin(rng.uniform(-1, 1, 20000)))
+    c13 = s2.lonlat_to_cell(lons, lats, 13)
+    c12 = s2.lonlat_to_cell(lons, lats, 12)
+    lsb13 = c13 & (~c13 + np.uint64(1))
+    new_lsb = lsb13 << np.uint64(2)
+    parent = (c13 & (~new_lsb + np.uint64(1))) | new_lsb
+    assert np.array_equal(parent, c12)
+    assert np.array_equal(c13 >> np.uint64(61), c12 >> np.uint64(61))
+
+
+def test_tile_zoom_nesting_exact():
+    """Slippy tiles: z12 indices are exactly z13 >> 1."""
+    rng = np.random.default_rng(12)
+    lons = rng.uniform(-180, 180, 20000)
+    lats = rng.uniform(-85, 85, 20000)
+    x12, y12 = tiles.lonlat_to_tile(lons, lats, 12)
+    x13, y13 = tiles.lonlat_to_tile(lons, lats, 13)
+    assert np.array_equal(x13 >> 1, x12)
+    assert np.array_equal(y13 >> 1, y12)
