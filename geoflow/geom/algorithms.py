@@ -435,6 +435,12 @@ def contains(a: Geometry, b: Geometry) -> bool:
         mids = 0.5 * (sb[:, :2] + sb[:, 2:])
         if not points_in_polygon(mids[:, 0], mids[:, 1], a, on_boundary=True).all():
             return False
+        # interiors must intersect: for an AREAL b fully inside a's
+        # closure this always holds (a positive-area interior cannot fit
+        # in a measure-zero boundary) — e.g. contains(a, a) is True even
+        # though every sampled vertex/midpoint lies ON the boundary
+        if _collect(b, (POLYGON,)) and area(b) > 0:
+            return True
         return bool(strict.any() or points_in_polygon(
             mids[:, 0], mids[:, 1], a, on_boundary=False).any())
     if a.type in (LINESTRING, MULTILINESTRING):

