@@ -95,3 +95,35 @@ def test_predicates_consistent_with_relate_matrix(a, b):
                                  or relate_match(m, "F**T*****")
                                  or relate_match(m, "F***T****"))
     assert alg.overlaps(a, b) == relate_match(m, "T*T***T**")
+
+
+def _clean_line(pts):
+    arr = np.array(pts, dtype=np.float64)
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = np.abs(np.diff(arr, axis=0)).sum(axis=1) > 0
+    arr = arr[keep]
+    if len(arr) < 2:
+        arr = np.vstack([arr, arr[0] + [1.0, 0.0]])
+    return Geometry(2, coords=arr)
+
+
+points_strat = st.builds(lambda x, y: Geometry.point(x, y),
+                         _q(-6, 6), _q(-6, 6))
+lines_strat = st.builds(
+    _clean_line,
+    st.lists(st.tuples(_q(-6, 6), _q(-6, 6)), min_size=2, max_size=5))
+
+
+@settings(max_examples=60, deadline=None)
+@given(g1=st.one_of(points_strat, lines_strat), b=polys)
+def test_mixed_predicates_consistent_with_relate(g1, b):
+    """Point/line vs polygon: predicates must agree with the DE-9IM
+    matrix patterns (independent code paths)."""
+    from geoflow.geom.relate import relate_match, relate_matrix
+    m = relate_matrix(g1, b)
+    assert alg.intersects(g1, b) == (m[0] != "F" or m[1] != "F"
+                                     or m[3] != "F" or m[4] != "F")
+    assert alg.disjoint(g1, b) == relate_match(m, "FF*FF****")
+    assert alg.within(g1, b) == relate_match(m, "T*F**F***")
+    # crosses for dim(a) < dim(b): T*T******
+    assert alg.crosses(g1, b) == relate_match(m, "T*T******")
