@@ -127,3 +127,37 @@ def test_mixed_predicates_consistent_with_relate(g1, b):
     assert alg.within(g1, b) == relate_match(m, "T*F**F***")
     # crosses for dim(a) < dim(b): T*T******
     assert alg.crosses(g1, b) == relate_match(m, "T*T******")
+
+
+geoms_strat = st.one_of(points_strat, lines_strat, polys)
+
+
+@settings(max_examples=80, deadline=None)
+@given(g=geoms_strat)
+def test_codec_roundtrips_fuzz(g):
+    """WKT and WKB round-trips are exact for arbitrary geometries
+    (coordinates repr-formatted, so parse-back is bit-identical)."""
+    from geoflow.geom.wkb import from_wkb, to_wkb
+    from geoflow.geom.wkt import from_wkt, to_wkt
+    w1 = to_wkt(g)
+    g2 = from_wkt(w1)
+    assert to_wkt(g2) == w1
+    g3 = from_wkb(to_wkb(g))
+    assert to_wkt(g3) == w1
+    assert g3.type == g.type
+
+
+@settings(max_examples=40, deadline=None)
+@given(g=geoms_strat,
+       theta=st.sampled_from([0.3, 1.1, 2.0]),
+       dx=_q(-3, 3), dy=_q(-3, 3))
+def test_affine_roundtrip_fuzz(g, theta, dx, dy):
+    """rotate(θ) ∘ rotate(−θ) and translate ∘ untranslate recover the
+    coordinates to float tolerance."""
+    r = alg.rotate(alg.rotate(g, theta), -theta)
+    a = g.all_coords()[:, :2]
+    b = r.all_coords()[:, :2]
+    assert np.allclose(a, b, atol=1e-9)
+    t = alg.translate(alg.translate(g, dx, dy), -dx, -dy)
+    c = t.all_coords()[:, :2]
+    assert np.allclose(a, c, atol=1e-12)
