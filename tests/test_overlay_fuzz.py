@@ -161,3 +161,21 @@ def test_affine_roundtrip_fuzz(g, theta, dx, dy):
     t = alg.translate(alg.translate(g, dx, dy), -dx, -dy)
     c = t.all_coords()[:, :2]
     assert np.allclose(a, c, atol=1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=geoms_strat, b=geoms_strat)
+def test_metric_invariants_fuzz(a, b):
+    """distance is symmetric, zero iff intersecting (for these shapes),
+    and bounded above by hausdorff and max-distance."""
+    d_ab = alg.distance(a, b)
+    d_ba = alg.distance(b, a)
+    assert abs(d_ab - d_ba) < 1e-9
+    if alg.intersects(a, b):
+        assert d_ab < 1e-9
+    else:
+        assert d_ab > 0
+    h = alg.hausdorff_distance(a, b)
+    m = alg.max_distance(a, b)
+    assert h >= d_ab - 1e-9
+    assert m >= h - 1e-9

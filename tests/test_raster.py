@@ -222,3 +222,44 @@ def test_covjson_roundtrip():
     assert back.shape == (4, 4) and back.srid == 4326
     assert np.array_equal(back.bands[0], px.astype(np.float64))
     assert back.envelope() == r.envelope()
+
+
+def test_raster_codec_roundtrip_fuzz():
+    """Random rasters (mixed pixel types, nodata, skew, multiband)
+    survive the WKB and hex-WKB codecs exactly."""
+    import pyarrow as pa
+    from geoflow.raster import Raster, from_wkb as rfw, to_wkb as rtw
+    from geoflow.raster.rastwkb import from_hexwkb, to_hexwkb
+    rng = np.random.default_rng(99)
+    for _ in range(25):
+        h, w = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        nb = int(rng.integers(1, 4))
+        bands, pts, nod = [], [], []
+        for _b in range(nb):
+            pt = int(rng.choice([4, 5, 7, 10, 11]))
+            dt = {4: np.uint8, 5: np.int16, 7: np.int32,
+                  10: np.float32, 11: np.float64}[pt]
+            if np.issubdtype(dt, np.integer):
+                arr = rng.integers(0, 100, size=(h, w)).astype(dt)
+            else:
+                arr = rng.standard_normal((h, w)).astype(dt)
+            bands.append(arr)
+            pts.append(pt)
+            nod.append(None if rng.random() < 0.5 else float(
+                rng.integers(0, 10)))
+        r = Raster(bands, pts, nod,
+                   float(rng.uniform(0.1, 2)), -float(rng.uniform(0.1, 2)),
+                   float(rng.uniform(-100, 100)), float(rng.uniform(-80, 80)),
+                   float(rng.uniform(-0.1, 0.1)), float(rng.uniform(-0.1, 0.1)),
+                   4326)
+        r2 = rfw(rtw(r))
+        assert r2.shape == r.shape and len(r2.bands) == nb
+        for bi in range(nb):
+            assert np.array_equal(r2.bands[bi], r.bands[bi])
+            assert r2.pixtypes[bi] == r.pixtypes[bi]
+        assert (r2.scale_x, r2.scale_y, r2.ip_x, r2.ip_y,
+                r2.skew_x, r2.skew_y, r2.srid) == \
+               (r.scale_x, r.scale_y, r.ip_x, r.ip_y,
+                r.skew_x, r.skew_y, r.srid)
+        r3 = from_hexwkb(to_hexwkb(r))
+        assert np.array_equal(r3.bands[0], r.bands[0])
