@@ -179,3 +179,30 @@ def test_metric_invariants_fuzz(a, b):
     m = alg.max_distance(a, b)
     assert h >= d_ab - 1e-9
     assert m >= h - 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=polys, b=polys)
+def test_covers_equals_consistent_with_relate(a, b):
+    from geoflow.geom.relate import relate_match, relate_matrix
+    m = relate_matrix(a, b)
+    cov = (relate_match(m, "T*****FF*") or relate_match(m, "*T****FF*")
+           or relate_match(m, "***T**FF*") or relate_match(m, "****T*FF*"))
+    assert alg.covers(a, b) == cov
+    assert alg.covered_by(b, a) == cov
+    assert alg.equals_topo(a, b) == relate_match(m, "T*F**FFF*")
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=polys)
+def test_triangulation_area_identities(a):
+    """Ear-clip tesselation must tile the polygon exactly; the Delaunay
+    triangulation must tile the convex hull exactly."""
+    from geoflow.geom.triangulate import delaunay_geometry, ear_clip
+    tris = ear_clip(a)
+    parts = tris.parts if tris.parts is not None else [tris]
+    assert abs(sum(alg.area(t) for t in parts) - alg.area(a)) < 1e-8
+    dt = delaunay_geometry(a)
+    dparts = dt.parts if dt.parts is not None else [dt]
+    hull = alg.convex_hull(a)
+    assert abs(sum(alg.area(t) for t in dparts) - alg.area(hull)) < 1e-8
