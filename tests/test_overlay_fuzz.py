@@ -206,3 +206,41 @@ def test_triangulation_area_identities(a):
     dparts = dt.parts if dt.parts is not None else [dt]
     hull = alg.convex_hull(a)
     assert abs(sum(alg.area(t) for t in dparts) - alg.area(hull)) < 1e-8
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=lines_strat, f=st.floats(0.05, 0.95))
+def test_line_interpolate_locate_roundtrip(a, f):
+    """locate(interpolate(f)) == f for non-degenerate lines."""
+    p = alg.line_interpolate_point(a, f)
+    back = alg.line_locate_point(a, p)
+    assert abs(back - f) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=geoms_strat)
+def test_convex_hull_invariants(a):
+    h = alg.convex_hull(a)
+    if h.type != 3:
+        return   # degenerate input (collinear/point)
+    c = a.all_coords()[:, :2]
+    inside = alg.points_in_polygon(c[:, 0], c[:, 1], h, on_boundary=True)
+    assert inside.all()
+    assert alg.is_convex(h) if hasattr(alg, "is_convex") else True
+    assert alg.area(h) >= alg.area(a) - 1e-9
+
+
+def test_unit_conversion_inverse_pairs():
+    """Every X_to_meter op composed with meter_to_X is the identity."""
+    import pyarrow as pa
+    from geoflow.ops import REGISTRY, get_op
+    fwd = [n for n in REGISTRY if n.endswith("_to_meter")]
+    assert len(fwd) >= 15
+    vals = pa.array(np.linspace(0.5, 1000.0, 7))
+    for name in fwd:
+        unit = name[:-len("_to_meter")]
+        inv = f"meter_to_{unit}"
+        assert inv in REGISTRY, inv
+        m = get_op(name).fn(vals)
+        back = get_op(inv).fn(m).to_numpy(zero_copy_only=False)
+        assert np.allclose(back, vals.to_numpy(), rtol=1e-12)
