@@ -16,56 +16,85 @@ from .types import Geometry, LINESTRING, MULTIPOLYGON, POLYGON
 
 
 def delaunay(points: np.ndarray) -> list:
-    """Bowyer–Watson; returns list of index triples (i, j, k)."""
+    """Delaunay triangulation as index triples (i, j, k), CCW.
+
+    Gift-wrapping / advancing-front construction: for each directed
+    front edge (a, b) find the left-side point subtending the maximum
+    angle (the empty-circumcircle neighbor) and emit the triangle. No
+    artificial super-triangle — the classic super-triangle formulation
+    silently LOSES hull triangles whose near-degenerate circumcircles
+    reach the super vertices (found by the area-identity fuzz).
+    Duplicates are dropped; collinear inputs yield []."""
     pts = np.asarray(points, dtype=np.float64)[:, :2]
-    n = len(pts)
-    if n < 3:
+    seen: dict = {}
+    idxs = []
+    for i in range(len(pts)):
+        key = (pts[i, 0], pts[i, 1])
+        if key not in seen:
+            seen[key] = i
+            idxs.append(i)
+    if len(idxs) < 3:
         return []
-    # super-triangle
-    cx, cy = pts.mean(axis=0)
-    m = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 10
-    sp = np.array([[cx - 2 * m, cy - m], [cx + 2 * m, cy - m], [cx, cy + 2 * m]])
-    allp = np.vstack([pts, sp])
-    tris = [(n, n + 1, n + 2)]
 
-    def circum(t):
-        a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
-        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
-        if d == 0:
-            return None
-        ux = ((a[0] ** 2 + a[1] ** 2) * (b[1] - c[1])
-              + (b[0] ** 2 + b[1] ** 2) * (c[1] - a[1])
-              + (c[0] ** 2 + c[1] ** 2) * (a[1] - b[1])) / d
-        uy = ((a[0] ** 2 + a[1] ** 2) * (c[0] - b[0])
-              + (b[0] ** 2 + b[1] ** 2) * (a[0] - c[0])
-              + (c[0] ** 2 + c[1] ** 2) * (b[0] - a[0])) / d
-        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
-        return ux, uy, r2
+    def orient(i, j, k):
+        return ((pts[j, 0] - pts[i, 0]) * (pts[k, 1] - pts[i, 1])
+                - (pts[j, 1] - pts[i, 1]) * (pts[k, 0] - pts[i, 0]))
 
-    circums = {tris[0]: circum(tris[0])}
-    for i in range(n):
-        p = allp[i]
-        bad = []
-        for t in tris:
-            c = circums[t]
-            if c is not None and (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2 <= c[2] * (1 + 1e-12):
-                bad.append(t)
-        # boundary of the cavity
-        edge_count: dict = {}
-        for t in bad:
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                k = (min(e), max(e))
-                edge_count[k] = edge_count.get(k, 0) + 1
-        boundary = [e for e, c in edge_count.items() if c == 1]
-        for t in bad:
-            tris.remove(t)
-            del circums[t]
-        for e in boundary:
-            t = (e[0], e[1], i)
-            tris.append(t)
-            circums[t] = circum(t)
-    out = [t for t in tris if max(t) < n]
-    return out
+    # initial hull edge: lexicographic lowest point, gift-wrap successor
+    a = min(idxs, key=lambda i: (pts[i, 0], pts[i, 1]))
+    b = None
+    for c in idxs:
+        if c == a:
+            continue
+        if b is None:
+            b = c
+            continue
+        o = orient(a, b, c)
+        if o < 0 or (o == 0 and
+                     np.hypot(*(pts[c] - pts[a])) <
+                     np.hypot(*(pts[b] - pts[a]))):
+            b = c
+    # interior must be on the left of a→b: by construction no point is
+    # right of a→b
+    front = [(a, b)]
+    done = set()
+    tris = []
+    guard = 0
+    while front:
+        guard += 1
+        if guard > 8 * len(idxs) * len(idxs) + 64:
+            break
+        e = front.pop()
+        if e in done:
+            continue
+        ea, eb = e
+        best = None
+        best_cos = None
+        for c in idxs:
+            if c == ea or c == eb:
+                continue
+            if orient(ea, eb, c) <= 0:
+                continue
+            v1 = pts[ea] - pts[c]
+            v2 = pts[eb] - pts[c]
+            denom = math.hypot(v1[0], v1[1]) * math.hypot(v2[0], v2[1])
+            if denom == 0:
+                continue
+            cosv = (v1 @ v2) / denom
+            if best_cos is None or cosv < best_cos:
+                best, best_cos = c, cosv
+        done.add(e)
+        if best is None:
+            continue    # hull edge with nothing on the left
+        c = best
+        tris.append((ea, eb, c))
+        # the new triangle owns directed edges (eb,c) and (c,ea); the
+        # unexplored neighbors sit on the left of the REVERSED edges
+        for nxt in ((c, eb), (ea, c)):
+            done.add((nxt[1], nxt[0]))     # triangle's own side
+            if nxt not in done:
+                front.append(nxt)
+    return tris
 
 
 def delaunay_geometry(g: Geometry) -> Geometry:
