@@ -244,3 +244,48 @@ def test_unit_conversion_inverse_pairs():
         m = get_op(name).fn(vals)
         back = get_op(inv).fn(m).to_numpy(zero_copy_only=False)
         assert np.allclose(back, vals.to_numpy(), rtol=1e-12)
+
+
+def test_voronoi_tiles_clip_box_exactly():
+    """Voronoi cells must partition the expanded clip box: total area
+    equals the box area to machine precision (random point sets)."""
+    from geoflow.geom.triangulate import voronoi_polygons
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        n = int(rng.integers(2, 25))
+        pts = rng.uniform(-5, 5, (n, 2))
+        g = Geometry(4, parts=[Geometry(1, coords=p) for p in pts])
+        v = voronoi_polygons(g)
+        parts = v.parts if v.parts is not None else [v]
+        tot = sum(alg.area(p) for p in parts)
+        x0, y0 = pts.min(axis=0)
+        x1, y1 = pts.max(axis=0)
+        dx = max(x1 - x0, 1.0) * 0.5
+        dy = max(y1 - y0, 1.0) * 0.5
+        box_area = (x1 - x0 + 2 * dx) * (y1 - y0 + 2 * dy)
+        assert abs(tot - box_area) < 1e-9 * max(1.0, box_area)
+
+
+def test_delaunay_empty_circumcircle_property():
+    """No point may lie strictly inside any triangle's circumcircle."""
+    from geoflow.geom.triangulate import delaunay
+    rng = np.random.default_rng(2)
+    for _ in range(10):
+        pts = rng.uniform(-10, 10, (int(rng.integers(5, 30)), 2))
+        for t in delaunay(pts):
+            ax, ay = pts[t[0]]
+            bx, by = pts[t[1]]
+            cx, cy = pts[t[2]]
+            d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+            ux = ((ax * ax + ay * ay) * (by - cy)
+                  + (bx * bx + by * by) * (cy - ay)
+                  + (cx * cx + cy * cy) * (ay - by)) / d
+            uy = ((ax * ax + ay * ay) * (cx - bx)
+                  + (bx * bx + by * by) * (ax - cx)
+                  + (cx * cx + cy * cy) * (bx - ax)) / d
+            r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+            for i, q in enumerate(pts):
+                if i in t:
+                    continue
+                assert (q[0] - ux) ** 2 + (q[1] - uy) ** 2 \
+                    >= r2 * (1 - 1e-9)
