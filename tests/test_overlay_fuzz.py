@@ -289,3 +289,50 @@ def test_delaunay_empty_circumcircle_property():
                     continue
                 assert (q[0] - ux) ** 2 + (q[1] - uy) ** 2 \
                     >= r2 * (1 - 1e-9)
+
+
+def test_grid_cover_boxes_guarantee_fuzz():
+    """grid.cover_boxes: every random in-box point's grid cell must be
+    in the cover (the no-missed-candidate property the cell join relies
+    on)."""
+    from geoflow.cells import grid
+    rng = np.random.default_rng(3)
+    x0 = rng.uniform(-170, 160, 15)
+    y0 = rng.uniform(-80, 70, 15)
+    x1 = x0 + rng.uniform(0.1, 12, 15)
+    y1 = np.minimum(y0 + rng.uniform(0.1, 8, 15), 85)
+    rows, cells = grid.cover_boxes(x0, y0, x1, y1, grid.DEFAULT_RES)
+    cov = {}
+    for r, c in zip(rows.tolist(), cells.tolist()):
+        cov.setdefault(r, set()).add(c)
+    for i in range(15):
+        px = rng.uniform(x0[i], x1[i], 2000)
+        py = rng.uniform(y0[i], y1[i], 2000)
+        pc = grid.lonlat_to_grid(px, py, grid.DEFAULT_RES)
+        assert all(int(c) in cov[i] for c in pc.tolist())
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=polys)
+def test_subdivide_area_identity(a):
+    """Subdivide parts tile the polygon exactly."""
+    from geoflow.ops.splitting import subdivide
+    parts = subdivide(a, 8)
+    tot = sum(alg.area(p) for p in parts)
+    assert abs(tot - alg.area(a)) < 1e-6 * max(1.0, alg.area(a))
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=polys, x=_q(-6, 6))
+def test_split_area_identity(a, x):
+    """st_split pieces tile the polygon exactly (vertical blade)."""
+    import pyarrow as pa
+    from geoflow.geom.wkb import from_wkb, to_wkb
+    from geoflow.ops import get_op
+    blade = Geometry(2, coords=np.array([[x, -20.0], [x, 20.0]]))
+    col = pa.array([to_wkb(a)], type=pa.binary())
+    bcol = pa.array([to_wkb(blade)], type=pa.binary())
+    r = from_wkb(get_op("st_split").fn(col, bcol)[0].as_py())
+    parts = r.parts if r.parts is not None else [r]
+    tot = sum(alg.area(p) for p in parts)
+    assert abs(tot - alg.area(a)) < 1e-6 * max(1.0, alg.area(a))
