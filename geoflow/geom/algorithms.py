@@ -424,12 +424,16 @@ def contains(a: Geometry, b: Geometry) -> bool:
         if b.type in (POINT, MULTIPOINT):
             # at least one point must be in the interior (JTS contains)
             return bool(strict.any())
-        # no edge of b may properly cross a's boundary
+        # no edge of b may properly cross a's boundary (noise-floor eps:
+        # vertices that coincide up to representation jitter must not
+        # register as micro-crossings)
         sb = _segments(b)
+        scale = max(1.0, float(np.abs(cb[:, :2]).max()))
+        cross_eps = 1e-12 * scale * scale
         for p in _collect(a, (POLYGON,)):
             for ring in p.rings:
                 ringsegs = np.concatenate([ring[:-1, :2], ring[1:, :2]], axis=1)
-                if _proper_cross(sb, ringsegs).any():
+                if _proper_cross(sb, ringsegs, eps=cross_eps).any():
                     return False
         # midpoints of b's segments must not fall outside (handles concavity)
         mids = 0.5 * (sb[:, :2] + sb[:, 2:])
@@ -474,9 +478,12 @@ def contains(a: Geometry, b: Geometry) -> bool:
     return False
 
 
-def _proper_cross(sa, sb):
+def _proper_cross(sa, sb, eps: float = 0.0):
     """Proper (interior) segment crossings only — touching endpoints don't
-    count."""
+    count. `eps` (absolute, cross-product units ~ length²) treats
+    orientation values within the noise floor as zero, so coordinates
+    that differ only by representation noise (1e-16-scale trig jitter)
+    don't register as micro-crossings."""
     n, m = len(sa), len(sb)
     if n == 0 or m == 0:
         return np.zeros((n, m), dtype=bool)
@@ -494,7 +501,8 @@ def _proper_cross(sa, sb):
     d3 = orient(p0, p1, q0)
     d4 = orient(p0, p1, q1)
     return ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) \
-        & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+        & (np.abs(d1) > eps) & (np.abs(d2) > eps) \
+        & (np.abs(d3) > eps) & (np.abs(d4) > eps)
 
 
 def within(a: Geometry, b: Geometry) -> bool:

@@ -136,6 +136,16 @@ def _fill_vs_exterior(m, g, other, transpose):
     dg = _dim(g)
     # interior ∩ exterior
     ie = _piece_outside(g, other)
+    if not ie and dg >= 1 and _dim(other) == 2:
+        # sample-based check can miss thin slivers poking out; a proper
+        # boundary crossing PROVES a piece of g lies in other's exterior
+        sg = _segments(g)
+        so = _segments(other)
+        if len(sg) and len(so):
+            scale = max(1.0, float(np.abs(sg).max()),
+                        float(np.abs(so).max()))
+            if _proper_cross(sg, so, eps=1e-12 * scale * scale).any():
+                ie = True
     if ie:
         _set(m, 2 if transpose else 0, 0 if transpose else 2, str(dg))
     # boundary ∩ exterior
@@ -149,8 +159,18 @@ def _fill_vs_exterior(m, g, other, transpose):
         # polygon boundary outside other?
         ring_pts = _ring_samples(g)
         loc = _pt_location(ring_pts[:, 0], ring_pts[:, 1], other)
-        if (loc == "E").any():
+        if (loc == "E").any() or (ie and _dim(other) == 2
+                                  and _boundary_crosses(g, other)):
             _set(m, 2 if transpose else 1, 1 if transpose else 2, "1")
+
+
+def _boundary_crosses(g, other) -> bool:
+    sg = _segments(g)
+    so = _segments(other)
+    if not len(sg) or not len(so):
+        return False
+    scale = max(1.0, float(np.abs(sg).max()), float(np.abs(so).max()))
+    return bool(_proper_cross(sg, so, eps=1e-12 * scale * scale).any())
 
 
 def _ring_samples(g: Geometry) -> np.ndarray:

@@ -18,21 +18,19 @@ from .types import Geometry, LINESTRING, MULTIPOLYGON, POLYGON
 def delaunay(points: np.ndarray) -> list:
     """Delaunay triangulation as index triples (i, j, k), CCW.
 
-    Gift-wrapping / advancing-front construction: for each directed
-    front edge (a, b) find the left-side point subtending the maximum
-    angle (the empty-circumcircle neighbor) and emit the triangle. No
-    artificial super-triangle — the classic super-triangle formulation
-    silently LOSES hull triangles whose near-degenerate circumcircles
-    reach the super vertices (found by the area-identity fuzz).
-    Duplicates are dropped; collinear inputs yield []."""
+    Incremental construction with Lawson flips, no artificial vertices:
+    fan-triangulate the convex hull, insert each interior point by
+    splitting its containing triangle (edge hits split both adjacent
+    triangles), then flip non-Delaunay edges until stable. The classic
+    super-triangle formulation silently LOSES hull triangles whose
+    near-degenerate circumcircles reach the super vertices, and
+    gift-wrapping mis-stitches cocircular ties — both found by the
+    area-identity fuzz. Duplicates dropped; collinear input yields []."""
     pts = np.asarray(points, dtype=np.float64)[:, :2]
     seen: dict = {}
-    idxs = []
     for i in range(len(pts)):
-        key = (pts[i, 0], pts[i, 1])
-        if key not in seen:
-            seen[key] = i
-            idxs.append(i)
+        seen.setdefault((pts[i, 0], pts[i, 1]), i)
+    idxs = sorted(seen.values())
     if len(idxs) < 3:
         return []
 
@@ -40,61 +38,116 @@ def delaunay(points: np.ndarray) -> list:
         return ((pts[j, 0] - pts[i, 0]) * (pts[k, 1] - pts[i, 1])
                 - (pts[j, 1] - pts[i, 1]) * (pts[k, 0] - pts[i, 0]))
 
-    # initial hull edge: lexicographic lowest point, gift-wrap successor
-    a = min(idxs, key=lambda i: (pts[i, 0], pts[i, 1]))
-    b = None
-    for c in idxs:
-        if c == a:
-            continue
-        if b is None:
-            b = c
-            continue
-        o = orient(a, b, c)
-        if o < 0 or (o == 0 and
-                     np.hypot(*(pts[c] - pts[a])) <
-                     np.hypot(*(pts[b] - pts[a]))):
-            b = c
-    # interior must be on the left of a→b: by construction no point is
-    # right of a→b
-    front = [(a, b)]
-    done = set()
-    tris = []
-    guard = 0
-    while front:
-        guard += 1
-        if guard > 8 * len(idxs) * len(idxs) + 64:
+    # convex hull (monotone chain) over the deduped points
+    byxy = sorted(idxs, key=lambda i: (pts[i, 0], pts[i, 1]))
+    lower: list = []
+    for i in byxy:
+        while len(lower) >= 2 and orient(lower[-2], lower[-1], i) <= 0:
+            lower.pop()
+        lower.append(i)
+    upper: list = []
+    for i in reversed(byxy):
+        while len(upper) >= 2 and orient(upper[-2], upper[-1], i) <= 0:
+            upper.pop()
+        upper.append(i)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return []
+    tris = [(hull[0], hull[e], hull[e + 1])
+            for e in range(1, len(hull) - 1)]
+    interior = [i for i in idxs if i not in set(hull)]
+
+    def in_tri(p, t):
+        o1 = orient(t[0], t[1], p)
+        o2 = orient(t[1], t[2], p)
+        o3 = orient(t[2], t[0], p)
+        return o1 >= 0 and o2 >= 0 and o3 >= 0
+
+    scale2 = max(1.0, float(np.abs(pts[idxs]).max())) ** 2
+    on_eps = 1e-12 * scale2
+
+    for p in interior:
+        host = None
+        for ti, t in enumerate(tris):
+            if in_tri(p, t):
+                host = ti
+                break
+        if host is None:
+            continue    # numerically outside every triangle (hull jitter)
+        t = tris[host]
+        # on-edge check
+        edge = None
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            if abs(orient(a, b, p)) <= on_eps:
+                edge = (a, b)
+                break
+        if edge is None:
+            tris[host] = (t[0], t[1], p)
+            tris.append((t[1], t[2], p))
+            tris.append((t[2], t[0], p))
+        else:
+            a, b = edge
+            c = [v for v in t if v not in edge][0]
+            # split host
+            tris[host] = (a, p, c)
+            tris.append((p, b, c))
+            # split the neighbor across (a, b) if any
+            for tj, u in enumerate(tris):
+                if tj == host or u == (p, b, c):
+                    continue
+                if a in u and b in u and p not in u:
+                    d = [v for v in u if v not in (a, b)][0]
+                    tris[tj] = (a, d, p) if orient(a, d, p) > 0 \
+                        else (a, p, d)
+                    nt = (b, d, p) if orient(b, d, p) > 0 else (b, p, d)
+                    tris.append(nt)
+                    break
+        # normalize CCW
+        tris = [tt if orient(*tt) > 0 else (tt[0], tt[2], tt[1])
+                for tt in tris if orient(*tt) != 0]
+
+    # --- Lawson flips --------------------------------------------------
+    def in_circle(t, d):
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        pd = pts[d]
+        m11, m12 = a[0] - pd[0], a[1] - pd[1]
+        m21, m22 = b[0] - pd[0], b[1] - pd[1]
+        m31, m32 = c[0] - pd[0], c[1] - pd[1]
+        m13 = m11 * m11 + m12 * m12
+        m23 = m21 * m21 + m22 * m22
+        m33 = m31 * m31 + m32 * m32
+        det = (m11 * (m22 * m33 - m23 * m32)
+               - m12 * (m21 * m33 - m23 * m31)
+               + m13 * (m21 * m32 - m22 * m31))
+        return det > 1e-9 * scale2 * scale2
+
+    for _round in range(8 * len(tris) + 16):
+        edge_map: dict = {}
+        for ti, t in enumerate(tris):
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_map.setdefault(k, []).append(ti)
+        flipped = False
+        for k, owners in edge_map.items():
+            if len(owners) != 2:
+                continue
+            t1, t2 = tris[owners[0]], tris[owners[1]]
+            o1 = [v for v in t1 if v not in k][0]
+            o2 = [v for v in t2 if v not in k][0]
+            if in_circle(t1, o2) or in_circle(t2, o1):
+                s1 = orient(o1, k[0], o2)
+                s2 = orient(o1, k[1], o2)
+                if s1 == 0 or s2 == 0 or (s1 > 0) == (s2 > 0):
+                    continue    # degenerate or non-convex quad
+                n1 = (o1, k[0], o2) if s1 > 0 else (o1, o2, k[0])
+                n2 = (o1, k[1], o2) if s2 > 0 else (o1, o2, k[1])
+                tris[owners[0]] = n1
+                tris[owners[1]] = n2
+                flipped = True
+                break
+        if not flipped:
             break
-        e = front.pop()
-        if e in done:
-            continue
-        ea, eb = e
-        best = None
-        best_cos = None
-        for c in idxs:
-            if c == ea or c == eb:
-                continue
-            if orient(ea, eb, c) <= 0:
-                continue
-            v1 = pts[ea] - pts[c]
-            v2 = pts[eb] - pts[c]
-            denom = math.hypot(v1[0], v1[1]) * math.hypot(v2[0], v2[1])
-            if denom == 0:
-                continue
-            cosv = (v1 @ v2) / denom
-            if best_cos is None or cosv < best_cos:
-                best, best_cos = c, cosv
-        done.add(e)
-        if best is None:
-            continue    # hull edge with nothing on the left
-        c = best
-        tris.append((ea, eb, c))
-        # the new triangle owns directed edges (eb,c) and (c,ea); the
-        # unexplored neighbors sit on the left of the REVERSED edges
-        for nxt in ((c, eb), (ea, c)):
-            done.add((nxt[1], nxt[0]))     # triangle's own side
-            if nxt not in done:
-                front.append(nxt)
-    return tris
+    return [t for t in tris if orient(*t) != 0]
 
 
 def delaunay_geometry(g: Geometry) -> Geometry:

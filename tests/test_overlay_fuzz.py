@@ -211,10 +211,14 @@ def test_triangulation_area_identities(a):
 @settings(max_examples=50, deadline=None)
 @given(a=lines_strat, f=st.floats(0.05, 0.95))
 def test_line_interpolate_locate_roundtrip(a, f):
-    """locate(interpolate(f)) == f for non-degenerate lines."""
+    """interpolate(locate(interpolate(f))) lands on the same COORDINATE
+    (the fraction itself is ambiguous for self-overlapping lines — a
+    point reached twice has two fractions; PostGIS returns one too)."""
     p = alg.line_interpolate_point(a, f)
     back = alg.line_locate_point(a, p)
-    assert abs(back - f) < 1e-9
+    p2 = alg.line_interpolate_point(a, back)
+    assert abs(p2.coords[0] - p.coords[0]) < 1e-9
+    assert abs(p2.coords[1] - p.coords[1]) < 1e-9
 
 
 @settings(max_examples=40, deadline=None)
