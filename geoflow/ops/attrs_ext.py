@@ -232,7 +232,7 @@ def st_hasrepeatedpoints(col):
 def st_minimumboundingcirclecenter(col):
     """MinimumBoundingCircleCenter.java."""
     def f(g):
-        (cx, cy), _r = alg.minimum_bounding_circle(g)
+        cx, cy, _r = alg.minimum_bounding_circle(g)
         return Geometry.point(cx, cy, srid=g.srid)
     return unary_geom(col, f)
 
@@ -504,7 +504,7 @@ def st_circumcentre(col):
     def f(g):
         t = _tri_coords(g)
         if t is None:
-            (cx, cy), _ = alg.minimum_bounding_circle(g)
+            cx, cy, _r = alg.minimum_bounding_circle(g)
             return Geometry.point(cx, cy, srid=g.srid)
         ax, ay = t[0]
         bx, by = t[1]

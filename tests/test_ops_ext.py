@@ -247,3 +247,9 @@ def test_final_tail_ops():
         _col("LINESTRING(0 0,1 1)"))[0].as_py()
     assert get_op("st_hasconnectedinterior").fn(
         _col("POLYGON((0 0,4 0,4 4,0 4,0 0))"))[0].as_py()
+
+
+def test_minimumboundingcirclecenter_op():
+    c = get_op("st_minimumboundingcirclecenter").fn(
+        _col("POLYGON((0 0,4 0,4 4,0 4,0 0))"))
+    assert _w(c[0]) == "POINT (2 2)"

@@ -340,3 +340,55 @@ def test_split_area_identity(a, x):
     parts = r.parts if r.parts is not None else [r]
     tot = sum(alg.area(p) for p in parts)
     assert abs(tot - alg.area(a)) < 1e-6 * max(1.0, alg.area(a))
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=geoms_strat)
+def test_bounding_shapes_contain_points(a):
+    """Minimum bounding circle and minimum rotated rectangle must
+    contain every input coordinate."""
+    c = np.atleast_2d(a.all_coords())[:, :2]
+    cx, cy, r = alg.minimum_bounding_circle(a)
+    d = np.hypot(c[:, 0] - cx, c[:, 1] - cy)
+    assert (d <= r * (1 + 1e-9) + 1e-12).all()
+    from geoflow.geom.triangulate import minimum_rotated_rectangle
+    rect, _w, _dia = minimum_rotated_rectangle(a)
+    if rect.type == 3:
+        inside = alg.points_in_polygon(c[:, 0], c[:, 1], rect,
+                                       on_boundary=True)
+        assert inside.all()
+        x0, y0, x1, y1 = a.bounds()
+        bbox_area = (x1 - x0) * (y1 - y0)
+        assert alg.area(rect) <= bbox_area * (1 + 1e-9) + 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=lines_strat, tol=st.sampled_from([0.1, 0.5, 1.0]))
+def test_simplify_dp_invariants(a, tol):
+    """DP simplification: endpoints preserved, output vertices a subset
+    of the input, every dropped vertex within tol of the result."""
+    s = alg.simplify_dp(a, tol)
+    ca = a.all_coords()[:, :2]
+    cs = s.all_coords()[:, :2]
+    assert np.array_equal(cs[0], ca[0]) and np.array_equal(cs[-1], ca[-1])
+    in_set = {tuple(p) for p in ca}
+    assert all(tuple(p) in in_set for p in cs)
+    for p in ca:
+        d = alg.distance(Geometry.point(p[0], p[1]), s)
+        assert d <= tol * (1 + 1e-9) + 1e-12
+
+
+@settings(max_examples=50, deadline=None)
+@given(lon1=_q(-179, 179), lat1=_q(-85, 85),
+       lon2=_q(-179, 179), lat2=_q(-85, 85))
+def test_great_circle_metric_axioms(lon1, lat1, lon2, lat2):
+    from geoflow.geom.greatcircle import vincenty_sphere_m
+    d12 = float(vincenty_sphere_m(np.array([lon1]), np.array([lat1]),
+                                  np.array([lon2]), np.array([lat2]))[0])
+    d21 = float(vincenty_sphere_m(np.array([lon2]), np.array([lat2]),
+                                  np.array([lon1]), np.array([lat1]))[0])
+    assert abs(d12 - d21) < 1e-6
+    assert d12 >= 0
+    assert d12 <= math.pi * 6371008.7714 * (1 + 1e-12)
+    if (lon1, lat1) == (lon2, lat2):
+        assert d12 < 1e-6
