@@ -1193,8 +1193,12 @@ def minimum_bounding_circle(g: Geometry):
 def minimum_clearance(g: Geometry):
     """JTS MinimumClearance (MinimumClearanceTest golden 0.00032):
     min over (a) distinct vertex-vertex distances and (b) vertex to
-    non-incident segment distances. Returns (value, (p0, p1))."""
-    c = g.all_coords()[:, :2]
+    non-incident segment distances. Returns (value, (p0, p1));
+    (inf, None) for degenerate inputs with < 2 distinct vertices (JTS
+    reports infinity there)."""
+    c = np.atleast_2d(g.all_coords())[:, :2]
+    if len(c) < 2:
+        return (math.inf, None)
     segs = _segments(g)
     best = (math.inf, None)
     # vertex-vertex

@@ -187,6 +187,8 @@ def st_minimumclearanceline(col):
 
     def f(g):
         _, pts = alg.minimum_clearance(g)
+        if pts is None:     # degenerate input: clearance undefined
+            return Geometry.empty(2, g.srid)
         return Geometry.linestring(np.array(pts), srid=g.srid)
     return unary_geom(col, f)
 
