@@ -140,3 +140,31 @@ def test_overlay_diagonal_concave():
     assert abs((a_arrow + a_tri - ai) - au) < 1e-9
     assert abs((a_arrow - ai) - ad) < 1e-9
     assert 0 < ai < min(a_arrow, a_tri)
+
+
+def test_overlay_nested_multi_hole():
+    """Deep nesting: polygon-with-two-holes minus an island inside one
+    hole; union restores; symdifference alternates."""
+    outer = from_wkt("POLYGON((0 0,12 0,12 8,0 8,0 0),"
+                     "(1 1,4 1,4 4,1 4,1 1),(6 1,10 1,10 5,6 5,6 1))")
+    island = from_wkt("POLYGON((7 2,9 2,9 4,7 4,7 2))")
+    assert alg.area(outer) == 96 - 9 - 16
+    u = polygon_overlay(outer, island, "union")
+    assert alg.area(u) == 71 + 4
+    d = polygon_overlay(u, island, "difference")
+    assert alg.area(d) == 71
+    s = polygon_overlay(outer, island, "symdifference")
+    assert alg.area(s) == 71 + 4     # island is inside a hole: disjoint
+    i = polygon_overlay(outer, island, "intersection")
+    assert i.is_empty or alg.area(i) == 0.0
+
+
+def test_overlay_hole_touching_shell():
+    """Hole sharing an edge with the shell (valid OGC): difference that
+    creates it and union that removes it stay exact."""
+    big = from_wkt("POLYGON((0 0,8 0,8 6,0 6,0 0))")
+    bite = from_wkt("POLYGON((0 2,3 2,3 4,0 4,0 2))")   # touches x=0 edge
+    d = polygon_overlay(big, bite, "difference")
+    assert alg.area(d) == 48 - 6
+    back = polygon_overlay(d, bite, "union")
+    assert alg.area(back) == 48.0
