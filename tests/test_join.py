@@ -120,3 +120,55 @@ def test_knn_matches_bruteforce(ray_session, corpus_points):
         assert got == exp
         checked += 1
     assert checked > 5
+
+
+def test_three_join_paths_agree_randomized(ray_session):
+    """Broadcast, grid-cell-keyed, and H3-keyed joins must produce the
+    identical pair set on random corpora (the core product guarantee:
+    the shuffle strategy is a performance choice, never a semantic
+    one)."""
+    import ray
+    from geoflow.geom import Geometry, to_wkb
+    from geoflow.join import (BroadcastPIPJoin, PolygonIndex, cell_join,
+                              cell_join_h3)
+    rng = np.random.default_rng(17)
+    for trial in range(2):
+        npolys = 30
+        wkbs = []
+        for i in range(npolys):
+            cx, cy = rng.uniform(-60, 60), rng.uniform(-40, 40)
+            w, h = rng.uniform(1, 6), rng.uniform(1, 6)
+            ring = np.array([[cx - w, cy - h], [cx + w, cy - h],
+                             [cx + w, cy + h], [cx - w, cy + h],
+                             [cx - w, cy - h]])
+            wkbs.append(to_wkb(Geometry(3, rings=[ring])))
+        polys = pa.table({"poly_id": pa.array(np.arange(npolys)),
+                          "geom_wkb": pa.array(wkbs, type=pa.binary())})
+        npts = 800
+        px = rng.uniform(-70, 70, npts)
+        py = rng.uniform(-50, 50, npts)
+        pts_tbl = pa.table({
+            "doc_id": pa.array(np.arange(npts)),
+            "geom_idx": pa.array(np.zeros(npts, dtype=np.int32)),
+            "x": pa.array(px), "y": pa.array(py)})
+
+        def pairs_of(ds):
+            return {(r["doc_id"], int(r["poly_id"]))
+                    for r in ds.take_all()}
+
+        ref = ray.put(PolygonIndex(polys))
+        bc = ray.data.from_arrow(pts_tbl).map_batches(
+            BroadcastPIPJoin, fn_constructor_args=(ref,),
+            fn_constructor_kwargs={"x_col": "x", "y_col": "y",
+                                   "out_cols": ("doc_id",)},
+            batch_format="pyarrow", concurrency=2)
+        expected = pairs_of(bc)
+        pts_ds = ray.data.from_arrow(pts_tbl)
+        polys_ds = ray.data.from_arrow(polys)
+        got_cell = pairs_of(cell_join(pts_ds, polys_ds,
+                                      keep_cols=("doc_id", "geom_idx")))
+        got_h3 = pairs_of(cell_join_h3(pts_ds, polys_ds, res=4,
+                                       keep_cols=("doc_id", "geom_idx")))
+        assert got_cell == expected
+        assert got_h3 == expected
+        assert expected, "degenerate trial (no pairs)"
