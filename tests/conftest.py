@@ -9,3 +9,14 @@ def ray_session():
                  ignore_reinit_error=True, logging_level="ERROR")
     yield ray
     ray.shutdown()
+
+
+# soak profile: GRAFT_FUZZ_EXAMPLES=N scales every fuzz test's example
+# count (default profile keeps the per-test settings)
+import os as _os
+if _os.environ.get("GRAFT_FUZZ_EXAMPLES"):
+    from hypothesis import settings as _hs
+    _hs.register_profile(
+        "soak", max_examples=int(_os.environ["GRAFT_FUZZ_EXAMPLES"]),
+        deadline=None)
+    _hs.load_profile("soak")

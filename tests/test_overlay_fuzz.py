@@ -11,6 +11,14 @@ import math
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
+import os
+
+# GRAFT_FUZZ_EXAMPLES=N overrides every fuzz test's example count for
+# soak runs (the in-suite defaults keep CI fast)
+def _ex(default):
+    return int(os.environ.get("GRAFT_FUZZ_EXAMPLES", "0")) or default
+
+
 from geoflow.geom import algorithms as alg
 from geoflow.geom.clipping import polygon_overlay
 from geoflow.geom.types import Geometry
@@ -45,7 +53,7 @@ polys = st.builds(
 )
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(a=polys, b=polys)
 def test_overlay_inclusion_exclusion(a, b):
     area_a = alg.area(a)
@@ -68,7 +76,7 @@ def test_overlay_inclusion_exclusion(a, b):
     assert union >= max(area_a, area_b) - tol
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25), deadline=None)
 @given(a=polys, d=st.floats(0.2, 1.5))
 def test_buffer_contains_input_fuzz(a, d):
     b = alg.buffer(a, d)
@@ -78,7 +86,7 @@ def test_buffer_contains_input_fuzz(a, d):
     assert alg.area(b) >= alg.area(a) - 1e-9
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_ex(50), deadline=None)
 @given(a=polys, b=polys)
 def test_predicates_consistent_with_relate_matrix(a, b):
     """The scalar predicates and the DE-9IM matrix are independent code
@@ -114,7 +122,7 @@ lines_strat = st.builds(
     st.lists(st.tuples(_q(-6, 6), _q(-6, 6)), min_size=2, max_size=5))
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(g1=st.one_of(points_strat, lines_strat), b=polys)
 def test_mixed_predicates_consistent_with_relate(g1, b):
     """Point/line vs polygon: predicates must agree with the DE-9IM
@@ -132,7 +140,7 @@ def test_mixed_predicates_consistent_with_relate(g1, b):
 geoms_strat = st.one_of(points_strat, lines_strat, polys)
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=_ex(80), deadline=None)
 @given(g=geoms_strat)
 def test_codec_roundtrips_fuzz(g):
     """WKT and WKB round-trips are exact for arbitrary geometries
@@ -147,7 +155,7 @@ def test_codec_roundtrips_fuzz(g):
     assert g3.type == g.type
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(g=geoms_strat,
        theta=st.sampled_from([0.3, 1.1, 2.0]),
        dx=_q(-3, 3), dy=_q(-3, 3))
@@ -163,7 +171,7 @@ def test_affine_roundtrip_fuzz(g, theta, dx, dy):
     assert np.allclose(a, c, atol=1e-12)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(a=geoms_strat, b=geoms_strat)
 def test_metric_invariants_fuzz(a, b):
     """distance is symmetric, zero iff intersecting (for these shapes),
@@ -181,7 +189,7 @@ def test_metric_invariants_fuzz(a, b):
     assert m >= h - 1e-9
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(a=polys, b=polys)
 def test_covers_equals_consistent_with_relate(a, b):
     from geoflow.geom.relate import relate_match, relate_matrix
@@ -193,7 +201,7 @@ def test_covers_equals_consistent_with_relate(a, b):
     assert alg.equals_topo(a, b) == relate_match(m, "T*F**FFF*")
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(a=polys)
 def test_triangulation_area_identities(a):
     """Ear-clip tesselation must tile the polygon exactly; the Delaunay
@@ -208,7 +216,7 @@ def test_triangulation_area_identities(a):
     assert abs(sum(alg.area(t) for t in dparts) - alg.area(hull)) < 1e-8
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_ex(50), deadline=None)
 @given(a=lines_strat, f=st.floats(0.05, 0.95))
 def test_line_interpolate_locate_roundtrip(a, f):
     """interpolate(locate(interpolate(f))) lands on the same COORDINATE
@@ -221,7 +229,7 @@ def test_line_interpolate_locate_roundtrip(a, f):
     assert abs(p2.coords[1] - p.coords[1]) < 1e-9
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(a=geoms_strat)
 def test_convex_hull_invariants(a):
     h = alg.convex_hull(a)
@@ -316,7 +324,7 @@ def test_grid_cover_boxes_guarantee_fuzz():
         assert all(int(c) in cov[i] for c in pc.tolist())
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(a=polys)
 def test_subdivide_area_identity(a):
     """Subdivide parts tile the polygon exactly."""
@@ -326,7 +334,7 @@ def test_subdivide_area_identity(a):
     assert abs(tot - alg.area(a)) < 1e-6 * max(1.0, alg.area(a))
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(a=polys, x=_q(-6, 6))
 def test_split_area_identity(a, x):
     """st_split pieces tile the polygon exactly (vertical blade)."""
@@ -342,7 +350,7 @@ def test_split_area_identity(a, x):
     assert abs(tot - alg.area(a)) < 1e-6 * max(1.0, alg.area(a))
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(a=geoms_strat)
 def test_bounding_shapes_contain_points(a):
     """Minimum bounding circle and minimum rotated rectangle must
@@ -362,7 +370,7 @@ def test_bounding_shapes_contain_points(a):
         assert alg.area(rect) <= bbox_area * (1 + 1e-9) + 1e-12
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(a=lines_strat, tol=st.sampled_from([0.1, 0.5, 1.0]))
 def test_simplify_dp_invariants(a, tol):
     """DP simplification: endpoints preserved, output vertices a subset
@@ -378,7 +386,7 @@ def test_simplify_dp_invariants(a, tol):
         assert d <= tol * (1 + 1e-9) + 1e-12
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_ex(50), deadline=None)
 @given(lon1=_q(-179, 179), lat1=_q(-85, 85),
        lon2=_q(-179, 179), lat2=_q(-85, 85))
 def test_great_circle_metric_axioms(lon1, lat1, lon2, lat2):
