@@ -176,3 +176,10 @@ def test_cover_boxes_guaranteed():
         py = rng.uniform(y0[i], y1[i], 1500)
         pc = h3.lonlat_to_cell(px, py, 4)
         assert all(int(c) in cov[i] for c in pc)
+
+
+def test_res0_token_vector():
+    """Published res-0 index token for base cell 20 (the cell under the
+    SF example) is 8029fffffffffff — exercises the res-0 encode path."""
+    sf0 = h3.latlng_to_cell(37.7752702151959257, -122.418307270836565, 0)
+    assert f"{sf0:015x}" == "8029fffffffffff"
