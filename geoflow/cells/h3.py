@@ -29,11 +29,11 @@ cell_to_latlng round-trips ~84%+ of cells exactly (the rest are within
 about one cell). Interior cells — including every published test
 vector — are bit-exact.
 
-Caveat: pentagon base cells (12 of 122) historically used the plain
-hexagon rotation path — the deleted-k-axis sub-sequence adjustment of real H3 is not
-applied, so indices INSIDE pentagon cells may differ from libh3 while
-remaining deterministic and collision-free. All other cells follow the
-published algorithm end-to-end.
+Pentagon base cells (12 of 122): the deleted-k-axis sub-sequence
+adjustment of real H3 IS applied (see the pentagon branches in the
+digit-derivation path and its inverse), so indices inside pentagon
+cells follow the published algorithm; they share the face-edge-band
+caveat above where their region straddles icosahedron edges.
 """
 
 from __future__ import annotations
@@ -556,14 +556,18 @@ def _ball_offsets(k: int) -> np.ndarray:
         return offs
     rad = k + 0.75
     pts = []
+    # 0.4-spacing sample step: a square grid of step h hits every disk
+    # of radius h/√2 ≈ 0.283 spacings — below the 0.315-spacing inradius
+    # of the smallest (gnomonic edge-distorted, ×0.63) cells, so no cell
+    # inside the ball can be skipped (0.5 was marginal: 0.354 > 0.315)
     a = -rad
     while a <= rad:
         b = -rad
         while b <= rad:
             if math.hypot(a, b) <= rad:
                 pts.append((a, b))
-            b += 0.5
-        a += 0.5
+            b += 0.4
+        a += 0.4
     offs = np.array(pts, dtype=np.float64)
     _BALL_CACHE[k] = offs
     return offs

@@ -80,9 +80,12 @@ def _knn_one_pass(probes_ds, nbrs, k, disk, res, probe_key, neighbor_key,
         nx = batch.column("nx").to_numpy(zero_copy_only=False)
         ny = batch.column("ny").to_numpy(zero_copy_only=False)
         d = vincenty_sphere_m(px, py, nx, ny)
+        # carry the probe latitude so the widening loop can evaluate the
+        # coverage guarantee per probe (it shrinks with cos(lat))
         return pa.table({probe_key: batch.column(probe_key),
                          neighbor_key: batch.column(neighbor_key),
-                         "dist_m": pa.array(d)})
+                         "dist_m": pa.array(d),
+                         "py": batch.column("py")})
 
     scored = pairs.map_batches(score, batch_format="pyarrow")
 
@@ -138,6 +141,44 @@ def _unguaranteed_probe_keys(result, probe_key, max_dist_m) -> np.ndarray:
     def over(batch: pa.Table) -> pa.Table:
         d = batch.column("max(dist_m)").to_numpy(zero_copy_only=False)
         return batch.select([probe_key]).filter(pa.array(d > max_dist_m))
+
+    out = maxd.map_batches(over, batch_format="pyarrow").take_all()
+    return np.array([r[probe_key] for r in out], dtype=np.int64)
+
+
+def _unguaranteed_probe_keys_grid(result, probe_key, wide,
+                                  spacing_deg) -> np.ndarray:
+    """Latitude-aware exactness check for the degree-grid disk.
+
+    A (2w+1)² disk of spacing-`s` degree cells around the probe's cell
+    is guaranteed to contain every point within ground distance D of the
+    probe iff the point's cell is at most w rows AND w columns away.
+    Row bound: |Δlat| < w·s  (floor(a+δ)−floor(a) ≤ w whenever δ < w·s).
+    Column bound: the max longitude excursion reachable within angular
+    distance θ from latitude φ is asin(sinθ/cosφ) ≤ w·s whenever
+    θ ≤ w·s·cos(|φ|+w·s)  (proof: ws·cos(φ+ws) ≤ cosφ·sin(ws), so
+    sinθ/cosφ ≤ θ/cosφ ≤ sin(ws)).  Hence per-probe guarantee
+        guard(φ) = w·s·cos(min(|φ|+w·s, 90°)) · m-per-deg,
+    which is 0 at/near the poles → polar probes are retried
+    unconditionally.  Once the disk wraps every longitude column
+    (2w+1 ≥ n_cols) only the row bound remains: guard = w·s·m-per-deg,
+    which also covers pole-crossing paths (all longitudes present).
+    Probes whose k-th distance meets/exceeds their guard are flagged."""
+    nx_cols = math.ceil(360.0 / spacing_deg)
+    full_wrap = (2 * wide + 1) >= nx_cols
+    base_m = wide * spacing_deg * _M_PER_DEG
+    maxd = result.groupby(probe_key).max(["dist_m", "py"])
+
+    def over(batch: pa.Table) -> pa.Table:
+        d = batch.column("max(dist_m)").to_numpy(zero_copy_only=False)
+        if full_wrap:
+            guard = np.full(len(d), base_m)
+        else:
+            lat = np.abs(batch.column("max(py)").to_numpy(
+                zero_copy_only=False))
+            band = np.minimum(lat + wide * spacing_deg, 90.0)
+            guard = base_m * np.maximum(np.cos(np.radians(band)), 0.0)
+        return batch.select([probe_key]).filter(pa.array(d >= guard))
 
     out = maxd.map_batches(over, batch_format="pyarrow").take_all()
     return np.array([r[probe_key] for r in out], dtype=np.int64)
@@ -211,11 +252,12 @@ def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
     spacing_deg = 36.0 / (1 << res)
     for _ in range(max_widen):
         short = _short_probe_keys(result, probes_ds, k, probe_key)
-        # exactness criterion: the (2*wide+1)² neighborhood guarantees
-        # coverage of ground distance wide*spacing (conservative at high
-        # latitude the lon span shrinks, so guarantee via lat spacing)
-        guard_m = max(0.0, wide * spacing_deg) * _M_PER_DEG
-        over = _unguaranteed_probe_keys(result, probe_key, guard_m)
+        # exactness criterion: latitude-aware per-probe coverage
+        # guarantee (east-west cell span shrinks with cos(lat); polar
+        # probes are flagged unconditionally until the disk wraps all
+        # longitude columns) — see _unguaranteed_probe_keys_grid
+        over = _unguaranteed_probe_keys_grid(result, probe_key, wide,
+                                             spacing_deg)
         short = np.union1d(short, over)
         if len(short) == 0:
             break
@@ -242,7 +284,7 @@ def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
             y_col, num_partitions)
         result = result.map_batches(drop_short, batch_format="pyarrow") \
             .union(retry).materialize()
-    return result
+    return result.drop_columns(["py"])
 
 
 def _knn_h3_one_pass(probes_ds, nbrs, k, disk, res, probe_key,
@@ -326,8 +368,11 @@ def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
         short = _short_probe_keys(result, probes_ds, k, probe_key)
         # ball of `wide` spacings guarantees neighbors within
         # (wide-1)·spacing ground distance (one spacing of margin for
-        # cell assignment fringe)
-        guard_m = max(0.0, (wide - 1) * spacing_deg) * _M_PER_DEG
+        # cell assignment fringe), derated by the worst-case gnomonic
+        # sphere-scale at a face vertex — cos²(37.4°) ≈ 0.63, rounded
+        # down to 0.6 — since cells near icosahedron edges are that
+        # much smaller than the face-center spacing used here
+        guard_m = max(0.0, (wide - 1) * spacing_deg) * 0.6 * _M_PER_DEG
         over = _unguaranteed_probe_keys(result, probe_key, guard_m)
         short = np.union1d(short, over)
         if len(short) == 0:

@@ -103,21 +103,25 @@ def st_intersection(col_a, col_b):
     return binary_geom(col_a, col_b, f)
 
 
+def _difference_one(a, b):
+    """A − B for one geometry pair (shared by st_difference and the
+    mixed-dimension st_symdifference path)."""
+    if a.type in (3, 6) and b.type in (3, 6):
+        return polygon_overlay(a, b, "difference")
+    if a.type in (2, 5) and b.type in (3, 6):
+        return line_poly_clip(a, b, inside=False)
+    if a.type == 1:
+        return Geometry.empty(1, a.srid) if alg.intersects(a, b) else a
+    # B of lower dimension than A cannot remove area/length
+    return a
+
+
 @register_op("st_difference", 2, "setop")
 def st_difference(col_a, col_b):
     """Difference (GeometryWrapper.java:715, Difference.java:18): parts
     of A not in B. Areal×areal via the overlay; line−polygon clips the
     line to B's exterior; lower-dim B leaves areal A unchanged (JTS)."""
-    def f(a, b):
-        if a.type in (3, 6) and b.type in (3, 6):
-            return polygon_overlay(a, b, "difference")
-        if a.type in (2, 5) and b.type in (3, 6):
-            return line_poly_clip(a, b, inside=False)
-        if a.type == 1:
-            return Geometry.empty(1, a.srid) if alg.intersects(a, b) else a
-        # B of lower dimension than A cannot remove area/length
-        return a
-    return binary_geom(col_a, col_b, f)
+    return binary_geom(col_a, col_b, _difference_one)
 
 
 @register_op("st_symdifference", 2, "setop")
@@ -127,9 +131,20 @@ def st_symdifference(col_a, col_b):
         if a.type in (3, 6) and b.type in (3, 6):
             return polygon_overlay(a, b, "symdifference")
         # mixed dims: JTS symDifference = union of the two differences
-        ta = a.parts if a.parts is not None else [a]
-        tb = b.parts if b.parts is not None else [b]
-        return Geometry.multi(7, list(ta) + list(tb), srid=a.srid)
+        # (NOT the raw union of operands — a point inside the polygon
+        # and a line's inside portion must be dropped)
+        da = _difference_one(a, b)
+        db = _difference_one(b, a)
+        parts = []
+        for g in (da, db):
+            if g.is_empty:
+                continue
+            parts.extend(g.parts if g.parts is not None else [g])
+        if not parts:
+            return Geometry.empty(7, a.srid)
+        if len(parts) == 1:
+            return parts[0]
+        return Geometry.multi(7, parts, srid=a.srid)
     return binary_geom(col_a, col_b, f)
 
 

@@ -334,12 +334,18 @@ class SimHasher:
         # full (n_tok, 64) matrix would be 512 B/token of intermediate)
         tb = th.view(np.uint8).reshape(-1, 8)   # little-endian byte j =
         starts = np.searchsorted(parent, np.arange(n_docs))  # bits 8j..8j+7
+        # trailing tokenless docs get starts == len(th), out of range for
+        # reduceat — pad the bit matrix with one zero sentinel row so that
+        # index is valid (clipping starts instead would shrink the
+        # PRECEDING doc's segment). Zero-token rows are zeroed by the
+        # ntok==0 mask below either way.
         ntok = np.bincount(parent, minlength=n_docs)
         shifts = np.arange(8, dtype=np.uint8)
         fp = np.zeros(n_docs, dtype=np.uint64)
         for j in range(8):
             bits = ((tb[:, j, None] >> shifts[None, :])
                     & np.uint8(1)).astype(np.int32)
+            bits = np.vstack([bits, np.zeros((1, 8), dtype=np.int32)])
             cnt = np.add.reduceat(bits, starts, axis=0)
             # signed sum = 2*cnt - ntok; bit set iff sum > 0
             pos = (2 * cnt) > ntok[:, None]

@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -70,6 +71,23 @@ def run_partition(pid: int, files: list, out_dir: str, chain: str,
     return rec
 
 
+def cleanup_orphan_partitions(out_dir: str, partitions: int) -> None:
+    """Drop orphan partitions from an earlier run with a larger
+    --partitions: their files would otherwise sit beside the new output
+    and be read by any consumer globbing out_dir/*.parquet. Lists the
+    directory and removes EVERY part/lineage file with pid >= partitions
+    (sequential probing would stop at the first gap — empty file groups
+    are never written, so prior runs legitimately leave holes)."""
+    pat = re.compile(r"^part-(\d{5})\.(?:parquet|json)$")
+    for d in (out_dir, os.path.join(out_dir, "_lineage")):
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            m = pat.match(f)
+            if m and int(m.group(1)) >= partitions:
+                os.remove(os.path.join(d, f))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="corpus parquet dir")
@@ -97,17 +115,7 @@ def main():
     groups, chains = partition_chains(files, args.partitions, args.zoom,
                                       args.polygons)
 
-    # drop orphan partitions from an earlier run with a larger
-    # --partitions: their files would otherwise sit beside the new output
-    # and be read by any consumer globbing out_dir/*.parquet
-    from geoflow.io.lineage import lineage_path, part_path
-    pid = args.partitions
-    while os.path.exists(part_path(args.output, pid)) or \
-            os.path.exists(lineage_path(args.output, pid)):
-        for p in (part_path(args.output, pid), lineage_path(args.output, pid)):
-            if os.path.exists(p):
-                os.remove(p)
-        pid += 1
+    cleanup_orphan_partitions(args.output, args.partitions)
 
     todo = [(pid, grp) for pid, grp in enumerate(groups)
             if grp and not is_partition_done(args.output, pid, chains[pid])]

@@ -92,3 +92,31 @@ def test_knn_h3_join_matches_bruteforce(ray_session):
         got = [r["neighbor_id"] for r in sorted(by[i],
                                                 key=lambda r: r["rank"])]
         assert got == exp
+
+
+def test_knn_cell_join_high_latitude_exact(ray_session):
+    """Regression (round-3 ADVICE): at high latitude a degree-grid disk
+    covers only cos(lat)x as many ground meters east-west as the old
+    lat-spacing guard claimed, so a probe could keep in-disk neighbors
+    ~90 km away and never see a ~47 km neighbor sitting 4 degrees east
+    (outside the 3x3 disk). The latitude-aware guard must force the
+    widening retry and return the true global top-k."""
+    import ray
+    from geoflow.join import knn_cell_join
+    # probe at (0, 84); two in-disk decoys ~89 km south; the true
+    # nearest ~47 km away at 4 degrees east (outside disk=1 at res 5)
+    nbrs = pa.table({"neighbor_id": pa.array([0, 1, 2], type=pa.int64()),
+                     "x": pa.array([0.0, 0.5, 4.0]),
+                     "y": pa.array([83.2, 83.2, 84.0])})
+    probes = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                       "x": pa.array([0.0]), "y": pa.array([84.0])})
+    out = knn_cell_join(ray.data.from_arrow(probes),
+                        ray.data.from_arrow(nbrs), k=2, res=5, disk=1,
+                        num_partitions=2)
+    rows = sorted(out.take_all(), key=lambda r: r["rank"])
+    nx = np.array([0.0, 0.5, 4.0])
+    ny = np.array([83.2, 83.2, 84.0])
+    d = vincenty_sphere_m(0.0, 84.0, nx, ny)
+    exp = sorted(range(3), key=lambda j: (d[j], j))[:2]
+    assert [r["neighbor_id"] for r in rows] == exp
+    assert "py" not in out.schema().names

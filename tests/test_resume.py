@@ -88,3 +88,16 @@ def test_lineage_records(tmp_path):
         assert r["rows_out"] > 0
         assert r["op_chain_hash"] == chain
         assert r["wall_ms"] >= 0
+import os
+def test_cleanup_orphans_with_gaps(tmp_path):
+    from jobs.run_pipeline import cleanup_orphan_partitions
+    out = tmp_path / "out"
+    (out / "_lineage").mkdir(parents=True)
+    for pid in (0, 1, 4, 9):   # gaps at 2-3 and 5-8
+        (out / f"part-{pid:05d}.parquet").write_bytes(b"x")
+        (out / "_lineage" / f"part-{pid:05d}.json").write_text("{}")
+    cleanup_orphan_partitions(str(out), 2)
+    kept = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert kept == ["part-00000.parquet", "part-00001.parquet"]
+    kept_l = sorted(os.listdir(out / "_lineage"))
+    assert kept_l == ["part-00000.json", "part-00001.json"]

@@ -168,3 +168,28 @@ def test_overlay_hole_touching_shell():
     assert alg.area(d) == 48 - 6
     back = polygon_overlay(d, bite, "union")
     assert alg.area(back) == 48.0
+
+
+def test_symdifference_mixed_dimension_drops_contained_parts():
+    """Regression (round-3 ADVICE): mixed-dimension symDifference is the
+    union of the two differences (JTS), NOT the raw union of operands —
+    a point inside the polygon and a line's inside portion are dropped."""
+    import pyarrow as pa
+    from geoflow.geom.wkb import to_wkb, from_wkb
+    from geoflow.ops.setops import st_symdifference
+    poly = to_wkb(from_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0))"))
+    a = pa.array([poly] * 3, type=pa.large_binary())
+    b = pa.array([to_wkb(from_wkt("POINT(2 2)")),
+                  to_wkb(from_wkt("POINT(9 9)")),
+                  to_wkb(from_wkt("LINESTRING(-1 2,5 2)"))],
+                 type=pa.large_binary())
+    out = [from_wkb(buf) for buf in st_symdifference(a, b).to_pylist()]
+    # point inside the polygon: dropped -> just the polygon
+    assert out[0].type == 3 and alg.area(out[0]) == 16.0
+    # point outside: kept alongside the polygon
+    assert out[1].type == 7 and len(out[1].parts) == 2
+    # crossing line: only the two outside stubs survive (total length 2)
+    parts = out[2].parts
+    assert sum(1 for p in parts if p.type == 2) == 2
+    lens = sum(alg.length(p) for p in parts if p.type == 2)
+    assert abs(lens - 2.0) < 1e-9

@@ -240,3 +240,13 @@ def test_ann_ivf_recall(ray_session):
         batch_format="pyarrow", concurrency=2).take_all()
     found = {r["vec_id"] for r in cand}
     assert 0 in found and 300 in found
+
+
+def test_simhash_trailing_tokenless_docs():
+    """Regression (round-3 ADVICE): a batch whose LAST docs have zero
+    tokens used to crash np.add.reduceat (searchsorted start index ==
+    len(token_hashes)); tokenless docs must fingerprint to 0."""
+    fps = SimHasher.fingerprints(["hello world", "...", ""])
+    assert list(fps[1:]) == [0, 0]
+    assert fps[0] == SimHasher.fingerprint("hello world")
+    assert list(SimHasher.fingerprints(["", "...", "\t \n"])) == [0, 0, 0]
