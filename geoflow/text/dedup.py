@@ -275,16 +275,76 @@ def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
     return counted.map_batches(finish, batch_format="pyarrow")
 
 
+def _sig_matrix(col, num_hashes) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.flatten(),
+                      dtype=np.uint64).reshape(-1, num_hashes)
+
+
 def estimate_pair_jaccard(pairs_ds, sig_ds, key_col="doc_id",
-                          num_hashes=128):
-    """Signature-level est_jaccard for candidate pairs: collect the pair
-    key set (pairs ≪ corpus), filter the signature Dataset to it
-    (broadcast set, map-only), then compare signatures per pair locally.
-    Returns pyarrow Table (key_a, key_b, sig_jaccard)."""
+                          num_hashes=128, max_broadcast_pairs=1_000_000,
+                          num_partitions=None):
+    """Signature-level est_jaccard for candidate pairs. Returns Dataset
+    (key_a, key_b, sig_jaccard).
+
+    Shape picked by pair count (same rule as cosine_near_dup_pairs): up
+    to `max_broadcast_pairs` the pair set is collected, the signature
+    Dataset broadcast-filtered to just those keys, and signatures
+    compared in one vectorized pass; beyond that — duplicate-heavy
+    corpora where pairs are O(corpus) — the signature column is
+    hash-joined onto the pair set (key_a then key_b) and compared inside
+    map_batches, fully distributed."""
     import ray
-    prs = pairs_ds.select_columns(["key_a", "key_b"]).take_all()
-    need = sorted({r["key_a"] for r in prs} | {r["key_b"] for r in prs})
-    need_arr = np.array(need, dtype=np.int64)
+    pairs = pairs_ds.select_columns(["key_a", "key_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.table({
+            "key_a": pa.array([], type=pa.int64()),
+            "key_b": pa.array([], type=pa.int64()),
+            "sig_jaccard": pa.array([], type=pa.float64())}))
+
+    if n_pairs > max_broadcast_pairs:
+        from ..vector.ann import pack_rows, unpack_rows
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 4)) \
+                if ray.is_initialized() else 4
+            num_partitions = max(2, min(cpus // 4, 16))
+
+        def side(out_key, out_sig):
+            def f(batch: pa.Table) -> pa.Table:
+                m = _sig_matrix(batch.column("minhash"), num_hashes)
+                return pa.table({out_key: batch.column(key_col),
+                                 out_sig: pack_rows(m, np.uint64)})
+            return f
+
+        j1 = pairs.join(sig_ds.map_batches(side("key_a", "sig_a"),
+                                           batch_format="pyarrow"),
+                        join_type="inner", num_partitions=num_partitions,
+                        on=("key_a",))
+        j2 = j1.join(sig_ds.map_batches(side("key_b", "sig_b"),
+                                        batch_format="pyarrow"),
+                     join_type="inner", num_partitions=num_partitions,
+                     on=("key_b",))
+
+        def score(batch: pa.Table) -> pa.Table:
+            ma = unpack_rows(batch.column("sig_a"), num_hashes, np.uint64)
+            mb = unpack_rows(batch.column("sig_b"), num_hashes, np.uint64)
+            sj = (ma == mb).mean(axis=1)
+            return pa.table({"key_a": batch.column("key_a"),
+                             "key_b": batch.column("key_b"),
+                             "sig_jaccard": pa.array(sj,
+                                                     type=pa.float64())})
+
+        return j2.map_batches(score, batch_format="pyarrow")
+
+    ka_parts, kb_parts = [], []
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        ka_parts.append(b.column("key_a").to_numpy(zero_copy_only=False))
+        kb_parts.append(b.column("key_b").to_numpy(zero_copy_only=False))
+    ka = np.concatenate(ka_parts).astype(np.int64)
+    kb = np.concatenate(kb_parts).astype(np.int64)
+    need_arr = np.unique(np.concatenate([ka, kb]))
     ref = ray.put(need_arr)
 
     def filt(batch: pa.Table) -> pa.Table:
@@ -294,22 +354,22 @@ def estimate_pair_jaccard(pairs_ds, sig_ds, key_col="doc_id",
         mask = (wk[pos] == kv) if len(wk) else np.zeros(len(kv), bool)
         return batch.select([key_col, "minhash"]).filter(pa.array(mask))
 
-    sigs = {}
+    key_parts, sig_parts = [], []
     for b in sig_ds.map_batches(filt, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"):
-        ks = b.column(key_col).to_numpy(zero_copy_only=False)
-        col = b.column("minhash")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        m = np.asarray(col.flatten(), dtype=np.uint64).reshape(-1, num_hashes)
-        for i, kk in enumerate(ks):
-            sigs[int(kk)] = m[i]
-    ka = [r["key_a"] for r in prs]
-    kb = [r["key_b"] for r in prs]
-    sj = [float((sigs[a] == sigs[b]).mean()) for a, b in zip(ka, kb)]
-    return pa.table({"key_a": pa.array(ka, type=pa.int64()),
-                     "key_b": pa.array(kb, type=pa.int64()),
-                     "sig_jaccard": pa.array(sj, type=pa.float64())})
+        if b.num_rows == 0:
+            continue
+        key_parts.append(b.column(key_col).to_numpy(zero_copy_only=False))
+        sig_parts.append(_sig_matrix(b.column("minhash"), num_hashes))
+    allk = np.concatenate(key_parts).astype(np.int64)
+    sigs = np.vstack(sig_parts)
+    order = np.argsort(allk)
+    allk, sigs = allk[order], sigs[order]
+    sj = (sigs[np.searchsorted(allk, ka)]
+          == sigs[np.searchsorted(allk, kb)]).mean(axis=1)
+    return ray.data.from_arrow(pa.table({
+        "key_a": pa.array(ka), "key_b": pa.array(kb),
+        "sig_jaccard": pa.array(sj, type=pa.float64())}))
 
 
 class SimHasher:

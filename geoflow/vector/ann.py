@@ -26,6 +26,33 @@ def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(-1, dim)
 
 
+def pack_rows(mat: np.ndarray, dtype) -> pa.Array:
+    """(n, d) matrix → Arrow binary array, one row's raw bytes per
+    element — the join-safe carrier for vector payloads (Acero hash
+    joins reject list-typed non-key columns)."""
+    mat = np.ascontiguousarray(mat, dtype=dtype)
+    n, d = mat.shape
+    row_bytes = mat.dtype.itemsize * d
+    offs = np.arange(n + 1, dtype=np.int32) * row_bytes
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(mat.tobytes())])
+
+
+def unpack_rows(col, dim: int, dtype) -> np.ndarray:
+    """Inverse of pack_rows: binary column of uniform-length rows →
+    (n, dim) matrix, zero-copy over the Arrow data buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, dim), dtype=dtype)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset:col.offset + len(col) + 1]
+    raw = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = np.ascontiguousarray(raw[offs[0]:offs[-1]])
+    return flat.view(dtype).reshape(-1, dim)
+
+
 class QuerySet:
     def __init__(self, query_ids: np.ndarray, matrix: np.ndarray):
         self.ids = np.asarray(query_ids)
@@ -179,14 +206,23 @@ class HyperplaneBucketer:
 
 def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
                           seed=17, emb_col="embedding", key_col="vec_id",
-                          bucket_cap=4096, dim=None):
+                          bucket_cap=4096, dim=None,
+                          max_broadcast_pairs=1_000_000,
+                          num_partitions=None):
     """Embedding-cosine near-dup pairs, scale-safe three-stage shape:
       1. hyperplane-LSH buckets (map; embeddings stay in the map stage),
       2. groupby(bucket) → candidate pairs (capped), groupby(pair) dedup,
-      3. verify: fetch ONLY the candidate keys' embeddings via a
-         broadcast key set (pairs ≪ corpus) and keep cosine ≥ threshold.
+      3. verify: score each candidate pair's cosine and keep ≥ threshold.
     Exact/near duplicates collide in every/most tables, so recall for
     true near-dups is ~1; random pairs need all n_bits to agree.
+
+    The verify stage picks its shape by candidate-pair count: up to
+    `max_broadcast_pairs` it broadcasts the candidate key set and fetches
+    just those embeddings to the driver (one matmul, no shuffle); beyond
+    that — a duplicate-heavy web corpus where the pair set is O(corpus)
+    and must never be driver-materialized — it hash-joins the embedding
+    column onto the pair set (on key_a, then key_b) and scores inside
+    map_batches, fully distributed.
     Returns Dataset (key_a, key_b, cos_sim)."""
     import ray
 
@@ -217,17 +253,30 @@ def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
 
     pairs = buckets.groupby("bucket").map_groups(emit_pairs,
                                                  batch_format="pyarrow")
+    # distinct pairs stay in the object store (never driver-collected
+    # wholesale); materialize so counting + the verify pass don't
+    # re-execute the whole LSH lineage
     uniq = pairs.groupby(["key_a", "key_b"]).count() \
-        .select_columns(["key_a", "key_b"])
-
-    prs = uniq.take_all()
-    if not prs:
+        .select_columns(["key_a", "key_b"]).materialize()
+    n_pairs = uniq.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(pa.table({
             "key_a": pa.array([], type=pa.int64()),
             "key_b": pa.array([], type=pa.int64()),
             "cos_sim": pa.array([], type=pa.float64())}))
-    need = np.array(sorted({r["key_a"] for r in prs}
-                           | {r["key_b"] for r in prs}), dtype=np.int64)
+
+    if n_pairs > max_broadcast_pairs:
+        return _score_pairs_joined(ds, uniq, threshold, emb_col, key_col,
+                                   num_partitions)
+
+    # small pair set: broadcast the key set, fetch only those embeddings
+    ka_parts, kb_parts = [], []
+    for b in uniq.iter_batches(batch_format="pyarrow"):
+        ka_parts.append(b.column("key_a").to_numpy(zero_copy_only=False))
+        kb_parts.append(b.column("key_b").to_numpy(zero_copy_only=False))
+    ka = np.concatenate(ka_parts).astype(np.int64)
+    kb = np.concatenate(kb_parts).astype(np.int64)
+    need = np.unique(np.concatenate([ka, kb]))
     ref = ray.put(need)
 
     def filt(batch: pa.Table) -> pa.Table:
@@ -237,23 +286,77 @@ def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
         return batch.select([key_col, emb_col]).filter(
             pa.array(wk[pos] == kv))
 
-    embs = {}
+    key_parts, mat_parts = [], []
     for b in ds.map_batches(filt, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"):
-        ks = b.column(key_col).to_numpy(zero_copy_only=False)
-        m = _embedding_matrix(b, emb_col)
-        nm = np.linalg.norm(m, axis=1, keepdims=True)
-        nm[nm == 0] = 1.0
-        m = m / nm
-        for i, kk in enumerate(ks):
-            embs[int(kk)] = m[i]
-    ka = np.array([r["key_a"] for r in prs], dtype=np.int64)
-    kb = np.array([r["key_b"] for r in prs], dtype=np.int64)
-    cs = np.array([float(embs[a] @ embs[b]) for a, b in zip(ka, kb)])
+        if b.num_rows == 0:
+            continue
+        key_parts.append(b.column(key_col).to_numpy(zero_copy_only=False))
+        mat_parts.append(_embedding_matrix(b, emb_col))
+    allk = np.concatenate(key_parts).astype(np.int64)
+    mat = np.vstack(mat_parts)
+    nm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nm[nm == 0] = 1.0
+    mat = mat / nm
+    order = np.argsort(allk)
+    allk, mat = allk[order], mat[order]
+    ia = np.searchsorted(allk, ka)
+    ib = np.searchsorted(allk, kb)
+    cs = (mat[ia] * mat[ib]).sum(axis=1).astype(np.float64)
     keep = cs >= threshold
     return ray.data.from_arrow(pa.table({
         "key_a": pa.array(ka[keep]), "key_b": pa.array(kb[keep]),
         "cos_sim": pa.array(cs[keep])}))
+
+
+def _score_pairs_joined(ds, uniq, threshold, emb_col, key_col,
+                        num_partitions):
+    """Fully-distributed verify: hash-join the embedding column onto the
+    candidate pairs (key_a then key_b), score cosine in map_batches.
+    Nothing is driver-materialized; the corpus is streamed twice (once
+    per join side), embeddings ride the shuffle packed as binary (Acero
+    joins reject list payloads). Partition count capped per the Ray
+    2.49 aggregator-actor rule (see celljoin.py)."""
+    import ray
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        num_partitions = max(2, min(cpus // 4, 16))
+
+    def side(out_key, out_emb):
+        def f(batch: pa.Table) -> pa.Table:
+            m = _embedding_matrix(batch, emb_col)
+            return pa.table({out_key: batch.column(key_col),
+                             out_emb: pack_rows(m, np.float32)})
+        return f
+
+    j1 = uniq.join(ds.map_batches(side("key_a", "emb_a"),
+                                  batch_format="pyarrow"),
+                   join_type="inner", num_partitions=num_partitions,
+                   on=("key_a",))
+    j2 = j1.join(ds.map_batches(side("key_b", "emb_b"),
+                                batch_format="pyarrow"),
+                 join_type="inner", num_partitions=num_partitions,
+                 on=("key_b",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        col_a = batch.column("emb_a")
+        if isinstance(col_a, pa.ChunkedArray):
+            col_a = col_a.combine_chunks()
+        dim = (len(col_a[0].as_py()) // 4) if len(col_a) else 1
+        ma = unpack_rows(col_a, dim, np.float32)
+        mb = unpack_rows(batch.column("emb_b"), dim, np.float32)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cs = ((ma * mb).sum(axis=1) / (na * nb)).astype(np.float64)
+        keep = cs >= threshold
+        return pa.table({"key_a": batch.column("key_a"),
+                         "key_b": batch.column("key_b"),
+                         "cos_sim": pa.array(cs)}).filter(pa.array(keep))
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -250,3 +250,54 @@ def test_simhash_trailing_tokenless_docs():
     assert list(fps[1:]) == [0, 0]
     assert fps[0] == SimHasher.fingerprint("hello world")
     assert list(SimHasher.fingerprints(["", "...", "\t \n"])) == [0, 0, 0]
+
+
+def test_cosine_near_dup_pairs_distributed_path(ray_session):
+    """Round-3 VERDICT fix: with a duplicate-heavy corpus whose pair set
+    exceeds the driver-memory budget (max_broadcast_pairs), the verify
+    stage must run as a distributed hash-join — no take_all of pairs —
+    and return exactly what the broadcast path returns."""
+    import ray
+    from geoflow.vector import cosine_near_dup_pairs
+    rng = np.random.default_rng(5)
+    n = 300
+    emb = rng.standard_normal((n, 32)).astype(np.float32)
+    # plant an exact copy of EVERY vector -> >= n true pairs
+    ids = np.concatenate([np.arange(n), np.arange(n) + 1_000_000])
+    mat = np.vstack([emb, emb])
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(mat))})
+    ds = ray.data.from_arrow(t)
+    # budget of 10 pairs forces the joined path
+    out = cosine_near_dup_pairs(ds, threshold=0.9,
+                                max_broadcast_pairs=10).take_all()
+    got = {(r["key_a"], r["key_b"]): r["cos_sim"] for r in out}
+    ref = cosine_near_dup_pairs(ds, threshold=0.9).take_all()
+    exp = {(r["key_a"], r["key_b"]): r["cos_sim"] for r in ref}
+    assert set(got) == set(exp)
+    for key in got:
+        assert abs(got[key] - exp[key]) < 1e-6
+    for i in range(n):
+        assert (i, i + 1_000_000) in got
+
+
+def test_estimate_pair_jaccard_both_paths(ray_session):
+    """estimate_pair_jaccard: broadcast and hash-join paths agree."""
+    import ray
+    from geoflow.text import MinHasher
+    from geoflow.text.dedup import estimate_pair_jaccard, lsh_band_pairs
+    docs = [{"doc_id": i,
+             "text": ("the quick brown fox jumps over the lazy dog %d"
+                      % (i % 7))} for i in range(40)]
+    sig = ray.data.from_items(docs).map_batches(
+        MinHasher(num_hashes=64), batch_format="pyarrow").materialize()
+    pairs = lsh_band_pairs(sig, num_hashes=64, bands=16).materialize()
+    assert pairs.count() > 0
+    small = {(r["key_a"], r["key_b"]): r["sig_jaccard"]
+             for r in estimate_pair_jaccard(
+                 pairs, sig, num_hashes=64).take_all()}
+    big = {(r["key_a"], r["key_b"]): r["sig_jaccard"]
+           for r in estimate_pair_jaccard(
+               pairs, sig, num_hashes=64,
+               max_broadcast_pairs=1).take_all()}
+    assert small == big and len(small) == pairs.count()
