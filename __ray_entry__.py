@@ -565,51 +565,52 @@ def q_sessionize(sf_dir: str):
 
 
 def q_setops_overlay(sf_dir: str):
-    """General polygon boolean ops (overlay engine) vs analytic SQL: per
-    doc, A = 4x4 axis square at (doc_id%7, doc_id%5); B = CONCAVE
-    L-shape (6x6 square at (doc_id%3, doc_id%4) minus its top-right 3x3
-    quadrant). All four boolean areas are integers — the SQL oracle
-    computes them by rectangle inclusion-exclusion with no geometry
-    code, so the overlay engine (geom/clipping.py) is value-gated."""
-    from geoflow.geom import Geometry
-    from geoflow.geom.wkb import to_wkb
-    from geoflow.ops import get_op
+    """Polygon boolean ops vs analytic SQL: per doc, A = 4x4 axis square
+    at (doc_id%7, doc_id%5); B = CONCAVE L-shape (6x6 square at
+    (doc_id%3, doc_id%4) minus its top-right 3x3 quadrant). All four
+    boolean areas are integers — the SQL oracle computes them by
+    rectangle inclusion-exclusion with no geometry code.
+
+    Dispatch under test: axis-aligned pairs run the VECTORIZED
+    rectilinear grid engine (geom/rectilinear.py); a deterministic
+    subset (doc_id < 48 or doc_id % 64 == 0 — present at every sf) is
+    forced through the general overlay engine (geom/clipping.py) so BOTH
+    engines stay oracle-gated (they are also fuzz-checked equal in
+    tests/test_setops.py). Geometry WKB is built by the vectorized
+    uniform-polygon writer — no per-row Python anywhere on the fast
+    rows."""
+    from geoflow.geom.wkb import polygons_to_wkb
+    from geoflow.ops.setops import boolean_areas
 
     def build(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        awkb, bwkb = [], []
-        for i in ids:
-            ax, ay = float(i % 7), float(i % 5)
-            bx, by = float(i % 3), float(i % 4)
-            a = Geometry.polygon([np.array(
-                [[ax, ay], [ax + 4, ay], [ax + 4, ay + 4], [ax, ay + 4],
-                 [ax, ay]])])
-            l = Geometry.polygon([np.array(
-                [[bx, by], [bx + 6, by], [bx + 6, by + 3], [bx + 3, by + 3],
-                 [bx + 3, by + 6], [bx, by + 6], [bx, by]])])
-            awkb.append(to_wkb(a))
-            bwkb.append(to_wkb(l))
-        ca = pa.array(awkb, type=pa.binary())
-        cb = pa.array(bwkb, type=pa.binary())
-        inter = get_op("st_intersection_area").fn(ca, cb)
-        from geoflow.geom.wkb import from_wkb as _fw
-        from geoflow.geom import algorithms as _alg
+        ax = (ids % 7).astype(np.float64)
+        ay = (ids % 5).astype(np.float64)
+        bx = (ids % 3).astype(np.float64)
+        by = (ids % 4).astype(np.float64)
 
-        def areas(col):
-            return pa.array([_alg.area(_fw(v.as_py())) for v in col],
-                            type=pa.float64())
+        def ring(*pts):
+            return np.stack([np.stack(p, axis=1) for p in pts], axis=1)
 
-        un = areas(get_op("st_union").fn(ca, cb))
-        df = areas(get_op("st_difference").fn(ca, cb))
-        sy = areas(get_op("st_symdifference").fn(ca, cb))
+        ra = ring((ax, ay), (ax + 4, ay), (ax + 4, ay + 4), (ax, ay + 4),
+                  (ax, ay))
+        rb = ring((bx, by), (bx + 6, by), (bx + 6, by + 3),
+                  (bx + 3, by + 3), (bx + 3, by + 6), (bx, by + 6),
+                  (bx, by))
+        ca = pa.array(polygons_to_wkb(ra), type=pa.binary())
+        cb = pa.array(polygons_to_wkb(rb), type=pa.binary())
+        res = boolean_areas(ca, cb, force_general=(ids % 64 == 0) | (ids < 48))
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "inter_area": inter, "union_area": un,
-                         "diff_area": df, "sym_area": sy})
+                         "inter_area": pa.array(res["inter"]),
+                         "union_area": pa.array(res["union"]),
+                         "diff_area": pa.array(res["diff"]),
+                         "sym_area": pa.array(res["sym"])})
 
-    # documents is a single parquet file → one block; the overlay is a
-    # CPU-bound per-row op, so split it across workers
+    # the read already splits documents into ~64 blocks — per-block
+    # batches spread the per-row forced-general subset across workers
+    # without paying a repartition shuffle
     return _read(sf_dir, "documents").select_columns(["doc_id"]) \
-        .repartition(16).map_batches(build, batch_format="pyarrow")
+        .map_batches(build, batch_format="pyarrow")
 
 
 def q_media_stats(sf_dir: str):

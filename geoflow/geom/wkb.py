@@ -190,6 +190,52 @@ def wkb_to_points(bufs) -> tuple:
     return x, y
 
 
+def polygons_to_wkb(coords: np.ndarray) -> list:
+    """Vector-encode single-ring 2D polygons with a UNIFORM vertex count
+    to WKB buffers: `coords` is (n, k, 2) with closed rings (last vertex
+    == first). One contiguous byte matrix, no per-row struct packing."""
+    n, k, _ = coords.shape
+    length = 13 + 16 * k   # byteorder + type + nrings + npoints + coords
+    mat = np.empty((n, length), dtype=np.uint8)
+    mat[:, 0] = 1
+    mat[:, 1:5] = np.frombuffer(struct.pack("<I", POLYGON), dtype=np.uint8)
+    mat[:, 5:9] = np.frombuffer(struct.pack("<I", 1), dtype=np.uint8)
+    mat[:, 9:13] = np.frombuffer(struct.pack("<I", k), dtype=np.uint8)
+    mat[:, 13:] = np.ascontiguousarray(
+        coords, dtype="<f8").view(np.uint8).reshape(n, 16 * k)
+    b = mat.tobytes()
+    return [b[i * length:(i + 1) * length] for i in range(n)]
+
+
+def wkb_to_uniform_polygons(bufs):
+    """Vector-decode a homogeneous single-ring 2D polygon WKB column
+    (every buffer the same length, as produced by `polygons_to_wkb`) →
+    (n, k, 2) float64 array, or None if the column isn't of that shape
+    (caller falls back to the generic per-row reader)."""
+    n = len(bufs)
+    if n == 0 or bufs[0] is None:
+        return None
+    length = len(bufs[0])
+    if length < 13 + 16 * 4 or (length - 13) % 16:
+        return None
+    try:
+        joined = b"".join(bufs)
+    except TypeError:           # a None in the column
+        return None
+    if len(joined) != n * length:
+        return None
+    k = (length - 13) // 16
+    mat = np.frombuffer(joined, dtype=np.uint8).reshape(n, length)
+    if not (mat[:, 0] == 1).all():
+        return None
+    hdr = np.ascontiguousarray(mat[:, 1:13]).view("<u4").reshape(n, 3)
+    if not ((hdr[:, 0] == POLYGON) & (hdr[:, 1] == 1)
+            & (hdr[:, 2] == k)).all():
+        return None
+    return np.ascontiguousarray(
+        mat[:, 13:]).view("<f8").reshape(n, k, 2).copy()
+
+
 def _bounds_scan(mv: memoryview, pos: int, acc: list) -> int:
     """Advance through one WKB geometry starting at `pos`, appending its
     coordinate blocks (as float64 arrays, ndim-strided) to `acc`.

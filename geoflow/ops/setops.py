@@ -244,20 +244,99 @@ def st_unary_union(col_a):
     return pa.array(out, type=pa.binary())
 
 
+def _general_pair_areas(a, b, out, i):
+    """All four boolean areas for one pair via the overlay engine (each
+    op its own overlay — keeps every overlay mode exercised)."""
+    if not alg.intersects(a, b):
+        aa, ab = alg.area(a), alg.area(b)
+        out["inter"][i] = 0.0
+        out["union"][i] = aa + ab
+        out["diff"][i] = aa
+        out["sym"][i] = aa + ab
+        return
+    out["inter"][i] = alg.area(polygon_overlay(a, b, "intersection"))
+    out["union"][i] = alg.area(polygon_overlay(a, b, "union"))
+    out["diff"][i] = alg.area(polygon_overlay(a, b, "difference"))
+    out["sym"][i] = alg.area(polygon_overlay(a, b, "symdifference"))
+
+
+def boolean_areas(col_a, col_b, force_general=None) -> dict:
+    """All four boolean areas (inter/union/diff/sym) for a WKB pair
+    column, batched. Axis-aligned operand pairs take the vectorized
+    rectilinear grid path (geom/rectilinear.py — no noding, no per-row
+    Python); everything else (and rows flagged in `force_general`) runs
+    the general overlay per row. Returns dict of float64 numpy arrays."""
+    from ..geom.rectilinear import (aligned_mask_uniform,
+                                    axis_aligned_rings,
+                                    boolean_areas_rectilinear,
+                                    boolean_areas_uniform)
+    from ..geom.wkb import from_wkb, wkb_to_uniform_polygons
+    from .kernels import wkb_column_to_list
+    bufs_a = wkb_column_to_list(col_a)
+    bufs_b = wkb_column_to_list(col_b)
+    n = len(bufs_a)
+    out = {k: np.full(n, np.nan)
+           for k in ("inter", "union", "diff", "sym")}
+    force = np.zeros(n, dtype=bool) if force_general is None \
+        else np.asarray(force_general, dtype=bool)
+    done = np.zeros(n, dtype=bool)
+    ua = wkb_to_uniform_polygons(bufs_a)
+    ub = wkb_to_uniform_polygons(bufs_b)
+    if ua is not None and ub is not None:
+        fast = aligned_mask_uniform(ua) & aligned_mask_uniform(ub) & ~force
+        if fast.any():
+            res = boolean_areas_uniform(ua[fast], ub[fast])
+            for k in out:
+                out[k][fast] = res[k]
+        done = fast
+    else:
+        ga = [from_wkb(b) if b is not None else None for b in bufs_a]
+        gb = [from_wkb(b) if b is not None else None for b in bufs_b]
+        ra = [axis_aligned_rings(g) for g in ga]
+        rb = [axis_aligned_rings(g) for g in gb]
+        idx = [i for i in range(n)
+               if not force[i] and ra[i] is not None and rb[i] is not None]
+        if idx:
+            res = boolean_areas_rectilinear([ra[i] for i in idx],
+                                            [rb[i] for i in idx])
+            for k in out:
+                out[k][np.array(idx)] = res[k]
+            done[np.array(idx)] = True
+    for i in np.nonzero(~done)[0]:
+        if bufs_a[i] is None or bufs_b[i] is None:
+            continue
+        _general_pair_areas(from_wkb(bufs_a[i]), from_wkb(bufs_b[i]),
+                            out, i)
+    return out
+
+
 @register_op("st_intersection_area", 2, "setop")
 def st_intersection_area(col_a, col_b):
-    """Area of intersection (exact via the overlay engine)."""
-    ga = decode_geoms(col_a)
-    gb = decode_geoms(col_b)
-    out = np.full(len(ga), np.nan)
-    for i, (a, b) in enumerate(zip(ga, gb)):
-        if a is None or b is None:
-            continue
-        if not alg.intersects(a, b):
-            out[i] = 0.0
-            continue
-        out[i] = alg.area(polygon_overlay(a, b, "intersection"))
-    return pa.array(out, type=pa.float64())
+    """Area of intersection — vectorized rectilinear fast path for
+    axis-aligned pairs, exact overlay engine otherwise."""
+    return pa.array(boolean_areas(col_a, col_b)["inter"],
+                    type=pa.float64())
+
+
+@register_op("st_union_area", 2, "setop")
+def st_union_area(col_a, col_b):
+    """Area of union (same dispatch as st_intersection_area)."""
+    return pa.array(boolean_areas(col_a, col_b)["union"],
+                    type=pa.float64())
+
+
+@register_op("st_difference_area", 2, "setop")
+def st_difference_area(col_a, col_b):
+    """Area of A − B (same dispatch as st_intersection_area)."""
+    return pa.array(boolean_areas(col_a, col_b)["diff"],
+                    type=pa.float64())
+
+
+@register_op("st_symdifference_area", 2, "setop")
+def st_symdifference_area(col_a, col_b):
+    """Area of A △ B (same dispatch as st_intersection_area)."""
+    return pa.array(boolean_areas(col_a, col_b)["sym"],
+                    type=pa.float64())
 
 
 @register_op("st_intersection_percentage", 2, "setop")
