@@ -544,24 +544,20 @@ def q_near_dup(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str):
-    """Gap-based sessionization (30-min gaps) per user — a stateful
-    per-key stage via groupby(user).map_groups over time-sorted events."""
-    GAP_US = 30 * 60 * 1_000_000
+    """Gap-based sessionization (30-min gaps) per user via the
+    salt-bucketed operator (geoflow/ops/temporal.py sessionize): one
+    vectorized pass per BUCKET instead of one Python call per user key
+    — the shape that survives 10^9 users."""
+    from geoflow.ops.temporal import sessionize
+    out = sessionize(_read(sf_dir, "events"), user_col="user_id",
+                     ts_col="ts", order_col="event_id")
 
-    def sessions(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
-                                                  ("event_id", "ascending")])
-        g = group.take(order)
-        ts = g.column("ts").to_numpy(zero_copy_only=False).astype(
-            "datetime64[us]").astype(np.int64)
-        new_sess = np.concatenate([[0], (np.diff(ts) > GAP_US).astype(np.int64)])
-        sess_idx = np.cumsum(new_sess)
-        return pa.table({"event_id": g.column("event_id"),
-                         "user_id": g.column("user_id"),
-                         "session_idx": pa.array(sess_idx)})
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "session_idx": batch.column("session_idx")})
 
-    return _read(sf_dir, "events").groupby("user_id").map_groups(
-        sessions, batch_format="pyarrow")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def q_setops_overlay(sf_dir: str):

@@ -105,3 +105,62 @@ def t_minus(a, b):
     leading part of a, reference behavior)."""
     new_to = pc.if_else(t_overlaps(a, b), pc.min_element_wise(_t(a), _f(b)), _t(a))
     return make_period(_f(a), new_to)
+
+
+def sessionize(ds, user_col="user_id", ts_col="ts", order_col=None,
+               gap_us=30 * 60 * 1_000_000, num_buckets=64,
+               out_col="session_idx"):
+    """Gap-based sessionization at key-cardinality scale.
+
+    Instead of groupby(user).map_groups — one Python invocation per user
+    key, the slowest shape Ray offers at 10^9 users — users are hashed
+    into `num_buckets` salt groups (size ∝ cluster, NOT key count); each
+    group is lexsorted by (user, ts[, order]) once and session
+    boundaries are detected in a single vectorized numpy pass: a new
+    session starts where the user changes or the time gap exceeds
+    `gap_us`. Per-user session indexes come from one global cumsum with
+    the value at each user's first row subtracted out.
+
+    Returns the input rows (all columns preserved) + int64 `out_col`.
+    Partitioning assumption: all rows of a user land in one bucket
+    (guaranteed by hashing the user key)."""
+    import numpy as np
+
+    from ..text.hashing import mix64
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = mix64(uid.view(np.uint64)) % np.uint64(num_buckets)
+        return batch.append_column("_sess_bucket",
+                                   pa.array(b.view(np.int64)))
+
+    def sessions(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        uid = group.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keys = [ts, uid]
+        if order_col is not None:
+            keys.insert(0, group.column(order_col).to_numpy(
+                zero_copy_only=False))
+        order = np.lexsort(keys)
+        uid_s, ts_s = uid[order], ts[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid_s[1:] != uid_s[:-1]
+        new_sess = np.zeros(n, dtype=np.int64)
+        new_sess[1:] = ((ts_s[1:] - ts_s[:-1]) > gap_us).astype(np.int64)
+        new_sess[new_user] = 0
+        c = np.cumsum(new_sess)
+        first = np.nonzero(new_user)[0]
+        runs = np.diff(np.append(first, n))
+        sess_idx = c - np.repeat(c[first], runs)
+        out = group.take(pa.array(order, type=pa.int64()))
+        out = out.drop_columns(["_sess_bucket"])
+        return out.append_column(out_col, pa.array(sess_idx))
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_sess_bucket").map_groups(sessions,
+                                            batch_format="pyarrow")
