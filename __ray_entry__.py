@@ -68,19 +68,20 @@ def _read(sf_dir: str, table: str):
 
 
 def _doc_points_ds(sf_dir: str):
-    """documents → (doc_id, lang, x, y, geom_wkb) point rows via the real
-    WKT construct→parse codec path."""
-    from geoflow.geom import from_wkt, to_wkb
+    """documents → (doc_id, lang, x, y, geom_wkb) point rows via the
+    VECTORIZED WKT construct→parse codec path (geom/wkt.py point fast
+    paths: %.17g format → RE2 extract + arrow cast, both exact float64
+    round-trips; no per-row Python — round-3 VERDICT #9)."""
+    from geoflow.geom.wkb import points_to_wkb, wkb_to_points
+    from geoflow.geom.wkt import points_to_wkt, wkt_to_points
 
     def derive(batch: pa.Table) -> pa.Table:
         doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
         lon, lat = _doc_lonlat(doc_id)
-        # exercise the WKT codec: repr-format → parse → WKB (repr→parse is
-        # exact, so x/y equal the derived doubles bit-for-bit)
-        wkbs = [to_wkb(from_wkt(f"POINT({x!r} {y!r})"))
-                for x, y in zip(lon, lat)]
-        from geoflow.geom.wkb import wkb_to_points
-        x, y = wkb_to_points(wkbs)
+        # exercise the WKT codec: format → parse → WKB, all batched
+        wkt_col = points_to_wkt(lon, lat)
+        x, y = wkt_to_points(wkt_col)
+        wkbs = points_to_wkb(x, y)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "lang": batch.column("lang"),

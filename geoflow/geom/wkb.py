@@ -280,15 +280,46 @@ def _bounds_scan(mv: memoryview, pos: int, acc: list) -> int:
 
 def wkb_bounds(bufs) -> np.ndarray:
     """(n, 4) [xmin, ymin, xmax, ymax] per WKB buffer WITHOUT building
-    Geometry objects: a per-row header scan collects zero-copy coordinate
-    views, then ONE concatenate + reduceat pass computes every row's
-    min/max (the hot path of polygon-side cell covering). None / empty →
-    NaN row."""
+    Geometry objects. Homogeneous-shape subsets (2D points; uniform
+    single-ring polygons, grouped by buffer length) decode through the
+    one-frombuffer vectorized readers with NO per-row Python; leftovers
+    fall back to the per-row header scan + one reduceat pass. None /
+    empty → NaN row."""
     n = len(bufs)
     out = np.full((n, 4), np.nan)
+    lens = np.fromiter((len(b) if b is not None else 0 for b in bufs),
+                       dtype=np.int64, count=n)
+    handled = np.zeros(n, dtype=bool)
+    uniq = np.unique(lens[lens > 0])
+    if 0 < len(uniq) <= 32:
+        for length in uniq:
+            idx = np.nonzero(lens == length)[0]
+            sub = [bufs[i] for i in idx]
+            if length == _POINT2D_LEN:
+                pts = wkb_to_points(sub)
+                if pts is not None:
+                    out[idx, 0] = out[idx, 2] = pts[0]
+                    out[idx, 1] = out[idx, 3] = pts[1]
+                    handled[idx] = True
+                    continue
+            u = wkb_to_uniform_polygons(sub)
+            if u is not None:
+                out[idx, 0] = u[:, :, 0].min(axis=1)
+                out[idx, 1] = u[:, :, 1].min(axis=1)
+                out[idx, 2] = u[:, :, 0].max(axis=1)
+                out[idx, 3] = u[:, :, 1].max(axis=1)
+                handled[idx] = True
+    if handled.all():
+        return out
+    return _wkb_bounds_scan(bufs, out, handled)
+
+
+def _wkb_bounds_scan(bufs, out, handled) -> np.ndarray:
     blocks: list = []
     rows: list = []
     for i, b in enumerate(bufs):
+        if handled[i]:
+            continue
         if b is None or len(b) < 5:
             continue
         try:

@@ -274,3 +274,42 @@ def to_wkt(g: Geometry, decimals=None) -> str:
 def to_wkt_literal(g: Geometry) -> str:
     """WKT with the ``<srsURI>`` prefix convention of the reference."""
     return f"<{uri_from_srid(g.srid)}> {to_wkt(g)}"
+
+
+# ---- vectorized point fast paths (mirror of wkb.py's) -----------------
+
+def points_to_wkt(x, y):
+    """Vector-encode 2D points to a WKT string column ("POINT (x y)")
+    with %.17g formatting (exact float64 round-trip) — no per-row
+    Python formatting."""
+    import numpy as np
+    sx = np.char.mod("%.17g", np.asarray(x, dtype=np.float64))
+    sy = np.char.mod("%.17g", np.asarray(y, dtype=np.float64))
+    s = np.char.add(np.char.add(np.char.add("POINT (", sx), " "),
+                    np.char.add(sy, ")"))
+    import pyarrow as pa
+    return pa.array(s.tolist(), type=pa.string())
+
+
+_POINT_WKT_RE = r"^\s*POINT\s*\(\s*(?P<x>[^\s)]+)\s+(?P<y>[^\s)]+)\s*\)\s*$"
+
+
+def wkt_to_points(col):
+    """Vector-decode a homogeneous 2D "POINT (x y)" WKT column →
+    (x, y) float64 arrays via one RE2 extraction + arrow cast
+    (correctly-rounded parse). Returns None if any row doesn't match
+    (caller falls back to the generic per-row parser)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(list(col), type=pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = pc.extract_regex(col, _POINT_WKT_RE)
+    if m.null_count:
+        return None
+    import numpy as np
+    x = pc.cast(pc.struct_field(m, "x"), pa.float64())
+    y = pc.cast(pc.struct_field(m, "y"), pa.float64())
+    return (x.to_numpy(zero_copy_only=False),
+            y.to_numpy(zero_copy_only=False))

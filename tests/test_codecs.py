@@ -171,3 +171,55 @@ def test_asgeorss_deterministic():
     assert a == b                       # no wall clock in the kernel
     assert a.startswith('<?xml version="1.0" encoding="UTF-8"?><rss')
     assert "<gml:Point>" in a and a.endswith("</item></channel></rss>")
+
+
+def test_wkt_point_fast_paths_exact():
+    """Vectorized WKT point writer/parser round-trip exactly and agree
+    with the generic parser (round-3 VERDICT #9)."""
+    import numpy as np
+    from geoflow.geom.wkt import (from_wkt, points_to_wkt, to_wkt,
+                                  wkt_to_points)
+    rng = np.random.default_rng(2)
+    x = np.concatenate([rng.uniform(-180, 180, 500),
+                        [0.0, -0.0, 1e-300, -1.7976931348623157e308]])
+    y = np.concatenate([rng.uniform(-85, 85, 500),
+                        [0.0, 90.0, -90.0, 2.2250738585072014e-308]])
+    col = points_to_wkt(x, y)
+    px, py = wkt_to_points(col)
+    assert np.array_equal(px, x) and np.array_equal(py, y)
+    for i in (0, 100, 500, 501, 502, 503):
+        c = from_wkt(col[i].as_py()).coords.ravel()
+        assert c[0] == x[i] and c[1] == y[i]
+    # generic-writer output parses through the fast path too
+    g = from_wkt("POINT (12.5 -3.25)")
+    pts = wkt_to_points([to_wkt(g)])
+    assert pts is not None and pts[0][0] == 12.5 and pts[1][0] == -3.25
+    # non-point rows reject the fast path (fallback contract)
+    assert wkt_to_points(["POINT (1 2)", "LINESTRING (0 0, 1 1)"]) is None
+
+
+def test_wkb_bounds_uniform_fast_paths():
+    """wkb_bounds homogeneous-shape fast paths == per-row scan."""
+    import numpy as np
+    from geoflow.geom.wkb import (points_to_wkb, polygons_to_wkb, to_wkb,
+                                  wkb_bounds)
+    from geoflow.geom.wkt import from_wkt
+    rng = np.random.default_rng(4)
+    n = 300
+    x0 = rng.uniform(-10, 10, n)
+    y0 = rng.uniform(-10, 10, n)
+    w = rng.uniform(0.1, 5, n)
+    rects = np.stack([
+        np.stack([x0, y0], 1), np.stack([x0 + w, y0], 1),
+        np.stack([x0 + w, y0 + w], 1), np.stack([x0, y0 + w], 1),
+        np.stack([x0, y0], 1)], axis=1)
+    bufs = (polygons_to_wkb(rects)
+            + points_to_wkb(x0, y0)
+            + [to_wkb(from_wkt(
+                "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),"
+                "((4 4,9 4,9 6,4 6,4 4)))")), None])
+    b = wkb_bounds(bufs)
+    assert np.allclose(b[:n, 0], x0) and np.allclose(b[:n, 2], x0 + w)
+    assert np.allclose(b[n:2 * n, 0], x0) and np.allclose(b[n:2 * n, 2], x0)
+    assert np.allclose(b[2 * n], [0, 0, 9, 6])
+    assert np.isnan(b[2 * n + 1]).all()
