@@ -690,6 +690,27 @@ def q_webmercator(sf_dir: str):
     return _doc_points_ds(sf_dir).map_batches(proj, batch_format="pyarrow")
 
 
+def q_transform_3395(sf_dir: str):
+    """EPSG:4326 → 3395 (World Mercator, ELLIPSOIDAL — a non-round-2
+    CRS from the embedded EPSG table) through the st_transform
+    machinery. x is an IEEE-exact multiply; y goes through atanh/ln
+    whose libm implementations differ in the last ulp — quantized to
+    integer cm for the cross-engine hash (CLAUDE.md oracle rules)."""
+    from geoflow.geom import crs
+
+    def proj(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        fwd = crs.get_transformer(4326, 3395)
+        mx, my = fwd(x, y)
+        my_cm = np.floor(my * 100.0).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "wm_x": pa.array(mx),
+                         "wm_y_cm": pa.array(my_cm)})
+
+    return _doc_points_ds(sf_dir).map_batches(proj, batch_format="pyarrow")
+
+
 def q_tile_density(sf_dir: str):
     """Points per z12 tile (spatial groupby shuffle on the tile key)."""
     from geoflow.cells import tiles
@@ -917,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": q_media_stats,
         "raster_stats": q_raster_stats,
         "webmercator": q_webmercator,
+        "transform_3395": q_transform_3395,
         "tile_density": q_tile_density,
         "topk_orders": q_topk_orders,
         "groupby_lineitem": q_groupby_lineitem,
@@ -1144,6 +1166,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(6378137.0 * ln(tan(pi()/4.0 + radians(lat_c)/2.0)) * 100.0) AS BIGINT) AS merc_y_cm
             FROM (SELECT doc_id, x,
                          LEAST(GREATEST(y, -85.051128779806604), 85.051128779806604) AS lat_c
+                  FROM ({doc_pts}))""",
+        "transform_3395": f"""
+            SELECT doc_id,
+                   6378137.0 * radians(x) AS wm_x,
+                   CAST(floor(6378137.0 * (
+                       0.5 * ln((1.0 + s) / (1.0 - s))
+                       - e * 0.5 * ln((1.0 + e * s) / (1.0 - e * s))
+                   ) * 100.0) AS BIGINT) AS wm_y_cm
+            FROM (SELECT doc_id, x, sin(radians(y)) AS s,
+                         sqrt((1.0/298.257223563) * (2.0 - 1.0/298.257223563)) AS e
                   FROM ({doc_pts}))""",
         "tile_density": f"""
             SELECT tile_x, tile_y, count(*) AS n_points FROM (

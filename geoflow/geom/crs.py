@@ -175,9 +175,10 @@ def get_transformer(src: int, dst: int):
         geo_to = get_transformer(4326, dst)
         fn = lambda x, y: geo_to(*to_geo(x, y))
     else:
+        from .projections import _WIDENED_DESC
         raise ValueError(
-            f"unsupported CRS pair {src}->{dst} (supported: 4326, 3857, "
-            f"UTM 326xx/327xx/258xx/269xx, 2154, 3035, 5070, 3413, 3976)")
+            f"unsupported CRS pair {src}->{dst} "
+            f"(supported EPSG set: {_WIDENED_DESC})")
     _TRANSFORMERS[key] = fn
     return fn
 

@@ -125,3 +125,117 @@ def test_widened_epsg_projections():
     import pytest
     with pytest.raises(ValueError):
         get_transformer(9999, 4326)
+
+
+# ---- round-3 widened EPSG table (embedded parameters) -----------------
+
+_HELMERT_CODES = {27700, 2100, 31466, 31467, 31468, 31469,
+                  23028, 23031, 23038, 28404, 28410, 28432}
+
+
+def test_epsg_table_false_origin_exactness():
+    """Projection origin of each newly-tabled CRS maps exactly to its
+    false easting/northing (EPSG registry definitions)."""
+    import numpy as np
+    from geoflow.geom.projections import projection_for_epsg
+    checks = [
+        (2180, (19.0, 0.0), (500000.0, -5300000.0)),
+        (2177, (18.0, 0.0), (6500000.0, 0.0)),
+        (2193, (173.0, 0.0), (1600000.0, 10000000.0)),
+        (3414, (103 + 50 / 60, 1 + 22 / 60), (28001.642, 38744.572)),
+        (5179, (127.5, 38.0), (1000000.0, 2000000.0)),
+        (5186, (127.0, 38.0), (200000.0, 600000.0)),
+        (3006, (15.0, 0.0), (500000.0, 0.0)),
+        (3067, (27.0, 0.0), (500000.0, 0.0)),
+        (2451, (139 + 5 / 6, 36.0), (0.0, 0.0)),       # Japan plane IX
+        (28355, (147.0, 0.0), (500000.0, 10000000.0)),  # MGA zone 55
+        (7850, (117.0, 0.0), (500000.0, 10000000.0)),   # GDA2020 MGA 50
+        (31982, (-51.0, 0.0), (500000.0, 10000000.0)),  # SIRGAS UTM 22S
+        (3395, (0.0, 0.0), (0.0, 0.0)),
+        (3577, (132.0, 0.0), (0.0, 0.0)),
+        (3112, (134.0, 0.0), (0.0, 0.0)),
+    ]
+    for code, (lo, la), exp in checks:
+        p = projection_for_epsg(code)
+        x, y = p.forward(np.array([lo]), np.array([la]))
+        assert abs(x[0] - exp[0]) < 1e-6, (code, x[0], exp[0])
+        assert abs(y[0] - exp[1]) < 1e-6, (code, y[0], exp[1])
+
+
+def test_tm_general_matches_hardcoded_utm():
+    """6th-order TMGeneral == the 3rd-order hardcoded WGS84 UTM path
+    within the latter's documented truncation (< 0.1 mm)."""
+    import numpy as np
+    from geoflow.geom.crs import lonlat_to_utm
+    from geoflow.geom.projections import TMGeneral, WGS84
+    rng = np.random.default_rng(1)
+    for epsg, lon0 in ((32632, 9.0), (32755, 147.0)):
+        tm = TMGeneral(0.0, lon0, 0.9996, 500000.0,
+                       10000000.0 if epsg > 32700 else 0.0, WGS84)
+        lon = rng.uniform(lon0 - 3, lon0 + 3, 1000)
+        lat = rng.uniform(-80, 84, 1000)
+        e1, n1 = lonlat_to_utm(lon, lat, epsg)
+        e2, n2 = tm.forward(lon, lat)
+        assert np.abs(e1 - e2).max() < 1e-4
+        assert np.abs(n1 - n2).max() < 1e-4
+
+
+def test_epsg_table_roundtrips():
+    """forward∘inverse identity for the widened set: < 1e-8 deg for
+    grid-free codes; < 2e-6 deg (≈0.2 m) for Helmert datum-shifted codes
+    (2D height-dropping asymmetry, inherent to single-set 7-param
+    shifts; the datum accuracy itself is the documented 1-10 m)."""
+    import math
+
+    import numpy as np
+    from geoflow.geom.crs import get_transformer
+    from geoflow.geom.projections import TMGeneral, projection_for_epsg
+    rng = np.random.default_rng(7)
+    codes = [3395, 27700, 2180, 2177, 3006, 3067, 3034, 2100, 31467,
+             23031, 2193, 3414, 5179, 5186, 2448, 28352, 7850, 3577,
+             3112, 31970, 31980, 28410, 32661, 32761, 4258, 4283]
+    for code in codes:
+        fwd = get_transformer(4326, code)
+        inv = get_transformer(code, 4326)
+        p = projection_for_epsg(code)
+        inner = getattr(p, "proj", p)
+        lon0 = getattr(inner, "lon0", 0.0)
+        if not isinstance(inner, TMGeneral) and abs(lon0) <= math.pi:
+            lon0 = math.degrees(lon0)
+        lat_rng = {32661: (60, 89), 32761: (-89, -60),
+                   28352: (-45, -10), 7850: (-45, -10),
+                   3577: (-45, -10), 3112: (-45, -10),
+                   31970: (-30, 10), 31980: (-30, 10)}.get(code,
+                                                           (-75, 75))
+        lon = rng.uniform(lon0 - 8, lon0 + 8, 300)
+        lat = rng.uniform(*lat_rng, 300)
+        x, y = fwd(lon, lat)
+        lo2, la2 = inv(x, y)
+        dlon = np.abs((lo2 - lon + 180.0) % 360.0 - 180.0)
+        err = max(dlon.max(), np.abs(la2 - lat).max())
+        tol = 2e-6 if code in _HELMERT_CODES else 1e-8
+        assert err < tol, (code, err)
+
+
+def test_osgb_datum_shift_magnitude():
+    """OSGB36 Helmert engages: London shifts 50-200 m vs the no-datum
+    projection core, and the BNG coordinates land in the right km."""
+    import numpy as np
+    from geoflow.geom.projections import (AIRY1830, TMGeneral,
+                                          projection_for_epsg)
+    p = projection_for_epsg(27700)
+    core = TMGeneral(49.0, -2.0, 0.9996012717, 400000.0, -100000.0,
+                     AIRY1830)
+    x1, y1 = p.forward(np.array([-0.1276]), np.array([51.5072]))
+    x0, y0 = core.forward(np.array([-0.1276]), np.array([51.5072]))
+    shift = float(np.hypot(x1[0] - x0[0], y1[0] - y0[0]))
+    assert 50 < shift < 200
+    # Trafalgar Square vicinity: E ~530100, N ~180400 (±300 m datum tol)
+    assert abs(x1[0] - 530100) < 400 and abs(y1[0] - 180400) < 400
+
+
+def test_unsupported_epsg_error_names_set():
+    import pytest
+    from geoflow.geom.crs import get_transformer
+    with pytest.raises(ValueError, match="supported EPSG set"):
+        get_transformer(4326, 999999)
