@@ -409,3 +409,142 @@ def st_asgeorss(col, pub_millis=0):
     out = [head + s + tail if s is not None else None
            for s in gml.to_pylist()]
     return pa.array(out, type=pa.string())
+
+
+# ---------------------------------------------------------------------------
+# GPX / GeoURI / OSM readers (round-3 codec tail)
+# ---------------------------------------------------------------------------
+
+def _gpx_parse(s: str) -> Geometry:
+    """GPX subset → geometry (GPXDatatype.java:55-75 reads
+    trkseg/trkpt): wpt → POINT; one trkseg (or rte) → LINESTRING;
+    several trksegs → MULTILINESTRING; <ele> → Z.
+
+    Deviation from the reference, documented: GPXDatatype builds
+    Coordinate(lat, lon) — x = latitude — which round-trips only its
+    own equally swapped writer. Here x = lon / y = lat (the convention
+    of every other codec in this engine and of st_asgpx), so our
+    exporter output round-trips."""
+    root = ET.fromstring(s.strip())
+
+    def strip(tag):
+        return tag.rsplit("}", 1)[-1]
+
+    def pt_coord(el):
+        lat = float(el.get("lat"))
+        lon = float(el.get("lon"))
+        ele = None
+        for ch in el:
+            if strip(ch.tag) == "ele":
+                ele = float(ch.text)
+        return (lon, lat) if ele is None else (lon, lat, ele)
+
+    segs = []
+    wpts = []
+    for el in root.iter():
+        tag = strip(el.tag)
+        if tag in ("trkseg", "rte"):
+            seg = [pt_coord(p) for p in el
+                   if strip(p.tag) in ("trkpt", "rtept")]
+            if seg:
+                segs.append(seg)
+        elif tag == "wpt":
+            wpts.append(pt_coord(el))
+    # a bare <trkpt>/<rtept> fragment (our exporter emits fragments)
+    if not segs and not wpts:
+        tag = strip(root.tag)
+        if tag in ("trkpt", "rtept", "wpt"):
+            wpts.append(pt_coord(root))
+        else:
+            seg = [pt_coord(p) for p in root.iter()
+                   if strip(p.tag) in ("trkpt", "rtept")]
+            if seg:
+                segs.append(seg)
+    def _arr(seq):
+        # keep Z only when EVERY point carries <ele> (mixed segments
+        # collapse to 2D — the reference reader drops ele entirely)
+        if not all(len(p) == 3 for p in seq):
+            seq = [p[:2] for p in seq]
+        return np.array(seq, dtype=np.float64)
+
+    def _pt(p):
+        c = np.array(p, dtype=np.float64)
+        return Geometry(1, coords=c, has_z=len(p) == 3)
+
+    def _line(sg):
+        a = _arr(sg)
+        return Geometry(2, coords=a, has_z=a.shape[1] == 3)
+
+    if segs:
+        if len(segs) == 1 and len(segs[0]) == 1:
+            return _pt(segs[0][0])
+        lines = [_line(sg) for sg in segs]
+        if len(lines) == 1:
+            return lines[0]
+        return Geometry.multi(5, lines)
+    if len(wpts) == 1:
+        return _pt(wpts[0])
+    if wpts:
+        return Geometry.multi(4, [_pt(p) for p in wpts])
+    raise ValueError("GPX literal holds no coordinates")
+
+
+@register_op("st_geomfromgpx", 1, "constructor")
+def st_geomfromgpx(col):
+    """GPX literal → geometry (GPXDatatype.java:55)."""
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = [to_wkb(_gpx_parse(s)) if s is not None else None
+           for s in vals]
+    return pa.array(out, type=pa.binary())
+
+
+def _geouri_parse(s: str) -> Geometry:
+    """RFC 5870 'geo:lat,lon[,alt][;params]' → POINT (x = lon, y = lat;
+    GeoURIDatatype.java:33-38 swaps them — same documented deviation as
+    the GPX reader, making st_asgeouri output round-trip)."""
+    body = s.strip()
+    if not body.lower().startswith("geo:"):
+        raise ValueError(f"not a geo URI: {s!r}")
+    items = body[4:].split(";")
+    coords = items[0].split(",")
+    if len(coords) < 2 or len(coords) > 3:
+        raise ValueError(f"not a valid geo URI: {s!r}")
+    lat, lon = float(coords[0]), float(coords[1])
+    if len(coords) == 3:
+        return Geometry(1, coords=np.array(
+            [lon, lat, float(coords[2])], dtype=np.float64), has_z=True)
+    return Geometry(1, coords=np.array([lon, lat], dtype=np.float64))
+
+
+@register_op("st_geomfromgeouri", 1, "constructor")
+def st_geomfromgeouri(col):
+    """geo: URI literal → POINT (GeoURIDatatype.java:31)."""
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = [to_wkb(_geouri_parse(s)) if s is not None else None
+           for s in vals]
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("st_geomfromosm", 1, "constructor")
+def st_geomfromosm(col):
+    """OSM literal → geometry. OSMDatatype.java:85-99 treats the literal
+    as WKB text with an optional <srsURI> chevron prefix; here the WKB
+    payload is accepted as hex (the transport that survives a string
+    literal)."""
+    from ..geom.wkb import from_wkb as wkb_read
+    from ..geom.wkt import srid_from_uri
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for s in vals:
+        if s is None:
+            out.append(None)
+            continue
+        s = s.strip()
+        srid = 4326
+        if s.startswith("<"):
+            end = s.index(">")
+            srid = srid_from_uri(s[1:end])
+            s = s[end + 1:].strip()
+        g = wkb_read(bytes.fromhex(s), srid=srid)
+        out.append(to_wkb(g))
+    return pa.array(out, type=pa.binary())

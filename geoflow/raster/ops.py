@@ -976,3 +976,26 @@ def rast_fromcoveragejson(col):
                                  [None] * len(bands), sx, sy, x0, ytop,
                                  0.0, 0.0, srid, shape=(h, w))))
     return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_asxyz", 1, "raster_exporter")
+def rast_asxyz(col):
+    """Raster WKB column → XYZ ASCII grid text (XYZDatatype.java names
+    the format; its read/unparse are stubs in the reference, so this
+    follows the public 'x y z' cell-center convention — see
+    rastwkb.to_xyz)."""
+    from .rastwkb import to_xyz
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else to_xyz(from_wkb(a)))
+    return pa.array(out, type=pa.string())
+
+
+@register_op("rast_fromxyz", 1, "raster_constructor")
+def rast_fromxyz(col):
+    """XYZ ASCII grid text column → raster WKB (see rastwkb.from_xyz)."""
+    from .rastwkb import from_xyz
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else to_wkb(from_xyz(a)))
+    return pa.array(out, type=pa.binary())

@@ -182,3 +182,57 @@ def from_hexwkb(s: str) -> Raster:
 
 def to_hexwkb(r: Raster) -> str:
     return to_wkb(r).hex().upper()
+
+
+# ---------------------------------------------------------------------------
+# XYZ ASCII grid codec (XYZDatatype.java:24-45 is a STUB in the
+# reference — both read and unparse; this implements the public/GDAL
+# "x y z" convention the class names: one line per cell, cell-center
+# coordinates, rows north-to-south)
+# ---------------------------------------------------------------------------
+
+def to_xyz(r: Raster, band: int = 0) -> str:
+    """Raster band → XYZ ASCII grid ('x y z' per cell, cell centers,
+    repr-formatted doubles so parse round-trips exactly)."""
+    h, w = r.height, r.width
+    cols, rows = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    x, y = r.raster_to_world(cols.ravel(), rows.ravel())
+    z = np.asarray(r.bands[band], dtype=np.float64).ravel()
+    sx = np.char.mod("%.17g", x)
+    sy = np.char.mod("%.17g", y)
+    sz = np.char.mod("%.17g", z)
+    lines = np.char.add(np.char.add(np.char.add(sx, " "),
+                                    np.char.add(sy, " ")), sz)
+    return "\n".join(lines.tolist())
+
+
+def from_xyz(text: str, srid: int = 0, nodata=None) -> Raster:
+    """XYZ ASCII grid → single-band 64BF Raster. The grid geometry
+    (origin, cell size, north-up row order) is derived from the
+    coordinate sets; cells absent from the text are filled with
+    `nodata` (NaN when None). Requires a regular axis-aligned grid."""
+    vals = np.array(text.split(), dtype=np.float64)
+    if len(vals) == 0 or len(vals) % 3:
+        raise ValueError("XYZ grid: expected 'x y z' triples")
+    trip = vals.reshape(-1, 3)
+    xs = np.unique(trip[:, 0])
+    ys = np.unique(trip[:, 1])
+    sx = float(np.min(np.diff(xs))) if len(xs) > 1 else 1.0
+    sy = float(np.min(np.diff(ys))) if len(ys) > 1 else 1.0
+    # validate regularity: every coord must sit on the derived lattice
+    ci = np.rint((trip[:, 0] - xs[0]) / sx).astype(np.int64)
+    ri = np.rint((ys[-1] - trip[:, 1]) / sy).astype(np.int64)
+    if (np.abs(xs[0] + ci * sx - trip[:, 0]) > 1e-9 * max(sx, 1.0)).any() \
+            or (np.abs(ys[-1] - ri * sy - trip[:, 1])
+                > 1e-9 * max(sy, 1.0)).any():
+        raise ValueError("XYZ grid: irregular cell spacing")
+    w = int(ci.max()) + 1
+    h = int(ri.max()) + 1
+    fill = np.nan if nodata is None else float(nodata)
+    grid = np.full((h, w), fill, dtype=np.float64)
+    grid[ri, ci] = trip[:, 2]
+    return Raster([grid], [PT_64BF], [nodata],
+                  scale_x=sx, scale_y=-sy,
+                  ip_x=float(xs[0]) - sx / 2.0,
+                  ip_y=float(ys[-1]) + sy / 2.0,
+                  srid=srid)

@@ -223,3 +223,121 @@ def test_wkb_bounds_uniform_fast_paths():
     assert np.allclose(b[n:2 * n, 0], x0) and np.allclose(b[n:2 * n, 2], x0)
     assert np.allclose(b[2 * n], [0, 0, 9, 6])
     assert np.isnan(b[2 * n + 1]).all()
+
+
+# ---- round-3 codec tail: GPX / GeoURI / OSM readers, XYZ raster -------
+
+def test_gpx_reader():
+    """GPXDatatype.java:55 subset (trk/trkseg/trkpt, wpt, rte, ele->Z).
+    Coordinate order deviation from the reference's swapped
+    Coordinate(lat, lon) is deliberate and documented: x=lon round-trips
+    st_asgpx."""
+    import pyarrow as pa
+    from geoflow.geom.wkb import from_wkb
+    from geoflow.geom.wkt import to_wkt
+    from geoflow.ops.registry import get_op
+    op = get_op("st_geomfromgpx").fn
+    ref_shaped = ("<?xml version='1.0' encoding='UTF-8' standalone='no' ?>"
+                  "<gpx version='1.0'><name>Example gpx</name><trk>"
+                  "<name>t</name><trkseg>"
+                  "<trkpt lat='47.5' lon='9.25'/>"
+                  "<trkpt lat='47.6' lon='9.35'/></trkseg></trk></gpx>")
+    g = from_wkb(op(pa.array([ref_shaped]))[0].as_py())
+    assert to_wkt(g) == "LINESTRING (9.25 47.5, 9.35 47.6)"
+    # Z kept only when every point has <ele>
+    z = ("<gpx><trk><trkseg><trkpt lat='1' lon='2'><ele>5</ele></trkpt>"
+         "<trkpt lat='3' lon='4'><ele>6</ele></trkpt></trkseg></trk></gpx>")
+    assert to_wkt(from_wkb(op(pa.array([z]))[0].as_py())) \
+        == "LINESTRING Z (2 1 5, 4 3 6)"
+    # waypoint / multi-segment
+    assert to_wkt(from_wkb(op(pa.array(
+        ["<gpx><wpt lat='1.5' lon='2.5'/></gpx>"]))[0].as_py())) \
+        == "POINT (2.5 1.5)"
+    multi = ("<gpx><trk><trkseg><trkpt lat='0' lon='0'/>"
+             "<trkpt lat='1' lon='1'/></trkseg><trkseg>"
+             "<trkpt lat='5' lon='5'/><trkpt lat='6' lon='6'/>"
+             "</trkseg></trk></gpx>")
+    assert to_wkt(from_wkb(op(pa.array([multi]))[0].as_py())) \
+        == "MULTILINESTRING ((0 0, 1 1), (5 5, 6 6))"
+
+
+def test_gpx_roundtrip_with_exporter(ray_session=None):
+    import pyarrow as pa
+    from geoflow.geom.wkb import from_wkb, to_wkb
+    from geoflow.geom.wkt import from_wkt, to_wkt
+    from geoflow.ops.registry import get_op
+    src = from_wkt("LINESTRING (12.5 -3.25, 13 4)")
+    gpx = get_op("st_asgpx").fn(pa.array([to_wkb(src)], type=pa.binary()))
+    back = from_wkb(get_op("st_geomfromgpx").fn(gpx)[0].as_py())
+    assert to_wkt(back) == to_wkt(src)
+
+
+def test_geouri_reader():
+    """GeoURIDatatype.java:31 (RFC 5870), x=lon deviation documented;
+    st_asgeouri output round-trips."""
+    import pyarrow as pa
+    from geoflow.geom.wkb import from_wkb, to_wkb
+    from geoflow.geom.wkt import from_wkt, to_wkt
+    from geoflow.ops.registry import get_op
+    op = get_op("st_geomfromgeouri").fn
+    out = op(pa.array(["geo:37.786971,-122.399677;u=35",
+                       "geo:48.2,16.37,183"]))
+    assert to_wkt(from_wkb(out[0].as_py())) \
+        == "POINT (-122.399677 37.786971)"
+    assert to_wkt(from_wkb(out[1].as_py())) == "POINT Z (16.37 48.2 183)"
+    uri = get_op("st_asgeouri").fn(
+        pa.array([to_wkb(from_wkt("POINT(4.5 -3.25)"))], type=pa.binary()))
+    assert to_wkt(from_wkb(op(uri)[0].as_py())) == "POINT (4.5 -3.25)"
+    import pytest
+    with pytest.raises(ValueError):
+        op(pa.array(["geo:1,2,3,4"]))
+
+
+def test_osm_reader_wkb_text():
+    """OSMDatatype.java:85-99: WKB text with optional <srsURI> chevron
+    prefix (payload as hex)."""
+    import pyarrow as pa
+    from geoflow.geom.wkb import from_wkb, to_wkb
+    from geoflow.geom.wkt import from_wkt, to_wkt
+    from geoflow.ops.registry import get_op
+    hexwkb = to_wkb(from_wkt("LINESTRING (0 0, 2 3)")).hex()
+    out = get_op("st_geomfromosm").fn(pa.array([
+        f"<http://www.opengis.net/def/crs/EPSG/0/3857> {hexwkb}",
+        hexwkb]))
+    g0 = from_wkb(out[0].as_py())
+    assert to_wkt(g0) == "LINESTRING (0 0, 2 3)"
+    assert to_wkt(from_wkb(out[1].as_py())) == "LINESTRING (0 0, 2 3)"
+
+
+def test_xyz_raster_codec():
+    """XYZ ASCII grid codec (XYZDatatype is a stub in the reference —
+    public GDAL 'x y z' convention): exact value + georeference
+    round-trip, nodata fill for absent cells, irregular-grid rejection."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    from geoflow.ops.registry import get_op
+    from geoflow.raster.rastwkb import (PT_64BF, Raster, from_wkb,
+                                        from_xyz, to_wkb, to_xyz)
+    r = Raster([np.arange(12, dtype=np.float64).reshape(3, 4) * 1.5],
+               [PT_64BF], [None], scale_x=2.0, scale_y=-2.0,
+               ip_x=100.0, ip_y=50.0, srid=4326)
+    r2 = from_xyz(to_xyz(r), srid=4326)
+    assert np.array_equal(r2.bands[0], r.bands[0])
+    assert (r2.scale_x, r2.scale_y, r2.ip_x, r2.ip_y) \
+        == (2.0, -2.0, 100.0, 50.0)
+    # sparse: missing cell -> nodata fill
+    sparse = "0.5 0.5 1\n1.5 0.5 2\n0.5 1.5 3"
+    rs = from_xyz(sparse, nodata=-9.0)
+    assert rs.width == 2 and rs.height == 2
+    # row 0 = top (max y): [3, nodata]; row 1 = bottom: [1, 2]
+    assert rs.bands[0][0, 0] == 3.0 and rs.bands[0][0, 1] == -9.0
+    assert rs.bands[0][1, 0] == 1.0 and rs.bands[0][1, 1] == 2.0
+    # registered ops round-trip through WKB
+    col = pa.array([to_wkb(r), None], type=pa.binary())
+    txt = get_op("rast_asxyz").fn(col)
+    back = get_op("rast_fromxyz").fn(txt)
+    assert np.array_equal(from_wkb(back[0].as_py()).bands[0], r.bands[0])
+    assert back[1].as_py() is None
+    with pytest.raises(ValueError):
+        from_xyz("0 0 1\n1 0 2\n2.5 0 3\n0 1 1\n1 1 2\n2.5 1 3")
