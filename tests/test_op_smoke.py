@@ -47,6 +47,10 @@ _STRING_IN = {
     "st_pointfromgeohash": "u4pruydqqvj",
     "st_linefromencodedpolyline": "_p~iF~ps|U_ulLnnqC",
     "srid_to_epsg": "<http://www.opengis.net/def/crs/EPSG/0/4326>",
+    "st_geomfromgpx": "<gpx><wpt lat='1.5' lon='2.5'/></gpx>",
+    "st_geomfromgeouri": "geo:1.5,2.5",
+    "st_geomfromosm": to_wkb(from_wkt("POINT(1 2)")).hex(),
+    "rast_fromxyz": "0.5 0.5 1\n1.5 0.5 2\n0.5 1.5 3\n1.5 1.5 4",
 }
 _TYPED_WKB = {  # ops that validate their input's geometry type
     "st_pointfromwkb": "POINT(3 4)",
