@@ -883,6 +883,39 @@ def q_simhash(sf_dir: str):
         ["doc_id", "simhash"])
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash hamming-band near-dup pairs, ORACLE-GATED (round-3
+    VERDICT #8): docs get synthetic unique-token text (24 tokens derived
+    from doc_id — fingerprints are effectively independent 64-bit
+    draws, so organic hamming-≤3 pairs are astronomically unlikely AND
+    the input is deterministic, verified absent at the gate scales);
+    every doc_id % 10 == 0 is planted as an exact copy at id + 1e6
+    (hamming 0 → guaranteed recall through the 4×16-bit pigeonhole
+    bands). The full pair output must equal exactly the planted set."""
+    from geoflow.text import SimHasher
+    from geoflow.text.dedup import simhash_near_dup_pairs
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [" ".join(f"w{i}x{j}" for j in range(24)) for i in ids]
+        sel = np.nonzero(ids % 10 == 0)[0]
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, ids[sel] + 1_000_000])),
+            "text": pa.array(texts + [texts[i] for i in sel],
+                             type=pa.string())})
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow") \
+        .map_batches(SimHasher(), batch_format="pyarrow", concurrency=2)
+    pairs = simhash_near_dup_pairs(ds, max_hamming=3)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"key_a": batch.column("key_a"),
+                         "key_b": batch.column("key_b")})
+
+    return pairs.map_batches(project, batch_format="pyarrow")
+
+
 def q_minhash_lsh(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs (rows-only; crafted near-dup
     fixtures are exercised in tests/)."""
@@ -949,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "quality": q_quality,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "minhash_lsh": q_minhash_lsh,
         "flagship": q_flagship,
     }
@@ -1177,6 +1211,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, x, sin(radians(y)) AS s,
                          sqrt((1.0/298.257223563) * (2.0 - 1.0/298.257223563)) AS e
                   FROM ({doc_pts}))""",
+        "simhash_pairs": """
+            SELECT doc_id AS key_a, doc_id + 1000000 AS key_b
+            FROM documents WHERE doc_id % 10 = 0""",
         "tile_density": f"""
             SELECT tile_x, tile_y, count(*) AS n_points FROM (
               SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 4096), 0), 4095) AS BIGINT) AS tile_x,
