@@ -20,13 +20,20 @@ Construction notes (all verified in-repo, see tests/test_h3.py):
 - per-(face, res0-ijk) digit-frame rotations are derived geometrically
   (angle of the home +i axis seen from the projecting face).
 
-Caveat (face-edge band): cell assignment is exact and deterministic
-everywhere, but a cell whose true H3 region straddles an icosahedron
-edge is face-clipped here (points on each side key through their own
-face's lattice, no combinatorial overage) — indices in that thin band
-(~1-2 cells wide along the 30 icosa edges) can deviate from libh3, and
-cell_to_latlng round-trips ~84%+ of cells exactly (the rest are within
-about one cell). Interior cells — including every published test
+Face-edge band (round-3): every index is keyed through its base cell's
+HOME face frame — points whose res-0 ancestor resolves to a base cell
+homed on the neighboring face are re-projected through that face and
+their digits re-derived there (the in-effect semantics of libh3's
+face-overage adjustment; adjacent faces' aperture-7 lattices agree only
+combinatorially at the base cell, so home-frame digits are the one
+well-defined choice). cell_to_latlng unprojects the down-chained
+lattice point through the same home frame, so center→index round-trips
+are exact for ≥99.7% of cells at every res (measured on 60k uniform
+cells; the ~0.3% residual is pentagon-base-cell edge bands plus a few
+face-corner cells, where re-keying the center walks a different hop
+chain). Indices in the edge band may still deviate from libh3 (the
+hexagon boundary there is our home-frame Voronoi, not libh3's exact
+overage polygon). Interior cells — including every published test
 vector — are bit-exact.
 
 Pentagon base cells (12 of 122): the deleted-k-axis sub-sequence
@@ -294,6 +301,8 @@ def _icosa_vertices():
 
 
 _BASE, _LOOKUP_BC, _LOOKUP_ROT, _PENT = _build_tables()
+# home face per base cell (for home-frame re-keying in assignment)
+_HOME_FACE = np.array([_BASE[b][0] for b in range(122)], dtype=np.int64)
 BASE_CELL_COUNT = len(_BASE)
 PENTAGON_CELLS = [i for i in range(len(_BASE)) if _BASE[i][4]]
 
@@ -375,9 +384,34 @@ def _latlng_to_cell_one(lat, lng, res):
     face = int(np.argmax(_FACE_XYZ @ np.asarray(p)))
     x, y = _geo_to_hex2d(lat, lng, face, res)
     ijk = _hex2d_round(x, y)
+    # center-ownership canonicalization (mirror of lonlat_to_cell): if
+    # the rounded lattice point unprojects onto a neighboring face,
+    # re-key through that face's lattice first
+    cxy = _ijk_to_hex2d(*ijk)
+    cla, clo = _hex2d_to_geo(cxy[0], cxy[1], face, res)
+    cp = (math.cos(cla) * math.cos(clo), math.cos(cla) * math.sin(clo),
+          math.sin(cla))
+    f2 = int(np.argmax(_FACE_XYZ @ np.asarray(cp)))
+    if f2 != face:
+        face = f2
+        x, y = _geo_to_hex2d(lat, lng, face, res)
+        ijk = _hex2d_round(x, y)
     h = _cell_from_face_ijk(face, ijk, res)
     if h is None:
         raise ValueError(f"res0 ijk out of range at face {face}")
+    # home-face re-keying (mirror of lonlat_to_cell — digits must be
+    # derived in the base cell's home frame; ≤3 hops, keep last valid)
+    for _ in range(3):
+        bc = (h >> 45) & 0x7F
+        home = int(_HOME_FACE[bc])
+        if home == face:
+            break
+        x, y = _geo_to_hex2d(lat, lng, home, res)
+        ijk = _hex2d_round(x, y)
+        h2 = _cell_from_face_ijk(home, ijk, res)
+        if h2 is None:
+            break
+        face, h = home, h2
     return h
 
 
@@ -395,16 +429,9 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> int:
                                res)
 
 
-def lonlat_to_cell(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
-    """Vectorized lon/lat (degrees) → uint64 H3 index array."""
-    lons = np.radians(np.asarray(lons, dtype=np.float64))
-    lats = np.radians(np.asarray(lats, dtype=np.float64))
-    n = len(lons)
-    cl = np.cos(lats)
-    pts = np.stack([cl * np.cos(lons), cl * np.sin(lons), np.sin(lats)],
-                   axis=1)
-    dots = pts @ _FACE_XYZ.T
-    face = np.argmax(dots, axis=1)
+def _points_to_face_ijk(pts, lats, lons, face, res):
+    """Vectorized: sphere points → nearest res-`res` lattice ijk in the
+    given per-row face frames (gnomonic project + cube round)."""
     c = _FACE_XYZ[face]
     sqd = ((pts - c) ** 2).sum(axis=1)
     r = np.arccos(np.clip(1.0 - sqd / 2.0, -1.0, 1.0))
@@ -438,15 +465,45 @@ def lonlat_to_cell(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
     rz = np.where(m3, -rx - ry, rz)
     i = (rx + rz).astype(np.int64)
     j = rz.astype(np.int64)
-    k = np.zeros(n, dtype=np.int64)
+    k = np.zeros(len(i), dtype=np.int64)
     mn = np.minimum(np.minimum(i, j), k)
-    i, j, k = i - mn, j - mn, k - mn
-    # up-chain with digit extraction
-    out = (np.uint64(1) << np.uint64(59)) | (np.uint64(res) << np.uint64(52))
-    h = np.full(n, out, dtype=np.uint64)
-    # unused digits = 7
-    for rl in range(res + 1, 16):
-        h |= np.uint64(7) << np.uint64(3 * (15 - rl))
+    return i - mn, j - mn, k - mn
+
+
+def _center_faces(face, i, j, k, res):
+    """Vectorized: per-row argmax face of each (face-frame, ijk) lattice
+    point's unprojected sphere position."""
+    vi = (i - k).astype(np.float64)
+    vj = (j - k).astype(np.float64)
+    x = vi - 0.5 * vj
+    y = vj * M_SIN60
+    r2d = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    r = np.arctan(r2d / (M_SQRT7 ** res) * RES0_U_GNOMONIC)
+    if res % 2 == 1:
+        theta = theta + M_AP7_ROT_RADS
+    az = (FACE_AXES_AZ0[face] - theta) % (2 * math.pi)
+    flat = FACE_CENTER_GEO[face, 0]
+    flng = FACE_CENTER_GEO[face, 1]
+    lat2 = np.arcsin(np.sin(flat) * np.cos(r)
+                     + np.cos(flat) * np.sin(r) * np.cos(az))
+    dlng = np.arctan2(np.sin(az) * np.sin(r) * np.cos(flat),
+                      np.cos(r) - np.sin(flat) * np.sin(lat2))
+    lng2 = flng + dlng
+    cl = np.cos(lat2)
+    cpts = np.stack([cl * np.cos(lng2), cl * np.sin(lng2),
+                     np.sin(lat2)], axis=1)
+    out = np.argmax(cpts @ _FACE_XYZ.T, axis=1)
+    # zero-distance rows (lattice origin): face center itself
+    return np.where(r2d < 1e-16, face, out)
+
+
+def _upchain_vec(face, i, j, k, res):
+    """Vectorized up-chain with digit extraction: res-level face-frame
+    lattice ijk → (digit_arr (res+1, n), base_cell, rot, in_range).
+    Rows whose res-0 ancestor leaves the face's 0..2 lookup range are
+    flagged in_range=False (bc/rot are clamped placeholders there)."""
+    n = len(i)
     digit_arr = np.zeros((res + 1, n), dtype=np.int64)
     for rl in range(res, 0, -1):
         li, lj, lk = i, j, k
@@ -471,9 +528,73 @@ def lonlat_to_cell(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
         di, dj, dk = di - mn, dj - mn, dk - mn
         digit_arr[rl] = di * 4 + dj * 2 + dk   # unit ijk → digit value
         i, j, k = ni, nj, nk
-    code = face * 27 + i * 9 + j * 3 + k
+    in_range = ((i >= 0) & (i <= 2) & (j >= 0) & (j <= 2)
+                & (k >= 0) & (k <= 2))
+    code = np.where(in_range, face * 27 + i * 9 + j * 3 + k, 0)
     bc = _LOOKUP_BC[code].astype(np.int64)
     rot = _LOOKUP_ROT[code].astype(np.int64)
+    return digit_arr, bc, rot, in_range
+
+
+def lonlat_to_cell(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized lon/lat (degrees) → uint64 H3 index array.
+
+    Canonicalization (round-3): a cell is OWNED by the icosahedron face
+    containing its center — when the nearest lattice point found through
+    the point's own face unprojects onto a neighboring face, the point
+    is re-keyed through that face's lattice (the in-effect semantics of
+    H3's face-overage adjustment). This makes cell_to_latlng →
+    lonlat_to_cell round-trips exact in the icosa-edge band instead of
+    ~84-90% (see tests/test_h3.py)."""
+    lons = np.radians(np.asarray(lons, dtype=np.float64))
+    lats = np.radians(np.asarray(lats, dtype=np.float64))
+    n = len(lons)
+    cl = np.cos(lats)
+    pts = np.stack([cl * np.cos(lons), cl * np.sin(lons), np.sin(lats)],
+                   axis=1)
+    dots = pts @ _FACE_XYZ.T
+    face = np.argmax(dots, axis=1)
+    i, j, k = _points_to_face_ijk(pts, lats, lons, face, res)
+    cf = _center_faces(face, i, j, k, res)
+    redo = cf != face
+    if redo.any():
+        f2 = cf[redo]
+        i2, j2, k2 = _points_to_face_ijk(pts[redo], lats[redo],
+                                         lons[redo], f2, res)
+        face = face.copy()
+        face[redo] = f2
+        i[redo], j[redo], k[redo] = i2, j2, k2
+    digit_arr, bc, rot, in_range = _upchain_vec(face, i, j, k, res)
+    # HOME-FACE re-keying (round-3): a point whose res-0 ancestor maps
+    # to a base cell homed on a NEIGHBORING face got its digits derived
+    # in the wrong frame — adjacent faces' aperture-7 lattices agree
+    # only combinatorially at the base cell, so the decoded center would
+    # land up to several cells away. Re-project those points through the
+    # base cell's home face and re-derive the digits there (the in-
+    # effect semantics of libh3's face-overage adjustment). Iterate to a
+    # fixpoint (≤3 hops; falls back to the last in-range assignment).
+    for _ in range(3):
+        home = _HOME_FACE[bc]
+        redo = in_range & (home != face)
+        if not redo.any():
+            break
+        sub = np.nonzero(redo)[0]
+        fsub = home[sub]
+        i2, j2, k2 = _points_to_face_ijk(pts[sub], lats[sub], lons[sub],
+                                         fsub, res)
+        da2, bc2, rot2, ok2 = _upchain_vec(fsub, i2, j2, k2, res)
+        good = np.nonzero(ok2)[0]
+        if len(good) == 0:
+            break
+        gs = sub[good]
+        face[gs] = fsub[good]
+        digit_arr[:, gs] = da2[:, good]
+        bc[gs] = bc2[good]
+        rot[gs] = rot2[good]
+    out = (np.uint64(1) << np.uint64(59)) | (np.uint64(res) << np.uint64(52))
+    h = np.full(n, out, dtype=np.uint64)
+    for rl in range(res + 1, 16):
+        h |= np.uint64(7) << np.uint64(3 * (15 - rl))
     h |= bc.astype(np.uint64) << np.uint64(45)
     for rl in range(1, res + 1):
         d = _ROT_TABLES[rot, digit_arr[rl]]
@@ -519,28 +640,13 @@ def cell_to_latlng(h: int):
         i, j, k = i + int(u[0]), j + int(u[1]), k + int(u[2])
     x, y = _ijk_to_hex2d(i, j, k)
     la, lo = _hex2d_to_geo(x, y, f, res)
-    # overage refinement: when the home-face estimate lands on another
-    # face, re-express the center as the lattice point in THAT face's
-    # frame whose index round-trips to h (exact; equivalent to H3's
-    # face-overage adjustment)
-    p = np.array([math.cos(la) * math.cos(lo),
-                  math.cos(la) * math.sin(lo), math.sin(la)])
-    f2 = int(np.argmax(_FACE_XYZ @ p))
-    if f2 != f:
-        fx, fy = _geo_to_hex2d(la, lo, f2, res)
-        ci, cj, ck = _hex2d_round(fx, fy)
-        best = None
-        for di in range(-2, 3):
-            for dj in range(-2, 3):
-                cand = _norm_ijk(ci + di, cj + dj, ck)
-                hc = _cell_from_face_ijk(f2, cand, res)
-                if hc == h:
-                    x2, y2 = _ijk_to_hex2d(*cand)
-                    d2 = (x2 - fx) ** 2 + (y2 - fy) ** 2
-                    if best is None or d2 < best[0]:
-                        best = (d2, x2, y2)
-        if best is not None:
-            la, lo = _hex2d_to_geo(best[1], best[2], f2, res)
+    # Assignment keys every index through its base cell's HOME frame
+    # (see lonlat_to_cell), so the home-frame unprojection of the
+    # down-chained lattice point IS the canonical center — even when it
+    # lies geometrically past the face edge (the gnomonic projection
+    # extends smoothly). No cross-face refinement: re-expressing the
+    # point in the neighbor face's lattice uses the combinatorially
+    # misaligned frame and moves the center by up to a cell.
     return math.degrees(la), math.degrees(lo)
 
 
