@@ -366,13 +366,18 @@ def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
     spacing_deg = math.degrees(math.atan(RES0_U_GNOMONIC / M_SQRT7 ** res))
     for _ in range(max_widen):
         short = _short_probe_keys(result, probes_ds, k, probe_key)
-        # ball of `wide` spacings guarantees neighbors within
-        # (wide-1)·spacing ground distance (one spacing of margin for
-        # cell assignment fringe), derated by the worst-case gnomonic
-        # sphere-scale at a face vertex — cos²(37.4°) ≈ 0.63, rounded
-        # down to 0.6 — since cells near icosahedron edges are that
-        # much smaller than the face-center spacing used here
-        guard_m = max(0.0, (wide - 1) * spacing_deg) * 0.6 * _M_PER_DEG
+        # Coverage guarantee for the GEOGRAPHIC sample ball of radius
+        # wide·spacing: a point q at distance D from the probe lies in a
+        # sampled cell when a sampler-hit disk (radius 0.283·s for the
+        # 0.4·s grid_disk_cells step) centered at q's cell center fits
+        # inside the ball: D + circumradius + 0.283·s ≤ wide·s. With
+        # `spacing` the face-center (maximum — gnomonic sphere scale
+        # cos²(r) ≤ 1 only shrinks cells off-center) spacing,
+        # circumradius ≤ 0.578·s → D ≤ (wide − 0.87)·s, so (wide−1)·s
+        # is a valid guard; the 0.283·s hit radius also reaches the
+        # SMALLEST (vertex-distorted ×0.63 → inradius 0.315·s) cells,
+        # so no distortion derate is needed at either end.
+        guard_m = max(0.0, (wide - 1) * spacing_deg) * _M_PER_DEG
         over = _unguaranteed_probe_keys(result, probe_key, guard_m)
         short = np.union1d(short, over)
         if len(short) == 0:

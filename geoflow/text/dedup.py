@@ -196,7 +196,7 @@ class MinHasher:
 
 
 def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
-                   bucket_cap=512):
+                   bucket_cap=512, prefilter=False):
     """MinHash-LSH candidate pairs, scale-safe.
 
     Stage 1 (map): per doc, hash each of `bands` signature segments with
@@ -236,9 +236,18 @@ def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
             "bucket": pa.array(out_bucket.view(np.int64)),
         })
 
-    from .hashing import filter_to_collision_buckets
-    buckets = filter_to_collision_buckets(
-        ds.map_batches(to_buckets, batch_format="pyarrow"))
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    if prefilter:
+        # OPTIONAL collision-bucket prefilter. Measured (tools/
+        # bench_lsh_scale.py, BENCH/BASELINE.md round 3): on Ray 2.49
+        # the single-pass sort-based map_groups handles singleton
+        # buckets at ~constant per-row cost and the prefilter's second
+        # full aggregate pass makes it uniformly ~2x SLOWER at every
+        # measured scale (5k-200k docs, ratio 0.48-0.57 with no
+        # crossover) — so it is OFF by default; hot-bucket quadratics
+        # are handled by bucket_cap independently.
+        from .hashing import filter_to_collision_buckets
+        buckets = filter_to_collision_buckets(buckets)
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         n = len(group)
@@ -451,7 +460,8 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 def simhash_near_dup_pairs(ds, max_hamming=3, key_col="doc_id",
-                           sim_col="simhash", bucket_cap=4096):
+                           sim_col="simhash", bucket_cap=4096,
+                           prefilter=False):
     """SimHash hamming-ball near-dup pairs: band the 64-bit fingerprint
     into 4 × 16-bit segments — two fingerprints within hamming distance
     3 must agree on at least one band (pigeonhole), so banding gives
@@ -474,9 +484,11 @@ def simhash_near_dup_pairs(ds, max_hamming=3, key_col="doc_id",
                          "bucket": pa.array(buckets.view(np.int64)),
                          sim_col: batch.column(sim_col).take(idx)})
 
-    from .hashing import filter_to_collision_buckets
-    buckets = filter_to_collision_buckets(
-        ds.map_batches(to_buckets, batch_format="pyarrow"))
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    if prefilter:
+        # off by default — see the measurement note in lsh_band_pairs
+        from .hashing import filter_to_collision_buckets
+        buckets = filter_to_collision_buckets(buckets)
 
     def emit(group: pa.Table) -> pa.Table:
         empty = pa.table({"key_a": pa.array([], type=pa.int64()),

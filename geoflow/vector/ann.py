@@ -208,7 +208,7 @@ def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
                           seed=17, emb_col="embedding", key_col="vec_id",
                           bucket_cap=4096, dim=None,
                           max_broadcast_pairs=1_000_000,
-                          num_partitions=None):
+                          num_partitions=None, prefilter=False):
     """Embedding-cosine near-dup pairs, scale-safe three-stage shape:
       1. hyperplane-LSH buckets (map; embeddings stay in the map stage),
       2. groupby(bucket) → candidate pairs (capped), groupby(pair) dedup,
@@ -229,13 +229,17 @@ def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
     if dim is None:
         first = ds.take(1)[0][emb_col]
         dim = len(first)
-    from ..text.hashing import filter_to_collision_buckets
-    buckets = filter_to_collision_buckets(ds.map_batches(
+    buckets = ds.map_batches(
         HyperplaneBucketer, batch_format="pyarrow",
         fn_constructor_kwargs=dict(dim=dim, n_tables=n_tables,
                                    n_bits=n_bits, seed=seed,
                                    emb_col=emb_col, key_col=key_col),
-        concurrency=2))
+        concurrency=2)
+    if prefilter:
+        # off by default — see the measurement note in
+        # text/dedup.lsh_band_pairs (uniformly slower on Ray 2.49)
+        from ..text.hashing import filter_to_collision_buckets
+        buckets = filter_to_collision_buckets(buckets)
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         keys = np.unique(group.column(key_col).to_numpy(zero_copy_only=False))
