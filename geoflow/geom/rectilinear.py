@@ -184,3 +184,180 @@ def boolean_areas_rectilinear(rings_a, rings_b):
         [_coords_of(rings_a, 1, max_va), _coords_of(rings_b, 1, max_vb)],
         axis=1))
     return _areas_from_grid(ea, eb, xs, ys)
+
+
+# ---------------------------------------------------------------------------
+# geometry output: compressed-grid mask → areal Geometry
+# ---------------------------------------------------------------------------
+
+# turn preference at degree-4 vertices: leftmost turn first — keeps the
+# two even-odd regions meeting at a checkerboard corner as SEPARATE
+# rings instead of one self-intersecting loop
+_DIRS = ((1, 0), (0, 1), (-1, 0), (0, -1))
+
+
+def _turn_order(d):
+    dx, dy = d
+    left = (-dy, dx)
+    right = (dy, -dx)
+    return (left, d, right)
+
+
+def mask_to_geometry(xs, ys, mask, srid=0):
+    """Boolean cell mask over a compressed grid → areal Geometry
+    (POLYGON / MULTIPOLYGON, holes included) by rectilinear boundary
+    tracing. Boundary edges are oriented interior-on-left, so traced
+    shells come out CCW and holes CW; collinear runs are dissolved.
+    Returns an empty polygon for an all-false mask."""
+    if not mask.any():
+        return Geometry.empty(3, srid)
+    nx, ny = mask.shape
+    pad = np.zeros((nx + 2, ny + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    core = pad[1:-1, 1:-1]
+    segs = {}   # (vertex, direction) -> end vertex
+
+    def put(ii, jj, d):
+        for i, j in zip(ii, jj):
+            segs[((i, j), d)] = (i + d[0], j + d[1])
+
+    # bottom edges (+x): cell inside, neighbor below outside; vertex
+    # grid indexes the compressed coordinates
+    bi, bj = np.nonzero(core & ~pad[1:-1, :-2])
+    put(bi, bj, (1, 0))
+    # top edges (−x)
+    ti, tj = np.nonzero(core & ~pad[1:-1, 2:])
+    put(ti + 1, tj + 1, (-1, 0))
+    # right edges (+y)
+    ri, rj = np.nonzero(core & ~pad[2:, 1:-1])
+    put(ri + 1, rj, (0, 1))
+    # left edges (−y)
+    li, lj = np.nonzero(core & ~pad[:-2, 1:-1])
+    put(li, lj + 1, (0, -1))
+
+    loops = []
+    while segs:
+        (v0, d0), v1 = next(iter(segs.items()))
+        del segs[(v0, d0)]
+        loop = [v0]
+        v, d = v1, d0
+        while v != v0:
+            loop.append(v)
+            for nd in _turn_order(d):
+                if (v, nd) in segs:
+                    nv = segs.pop((v, nd))
+                    v, d = nv, nd
+                    break
+            else:
+                raise AssertionError("open boundary in rectilinear mask")
+        loops.append(loop)
+
+    rings = []
+    for loop in loops:
+        # dissolve collinear vertices
+        n = len(loop)
+        keep = []
+        for t in range(n):
+            p_prev = loop[t - 1]
+            p = loop[t]
+            p_next = loop[(t + 1) % n]
+            d1 = (p[0] - p_prev[0], p[1] - p_prev[1])
+            d2 = (p_next[0] - p[0], p_next[1] - p[1])
+            if (d1[0] == 0) != (d2[0] == 0):
+                keep.append(p)
+        c = np.array([[xs[i], ys[j]] for i, j in keep + keep[:1]])
+        rings.append(c)
+
+    from . import algorithms as alg
+    shells = []
+    holes = []
+    for r in rings:
+        (shells if alg.ring_signed_area(r) > 0 else holes).append(r)
+    if not shells:      # numerical degenerate; shouldn't happen
+        return Geometry.empty(3, srid)
+    polys = [[s] for s in shells]
+    if holes:
+        from .clipping import _even_odd_many
+        for h in holes:
+            pt = h[0:1]
+            for p in polys:
+                if _even_odd_many(pt, [p[0]])[0]:
+                    p.append(h)
+                    break
+    if len(polys) == 1:
+        return Geometry(3, rings=polys[0], srid=srid)
+    return Geometry.multi(6, [Geometry(3, rings=p, srid=srid)
+                              for p in polys], srid=srid)
+
+
+def _pair_grid(ra, rb):
+    """Per-pair compressed grid + inside masks for two axis-aligned
+    ring lists. Returns (xs, ys, in_a, in_b) with xs/ys the finite
+    compressed coordinates and masks shaped (len(xs)-1, len(ys)-1)."""
+    ea = _pack_edges([ra], max(sum(len(c) - 1 for c in ra), 1))
+    eb = _pack_edges([rb], max(sum(len(c) - 1 for c in rb), 1))
+    ax = np.concatenate([c[:-1, 0] for c in ra] + [c[:-1, 0] for c in rb])
+    ay = np.concatenate([c[:-1, 1] for c in ra] + [c[:-1, 1] for c in rb])
+    xs = np.unique(ax)
+    ys = np.unique(ay)
+    cx = (0.5 * (xs[1:] + xs[:-1]))[None, :]
+    cy = (0.5 * (ys[1:] + ys[:-1]))[None, :]
+    in_a = _inside(ea, cx, cy)[0]
+    in_b = _inside(eb, cx, cy)[0]
+    return xs, ys, in_a, in_b
+
+
+def _degenerate_contact(in_a, in_b):
+    """True when A and B touch along edges or corners OUTSIDE the areal
+    intersection — there JTS intersection emits 1D/0D pieces, so the
+    areal fast path must fall back to the general overlay."""
+    both = in_a & in_b
+    # vertical cell interfaces: boundary of A AND boundary of B, not
+    # adjacent to an intersection cell
+    av = in_a[:-1, :] != in_a[1:, :]
+    bv = in_b[:-1, :] != in_b[1:, :]
+    tv = both[:-1, :] | both[1:, :]
+    if (av & bv & ~tv).any():
+        return True
+    ah = in_a[:, :-1] != in_a[:, 1:]
+    bh = in_b[:, :-1] != in_b[:, 1:]
+    th = both[:, :-1] | both[:, 1:]
+    if (ah & bh & ~th).any():
+        return True
+    # corner (point) contacts: diagonal cells of A and B meeting at a
+    # vertex none of whose four cells is in the intersection
+    a00 = in_a[:-1, :-1]
+    a11 = in_a[1:, 1:]
+    a10 = in_a[1:, :-1]
+    a01 = in_a[:-1, 1:]
+    b00 = in_b[:-1, :-1]
+    b11 = in_b[1:, 1:]
+    b10 = in_b[1:, :-1]
+    b01 = in_b[:-1, 1:]
+    t4 = both[:-1, :-1] | both[1:, 1:] | both[1:, :-1] | both[:-1, 1:]
+    diag = (a00 & b11) | (a11 & b00) | (a10 & b01) | (a01 & b10)
+    if (diag & ~t4).any():
+        return True
+    return False
+
+
+def rect_boolean_geometry(ra, rb, op, srid=0):
+    """Boolean GEOMETRY for one axis-aligned pair without noding:
+    compressed grid + mask combine + boundary tracing. Returns None
+    when the op's exact result has lower-dimensional pieces the areal
+    path cannot express (intersection with edge/corner-only contact) —
+    caller falls back to the general overlay."""
+    xs, ys, in_a, in_b = _pair_grid(ra, rb)
+    if op == "intersection":
+        if _degenerate_contact(in_a, in_b):
+            return None
+        m = in_a & in_b
+    elif op == "union":
+        m = in_a | in_b
+    elif op == "difference":
+        m = in_a & ~in_b
+    elif op == "symdifference":
+        m = in_a ^ in_b
+    else:
+        raise ValueError(op)
+    return mask_to_geometry(xs, ys, m, srid)

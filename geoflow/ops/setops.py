@@ -74,6 +74,19 @@ def convex_clip(subject: Geometry, clip: Geometry) -> Geometry:
                               for r in rings], srid=subject.srid)
 
 
+def _rect_fast(a, b, op):
+    """Axis-aligned pair → boolean geometry via the rectilinear tracer,
+    or None (not axis-aligned / degenerate contact needs the overlay)."""
+    from ..geom.rectilinear import axis_aligned_rings, rect_boolean_geometry
+    ra = axis_aligned_rings(a)
+    if ra is None:
+        return None
+    rb = axis_aligned_rings(b)
+    if rb is None:
+        return None
+    return rect_boolean_geometry(ra, rb, op, srid=a.srid)
+
+
 @register_op("st_intersection", 2, "setop")
 def st_intersection(col_a, col_b):
     """Intersection (GeometryWrapper.java:755). Areal×areal runs the
@@ -82,10 +95,18 @@ def st_intersection(col_a, col_b):
     the trivial membership path; line×polygon clips the line."""
     def f(a, b):
         if a.type in (3, 6) and b.type in (3, 6):
+            g = _rect_fast(a, b, "intersection")
+            if g is not None:
+                return g
             # fast path: clip shape convex → Sutherland-Hodgman
             bc = alg.convex_hull(b)
             if abs(alg.area(bc) - alg.area(b)) <= 1e-12 * max(1.0, alg.area(b)):
-                return convex_clip(a, bc if bc.type == 3 else b)
+                res = convex_clip(a, bc if bc.type == 3 else b)
+                if not res.is_empty and alg.area(res) > 0.0:
+                    return res
+                # zero-area clip: operands touch along an edge/point —
+                # delegate to the overlay for JTS dimension collapse
+                return polygon_overlay(a, b, "intersection")
             return polygon_overlay(a, b, "intersection")
         if a.type == 1:
             return a if alg.intersects(a, b) else Geometry.empty(1, a.srid)
@@ -107,6 +128,9 @@ def _difference_one(a, b):
     """A − B for one geometry pair (shared by st_difference and the
     mixed-dimension st_symdifference path)."""
     if a.type in (3, 6) and b.type in (3, 6):
+        g = _rect_fast(a, b, "difference")
+        if g is not None:
+            return g
         return polygon_overlay(a, b, "difference")
     if a.type in (2, 5) and b.type in (3, 6):
         return line_poly_clip(a, b, inside=False)
@@ -129,6 +153,9 @@ def st_symdifference(col_a, col_b):
     """Symmetric difference (GeometryWrapper.java:794)."""
     def f(a, b):
         if a.type in (3, 6) and b.type in (3, 6):
+            g = _rect_fast(a, b, "symdifference")
+            if g is not None:
+                return g
             return polygon_overlay(a, b, "symdifference")
         # mixed dims: JTS symDifference = union of the two differences
         # (NOT the raw union of operands — a point inside the polygon
@@ -205,6 +232,9 @@ def st_union(col_a, col_b):
     multi-type (JTS collection semantics)."""
     def f(a, b):
         if a.type in (3, 6) and b.type in (3, 6):
+            g = _rect_fast(a, b, "union")
+            if g is not None:
+                return g
             return polygon_overlay(a, b, "union")
         ta = a.parts if a.parts is not None else [a]
         tb = b.parts if b.parts is not None else [b]

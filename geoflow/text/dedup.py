@@ -21,7 +21,6 @@ deterministic task retries / resume.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -34,20 +33,24 @@ _mix64 = mix64
 
 
 def content_hash(texts) -> pa.Array:
-    """Stable 64-bit hex content hash (blake2b) per text."""
-    out = []
-    for t in texts:
-        if t is None:
-            out.append(None)
-        else:
-            out.append(hashlib.blake2b(t.encode(), digest_size=8).hexdigest())
-    return pa.array(out, type=pa.string())
+    """Stable 64-bit hex content hash per text — vectorized through
+    hash64 (round-3: was a per-row hashlib.blake2b loop; the hex values
+    changed, which is fine — the hash is an opaque dedup key, nothing
+    persists it across versions)."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    nulls = pc.is_null(texts)
+    h = content_hash64(texts)
+    hexes = np.char.mod("%016x", h)
+    return pa.array(
+        np.where(nulls.to_numpy(zero_copy_only=False), None, hexes),
+        type=pa.string())
 
 
 def add_content_hash(batch: pa.Table, text_col="text",
                      out_col="content_hash") -> pa.Table:
     return batch.append_column(out_col,
-                               content_hash(batch.column(text_col).to_pylist()))
+                               content_hash(batch.column(text_col)))
 
 
 def content_hash64(texts) -> np.ndarray:

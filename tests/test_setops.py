@@ -266,3 +266,67 @@ def test_rectilinear_holes_and_multipolygons():
     # square2 (6..9)^2: hole covers (6..7)x(6..7) = 9-1=8
     assert abs(fast["inter"][0] - 16.0) < 1e-9
     assert abs(fast["union"][0] - (84 + 18 - 16)) < 1e-9
+
+
+def test_rectilinear_geometry_fast_path():
+    """Rectilinear GEOMETRY output (round-3): boolean ops on
+    axis-aligned operands trace the compressed-grid mask boundary
+    instead of noding; dimension-collapse cases (edge/corner contact)
+    fall back to the overlay; fuzz asserts region equality vs the
+    overlay on random rect/L pairs."""
+    import pyarrow as pa
+    from geoflow.geom.clipping import polygon_overlay
+    from geoflow.geom.wkb import from_wkb, to_wkb
+    from geoflow.ops.registry import get_op
+
+    def run(op, aw, bw):
+        out = get_op(op).fn(
+            pa.array([to_wkb(from_wkt(aw))], type=pa.binary()),
+            pa.array([to_wkb(from_wkt(bw))], type=pa.binary()))
+        return from_wkb(out[0].as_py())
+
+    A = "POLYGON((0 0,4 0,4 4,0 4,0 0))"
+    B = "POLYGON((2 2,6 2,6 6,2 6,2 2))"
+    assert alg.area(run("st_intersection", A, B)) == 4.0
+    u = run("st_union", A, B)
+    assert alg.area(u) == 28.0 and u.type == 3
+    d = run("st_difference",
+            "POLYGON((0 0,10 0,10 10,0 10,0 0))",
+            "POLYGON((3 3,7 3,7 7,3 7,3 3))")
+    assert alg.area(d) == 84.0 and len(d.rings) == 2   # hole created
+    dj = run("st_union", "POLYGON((0 0,1 0,1 1,0 1,0 0))",
+             "POLYGON((5 5,6 5,6 6,5 6,5 5))")
+    assert dj.type == 6 and alg.area(dj) == 2.0
+    # JTS dimension collapse preserved (fallback engaged)
+    line = run("st_intersection", "POLYGON((0 0,2 0,2 2,0 2,0 0))",
+               "POLYGON((2 0,4 0,4 2,2 2,2 0))")
+    assert line.type == 2
+    pt = run("st_intersection", "POLYGON((0 0,2 0,2 2,0 2,0 0))",
+             "POLYGON((2 2,4 2,4 4,2 4,2 2))")
+    assert pt.type == 1
+    # fuzz: traced geometry == overlay geometry as a region
+    rng = np.random.default_rng(23)
+    for _ in range(300):
+        ax, ay = rng.integers(-4, 5, 2)
+        aw_, ah = rng.integers(1, 6, 2)
+        bx, by = rng.integers(-4, 5, 2)
+        bw_ = int(rng.integers(2, 7))
+        h = (bw_ + 1) // 2
+        a = from_wkt(f"POLYGON(({ax} {ay},{ax+aw_} {ay},"
+                     f"{ax+aw_} {ay+ah},{ax} {ay+ah},{ax} {ay}))")
+        b = from_wkt(f"POLYGON(({bx} {by},{bx+bw_} {by},{bx+bw_} {by+h},"
+                     f"{bx+h} {by+h},{bx+h} {by+bw_},{bx} {by+bw_},"
+                     f"{bx} {by}))")
+        from geoflow.ops.setops import _rect_fast
+        for op in ("intersection", "union", "difference",
+                   "symdifference"):
+            g = _rect_fast(a, b, op)
+            ref = polygon_overlay(a, b, op)
+            if g is None:       # degenerate contact → overlay handles
+                continue
+            assert abs(alg.area(g) - alg.area(ref)) < 1e-9, (op, ax, ay)
+            # region equality: symmetric difference of the two results
+            if not g.is_empty and not ref.is_empty and \
+                    g.type in (3, 6) and ref.type in (3, 6):
+                sd = polygon_overlay(g, ref, "symdifference")
+                assert alg.area(sd) < 1e-9, (op, ax, ay, bx, by)
