@@ -916,6 +916,71 @@ def q_simhash_pairs(sf_dir: str):
     return pairs.map_batches(project, batch_format="pyarrow")
 
 
+
+def q_ngram_jaccard(sf_dir: str):
+    """Character-set Jaccard VALUES, hash-gated against DuckDB's
+    jaccard(): per doc, two deterministic cyclic-alphabet substrings
+    (s_a from doc_id, s_b from doc_id+1) compared with the vectorized
+    byte-presence kernel (text/hashing.char_jaccard — exact DuckDB
+    char-set semantics for ASCII). Integer-count division → IEEE-exact
+    doubles, hash-comparable without rounding."""
+    from geoflow.text.hashing import char_jaccard
+    alpha = "abcdefghijklmnopqrstuvwxyz" * 2
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+
+        def sub(i):
+            st = (i % 13).astype(np.int64)
+            ln = 7 + (i % 11).astype(np.int64)
+            return pa.array([alpha[s:s + l]
+                             for s, l in zip(st, ln)], type=pa.string())
+
+        sa = sub(ids)
+        sb = sub(ids + 1)
+        jac = char_jaccard(sa, sb)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "jac": pa.array(jac)})
+
+    return _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(derive, batch_format="pyarrow")
+
+
+def q_ngram_near_dup(sf_dir: str):
+    """Character-n-gram-Jaccard near-dup recovery (the n-gram member of
+    the dedup family, SURVEY extras): synthetic per-doc char soup with
+    every 10th doc planted as a near-identical copy (one char changed)
+    at id + 1e6; CharMinHasher (3-gram shingles) + lsh_band_pairs must
+    recover exactly the planted pair set."""
+    from geoflow.text import CharMinHasher
+    from geoflow.text.dedup import lsh_band_pairs
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["".join(chr(97 + (i * 1000003 + j * j * 31 + j) % 26)
+                         for j in range(64)) for i in ids]
+        sel = np.nonzero(ids % 10 == 0)[0]
+        dups = [texts[i][:32] + "#" + texts[i][33:] for i in sel]
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, ids[sel] + 1_000_000])),
+            "text": pa.array(texts + dups, type=pa.string())})
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow") \
+        .map_batches(CharMinHasher(), batch_format="pyarrow",
+                     concurrency=2)
+    pairs = lsh_band_pairs(ds, key_col="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        ka = batch.column("key_a").to_numpy(zero_copy_only=False)
+        kb = batch.column("key_b").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(kb == ka + 1_000_000))
+        return pa.table({"key_a": sub.column("key_a"),
+                         "key_b": sub.column("key_b")})
+
+    return pairs.map_batches(project, batch_format="pyarrow")
+
+
 def q_minhash_lsh(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs (rows-only; crafted near-dup
     fixtures are exercised in tests/)."""
@@ -983,6 +1048,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_near_dup": q_ngram_near_dup,
         "minhash_lsh": q_minhash_lsh,
         "flagship": q_flagship,
     }
@@ -1212,6 +1279,15 @@ def oracle_sql() -> dict[str, str]:
                          sqrt((1.0/298.257223563) * (2.0 - 1.0/298.257223563)) AS e
                   FROM ({doc_pts}))""",
         "simhash_pairs": """
+            SELECT doc_id AS key_a, doc_id + 1000000 AS key_b
+            FROM documents WHERE doc_id % 10 = 0""",
+        "ngram_jaccard": """
+            SELECT doc_id,
+                   jaccard(substr(alpha, 1 + (doc_id % 13), 7 + (doc_id % 11)),
+                           substr(alpha, 1 + ((doc_id + 1) % 13), 7 + ((doc_id + 1) % 11))) AS jac
+            FROM (SELECT doc_id, 'abcdefghijklmnopqrstuvwxyzabcdefghijklmnopqrstuvwxyz' AS alpha
+                  FROM documents)""",
+        "ngram_near_dup": """
             SELECT doc_id AS key_a, doc_id + 1000000 AS key_b
             FROM documents WHERE doc_id % 10 = 0""",
         "tile_density": f"""

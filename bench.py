@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "groupby_lineitem", "window_events", "sessionize", "near_dup",
     "langid", "quality", "minhash_lsh", "setops_overlay",
     "h3_cell", "h3_density", "h3_knn", "media_stats", "embed_near_dup",
-    "transform_3395", "simhash_pairs",
+    "transform_3395", "simhash_pairs", "ngram_jaccard", "ngram_near_dup",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -198,6 +198,28 @@ class MinHasher:
                 pa.array(sigs.ravel(), type=pa.uint64()), self.num))
 
 
+class CharMinHasher(MinHasher):
+    """MinHash over CHARACTER n-gram shingles — the n-gram-Jaccard
+    dedup family (byte windows over UTF-8; == char n-grams for ASCII).
+    Signature/banding machinery shared with the word-shingle MinHasher,
+    so lsh_band_pairs works unchanged on its output; the LSH collision
+    probability then estimates CHARACTER n-gram Jaccard."""
+
+    def __init__(self, num_hashes: int = 128, ngram: int = 3,
+                 seed: int = 13):
+        super().__init__(num_hashes=num_hashes, shingle_k=ngram,
+                         seed=seed)
+
+    def _shingles(self, texts):
+        from .hashing import byte_ngram_hashes
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if not isinstance(texts, pa.Array):
+            texts = pa.array(list(texts), type=pa.string())
+        sh, sh_doc = byte_ngram_hashes(texts, self.k)
+        return sh, sh_doc, len(texts)
+
+
 def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
                    bucket_cap=512, prefilter=False):
     """MinHash-LSH candidate pairs, scale-safe.

@@ -146,3 +146,74 @@ def filter_to_collision_buckets(buckets_ds, bucket_col="bucket",
         return batch.filter(pa.array(hb[pos] == bv))
 
     return buckets_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def byte_positions(arr):
+    """(doc index per byte, flat uint8 data, starts, lens) for a flat
+    string array — one np.repeat, no per-row Python."""
+    starts, lens, data = _offsets_data(arr)
+    docpos = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    # the flat byte stream of the rows, honoring slice offsets: rows are
+    # contiguous in Arrow string arrays, so it's one big view
+    lo = starts[0] if len(starts) else 0
+    hi = (starts[-1] + lens[-1]) if len(starts) else 0
+    return docpos, data[lo:hi], starts - lo, lens
+
+
+def byte_ngram_hashes(arr, n: int = 3):
+    """(uint64 hash per byte n-gram, int64 doc index per n-gram),
+    doc-ordered. N-grams are byte windows over each string's UTF-8
+    bytes (== character n-grams for ASCII); docs shorter than n bytes
+    (incl. empty) contribute ONE fallback hash of their whole content.
+    Vectorized: one rolling pass over the flat concatenated buffer."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(list(arr), type=pa.string())
+    docpos, flat, starts, lens = byte_positions(arr)
+    total = len(flat)
+    if total >= n:
+        nw = total - n + 1
+        acc = np.full(nw, _GOLD, dtype=np.uint64)
+        for i in range(n):
+            acc = mix64(acc + flat[i:i + nw].astype(np.uint64) * _FNV)
+        valid = docpos[:nw] == docpos[n - 1:]
+        h = acc[valid]
+        hd = docpos[:nw][valid]
+    else:
+        h = np.empty(0, dtype=np.uint64)
+        hd = np.empty(0, dtype=np.int64)
+    short = np.nonzero(lens < n)[0]
+    if len(short):
+        fb = hash64(arr.take(pa.array(short, type=pa.int64())))
+        h = np.concatenate([h, fb])
+        hd = np.concatenate([hd, short])
+        order = np.argsort(hd, kind="stable")
+        h, hd = h[order], hd[order]
+    return h, hd
+
+
+def char_presence(arr) -> np.ndarray:
+    """(n, 256) bool byte-presence matrix per string (== character sets
+    for ASCII text) — the vectorized carrier for char-set Jaccard."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(list(arr), type=pa.string())
+    docpos, flat, _starts, _lens = byte_positions(arr)
+    out = np.zeros((len(arr), 256), dtype=bool)
+    out[docpos, flat] = True
+    return out
+
+
+def char_jaccard(arr_a, arr_b) -> np.ndarray:
+    """Character-set Jaccard per row pair (byte-level; exact DuckDB
+    `jaccard()` semantics for ASCII inputs). Empty∩empty → 1.0."""
+    pa_ = char_presence(arr_a)
+    pb_ = char_presence(arr_b)
+    inter = (pa_ & pb_).sum(axis=1)
+    union = (pa_ | pb_).sum(axis=1)
+    out = np.ones(len(inter), dtype=np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    return out

@@ -301,3 +301,49 @@ def test_estimate_pair_jaccard_both_paths(ray_session):
                pairs, sig, num_hashes=64,
                max_broadcast_pairs=1).take_all()}
     assert small == big and len(small) == pairs.count()
+
+
+def test_char_minhasher_ngram_jaccard_recovery(ray_session):
+    """CharMinHasher (char 3-gram shingles) + lsh_band_pairs recovers
+    near-identical docs (1 char of 64 changed) and skips unrelated
+    ones; est_jaccard for the planted pairs lands near the true char
+    n-gram Jaccard."""
+    import ray
+    from geoflow.text import CharMinHasher
+    from geoflow.text.dedup import lsh_band_pairs, ngram_jaccard
+    rng = np.random.default_rng(3)
+    docs = []
+    for i in range(60):
+        t = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 80))
+        docs.append({"doc_id": i, "text": t})
+        if i % 6 == 0:
+            docs.append({"doc_id": i + 1000,
+                         "text": t[:40] + "#" + t[41:]})
+    ds = ray.data.from_items(docs).map_batches(
+        CharMinHasher(), batch_format="pyarrow")
+    got = {(r["key_a"], r["key_b"]): r["est_jaccard"]
+           for r in lsh_band_pairs(ds, key_col="doc_id").take_all()}
+    for i in range(0, 60, 6):
+        assert (i, i + 1000) in got, i
+        true_j = ngram_jaccard(docs_text(docs, i), docs_text(docs, i + 1000))
+        assert abs(got[(i, i + 1000)] - true_j) < 0.35
+    # unrelated random docs must not pair up
+    assert all(b == a + 1000 for a, b in got)
+
+
+def docs_text(docs, key):
+    return next(d["text"] for d in docs if d["doc_id"] == key)
+
+
+def test_char_jaccard_matches_duckdb():
+    import duckdb
+    import pyarrow as pa
+    from geoflow.text.hashing import char_jaccard
+    cases = [("abcde", "cdefg"), ("aaa", "a"),
+             ("hello world", "world peace"), ("zz", "zz"),
+             ("abcdefghijklm", "nopqrstuvwxyz")]
+    ours = char_jaccard(pa.array([a for a, _ in cases]),
+                        pa.array([b for _, b in cases]))
+    for (a, b), o in zip(cases, ours):
+        ref = duckdb.sql(f"SELECT jaccard('{a}', '{b}')").fetchone()[0]
+        assert o == ref, (a, b, o, ref)
