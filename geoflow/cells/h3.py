@@ -335,6 +335,43 @@ def _pent_rotate_ccw(digits, res):
     return digits
 
 
+def _pent_leading_vec(d, res):
+    """(res+1, m) digit matrix → per-row leading nonzero digit (0 when
+    all zero)."""
+    nz = d[1:res + 1] != 0
+    any_nz = nz.any(axis=0)
+    first = np.argmax(nz, axis=0)
+    lead = d[1 + first, np.arange(d.shape[1])]
+    return np.where(any_nz, lead, 0)
+
+
+def _apply_pent_rotation_vec(d, rot, res):
+    """Vectorized pentagon digit-frame rotation over rows of a
+    (res+1, m) digit matrix — mirrors _apply_base_rotation's pentagon
+    branch. Key simplification (verified against the scalar in tests):
+    since _ROT_CCW[0] == 0 rotation preserves zero positions, so
+    _pent_rotate_ccw is equivalent to 'rotate all once; if the leading
+    nonzero is then 1 (a leading K — deleted axis), rotate all once
+    more'."""
+    d = d.copy()
+    esc = _pent_leading_vec(d, res) == 1
+    if esc.any():
+        d[1:res + 1][:, esc] = _ROT_CCW[d[1:res + 1][:, esc]]
+    maxrot = int(rot.max()) if len(rot) else 0
+    for it in range(maxrot):
+        act = rot > it
+        if not act.any():
+            break
+        sub = np.nonzero(act)[0]
+        ds = d[:, sub]
+        ds[1:res + 1] = _ROT_CCW[ds[1:res + 1]]
+        esc = _pent_leading_vec(ds, res) == 1
+        if esc.any():
+            ds[1:res + 1][:, esc] = _ROT_CCW[ds[1:res + 1][:, esc]]
+        d[:, sub] = ds
+    return d
+
+
 def _apply_base_rotation(digits, res, bc, rot):
     """Rotate digits from the projection-face frame into the base cell's
     canonical frame. Pentagons use the deleted-k-axis rules (leading-K
@@ -596,15 +633,19 @@ def lonlat_to_cell(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
     for rl in range(res + 1, 16):
         h |= np.uint64(7) << np.uint64(3 * (15 - rl))
     h |= bc.astype(np.uint64) << np.uint64(45)
+    # pentagon rows (12 of 122 base cells, ~6% of the sphere): apply the
+    # deleted-k-axis digit rules VECTORIZED over those rows (was a
+    # per-row scalar redo — 60%+ of assignment cost at volume), then
+    # zero their rot so the hexagon table below is the identity
+    pent_rows = np.nonzero(_PENT[bc])[0]
+    if len(pent_rows):
+        digit_arr[:, pent_rows] = _apply_pent_rotation_vec(
+            digit_arr[:, pent_rows], rot[pent_rows], res)
+        rot = rot.copy()
+        rot[pent_rows] = 0
     for rl in range(1, res + 1):
         d = _ROT_TABLES[rot, digit_arr[rl]]
         h |= d.astype(np.uint64) << np.uint64(3 * (15 - rl))
-    # pentagon rows (rare: 12 of 122 base cells, ocean/polar): redo via
-    # the scalar path, which applies the deleted-k-axis digit rules
-    pent_rows = np.nonzero(_PENT[bc])[0]
-    for ri in pent_rows:
-        h[ri] = np.uint64(_latlng_to_cell_one(float(lats[ri]),
-                                              float(lons[ri]), res))
     return h
 
 

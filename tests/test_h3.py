@@ -216,3 +216,24 @@ def test_scalar_vector_assignment_agree():
         for idx in range(0, n, 37):
             assert int(vec[idx]) == h3.latlng_to_cell(
                 lat[idx], lon[idx], res)
+
+
+def test_pentagon_rotation_vectorized_equals_scalar():
+    """_apply_pent_rotation_vec == the scalar deleted-k-axis rules on
+    random digit vectors (the vectorized path replaced the per-row
+    scalar redo for pentagon rows in lonlat_to_cell)."""
+    import numpy as np
+    import geoflow.cells.h3 as H
+    rng = np.random.default_rng(0)
+    for _ in range(500):
+        res = int(rng.integers(1, 12))
+        digits = [0] + [int(x) for x in rng.integers(0, 7, res)]
+        rot = int(rng.integers(0, 6))
+        ds = list(digits) + [7] * (15 - res)
+        if H._leading_nonzero(ds, res) == 1:
+            ds = H._rotate_all_ccw(ds, res)
+        for _ in range(rot):
+            ds = H._pent_rotate_ccw(ds, res)
+        mat = np.array(digits, dtype=np.int64).reshape(-1, 1)
+        out = H._apply_pent_rotation_vec(mat, np.array([rot]), res)
+        assert [int(x) for x in out[:, 0]] == ds[:res + 1]
