@@ -956,9 +956,20 @@ def q_ngram_near_dup(sf_dir: str):
     from geoflow.text.dedup import lsh_band_pairs
 
     def synth(batch: pa.Table) -> pa.Table:
+        from geoflow.text.hashing import mix64
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = ["".join(chr(97 + (i * 1000003 + j * j * 31 + j) % 26)
-                         for j in range(64)) for i in ids]
+        # chars via splitmix64(i*64+j) so DISTINCT docs get DISTINCT
+        # pseudorandom soup — a formula that only depends on (i mod k)
+        # collapses the corpus to k distinct texts and makes every doc an
+        # organic near-dup of n/k others (quadratic LSH pair blowup at
+        # sf0.1; found via bench stats round 3)
+        grid = (ids[:, None] * np.int64(64)
+                + np.arange(64, dtype=np.int64)[None, :])
+        chars = (97 + mix64(grid.reshape(-1).view(np.uint64))
+                 % np.uint64(26)).astype(np.uint8)
+        buf = chars.tobytes()
+        texts = [buf[i * 64:(i + 1) * 64].decode("ascii")
+                 for i in range(len(ids))]
         sel = np.nonzero(ids % 10 == 0)[0]
         dups = [texts[i][:32] + "#" + texts[i][33:] for i in sel]
         return pa.table({
@@ -989,6 +1000,146 @@ def q_minhash_lsh(sf_dir: str):
     ds = _read(sf_dir, "documents").map_batches(
         MinHasher(), batch_format="pyarrow", concurrency=2)
     return lsh_band_pairs(ds, key_col="doc_id")
+
+
+# ---- stream joins + sketches (custom operators Ray Data lacks) ------------
+
+def q_asof_orders(sf_dir: str):
+    """As-of (backward, inclusive) join: each event picks the user's most
+    recent order at or before the event time — geoflow.ops.streamjoin
+    .asof_join, the salt-bucket + single-lexsort shape (no per-key
+    Python). Exact-``o_orderdate`` ties break deterministically on max
+    o_orderkey (the oracle dedupes identically). Unmatched events keep
+    -1 (int columns stay int through the driver's pandas hash)."""
+    import ray.data
+
+    from geoflow.ops.streamjoin import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    res = asof_join(ev, orders, left_key="user_id", right_key="o_custkey",
+                    left_ts="ts", right_ts="o_orderdate",
+                    right_cols=["o_orderkey", "o_totalprice"],
+                    right_tiebreak="o_orderkey", num_buckets=32)
+
+    def finish(b: pa.Table) -> pa.Table:
+        # o_totalprice has 2 decimals: *100 is integer-valued up to fp
+        # noise well away from .5, so arrow/duckdb rounding modes agree
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "o_orderkey": pc.cast(
+                pc.fill_null(b.column("o_orderkey"), -1), pa.int64()),
+            "total_cents": pc.fill_null(cents, -1)})
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+def q_interval_err_window(sf_dir: str):
+    """Interval (range) join: every event falling inside the 10-minute
+    window opened by each error event — geoflow.ops.streamjoin
+    .interval_join (time-bucket keyed; intervals replicated to the
+    buckets they span, each pair emitted exactly once in the point's
+    bucket)."""
+    import ray.data
+
+    from geoflow.ops.streamjoin import interval_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type"])
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.equal(b.column("event_type"), "error"))
+        ts = sub.column("ts").combine_chunks().cast(pa.timestamp("us"))
+        return pa.table({
+            "err_id": sub.column("event_id"),
+            "t_start": ts,
+            "t_end": pc.add(ts, pa.scalar(600_000_000,
+                                          pa.duration("us")))})
+
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow")
+    pts = ev.map_batches(lambda b: b.select(["event_id", "ts"]),
+                         batch_format="pyarrow")
+    return interval_join(pts, iv, point_ts="ts",
+                         interval_start="t_start", interval_end="t_end",
+                         point_cols=["event_id"], interval_cols=["err_id"],
+                         bucket_us=3_600_000_000)
+
+
+def q_heavy_tokens(sf_dir: str):
+    """Top-20 document tokens (count >= 50) via the Count-Min-pruned
+    exact pipeline (geoflow.ops.sketches.heavy_hitter_tokens): per-block
+    combiner counts → streaming CMS aggregate → candidate filter (CMS
+    never under-counts ⇒ exact parity) → exact groupby on survivors →
+    deterministic top-k. Oracle = plain SQL heavy-hitter query; the
+    RE2 tokenizer is reproduced byte-for-byte in DuckDB regex."""
+    import ray.data
+
+    from geoflow.ops.sketches import heavy_hitter_tokens
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return heavy_hitter_tokens(docs, min_count=50, k=20)
+
+
+def q_event_quantiles(sf_dir: str):
+    """Exact per-type value quantiles (p50/p90/p99) over events via the
+    bounded-domain histogram path (geoflow.ops.sketches
+    .exact_grouped_quantiles): shuffle the (type, value_milli) histogram
+    — size bounded by the value domain, not the row count — then one
+    tiny driver-side cumsum. quantile_disc semantics match DuckDB."""
+    from geoflow.ops.sketches import exact_grouped_quantiles
+
+    def milli(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_milli": pc.cast(pc.round(pc.multiply(
+                b.column("value"), 1000.0)), pa.int64())})
+
+    ds = _read(sf_dir, "events").map_batches(milli, batch_format="pyarrow")
+    return exact_grouped_quantiles(ds, "event_type", "value_milli",
+                                   qs=(0.5, 0.9, 0.99))
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact distinct users per event type, fully distributed: inner
+    groupby(type, user) collapses duplicates (combiner inside blocks via
+    Ray's sort-based aggregate), outer groupby(type) counts — no
+    count-distinct materialization at the driver."""
+    ds = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+    inner = ds.groupby(["event_type", "user_id"]).count()
+    out = inner.select_columns(["event_type"]).groupby("event_type").count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "n_users": pc.cast(b.column("count()"),
+                                            pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate per event type (rows-only: the
+    register math has no SQL equivalent — DuckDB's approx_count_distinct
+    is a different HLL. Estimates are deterministic (blake2b-free
+    splitmix hashing) and accuracy-gated in tests/test_sketches.py;
+    q_distinct_users above is the oracle-gated exact companion)."""
+    from geoflow.ops.sketches import hll_aggregate
+
+    ds = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+    out = ds.groupby("event_type").aggregate(hll_aggregate("user_id"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "est_users": pc.cast(pc.round(b.column("hll(user_id)")),
+                                 pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def q_flagship(sf_dir: str):
@@ -1051,6 +1202,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_near_dup": q_ngram_near_dup,
         "minhash_lsh": q_minhash_lsh,
+        "asof_orders": q_asof_orders,
+        "interval_err_window": q_interval_err_window,
+        "heavy_tokens": q_heavy_tokens,
+        "event_quantiles": q_event_quantiles,
+        "distinct_users": q_distinct_users,
+        "hll_users": q_hll_users,
         "flagship": q_flagship,
     }
 
@@ -1319,4 +1476,41 @@ def oracle_sql() -> dict[str, str]:
                                 e.vec_id) AS rank
               FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q)
             WHERE rank <= 10""",
+        "asof_orders": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate,
+                     max(o_orderkey) AS o_orderkey,
+                     max_by(o_totalprice, o_orderkey) AS o_totalprice
+              FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id,
+                   COALESCE(r.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(CAST(round(r.o_totalprice * 100.0) AS BIGINT),
+                            -1) AS total_cents
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
+        "interval_err_window": """
+            SELECT i.event_id AS err_id, p.event_id
+            FROM events p JOIN events i
+              ON i.event_type = 'error'
+             AND p.ts BETWEEN i.ts AND i.ts + INTERVAL 10 MINUTE""",
+        "heavy_tokens": r"""
+            SELECT token, count(*) AS cnt FROM (
+              SELECT unnest(regexp_split_to_array(
+                       lower(text), '[^\p{L}\p{N}_]+')) AS token
+              FROM documents)
+            WHERE token <> ''
+            GROUP BY token HAVING count(*) >= 50
+            ORDER BY cnt DESC, token ASC LIMIT 20""",
+        "event_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value_milli, 0.5)  AS q50,
+                   quantile_disc(value_milli, 0.9)  AS q90,
+                   quantile_disc(value_milli, 0.99) AS q99
+            FROM (SELECT event_type,
+                         CAST(round(value * 1000.0) AS BIGINT) AS value_milli
+                  FROM events)
+            GROUP BY event_type""",
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
     }

@@ -1,0 +1,316 @@
+"""Mergeable sketches for corpus-scale profiling: Count-Min, HyperLogLog,
+and exact bounded-domain quantile histograms.
+
+None of these exist in the reference (its aggregate surface is
+Min/Max/Avg/BoundingBox, aggregates/*.java) or in Ray Data 2.49;
+at 100-TB corpus scale they are the standard answers to "top tokens",
+"distinct users", and "value quantiles" without a full shuffle:
+
+* every sketch is a small fixed-size numpy state that accumulates over a
+  block vectorized and merges associatively — the natural fit for
+  ``ray.data.aggregate.AggregateFn(accumulate_block=..., merge=...)``,
+  which Ray tree-reduces without materializing the input;
+* Count-Min only ever OVER-estimates, so using it as a candidate filter
+  before an exact count keeps exact-parity results (no false negatives)
+  while pruning the heavy groupby to the candidate set;
+* the quantile path is exact, not approximate: it relies on the value
+  domain being bounded (e.g. prices in cents), so the (group, value)
+  histogram — NOT the row count — bounds the final reduce.
+
+Hash base: the deterministic blake2b/FNV-free ``hash64``/``mix64``
+(text/hashing.py) — retry/resume safe, no per-process randomization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..text.hashing import hash64, mix64, tokenize
+
+_U64 = np.uint64
+
+
+def _column_hashes(col) -> np.ndarray:
+    """uint64 hashes of an Arrow column (string/binary via byte hash,
+    ints via splitmix)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return hash64(col)
+    v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return mix64(v.view(_U64))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+class CountMinSketch:
+    """Classic Cormode–Muthukrishnan counting sketch: ``depth`` rows of
+    ``width`` int64 counters; estimate = min over rows (always >= truth).
+    Error bound: est - true <= e/width * total_weight with prob
+    1 - e^-depth."""
+
+    __slots__ = ("depth", "width", "counts", "_salts")
+
+    def __init__(self, depth: int = 4, width: int = 1 << 15,
+                 seed: int = 0x5EED_C0DE):
+        self.depth = depth
+        self.width = width
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+        self._salts = mix64(np.arange(1, depth + 1, dtype=np.int64)
+                            .view(_U64) + _U64(seed))
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) int64 bucket indexes."""
+        return np.stack([
+            (mix64(h ^ self._salts[i]) % _U64(self.width)).astype(np.int64)
+            for i in range(self.depth)])
+
+    def add_hashes(self, h: np.ndarray, weights=None) -> None:
+        if len(h) == 0:
+            return
+        w = np.ones(len(h), dtype=np.int64) if weights is None \
+            else np.asarray(weights, dtype=np.int64)
+        idx = self._rows(h)
+        for i in range(self.depth):
+            np.add.at(self.counts[i], idx[i], w)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.empty(0, dtype=np.int64)
+        idx = self._rows(h)
+        est = self.counts[0][idx[0]]
+        for i in range(1, self.depth):
+            est = np.minimum(est, self.counts[i][idx[i]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counts += other.counts
+        return self
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (exact, 6 passes)."""
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x < (_U64(1) << _U64(64 - s))
+        n[m] += s
+        x[m] = x[m] << _U64(s)
+    # x == 0 accumulates 63 from the loop (1+2+4+8+16+32); fix to 64
+    n[n == 63] = np.where(x[n == 63] == 0, 64, 63)
+    return n
+
+
+class HyperLogLog:
+    """Flajolet–Fuss–Gandouet–Meunier HLL: 2^p uint8 registers, max-merge.
+    Relative error ~= 1.04/sqrt(2^p) (p=14 -> ~0.8%)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        idx = (h >> _U64(64 - self.p)).astype(np.int64)
+        rem = h << _U64(self.p)
+        rank = np.minimum(_clz64(rem) + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(
+            np.ldexp(1.0, -self.registers.astype(np.int64)))
+        if e <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * np.log(m / zeros)
+        return float(e)
+
+
+# ---------------------------------------------------------------------------
+# Ray Data aggregate wrappers
+# ---------------------------------------------------------------------------
+
+def hll_aggregate(col: str, p: int = 14, name: str | None = None):
+    """AggregateFn computing an HLL distinct-count estimate of ``col``;
+    use with ``ds.aggregate(...)`` or ``ds.groupby(k).aggregate(...)``.
+    Accumulator = the register array (2^p bytes), merged by max — the
+    canonical mergeable-sketch reduction; input blocks stream through."""
+    from ray.data.aggregate import AggregateFn
+
+    def init(_key):
+        return np.zeros(1 << p, dtype=np.uint8)
+
+    def accumulate_block(regs: np.ndarray, block: pa.Table) -> np.ndarray:
+        hll = HyperLogLog(p)
+        hll.registers = regs
+        hll.add_hashes(_column_hashes(block.column(col)))
+        return hll.registers
+
+    def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.maximum(a, b)
+
+    def finalize(regs: np.ndarray) -> float:
+        hll = HyperLogLog(p)
+        hll.registers = regs
+        return hll.estimate()
+
+    return AggregateFn(init=init, merge=merge,
+                       accumulate_block=accumulate_block,
+                       finalize=finalize,
+                       name=name or f"hll({col})")
+
+
+def cms_aggregate(key_col: str, weight_col: str | None = None,
+                  depth: int = 4, width: int = 1 << 15,
+                  name: str | None = None):
+    """AggregateFn building a global CountMinSketch over ``key_col``
+    (optionally weighted); finalize returns the sketch object."""
+    from ray.data.aggregate import AggregateFn
+
+    def init(_key):
+        return CountMinSketch(depth, width)
+
+    def accumulate_block(s: CountMinSketch, block: pa.Table):
+        w = (block.column(weight_col).to_numpy(zero_copy_only=False)
+             .astype(np.int64) if weight_col is not None else None)
+        s.add_hashes(_column_hashes(block.column(key_col)), w)
+        return s
+
+    return AggregateFn(init=init, merge=lambda a, b: a.merge(b),
+                       accumulate_block=accumulate_block,
+                       name=name or f"cms({key_col})")
+
+
+# ---------------------------------------------------------------------------
+# Pipelines
+# ---------------------------------------------------------------------------
+
+def token_partial_counts(ds, text_col: str = "text"):
+    """(token, cnt) partial counts: tokenize each block (RE2, lowercase)
+    and pre-aggregate INSIDE the block — the combiner step that keeps the
+    eventual token groupby proportional to distinct tokens, not corpus
+    tokens."""
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _parent = tokenize(batch.column(text_col))
+        t = pa.table({"token": flat}).group_by("token") \
+            .aggregate([("token", "count")])
+        return pa.table({"token": t.column("token"),
+                         "cnt": pc.cast(t.column("token_count"),
+                                        pa.int64())})
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def heavy_hitter_tokens(ds, text_col: str = "text", min_count: int = 10,
+                        k: int = 20, depth: int = 4, width: int = 1 << 15,
+                        use_sketch: bool = True):
+    """Exact top-``k`` tokens with count >= ``min_count``, CMS-pruned.
+
+    1. per-block partial (token, cnt) counts (combiner);
+    2. one streaming CMS aggregate over the partials (small mergeable
+       state, no shuffle);
+    3. partials whose CMS estimate < min_count are dropped BEFORE the
+       exact token groupby — since CMS never under-estimates, no true
+       heavy hitter is lost and the final exact filter restores exact
+       parity with the unpruned pipeline;
+    4. exact groupby(token).sum on survivors, filter, deterministic
+       top-k (count desc, token asc).
+
+    At web scale step 3 shrinks the all-to-all token shuffle from the
+    full vocabulary (Zipf tail) to the candidate set. ``use_sketch=False``
+    runs the plain exact pipeline (for equivalence tests)."""
+    from ray.data.aggregate import Sum
+
+    parts = token_partial_counts(ds, text_col)
+    if use_sketch:
+        parts = parts.materialize()   # consumed twice: CMS pass + filter
+        sk = parts.aggregate(cms_aggregate("token", "cnt",
+                                           depth=depth, width=width))
+        sketch: CountMinSketch = sk[f"cms(token)"]
+
+        def prune(batch: pa.Table) -> pa.Table:
+            est = sketch.estimate_hashes(_column_hashes(
+                batch.column("token")))
+            return batch.filter(pa.array(est >= min_count))
+
+        parts = parts.map_batches(prune, batch_format="pyarrow")
+
+    out = parts.groupby("token").aggregate(Sum("cnt"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = pa.table({"token": batch.column("token"),
+                      "cnt": pc.cast(batch.column("sum(cnt)"), pa.int64())})
+        return t.filter(pc.greater_equal(t.column("cnt"), min_count))
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def exact_grouped_quantiles(ds, group_col: str, value_col: str,
+                            qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Exact per-group discrete quantiles of a BOUNDED-DOMAIN int64
+    column (e.g. prices in cents): shuffle the (group, value) histogram,
+    not the rows. quantile_disc semantics (element at rank
+    ceil(q*n) - 1), matching DuckDB's ``quantile_disc``.
+
+    The final cumsum runs on the collected histogram, whose size is
+    |groups| x |value domain| — independent of row count. For unbounded
+    double columns quantize first (the caller owns the rounding rule so
+    the oracle can reproduce it)."""
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([group_col, value_col]).aggregate(Count())
+    tbl = pa.concat_tables(
+        list(hist.iter_batches(batch_format="pyarrow"))).combine_chunks()
+    g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+    v = tbl.column(value_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    c = tbl.column("count()").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.lexsort([v, g])
+    g, v, c = g[order], v[order], c[order]
+    new_g = np.empty(len(g), dtype=bool)
+    new_g[0] = True
+    new_g[1:] = g[1:] != g[:-1]
+    starts = np.nonzero(new_g)[0]
+    ends = np.append(starts[1:], len(g))
+    out_g, out_q = [], {q: [] for q in qs}
+    csum = np.cumsum(c)
+    base = np.repeat(np.concatenate([[0], csum[ends - 1][:-1]]),
+                     ends - starts)
+    within = csum - base          # cumulative count within each group
+    totals = csum[ends - 1] - np.concatenate([[0], csum[ends - 1][:-1]])
+    for gi in range(len(starts)):
+        s, e = starts[gi], ends[gi]
+        n = totals[gi]
+        out_g.append(g[s])
+        for q in qs:
+            rank = max(int(np.ceil(q * n)), 1)   # 1-based
+            pos = s + np.searchsorted(within[s:e], rank, side="left")
+            out_q[q].append(v[pos])
+    cols = {group_col: pa.array(out_g)}
+    for q in qs:
+        cols[f"q{int(q * 100)}"] = pa.array(
+            np.array(out_q[q], dtype=np.int64))
+    return pa.table(cols)
