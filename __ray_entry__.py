@@ -1142,6 +1142,39 @@ def q_hll_users(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_dbscan(sf_dir: str):
+    """Deterministic distributed DBSCAN (geoflow.ops.clustering.dbscan —
+    eps-grid 9-replication neighbor counts, core-graph connected
+    components labeled by min member key, min-label border attachment;
+    reference surface spatial/ClusterDBSCAN.java is a stub, so this is
+    engine-original). Points live in a box whose area scales with the
+    document count so the eps-graph density — and hence the SQL oracle's
+    transitive-closure size — is scale-invariant (~0.05 pts/unit²,
+    subcritical for continuum percolation: no giant component)."""
+    import ray.data
+    from geoflow.ops.clustering import dbscan
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    ymod = np.int64(5 * docs.count())
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(doc_id),
+            "x": pa.array(((doc_id * 7919) % 400) / 10.0),
+            "y": pa.array(((doc_id * 104729) % ymod) / 10.0)})
+
+    res = dbscan(docs.map_batches(derive, batch_format="pyarrow"),
+                 eps=4.0, min_pts=3)
+    return res.map_batches(
+        lambda b: pa.table({"doc_id": b.column("key"),
+                            "cluster": b.column("cluster"),
+                            "is_core": b.column("is_core")}),
+        batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1208,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quantiles": q_event_quantiles,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
+        "dbscan": q_dbscan,
         "flagship": q_flagship,
     }
 
@@ -1513,4 +1547,37 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
+        "dbscan": """
+            WITH RECURSIVE
+            pts AS (SELECT CAST(doc_id AS BIGINT) AS key,
+                           ((doc_id * 7919) % 400) / 10.0 AS x,
+                           ((doc_id * 104729)
+                            % (5 * (SELECT count(*) FROM documents)))
+                             / 10.0 AS y
+                    FROM documents),
+            near AS (SELECT a.key AS ka, b.key AS kb
+                     FROM pts a, pts b
+                     WHERE (a.x - b.x) * (a.x - b.x)
+                         + (a.y - b.y) * (a.y - b.y) <= 16.0),
+            core AS (SELECT ka AS key FROM near
+                     GROUP BY ka HAVING count(*) >= 3),
+            cedge AS (SELECT n.ka AS a, n.kb AS b FROM near n
+                      WHERE n.ka IN (SELECT key FROM core)
+                        AND n.kb IN (SELECT key FROM core)),
+            reach(a, b) AS (SELECT a, b FROM cedge
+                            UNION
+                            SELECT r.a, e.b
+                            FROM reach r JOIN cedge e ON r.b = e.a),
+            clab AS (SELECT a AS key, min(b) AS cluster
+                     FROM reach GROUP BY a),
+            blab AS (SELECT n.ka AS key, min(c.cluster) AS cluster
+                     FROM near n JOIN clab c ON n.kb = c.key
+                     WHERE n.ka NOT IN (SELECT key FROM core)
+                     GROUP BY n.ka)
+            SELECT p.key AS doc_id,
+                   COALESCE(cl.cluster, bl.cluster, -1) AS cluster,
+                   (cl.key IS NOT NULL) AS is_core
+            FROM pts p
+            LEFT JOIN clab cl ON p.key = cl.key
+            LEFT JOIN blab bl ON p.key = bl.key""",
     }

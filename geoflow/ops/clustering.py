@@ -1,0 +1,452 @@
+"""Distributed DBSCAN over point columns — deterministic variant.
+
+Neither Ray Data nor the reference has density clustering (the
+reference's ClusterKMeans/ClusterDBSCAN/ClusterIntersecting surface is
+stubbed, spatial/ClusterDBSCAN.java); at corpus scale DBSCAN is the
+standard "group nearby geometries" primitive, so it is implemented here
+as a first-class operator.
+
+Semantics (deterministic DBSCAN):
+* ``|N_eps(p)| >= min_pts`` (count INCLUDES p, ``<= eps`` closed) makes
+  p a CORE point.
+* Core points within eps of each other share a cluster; the cluster id
+  is the MINIMUM point key of the component (stable across runs and
+  partitionings, unlike scan-order labels).
+* A non-core point within eps of >=1 core point is a BORDER point and
+  joins the minimum cluster id among its core neighbors (classic DBSCAN
+  leaves border assignment scan-order dependent; taking the min makes
+  the output a pure function of the input).
+* Everything else is NOISE (cluster = -1).
+
+Distributed shape (all stages streaming, no driver materialization of
+points):
+1. eps-grid: cell = (floor(x/eps), floor(y/eps)); every point is
+   replicated to its 3x3 cell neighborhood (vectorized 9x repeat), so
+   any two points within eps co-occur in each other's HOME cell.
+   One groupby(cell) pass computes exact global neighbor counts.
+2. A second cell pass (now with core flags riding the rows) emits
+   core-core edges and border->core candidate edges; 16-byte rows.
+3. Connected components by hash-to-min label propagation over the core
+   edge set, with a pointer-jumping (label(label(k))) shortcut each
+   round -> O(log diameter) rounds, each round = groupby shuffles over
+   (key,label) pairs only. Labels are materialized per round (they are
+   the only loop-carried state) and convergence is detected by the
+   monotone label sum.
+
+Partitioning assumptions: cell occupancy is bounded (the per-cell
+kernel is O(|home| * |cell|) vectorized numpy); a pathological cell with
+k points costs one k^2 distance matrix — chunked at ``chunk`` home rows
+to bound memory. eps should be chosen so typical cells hold O(10-1000)
+points; for heavily skewed data shrink eps-cells by salting (future
+knob), exactly like hot-key salting in the cell join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_OFF = np.int64(1) << np.int64(31)
+
+
+def _pack_cell(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    return ((cx + _OFF) << np.int64(32)) | (cy + _OFF)
+
+
+def _replicate9(key, x, y, eps, extra=None):
+    """9x neighbor-cell replication; returns dict of columns + home flag."""
+    n = len(key)
+    cx = np.floor(x / eps).astype(np.int64)
+    cy = np.floor(y / eps).astype(np.int64)
+    dx = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+    dy = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+    rep = np.repeat(np.arange(n), 9)
+    cell = _pack_cell(cx[rep] + np.tile(dx, n), cy[rep] + np.tile(dy, n))
+    home = np.tile((dx == 0) & (dy == 0), n)
+    cols = {"cell": cell, "key": key[rep], "x": x[rep], "y": y[rep],
+            "home": home}
+    if extra is not None:
+        for name, arr in extra.items():
+            cols[name] = arr[rep]
+    return cols
+
+
+def _counts_pass(ds, eps: float, chunk: int = 4096):
+    """(key, x, y, n_neighbors) — exact |N_eps| per point."""
+    eps2 = eps * eps
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        c = _replicate9(key, x, y, eps)
+        return pa.table({k: pa.array(v) for k, v in c.items()})
+
+    def count(group: pa.Table) -> pa.Table:
+        home = group.column("home").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        hp = np.nonzero(home)[0]
+        if len(hp) == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "x": pa.array([], type=pa.float64()),
+                             "y": pa.array([], type=pa.float64()),
+                             "n_neighbors": pa.array([], type=pa.int64())})
+        counts = np.empty(len(hp), dtype=np.int64)
+        for s in range(0, len(hp), chunk):
+            h = hp[s:s + chunk]
+            d2 = (x[h][:, None] - x[None, :]) ** 2 \
+                + (y[h][:, None] - y[None, :]) ** 2
+            counts[s:s + chunk] = (d2 <= eps2).sum(axis=1)
+        return pa.table({"key": pa.array(key[hp]),
+                         "x": pa.array(x[hp]), "y": pa.array(y[hp]),
+                         "n_neighbors": pa.array(counts)})
+
+    return ds.map_batches(replicate, batch_format="pyarrow") \
+        .groupby("cell").map_groups(count, batch_format="pyarrow")
+
+
+def _edges_pass(counted, eps: float, min_pts: int, chunk: int = 4096):
+    """From (key,x,y,n_neighbors): emit
+    - etype 0: core-core directed edges (a -> b, both directions overall)
+    - etype 1: border->core candidate edges (a=border key, b=core key)
+    - etype 2: noise markers (a=key, b=-1)
+    - etype 3: isolated-core self rows (a=core key, b=a)"""
+    eps2 = eps * eps
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        core = (batch.column("n_neighbors").to_numpy(zero_copy_only=False)
+                >= min_pts)
+        c = _replicate9(key, x, y, eps, extra={"core": core})
+        return pa.table({k: pa.array(v) for k, v in c.items()})
+
+    def edges(group: pa.Table) -> pa.Table:
+        home = group.column("home").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        core = group.column("core").to_numpy(zero_copy_only=False)
+        hp = np.nonzero(home)[0]
+        ea, eb, et = [], [], []
+        cp = np.nonzero(core)[0]
+        for s in range(0, len(hp), chunk):
+            h = hp[s:s + chunk]
+            if len(cp):
+                d2 = (x[h][:, None] - x[cp][None, :]) ** 2 \
+                    + (y[h][:, None] - y[cp][None, :]) ** 2
+                near = d2 <= eps2
+            else:
+                near = np.zeros((len(h), 0), dtype=bool)
+            hcore = core[h]
+            hckeys = key[h[hcore]]
+            # home core -> core neighbors (excluding self); isolated
+            # cores get an etype-3 self row so they still receive labels
+            if near.shape[1]:
+                nm = near[hcore] & (hckeys[:, None] != key[cp][None, :])
+                ii, jj = np.nonzero(nm)
+                ea.append(hckeys[ii]); eb.append(key[cp][jj])
+                et.append(np.zeros(len(ii), dtype=np.int8))
+                iso = hckeys[~nm.any(axis=1)]
+            else:
+                iso = hckeys
+            ea.append(iso); eb.append(iso)
+            et.append(np.full(len(iso), 3, dtype=np.int8))
+            # home non-core: border (edges to ALL core neighbors) or noise
+            hb = h[~hcore]
+            if len(hb):
+                nearb = near[~hcore]
+                anyc = nearb.any(axis=1) if nearb.shape[1] else \
+                    np.zeros(len(hb), dtype=bool)
+                if nearb.shape[1]:
+                    ii, jj = np.nonzero(nearb)
+                    ea.append(key[hb][ii]); eb.append(key[cp][jj])
+                    et.append(np.ones(len(ii), dtype=np.int8))
+                nz = key[hb][~anyc]
+                ea.append(nz); eb.append(np.full(len(nz), -1, np.int64))
+                et.append(np.full(len(nz), 2, dtype=np.int8))
+        if not ea:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "etype": pa.array([], type=pa.int8())})
+        return pa.table({"a": pa.array(np.concatenate(ea)),
+                         "b": pa.array(np.concatenate(eb)),
+                         "etype": pa.array(np.concatenate(et))})
+
+    return counted.map_batches(replicate, batch_format="pyarrow") \
+        .groupby("cell").map_groups(edges, batch_format="pyarrow")
+
+
+def _propagate_min(labels, cedges):
+    """One hash-to-min round: label(k) <- min(label(k),
+    min_{(k,b) in E} label(b)). Two 16-byte-row shuffles."""
+    def tag_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"gk": batch.column("key"),
+                         "other": pa.array(
+                             np.full(batch.num_rows, -1, np.int64)),
+                         "val": batch.column("label")})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        # deliver label(b) to a: group by b
+        return pa.table({"gk": batch.column("b"),
+                         "other": batch.column("a"),
+                         "val": pa.array(
+                             np.full(batch.num_rows, -1, np.int64))})
+
+    def scatter(group: pa.Table) -> pa.Table:
+        other = group.column("other").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        gk = group.column("gk").to_numpy(zero_copy_only=False)
+        root = val[other == -1]
+        lab = root.min()          # exactly one label row per core key
+        dst = other[other != -1]
+        keys = np.concatenate([dst, gk[:1]])
+        labs = np.concatenate([np.full(len(dst), lab, np.int64), [lab]])
+        return pa.table({"key": pa.array(keys), "label": pa.array(labs)})
+
+    from ray.data.aggregate import Min
+    msgs = labels.map_batches(tag_label, batch_format="pyarrow").union(
+        cedges.map_batches(tag_edge, batch_format="pyarrow"))
+    out = msgs.groupby("gk").map_groups(scatter, batch_format="pyarrow") \
+        .groupby("key").aggregate(Min("label"))
+    return out.map_batches(
+        lambda b: pa.table({"key": b.column("key"),
+                            "label": b.column("min(label)")}),
+        batch_format="pyarrow")
+
+
+def _shortcut(labels):
+    """Pointer jumping: label(k) <- label(label(k)); halves chain depth
+    per round (combined with propagation -> O(log diameter) rounds)."""
+    def tag_root(batch: pa.Table) -> pa.Table:
+        return pa.table({"gk": batch.column("key"),
+                         "other": pa.array(
+                             np.full(batch.num_rows, -1, np.int64)),
+                         "val": batch.column("label")})
+
+    def tag_ptr(batch: pa.Table) -> pa.Table:
+        return pa.table({"gk": batch.column("label"),
+                         "other": batch.column("key"),
+                         "val": pa.array(
+                             np.full(batch.num_rows, -1, np.int64))})
+
+    def scatter(group: pa.Table) -> pa.Table:
+        other = group.column("other").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        root = val[other == -1]
+        lab = root.min()
+        dst = other[other != -1]
+        return pa.table({"key": pa.array(dst),
+                         "label": pa.array(
+                             np.full(len(dst), lab, np.int64))})
+
+    msgs = labels.map_batches(tag_root, batch_format="pyarrow").union(
+        labels.map_batches(tag_ptr, batch_format="pyarrow"))
+    return msgs.groupby("gk").map_groups(scatter, batch_format="pyarrow")
+
+
+def _cc_min_labels(a: np.ndarray, b: np.ndarray):
+    """(nodes, label per node): connected components of the undirected
+    edge list, label = min node key in the component. Vectorized numpy
+    hash-to-min + pointer jumping; O((m+n) log n)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        la, lb = lab[ia], lab[ib]
+        settled = np.array_equal(la, lb)   # every edge label-monochrome
+        m = np.minimum(la, lb)
+        np.minimum.at(lab, ia, m)
+        np.minimum.at(lab, ib, m)
+        nxt = lab[lab]                     # pointer jump (lab[k] <= k)
+        if settled and np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    # nodes are sorted, so the min INDEX in a component is the min KEY
+    return nodes, nodes[lab]
+
+
+def _finish_driver(counted, all_edges, min_pts: int):
+    """Driver-side CC + one distributed attach pass (no shuffles)."""
+    et_l, a_l, b_l = [], [], []
+    for blk in all_edges.iter_batches(batch_format="pyarrow"):
+        et_l.append(blk.column("etype").to_numpy(zero_copy_only=False))
+        a_l.append(blk.column("a").to_numpy(zero_copy_only=False))
+        b_l.append(blk.column("b").to_numpy(zero_copy_only=False))
+    et = np.concatenate(et_l) if et_l else np.empty(0, np.int8)
+    a = np.concatenate(a_l) if a_l else np.empty(0, np.int64)
+    b = np.concatenate(b_l) if b_l else np.empty(0, np.int64)
+    cm = (et == 0) | (et == 3)
+    nodes, labels = _cc_min_labels(a[cm], b[cm])
+    # border: min core-label over each border key's core neighbors
+    bm = et == 1
+    bkeys_all = a[bm]
+    blabels_all = labels[np.searchsorted(nodes, b[bm])]
+    order = np.argsort(bkeys_all, kind="stable")
+    bk_s, bl_s = bkeys_all[order], blabels_all[order]
+    new = np.empty(len(bk_s), dtype=bool)
+    if len(bk_s):
+        new[0] = True
+        new[1:] = bk_s[1:] != bk_s[:-1]
+        bkeys = bk_s[new]
+        blabels = np.minimum.reduceat(bl_s, np.nonzero(new)[0])
+    else:
+        bkeys = bk_s
+        blabels = bl_s
+
+    def attach(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        core = (batch.column("n_neighbors").to_numpy(zero_copy_only=False)
+                >= min_pts)
+        out = np.full(len(key), -1, dtype=np.int64)
+        if len(nodes):
+            pos = np.searchsorted(nodes, key)
+            pos_c = np.clip(pos, 0, len(nodes) - 1)
+            hit = core & (nodes[pos_c] == key)
+            out[hit] = labels[pos_c[hit]]
+        if len(bkeys):
+            pos = np.searchsorted(bkeys, key)
+            pos_c = np.clip(pos, 0, len(bkeys) - 1)
+            hit = (~core) & (bkeys[pos_c] == key)
+            out[hit] = blabels[pos_c[hit]]
+        return pa.table({"key": pa.array(key),
+                         "cluster": pa.array(out),
+                         "is_core": pa.array(core)})
+
+    return counted.map_batches(attach, batch_format="pyarrow")
+
+
+def dbscan(ds, *, key_col: str = "key", x_col: str = "x", y_col: str = "y",
+           eps: float, min_pts: int, max_rounds: int = 16,
+           cc_mode: str = "auto", max_driver_edges: int = 2_000_000):
+    """Returns a Dataset (key, cluster, is_core): deterministic DBSCAN
+    as documented in the module docstring. ``cluster`` is the minimum
+    member key of the component for core/border points, -1 for noise.
+
+    Connected components run in one of two modes:
+    * ``driver`` (auto-selected when the edge list fits
+      ``max_driver_edges``): the core-graph EDGE LIST — metadata-sized
+      relative to the corpus, same trade as the exact-dedup winner set
+      (text/dedup.py) — is pulled to the driver and solved with a
+      vectorized numpy hash-to-min + pointer-jumping loop, then labels
+      are broadcast back into one attach pass. Zero per-round shuffles.
+    * ``distributed``: hash-to-min label propagation with a
+      pointer-jumping shortcut per round, all in (key,label) 16-byte
+      shuffle rows. O(log diameter) rounds; each round costs a fixed
+      multi-second Ray aggregate spin-up, so this path is for edge sets
+      that genuinely cannot sit on one node."""
+    from ray.data.aggregate import Min
+
+    if cc_mode not in ("auto", "driver", "distributed"):
+        raise ValueError("cc_mode must be auto|driver|distributed")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(batch.column(key_col), pa.int64()),
+            "x": pc.cast(batch.column(x_col), pa.float64()),
+            "y": pc.cast(batch.column(y_col), pa.float64())})
+
+    pts = ds.map_batches(norm, batch_format="pyarrow")
+    # counted is consumed twice (edge pass + driver-mode attach pass);
+    # two consumers of one lineage re-execute it, so materialize
+    counted = _counts_pass(pts, eps).materialize()
+    all_edges = _edges_pass(counted, eps, min_pts).materialize()
+
+    if cc_mode == "driver" or (cc_mode == "auto"
+                               and all_edges.count() <= max_driver_edges):
+        return _finish_driver(counted, all_edges, min_pts)
+
+    def pick(etypes):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column("etype"),
+                         value_set=pa.array(etypes, type=pa.int8()))
+            return batch.filter(m).select(["a", "b"])
+        return f
+
+    cedges = all_edges.map_batches(pick([0]), batch_format="pyarrow")
+    # init labels: every core key -> itself (etype 0 sources + isolated 3)
+    def init_labels(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("etype"),
+                     value_set=pa.array([0, 3], type=pa.int8()))
+        sub = batch.filter(m)
+        return pa.table({"key": sub.column("a"), "label": sub.column("a")})
+
+    labels = all_edges.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("key").aggregate(Min("label")).map_batches(
+            lambda b: pa.table({"key": b.column("key"),
+                                "label": b.column("min(label)")}),
+            batch_format="pyarrow").materialize()
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        labels = _propagate_min(labels, cedges)
+        labels = _shortcut(labels).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "dbscan: label propagation hit max_rounds=%d before the "
+            "monotone label sum stabilized; labels may be non-minimal",
+            max_rounds)
+
+    # border resolution: min label among core neighbors
+    def tag_core_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"gk": batch.column("key"),
+                         "other": pa.array(
+                             np.full(batch.num_rows, -1, np.int64)),
+                         "val": batch.column("label")})
+
+    def tag_border(batch: pa.Table) -> pa.Table:
+        return pa.table({"gk": batch.column("b"),
+                         "other": batch.column("a"),
+                         "val": pa.array(
+                             np.full(batch.num_rows, -1, np.int64))})
+
+    def scatter(group: pa.Table) -> pa.Table:
+        other = group.column("other").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        lab = val[other == -1].min()
+        dst = other[other != -1]
+        return pa.table({"key": pa.array(dst),
+                         "cluster": pa.array(
+                             np.full(len(dst), lab, np.int64))})
+
+    bedges = all_edges.map_batches(pick([1]), batch_format="pyarrow")
+    border = labels.map_batches(tag_core_label, batch_format="pyarrow") \
+        .union(bedges.map_batches(tag_border, batch_format="pyarrow")) \
+        .groupby("gk").map_groups(scatter, batch_format="pyarrow") \
+        .groupby("key").aggregate(Min("cluster"))
+
+    core_out = labels.map_batches(
+        lambda b: pa.table({"key": b.column("key"),
+                            "cluster": b.column("label"),
+                            "is_core": pa.array(
+                                np.ones(b.num_rows, dtype=bool))}),
+        batch_format="pyarrow")
+    border_out = border.map_batches(
+        lambda b: pa.table({"key": b.column("key"),
+                            "cluster": b.column("min(cluster)"),
+                            "is_core": pa.array(
+                                np.zeros(b.num_rows, dtype=bool))}),
+        batch_format="pyarrow")
+
+    def noise_out(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("etype"), pa.scalar(2, pa.int8()))
+        sub = batch.filter(m)
+        return pa.table({"key": sub.column("a"),
+                         "cluster": pa.array(
+                             np.full(sub.num_rows, -1, np.int64)),
+                         "is_core": pa.array(
+                             np.zeros(sub.num_rows, dtype=bool))})
+
+    noise = all_edges.map_batches(noise_out, batch_format="pyarrow")
+    return core_out.union(border_out).union(noise)

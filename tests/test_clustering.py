@@ -1,0 +1,130 @@
+"""Distributed DBSCAN vs a brute-force union-find reference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geoflow.ops.clustering import dbscan
+
+
+def _brute_dbscan(key, x, y, eps, min_pts):
+    n = len(key)
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    near = d2 <= eps * eps
+    core = near.sum(1) >= min_pts
+    parent = {int(k): int(k) for k in key[core]}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.nonzero(core)[0]
+    for i in ci:
+        for j in ci:
+            if i < j and near[i, j]:
+                ra, rb = find(int(key[i])), find(int(key[j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    lab = {k: find(k) for k in parent}
+    out = {}
+    for i in range(n):
+        k = int(key[i])
+        if core[i]:
+            out[k] = (lab[k], True)
+        else:
+            cand = [lab[int(key[j])] for j in ci if near[i, j]]
+            out[k] = (min(cand), False) if cand else (-1, False)
+    return out
+
+
+def _run(ray, key, x, y, eps, min_pts, **kw):
+    ds = ray.data.from_arrow(pa.table(
+        {"key": pa.array(key), "x": pa.array(x),
+         "y": pa.array(y)})).repartition(4)
+    res = dbscan(ds, eps=eps, min_pts=min_pts, **kw)
+    return {r["key"]: (r["cluster"], r["is_core"]) for r in res.take_all()}
+
+
+def test_dbscan_blobs_and_noise(ray_session):
+    rng = np.random.RandomState(42)
+    n = 400
+    x = rng.uniform(-50, 50, n)
+    y = rng.uniform(-50, 50, n)
+    for c in range(4):
+        cx, cy = rng.uniform(-40, 40, 2)
+        x[c * 20:(c + 1) * 20] = cx + rng.uniform(-1.2, 1.2, 20)
+        y[c * 20:(c + 1) * 20] = cy + rng.uniform(-1.2, 1.2, 20)
+    key = np.arange(n, dtype=np.int64)
+    got = _run(ray_session, key, x, y, 2.0, 4)
+    want = _brute_dbscan(key, x, y, 2.0, 4)
+    assert got == want
+    assert len({c for c, _ in got.values() if c >= 0}) >= 4
+
+
+def test_dbscan_long_chain_needs_propagation(ray_session):
+    """A 120-point chain (spacing < eps) is ONE cluster labeled by the
+    min key — exercises the pointer-jumping depth, which a single
+    propagation round cannot solve."""
+    n = 120
+    key = np.arange(n, dtype=np.int64)[::-1].copy()  # min key at far end
+    x = np.arange(n) * 0.9
+    y = np.zeros(n)
+    got = _run(ray_session, key, x, y, 1.0, 2)
+    assert all(c == 0 for c, _ in got.values())
+    assert all(ic for _, ic in got.values())
+
+
+def test_dbscan_border_and_noise_rules(ray_session):
+    """3 close points (cores @ min_pts=3) + 1 within eps of one core
+    (border -> min component key) + 1 isolated (noise)."""
+    key = np.array([10, 11, 12, 20, 30], dtype=np.int64)
+    x = np.array([0.0, 0.5, 1.0, 1.8, 9.0])
+    y = np.zeros(5)
+    got = _run(ray_session, key, x, y, 1.0, 3)
+    assert got[10] == (10, True)
+    assert got[11] == (10, True)
+    assert got[12] == (10, True)
+    assert got[20] == (10, False)     # border of the cluster
+    assert got[30] == (-1, False)     # noise
+
+
+def test_dbscan_eps_boundary_inclusive(ray_session):
+    key = np.array([1, 2], dtype=np.int64)
+    x = np.array([0.0, 1.0])
+    y = np.zeros(2)
+    got = _run(ray_session, key, x, y, 1.0, 2)   # dist == eps counts
+    assert got[1] == (1, True) and got[2] == (1, True)
+
+
+def test_dbscan_distributed_cc_path(ray_session):
+    """Force cc_mode='distributed' (label-propagation fallback) on a
+    case with multiple clusters, a border point, and noise; must agree
+    with both the brute reference and the driver-CC path."""
+    rng = np.random.RandomState(3)
+    pts = []
+    for c, (cx, cy) in enumerate([(0.0, 0.0), (20.0, 5.0), (40.0, -3.0)]):
+        for i in range(18):
+            pts.append((c * 100 + i,
+                        cx + rng.uniform(-1.5, 1.5),
+                        cy + rng.uniform(-1.5, 1.5)))
+    pts.append((900, 2.9, 0.0))    # border-ish of cluster 0
+    pts.append((901, 99.0, 99.0))  # noise
+    key = np.array([p[0] for p in pts], dtype=np.int64)
+    x = np.array([p[1] for p in pts])
+    y = np.array([p[2] for p in pts])
+    got = _run(ray_session, key, x, y, 1.4, 3, cc_mode="distributed")
+    want = _brute_dbscan(key, x, y, 1.4, 3)
+    assert got == want
+    assert got == _run(ray_session, key, x, y, 1.4, 3, cc_mode="driver")
+
+
+def test_dbscan_matches_brute_on_random(ray_session):
+    rng = np.random.RandomState(7)
+    n = 250
+    key = rng.permutation(np.arange(1000, 1000 + n)).astype(np.int64)
+    x = rng.uniform(0, 30, n)
+    y = rng.uniform(0, 30, n)
+    got = _run(ray_session, key, x, y, 1.5, 3)
+    assert got == _brute_dbscan(key, x, y, 1.5, 3)
