@@ -1175,6 +1175,35 @@ def q_dbscan(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (geoflow.ops.clustering.kmeans —
+    min-key seeding, broadcast centroids, integer partial sums;
+    reference surface geometry/ClusterKMeans.java is a stub, semantics
+    engine-defined). Integer lattice coords (scale=100) make centroid
+    updates order-independent, so the unrolled-SQL oracle reproduces
+    assignments bit-exactly."""
+    import ray.data
+    from geoflow.ops.clustering import kmeans
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(doc_id),
+            "xi": pa.array((doc_id * 7919) % 36000 - 18000),
+            "yi": pa.array((doc_id * 104729) % 17000 - 8500)})
+
+    res = kmeans(docs.map_batches(derive, batch_format="pyarrow"),
+                 x_col="xi", y_col="yi", k=8, iters=2, scale=100.0)
+    return res.map_batches(
+        lambda b: pa.table({"doc_id": b.column("key"),
+                            "cluster": b.column("cluster")}),
+        batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1242,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "dbscan": q_dbscan,
+        "kmeans": q_kmeans,
         "flagship": q_flagship,
     }
 
@@ -1580,4 +1610,46 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             LEFT JOIN clab cl ON p.key = cl.key
             LEFT JOIN blab bl ON p.key = bl.key""",
+        "kmeans": """
+            WITH pts AS (SELECT CAST(doc_id AS BIGINT) AS key,
+                                (doc_id * 7919) % 36000 - 18000 AS xi,
+                                (doc_id * 104729) % 17000 - 8500 AS yi,
+                                ((doc_id * 7919) % 36000 - 18000) / 100.0 AS x,
+                                ((doc_id * 104729) % 17000 - 8500) / 100.0 AS y
+                         FROM documents),
+            c0 AS (SELECT row_number() OVER (ORDER BY key) - 1 AS cid,
+                          x AS cx, y AS cy
+                   FROM (SELECT key, x, y FROM pts ORDER BY key LIMIT 8)),
+            a1 AS (SELECT key, xi, yi, x, y, cid FROM (
+                     SELECT p.key, p.xi, p.yi, p.x, p.y, c.cid,
+                            row_number() OVER (PARTITION BY p.key ORDER BY
+                              (p.x - c.cx) * (p.x - c.cx)
+                              + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+                     FROM pts p CROSS JOIN c0 c) WHERE rn = 1),
+            c1 AS (SELECT c0.cid,
+                          COALESCE(s.sx / (100.0 * s.n), c0.cx) AS cx,
+                          COALESCE(s.sy / (100.0 * s.n), c0.cy) AS cy
+                   FROM c0 LEFT JOIN
+                        (SELECT cid, count(*) AS n, sum(xi) AS sx,
+                                sum(yi) AS sy
+                         FROM a1 GROUP BY cid) s ON c0.cid = s.cid),
+            a2 AS (SELECT key, xi, yi, x, y, cid FROM (
+                     SELECT p.key, p.xi, p.yi, p.x, p.y, c.cid,
+                            row_number() OVER (PARTITION BY p.key ORDER BY
+                              (p.x - c.cx) * (p.x - c.cx)
+                              + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+                     FROM pts p CROSS JOIN c1 c) WHERE rn = 1),
+            c2 AS (SELECT c1.cid,
+                          COALESCE(s.sx / (100.0 * s.n), c1.cx) AS cx,
+                          COALESCE(s.sy / (100.0 * s.n), c1.cy) AS cy
+                   FROM c1 LEFT JOIN
+                        (SELECT cid, count(*) AS n, sum(xi) AS sx,
+                                sum(yi) AS sy
+                         FROM a2 GROUP BY cid) s ON c1.cid = s.cid)
+            SELECT key AS doc_id, cid AS cluster FROM (
+              SELECT p.key, c.cid,
+                     row_number() OVER (PARTITION BY p.key ORDER BY
+                       (p.x - c.cx) * (p.x - c.cx)
+                       + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+              FROM pts p CROSS JOIN c2 c) WHERE rn = 1""",
     }

@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "h3_cell", "h3_density", "h3_knn", "media_stats", "embed_near_dup",
     "transform_3395", "simhash_pairs", "ngram_jaccard", "ngram_near_dup",
     "asof_orders", "interval_err_window", "heavy_tokens",
-    "event_quantiles", "distinct_users", "hll_users", "dbscan",
+    "event_quantiles", "distinct_users", "hll_users", "dbscan", "kmeans",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -322,6 +322,149 @@ def _finish_driver(counted, all_edges, min_pts: int):
     return counted.map_batches(attach, batch_format="pyarrow")
 
 
+def _min_k_rows(ds, k: int, key_col: str, cols):
+    """The k rows with the smallest keys, without a global sort: per-batch
+    local top-k (vectorized argpartition) -> driver reduce over k*nblocks
+    candidate rows (tiny)."""
+    def local(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if len(key) > k:
+            idx = np.argpartition(key, k - 1)[:k]
+            batch = batch.take(pa.array(np.sort(idx)))
+        return batch.select([key_col, *cols])
+
+    cand = ds.map_batches(local, batch_format="pyarrow")
+    t = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")))
+    order = np.argsort(t.column(key_col).to_numpy(zero_copy_only=False),
+                       kind="stable")[:k]
+    return t.take(pa.array(order))
+
+
+def kmeans(ds, *, key_col: str = "key", x_col: str = "x", y_col: str = "y",
+           k: int, iters: int = 2, scale: float | None = None,
+           reduce_mode: str = "auto"):
+    """Distributed Lloyd's k-means over 2-D points, fully deterministic
+    (reference surface geometry/ClusterKMeans.java:15 is a stub, so the
+    semantics are engine-defined and SQL-reproducible):
+
+    * init: centroids = the ``k`` points with the SMALLEST keys, centroid
+      id = rank of the key (0-based) — deterministic and expressible in
+      SQL (``ORDER BY key LIMIT k``), unlike random/kmeans++ seeding.
+    * each iteration: broadcast the k centroids into a map_batches
+      assignment pass (vectorized argmin over the k-column distance
+      matrix; ties -> lowest centroid id), accumulate per-batch partial
+      (count, sum_x, sum_y) per centroid, reduce the k-row partials, and
+      recompute centroids. An empty cluster keeps its previous centroid.
+    * output: (key, cluster) after ``iters`` centroid updates (one final
+      assignment pass against the last centroids).
+
+    Exact cross-engine parity: when ``scale`` is given, ``x_col``/
+    ``y_col`` must be int64 lattice coordinates with true coordinate
+    v/scale; centroid updates then use INTEGER partial sums (order-
+    independent, unlike float accumulation) and a single double division
+    sum/(scale*count), so numpy and SQL produce bit-identical centroids
+    and assignments. Without ``scale``, float sums are used and
+    determinism holds per engine but not bit-exactly across engines.
+
+    Scale shape: each iteration is one streaming pass; partials are k
+    rows per block. ``reduce_mode='driver'`` (auto when blocks*k is
+    small) streams the k-row partial tables to the driver; 'groupby' is
+    the all-scale path (Ray's sort aggregate pre-combines per block, so
+    the shuffle moves k rows per block and the result is k rows)."""
+    if reduce_mode not in ("auto", "driver", "groupby"):
+        raise ValueError("reduce_mode must be auto|driver|groupby")
+    int_coords = scale is not None
+    div = float(scale) if int_coords else 1.0
+
+    def norm(batch: pa.Table) -> pa.Table:
+        xt = pa.int64() if int_coords else pa.float64()
+        return pa.table({
+            "key": pc.cast(batch.column(key_col), pa.int64()),
+            "xi": pc.cast(batch.column(x_col), xt),
+            "yi": pc.cast(batch.column(y_col), xt)})
+
+    pts = ds.map_batches(norm, batch_format="pyarrow").materialize()
+    nblocks = pts.num_blocks()
+
+    seed = _min_k_rows(pts, k, "key", ["xi", "yi"])
+    if seed.num_rows < k:
+        raise ValueError(f"kmeans: k={k} but only {seed.num_rows} points")
+    sx = seed.column("xi").to_numpy(zero_copy_only=False).astype(np.float64)
+    sy = seed.column("yi").to_numpy(zero_copy_only=False).astype(np.float64)
+    cx, cy = sx / div, sy / div
+
+    def coords(batch):
+        xi = batch.column("xi").to_numpy(zero_copy_only=False)
+        yi = batch.column("yi").to_numpy(zero_copy_only=False)
+        return xi, yi, xi / div, yi / div
+
+    def assign(x, y, cxa, cya):
+        # (n,k) distance matrix; argmin takes the LOWEST index on ties
+        d2 = (x[:, None] - cxa[None, :]) ** 2 + (y[:, None] - cya[None, :]) ** 2
+        return np.argmin(d2, axis=1)
+
+    sum_t = np.int64 if int_coords else np.float64
+    for _ in range(iters):
+        cxa, cya = cx.copy(), cy.copy()
+
+        def partial(batch: pa.Table) -> pa.Table:
+            xi, yi, x, y = coords(batch)
+            a = assign(x, y, cxa, cya)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            sxp = np.zeros(k, dtype=sum_t)
+            syp = np.zeros(k, dtype=sum_t)
+            np.add.at(sxp, a, xi)
+            np.add.at(syp, a, yi)
+            return pa.table({"cid": pa.array(np.arange(k, dtype=np.int64)),
+                             "n": pa.array(n), "sx": pa.array(sxp),
+                             "sy": pa.array(syp)})
+
+        part = pts.map_batches(partial, batch_format="pyarrow")
+        if reduce_mode == "groupby" or (reduce_mode == "auto"
+                                        and nblocks * k > 5_000_000):
+            from ray.data.aggregate import Sum
+            red = part.groupby("cid").aggregate(
+                Sum("n"), Sum("sx"), Sum("sy"))
+            rt = pa.concat_tables(
+                list(red.iter_batches(batch_format="pyarrow")))
+            cid = rt.column("cid").to_numpy(zero_copy_only=False)
+            nn = np.zeros(k, np.int64)
+            ssx = np.zeros(k, sum_t)
+            ssy = np.zeros(k, sum_t)
+            nn[cid] = rt.column("sum(n)").to_numpy(zero_copy_only=False)
+            ssx[cid] = rt.column("sum(sx)").to_numpy(zero_copy_only=False)
+            ssy[cid] = rt.column("sum(sy)").to_numpy(zero_copy_only=False)
+        else:
+            nn = np.zeros(k, np.int64)
+            ssx = np.zeros(k, sum_t)
+            ssy = np.zeros(k, sum_t)
+            for blk in part.iter_batches(batch_format="pyarrow"):
+                cid = blk.column("cid").to_numpy(zero_copy_only=False)
+                np.add.at(nn, cid,
+                          blk.column("n").to_numpy(zero_copy_only=False))
+                np.add.at(ssx, cid,
+                          blk.column("sx").to_numpy(zero_copy_only=False))
+                np.add.at(ssy, cid,
+                          blk.column("sy").to_numpy(zero_copy_only=False))
+        live = nn > 0
+        # single division sum/(scale*count): bit-identical to the SQL
+        # form sum(xi)/(scale*count(*)) — no float accumulation anywhere
+        cx = np.where(live, ssx.astype(np.float64) / (div * np.maximum(nn, 1)),
+                      cxa)
+        cy = np.where(live, ssy.astype(np.float64) / (div * np.maximum(nn, 1)),
+                      cya)
+
+    cxf, cyf = cx, cy
+
+    def final(batch: pa.Table) -> pa.Table:
+        _, _, x, y = coords(batch)
+        return pa.table({"key": batch.column("key"),
+                         "cluster": pa.array(
+                             assign(x, y, cxf, cyf).astype(np.int64))})
+
+    return pts.map_batches(final, batch_format="pyarrow")
+
+
 def dbscan(ds, *, key_col: str = "key", x_col: str = "x", y_col: str = "y",
            eps: float, min_pts: int, max_rounds: int = 16,
            cc_mode: str = "auto", max_driver_edges: int = 2_000_000):

@@ -1,10 +1,10 @@
-"""Distributed DBSCAN vs a brute-force union-find reference."""
+"""Distributed DBSCAN / k-means vs brute-force references."""
 
 import numpy as np
 import pyarrow as pa
 import pytest
 
-from geoflow.ops.clustering import dbscan
+from geoflow.ops.clustering import dbscan, kmeans
 
 
 def _brute_dbscan(key, x, y, eps, min_pts):
@@ -128,3 +128,67 @@ def test_dbscan_matches_brute_on_random(ray_session):
     y = rng.uniform(0, 30, n)
     got = _run(ray_session, key, x, y, 1.5, 3)
     assert got == _brute_dbscan(key, x, y, 1.5, 3)
+
+
+def _brute_kmeans(key, xi, yi, k, iters, scale):
+    order = np.argsort(key, kind="stable")[:k]
+    cx = xi[order].astype(np.float64) / scale
+    cy = yi[order].astype(np.float64) / scale
+    x, y = xi / scale, yi / scale
+    for _ in range(iters):
+        d2 = (x[:, None] - cx[None, :]) ** 2 + (y[:, None] - cy[None, :]) ** 2
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cx[c] = xi[m].sum() / (scale * m.sum())
+                cy[c] = yi[m].sum() / (scale * m.sum())
+    d2 = (x[:, None] - cx[None, :]) ** 2 + (y[:, None] - cy[None, :]) ** 2
+    return np.argmin(d2, axis=1)
+
+
+@pytest.mark.parametrize("reduce_mode", ["driver", "groupby"])
+def test_kmeans_matches_brute_int_lattice(ray_session, reduce_mode):
+    rng = np.random.RandomState(11)
+    n = 300
+    key = rng.permutation(np.arange(n)).astype(np.int64)
+    xi = rng.randint(0, 4000, n).astype(np.int64)
+    yi = rng.randint(0, 4000, n).astype(np.int64)
+    ds = ray_session.data.from_arrow(pa.table(
+        {"key": pa.array(key), "xi": pa.array(xi),
+         "yi": pa.array(yi)})).repartition(4)
+    res = kmeans(ds, x_col="xi", y_col="yi", k=6, iters=3, scale=10.0,
+                 reduce_mode=reduce_mode)
+    got = {r["key"]: r["cluster"] for r in res.take_all()}
+    want = _brute_kmeans(key, xi, yi, 6, 3, 10.0)
+    assert got == {int(k_): int(c) for k_, c in zip(key, want)}
+    assert len(set(got.values())) == 6
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """Two far blobs, k=3 seeded from the 3 lowest keys (all in blob A):
+    after one update at least one centroid is empty and must persist."""
+    key = np.arange(40, dtype=np.int64)
+    xi = np.where(key < 20, key * 3, 100000 + key * 3).astype(np.int64)
+    yi = np.zeros(40, dtype=np.int64)
+    ds = ray_session.data.from_arrow(pa.table(
+        {"key": pa.array(key), "xi": pa.array(xi), "yi": pa.array(yi)}))
+    res = kmeans(ds, x_col="xi", y_col="yi", k=3, iters=2, scale=10.0)
+    got = {r["key"]: r["cluster"] for r in res.take_all()}
+    want = _brute_kmeans(key, xi, yi, 3, 2, 10.0)
+    assert got == {int(k_): int(c) for k_, c in zip(key, want)}
+
+
+def test_kmeans_float_coords_deterministic(ray_session):
+    rng = np.random.RandomState(5)
+    n = 200
+    key = np.arange(n, dtype=np.int64)
+    x = rng.uniform(0, 100, n)
+    y = rng.uniform(0, 100, n)
+    ds = ray_session.data.from_arrow(pa.table(
+        {"key": pa.array(key), "x": pa.array(x), "y": pa.array(y)}))
+    a = {r["key"]: r["cluster"]
+         for r in kmeans(ds, k=5, iters=2).take_all()}
+    b = {r["key"]: r["cluster"]
+         for r in kmeans(ds, k=5, iters=2).take_all()}
+    assert a == b and len(set(a.values())) >= 2
