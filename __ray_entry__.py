@@ -1204,6 +1204,83 @@ def q_kmeans(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_cluster_within(sf_dir: str):
+    """Single-linkage distance clustering (geoflow.ops.clustering
+    .cluster_within — the dbscan min_pts=1 fast path: ONE cell-grouped
+    edge pass, no neighbor-count shuffle; reference surface
+    geometry/ClusterWithin.java is a stub). Same scale-invariant point
+    box as q_dbscan; oracle = recursive-CTE transitive closure."""
+    import ray.data
+    from geoflow.ops.clustering import cluster_within
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    ymod = np.int64(5 * docs.count())
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(doc_id),
+            "x": pa.array(((doc_id * 7919) % 400) / 10.0),
+            "y": pa.array(((doc_id * 104729) % ymod) / 10.0)})
+
+    res = cluster_within(docs.map_batches(derive, batch_format="pyarrow"),
+                         distance=4.0)
+    return res.map_batches(
+        lambda b: pa.table({"doc_id": b.column("key"),
+                            "cluster": b.column("cluster")}),
+        batch_format="pyarrow")
+
+
+def q_cluster_intersecting(sf_dir: str):
+    """Connected components of intersecting rectangles
+    (geoflow.ops.clustering.cluster_intersecting — bbox-cover grid
+    replication + canonical-cell pair dedup; reference surface
+    geometry/ClusterIntersecting.java is a stub). Rect WKBs are built
+    with the batched polygons_to_wkb codec and bounds recovered by
+    wkb_bounds, so corner doubles survive exactly and the closed-
+    boundary bbox-overlap test (refine=False: exact for rectangles, and
+    bit-identical to the SQL corner comparisons; the exact-predicate
+    refine path is fuzz-gated in tests/test_clustering.py) matches the
+    oracle's recursive closure."""
+    import ray.data
+    from geoflow.geom.wkb import polygons_to_wkb
+    from geoflow.ops.clustering import cluster_intersecting
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    ymod = np.int64(5 * docs.count())
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cx = ((doc_id * 7919) % 400) / 10.0
+        cy = ((doc_id * 104729) % ymod) / 10.0
+        w = (12 + doc_id % 8) / 10.0
+        h = (10 + doc_id % 6) / 10.0
+        x0, x1, y0, y1 = cx - w, cx + w, cy - h, cy + h
+        k = len(doc_id)
+        coords = np.empty((k, 5, 2))
+        coords[:, 0, 0] = x0; coords[:, 0, 1] = y0
+        coords[:, 1, 0] = x1; coords[:, 1, 1] = y0
+        coords[:, 2, 0] = x1; coords[:, 2, 1] = y1
+        coords[:, 3, 0] = x0; coords[:, 3, 1] = y1
+        coords[:, 4, 0] = x0; coords[:, 4, 1] = y0
+        return pa.table({
+            "key": pa.array(doc_id),
+            "geom_wkb": pa.array(polygons_to_wkb(coords),
+                                 type=pa.binary())})
+
+    res = cluster_intersecting(
+        docs.map_batches(derive, batch_format="pyarrow"),
+        cell_size=4.0, refine=False)
+    return res.map_batches(
+        lambda b: pa.table({"doc_id": b.column("key"),
+                            "cluster": b.column("cluster")}),
+        batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1272,6 +1349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": q_hll_users,
         "dbscan": q_dbscan,
         "kmeans": q_kmeans,
+        "cluster_within": q_cluster_within,
+        "cluster_intersecting": q_cluster_intersecting,
         "flagship": q_flagship,
     }
 
@@ -1652,4 +1731,42 @@ def oracle_sql() -> dict[str, str]:
                        (p.x - c.cx) * (p.x - c.cx)
                        + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
               FROM pts p CROSS JOIN c2 c) WHERE rn = 1""",
+        "cluster_within": """
+            WITH RECURSIVE
+            pts AS (SELECT CAST(doc_id AS BIGINT) AS key,
+                           ((doc_id * 7919) % 400) / 10.0 AS x,
+                           ((doc_id * 104729)
+                            % (5 * (SELECT count(*) FROM documents)))
+                             / 10.0 AS y
+                    FROM documents),
+            edge AS (SELECT a.key AS a, b.key AS b
+                     FROM pts a, pts b
+                     WHERE (a.x - b.x) * (a.x - b.x)
+                         + (a.y - b.y) * (a.y - b.y) <= 16.0),
+            reach(a, b) AS (SELECT a, b FROM edge
+                            UNION
+                            SELECT r.a, e.b
+                            FROM reach r JOIN edge e ON r.b = e.a)
+            SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""",
+        "cluster_intersecting": """
+            WITH RECURSIVE
+            boxes AS (SELECT key, cx - w AS x0, cx + w AS x1,
+                             cy - h AS y0, cy + h AS y1 FROM (
+                        SELECT CAST(doc_id AS BIGINT) AS key,
+                               ((doc_id * 7919) % 400) / 10.0 AS cx,
+                               ((doc_id * 104729)
+                                % (5 * (SELECT count(*) FROM documents)))
+                                 / 10.0 AS cy,
+                               (12 + doc_id % 8) / 10.0 AS w,
+                               (10 + doc_id % 6) / 10.0 AS h
+                        FROM documents)),
+            edge AS (SELECT a.key AS a, b.key AS b
+                     FROM boxes a, boxes b
+                     WHERE a.x0 <= b.x1 AND b.x0 <= a.x1
+                       AND a.y0 <= b.y1 AND b.y0 <= a.y1),
+            reach(a, b) AS (SELECT a, b FROM edge
+                            UNION
+                            SELECT r.a, e.b
+                            FROM reach r JOIN edge e ON r.b = e.a)
+            SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""",
     }

@@ -272,6 +272,48 @@ def _cc_min_labels(a: np.ndarray, b: np.ndarray):
     return nodes, nodes[lab]
 
 
+def _distributed_core_labels(all_edges, max_rounds: int):
+    """(key, label) for every key appearing as an etype-0 edge source or
+    an etype-3 self row: hash-to-min label propagation over the etype-0
+    edge set with a pointer-jumping shortcut per round. O(log diameter)
+    rounds of (key,label) 16-byte shuffles; convergence detected by the
+    monotone label sum."""
+    from ray.data.aggregate import Min
+
+    def cedge_pick(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("etype"), pa.scalar(0, pa.int8()))
+        return batch.filter(m).select(["a", "b"])
+
+    cedges = all_edges.map_batches(cedge_pick, batch_format="pyarrow")
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("etype"),
+                     value_set=pa.array([0, 3], type=pa.int8()))
+        sub = batch.filter(m)
+        return pa.table({"key": sub.column("a"), "label": sub.column("a")})
+
+    labels = all_edges.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("key").aggregate(Min("label")).map_batches(
+            lambda b: pa.table({"key": b.column("key"),
+                                "label": b.column("min(label)")}),
+            batch_format="pyarrow").materialize()
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        labels = _propagate_min(labels, cedges)
+        labels = _shortcut(labels).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "label propagation hit max_rounds=%d before the monotone "
+            "label sum stabilized; labels may be non-minimal", max_rounds)
+    return labels
+
+
 def _finish_driver(counted, all_edges, min_pts: int):
     """Driver-side CC + one distributed attach pass (no shuffles)."""
     et_l, a_l, b_l = [], [], []
@@ -498,12 +540,25 @@ def dbscan(ds, *, key_col: str = "key", x_col: str = "x", y_col: str = "y",
     pts = ds.map_batches(norm, batch_format="pyarrow")
     # counted is consumed twice (edge pass + driver-mode attach pass);
     # two consumers of one lineage re-execute it, so materialize
-    counted = _counts_pass(pts, eps).materialize()
+    if min_pts <= 1:
+        # every point is trivially core (|N| >= 1 includes self): skip
+        # the neighbor-count shuffle entirely (cluster_within path)
+        def const_count(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "n_neighbors",
+                pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+        counted = pts.map_batches(const_count,
+                                  batch_format="pyarrow").materialize()
+    else:
+        counted = _counts_pass(pts, eps).materialize()
     all_edges = _edges_pass(counted, eps, min_pts).materialize()
 
     if cc_mode == "driver" or (cc_mode == "auto"
                                and all_edges.count() <= max_driver_edges):
         return _finish_driver(counted, all_edges, min_pts)
+
+    labels = _distributed_core_labels(all_edges, max_rounds)
 
     def pick(etypes):
         def f(batch: pa.Table) -> pa.Table:
@@ -511,35 +566,6 @@ def dbscan(ds, *, key_col: str = "key", x_col: str = "x", y_col: str = "y",
                          value_set=pa.array(etypes, type=pa.int8()))
             return batch.filter(m).select(["a", "b"])
         return f
-
-    cedges = all_edges.map_batches(pick([0]), batch_format="pyarrow")
-    # init labels: every core key -> itself (etype 0 sources + isolated 3)
-    def init_labels(batch: pa.Table) -> pa.Table:
-        m = pc.is_in(batch.column("etype"),
-                     value_set=pa.array([0, 3], type=pa.int8()))
-        sub = batch.filter(m)
-        return pa.table({"key": sub.column("a"), "label": sub.column("a")})
-
-    labels = all_edges.map_batches(init_labels, batch_format="pyarrow") \
-        .groupby("key").aggregate(Min("label")).map_batches(
-            lambda b: pa.table({"key": b.column("key"),
-                                "label": b.column("min(label)")}),
-            batch_format="pyarrow").materialize()
-
-    prev_sum = None
-    for _ in range(max_rounds):
-        labels = _propagate_min(labels, cedges)
-        labels = _shortcut(labels).materialize()
-        s = labels.sum("label")
-        if s == prev_sum:
-            break
-        prev_sum = s
-    else:
-        import logging
-        logging.getLogger(__name__).warning(
-            "dbscan: label propagation hit max_rounds=%d before the "
-            "monotone label sum stabilized; labels may be non-minimal",
-            max_rounds)
 
     # border resolution: min label among core neighbors
     def tag_core_label(batch: pa.Table) -> pa.Table:
@@ -593,3 +619,169 @@ def dbscan(ds, *, key_col: str = "key", x_col: str = "x", y_col: str = "y",
 
     noise = all_edges.map_batches(noise_out, batch_format="pyarrow")
     return core_out.union(border_out).union(noise)
+
+
+def cluster_within(ds, *, key_col: str = "key", x_col: str = "x",
+                   y_col: str = "y", distance: float, **kw):
+    """Single-linkage distance clustering: connected components of the
+    pairwise <=distance graph, cluster = minimum member key (reference
+    surface geometry/ClusterWithin.java:14 is a stub, so semantics are
+    engine-defined). Equivalent to dbscan(eps=distance, min_pts=1) —
+    every point is core, no border/noise cases — and implemented as that
+    call: the min_pts<=1 fast path inside dbscan skips the
+    neighbor-count shuffle, so this costs ONE cell-grouped pass plus the
+    connected-components finish. Returns (key, cluster)."""
+    res = dbscan(ds, key_col=key_col, x_col=x_col, y_col=y_col,
+                 eps=distance, min_pts=1, **kw)
+    return res.select_columns(["key", "cluster"])
+
+
+def cluster_intersecting(ds, *, key_col: str = "key",
+                         wkb_col: str = "geom_wkb", cell_size: float,
+                         refine: bool = True, chunk: int = 2048,
+                         cc_mode: str = "auto", max_rounds: int = 16,
+                         max_driver_edges: int = 2_000_000):
+    """Connected components of the st_intersects graph over a geometry
+    column, cluster = minimum member key (reference surface
+    geometry/ClusterIntersecting.java:8 is a stub).
+
+    Shape: each geometry's bbox (vectorized wkb_bounds — no Geometry
+    objects) is replicated to every ``cell_size`` grid cell the bbox
+    covers; per cell, candidate pairs are the bbox-overlapping ones, and
+    each unordered pair is tested in exactly ONE cell — the canonical
+    cell containing the lower-left corner of the two bboxes'
+    intersection (the standard grid-join dedup rule), so no cross-cell
+    pair dedup shuffle is needed. ``refine=True`` runs the exact
+    st_intersects predicate (per CANDIDATE pair only — per-pair Python,
+    bounded by the bbox prefilter) with per-group decoded-geometry
+    caching; ``refine=False`` clusters by bbox overlap (exact for
+    axis-aligned rectangles). Self rows make every key a CC node, so the
+    component labels cover the whole input.
+
+    Partitioning assumptions: cell_size should be on the order of the
+    typical bbox so replication stays O(few) cells per geometry; a
+    geometry spanning many cells ships its (bbox + wkb) payload to each.
+    CC runs driver-side under ``max_driver_edges`` (same bounded-driver
+    trade as dbscan), else distributed label propagation."""
+    from ..geom.wkb import from_wkb, wkb_bounds
+    from ..geom import algorithms as alg
+
+    if cc_mode not in ("auto", "driver", "distributed"):
+        raise ValueError("cc_mode must be auto|driver|distributed")
+    inv = 1.0 / cell_size
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bufs = batch.column(wkb_col).to_pylist()
+        bb = wkb_bounds(bufs)
+        x0, y0, x1, y1 = bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3]
+        cx0 = np.floor(x0 * inv).astype(np.int64)
+        cy0 = np.floor(y0 * inv).astype(np.int64)
+        cx1 = np.floor(x1 * inv).astype(np.int64)
+        cy1 = np.floor(y1 * inv).astype(np.int64)
+        ncx, ncy = cx1 - cx0 + 1, cy1 - cy0 + 1
+        cnt = ncx * ncy
+        n = len(key)
+        rep = np.repeat(np.arange(n), cnt)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=offs[1:])
+        idx = np.arange(int(cnt.sum()), dtype=np.int64) - offs[rep]
+        cellx = cx0[rep] + idx // ncy[rep]
+        celly = cy0[rep] + idx % ncy[rep]
+        cols = {"cell": pa.array(_pack_cell(cellx, celly)),
+                "key": pa.array(key[rep]),
+                "x0": pa.array(x0[rep]), "y0": pa.array(y0[rep]),
+                "x1": pa.array(x1[rep]), "y1": pa.array(y1[rep])}
+        if refine:
+            cols["wkb"] = pc.take(batch.column(wkb_col),
+                                  pa.array(rep, type=pa.int64()))
+        return pa.table(cols)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        # _pack_cell wraps int64 (bijective, fine for grouping); unpack
+        # via the two's-complement UNSIGNED value or negative ids would
+        # arithmetic-shift to garbage
+        cell = group.column("cell")[0].as_py() & ((1 << 64) - 1)
+        cellx = (cell >> 32) - int(_OFF)
+        celly = (cell & ((1 << 32) - 1)) - int(_OFF)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        x0 = group.column("x0").to_numpy(zero_copy_only=False)
+        y0 = group.column("y0").to_numpy(zero_copy_only=False)
+        x1 = group.column("x1").to_numpy(zero_copy_only=False)
+        y1 = group.column("y1").to_numpy(zero_copy_only=False)
+        n = len(key)
+        geoms: dict[int, object] = {}
+
+        def geom(i: int):
+            g = geoms.get(i)
+            if g is None:
+                g = geoms[i] = from_wkb(group.column("wkb")[i].as_py())
+            return g
+
+        ea, eb, et = [], [], []
+        # self rows: once per key, in the cell of the bbox lower-left
+        home = (np.floor(x0 * inv).astype(np.int64) == cellx) \
+            & (np.floor(y0 * inv).astype(np.int64) == celly)
+        ea.append(key[home]); eb.append(key[home])
+        et.append(np.full(int(home.sum()), 3, dtype=np.int8))
+        for s in range(0, n, chunk):
+            sl = slice(s, min(s + chunk, n))
+            ov = (x0[sl, None] <= x1[None, :]) & (x0[None, :] <= x1[sl, None]) \
+                & (y0[sl, None] <= y1[None, :]) & (y0[None, :] <= y1[sl, None]) \
+                & (key[sl, None] < key[None, :])
+            # canonical-cell rule: test the pair only where the
+            # intersection's lower-left corner lands
+            lx = np.maximum(x0[sl, None], x0[None, :])
+            ly = np.maximum(y0[sl, None], y0[None, :])
+            ov &= (np.floor(lx * inv).astype(np.int64) == cellx) \
+                & (np.floor(ly * inv).astype(np.int64) == celly)
+            ii, jj = np.nonzero(ov)
+            ii += s
+            if refine and len(ii):
+                keep = np.fromiter(
+                    (alg.intersects(geom(int(i)), geom(int(j)))
+                     for i, j in zip(ii, jj)), dtype=bool, count=len(ii))
+                ii, jj = ii[keep], jj[keep]
+            # both directions: the distributed label propagation needs
+            # min labels to flow along each edge in each direction
+            ea.append(key[ii]); eb.append(key[jj])
+            ea.append(key[jj]); eb.append(key[ii])
+            et.append(np.zeros(2 * len(ii), dtype=np.int8))
+        return pa.table({"a": pa.array(np.concatenate(ea)),
+                         "b": pa.array(np.concatenate(eb)),
+                         "etype": pa.array(np.concatenate(et))})
+
+    all_edges = ds.map_batches(replicate, batch_format="pyarrow") \
+        .groupby("cell").map_groups(pairs, batch_format="pyarrow") \
+        .materialize()
+
+    if cc_mode == "distributed" or (cc_mode == "auto"
+                                    and all_edges.count() > max_driver_edges):
+        labels = _distributed_core_labels(all_edges, max_rounds)
+        return labels.map_batches(
+            lambda b: pa.table({"key": b.column("key"),
+                                "cluster": b.column("label")}),
+            batch_format="pyarrow")
+
+    a_l, b_l, et_l = [], [], []
+    for blk in all_edges.iter_batches(batch_format="pyarrow"):
+        et_l.append(blk.column("etype").to_numpy(zero_copy_only=False))
+        a_l.append(blk.column("a").to_numpy(zero_copy_only=False))
+        b_l.append(blk.column("b").to_numpy(zero_copy_only=False))
+    a = np.concatenate(a_l) if a_l else np.empty(0, np.int64)
+    b = np.concatenate(b_l) if b_l else np.empty(0, np.int64)
+    nodes, labels = _cc_min_labels(a, b)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch.column(key_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nodes, key)
+        pos_c = np.clip(pos, 0, max(len(nodes) - 1, 0))
+        out = np.full(len(key), -1, dtype=np.int64)
+        if len(nodes):
+            hit = nodes[pos_c] == key
+            out[hit] = labels[pos_c[hit]]
+        return pa.table({"key": pa.array(key), "cluster": pa.array(out)})
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -192,3 +192,100 @@ def test_kmeans_float_coords_deterministic(ray_session):
     b = {r["key"]: r["cluster"]
          for r in kmeans(ds, k=5, iters=2).take_all()}
     assert a == b and len(set(a.values())) >= 2
+
+
+def test_cluster_within_matches_brute(ray_session):
+    from geoflow.ops.clustering import cluster_within
+    rng = np.random.RandomState(19)
+    n = 200
+    key = rng.permutation(np.arange(500, 500 + n)).astype(np.int64)
+    x = rng.uniform(0, 40, n)
+    y = rng.uniform(0, 40, n)
+    ds = ray_session.data.from_arrow(pa.table(
+        {"key": pa.array(key), "x": pa.array(x),
+         "y": pa.array(y)})).repartition(4)
+    got = {r["key"]: r["cluster"]
+           for r in cluster_within(ds, distance=2.0).take_all()}
+    want = {k: c for k, (c, _) in _brute_dbscan(key, x, y, 2.0, 1).items()}
+    assert got == want
+    assert len(got) == n
+
+
+def _rect_wkb(cx, cy, w, h):
+    from geoflow.geom import Geometry, to_wkb
+    x0, x1, y0, y1 = cx - w, cx + w, cy - h, cy + h
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    return to_wkb(Geometry(3, rings=[ring]))
+
+
+def test_cluster_intersecting_rects(ray_session):
+    """Random rects: exact answer = bbox-overlap CC (rect == bbox);
+    check refine=True and refine=False agree with brute union-find."""
+    from geoflow.ops.clustering import cluster_intersecting
+    rng = np.random.RandomState(23)
+    n = 120
+    key = np.arange(n, dtype=np.int64) * 7 + 3
+    cx = rng.uniform(0, 60, n)
+    cy = rng.uniform(0, 60, n)
+    w = rng.uniform(0.3, 1.2, n)
+    h = rng.uniform(0.3, 1.2, n)
+    wkbs = [_rect_wkb(cx[i], cy[i], w[i], h[i]) for i in range(n)]
+    # brute CC over closed-boundary rect overlap
+    parent = {int(k): int(k) for k in key}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if abs(cx[i] - cx[j]) <= w[i] + w[j] \
+                    and abs(cy[i] - cy[j]) <= h[i] + h[j]:
+                ra, rb = find(int(key[i])), find(int(key[j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {int(k): find(int(k)) for k in key}
+
+    ds = ray_session.data.from_arrow(pa.table(
+        {"key": pa.array(key),
+         "geom_wkb": pa.array(wkbs, type=pa.binary())})).repartition(4)
+    for refine in (True, False):
+        got = {r["key"]: r["cluster"] for r in cluster_intersecting(
+            ds, cell_size=3.0, refine=refine).take_all()}
+        assert got == want, f"refine={refine}"
+
+
+def test_cluster_intersecting_refine_prunes_bbox_false_positives(ray_session):
+    """Two disjoint triangles whose bboxes overlap: refine=True keeps
+    them separate, refine=False merges them."""
+    from geoflow.geom import Geometry, to_wkb
+    from geoflow.ops.clustering import cluster_intersecting
+    t1 = to_wkb(Geometry(3, rings=[np.array(
+        [[0.0, 0.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]])]))
+    t2 = to_wkb(Geometry(3, rings=[np.array(
+        [[4.0, 4.0], [3.9, 4.0], [4.0, 3.9], [4.0, 4.0]])]))
+    ds = ray_session.data.from_arrow(pa.table(
+        {"key": pa.array([1, 2], type=pa.int64()),
+         "geom_wkb": pa.array([t1, t2], type=pa.binary())}))
+    exact = {r["key"]: r["cluster"] for r in cluster_intersecting(
+        ds, cell_size=2.0, refine=True).take_all()}
+    assert exact == {1: 1, 2: 2}
+    bbox = {r["key"]: r["cluster"] for r in cluster_intersecting(
+        ds, cell_size=2.0, refine=False).take_all()}
+    assert bbox == {1: 1, 2: 1}
+
+
+def test_cluster_intersecting_distributed_mode(ray_session):
+    """Chain of overlapping rects through the distributed-CC path."""
+    from geoflow.ops.clustering import cluster_intersecting
+    n = 12
+    key = np.arange(n, dtype=np.int64)[::-1].copy() + 100
+    wkbs = [_rect_wkb(i * 1.5, 0.0, 1.0, 1.0) for i in range(n)]
+    ds = ray_session.data.from_arrow(pa.table(
+        {"key": pa.array(key),
+         "geom_wkb": pa.array(wkbs, type=pa.binary())}))
+    got = {r["key"]: r["cluster"] for r in cluster_intersecting(
+        ds, cell_size=2.0, cc_mode="distributed").take_all()}
+    assert got == {int(k): 100 for k in key}
