@@ -1281,6 +1281,28 @@ def q_cluster_intersecting(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_semantic_clusters(sf_dir: str):
+    """SemDeDup-style spherical k-means over the embeddings table
+    (geoflow.ops.clustering.kmeans_nd — cosine k-means, min-key
+    seeding, broadcast centroid matrix, binary-packed vectors).
+    Rows-only: float centroid accumulation has no SQL-reproducible
+    form (unlike the integer-lattice q_kmeans, which IS hash-gated and
+    exercises the same scaffold); kmeans_nd is pytest-gated bit-exact
+    against a brute reference on integer-valued embeddings
+    (tests/test_clustering.py)."""
+    import ray.data
+    from geoflow.ops.clustering import kmeans_nd
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    res = kmeans_nd(emb, key_col="vec_id", vec_col="embedding",
+                    k=8, iters=3, spherical=True)
+    return res.map_batches(
+        lambda b: pa.table({"vec_id": b.column("key"),
+                            "cluster": b.column("cluster")}),
+        batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1351,6 +1373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "cluster_within": q_cluster_within,
         "cluster_intersecting": q_cluster_intersecting,
+        "semantic_clusters": q_semantic_clusters,
         "flagship": q_flagship,
     }
 

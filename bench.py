@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "transform_3395", "simhash_pairs", "ngram_jaccard", "ngram_near_dup",
     "asof_orders", "interval_err_window", "heavy_tokens",
     "event_quantiles", "distinct_users", "hll_users", "dbscan", "kmeans",
-    "cluster_within", "cluster_intersecting",
+    "cluster_within", "cluster_intersecting", "semantic_clusters",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -785,3 +785,135 @@ def cluster_intersecting(ds, *, key_col: str = "key",
         return pa.table({"key": pa.array(key), "cluster": pa.array(out)})
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def kmeans_nd(ds, *, key_col: str = "key", vec_col: str = "embedding",
+              k: int, iters: int = 3, spherical: bool = False,
+              reduce_mode: str = "auto"):
+    """d-dimensional Lloyd's k-means over an embedding column
+    (list<float> / fixed_size_list<float>) — the scale path for
+    SemDeDup-style semantic organisation of a training corpus (cluster
+    embeddings, then dedup/prune WITHIN clusters; Abbas et al. 2023,
+    arXiv:2303.09540 — public paper, pattern only).
+
+    Same deterministic scaffold as :func:`kmeans`: centroids seeded
+    from the k lowest-key vectors (cid = key rank), per iteration one
+    streaming pass with the broadcast (k,d) float64 centroid matrix —
+    assignment via the ||x||² - 2x·c + ||c||² matmul form (ties →
+    lowest cid), per-batch partial (count, sum-vector) accumulation,
+    empty clusters keep their previous centroid. ``spherical=True``
+    L2-normalizes inputs once and centroids after every update (cosine
+    k-means; zero vectors pass through un-normalized).
+
+    Vectors ride the shuffle-free pipeline as packed binary rows
+    (vector/ann.py pack_rows — Ray 2.49's hash aggregators reject
+    list-typed columns, and binary rows are zero-copy to numpy).
+    Partial reduction: ``driver`` streams the k-row-per-block partial
+    tables to the driver (auto when blocks*k is small); ``groupby``
+    explodes partials to (cid, dim, val) rows and lets Ray's sort
+    aggregate pre-combine per block — the any-scale path. Float sums
+    are deterministic for a fixed block structure (blocks reduce in
+    dataset order) but, unlike the integer-lattice 2-D kmeans, not
+    reproducible by a SQL oracle; correctness is pytest-gated against
+    an exact-arithmetic brute reference (integer-valued embeddings make
+    every sum exact)."""
+    from ..vector.ann import _embedding_matrix, pack_rows, unpack_rows
+
+    if reduce_mode not in ("auto", "driver", "groupby"):
+        raise ValueError("reduce_mode must be auto|driver|groupby")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, vec_col).astype(np.float32)
+        if spherical:
+            nrm = np.linalg.norm(m.astype(np.float64), axis=1,
+                                 keepdims=True)
+            m = np.where(nrm > 0, m / np.maximum(nrm, 1e-300), m) \
+                .astype(np.float32)
+        return pa.table({"key": pc.cast(batch.column(key_col), pa.int64()),
+                         "vec": pack_rows(m, np.float32)})
+
+    pts = ds.map_batches(norm, batch_format="pyarrow").materialize()
+    nblocks = pts.num_blocks()
+
+    seed = _min_k_rows(pts, k, "key", ["vec"])
+    if seed.num_rows < k:
+        raise ValueError(f"kmeans_nd: k={k} but only {seed.num_rows} rows")
+    first = seed.column("vec")[0].as_py()
+    dim = len(first) // 4
+    cent = unpack_rows(seed.column("vec"), dim, np.float32) \
+        .astype(np.float64)
+
+    for _ in range(iters):
+        C = cent.copy()
+        c2 = (C * C).sum(axis=1)
+
+        def assign(x: np.ndarray) -> np.ndarray:
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ C.T) + c2[None, :]
+            return np.argmin(d2, axis=1)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            x = unpack_rows(batch.column("vec"), dim, np.float32) \
+                .astype(np.float64)
+            a = assign(x)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, a, x)
+            return pa.table({"cid": pa.array(np.arange(k, dtype=np.int64)),
+                             "n": pa.array(n),
+                             "s": pack_rows(sums, np.float64)})
+
+        part = pts.map_batches(partial, batch_format="pyarrow")
+        nn = np.zeros(k, np.int64)
+        ss = np.zeros((k, dim), np.float64)
+        if reduce_mode == "groupby" or (reduce_mode == "auto"
+                                        and nblocks * k > 5_000_000):
+            def explode(batch: pa.Table) -> pa.Table:
+                cid = batch.column("cid").to_numpy(zero_copy_only=False)
+                n = batch.column("n").to_numpy(zero_copy_only=False)
+                s = unpack_rows(batch.column("s"), dim, np.float64)
+                rep = np.repeat(cid, dim + 1)
+                dims = np.tile(np.arange(-1, dim, dtype=np.int64),
+                               len(cid))
+                vals = np.concatenate(
+                    [np.concatenate([[float(n[i])], s[i]])
+                     for i in range(len(cid))])
+                return pa.table({"cid": pa.array(rep),
+                                 "dim": pa.array(dims),
+                                 "val": pa.array(vals)})
+
+            from ray.data.aggregate import Sum
+            red = part.map_batches(explode, batch_format="pyarrow") \
+                .groupby(["cid", "dim"]).aggregate(Sum("val"))
+            for blk in red.iter_batches(batch_format="pyarrow"):
+                cid = blk.column("cid").to_numpy(zero_copy_only=False)
+                dm = blk.column("dim").to_numpy(zero_copy_only=False)
+                val = blk.column("sum(val)").to_numpy(zero_copy_only=False)
+                cm = dm == -1
+                nn[cid[cm]] += val[cm].astype(np.int64)
+                ss[cid[~cm], dm[~cm]] += val[~cm]
+        else:
+            for blk in part.iter_batches(batch_format="pyarrow"):
+                cid = blk.column("cid").to_numpy(zero_copy_only=False)
+                np.add.at(nn, cid,
+                          blk.column("n").to_numpy(zero_copy_only=False))
+                s = unpack_rows(blk.column("s"), dim, np.float64)
+                np.add.at(ss, cid, s)
+        live = nn > 0
+        new = ss / np.maximum(nn, 1)[:, None]
+        if spherical:
+            nrm = np.linalg.norm(new, axis=1, keepdims=True)
+            new = np.where(nrm > 0, new / np.maximum(nrm, 1e-300), new)
+        cent = np.where(live[:, None], new, C)
+
+    Cf = cent
+    c2f = (Cf * Cf).sum(axis=1)
+
+    def final(batch: pa.Table) -> pa.Table:
+        x = unpack_rows(batch.column("vec"), dim, np.float32) \
+            .astype(np.float64)
+        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ Cf.T) + c2f[None, :]
+        return pa.table({"key": batch.column("key"),
+                         "cluster": pa.array(
+                             np.argmin(d2, axis=1).astype(np.int64))})
+
+    return pts.map_batches(final, batch_format="pyarrow")

@@ -289,3 +289,78 @@ def test_cluster_intersecting_distributed_mode(ray_session):
     got = {r["key"]: r["cluster"] for r in cluster_intersecting(
         ds, cell_size=2.0, cc_mode="distributed").take_all()}
     assert got == {int(k): 100 for k in key}
+
+
+def _brute_kmeans_nd(key, mat, k, iters, spherical):
+    x = mat.astype(np.float64)
+    if spherical:
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        x = np.where(nrm > 0, x / np.maximum(nrm, 1e-300), x)
+        x = x.astype(np.float32).astype(np.float64)
+    order = np.argsort(key, kind="stable")[:k]
+    cent = x[order].copy()
+
+    def assign(C):
+        c2 = (C * C).sum(1)
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + c2[None, :]
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        a = assign(cent)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new = x[m].sum(0) / m.sum()
+                if spherical:
+                    nr = np.linalg.norm(new)
+                    if nr > 0:
+                        new = new / nr
+                cent[c] = new
+    return assign(cent)
+
+
+@pytest.mark.parametrize("spherical", [False, True])
+@pytest.mark.parametrize("reduce_mode", ["driver", "groupby"])
+def test_kmeans_nd_matches_brute(ray_session, spherical, reduce_mode):
+    """Integer-valued embeddings make every float sum exact, so the
+    distributed result must equal the brute reference bit-for-bit
+    (euclidean mode; spherical mode adds normalization divisions that
+    are identical op-for-op)."""
+    from geoflow.ops.clustering import kmeans_nd
+    rng = np.random.RandomState(31)
+    n, d = 240, 16
+    key = rng.permutation(np.arange(n)).astype(np.int64)
+    mat = rng.randint(0, 8, (n, d)).astype(np.float32)
+    ds = ray_session.data.from_arrow(pa.table(
+        {"key": pa.array(key),
+         "embedding": pa.array(list(mat))})).repartition(4)
+    res = kmeans_nd(ds, k=5, iters=3, spherical=spherical,
+                    reduce_mode=reduce_mode)
+    got = {r["key"]: r["cluster"] for r in res.take_all()}
+    want = _brute_kmeans_nd(key, mat, 5, 3, spherical)
+    assert got == {int(k_): int(c) for k_, c in zip(key, want)}
+    assert len(set(got.values())) >= 2
+
+
+def test_kmeans_nd_separated_blobs(ray_session):
+    """3 well-separated integer blobs must come out as exactly the 3
+    blob memberships regardless of float details."""
+    from geoflow.ops.clustering import kmeans_nd
+    rng = np.random.RandomState(2)
+    d = 8
+    n = 150
+    truth = [i % 3 for i in range(n)]   # interleaved: the 3 lowest keys
+    bases = np.array([0, 100, 200])     # land one per blob (min-key seed)
+    mat = (bases[np.array(truth)][:, None]
+           + rng.randint(0, 3, (n, d))).astype(np.float32)
+    key = np.arange(n, dtype=np.int64)
+    ds = ray_session.data.from_arrow(pa.table(
+        {"key": pa.array(key), "embedding": pa.array(list(mat))}))
+    got = {r["key"]: r["cluster"] for r in
+           kmeans_nd(ds, k=3, iters=4).take_all()}
+    # cluster ids are arbitrary; partition must match the blobs
+    by_truth = {}
+    for i, t in enumerate(truth):
+        by_truth.setdefault(t, set()).add(got[i])
+    assert all(len(v) == 1 for v in by_truth.values())
+    assert len({v.pop() for v in by_truth.values()}) == 3
