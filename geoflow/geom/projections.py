@@ -483,6 +483,226 @@ class Identity:
     inverse = forward
 
 
+class ObliqueStereo:
+    """Oblique (double) Stereographic, EPSG method 9809 — the Dutch
+    RD New grid (EPSG:28992). Formulas from EPSG Guidance Note 7-2
+    (public): conformal-sphere mapping (n, c, R from the ellipsoid at
+    the origin), then spherical oblique stereographic."""
+
+    def __init__(self, lat0, lon0, k0, x0, y0, ellps=WGS84):
+        a, f = ellps
+        self.e2 = _e2(f)
+        self.e = math.sqrt(self.e2)
+        p0 = math.radians(lat0)
+        sp0 = math.sin(p0)
+        rho0 = a * (1 - self.e2) / (1 - self.e2 * sp0 ** 2) ** 1.5
+        nu0 = a / math.sqrt(1 - self.e2 * sp0 ** 2)
+        self.R = math.sqrt(rho0 * nu0)
+        self.n = math.sqrt(1 + self.e2 * math.cos(p0) ** 4 / (1 - self.e2))
+        S1 = (1 + sp0) / (1 - sp0)
+        S2 = (1 - self.e * sp0) / (1 + self.e * sp0)
+        w1 = (S1 * S2 ** self.e) ** self.n
+        sin_chi0 = (w1 - 1) / (w1 + 1)
+        self.c = ((self.n + sp0) * (1 - sin_chi0)
+                  / ((self.n - sp0) * (1 + sin_chi0)))
+        w2 = self.c * w1
+        self.chi0 = math.asin((w2 - 1) / (w2 + 1))
+        self.lam0 = math.radians(lon0)
+        self.k0, self.x0, self.y0 = k0, x0, y0
+
+    def _chi_lam(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        sp = np.sin(phi)
+        Sa = (1 + sp) / (1 - sp)
+        Sb = (1 - self.e * sp) / (1 + self.e * sp)
+        w = self.c * (Sa * Sb ** self.e) ** self.n
+        chi = np.arcsin((w - 1) / (w + 1))
+        Lam = self.n * (lam - self.lam0) + self.lam0
+        return chi, Lam
+
+    def forward(self, lon, lat):
+        chi, Lam = self._chi_lam(lon, lat)
+        dl = Lam - self.lam0
+        B = (1 + np.sin(chi) * math.sin(self.chi0)
+             + np.cos(chi) * math.cos(self.chi0) * np.cos(dl))
+        g = 2 * self.R * self.k0
+        E = self.x0 + g * np.cos(chi) * np.sin(dl) / B
+        N = self.y0 + g * (np.sin(chi) * math.cos(self.chi0)
+                           - np.cos(chi) * math.sin(self.chi0)
+                           * np.cos(dl)) / B
+        return E, N
+
+    def inverse(self, x, y):
+        Ep = np.asarray(x, dtype=np.float64) - self.x0
+        Np = np.asarray(y, dtype=np.float64) - self.y0
+        g = 2 * self.R * self.k0 * math.tan(math.pi / 4 - self.chi0 / 2)
+        h = 4 * self.R * self.k0 * math.tan(self.chi0) + g
+        i = np.arctan2(Ep, h + Np)
+        j = np.arctan2(Ep, g - Np) - i
+        chi = self.chi0 + 2 * np.arctan(
+            (Np - Ep * np.tan(j / 2)) / (2 * self.R * self.k0))
+        Lam = j + 2 * i + self.lam0
+        lam = (Lam - self.lam0) / self.n + self.lam0
+        # conformal -> geodetic latitude via isometric-latitude iteration
+        psi = 0.5 * np.log((1 + np.sin(chi))
+                           / (self.c * (1 - np.sin(chi)))) / self.n
+        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        for _ in range(12):
+            es = self.e * np.sin(phi)
+            psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                           * ((1 - es) / (1 + es)) ** (self.e / 2))
+            phi = phi - (psi_i - psi) * np.cos(phi) \
+                * (1 - es ** 2) / (1 - self.e2)
+        return _wrap_lon_deg(np.degrees(lam)), np.degrees(phi)
+
+
+class SwissOblique:
+    """Swiss Oblique Cylindrical (Rosenmund, EPSG method 9814) —
+    CH1903/LV03 (EPSG:21781) and CH1903+/LV95 (EPSG:2056). Rigorous
+    formulas from the public swisstopo projection publication:
+    ellipsoid -> conformal sphere -> pseudo-equator rotation ->
+    spherical Mercator."""
+
+    def __init__(self, lat0, lon0, x0, y0, ellps=BESSEL1841):
+        a, f = ellps
+        self.e2 = _e2(f)
+        self.e = math.sqrt(self.e2)
+        p0 = math.radians(lat0)
+        sp0 = math.sin(p0)
+        self.alpha = math.sqrt(
+            1 + self.e2 / (1 - self.e2) * math.cos(p0) ** 4)
+        self.R = a * math.sqrt(1 - self.e2) / (1 - self.e2 * sp0 ** 2)
+        self.b0 = math.asin(sp0 / self.alpha)
+        self.K = (math.log(math.tan(math.pi / 4 + self.b0 / 2))
+                  - self.alpha * math.log(math.tan(math.pi / 4 + p0 / 2))
+                  + self.alpha * self.e / 2
+                  * math.log((1 + self.e * sp0) / (1 - self.e * sp0)))
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        es = self.e * np.sin(phi)
+        S = (self.alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+             - self.alpha * self.e / 2 * np.log((1 + es) / (1 - es))
+             + self.K)
+        b = 2 * (np.arctan(np.exp(S)) - np.pi / 4)
+        ell = self.alpha * (lam - self.lam0)
+        cb, sb = np.cos(b), np.sin(b)
+        sb_bar = (math.cos(self.b0) * sb
+                  - math.sin(self.b0) * cb * np.cos(ell))
+        b_bar = np.arcsin(np.clip(sb_bar, -1.0, 1.0))
+        l_bar = np.arctan2(cb * np.sin(ell),
+                           math.cos(self.b0) * cb * np.cos(ell)
+                           + math.sin(self.b0) * sb)
+        E = self.x0 + self.R * l_bar
+        N = self.y0 + self.R * np.log(np.tan(np.pi / 4 + b_bar / 2))
+        return E, N
+
+    def inverse(self, x, y):
+        l_bar = (np.asarray(x, dtype=np.float64) - self.x0) / self.R
+        b_bar = 2 * (np.arctan(np.exp(
+            (np.asarray(y, dtype=np.float64) - self.y0) / self.R))
+            - np.pi / 4)
+        cb, sb = np.cos(b_bar), np.sin(b_bar)
+        sinb = (math.cos(self.b0) * sb
+                + math.sin(self.b0) * cb * np.cos(l_bar))
+        b = np.arcsin(np.clip(sinb, -1.0, 1.0))
+        ell = np.arctan2(cb * np.sin(l_bar),
+                         math.cos(self.b0) * cb * np.cos(l_bar)
+                         - math.sin(self.b0) * sb)
+        lam = self.lam0 + ell / self.alpha
+        # invert the conformal-latitude mapping by fixed point on S
+        S = np.log(np.tan(np.pi / 4 + b / 2))
+        psi = (S - self.K) / self.alpha       # isometric latitude
+        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        for _ in range(12):
+            es = self.e * np.sin(phi)
+            psi_i = np.log(np.tan(phi / 2 + np.pi / 4)) \
+                - self.e / 2 * np.log((1 + es) / (1 - es))
+            phi = phi - (psi_i - psi) * np.cos(phi) \
+                * (1 - es ** 2) / (1 - self.e2)
+        return _wrap_lon_deg(np.degrees(lam)), np.degrees(phi)
+
+
+class Krovak:
+    """Krovak oblique conformal conic (EPSG method 9819) — S-JTSK
+    (EPSG:5514, East-North variant: E = -westing, N = -southing).
+    Formulas from EPSG Guidance Note 7-2 (public)."""
+
+    def __init__(self, lat_c=49.5, lon0=24.0 + 50.0 / 60.0,
+                 alpha_c=30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+                 lat_p=78.5, k_p=0.9999, x0=0.0, y0=0.0,
+                 ellps=BESSEL1841):
+        a, f = ellps
+        self.e2 = _e2(f)
+        self.e = math.sqrt(self.e2)
+        pc = math.radians(lat_c)
+        spc = math.sin(pc)
+        self.A = a * math.sqrt(1 - self.e2) / (1 - self.e2 * spc ** 2)
+        self.B = math.sqrt(
+            1 + self.e2 * math.cos(pc) ** 4 / (1 - self.e2))
+        self.g0 = math.asin(spc / self.B)
+        self.t0 = (math.tan(math.pi / 4 + self.g0 / 2)
+                   * ((1 + self.e * spc) / (1 - self.e * spc))
+                   ** (self.e * self.B / 2)
+                   / math.tan(math.pi / 4 + pc / 2) ** self.B)
+        self.alpha_c = math.radians(alpha_c)
+        pp = math.radians(lat_p)
+        self.n = math.sin(pp)
+        self.r0 = k_p * self.A / math.tan(pp)
+        self.tan_pp = math.tan(math.pi / 4 + pp / 2)
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        es = self.e * np.sin(phi)
+        U = 2 * (np.arctan(
+            self.t0 * np.tan(phi / 2 + np.pi / 4) ** self.B
+            / ((1 + es) / (1 - es)) ** (self.e * self.B / 2))
+            - np.pi / 4)
+        V = self.B * (self.lam0 - lam)
+        cU, sU = np.cos(U), np.sin(U)
+        sT = (math.cos(self.alpha_c) * sU
+              + math.sin(self.alpha_c) * cU * np.cos(V))
+        T = np.arcsin(np.clip(sT, -1.0, 1.0))
+        D = np.arcsin(np.clip(cU * np.sin(V) / np.cos(T), -1.0, 1.0))
+        theta = self.n * D
+        r = self.r0 * self.tan_pp ** self.n \
+            / np.tan(T / 2 + np.pi / 4) ** self.n
+        Xp = r * np.cos(theta)       # southing
+        Yp = r * np.sin(theta)       # westing
+        return self.x0 - Yp, self.y0 - Xp   # East-North variant
+
+    def inverse(self, x, y):
+        Yp = self.x0 - np.asarray(x, dtype=np.float64)
+        Xp = self.y0 - np.asarray(y, dtype=np.float64)
+        r = np.hypot(Xp, Yp)
+        theta = np.arctan2(Yp, Xp)
+        D = theta / self.n
+        T = 2 * (np.arctan((self.r0 * self.tan_pp ** self.n / r)
+                           ** (1.0 / self.n)) - np.pi / 4)
+        U = np.arcsin(np.clip(
+            math.cos(self.alpha_c) * np.sin(T)
+            - math.sin(self.alpha_c) * np.cos(T) * np.cos(D), -1.0, 1.0))
+        V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U),
+                              -1.0, 1.0))
+        lam = self.lam0 - V / self.B
+        # invert U(phi) by Newton-free fixed point (EPSG iteration)
+        phi = U.copy()
+        for _ in range(12):
+            es = self.e * np.sin(phi)
+            phi = 2 * (np.arctan(
+                self.t0 ** (-1.0 / self.B)
+                * np.tan(U / 2 + np.pi / 4) ** (1.0 / self.B)
+                * ((1 + es) / (1 - es)) ** (self.e / 2)) - np.pi / 4)
+        return _wrap_lon_deg(np.degrees(lam)), np.degrees(phi)
+
+
 # ---------------------------------------------------------------------------
 # 7-parameter Helmert datum shifts (position-vector convention, to WGS84)
 # ---------------------------------------------------------------------------
@@ -572,6 +792,11 @@ _H_ED50 = lambda: Helmert7(-87.0, -98.0, -121.0, ellps=INTL1924)
 _H_GGRS87 = lambda: Helmert7(-199.87, 74.79, 246.62, ellps=GRS80)
 _H_PULKOVO42 = lambda: Helmert7(28.0, -130.0, -95.0,
                                 ellps=KRASSOWSKY1940)
+_H_AMERSFOORT = lambda: Helmert7(565.417, 50.3319, 465.552, -0.398957,
+                                 0.343988, -1.8774, 4.0725, BESSEL1841)
+_H_CH1903 = lambda: Helmert7(674.374, 15.056, 405.346, ellps=BESSEL1841)
+_H_SJTSK = lambda: Helmert7(570.8, 85.7, 462.8, 4.998, 1.587, 5.261,
+                            3.56, BESSEL1841)
 
 # Japan Plane Rectangular CS I..XIX (EPSG 2443..2461, JGD2000/GRS80,
 # k0=0.9999, x0=y0=0): (lat0, lon0) per zone — EPSG registry values
@@ -620,6 +845,21 @@ def _epsg_factory(code: int):
         return DatumProjected(
             TMGeneral(0.0, 24.0, 0.9996, 500000.0, 0.0, GRS80),
             _H_GGRS87())
+    if code == 28992:           # Amersfoort / RD New (double stereo)
+        return DatumProjected(
+            ObliqueStereo(52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+                          5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
+                          0.9999079, 155000.0, 463000.0, BESSEL1841),
+            _H_AMERSFOORT())
+    if code in (21781, 2056):   # CH1903 / LV03 and CH1903+ / LV95
+        fe, fn = (600000.0, 200000.0) if code == 21781 \
+            else (2600000.0, 1200000.0)
+        return DatumProjected(
+            SwissOblique(46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+                         7.0 + 26.0 / 60.0 + 22.5 / 3600.0, fe, fn,
+                         BESSEL1841), _H_CH1903())
+    if code == 5514:            # S-JTSK / Krovak East North
+        return DatumProjected(Krovak(), _H_SJTSK())
     if 31466 <= code <= 31469:  # DHDN / Gauss-Krüger zones 2..5
         z = code - 31466 + 2
         return DatumProjected(
@@ -677,7 +917,8 @@ def _epsg_factory(code: int):
 
 _WIDENED_DESC = ("4326, 3857, 3395, UTM 326xx/327xx/258xx/269xx, UPS "
                  "32661/32761, 2154, 3035, 5070, 3413, 3976, 27700, "
-                 "2176-2180, 3006, 3034, 3067, 2100, 31466-69, "
+                 "2176-2180, 3006, 3034, 3067, 2100, 28992, 21781, "
+                 "2056, 5514, 31466-69, "
                  "23028-38, 2193, 3414, 5179, 5186, 2443-61, 28348-58, "
                  "7846-59, 3577, 3112, 31965-85, 28404-32, and "
                  "geographic aliases 4258/4269/4283/4490/4167/4619/"

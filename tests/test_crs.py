@@ -130,7 +130,8 @@ def test_widened_epsg_projections():
 # ---- round-3 widened EPSG table (embedded parameters) -----------------
 
 _HELMERT_CODES = {27700, 2100, 31466, 31467, 31468, 31469,
-                  23028, 23031, 23038, 28404, 28410, 28432}
+                  23028, 23031, 23038, 28404, 28410, 28432,
+                  28992, 21781, 2056, 5514}
 
 
 def test_epsg_table_false_origin_exactness():
@@ -193,7 +194,8 @@ def test_epsg_table_roundtrips():
     rng = np.random.default_rng(7)
     codes = [3395, 27700, 2180, 2177, 3006, 3067, 3034, 2100, 31467,
              23031, 2193, 3414, 5179, 5186, 2448, 28352, 7850, 3577,
-             3112, 31970, 31980, 28410, 32661, 32761, 4258, 4283]
+             3112, 31970, 31980, 28410, 32661, 32761, 4258, 4283,
+             28992, 21781, 2056, 5514]
     for code in codes:
         fwd = get_transformer(4326, code)
         inv = get_transformer(code, 4326)
@@ -205,9 +207,13 @@ def test_epsg_table_roundtrips():
         lat_rng = {32661: (60, 89), 32761: (-89, -60),
                    28352: (-45, -10), 7850: (-45, -10),
                    3577: (-45, -10), 3112: (-45, -10),
-                   31970: (-30, 10), 31980: (-30, 10)}.get(code,
-                                                           (-75, 75))
-        lon = rng.uniform(lon0 - 8, lon0 + 8, 300)
+                   31970: (-30, 10), 31980: (-30, 10),
+                   28992: (50, 54), 21781: (45, 48.5),
+                   2056: (45, 48.5), 5514: (47.5, 51.5)}.get(code,
+                                                             (-75, 75))
+        lon_rng = {28992: (3, 8), 21781: (5.5, 11), 2056: (5.5, 11),
+                   5514: (12, 19)}.get(code, (lon0 - 8, lon0 + 8))
+        lon = rng.uniform(*lon_rng, 300)
         lat = rng.uniform(*lat_rng, 300)
         x, y = fwd(lon, lat)
         lo2, la2 = inv(x, y)
@@ -239,3 +245,73 @@ def test_unsupported_epsg_error_names_set():
     from geoflow.geom.crs import get_transformer
     with pytest.raises(ValueError, match="supported EPSG set"):
         get_transformer(4326, 999999)
+
+
+def test_oblique_stereo_rd_new_epsg_example():
+    """EPSG Guidance Note 7-2 worked example for Oblique Stereographic
+    (Amersfoort / RD New): 53°N 6°E (datum coords) → E 196105.283,
+    N 557057.739; projection origin → exactly (FE, FN)."""
+    import numpy as np
+    from geoflow.geom.projections import BESSEL1841, ObliqueStereo
+    p = ObliqueStereo(52 + 9 / 60 + 22.178 / 3600,
+                      5 + 23 / 60 + 15.5 / 3600,
+                      0.9999079, 155000.0, 463000.0, BESSEL1841)
+    e, n = p.forward(np.array([6.0]), np.array([53.0]))
+    assert abs(e[0] - 196105.283) < 1e-3
+    assert abs(n[0] - 557057.739) < 1e-3
+    e0, n0 = p.forward(np.array([5 + 23 / 60 + 15.5 / 3600]),
+                       np.array([52 + 9 / 60 + 22.178 / 3600]))
+    assert abs(e0[0] - 155000.0) < 1e-6 and abs(n0[0] - 463000.0) < 1e-6
+
+
+def test_krovak_epsg_example():
+    """EPSG GN7-2 Krovak worked example (S-JTSK datum coords):
+    50°12'32.4416\"N 16°50'59.1790\"E → southing 1050538.643, westing
+    568991.00 → East-North E=-568991.00, N=-1050538.64."""
+    import numpy as np
+    from geoflow.geom.projections import Krovak
+    p = Krovak()
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    e, n = p.forward(np.array([lon]), np.array([lat]))
+    assert abs(e[0] - (-568991.00)) < 0.01
+    assert abs(n[0] - (-1050538.64)) < 0.01
+    lo, la = p.inverse(e, n)
+    assert abs(lo[0] - lon) < 1e-10 and abs(la[0] - lat) < 1e-10
+
+
+def test_swiss_lv03_vs_swisstopo_approx_formulas():
+    """Full EPSG:21781 path (Helmert + Rosenmund projection) against
+    swisstopo's published approximate WGS84→LV03 polynomial formulas
+    (accuracy ~1 m; our single-set Helmert adds 1-2 m): must agree
+    within 3.5 m across Switzerland, and the projection origin must map
+    to exactly (600000, 200000) in datum coordinates."""
+    import numpy as np
+    from geoflow.geom.projections import (BESSEL1841, SwissOblique,
+                                          projection_for_epsg)
+    core = SwissOblique(46 + 57 / 60 + 8.66 / 3600,
+                        7 + 26 / 60 + 22.5 / 3600,
+                        600000.0, 200000.0, BESSEL1841)
+    e0, n0 = core.forward(np.array([7 + 26 / 60 + 22.5 / 3600]),
+                          np.array([46 + 57 / 60 + 8.66 / 3600]))
+    assert abs(e0[0] - 600000.0) < 1e-6 and abs(n0[0] - 200000.0) < 1e-6
+
+    def approx_lv03(lon, lat):
+        ys = (lon * 3600.0 - 26782.5) / 10000.0
+        xs = (lat * 3600.0 - 169028.66) / 10000.0
+        E = (600072.37 + 211455.93 * ys - 10938.51 * ys * xs
+             - 0.36 * ys * xs ** 2 - 44.54 * ys ** 3)
+        N = (200147.07 + 308807.95 * xs + 3745.25 * ys ** 2
+             + 76.63 * xs ** 2 - 194.56 * ys ** 2 * xs
+             + 119.79 * xs ** 3)
+        return E, N
+
+    p = projection_for_epsg(21781)
+    pts = [(8.5417, 47.3769), (6.1432, 46.2044), (7.4474, 46.9480),
+           (8.9511, 46.0037), (9.8355, 46.4908), (7.0, 46.0),
+           (9.0, 47.5)]
+    for lon, lat in pts:
+        e, n = p.forward(np.array([lon]), np.array([lat]))
+        ea, na = approx_lv03(lon, lat)
+        assert abs(e[0] - ea) < 3.5, (lon, lat, e[0], ea)
+        assert abs(n[0] - na) < 3.5, (lon, lat, n[0], na)
