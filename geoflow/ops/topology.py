@@ -250,3 +250,52 @@ def st_offsetcurve(col, dist):
     out = [to_wkb(offset_curve(g, dist)) if g is not None else None
            for g in decode_geoms(col)]
     return pa.array(out, type=pa.binary())
+
+
+def make_valid_geometry(g: Geometry) -> Geometry:
+    """MakeValid for areal geometries — the GEOS/PostGIS 'linework'
+    method (reference surface geometry/MakeValid.java is a stub, so
+    semantics follow the public PostGIS ST_MakeValid default): node the
+    ring linework, polygonize the faces, keep exactly the faces whose
+    interior has ODD crossing parity against the original ring set
+    (even-odd filling of the input linework). Valid inputs and
+    non-areal inputs pass through unchanged; a fully-degenerate areal
+    input (no odd face) returns MULTIPOLYGON EMPTY."""
+    from ..geom import algorithms as alg
+    from ..geom.types import GEOMETRYCOLLECTION
+
+    if g.type == GEOMETRYCOLLECTION and g.parts is not None:
+        return Geometry.multi(GEOMETRYCOLLECTION,
+                              [make_valid_geometry(p) for p in g.parts],
+                              srid=g.srid)
+    if g.type not in (POLYGON, MULTIPOLYGON):
+        return g
+    if alg.is_valid(g):
+        return g
+    from .attrs_ext import _interior_point
+    faces = polygonize_geometry(g)
+    cand = faces.parts if faces.parts is not None else (
+        [faces] if faces.type == POLYGON else [])
+    rings = [r for p in alg._collect(g, (POLYGON,)) for r in p.rings]
+    keep = []
+    for f in cand:
+        x, y = _interior_point(f)
+        parity = 0
+        for r in rings:
+            parity ^= int(alg.points_in_ring(
+                np.array([x]), np.array([y]), r, on_boundary=False)[0])
+        if parity:
+            keep.append(f)
+    if not keep:
+        return Geometry.empty(MULTIPOLYGON, g.srid)
+    if len(keep) == 1:
+        return keep[0]
+    return Geometry.multi(MULTIPOLYGON, keep, srid=g.srid)
+
+
+@register_op("st_makevalid", 1, "transform")
+def st_makevalid(col):
+    """MakeValid.java (reference stub; PostGIS linework semantics)."""
+    out = [to_wkb(make_valid_geometry(g)) if g is not None else None
+           for g in decode_geoms(col)]
+    return pa.array(out, type=pa.binary())

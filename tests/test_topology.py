@@ -107,3 +107,48 @@ def test_3d_ops():
         _col("LINESTRING Z(0 0 0,10 0 0)"),
         _col("LINESTRING Z(5 -5 2,5 5 2)"))[0].as_py()
     assert ds == 2.0
+
+
+def test_makevalid_bowtie():
+    """Self-intersecting bowtie -> valid 2-part multipolygon, total
+    area = sum of the two lobes (PostGIS linework semantics)."""
+    v = from_wkb(get_op("st_makevalid").fn(
+        _col("POLYGON((0 0,2 2,2 0,0 2,0 0))"))[0].as_py())
+    assert v.type == 6 and len(v.parts) == 2
+    assert alg.is_valid(v)
+    assert abs(alg.area(v) - 2.0) < 1e-12
+
+
+def test_makevalid_pinched_shell():
+    v = from_wkb(get_op("st_makevalid").fn(
+        _col("POLYGON((0 0,4 0,4 2,2 0,0 2,0 0))"))[0].as_py())
+    assert alg.is_valid(v)
+    assert abs(alg.area(v) - 4.0) < 1e-12
+
+
+def test_makevalid_valid_passthrough():
+    w = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    v = from_wkb(get_op("st_makevalid").fn(_col(w))[0].as_py())
+    assert to_wkt(v) == w
+    # valid polygon WITH hole also passes through unchanged
+    wh = ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+          "(1 1, 1 2, 2 2, 2 1, 1 1))")
+    vh = from_wkb(get_op("st_makevalid").fn(_col(wh))[0].as_py())
+    assert to_wkt(vh) == wh
+
+
+def test_makevalid_double_traversal_even_region_dropped():
+    """A ring that traces a sub-rectangle twice: the doubly-wound
+    overlap has EVEN parity and is removed (even-odd filling)."""
+    # outer rect with a re-entrant duplicate loop over [1,2]x[0,1]
+    w = ("POLYGON((0 0,3 0,3 1,2 1,2 0,1 0,1 1,0 1,0 0))")
+    v = from_wkb(get_op("st_makevalid").fn(_col(w))[0].as_py())
+    assert alg.is_valid(v)
+    # kept area: [0,1]x[0,1] and [2,3]x[0,1]; middle cell parity even
+    assert abs(alg.area(v) - 2.0) < 1e-12
+
+
+def test_makevalid_nonareal_passthrough():
+    v = from_wkb(get_op("st_makevalid").fn(
+        _col("LINESTRING (0 0, 1 1)"))[0].as_py())
+    assert to_wkt(v) == "LINESTRING (0 0, 1 1)"
