@@ -1,10 +1,11 @@
 """Distributed DBSCAN over point columns — deterministic variant.
 
 Neither Ray Data nor the reference has density clustering (the
-reference's ClusterKMeans/ClusterDBSCAN/ClusterIntersecting surface is
-stubbed, spatial/ClusterDBSCAN.java); at corpus scale DBSCAN is the
-standard "group nearby geometries" primitive, so it is implemented here
-as a first-class operator.
+reference's whole cluster surface is stubbed: geometry/ClusterKMeans
+.java:15, geometry/ClusterWithin.java:14, geometry/ClusterIntersecting
+.java:8 all raise UnsupportedOperationException); at corpus scale
+DBSCAN is the standard "group nearby geometries" primitive, so it is
+implemented here as a first-class operator.
 
 Semantics (deterministic DBSCAN):
 * ``|N_eps(p)| >= min_pts`` (count INCLUDES p, ``<= eps`` closed) makes
