@@ -198,3 +198,33 @@ def envelope_agg_cols(xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax"):
         accumulate_block=acc_block,
         finalize=lambda a: list(a) if math.isfinite(a[0]) else None,
         name="envelope")
+
+
+def geom_accum(col="geom_wkb", name="accum"):
+    """geometry/Accum.java:14 is a reference stub; ST_Accum-style
+    aggregate collecting every input geometry into one geometry column
+    value (MULTI* when homogeneous, GEOMETRYCOLLECTION otherwise).
+
+    The per-block partial is the raw WKB list; finalize byte-sorts the
+    collected buffers before assembly so the result is independent of
+    Ray's nondeterministic block arrival order (retry/resume safe).
+    Use on grouped data (one group = one collection) — an ungrouped
+    100-TB accumulation is by definition driver-sized and is the
+    caller's responsibility to avoid."""
+    from ..geom import from_wkb, to_wkb
+    from .stub_surface import _assemble
+
+    def acc_block(a, block):
+        vals = block.column(col).to_pylist()
+        return (a[0] + [v for v in vals if v is not None],)
+
+    def finalize(a):
+        geoms = [from_wkb(b) for b in sorted(a[0])]
+        return to_wkb(_assemble(geoms, geoms[0].srid if geoms else 4326))
+
+    return AggregateFn(
+        init=lambda k: ([],),
+        merge=lambda x, y: (x[0] + y[0],),
+        accumulate_block=acc_block,
+        finalize=finalize,
+        name=name)

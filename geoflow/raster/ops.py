@@ -999,3 +999,77 @@ def rast_fromxyz(col):
     for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
         out.append(None if a is None else to_wkb(from_xyz(a)))
     return pa.array(out, type=pa.binary())
+
+
+# ---------------------------------------------------------------------------
+# transform tail — Rescale / Rotation / Grayscale are stubs in the
+# reference (raster/transform/Rescale.java, Rotation.java,
+# Grayscale.java per SURVEY §2.8); semantics follow PostGIS
+# ST_Rescale georeference math, world-file rotation composition and
+# ITU-R BT.601 luma.
+# ---------------------------------------------------------------------------
+
+@register_op("rast_rescale", 3, "raster_transform")
+def rast_rescale(col, scale_x, scale_y=None):
+    """Rescale (reference stub): set new pixel scale; the grid is
+    resampled nearest-neighbor so the world extent is preserved
+    (PostGIS ST_Rescale semantics, nearest-neighbor only)."""
+    sy = -abs(scale_x) if scale_y is None else scale_y
+
+    def f(r):
+        if r.scale_x == 0 or r.scale_y == 0 or not r.bands:
+            return Raster(r.bands, r.pixtypes, r.nodata, scale_x, sy,
+                          r.ip_x, r.ip_y, r.skew_x, r.skew_y, r.srid,
+                          shape=r.shape)
+        new_w = max(1, int(round(r.width * abs(r.scale_x / scale_x))))
+        new_h = max(1, int(round(r.height * abs(r.scale_y / sy))))
+        ridx = (np.arange(new_h) * r.height / new_h).astype(np.int64)
+        cidx = (np.arange(new_w) * r.width / new_w).astype(np.int64)
+        bands = [b[np.ix_(ridx, cidx)] for b in r.bands]
+        return Raster(bands, r.pixtypes, r.nodata, scale_x, sy,
+                      r.ip_x, r.ip_y, r.skew_x, r.skew_y, r.srid,
+                      shape=(new_h, new_w))
+    return _map_unary(col, f)
+
+
+@register_op("rast_rotate", 2, "raster_transform")
+def rast_rotate(col, theta):
+    """Rotation (reference stub): rotate the georeference by theta
+    radians about the upper-left corner — new affine matrix
+    [[a b],[d e]] = R(theta) @ M, pixels untouched."""
+    ct, st = np.cos(theta), np.sin(theta)
+
+    def f(r):
+        a = ct * r.scale_x - st * r.skew_y
+        b = ct * r.skew_x - st * r.scale_y
+        d = st * r.scale_x + ct * r.skew_y
+        e = st * r.skew_x + ct * r.scale_y
+        return Raster(r.bands, r.pixtypes, r.nodata, a, e,
+                      r.ip_x, r.ip_y, b, d, r.srid, shape=r.shape)
+    return _map_unary(col, f)
+
+
+@register_op("rast_rotation", 1, "raster_attr")
+def rast_rotation(col):
+    """Rotation angle of the georeference in radians:
+    atan2(skew_y, scale_x) (0 for an axis-aligned grid)."""
+    return _map_scalar(col, lambda r: float(np.arctan2(r.skew_y,
+                                                       r.scale_x)))
+
+
+@register_op("rast_grayscale", 1, "raster_transform")
+def rast_grayscale(col):
+    """Grayscale (reference stub): ITU-R BT.601 luma of the first three
+    bands (0.299 R + 0.587 G + 0.114 B) as a single 64BF band; 1-band
+    rasters pass through as float."""
+    def f(r):
+        if len(r.bands) >= 3:
+            luma = (0.299 * r.bands[0].astype(np.float64)
+                    + 0.587 * r.bands[1].astype(np.float64)
+                    + 0.114 * r.bands[2].astype(np.float64))
+        elif r.bands:
+            luma = r.bands[0].astype(np.float64)
+        else:
+            return r
+        return _float_result(r, [luma])
+    return _map_unary(col, f)

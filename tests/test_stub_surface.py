@@ -409,3 +409,59 @@ class TestTextExports:
         assert obj["@context"].endswith("geojson-context.jsonld")
         assert obj["type"] == "Point"
         assert s.startswith('{"@context"')
+
+
+# ---- raster transform tail (Rescale/Rotation/Grayscale ref stubs) ---------
+
+class TestRasterTail:
+    def _rast(self, w=4, h=4, nb=1):
+        from geoflow.raster.rastwkb import PT_64BF, Raster, to_wkb as rwkb
+        bands = [np.arange(h * w, dtype=np.float64).reshape(h, w) + 100 * i
+                 for i in range(nb)]
+        r = Raster(bands, [PT_64BF] * nb, [None] * nb, 1.0, -1.0,
+                   10.0, 20.0, 0.0, 0.0, 4326)
+        return pa.array([rwkb(r)], type=pa.binary())
+
+    def test_rescale_preserves_extent(self):
+        from geoflow.raster.rastwkb import from_wkb as rfrom
+        out = get_op("rast_rescale").fn(self._rast(), 0.5, -0.5)
+        r = rfrom(out[0].as_py())
+        assert (r.width, r.height) == (8, 8)
+        assert r.scale_x == 0.5
+        # world extent: 8 * 0.5 == 4 * 1.0
+        assert r.width * r.scale_x == pytest.approx(4.0)
+
+    def test_rotate_then_rotation_roundtrip(self):
+        from geoflow.raster.rastwkb import from_wkb as rfrom
+        theta = 0.3
+        out = get_op("rast_rotate").fn(self._rast(), theta)
+        r = rfrom(out[0].as_py())
+        got = get_op("rast_rotation").fn(out)[0].as_py()
+        assert got == pytest.approx(theta)
+        # rotation preserves pixel footprint area |det M|
+        det = r.scale_x * r.scale_y - r.skew_x * r.skew_y
+        assert abs(det) == pytest.approx(1.0)
+
+    def test_grayscale_bt601(self):
+        from geoflow.raster.rastwkb import from_wkb as rfrom
+        out = get_op("rast_grayscale").fn(self._rast(nb=3))
+        r = rfrom(out[0].as_py())
+        assert len(r.bands) == 1
+        expect = 0.299 * 0 + 0.587 * 100 + 0.114 * 200
+        assert r.bands[0][0, 0] == pytest.approx(expect)
+
+
+# ---- Accum aggregate --------------------------------------------------------
+
+def test_geom_accum_grouped(ray_session):
+    import ray
+    from geoflow.ops.aggregates import geom_accum
+    items = [{"g": i % 2, "geom_wkb": to_wkb(Geometry.point(i, -i))}
+             for i in range(6)]
+    ds = ray.data.from_items(items)
+    rows = {r["g"]: r["accum"]
+            for r in ds.groupby("g").aggregate(geom_accum()).take_all()}
+    g0 = from_wkb(rows[0])
+    assert g0.type == 4 and len(g0.parts) == 3  # MULTIPOINT of 0,2,4
+    xs = sorted(p.coords[0] for p in g0.parts)
+    assert xs == [0.0, 2.0, 4.0]
