@@ -1303,6 +1303,81 @@ def q_semantic_clusters(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_mvt_tile(sf_dir: str):
+    """Mapbox-vector-tile geometry prep over the doc points:
+    st_asmvtgeom (geoflow/ops/stub_surface.py — AsMVTGeom.java:11 is a
+    reference stub; PostGIS semantics) maps world bounds onto a 4096
+    tile grid (affine + y-flip + round-half-even snap). Integer outputs
+    are hash-gated; the oracle reproduces the affine with DuckDB's
+    round_even (same rounding as np.rint) on bit-identical doubles."""
+    from geoflow.geom.wkb import wkb_to_points
+    from geoflow.ops.registry import get_op
+
+    bounds = (-180.0, -90.0, 180.0, 90.0)
+
+    def mvt(batch: pa.Table) -> pa.Table:
+        out = get_op("st_asmvtgeom").fn(batch.column("geom_wkb"), bounds,
+                                        4096, 256, True)
+        px, py = wkb_to_points(out.to_pylist())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "px": pa.array(px.astype(np.int64)),
+                         "py": pa.array(py.astype(np.int64))})
+
+    return _doc_points_ds(sf_dir).map_batches(mvt, batch_format="pyarrow")
+
+
+def q_traj_cpa(sf_dir: str):
+    """Closest point of approach between per-order trajectories:
+    st_closestpointofapproach (stub_surface.py —
+    ClosestPointOfApproach.java:16 is a reference stub; PostGIS
+    trajectory semantics). A moves east at 1 unit/measure over M ∈
+    [0,100]; B stands at (bx, by) — so t* = clamp(bx, 0, 100)
+    analytically, which the SQL oracle states in closed form. Every
+    10th order's B trajectory has a disjoint M range → NULL. WKB
+    trajectories are template-stamped (one to_wkb, numpy fills the
+    six doubles per row — no per-row construction)."""
+    from geoflow.geom import Geometry, to_wkb
+    from geoflow.ops.registry import get_op
+
+    tmpl = to_wkb(Geometry(2, coords=np.zeros((2, 3)), has_m=True))
+    head = tmpl[:len(tmpl) - 48]          # endian + type + vertex count
+
+    def stamp(vals: np.ndarray) -> list:
+        blocks = np.ascontiguousarray(vals, dtype="<f8")
+        return [head + b.tobytes() for b in blocks]
+
+    def cpa(batch: pa.Table) -> pa.Table:
+        okey = batch.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(okey)
+        bx = ((okey * 13) % 200).astype(np.float64)
+        by = ((okey * 7) % 50).astype(np.float64)
+        shift = np.where(okey % 10 == 0, 200.0, 0.0)
+        va = np.zeros((n, 6))
+        va[:, 3] = 100.0                   # (0,0,m=0) → (100,0,m=100)
+        va[:, 5] = 100.0
+        vb = np.empty((n, 6))
+        vb[:, 0] = bx
+        vb[:, 1] = by
+        vb[:, 2] = shift                   # stationary; M strictly rises
+        vb[:, 3] = bx
+        vb[:, 4] = by
+        vb[:, 5] = shift + 100.0
+        col_a = pa.array(stamp(va), type=pa.binary())
+        col_b = pa.array(stamp(vb), type=pa.binary())
+        t = get_op("st_closestpointofapproach").fn(col_a, col_b)
+        ms = pc.cast(pc.round(pc.multiply(t, pa.scalar(1000.0)),
+                              ndigits=0, round_mode="half_to_even"),
+                     pa.int64())
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "cpa_ms": ms})
+
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey"]).map_batches(
+        cpa, batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1374,6 +1449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_within": q_cluster_within,
         "cluster_intersecting": q_cluster_intersecting,
         "semantic_clusters": q_semantic_clusters,
+        "mvt_tile": q_mvt_tile,
+        "traj_cpa": q_traj_cpa,
         "flagship": q_flagship,
     }
 
@@ -1792,4 +1869,25 @@ def oracle_sql() -> dict[str, str]:
                             SELECT r.a, e.b
                             FROM reach r JOIN edge e ON r.b = e.a)
             SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""",
+        # st_asmvtgeom affine: both sides compute x from doc_id with the
+        # identical double expression, then apply the identical
+        # (x - xmin) * (extent / width) ops; round_even == np.rint.
+        "mvt_tile": f"""
+            SELECT doc_id,
+                   CAST(round_even((x - (-180.0)) * (CAST(4096 AS DOUBLE) / 360.0), 0) AS BIGINT) AS px,
+                   CAST(round_even((90.0 - y) * (CAST(4096 AS DOUBLE) / 180.0), 0) AS BIGINT) AS py
+            FROM ({doc_pts})""",
+        # closed form: A(t)=(t,0) over M∈[0,100], B stationary at bx →
+        # t* = clamp(bx, 0, 100); every 10th order's B range is
+        # disjoint → NULL. Millisecond-integer output (float t carries
+        # a (bx/100)*100 ulp wobble; *1000 is ~2e-9 from the integer,
+        # so half-even vs half-away rounding agree).
+        "traj_cpa": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                        ELSE CAST(round(LEAST(GREATEST(
+                                 CAST((o_orderkey * 13) % 200 AS DOUBLE),
+                                 0.0), 100.0) * 1000.0) AS BIGINT)
+                   END AS cpa_ms
+            FROM orders""",
     }
