@@ -1012,3 +1012,44 @@ def st_asgeojsonld(col):
         out.append(json.dumps({"@context": _GEOJSON_LD_CONTEXT, **obj},
                               separators=(",", ":")))
     return pa.array(out, type=pa.string())
+
+
+# ---------------------------------------------------------------------------
+# ST_StraightSkeleton — geometry/transform/StraightSkeleton.java:33 (stub)
+# ---------------------------------------------------------------------------
+
+@register_op("st_straightskeleton", 1, "transform")
+def st_straightskeleton(col):
+    """StraightSkeleton.java:33 is a reference stub; implements the
+    published straight-skeleton definition (Aichholzer et al. 1995) via
+    the Felkel–Obdržálek wavefront event queue (geom/skeleton.py) and
+    returns the arcs as a MULTILINESTRING, matching the
+    PostGIS-SFCGAL ST_StraightSkeleton output shape. Holes are not
+    supported (wavefront merging not implemented) — a clear error, not
+    a wrong answer."""
+    from ..geom.skeleton import straight_skeleton_arcs
+
+    def f(g):
+        rings = []
+        if g.type == POLYGON:
+            if len(g.rings) > 1:
+                raise ValueError("st_straightskeleton: holes not supported")
+            rings = g.rings[:1]
+        elif g.type == MULTIPOLYGON:
+            for p in g.parts:
+                if len(p.rings) > 1:
+                    raise ValueError(
+                        "st_straightskeleton: holes not supported")
+                rings.extend(p.rings[:1])
+        else:
+            raise ValueError("st_straightskeleton expects areal input")
+        parts = []
+        for r in rings:
+            for p, q in straight_skeleton_arcs(np.asarray(r)):
+                parts.append(Geometry(LINESTRING,
+                                      coords=np.vstack([p, q]),
+                                      srid=g.srid))
+        if not parts:
+            return Geometry.empty(MULTILINESTRING, g.srid)
+        return Geometry(MULTILINESTRING, parts=parts, srid=g.srid)
+    return unary_geom(col, f)

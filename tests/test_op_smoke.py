@@ -59,6 +59,7 @@ _TYPED_WKB = {  # ops that validate their input's geometry type
     "st_makepolygon": "LINESTRING(0 0,2 0,2 2,0 2,0 0)",
     "st_linefrommultipoint": "MULTIPOINT((0 0),(1 1))",
     "st_makeline": None,  # list<wkb> column, built below
+    "st_straightskeleton": "POLYGON((0 0,2 0,2 2,0 2,0 0))",
 }
 _COVJSON = {"rast_fromcoveragejson"}
 
