@@ -73,3 +73,36 @@ def st_utmzone(col):
         cx, cy = alg.centroid(g)
         out.append(crs.utm_zone_epsg(cx, cy))
     return pa.array(out, type=pa.int32())
+
+
+@register_op("st_epsgtowkt", 1, "srid")
+def st_epsgtowkt(col):
+    """EPSGToWKT.java:8 is a reference stub; EPSG int column → OGC WKT1
+    strings from the declarative table in geom/crswkt.py (geographic
+    aliases emit their datum-equivalent canonical geographic CRS).
+    Unsupported codes yield null."""
+    from ..geom.crswkt import epsg_to_wkt
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for v in vals:
+        try:
+            out.append(None if v is None else epsg_to_wkt(int(v)))
+        except ValueError:
+            out.append(None)
+    return pa.array(out, type=pa.string())
+
+
+@register_op("st_sridtowkt", 1, "srid")
+def st_sridtowkt(col):
+    """SRIDToWKT.java:10 is a reference stub; SRS URI string column →
+    WKT1 via srid_from_uri + epsg_to_wkt. Unsupported → null."""
+    from ..geom.crswkt import epsg_to_wkt
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+    out = []
+    for v in vals:
+        try:
+            out.append(None if v is None
+                       else epsg_to_wkt(int(srid_from_uri(v))))
+        except (ValueError, TypeError):
+            out.append(None)
+    return pa.array(out, type=pa.string())
