@@ -1340,11 +1340,22 @@ def q_traj_cpa(sf_dir: str):
     from geoflow.ops.registry import get_op
 
     tmpl = to_wkb(Geometry(2, coords=np.zeros((2, 3)), has_m=True))
-    head = tmpl[:len(tmpl) - 48]          # endian + type + vertex count
+    head = np.frombuffer(tmpl[:len(tmpl) - 48], dtype=np.uint8)
+    width = len(tmpl)
 
-    def stamp(vals: np.ndarray) -> list:
-        blocks = np.ascontiguousarray(vals, dtype="<f8")
-        return [head + b.tobytes() for b in blocks]
+    def stamp(vals: np.ndarray) -> pa.Array:
+        """(n, 6) doubles → uniform-width WKB binary array built
+        directly from Arrow buffers (no per-row bytes objects)."""
+        n = len(vals)
+        rows = np.empty((n, width), dtype=np.uint8)
+        rows[:, :len(head)] = head
+        rows[:, len(head):] = np.ascontiguousarray(
+            vals, dtype="<f8").view(np.uint8).reshape(n, 48)
+        offsets = (np.arange(n + 1, dtype=np.int32) * width)
+        return pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(rows.tobytes())])
 
     def cpa(batch: pa.Table) -> pa.Table:
         okey = batch.column("o_orderkey").to_numpy(
@@ -1363,8 +1374,8 @@ def q_traj_cpa(sf_dir: str):
         vb[:, 3] = bx
         vb[:, 4] = by
         vb[:, 5] = shift + 100.0
-        col_a = pa.array(stamp(va), type=pa.binary())
-        col_b = pa.array(stamp(vb), type=pa.binary())
+        col_a = stamp(va)
+        col_b = stamp(vb)
         t = get_op("st_closestpointofapproach").fn(col_a, col_b)
         ms = pc.cast(pc.round(pc.multiply(t, pa.scalar(1000.0)),
                               ndigits=0, round_mode="half_to_even"),
@@ -1375,7 +1386,7 @@ def q_traj_cpa(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                  columns=["o_orderkey"]).map_batches(
-        cpa, batch_format="pyarrow")
+        cpa, batch_format="pyarrow", batch_size=32768)
 
 
 def q_flagship(sf_dir: str):

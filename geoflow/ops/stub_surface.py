@@ -723,10 +723,94 @@ def cpa_measure(a: Geometry, b: Geometry):
     return best_t
 
 
+_CPA_TMPL = None
+
+
+def _cpa_fast(col_a, col_b):
+    """Vectorized CPA for the homogeneous case: every row a 2-vertex
+    XYM LINESTRING (the common trajectory-pair shape — both segments
+    are globally linear in M, so D(t) is linear over the overlap and
+    the closed form needs no breakpoint merge). Returns a float64
+    numpy array with NaN for invalid/disjoint rows, or None if the
+    columns aren't homogeneous (caller falls back to the general
+    per-row path)."""
+    global _CPA_TMPL
+    if _CPA_TMPL is None:
+        _CPA_TMPL = to_wkb(Geometry(LINESTRING, coords=np.zeros((2, 3)),
+                                    has_m=True))
+    tmpl = _CPA_TMPL
+    hl = len(tmpl) - 48
+
+    def raw_rows(c):
+        """Column → (n, len(tmpl)) uint8 matrix, zero-copy from the
+        Arrow buffers when the column is a null-free binary array of
+        uniform width; None if the shape doesn't match."""
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if isinstance(c, pa.Array) and pa.types.is_binary(c.type):
+            if c.null_count:
+                return None
+            offs = np.frombuffer(c.buffers()[1], dtype=np.int32)[
+                c.offset:c.offset + len(c) + 1]
+            if len(offs) < 2 or not (np.diff(offs) == len(tmpl)).all():
+                return None
+            data = np.frombuffer(c.buffers()[2], dtype=np.uint8)
+            return data[offs[0]:offs[-1]].reshape(len(c), len(tmpl))
+        bufs = c.to_pylist() if hasattr(c, "to_pylist") else list(c)
+        if not bufs or any(b is None or len(b) != len(tmpl) for b in bufs):
+            return None
+        return np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(
+            len(bufs), len(tmpl))
+
+    raw_a = raw_rows(col_a)
+    raw_b = raw_rows(col_b)
+    if raw_a is None or raw_b is None:
+        return None
+    n = len(raw_a)
+    head = np.frombuffer(tmpl[:hl], dtype=np.uint8)
+    if not ((raw_a[:, :hl] == head).all() and (raw_b[:, :hl] == head).all()):
+        return None
+    A = np.ascontiguousarray(raw_a[:, hl:]).view("<f8").reshape(n, 6)
+    B = np.ascontiguousarray(raw_b[:, hl:]).view("<f8").reshape(n, 6)
+    ma0, ma1 = A[:, 2], A[:, 5]
+    mb0, mb1 = B[:, 2], B[:, 5]
+    ok = (ma1 > ma0) & (mb1 > mb0)
+    lo = np.maximum(ma0, mb0)
+    hi = np.minimum(ma1, mb1)
+    ok &= lo <= hi
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fa0 = (lo - ma0) / (ma1 - ma0)
+        fa1 = (hi - ma0) / (ma1 - ma0)
+        fb0 = (lo - mb0) / (mb1 - mb0)
+        fb1 = (hi - mb0) / (mb1 - mb0)
+        dx0 = (A[:, 0] + fa0 * (A[:, 3] - A[:, 0])) \
+            - (B[:, 0] + fb0 * (B[:, 3] - B[:, 0]))
+        dy0 = (A[:, 1] + fa0 * (A[:, 4] - A[:, 1])) \
+            - (B[:, 1] + fb0 * (B[:, 4] - B[:, 1]))
+        dx1 = (A[:, 0] + fa1 * (A[:, 3] - A[:, 0])) \
+            - (B[:, 0] + fb1 * (B[:, 3] - B[:, 0]))
+        dy1 = (A[:, 1] + fa1 * (A[:, 4] - A[:, 1])) \
+            - (B[:, 1] + fb1 * (B[:, 4] - B[:, 1]))
+        vx, vy = dx1 - dx0, dy1 - dy0
+        denom = vx * vx + vy * vy
+        s = np.where(denom == 0.0, 0.0,
+                     np.clip(-(dx0 * vx + dy0 * vy) / denom, 0.0, 1.0))
+    t = lo + s * (hi - lo)
+    # tie rule parity with the general path: at s==0 the candidate
+    # equals the initial distance, and the earliest t wins — t=lo there
+    return np.where(ok, t, np.nan)
+
+
 @register_op("st_closestpointofapproach", 2, "measure")
 def st_closestpointofapproach(col_a, col_b):
     """ClosestPointOfApproach.java:16 is a reference stub; PostGIS
-    ST_ClosestPointOfApproach over M-measured trajectories."""
+    ST_ClosestPointOfApproach over M-measured trajectories. Columns of
+    uniform 2-vertex XYM segments take a fully vectorized closed-form
+    path (fast==general equivalence fuzz in tests); everything else
+    goes through the per-pair breakpoint merge."""
+    fast = _cpa_fast(col_a, col_b)
+    if fast is not None:
+        return pa.array(fast, type=pa.float64(), from_pandas=True)
     ga = decode_geoms(col_a)
     gb = decode_geoms(col_b)
     out = [None] * len(ga)

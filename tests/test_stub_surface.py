@@ -584,3 +584,47 @@ class TestStraightSkeleton:
                 assert contains(poly, Geometry.point(*((p + q) / 2)))
         assert trials > 50
         assert loud <= max(2, trials // 25)   # rare, documented failure
+
+
+def test_cpa_fast_equals_general():
+    # uniform 2-vertex XYM columns take the vectorized closed-form
+    # path; mixing in a 3-vertex row forces the general path — both
+    # must agree on the shared rows
+    from geoflow.ops.stub_surface import cpa_measure
+    rng = np.random.default_rng(11)
+    n = 300
+    rows_a, rows_b = [], []
+    for _ in range(n):
+        ma = np.sort(rng.uniform(0, 100, 2))
+        while ma[1] - ma[0] < 1e-6:
+            ma = np.sort(rng.uniform(0, 100, 2))
+        mb = np.sort(rng.uniform(-20, 120, 2))
+        while mb[1] - mb[0] < 1e-6:
+            mb = np.sort(rng.uniform(-20, 120, 2))
+        pa_xy = rng.uniform(-10, 10, 4)
+        pb_xy = rng.uniform(-10, 10, 4)
+        rows_a.append(Geometry(2, coords=np.array(
+            [[pa_xy[0], pa_xy[1], ma[0]], [pa_xy[2], pa_xy[3], ma[1]]]),
+            has_m=True))
+        rows_b.append(Geometry(2, coords=np.array(
+            [[pb_xy[0], pb_xy[1], mb[0]], [pb_xy[2], pb_xy[3], mb[1]]]),
+            has_m=True))
+    col_a = col(*rows_a)
+    col_b = col(*rows_b)
+    fast = get_op("st_closestpointofapproach").fn(col_a, col_b).to_pylist()
+    slow = [cpa_measure(a, b) for a, b in zip(rows_a, rows_b)]
+    assert len(fast) == n
+    for f, s in zip(fast, slow):
+        if s is None:
+            assert f is None
+        else:
+            assert f == pytest.approx(s, abs=1e-9)
+
+
+def test_cpa_mixed_column_uses_general_path():
+    a3 = Geometry(2, coords=np.array([[0., 0., 0.], [5., 0., 5.],
+                                      [10., 0., 10.]]), has_m=True)
+    b2 = Geometry(2, coords=np.array([[4., 3., 0.], [4., 3., 10.]]),
+                  has_m=True)
+    t = get_op("st_closestpointofapproach").fn(col(a3), col(b2))[0].as_py()
+    assert t == pytest.approx(4.0)
