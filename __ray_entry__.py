@@ -62,9 +62,13 @@ _NATION_RECT_SQL = """
 """
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns=None):
+    """read_parquet with column pruning — select_columns() does NOT
+    push into the read (CLAUDE.md), so needed columns are passed
+    here."""
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
 
 
 def _doc_points_ds(sf_dir: str):
@@ -89,7 +93,8 @@ def _doc_points_ds(sf_dir: str):
             "geom_wkb": pa.array(wkbs, type=pa.binary()),
         })
 
-    return _read(sf_dir, "documents").map_batches(derive, batch_format="pyarrow")
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        derive, batch_format="pyarrow")
 
 
 def _nation_polygons(sf_dir: str) -> pa.Table:
@@ -377,8 +382,9 @@ def q_unit_chain(sf_dir: str):
             "qty_yd": get_op("meter_to_yard").fn(m),
             "qty_nm": get_op("meter_to_nauticalmile").fn(m)})
 
-    return _read(sf_dir, "lineitem").map_batches(compute,
-                                                 batch_format="pyarrow")
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+        compute, batch_format="pyarrow", batch_size=32768)
 
 
 def q_temporal_allen(sf_dir: str):
@@ -403,7 +409,8 @@ def q_temporal_allen(sf_dir: str):
             "a_overlaps_b": get_op("t_overlaps").fn(a, b),
             "a_meets_b": get_op("t_meets").fn(a, b)})
 
-    return _read(sf_dir, "events").map_batches(compute, batch_format="pyarrow")
+    return _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        compute, batch_format="pyarrow", batch_size=32768)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -418,7 +425,8 @@ def q_dedup_exact(sf_dir: str):
         return pa.table({"h64": pa.array(h.view(np.int64)),
                          "doc_id": batch.column("doc_id")})
 
-    ds = _read(sf_dir, "documents").map_batches(pre, batch_format="pyarrow")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pre, batch_format="pyarrow")
     out = ds.groupby("h64").aggregate(Min("doc_id"), Count())
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -438,8 +446,8 @@ def q_token_count(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_tok": pc.cast(n, pa.int64())})
 
-    return _read(sf_dir, "documents").map_batches(compute,
-                                                  batch_format="pyarrow")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        compute, batch_format="pyarrow")
 
 
 def q_ann_topk(sf_dir: str):
@@ -525,7 +533,8 @@ def q_near_dup(sf_dir: str):
             "doc_id": pa.array(np.concatenate([ids, dup_ids])),
             "text": pa.array(texts + dup_texts, type=pa.string())})
 
-    ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
     ds = ds.map_batches(MinHasher(), batch_format="pyarrow")
     pairs = lsh_band_pairs(ds, key_col="doc_id")
 
@@ -550,7 +559,9 @@ def q_sessionize(sf_dir: str):
     vectorized pass per BUCKET instead of one Python call per user key
     — the shape that survives 10^9 users."""
     from geoflow.ops.temporal import sessionize
-    out = sessionize(_read(sf_dir, "events"), user_col="user_id",
+    out = sessionize(_read(sf_dir, "events",
+                           ["event_id", "ts", "user_id"]),
+                     user_col="user_id",
                      ts_col="ts", order_col="event_id")
 
     def project(batch: pa.Table) -> pa.Table:
@@ -606,7 +617,7 @@ def q_setops_overlay(sf_dir: str):
     # the read already splits documents into ~64 blocks — per-block
     # batches spread the per-row forced-general subset across workers
     # without paying a repartition shuffle
-    return _read(sf_dir, "documents").select_columns(["doc_id"]) \
+    return _read(sf_dir, "documents", ["doc_id"]) \
         .map_batches(build, batch_format="pyarrow")
 
 
@@ -623,7 +634,7 @@ def q_media_stats(sf_dir: str):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return make_media_batch(ids, width=16, height=12, channels=1)
 
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
         .map_batches(synth, batch_format="pyarrow") \
         .map_batches(MediaDecoder, batch_format="pyarrow", concurrency=2) \
         .map_batches(MediaResize, fn_constructor_args=(8, 8),
@@ -736,8 +747,7 @@ def q_tile_density(sf_dir: str):
 
 def q_topk_orders(sf_dir: str):
     """Global top-k by sort (§2.6: ds.sort(desc).limit(k))."""
-    ds = _read(sf_dir, "orders").select_columns(
-        ["o_orderkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"],
                    descending=[True, False]).limit(10)
 
@@ -755,7 +765,10 @@ def q_groupby_lineitem(sf_dir: str):
             "l_linestatus": batch.column("l_linestatus"),
             "qty_int": qty, "price_cents": cents})
 
-    ds = _read(sf_dir, "lineitem").map_batches(pre, batch_format="pyarrow")
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"]).map_batches(
+        pre, batch_format="pyarrow", batch_size=32768)
     out = ds.groupby(["l_returnflag", "l_linestatus"]).sum(
         ["qty_int", "price_cents"])
 
@@ -784,7 +797,9 @@ def q_window_events(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "events").map_batches(pre, batch_format="pyarrow")
+    ds = _read(sf_dir, "events",
+               ["ts", "event_type", "value"]).map_batches(
+        pre, batch_format="pyarrow", batch_size=32768)
     out = ds.groupby(["window_start", "event_type"]).aggregate(
         Count(), Sum("value_milli"))
 
@@ -861,7 +876,8 @@ def q_h3_density(sf_dir: str):
 def q_langid(sf_dir: str):
     """Heuristic language-ID over document text (rows-only check)."""
     from geoflow.text import langid_batch
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang"]).map_batches(
         lambda b: langid_batch(b).select(["doc_id", "lang", "lang_pred"]),
         batch_format="pyarrow")
 
@@ -869,7 +885,7 @@ def q_langid(sf_dir: str):
 def q_quality(sf_dir: str):
     """Quality scoring signals (rows-only check)."""
     from geoflow.text import quality_batch
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda b: quality_batch(b).select(
             ["doc_id", "n_tokens", "punct_ratio", "quality_score"]),
         batch_format="pyarrow")
@@ -878,7 +894,7 @@ def q_quality(sf_dir: str):
 def q_simhash(sf_dir: str):
     """SimHash fingerprints (deterministic; rows-only check)."""
     from geoflow.text import SimHasher
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         SimHasher(), batch_format="pyarrow", concurrency=2).select_columns(
         ["doc_id", "simhash"])
 
@@ -904,7 +920,7 @@ def q_simhash_pairs(sf_dir: str):
             "text": pa.array(texts + [texts[i] for i in sel],
                              type=pa.string())})
 
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
         .map_batches(synth, batch_format="pyarrow") \
         .map_batches(SimHasher(), batch_format="pyarrow", concurrency=2)
     pairs = simhash_near_dup_pairs(ds, max_hamming=3)
@@ -942,7 +958,7 @@ def q_ngram_jaccard(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "jac": pa.array(jac)})
 
-    return _read(sf_dir, "documents").select_columns(["doc_id"]) \
+    return _read(sf_dir, "documents", ["doc_id"]) \
         .map_batches(derive, batch_format="pyarrow")
 
 
@@ -976,7 +992,7 @@ def q_ngram_near_dup(sf_dir: str):
             "doc_id": pa.array(np.concatenate([ids, ids[sel] + 1_000_000])),
             "text": pa.array(texts + dups, type=pa.string())})
 
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
         .map_batches(synth, batch_format="pyarrow") \
         .map_batches(CharMinHasher(), batch_format="pyarrow",
                      concurrency=2)
@@ -997,7 +1013,7 @@ def q_minhash_lsh(sf_dir: str):
     fixtures are exercised in tests/)."""
     from geoflow.text import MinHasher
     from geoflow.text.dedup import lsh_band_pairs
-    ds = _read(sf_dir, "documents").map_batches(
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         MinHasher(), batch_format="pyarrow", concurrency=2)
     return lsh_band_pairs(ds, key_col="doc_id")
 
@@ -1100,7 +1116,12 @@ def q_event_quantiles(sf_dir: str):
             "value_milli": pc.cast(pc.round(pc.multiply(
                 b.column("value"), 1000.0)), pa.int64())})
 
-    ds = _read(sf_dir, "events").map_batches(milli, batch_format="pyarrow")
+    # no batch_size override: the downstream grouped-quantile sort
+    # needs the read's native block count for parallelism (a 32768
+    # coalesce here cut the stage to ~3 blocks and doubled the query)
+    ds = _read(sf_dir, "events",
+               ["event_type", "value"]).map_batches(
+        milli, batch_format="pyarrow")
     return exact_grouped_quantiles(ds, "event_type", "value_milli",
                                    qs=(0.5, 0.9, 0.99))
 
@@ -1110,7 +1131,7 @@ def q_distinct_users(sf_dir: str):
     groupby(type, user) collapses duplicates (combiner inside blocks via
     Ray's sort-based aggregate), outer groupby(type) counts — no
     count-distinct materialization at the driver."""
-    ds = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
     inner = ds.groupby(["event_type", "user_id"]).count()
     out = inner.select_columns(["event_type"]).groupby("event_type").count()
 
@@ -1130,7 +1151,7 @@ def q_hll_users(sf_dir: str):
     q_distinct_users above is the oracle-gated exact companion)."""
     from geoflow.ops.sketches import hll_aggregate
 
-    ds = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
     out = ds.groupby("event_type").aggregate(hll_aggregate("user_id"))
 
     def rename(b: pa.Table) -> pa.Table:
