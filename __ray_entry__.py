@@ -1410,6 +1410,67 @@ def q_traj_cpa(sf_dir: str):
         cpa, batch_format="pyarrow", batch_size=32768)
 
 
+def q_semi_join(sf_dir: str):
+    """Bloom-prefiltered broadcast semi-join (geoflow/join/semijoin.py,
+    engine-original): lineitem rows whose order has
+    o_totalprice > 400000, then an integer grouped aggregate. The
+    Bloom build is one streaming aggregation (merge = bitwise OR); the
+    big side never shuffles — prefilter + exact sorted-set refine run
+    inside map_batches against ray.put state."""
+    from geoflow.join.semijoin import bloom_semi_join
+
+    keys = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("o_totalprice"), 400000.0)).select(
+            ["o_orderkey"]),
+        batch_format="pyarrow")
+    big = _read(sf_dir, "lineitem",
+                ["l_orderkey", "l_returnflag", "l_quantity"])
+    joined = bloom_semi_join(big, keys, "o_orderkey", "l_orderkey")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "qty_int": pc.cast(pc.round(batch.column("l_quantity")),
+                               pa.int64())})
+
+    from ray.data.aggregate import Count, Sum
+    out = joined.map_batches(pre, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(Count(), Sum("qty_int"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "n_items": pc.cast(batch.column("count()"), pa.int64()),
+            "sum_qty": pc.cast(batch.column("sum(qty_int)"), pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_grouped_topk(sf_dir: str):
+    """Per-user top-2 events by value (geoflow/ops/grouped.py
+    grouped_topk, engine-original): vectorized per-block partial top-k
+    bounds the shuffle to <= k rows/key/block before the grouped merge.
+    Values as integer millis on BOTH sides so ordering and hashing are
+    engine-exact; ties broken by event_id ascending (the SQL oracle's
+    row_number() ordering)."""
+    from geoflow.ops.grouped import grouped_topk
+
+    def milli(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "value_milli": pc.cast(pc.round(pc.multiply(
+                b.column("value"), 1000.0)), pa.int64())})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "value"]).map_batches(
+        milli, batch_format="pyarrow")
+    return grouped_topk(ds, "user_id", "value_milli", 2,
+                        tie_col="event_id")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1483,6 +1544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_clusters": q_semantic_clusters,
         "mvt_tile": q_mvt_tile,
         "traj_cpa": q_traj_cpa,
+        "semi_join": q_semi_join,
+        "grouped_topk": q_grouped_topk,
         "flagship": q_flagship,
     }
 
@@ -1922,4 +1985,20 @@ def oracle_sql() -> dict[str, str]:
                                  0.0), 100.0) * 1000.0) AS BIGINT)
                    END AS cpa_ms
             FROM orders""",
+        "semi_join": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 400000.0)
+            GROUP BY l_returnflag""",
+        "grouped_topk": """
+            SELECT event_id, user_id,
+                   CAST(round(value * 1000.0) AS BIGINT) AS value_milli
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(round(value * 1000.0) AS BIGINT) DESC,
+                         event_id) <= 2""",
     }

@@ -1,0 +1,99 @@
+"""Broadcast semi-join with a Bloom prefilter.
+
+The canonical 100-TB shape for "keep the big side's rows whose key
+appears in a (much) smaller key set" — e.g. filter a web corpus by a
+URL allowlist, keep lineitems of flagged orders. No reference
+counterpart (the reference has no join engine; SURVEY §2.4 covers its
+spatial joins) — this is a first-class engine primitive like the
+dedup/ANN family.
+
+Shape:
+  1. BUILD — one streaming aggregation over the key side produces a
+     Bloom bit array (geoflow/ops/sketches.py bloom_aggregate; merge =
+     OR); only m_bits/8 bytes reach the driver, regardless of key
+     count.
+  2. PROBE — the array is `ray.put` once; a task-pool map_batches
+     tests each big-side batch vectorized (k probes per key, double
+     hashing). This discards ~all non-matching rows at false-positive
+     rate (1-e^(-kn/m))^k without any shuffle of the big side.
+  3. REFINE (exact=True) — surviving rows (a tiny superset of the
+     true matches) are checked against the exact key set, broadcast
+     the same way. The exact set costs 8 bytes/key at the driver — the
+     documented bound is the KEY side, not the big side; for key sides
+     too large to broadcast, pass exact=False and hash-join the
+     survivors (the prefilter has already cut the shuffle volume).
+
+Determinism: splitmix/blake2b hashing only (retry/resume safe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..ops.sketches import BloomFilter, _column_hashes, bloom_aggregate
+
+__all__ = ["bloom_semi_join"]
+
+
+def _key_array(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def bloom_semi_join(big_ds, key_ds, key_col: str, big_key_col: str | None = None,
+                    m_bits: int = 1 << 23, k: int = 7, exact: bool = True):
+    """big_ds rows whose ``big_key_col`` appears in key_ds.``key_col``.
+
+    exact=True (integer keys): Bloom prefilter then an exact sorted-set
+    membership check (np.searchsorted) against the broadcast key set —
+    the result is the exact semi-join. exact=False: Bloom-only
+    candidate superset (caller refines, e.g. with Dataset.join on the
+    survivors)."""
+    import ray
+
+    big_key_col = big_key_col or key_col
+    exact_keys = None
+    if exact:
+        # stream the key column to the driver (documented memory bound:
+        # the KEY side, 8 B/key), dedup there, and build the Bloom from
+        # the same pass — executing the key lineage once. A groupby()
+        # dedup or a separate distributed bloom aggregate would each
+        # pay an extra exchange/execution for work the driver does in
+        # milliseconds at any broadcastable key count.
+        parts, hashes = [], []
+        for b in key_ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536):
+            parts.append(_key_array(b.column(key_col)))
+            hashes.append(_column_hashes(b.column(key_col)))
+        keys = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        exact_keys = np.unique(keys)
+        bf = BloomFilter(m_bits, k)
+        if hashes:
+            bf.add_hashes(np.concatenate(hashes))
+        bits = bf.bits
+    else:
+        # key side too large to broadcast exactly: distributed bloom
+        # build — only m_bits/8 bytes reach the driver
+        agg = bloom_aggregate(key_col, m_bits=m_bits, k=k, name="bloom")
+        bits = key_ds.aggregate(agg)["bloom"]
+    state_ref = ray.put((bits, exact_keys))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bloom_bits, keys_sorted = ray.get(state_ref)
+        bf = BloomFilter(m_bits, k, bloom_bits)
+        h = _column_hashes(batch.column(big_key_col))
+        mask = bf.contains_hashes(h)
+        if keys_sorted is not None and mask.any():
+            vals = _key_array(batch.column(big_key_col))[mask]
+            pos = np.searchsorted(keys_sorted, vals)
+            ok = (pos < len(keys_sorted)) & \
+                (keys_sorted[np.minimum(pos, len(keys_sorted) - 1)] == vals)
+            idx = np.nonzero(mask)[0][ok]
+        else:
+            idx = np.nonzero(mask)[0]
+        return batch.take(pa.array(idx))
+
+    return big_ds.map_batches(probe, batch_format="pyarrow",
+                              batch_size=32768)

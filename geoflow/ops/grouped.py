@@ -1,0 +1,58 @@
+"""Per-key top-k over a Dataset (grouped top-N).
+
+The training-data-pipeline staple "keep the best k documents per
+domain / top events per user". No reference counterpart (its only
+ranked op is a global sort — SURVEY §2.6); engine-original like the
+dedup/sketch family.
+
+Scale shape: a vectorized per-block PARTIAL top-k first (one lexsort
+per batch, no per-key Python) bounds the shuffle to <= k rows per key
+per block, then a groupby().map_groups merge re-ranks the reduced
+candidate set — Ray 2.49's sort-based map_groups amortizes the many
+tiny groups (CLAUDE.md round-3 facts). Determinism: ties broken by
+``tie_col`` ascending, so results are stable under retries and block
+reordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["grouped_topk"]
+
+
+def _topk_table(batch: pa.Table, key_col, val_col, tie_col, k,
+                descending) -> pa.Table:
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    kv = keys.to_numpy(zero_copy_only=False)
+    vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+    ties = batch.column(tie_col).to_numpy(zero_copy_only=False)
+    sv = -vals if descending else vals
+    order = np.lexsort((ties, sv, kv))
+    sk = kv[order]
+    if len(sk) == 0:
+        return batch
+    first = np.concatenate([[0], np.nonzero(sk[1:] != sk[:-1])[0] + 1])
+    counts = np.diff(np.concatenate([first, [len(sk)]]))
+    rank = np.arange(len(sk)) - np.repeat(first, counts)
+    keep = np.sort(order[rank < k])
+    return batch.take(pa.array(keep))
+
+
+def grouped_topk(ds, key_col: str, val_col: str, k: int,
+                 tie_col: str, descending: bool = True):
+    """Top ``k`` rows per ``key_col`` ordered by ``val_col``
+    (descending by default), ties by ``tie_col`` ascending. Returns the
+    winning rows with their original columns."""
+    partial = ds.map_batches(
+        lambda b: _topk_table(b, key_col, val_col, tie_col, k, descending),
+        batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        return _topk_table(group, key_col, val_col, tie_col, k, descending)
+
+    return partial.groupby(key_col).map_groups(final,
+                                               batch_format="pyarrow")

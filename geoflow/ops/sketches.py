@@ -314,3 +314,63 @@ def exact_grouped_quantiles(ds, group_col: str, value_col: str,
         cols[f"q{int(q * 100)}"] = pa.array(
             np.array(out_q[q], dtype=np.int64))
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable; backs the broadcast semi-join prefilter)
+# ---------------------------------------------------------------------------
+
+class BloomFilter:
+    """Standard k-hash Bloom filter over uint64 key hashes, bits packed
+    into a uint64 numpy array (mergeable by OR — the canonical
+    distributed build). Probe positions use double hashing
+    h1 + i*h2 (Kirsch–Mitzenmacher), both derived from the key hash via
+    splitmix, so membership is deterministic across processes."""
+
+    __slots__ = ("m_bits", "k", "bits")
+
+    def __init__(self, m_bits: int, k: int = 7, bits: np.ndarray | None = None):
+        self.m_bits = int(m_bits)
+        self.k = int(k)
+        self.bits = bits if bits is not None else np.zeros(
+            (self.m_bits + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        h1 = h
+        h2 = mix64(h) | _U64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                % _U64(self.m_bits)).ravel()
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        pos = self._positions(h.astype(_U64))
+        np.bitwise_or.at(self.bits, (pos >> _U64(6)).astype(np.int64),
+                         _U64(1) << (pos & _U64(63)))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(h.astype(_U64)).reshape(self.k, -1)
+        word = self.bits[(pos >> _U64(6)).astype(np.int64)]
+        hit = (word >> (pos & _U64(63))) & _U64(1)
+        return hit.all(axis=0).astype(bool)
+
+
+def bloom_aggregate(col: str, m_bits: int = 1 << 23, k: int = 7,
+                    name: str | None = None):
+    """AggregateFn building a BloomFilter's bit array over ``col``
+    (accumulate = set bits per block, merge = OR) — the whole build is
+    one streaming aggregation; only the m_bits/8-byte array reaches the
+    driver."""
+    from ray.data.aggregate import AggregateFn
+
+    def init(_key):
+        return np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+
+    def accumulate_block(bits, block):
+        bf = BloomFilter(m_bits, k, bits)
+        bf.add_hashes(_column_hashes(block.column(col)))
+        return bf.bits
+
+    return AggregateFn(init=init, merge=np.bitwise_or,
+                       accumulate_block=accumulate_block,
+                       finalize=lambda bits: bits,
+                       name=name or f"bloom({col})")

@@ -1,0 +1,110 @@
+"""grouped_topk + bloom_semi_join (engine-original scale primitives —
+no reference counterpart; brute-force reference comparisons)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events(n=5000, keys=60, seed=3):
+    rng = np.random.default_rng(seed)
+    return {
+        "id": np.arange(n, dtype=np.int64),
+        "key": rng.integers(0, keys, n).astype(np.int64),
+        "val": rng.integers(-1000, 1000, n).astype(np.int64),
+    }
+
+
+def _brute_topk(d, k, descending=True):
+    import pandas as pd
+    df = pd.DataFrame(d)
+    df = df.sort_values(["key", "val", "id"],
+                        ascending=[True, not descending, True])
+    return df.groupby("key").head(k)
+
+
+class TestGroupedTopK:
+    def test_matches_brute(self, ray_session):
+        import ray
+        from geoflow.ops.grouped import grouped_topk
+        d = _events()
+        ds = ray.data.from_arrow(pa.table(d)).repartition(8)
+        out = grouped_topk(ds, "key", "val", 3, tie_col="id").take_all()
+        got = sorted((r["key"], r["id"]) for r in out)
+        exp = _brute_topk(d, 3)
+        assert got == sorted(zip(exp["key"], exp["id"]))
+
+    def test_ascending_and_k1(self, ray_session):
+        import ray
+        from geoflow.ops.grouped import grouped_topk
+        d = _events(seed=9)
+        ds = ray.data.from_arrow(pa.table(d)).repartition(4)
+        out = grouped_topk(ds, "key", "val", 1, tie_col="id",
+                           descending=False).take_all()
+        exp = _brute_topk(d, 1, descending=False)
+        assert sorted((r["key"], r["id"]) for r in out) == \
+            sorted(zip(exp["key"], exp["id"]))
+
+    def test_ties_deterministic(self, ray_session):
+        import ray
+        from geoflow.ops.grouped import grouped_topk
+        d = {"id": np.arange(10, dtype=np.int64),
+             "key": np.zeros(10, dtype=np.int64),
+             "val": np.full(10, 7, dtype=np.int64)}
+        ds = ray.data.from_arrow(pa.table(d)).repartition(3)
+        out = grouped_topk(ds, "key", "val", 4, tie_col="id").take_all()
+        assert sorted(r["id"] for r in out) == [0, 1, 2, 3]
+
+
+class TestBloomSemiJoin:
+    def test_exact_matches_brute(self, ray_session):
+        import ray
+        from geoflow.join.semijoin import bloom_semi_join
+        rng = np.random.default_rng(5)
+        big = pa.table({"k": rng.integers(0, 10000, 20000).astype(np.int64),
+                        "payload": np.arange(20000, dtype=np.int64)})
+        keyset = np.unique(rng.integers(0, 10000, 700).astype(np.int64))
+        keys = pa.table({"k": np.repeat(keyset, 2)})   # dup keys on purpose
+        out = bloom_semi_join(
+            ray.data.from_arrow(big).repartition(6),
+            ray.data.from_arrow(keys).repartition(3), "k").take_all()
+        got = sorted(r["payload"] for r in out)
+        exp = sorted(int(p) for kk, p in zip(big["k"].to_numpy(),
+                                             big["payload"].to_numpy())
+                     if kk in set(keyset.tolist()))
+        assert got == exp
+
+    def test_inexact_is_superset(self, ray_session):
+        import ray
+        from geoflow.join.semijoin import bloom_semi_join
+        rng = np.random.default_rng(6)
+        big = pa.table({"k": rng.integers(0, 5000, 8000).astype(np.int64)})
+        keyset = np.unique(rng.integers(0, 5000, 300).astype(np.int64))
+        out = bloom_semi_join(
+            ray.data.from_arrow(big).repartition(4),
+            ray.data.from_arrow(pa.table({"k": keyset})), "k",
+            m_bits=1 << 16, exact=False).take_all()
+        got = {r["k"] for r in out}
+        # no false negatives: every key value actually present in both
+        # sides must survive the prefilter
+        present = set(big["k"].to_numpy().tolist()) & set(keyset.tolist())
+        assert present <= got
+
+    def test_empty_key_side(self, ray_session):
+        import ray
+        from geoflow.join.semijoin import bloom_semi_join
+        big = pa.table({"k": np.arange(100, dtype=np.int64)})
+        keys = pa.table({"k": np.empty(0, dtype=np.int64)})
+        out = bloom_semi_join(ray.data.from_arrow(big),
+                              ray.data.from_arrow(keys), "k").take_all()
+        assert out == []
+
+    def test_string_keys(self, ray_session):
+        import ray
+        from geoflow.join.semijoin import bloom_semi_join
+        big = pa.table({"k": [f"url{i}" for i in range(500)]})
+        keys = pa.table({"k": [f"url{i}" for i in range(0, 500, 50)]})
+        out = bloom_semi_join(ray.data.from_arrow(big),
+                              ray.data.from_arrow(keys), "k").take_all()
+        assert sorted(r["k"] for r in out) == \
+            sorted(f"url{i}" for i in range(0, 500, 50))
