@@ -1471,6 +1471,26 @@ def q_grouped_topk(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_dim_join(sf_dir: str):
+    """Broadcast hash-join dimension enrichment
+    (geoflow/join/hashjoin.py, engine-original): customers gain their
+    nation name; the 25-row dimension is ray.put once and every fact
+    batch joins in place — the fact side never shuffles (Dataset.join
+    would repartition both sides through aggregator actors)."""
+    from geoflow.join.hashjoin import broadcast_hash_join
+
+    big = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    dim = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = broadcast_hash_join(big, dim, "n_nationkey",
+                              big_on="c_nationkey")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "n_name": batch.column("n_name")})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1546,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "traj_cpa": q_traj_cpa,
         "semi_join": q_semi_join,
         "grouped_topk": q_grouped_topk,
+        "dim_join": q_dim_join,
         "flagship": q_flagship,
     }
 
@@ -2001,4 +2022,7 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id
                 ORDER BY CAST(round(value * 1000.0) AS BIGINT) DESC,
                          event_id) <= 2""",
+        "dim_join": """
+            SELECT c_custkey, n_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey""",
     }

@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "asof_orders", "interval_err_window", "heavy_tokens",
     "event_quantiles", "distinct_users", "hll_users", "dbscan", "kmeans",
     "cluster_within", "cluster_intersecting", "semantic_clusters",
-    "mvt_tile", "traj_cpa", "semi_join", "grouped_topk",
+    "mvt_tile", "traj_cpa", "semi_join", "grouped_topk", "dim_join",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -108,3 +108,60 @@ class TestBloomSemiJoin:
                               ray.data.from_arrow(keys), "k").take_all()
         assert sorted(r["k"] for r in out) == \
             sorted(f"url{i}" for i in range(0, 500, 50))
+
+
+class TestBroadcastHashJoin:
+    def _sides(self, seed=8, nbig=4000, dimkeys=50, dup_frac=0.2):
+        rng = np.random.default_rng(seed)
+        big = pa.table({
+            "k": rng.integers(0, dimkeys + 10, nbig).astype(np.int64),
+            "fact": np.arange(nbig, dtype=np.int64)})
+        dk = np.arange(dimkeys, dtype=np.int64)
+        # duplicate a fifth of the dimension keys (one-to-many)
+        dups = dk[: int(dimkeys * dup_frac)]
+        dim = pa.table({
+            "k": np.concatenate([dk, dups]),
+            "name": [f"d{v}" for v in np.concatenate([dk, dups])],
+            "fact": np.concatenate([dk, dups]) * 100})  # name collision
+        return big, dim
+
+    def _brute(self, big, dim, how):
+        import pandas as pd
+        b = big.to_pandas()
+        d = dim.to_pandas().rename(columns={"name": "name",
+                                            "fact": "fact_r"})
+        m = b.merge(d, on="k", how=how)
+        return m
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_matches_pandas(self, ray_session, how):
+        import ray
+        from geoflow.join.hashjoin import broadcast_hash_join
+        big, dim = self._sides()
+        out = broadcast_hash_join(
+            ray.data.from_arrow(big).repartition(5),
+            ray.data.from_arrow(dim), "k", how=how).take_all()
+        exp = self._brute(big, dim, how)
+        got = sorted((r["k"], r["fact"],
+                      r["name"] if r["name"] is not None else "~",
+                      r["fact_r"] if r["fact_r"] is not None else -1)
+                     for r in out)
+        want = sorted((int(k), int(f),
+                       n if isinstance(n, str) else "~",
+                       int(fr) if fr == fr else -1)
+                      for k, f, n, fr in zip(exp["k"], exp["fact"],
+                                             exp["name"].fillna("~"),
+                                             exp["fact_r"].fillna(-1)))
+        assert got == want
+
+    def test_different_key_names(self, ray_session):
+        import ray
+        from geoflow.join.hashjoin import broadcast_hash_join
+        big = pa.table({"fk": np.array([1, 2, 3, 99], dtype=np.int64)})
+        dim = pa.table({"pk": np.array([1, 2, 3], dtype=np.int64),
+                        "label": ["a", "b", "c"]})
+        out = broadcast_hash_join(ray.data.from_arrow(big),
+                                  ray.data.from_arrow(dim),
+                                  "pk", big_on="fk").take_all()
+        assert sorted((r["fk"], r["label"]) for r in out) == \
+            [(1, "a"), (2, "b"), (3, "c")]
