@@ -43,14 +43,20 @@ def _key_array(col) -> np.ndarray:
 
 
 def bloom_semi_join(big_ds, key_ds, key_col: str, big_key_col: str | None = None,
-                    m_bits: int = 1 << 23, k: int = 7, exact: bool = True):
-    """big_ds rows whose ``big_key_col`` appears in key_ds.``key_col``.
+                    m_bits: int = 1 << 23, k: int = 7, exact: bool = True,
+                    anti: bool = False):
+    """big_ds rows whose ``big_key_col`` appears in key_ds.``key_col``
+    (anti=True: rows whose key does NOT appear — blocklist filtering;
+    requires exact=True, since a bloom-only anti-join would drop false
+    positives, i.e. legitimate rows).
 
     exact=True (integer keys): Bloom prefilter then an exact sorted-set
     membership check (np.searchsorted) against the broadcast key set —
     the result is the exact semi-join. exact=False: Bloom-only
     candidate superset (caller refines, e.g. with Dataset.join on the
     survivors)."""
+    if anti and not exact:
+        raise ValueError("bloom_semi_join: anti=True requires exact=True")
     import ray
 
     big_key_col = big_key_col or key_col
@@ -93,6 +99,10 @@ def bloom_semi_join(big_ds, key_ds, key_col: str, big_key_col: str | None = None
             idx = np.nonzero(mask)[0][ok]
         else:
             idx = np.nonzero(mask)[0]
+        if anti:
+            keep = np.ones(len(batch), dtype=bool)
+            keep[idx] = False
+            idx = np.nonzero(keep)[0]
         return batch.take(pa.array(idx))
 
     return big_ds.map_batches(probe, batch_format="pyarrow",

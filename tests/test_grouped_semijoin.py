@@ -165,3 +165,28 @@ class TestBroadcastHashJoin:
                                   "pk", big_on="fk").take_all()
         assert sorted((r["fk"], r["label"]) for r in out) == \
             [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_anti_join_complements(self, ray_session):
+        import ray
+        from geoflow.join.semijoin import bloom_semi_join
+        rng = np.random.default_rng(12)
+        big = pa.table({"k": rng.integers(0, 1000, 3000).astype(np.int64),
+                        "row": np.arange(3000, dtype=np.int64)})
+        keyset = np.unique(rng.integers(0, 1000, 80).astype(np.int64))
+        keys = ray.data.from_arrow(pa.table({"k": keyset}))
+        bds = ray.data.from_arrow(big).repartition(4)
+        semi = {r["row"] for r in bloom_semi_join(bds, keys, "k").take_all()}
+        anti = {r["row"] for r in bloom_semi_join(bds, keys, "k",
+                                                  anti=True).take_all()}
+        assert semi | anti == set(range(3000))
+        assert semi & anti == set()
+        blocked = set(keyset.tolist())
+        for r in bloom_semi_join(bds, keys, "k", anti=True).take_all():
+            assert r["k"] not in blocked
+
+    def test_anti_requires_exact(self, ray_session):
+        import ray
+        from geoflow.join.semijoin import bloom_semi_join
+        with pytest.raises(ValueError):
+            bloom_semi_join(ray.data.range(5), ray.data.range(2), "id",
+                            exact=False, anti=True)
