@@ -1491,6 +1491,67 @@ def q_dim_join(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_curation(sf_dir: str):
+    """End-to-end corpus-curation composite, ORACLE-GATED
+    (geoflow/pipelines/curation.py): fused language+quality filter →
+    exact dedup (broadcast-winner) → blocklist anti-join
+    (bloom_semi_join) → per-source quality cap (grouped_topk). The LSH
+    near-dup stage is off here (organic near-dups aren't
+    SQL-expressible); it is gated separately by curation_neardup.
+    quality_score doubles are IEEE-identical op-for-op with the SQL
+    expression (same kernels as the hash-green `quality` query)."""
+    from geoflow.pipelines.curation import curate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    def block_keys(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 13 == 0))
+
+    block = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        block_keys, batch_format="pyarrow")
+    out = curate(docs, source_col="source", languages=("en", "de"),
+                 min_quality=0.6, near_dup=False,
+                 blocklist_ds=block, per_source_cap=5)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "source", "quality_score"]),
+        batch_format="pyarrow")
+
+
+def q_curation_neardup(sf_dir: str):
+    """Curation stages 3–4 (exact dedup + LSH near-dup drop),
+    ORACLE-GATED over a planted corpus: each doc gets 100 unique tokens
+    derived from doc_id; doc_id%7==0 plants an EXACT copy at id+2e6
+    (identical signatures → certain all-band collision; min key wins)
+    and doc_id%10==0 plants a
+    NEAR copy at id+1e6 with the last token replaced (shingle k=5: 91
+    of 101 shingles shared, J≈0.901 → per-band collision p=J⁴≈0.66,
+    all-32-bands miss probability ≈1e-15 per planted pair — and the
+    seeded MinHasher makes the outcome deterministic, verified at the
+    gate scales). Cross-doc token sets are disjoint, so organic pairs
+    are impossible. Survivors == exactly the original doc_ids."""
+    from geoflow.pipelines.curation import curate
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [" ".join(f"t{i}a{j}" for j in range(100)) for i in ids]
+        near = np.nonzero(ids % 10 == 0)[0]
+        near_texts = [
+            " ".join([f"t{ids[i]}a{j}" for j in range(99)] + [f"zz{ids[i]}"])
+            for i in near]
+        exact = np.nonzero(ids % 7 == 0)[0]
+        all_ids = np.concatenate(
+            [ids, ids[near] + 1_000_000, ids[exact] + 2_000_000])
+        all_texts = texts + near_texts + [texts[i] for i in exact]
+        return pa.table({"doc_id": pa.array(all_ids),
+                         "text": pa.array(all_texts, type=pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = curate(ds, languages=None, min_quality=0.0, near_dup=True)
+    return out.map_batches(lambda b: b.select(["doc_id"]),
+                           batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1567,6 +1628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q_semi_join,
         "grouped_topk": q_grouped_topk,
         "dim_join": q_dim_join,
+        "curation": q_curation,
+        "curation_neardup": q_curation_neardup,
         "flagship": q_flagship,
     }
 
@@ -2025,4 +2088,55 @@ def oracle_sql() -> dict[str, str]:
         "dim_join": """
             SELECT c_custkey, n_name
             FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+        "curation": r"""
+            WITH m AS (
+              SELECT doc_id, source, text,
+                     len(regexp_extract_all(text, '\S+')) AS nt,
+                     len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS np_,
+                     len(regexp_extract_all(text, '\S')) AS ns,
+                     length(text) AS nc
+              FROM documents),
+            scored AS (
+              SELECT doc_id, source, text,
+                     least(greatest(nt / 64.0, 0), 1) * 0.4
+                     + least(greatest(1.0 - (CAST(np_ AS DOUBLE) / greatest(1, nc)) * 4.0, 0), 1) * 0.3
+                     + least(greatest((CAST(ns AS DOUBLE) / greatest(1, nt)) / 8.0, 0), 1) * 0.3
+                       AS quality_score
+              FROM m),
+            toks AS (
+              SELECT doc_id, text,
+                     list_distinct(regexp_extract_all(lower(text),
+                                   '[\p{L}\p{N}_]+')) AS tk
+              FROM documents),
+            cnts AS (
+              SELECT doc_id, text,
+                     len(list_intersect(tk, ['the','and','of','to','in','is','that','it','for','with'])) AS n_en,
+                     len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS n_de,
+                     len(list_intersect(tk, ['le','la','les','et','est','une','des','dans','pour','que'])) AS n_fr,
+                     len(list_intersect(tk, ['el','la','los','las','es','una','por','con','para','que'])) AS n_es
+              FROM toks),
+            lang AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                          WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+                          WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                          WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                          WHEN n_fr >= n_es THEN 'fr'
+                          ELSE 'es' END AS lang_pred
+              FROM cnts),
+            f AS (
+              SELECT s.doc_id, s.source, s.text, s.quality_score
+              FROM scored s JOIN lang l USING (doc_id)
+              WHERE s.quality_score >= 0.6 AND l.lang_pred IN ('en', 'de')),
+            d AS (
+              SELECT * FROM f
+              WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY text)),
+            b AS (SELECT * FROM d WHERE doc_id % 13 <> 0)
+            SELECT doc_id, source, quality_score
+            FROM b
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY quality_score DESC, doc_id) <= 5""",
+        "curation_neardup": """
+            SELECT doc_id FROM documents""",
     }

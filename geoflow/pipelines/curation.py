@@ -1,0 +1,149 @@
+"""End-to-end web-corpus curation pipeline.
+
+Chains the engine's training-data primitives into the standard
+corpus-cleaning sequence a 100-TB pretraining pipeline runs (the
+reference has no corpus pipeline — this is the engine's own composite,
+like the flagship spatial pipeline):
+
+  1. language filter — vectorized n-gram/stopword language ID
+     (text/analysis.langid_batch), keep the requested language(s);
+  2. quality filter — RE2-kernel quality score, keep >= threshold;
+  3. exact dedup — broadcast-winner shape, payload never shuffles
+     (text/dedup.exact_dedup); run as a separate stage only when the
+     near-dup stage is off — LSH subsumes it (identical texts collide
+     in every band with certainty and the same min key survives);
+  4. near-dup removal — MinHash-LSH candidate pairs (16-byte shuffle
+     rows); a doc is dropped iff it has a SMALLER near-dup partner
+     ("keep the locally-minimal member"), the no-connected-components
+     rule used in production dedup when only pairwise candidates are
+     available: at least the minimum of every duplicate cluster always
+     survives, and no surviving pair of direct near-dups remains;
+  5. blocklist — Bloom-prefiltered exact ANTI-join against a key
+     blocklist (join/semijoin.bloom_semi_join, anti=True);
+  6. per-source cap — grouped_topk keeps the k best-quality docs per
+     source (ops/grouped.grouped_topk), the domain-cap step that stops
+     any single host from dominating the corpus.
+
+Scale shape (100 TB): every stage is lazy map_batches / tiny-key
+shuffles over the one Dataset — the text payload never enters a
+shuffle (LSH ships 16-byte (key, band-bucket) rows; dedup winner /
+loser key sets are broadcast via ray.put at 8 B per key with a
+per-worker-process fetch cache). The filtered lineage is deliberately
+left lazy and re-executed by the dedup/near-dup passes: a second
+column-pruned parquet read is far cheaper at scale than materializing
+the text payload to the object store (same trade exact_dedup itself
+documents). The loser-key broadcast is bounded by 8 B x dropped docs;
+beyond object-store capacity swap stage 4's filter for the
+key-partitioned hash join exactly as text/dedup.py:69-74 describes.
+
+Stage semantics are individually oracle-gated by the driver queries
+(langid, quality, dedup_exact, near_dup, semi_join, grouped_topk);
+the composite is gated end-to-end by `curation` (filters + dedup +
+blocklist + cap over the real documents table) and `curation_neardup`
+(planted near-dup corpus exercising stages 3-4), plus planted
+fixtures in tests/test_curation.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["curate"]
+
+
+def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
+           languages=("en",), min_quality=0.0, near_dup=True,
+           blocklist_ds=None, blocklist_key=None, per_source_cap=None):
+    """documents Dataset → curated documents Dataset (same columns plus
+    ``quality_score``). See module docstring for the stage sequence;
+    every stage is optional via its parameter (``languages=None`` skips
+    language ID, ``min_quality=0`` keeps the score column but drops
+    nothing, ``near_dup=False`` / ``blocklist_ds=None`` /
+    ``per_source_cap=None`` skip their stages)."""
+    from ..text.analysis import langid_batch, quality_batch
+    from ..text.dedup import (MinHasher, _winner_cache_get, exact_dedup,
+                              lsh_band_pairs)
+
+    ds = docs_ds
+
+    # 1+2: language + quality in ONE map stage (both are per-row
+    # vectorized kernels; fusing avoids a second pass over the text)
+    langs = set(languages) if languages else None
+
+    def filter_stage(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch, text_col=text_col)
+        score = q.column("quality_score")
+        keep = pc.greater_equal(score, pa.scalar(float(min_quality)))
+        if langs is not None:
+            lb = langid_batch(batch, text_col=text_col)
+            lang_ok = pc.is_in(lb.column("lang_pred"),
+                               value_set=pa.array(sorted(langs)))
+            keep = pc.and_(keep, lang_ok)
+        out = batch.append_column("quality_score", score)
+        return out.filter(keep)
+
+    ds = ds.map_batches(filter_stage, batch_format="pyarrow")
+
+    # 3: exact dedup (min-key winner per identical text). When the LSH
+    # stage runs it SUBSUMES exact dedup — identical texts have
+    # identical signatures, hence collide in every band with certainty,
+    # and the drop-iff-smaller-partner rule keeps exactly the min key —
+    # so the separate stage (two dataset passes + a groupby shuffle) is
+    # skipped and one dedup machinery handles both.
+    if not near_dup:
+        ds = exact_dedup(ds, text_col=text_col, key_col=key_col)
+
+    # 4: near-dup removal — drop docs with a smaller LSH partner.
+    # Signatures are computed over a (key, text) projection so the other
+    # payload columns never reach the signature stage; lsh_band_pairs
+    # then shuffles only 16-byte (key, bucket) rows.
+    if near_dup:
+        import ray
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table({key_col: batch.column(key_col),
+                             "text": batch.column(text_col)})
+
+        sigs = ds.map_batches(project, batch_format="pyarrow") \
+            .map_batches(MinHasher(), batch_format="pyarrow")
+        pairs = lsh_band_pairs(sigs, key_col=key_col)
+
+        def losers(batch: pa.Table) -> pa.Table:
+            a = batch.column("key_a").to_numpy(zero_copy_only=False)
+            b = batch.column("key_b").to_numpy(zero_copy_only=False)
+            return pa.table({"loser": pa.array(np.maximum(a, b))})
+
+        loser_parts = [
+            b.column("loser").to_numpy(zero_copy_only=False)
+            for b in pairs.map_batches(losers, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")]
+        loser_keys = np.unique(np.concatenate(loser_parts)) \
+            if loser_parts else np.empty(0, np.int64)
+        ref = ray.put(loser_keys)
+
+        def drop_losers(batch: pa.Table) -> pa.Table:
+            lk = _winner_cache_get(ref)
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            if len(lk) == 0:
+                return batch
+            pos = np.clip(np.searchsorted(lk, keys), 0, len(lk) - 1)
+            return batch.filter(pa.array(~(lk[pos] == keys)))
+
+        ds = ds.map_batches(drop_losers, batch_format="pyarrow")
+
+    # 5: blocklist anti-join
+    if blocklist_ds is not None:
+        from ..join.semijoin import bloom_semi_join
+        ds = bloom_semi_join(ds, blocklist_ds,
+                             blocklist_key or key_col,
+                             big_key_col=key_col, anti=True)
+
+    # 6: per-source cap by quality (ties by key — deterministic)
+    if per_source_cap is not None and source_col is not None:
+        from ..ops.grouped import grouped_topk
+        ds = grouped_topk(ds, source_col, "quality_score",
+                          per_source_cap, tie_col=key_col)
+
+    return ds
