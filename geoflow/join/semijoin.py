@@ -33,7 +33,7 @@ import pyarrow as pa
 
 from ..ops.sketches import BloomFilter, _column_hashes, bloom_aggregate
 
-__all__ = ["bloom_semi_join"]
+__all__ = ["bloom_semi_join", "partitioned_key_filter"]
 
 
 def _key_array(col) -> np.ndarray:
@@ -107,3 +107,67 @@ def bloom_semi_join(big_ds, key_ds, key_col: str, big_key_col: str | None = None
 
     return big_ds.map_batches(probe, batch_format="pyarrow",
                               batch_size=32768)
+
+
+def partitioned_key_filter(big_ds, key_ds, key_col: str,
+                           big_key_col: str | None = None,
+                           anti: bool = False,
+                           num_partitions: int | None = None,
+                           keys_unique: bool = True):
+    """Semi/anti filter of ``big_ds`` by ``key_ds`` via a
+    key-partitioned hash join — the scale escape hatch for key sets too
+    large for ``bloom_semi_join``'s broadcast refine (documented bound:
+    8 B/key at the driver/object store). Both sides shuffle by
+    hash(key); the big side's payload crosses the wire exactly once and
+    nothing is driver-materialized, so the key side may be arbitrarily
+    large (e.g. 10^10 dedup winner keys).
+
+    keys_unique=False dedups the key side first (a groupby shuffle of
+    8-byte keys) so the inner join cannot fan out big-side rows; it is
+    only consulted for semi joins — anti mode is duplicate-safe as-is
+    (fanned-out matches are ALL dropped; misses appear exactly once).
+    Caveat (Ray 2.49 / Acero): hash joins reject list-typed payload
+    columns — pack vector payloads as binary first (vector/ann.py
+    pack_rows); and one aggregator ACTOR spawns per partition, so
+    num_partitions is capped against cluster CPUs (celljoin.py rule).
+    """
+    import ray
+
+    big_key_col = big_key_col or key_col
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        num_partitions = max(2, min(cpus // 4, 16))
+
+    if not keys_unique and not anti:
+        key_ds = key_ds.groupby(key_col).count().map_batches(
+            lambda b, c=key_col: b.select([c]), batch_format="pyarrow")
+
+    if anti:
+        # left-outer join against a marker column; survivors are the
+        # rows with no key-side match
+        def mark(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                big_key_col: batch.column(key_col),
+                "__kf_hit": pa.array(
+                    np.ones(len(batch), dtype=np.int8))})
+
+        joined = big_ds.join(
+            key_ds.map_batches(mark, batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=(big_key_col,))
+
+        def keep_misses(batch: pa.Table) -> pa.Table:
+            hit = batch.column("__kf_hit")
+            if isinstance(hit, pa.ChunkedArray):
+                hit = hit.combine_chunks()
+            return batch.filter(hit.is_null()).drop_columns(["__kf_hit"])
+
+        return joined.map_batches(keep_misses, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({big_key_col: batch.column(key_col)})
+
+    return big_ds.join(key_ds.map_batches(rename, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=(big_key_col,))

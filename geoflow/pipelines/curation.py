@@ -55,13 +55,22 @@ __all__ = ["curate"]
 
 def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
            languages=("en",), min_quality=0.0, near_dup=True,
-           blocklist_ds=None, blocklist_key=None, per_source_cap=None):
+           blocklist_ds=None, blocklist_key=None, per_source_cap=None,
+           filter_mode="broadcast"):
     """documents Dataset → curated documents Dataset (same columns plus
     ``quality_score``). See module docstring for the stage sequence;
     every stage is optional via its parameter (``languages=None`` skips
     language ID, ``min_quality=0`` keeps the score column but drops
     nothing, ``near_dup=False`` / ``blocklist_ds=None`` /
-    ``per_source_cap=None`` skip their stages)."""
+    ``per_source_cap=None`` skip their stages).
+
+    filter_mode picks the key-filter machinery for the dedup winner /
+    near-dup loser / blocklist stages: "broadcast" (default — sorted
+    key arrays via ray.put, bounded at 8 B/key of object store) or
+    "join" (key-partitioned hash joins via partitioned_key_filter —
+    the payload crosses the wire once per filtered stage, but nothing
+    is driver-materialized at ANY key cardinality; the 10-TB+ setting
+    for duplicate-heavy corpora)."""
     from ..text.analysis import langid_batch, quality_batch
     from ..text.dedup import (MinHasher, _winner_cache_get, exact_dedup,
                               lsh_band_pairs)
@@ -93,7 +102,8 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
     # so the separate stage (two dataset passes + a groupby shuffle) is
     # skipped and one dedup machinery handles both.
     if not near_dup:
-        ds = exact_dedup(ds, text_col=text_col, key_col=key_col)
+        ds = exact_dedup(ds, text_col=text_col, key_col=key_col,
+                         winner_mode=filter_mode)
 
     # 4: near-dup removal — drop docs with a smaller LSH partner.
     # Signatures are computed over a (key, text) projection so the other
@@ -115,6 +125,16 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
             b = batch.column("key_b").to_numpy(zero_copy_only=False)
             return pa.table({"loser": pa.array(np.maximum(a, b))})
 
+        if filter_mode == "join":
+            # fully-distributed drop: anti-join the corpus against the
+            # loser keys (duplicate-safe in anti mode — no dedup pass)
+            from ..join.semijoin import partitioned_key_filter
+            loser_ds = pairs.map_batches(losers, batch_format="pyarrow")
+            ds = partitioned_key_filter(ds, loser_ds, "loser",
+                                        big_key_col=key_col, anti=True)
+            return _finish(ds, blocklist_ds, blocklist_key, key_col,
+                           source_col, per_source_cap, filter_mode)
+
         loser_parts = [
             b.column("loser").to_numpy(zero_copy_only=False)
             for b in pairs.map_batches(losers, batch_format="pyarrow")
@@ -133,12 +153,25 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
 
         ds = ds.map_batches(drop_losers, batch_format="pyarrow")
 
+    return _finish(ds, blocklist_ds, blocklist_key, key_col, source_col,
+                   per_source_cap, filter_mode)
+
+
+def _finish(ds, blocklist_ds, blocklist_key, key_col, source_col,
+            per_source_cap, filter_mode):
+    """Stages 5 (blocklist anti-join) + 6 (per-source quality cap)."""
     # 5: blocklist anti-join
     if blocklist_ds is not None:
-        from ..join.semijoin import bloom_semi_join
-        ds = bloom_semi_join(ds, blocklist_ds,
-                             blocklist_key or key_col,
-                             big_key_col=key_col, anti=True)
+        if filter_mode == "join":
+            from ..join.semijoin import partitioned_key_filter
+            ds = partitioned_key_filter(ds, blocklist_ds,
+                                        blocklist_key or key_col,
+                                        big_key_col=key_col, anti=True)
+        else:
+            from ..join.semijoin import bloom_semi_join
+            ds = bloom_semi_join(ds, blocklist_ds,
+                                 blocklist_key or key_col,
+                                 big_key_col=key_col, anti=True)
 
     # 6: per-source cap by quality (ties by key — deterministic)
     if per_source_cap is not None and source_col is not None:

@@ -59,7 +59,8 @@ def content_hash64(texts) -> np.ndarray:
     return hash64(pc.cast(texts, pa.string()), cap=1 << 62)
 
 
-def exact_dedup(ds, text_col="text", key_col=None):
+def exact_dedup(ds, text_col="text", key_col=None,
+                winner_mode="broadcast"):
     """Exact dedup: keep one representative (min key) per identical text.
 
     Scale shape (100 TB): the payload NEVER enters a shuffle.
@@ -71,8 +72,11 @@ def exact_dedup(ds, text_col="text", key_col=None):
     The input lineage executes twice (two read passes) — at scale a
     second columnar read is far cheaper than an all-to-all shuffle of the
     text payload. Winner set must fit in the object store: output_rows ×
-    8 B (e.g. 10^9 survivors ≈ 8 GB) — beyond that, swap step 3 for a
-    key-partitioned hash join.
+    8 B (e.g. 10^9 survivors ≈ 8 GB) — beyond that pass
+    winner_mode="join": step 3 becomes a key-partitioned hash join
+    (join/semijoin.partitioned_key_filter) — the payload then crosses
+    the wire once, but nothing is driver-materialized at ANY winner
+    cardinality.
 
     With key_col=None falls back to a single groupby(hash) shuffle
     carrying the payload (small-data convenience path)."""
@@ -89,6 +93,12 @@ def exact_dedup(ds, text_col="text", key_col=None):
 
     winners_ds = ds.map_batches(project, batch_format="pyarrow") \
         .groupby("h64").min(key_col)
+    if winner_mode == "join":
+        from ..join.semijoin import partitioned_key_filter
+        wk = winners_ds.map_batches(
+            lambda b: pa.table({key_col: b.column(f"min({key_col})")}),
+            batch_format="pyarrow")
+        return partitioned_key_filter(ds, wk, key_col)
     keys = []
     for b in winners_ds.iter_batches(batch_format="pyarrow"):
         keys.append(b.column(f"min({key_col})").to_numpy(zero_copy_only=False))

@@ -106,3 +106,46 @@ class TestCurate:
         ds = ray.data.from_arrow(t)
         out = curate(ds, languages=None, min_quality=0.0, near_dup=True)
         assert out.take_all() == []
+
+
+class TestCurateJoinMode:
+    def test_join_mode_matches_broadcast(self, ray_session):
+        """filter_mode='join' (partitioned hash joins, nothing
+        driver-materialized) must produce exactly the broadcast-path
+        output on the planted corpus, including blocklist + cap."""
+        import ray
+        from geoflow.pipelines.curation import curate
+        t = _corpus()
+        block = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([3, 4, 5], type=pa.int64())}))
+
+        def run(mode):
+            ds = ray.data.from_arrow(t).repartition(4)
+            out = curate(ds, languages=None, min_quality=0.0,
+                         near_dup=True, blocklist_ds=block,
+                         source_col="source", per_source_cap=4,
+                         filter_mode=mode)
+            return sorted((r["doc_id"], r["source"])
+                          for r in out.take_all())
+
+        assert run("join") == run("broadcast")
+
+    def test_join_mode_neardup_only(self, ray_session):
+        import ray
+        from geoflow.pipelines.curation import curate
+        ds = ray.data.from_arrow(_corpus()).repartition(4)
+        out = curate(ds, languages=None, min_quality=0.0, near_dup=True,
+                     filter_mode="join")
+        assert sorted(r["doc_id"] for r in out.take_all()) == \
+            list(range(30))
+
+    def test_join_mode_dedup_only(self, ray_session):
+        import ray
+        from geoflow.pipelines.curation import curate
+        ds = ray.data.from_arrow(_corpus()).repartition(4)
+        out = curate(ds, languages=None, min_quality=0.0,
+                     near_dup=False, filter_mode="join")
+        got = sorted(r["doc_id"] for r in out.take_all())
+        # only exact dups collapse: 100/101 die (winner 0); near
+        # copies 200/201 survive (texts differ)
+        assert got == list(range(30)) + [200, 201]

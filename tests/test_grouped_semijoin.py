@@ -190,3 +190,91 @@ class TestBroadcastHashJoin:
         with pytest.raises(ValueError):
             bloom_semi_join(ray.data.range(5), ray.data.range(2), "id",
                             exact=False, anti=True)
+
+
+class TestPartitionedKeyFilter:
+    """Key-partitioned hash-join semi/anti filter — the documented
+    escape hatch when key sets exceed the broadcast bound. Must agree
+    with bloom_semi_join (exact) on every input."""
+
+    def _sides(self, ray):
+        import pyarrow as pa
+        d = _events(2000, keys=50, seed=11)
+        big = ray.data.from_arrow(pa.table(d)).repartition(6)
+        keys = ray.data.from_arrow(pa.table({
+            "k": np.arange(0, 50, 3, dtype=np.int64)}))
+        return d, big, keys
+
+    def test_semi_matches_broadcast(self, ray_session):
+        import ray
+        from geoflow.join.semijoin import (bloom_semi_join,
+                                           partitioned_key_filter)
+        d, big, keys = self._sides(ray)
+        got = partitioned_key_filter(big, keys, "k", big_key_col="key")
+        ref = bloom_semi_join(big, keys, "k", big_key_col="key")
+        g = sorted(r["id"] for r in got.take_all())
+        r = sorted(r["id"] for r in ref.take_all())
+        assert g == r and len(g) > 0
+
+    def test_anti_is_complement(self, ray_session):
+        import ray
+        from geoflow.join.semijoin import partitioned_key_filter
+        d, big, keys = self._sides(ray)
+        semi = partitioned_key_filter(big, keys, "k", big_key_col="key")
+        anti = partitioned_key_filter(big, keys, "k", big_key_col="key",
+                                      anti=True)
+        s = {r["id"] for r in semi.take_all()}
+        a = {r["id"] for r in anti.take_all()}
+        assert s.isdisjoint(a) and len(s) + len(a) == len(d["id"])
+        # anti preserves all original columns
+        row = anti.take(1)[0]
+        assert set(row) == {"id", "key", "val"}
+
+    def test_anti_duplicate_keys_safe(self, ray_session):
+        """Duplicate key-side rows must not duplicate or over-drop
+        big-side rows in anti mode (no dedup pass is run there)."""
+        import pyarrow as pa
+        import ray
+        from geoflow.join.semijoin import partitioned_key_filter
+        big = ray.data.from_arrow(pa.table({
+            "key": np.arange(10, dtype=np.int64)}))
+        keys = ray.data.from_arrow(pa.table({
+            "key": np.array([2, 2, 2, 5, 5], dtype=np.int64)}))
+        out = sorted(r["key"] for r in partitioned_key_filter(
+            big, keys, "key", anti=True).take_all())
+        assert out == [0, 1, 3, 4, 6, 7, 8, 9]
+
+    def test_semi_duplicate_keys_deduped(self, ray_session):
+        """keys_unique=False dedups the key side so the inner join
+        cannot fan out big-side rows."""
+        import pyarrow as pa
+        import ray
+        from geoflow.join.semijoin import partitioned_key_filter
+        big = ray.data.from_arrow(pa.table({
+            "key": np.arange(10, dtype=np.int64)}))
+        keys = ray.data.from_arrow(pa.table({
+            "key": np.array([2, 2, 2, 5], dtype=np.int64)}))
+        out = sorted(r["key"] for r in partitioned_key_filter(
+            big, keys, "key", keys_unique=False).take_all())
+        assert out == [2, 5]
+
+
+class TestExactDedupJoinMode:
+    def test_join_matches_broadcast(self, ray_session):
+        import pyarrow as pa
+        import ray
+        from geoflow.text.dedup import exact_dedup
+        n = 300
+        texts = [f"document body {i % 40}" for i in range(n)]
+        t = pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                      "text": pa.array(texts)})
+        ds = ray.data.from_arrow(t).repartition(5)
+        bc = sorted(r["doc_id"] for r in exact_dedup(
+            ds, key_col="doc_id").take_all())
+        jn = sorted(r["doc_id"] for r in exact_dedup(
+            ds, key_col="doc_id", winner_mode="join").take_all())
+        assert bc == jn == list(range(40))
+        # join mode keeps the full row schema
+        row = exact_dedup(ds, key_col="doc_id",
+                          winner_mode="join").take(1)[0]
+        assert set(row) == {"doc_id", "text"}
