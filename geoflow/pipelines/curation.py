@@ -50,7 +50,56 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["curate"]
+__all__ = ["curate", "make_filter_fn", "neardup_loser_keys"]
+
+
+def make_filter_fn(text_col="text", languages=("en",), min_quality=0.0):
+    """Batch fn for stages 1+2: appends ``quality_score`` and keeps rows
+    passing the quality threshold and (if ``languages``) the language-ID
+    filter. Shared by curate() and the resumable job CLI
+    (jobs/run_curation.py) so both apply bit-identical semantics."""
+    from ..text.analysis import langid_batch, quality_batch
+
+    langs = sorted(set(languages)) if languages else None
+
+    def filter_stage(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch, text_col=text_col)
+        score = q.column("quality_score")
+        keep = pc.greater_equal(score, pa.scalar(float(min_quality)))
+        if langs is not None:
+            lb = langid_batch(batch, text_col=text_col)
+            lang_ok = pc.is_in(lb.column("lang_pred"),
+                               value_set=pa.array(langs))
+            keep = pc.and_(keep, lang_ok)
+        out = batch.append_column("quality_score", score)
+        return out.filter(keep)
+
+    return filter_stage
+
+
+def neardup_loser_keys(ds, key_col="doc_id", text_col="text"):
+    """Dataset of ``loser`` keys: every doc with a SMALLER MinHash-LSH
+    near-dup partner (including exact duplicates — identical texts
+    collide in every band with certainty). Dropping these keys from
+    ``ds`` is the whole dedup step; the key list may contain repeats
+    (one per pair), which every consumer here tolerates (np.unique on
+    the broadcast path, duplicate-safe anti-join on the join path)."""
+    from ..text.dedup import MinHasher, lsh_band_pairs
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: batch.column(key_col),
+                         "text": batch.column(text_col)})
+
+    sigs = ds.map_batches(project, batch_format="pyarrow") \
+        .map_batches(MinHasher(), batch_format="pyarrow")
+    pairs = lsh_band_pairs(sigs, key_col=key_col)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        a = batch.column("key_a").to_numpy(zero_copy_only=False)
+        b = batch.column("key_b").to_numpy(zero_copy_only=False)
+        return pa.table({"loser": pa.array(np.maximum(a, b))})
+
+    return pairs.map_batches(losers, batch_format="pyarrow")
 
 
 def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
@@ -71,29 +120,13 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
     the payload crosses the wire once per filtered stage, but nothing
     is driver-materialized at ANY key cardinality; the 10-TB+ setting
     for duplicate-heavy corpora)."""
-    from ..text.analysis import langid_batch, quality_batch
-    from ..text.dedup import (MinHasher, _winner_cache_get, exact_dedup,
-                              lsh_band_pairs)
-
-    ds = docs_ds
+    from ..text.dedup import _winner_cache_get, exact_dedup
 
     # 1+2: language + quality in ONE map stage (both are per-row
     # vectorized kernels; fusing avoids a second pass over the text)
-    langs = set(languages) if languages else None
-
-    def filter_stage(batch: pa.Table) -> pa.Table:
-        q = quality_batch(batch, text_col=text_col)
-        score = q.column("quality_score")
-        keep = pc.greater_equal(score, pa.scalar(float(min_quality)))
-        if langs is not None:
-            lb = langid_batch(batch, text_col=text_col)
-            lang_ok = pc.is_in(lb.column("lang_pred"),
-                               value_set=pa.array(sorted(langs)))
-            keep = pc.and_(keep, lang_ok)
-        out = batch.append_column("quality_score", score)
-        return out.filter(keep)
-
-    ds = ds.map_batches(filter_stage, batch_format="pyarrow")
+    ds = docs_ds.map_batches(
+        make_filter_fn(text_col, languages, min_quality),
+        batch_format="pyarrow")
 
     # 3: exact dedup (min-key winner per identical text). When the LSH
     # stage runs it SUBSUMES exact dedup — identical texts have
@@ -112,24 +145,13 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
     if near_dup:
         import ray
 
-        def project(batch: pa.Table) -> pa.Table:
-            return pa.table({key_col: batch.column(key_col),
-                             "text": batch.column(text_col)})
-
-        sigs = ds.map_batches(project, batch_format="pyarrow") \
-            .map_batches(MinHasher(), batch_format="pyarrow")
-        pairs = lsh_band_pairs(sigs, key_col=key_col)
-
-        def losers(batch: pa.Table) -> pa.Table:
-            a = batch.column("key_a").to_numpy(zero_copy_only=False)
-            b = batch.column("key_b").to_numpy(zero_copy_only=False)
-            return pa.table({"loser": pa.array(np.maximum(a, b))})
+        loser_ds = neardup_loser_keys(ds, key_col=key_col,
+                                      text_col=text_col)
 
         if filter_mode == "join":
             # fully-distributed drop: anti-join the corpus against the
             # loser keys (duplicate-safe in anti mode — no dedup pass)
             from ..join.semijoin import partitioned_key_filter
-            loser_ds = pairs.map_batches(losers, batch_format="pyarrow")
             ds = partitioned_key_filter(ds, loser_ds, "loser",
                                         big_key_col=key_col, anti=True)
             return _finish(ds, blocklist_ds, blocklist_key, key_col,
@@ -137,8 +159,7 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
 
         loser_parts = [
             b.column("loser").to_numpy(zero_copy_only=False)
-            for b in pairs.map_batches(losers, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")]
+            for b in loser_ds.iter_batches(batch_format="pyarrow")]
         loser_keys = np.unique(np.concatenate(loser_parts)) \
             if loser_parts else np.empty(0, np.int64)
         ref = ray.put(loser_keys)

@@ -1,0 +1,131 @@
+"""Worker-side pieces of the resumable curation job.
+
+Lives in the package (not jobs/) so Ray workers can import the remote
+`run_partition` by reference — jobs/run_curation.py is the thin CLI
+orchestrator. See its module docstring for the two-phase checkpoint
+contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+# per-worker-process cache of loaded key arrays: (path, chain) -> ndarray
+_KEYS_CACHE: dict = {}
+
+
+def _load_keys(path: str, chain: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    k = (path, chain)
+    arr = _KEYS_CACHE.get(k)
+    if arr is None:
+        if path and os.path.exists(path):
+            arr = pq.read_table(path).column("key").to_numpy(
+                zero_copy_only=False)
+        else:
+            arr = np.empty(0, dtype=np.int64)
+        _KEYS_CACHE.clear()
+        _KEYS_CACHE[k] = arr
+    return arr
+
+
+def phase1_chain(files: list, *, neardup: bool, languages: str,
+                 min_quality: float, key_col: str, text_col: str) -> str:
+    from ..io.lineage import op_chain_hash
+    desc = (f"curation_dropkeys:v1|neardup:{neardup}"
+            f"|langs:{languages}|minq:{min_quality}"
+            f"|key:{key_col}|text:{text_col}"
+            "|files:" + ",".join(files))
+    return op_chain_hash(desc)
+
+
+def _parse_langs(languages: str):
+    return tuple(s for s in languages.split(",") if s) or None
+
+
+def compute_drop_keys(files: list, state_dir: str, chain: str, *,
+                      neardup: bool, languages: str, min_quality: float,
+                      key_col: str, text_col: str) -> int:
+    """PHASE 1: distributed drop-key computation + checkpoint write.
+    Returns the number of drop keys."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..text.dedup import exact_dup_loser_keys
+    from .curation import make_filter_fn, neardup_loser_keys
+
+    ds = ray.data.read_parquet(files, columns=[key_col, text_col])
+    ds = ds.map_batches(
+        make_filter_fn(text_col, _parse_langs(languages), min_quality),
+        batch_format="pyarrow")
+    if neardup:
+        losers = neardup_loser_keys(ds, key_col=key_col,
+                                    text_col=text_col)
+    else:
+        losers = exact_dup_loser_keys(ds, text_col=text_col,
+                                      key_col=key_col)
+    parts = [b.column("loser").to_numpy(zero_copy_only=False)
+             for b in losers.iter_batches(batch_format="pyarrow")]
+    keys = np.unique(np.concatenate(parts)) if parts else \
+        np.empty(0, dtype=np.int64)
+
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, ".dropkeys.tmp")
+    pq.write_table(pa.table({"key": pa.array(keys)}), tmp)
+    os.replace(tmp, os.path.join(state_dir, "dropkeys.parquet"))
+    with open(os.path.join(state_dir, "dropkeys.json"), "w") as f:
+        json.dump({"op_chain_hash": chain, "n_keys": int(len(keys))}, f)
+    return int(len(keys))
+
+
+def dropkeys_done(state_dir: str, chain: str) -> bool:
+    meta = os.path.join(state_dir, "dropkeys.json")
+    if not (os.path.exists(meta)
+            and os.path.exists(os.path.join(state_dir,
+                                            "dropkeys.parquet"))):
+        return False
+    try:
+        with open(meta) as f:
+            return json.load(f).get("op_chain_hash") == chain
+    except (OSError, ValueError):
+        return False
+
+
+def run_partition(pid: int, files: list, out_dir: str, chain: str,
+                  dropkeys_path: str, drop_chain: str,
+                  blocklist_path: str, blocklist_key: str,
+                  key_col: str, text_col: str, languages: str,
+                  min_quality: float) -> dict:
+    """PHASE 2: one partition (runs inside a Ray task)."""
+    import pyarrow.parquet as pq
+
+    from ..io.lineage import write_partition
+    from .curation import make_filter_fn
+
+    t0 = time.monotonic()
+    filt = make_filter_fn(text_col, _parse_langs(languages), min_quality)
+    drop = _load_keys(dropkeys_path, drop_chain)
+    block = np.sort(pq.read_table(blocklist_path)
+                    .column(blocklist_key).to_numpy(
+                        zero_copy_only=False)) \
+        if blocklist_path else np.empty(0, np.int64)
+
+    outs, rows_in = [], 0
+    for f in files:
+        table = pq.read_table(f)
+        rows_in += table.num_rows
+        t = filt(table)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        mask = np.ones(len(keys), dtype=bool)
+        for ks in (drop, block):
+            if len(ks):
+                pos = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+                mask &= ks[pos] != keys
+        outs.append(t.filter(pa.array(mask)))
+    result = pa.concat_tables(outs) if outs else pa.table({})
+    return write_partition(out_dir, pid, result, chain, rows_in,
+                           input_desc=json.dumps(files), t_start=t0)

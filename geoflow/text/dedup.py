@@ -119,6 +119,40 @@ def exact_dedup(ds, text_col="text", key_col=None,
     return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
+def exact_dup_loser_keys(ds, text_col="text", key_col="doc_id",
+                         num_partitions=None):
+    """Dataset of ``loser`` keys: every doc whose text is an exact
+    duplicate of a SMALLER-keyed doc (the complement of exact_dedup's
+    winner set, as keys to DROP). Shape: (h64, key) 16-byte projection
+    → groupby(h64).min → hash-join the min back onto the projection on
+    h64 → keep key != min. Nothing is driver-materialized, so the
+    loser set may be arbitrarily large (duplicate-heavy web corpora).
+    Used by the resumable curation job's checkpointed drop-set phase."""
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        num_partitions = max(2, min(cpus // 4, 16))
+
+    def project(batch: pa.Table) -> pa.Table:
+        h = content_hash64(batch.column(text_col))
+        return pa.table({"h64": pa.array(h.view(np.int64)),
+                         key_col: batch.column(key_col)})
+
+    proj = ds.map_batches(project, batch_format="pyarrow")
+    winners = proj.groupby("h64").min(key_col)
+    joined = proj.join(winners, join_type="inner",
+                       num_partitions=num_partitions, on=("h64",))
+
+    def non_min(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        w = batch.column(f"min({key_col})").to_numpy(zero_copy_only=False)
+        return pa.table({"loser": pa.array(k[k != w])})
+
+    return joined.map_batches(non_min, batch_format="pyarrow")
+
+
 # per-worker-process cache of fetched winner arrays (task pool pattern:
 # workers persist across tasks; one ray.get per worker, not per batch)
 _WINNER_CACHE: dict = {}

@@ -1,0 +1,148 @@
+"""Resumable corpus-curation job — `ray job submit` entry point.
+
+    ray job submit -- python jobs/run_curation.py \
+        --input /data/corpus --output /data/curated \
+        --partitions 64 --languages en,de --min-quality 0.6
+
+Two checkpointed phases (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics"):
+
+  PHASE 1 — drop-key set (global, checkpointed once). The LSH near-dup
+  loser keys (or, with --no-neardup, the exact-duplicate non-winner
+  keys) over the FILTERED corpus are computed distributed
+  (pipelines/curation.neardup_loser_keys / text/dedup.
+  exact_dup_loser_keys — 16-byte shuffle rows, payload never shuffles)
+  and written to `out/_state/dropkeys.parquet` with a chain-hash
+  record. A re-run whose params + input file list hash to the same
+  chain SKIPS the phase entirely. The key set is driver-uniquified at
+  write (documented bound: 8 B/dropped-doc — the same bound phase 2's
+  per-task load implies; corpora beyond it should run the library
+  `curate(filter_mode="join")` as one non-checkpointed pass instead).
+
+  PHASE 2 — per-partition apply (embarrassingly parallel, resumable
+  per partition). Each partition reads its file group, applies the
+  SAME filter kernel (pipelines/curation.make_filter_fn — bit-identical
+  semantics to curate()), drops dropkeys + optional blocklist keys
+  (sorted-array searchsorted, loaded once per worker process via a
+  module cache), and writes part-N.parquet + _lineage/part-N.json
+  atomically. The partition chain hash covers params + phase-1 chain +
+  the exact file group, so changing any input or knob re-runs exactly
+  the affected partitions; a killed job resumes where it stopped with
+  byte-identical output (deterministic kernels).
+
+The per-source quality cap (curate(per_source_cap=...)) is a global
+top-k over the FINAL output and is intentionally not part of the
+per-partition contract — run `geoflow.ops.grouped.grouped_topk` over
+the curated output as a downstream step.
+
+Worker-side logic lives in geoflow/pipelines/curation_job.py (the
+package is importable on Ray workers; this file is the thin CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="corpus parquet dir")
+    ap.add_argument("--output", required=True, help="output dir")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--parallel", type=int, default=0)
+    ap.add_argument("--languages", default="",
+                    help="comma-separated lang_pred keep-set; empty = no filter")
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--no-neardup", action="store_true",
+                    help="exact-dup drop set instead of LSH near-dup")
+    ap.add_argument("--blocklist", default="",
+                    help="parquet file of keys to drop")
+    ap.add_argument("--blocklist-key", default="key")
+    ap.add_argument("--key-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
+
+    from geoflow.io.lineage import (is_partition_done, op_chain_hash,
+                                    read_lineage)
+    from geoflow.pipelines import curation_job as cj
+
+    files = sorted(os.path.join(args.input, f)
+                   for f in os.listdir(args.input)
+                   if f.endswith(".parquet"))
+    state_dir = os.path.join(args.output, "_state")
+    params = dict(neardup=not args.no_neardup, languages=args.languages,
+                  min_quality=args.min_quality, key_col=args.key_col,
+                  text_col=args.text_col)
+    p1 = cj.phase1_chain(files, **params)
+    t_start = time.monotonic()
+    if cj.dropkeys_done(state_dir, p1):
+        with open(os.path.join(state_dir, "dropkeys.json")) as f:
+            n_drop = json.load(f)["n_keys"]
+        print(f"phase1: resumed from checkpoint ({n_drop} drop keys)")
+    else:
+        n_drop = cj.compute_drop_keys(files, state_dir, p1, **params)
+        print(f"phase1: computed {n_drop} drop keys")
+    p1_wall = time.monotonic() - t_start
+
+    groups = [files[i::args.partitions] for i in range(args.partitions)]
+    chains = [op_chain_hash(
+        f"curation_apply:v1|p1:{p1}|blk:{args.blocklist}:"
+        f"{args.blocklist_key}|nparts:{args.partitions}"
+        "|files:" + ",".join(grp)) for grp in groups]
+
+    # orphan cleanup mirrors run_pipeline (pid >= partitions)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run_pipeline import cleanup_orphan_partitions
+    cleanup_orphan_partitions(args.output, args.partitions)
+
+    todo = [(pid, grp) for pid, grp in enumerate(groups)
+            if grp and not is_partition_done(args.output, pid,
+                                             chains[pid])]
+    print(f"partitions: {args.partitions} total, {len(todo)} to run "
+          f"({args.partitions - len(todo)} resumed from checkpoint)")
+
+    dk_path = os.path.join(state_dir, "dropkeys.parquet")
+    task = ray.remote(num_cpus=1)(cj.run_partition)
+    max_parallel = args.parallel or int(
+        ray.cluster_resources().get("CPU", 8))
+
+    pending = []
+    for pid, grp in todo:
+        pending.append(task.remote(
+            pid, grp, args.output, chains[pid], dk_path, p1,
+            args.blocklist, args.blocklist_key, args.key_col,
+            args.text_col, args.languages, args.min_quality))
+        if len(pending) >= max_parallel:
+            ready, pending = ray.wait(pending, num_returns=1)
+            ray.get(ready)
+    ray.get(pending)
+
+    recs = read_lineage(args.output)
+    wall = time.monotonic() - t_start
+    run_pids = {pid for pid, _ in todo}
+    rows_this_run = sum(r["rows_in"] for r in recs
+                        if r["partition"] in run_pids)
+    print(json.dumps({
+        "partitions_run": len(todo), "partitions_total": len(recs),
+        "drop_keys": n_drop, "phase1_wall_s": round(p1_wall, 2),
+        "rows_in": sum(r["rows_in"] for r in recs),
+        "rows_out": sum(r["rows_out"] for r in recs),
+        "wall_s": round(wall, 2),
+        "rows_per_sec": round(rows_this_run / wall, 1)
+        if wall > 0.01 and rows_this_run else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Resumable curation job CLI (jobs/run_curation.py): phase-1 drop-set
+checkpoint, per-partition resume with byte-identical output, and
+equivalence with the library curate() pipeline."""
+
+import json
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+JOBS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "jobs")
+
+
+def _job_main(argv):
+    sys.path.insert(0, JOBS)
+    import run_curation
+    old = sys.argv
+    sys.argv = ["run_curation.py"] + argv
+    try:
+        run_curation.main()
+    finally:
+        sys.argv = old
+
+
+def _corpus_files(tmp_path, n_files=4):
+    sys.path.insert(0, os.path.dirname(JOBS))
+    from tests.test_curation import _corpus
+    t = _corpus()
+    d = str(tmp_path / "corpus")
+    os.makedirs(d, exist_ok=True)
+    step = (t.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        pq.write_table(t.slice(i * step, step), f"{d}/f{i}.parquet")
+    return d, t
+
+
+class TestRunCuration:
+    def test_run_resume_and_library_equivalence(self, ray_session,
+                                                tmp_path, capsys):
+        inp, t = _corpus_files(tmp_path)
+        out = str(tmp_path / "out")
+        args = ["--input", inp, "--output", out, "--partitions", "3"]
+
+        _job_main(args)
+        first = capsys.readouterr().out
+        assert "3 to run (0 resumed" in first
+        metrics = json.loads(first.strip().splitlines()[-1])
+        assert metrics["partitions_run"] == 3
+
+        # full resume: nothing re-runs, same totals
+        _job_main(args)
+        second = capsys.readouterr().out
+        assert "0 to run (3 resumed" in second
+        m2 = json.loads(second.strip().splitlines()[-1])
+        assert m2["rows_out"] == metrics["rows_out"]
+        assert "phase1: resumed" in second
+
+        # output rows == library curate() on the same corpus
+        import ray
+        from geoflow.pipelines.curation import curate
+        lib = curate(ray.data.from_arrow(t), languages=None,
+                     min_quality=0.0, near_dup=True)
+        lib_ids = sorted(r["doc_id"] for r in lib.take_all())
+        got = pq.read_table(out).column("doc_id").to_pylist()
+        assert sorted(got) == lib_ids == list(range(30))
+
+    def test_partial_run_byte_identical(self, ray_session, tmp_path,
+                                        capsys):
+        """A run missing two partitions (as after a crash) re-runs
+        exactly those and reproduces byte-identical part files."""
+        inp, _ = _corpus_files(tmp_path)
+        full = str(tmp_path / "full")
+        resumed = str(tmp_path / "resumed")
+        args = lambda o: ["--input", inp, "--output", o,
+                          "--partitions", "4"]
+
+        _job_main(args(full))
+        _job_main(args(resumed))
+        capsys.readouterr()
+
+        # simulate the crash: partitions 1 and 3 never completed
+        for pid in (1, 3):
+            os.remove(os.path.join(resumed, f"part-{pid:05d}.parquet"))
+            os.remove(os.path.join(resumed, "_lineage",
+                                   f"part-{pid:05d}.json"))
+
+        _job_main(args(resumed))
+        outtxt = capsys.readouterr().out
+        assert "2 to run (2 resumed from checkpoint" in outtxt
+        assert "phase1: resumed" in outtxt
+
+        for pid in range(4):
+            p = f"part-{pid:05d}.parquet"
+            fa, fb = os.path.join(full, p), os.path.join(resumed, p)
+            with open(fa, "rb") as a, open(fb, "rb") as b:
+                assert a.read() == b.read()
+
+    def test_blocklist_and_param_invalidation(self, ray_session,
+                                              tmp_path, capsys):
+        inp, _ = _corpus_files(tmp_path)
+        out = str(tmp_path / "out")
+        blk = str(tmp_path / "block.parquet")
+        pq.write_table(pa.table({"key": pa.array([7, 8], pa.int64())}),
+                       blk)
+        _job_main(["--input", inp, "--output", out, "--partitions", "2"])
+        capsys.readouterr()
+        # adding a blocklist invalidates phase 2 but NOT phase 1
+        _job_main(["--input", inp, "--output", out, "--partitions", "2",
+                   "--blocklist", blk, "--blocklist-key", "key"])
+        txt = capsys.readouterr().out
+        assert "phase1: resumed" in txt
+        assert "2 to run (0 resumed" in txt
+        ids = pq.read_table(out).column("doc_id").to_pylist()
+        assert 7 not in ids and 8 not in ids and 9 in ids
