@@ -1491,6 +1491,35 @@ def q_dim_join(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_pq_ann(sf_dir: str):
+    """Product-quantization ANN (geoflow/vector/pq.py — Jégou et al.
+    2011 ADC), ORACLE-GATED via self-retrieval: queries are the first 5
+    corpus vectors; with max off-diagonal cosine ≈0.5 on this table and
+    PQ reconstruction cosine ≈0.95 (m=8×8-bit codes, deterministic
+    codebooks), rank-1 must be the query row itself — verified to hold
+    at sf0.001/0.01/0.1. The corpus is scanned as 8-byte codes: the
+    float embedding column never leaves the encode stage."""
+    import pyarrow.parquet as pq
+    import ray
+    from geoflow.vector import QuerySet
+    from geoflow.vector.ann import _embedding_matrix
+    from geoflow.vector.pq import pq_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qrows = emb.filter(pc.less(emb.column("vec_id"), 5))
+    qs = QuerySet(qrows.column("vec_id").to_numpy(zero_copy_only=False),
+                  _embedding_matrix(qrows, "embedding"))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(ds, qs, k=1)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b.column("query_id"),
+            "vec_id": b.column("vec_id"),
+            "rank": pc.cast(b.column("rank"), pa.int32())}),
+        batch_format="pyarrow")
+
+
 def q_curation(sf_dir: str):
     """End-to-end corpus-curation composite, ORACLE-GATED
     (geoflow/pipelines/curation.py): fused language+quality filter →
@@ -1628,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q_semi_join,
         "grouped_topk": q_grouped_topk,
         "dim_join": q_dim_join,
+        "pq_ann": q_pq_ann,
         "curation": q_curation,
         "curation_neardup": q_curation_neardup,
         "flagship": q_flagship,
@@ -2139,4 +2169,7 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY quality_score DESC, doc_id) <= 5""",
         "curation_neardup": """
             SELECT doc_id FROM documents""",
+        "pq_ann": """
+            SELECT vec_id AS query_id, vec_id, 1 AS rank
+            FROM embeddings WHERE vec_id < 5""",
     }

@@ -347,3 +347,109 @@ def test_char_jaccard_matches_duckdb():
     for (a, b), o in zip(cases, ours):
         ref = duckdb.sql(f"SELECT jaccard('{a}', '{b}')").fetchone()[0]
         assert o == ref, (a, b, o, ref)
+
+
+class TestProductQuantization:
+    """PQ / IVF-PQ (geoflow/vector/pq.py): deterministic training,
+    self-retrieval on well-separated vectors, cluster-level recall on
+    clustered corpora (ADC cannot resolve orderings much finer than the
+    quantization error, so exact-member recall on tight clusters is the
+    wrong criterion — retrieving the right CLUSTER is)."""
+
+    def _clustered(self, n=600, d=32, n_clusters=12, seed=7):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4
+        assign = rng.integers(0, n_clusters, n)
+        mat = centers[assign] + rng.standard_normal((n, d)).astype(np.float32) * 0.3
+        return mat, assign
+
+    def _random(self, n=500, d=64, seed=3):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((n, d)).astype(np.float32)
+
+    def test_training_deterministic(self):
+        from geoflow.vector.pq import train_pq_codebooks
+        mat, _ = self._clustered()
+        a = train_pq_codebooks(mat, m=8, n_bits=6)
+        b = train_pq_codebooks(mat, m=8, n_bits=6)
+        assert a.shape == (8, 64, 4)
+        assert np.array_equal(a, b)
+
+    def test_bad_dim_raises(self):
+        from geoflow.vector.pq import train_pq_codebooks
+        with pytest.raises(ValueError):
+            train_pq_codebooks(np.zeros((10, 30), np.float32), m=8)
+
+    def _ds(self, ray, mat):
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+            "embedding": pa.array(
+                [row.tolist() for row in mat],
+                type=pa.list_(pa.float32()))})
+        return ray.data.from_arrow(t).repartition(4)
+
+    def _topk_by_query(self, out):
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"]))
+        return {q: [v for _, v in sorted(rows)]
+                for q, rows in by_q.items()}
+
+    def test_pq_self_retrieval_random(self, ray_session):
+        """Well-separated corpus (random d=64: max pairwise cosine
+        ~0.55 << recon cosine ~0.95): rank 1 must be the query row."""
+        import ray
+        from geoflow.vector import QuerySet
+        from geoflow.vector.pq import pq_topk
+        mat = self._random()
+        ds = self._ds(ray, mat)
+        qids = np.array([3, 50, 101, 222], dtype=np.int64)
+        qs = QuerySet(qids, mat[qids])
+        got = self._topk_by_query(
+            pq_topk(ds, qs, k=5, m=8, n_bits=8).take_all())
+        for q in qids:
+            assert got[q][0] == q, (q, got[q])
+
+    def test_pq_cluster_recall(self, ray_session):
+        import ray
+        from geoflow.vector import QuerySet
+        from geoflow.vector.pq import pq_topk
+        mat, assign = self._clustered()
+        ds = self._ds(ray, mat)
+        qids = np.array([3, 50, 101, 222], dtype=np.int64)
+        qs = QuerySet(qids, mat[qids])
+        got = self._topk_by_query(
+            pq_topk(ds, qs, k=10, m=8, n_bits=8).take_all())
+        for q in qids:
+            same = sum(1 for v in got[q] if assign[v] == assign[q])
+            assert same >= 9, (q, got[q])
+
+    def test_ivfpq_cluster_recall_and_self(self, ray_session):
+        import ray
+        from geoflow.vector import QuerySet
+        from geoflow.vector.pq import pq_topk
+        mat, assign = self._clustered(n=800)
+        ds = self._ds(ray, mat)
+        qids = np.array([10, 400], dtype=np.int64)
+        qs = QuerySet(qids, mat[qids])
+        got = self._topk_by_query(
+            pq_topk(ds, qs, k=10, m=8, n_bits=8, n_lists=8,
+                    nprobe=3).take_all())
+        for q in qids:
+            same = sum(1 for v in got[q] if assign[v] == assign[q])
+            assert same >= 9, (q, got[q])
+
+    def test_code_size_is_m_bytes(self, ray_session):
+        import ray
+        from geoflow.vector.pq import PqEncoder, train_pq_codebooks
+        mat, _ = self._clustered(n=100)
+        cb = train_pq_codebooks(mat, m=8, n_bits=8)
+        enc = PqEncoder(cb)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(100, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in mat],
+                                  type=pa.list_(pa.float32()))})
+        out = enc(t)
+        codes = out.column("pq_code")
+        assert all(len(codes[i].as_py()) == 8 for i in range(5))
