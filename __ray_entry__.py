@@ -450,6 +450,16 @@ def q_token_count(sf_dir: str):
         compute, batch_format="pyarrow")
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-style pre-token count per doc (text/analysis.py
+    BPE_SPLIT_PATTERN — RE2 on both engines, so counts match exactly)."""
+    from geoflow.text import bpe_token_count_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: bpe_token_count_batch(b).select(
+            ["doc_id", "n_tokens_bpe"]),
+        batch_format="pyarrow")
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 of all embeddings vs the first 5 vectors
     as queries (exact baseline of the ANN stage)."""
@@ -1618,6 +1628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_allen": q_temporal_allen,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "bpe_tokens": q_bpe_tokens,
         "ann_topk": q_ann_topk,
         "near_dup": q_near_dup,
         "embed_near_dup": q_embed_near_dup,
@@ -1772,6 +1783,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text""",
         "token_count": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+            FROM documents""",
+        "bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s+'))
+                        AS BIGINT) AS n_tokens_bpe
             FROM documents""",
         "near_dup": """
             SELECT doc_id AS key_a, doc_id + 1000000 AS key_b

@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "event_quantiles", "distinct_users", "hll_users", "dbscan", "kmeans",
     "cluster_within", "cluster_intersecting", "semantic_clusters",
     "mvt_tile", "traj_cpa", "semi_join", "grouped_topk", "dim_join",
-    "curation", "curation_neardup", "pq_ann",
+    "curation", "curation_neardup", "pq_ann", "bpe_tokens",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -143,6 +143,24 @@ def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
                                pc.cast(toks, pa.int64()))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to RE2 syntax (no
+# lookaheads — Arrow and DuckDB both run RE2, so counts agree exactly):
+# contraction suffixes, space-prefixed letter/digit/punct runs, whitespace
+BPE_SPLIT_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                     r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|\s+")
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """BPE-style pre-token count (the unit LLM tokenizers split on
+    before merges — the standard corpus 'token budget' measure, unlike
+    the coarser \\S+ whitespace count): number of BPE_SPLIT_PATTERN
+    matches, fully vectorized in Arrow RE2."""
+    toks = pc.count_substring_regex(
+        pc.cast(batch.column(text_col), pa.string()), BPE_SPLIT_PATTERN)
+    return batch.append_column("n_tokens_bpe",
+                               pc.cast(toks, pa.int64()))
+
+
 def fingerprint_batch(batch: pa.Table, text_col="text", window: int = 16,
                       out_col="doc_fingerprint") -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over

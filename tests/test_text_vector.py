@@ -453,3 +453,14 @@ class TestProductQuantization:
         out = enc(t)
         codes = out.column("pq_code")
         assert all(len(codes[i].as_py()) == 8 for i in range(5))
+
+
+def test_bpe_token_count_known_values():
+    """Engine counts must equal hand-verified pre-token splits."""
+    from geoflow.text import bpe_token_count_batch
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "text": pa.array([
+                      "Hello world", "", "it's done", "a1b"])})
+    out = bpe_token_count_batch(t).column("n_tokens_bpe").to_pylist()
+    # "Hello"," world" | [] | "it","'s"," done" | "a","1","b"
+    assert out == [2, 0, 3, 3]
