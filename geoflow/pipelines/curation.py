@@ -106,8 +106,10 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
            languages=("en",), min_quality=0.0, near_dup=True,
            blocklist_ds=None, blocklist_key=None, per_source_cap=None,
            filter_mode="broadcast"):
-    """documents Dataset → curated documents Dataset (same columns plus
-    ``quality_score``). See module docstring for the stage sequence;
+    """documents Dataset → curated documents Dataset (same columns,
+    plus ``quality_score`` whenever a quality/language filter or the
+    per-source cap is active). See module docstring for the stage
+    sequence;
     every stage is optional via its parameter (``languages=None`` skips
     language ID, ``min_quality=0`` keeps the score column but drops
     nothing, ``near_dup=False`` / ``blocklist_ds=None`` /
@@ -123,10 +125,18 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
     from ..text.dedup import _winner_cache_get, exact_dedup
 
     # 1+2: language + quality in ONE map stage (both are per-row
-    # vectorized kernels; fusing avoids a second pass over the text)
-    ds = docs_ds.map_batches(
-        make_filter_fn(text_col, languages, min_quality),
-        batch_format="pyarrow")
+    # vectorized kernels; fusing avoids a second pass over the text).
+    # Skipped entirely when nothing downstream needs the score — the
+    # filtered lineage re-executes per dedup pass, so a no-op filter
+    # would still pay the quality kernels several times over.
+    needs_filter = (languages is not None or min_quality > 0
+                    or (per_source_cap is not None
+                        and source_col is not None))
+    ds = docs_ds
+    if needs_filter:
+        ds = ds.map_batches(
+            make_filter_fn(text_col, languages, min_quality),
+            batch_format="pyarrow")
 
     # 3: exact dedup (min-key winner per identical text). When the LSH
     # stage runs it SUBSUMES exact dedup — identical texts have
