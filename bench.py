@@ -150,6 +150,54 @@ def _flagship_once(num_cpus: int, rows: int) -> dict:
             "tile_rows": n_tiles, "rows_per_sec": rows / dt}
 
 
+def _curation_once(num_cpus: int, rows: int) -> dict:
+    """One fresh-process curation-pipeline run over the pre-generated
+    corpus (the webtext-side scaling twin of _flagship_once): url-derived
+    int keys → quality filter → MinHash-LSH near-dup drop. The synth
+    corpus has organic exact-dup groups (10% geomless rows share filler
+    text) and near-dup families (same filler, different coords), so the
+    dedup machinery does real hot-bucket work."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    from geoflow.pipelines.curation import curate
+    corpus_dir = os.path.join(BENCH_CORPUS_DIR, f"rows={rows}")
+
+    def keyed(b: "pa.Table") -> "pa.Table":
+        # url = https://example.org/page/%08d — the tail digits are the id
+        ids = _pc.cast(_pc.utf8_slice_codeunits(
+            b.column("url"), start=25, stop=99), pa.int64())
+        return pa.table({"doc_id": ids, "text": b.column("text")})
+
+    def run():
+        corpus = ray.data.read_parquet(corpus_dir, columns=["url", "text"])
+        ds = curate(corpus.map_batches(keyed, batch_format="pyarrow"),
+                    languages=None, min_quality=0.2, near_dup=True)
+        n = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+
+    # warm-up on a slice of the files to exclude import/spin-up costs
+    warm_files = sorted(
+        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet"))[:8]
+    warm = ray.data.read_parquet(warm_files, columns=["url", "text"])
+    for _ in curate(warm.map_batches(keyed, batch_format="pyarrow"),
+                    languages=None, min_quality=0.2,
+                    near_dup=True).iter_batches(batch_format="pyarrow"):
+        pass
+
+    t0 = time.monotonic()
+    n_out = run()
+    dt = time.monotonic() - t0
+    ray.shutdown()
+    return {"rows": rows, "sec": dt, "rows_out": n_out,
+            "rows_per_sec": rows / dt}
+
+
 def run_scaling():
     _ensure_bench_corpus(SCALE_ROWS)
     # default pair 4→16: at 32 busy CPUs this single box is fully
@@ -159,6 +207,9 @@ def run_scaling():
     pair = tuple(int(c) for c in os.environ.get(
         "GRAFT_SCALE_CPUS", "4,16").split(","))
     repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "2"))
+    # GRAFT_SCALE_PIPELINE=curation measures the webtext curation
+    # pipeline (filter + LSH dedup) instead of the spatial flagship
+    pipeline = os.environ.get("GRAFT_SCALE_PIPELINE", "flagship")
     results = {}
     first = True
     for cpus in pair:
@@ -173,7 +224,7 @@ def run_scaling():
             first = False
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--flagship-once", str(cpus), str(SCALE_ROWS)],
+                 f"--{pipeline}-once", str(cpus), str(SCALE_ROWS)],
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             line = [l for l in out.stdout.splitlines()
@@ -195,7 +246,7 @@ def run_scaling():
     rps_hi = results[hi]["rows_per_sec"]
     eff = rps_hi / ((hi / lo) * rps_lo)
     print(json.dumps({
-        "metric": "flagship_scaling_efficiency",
+        "metric": f"{pipeline}_scaling_efficiency",
         "value": round(eff, 4),
         "unit": "ratio",
         "queries": {f"rows_per_sec_cpus{lo}": round(rps_lo, 1),
@@ -212,5 +263,7 @@ if __name__ == "__main__":
         run_scaling()
     elif len(sys.argv) > 1 and sys.argv[1] == "--flagship-once":
         print(json.dumps(_flagship_once(int(sys.argv[2]), int(sys.argv[3]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--curation-once":
+        print(json.dumps(_curation_once(int(sys.argv[2]), int(sys.argv[3]))))
     else:
         run_queries()

@@ -81,10 +81,13 @@ def neardup_loser_keys(ds, key_col="doc_id", text_col="text"):
     """Dataset of ``loser`` keys: every doc with a SMALLER MinHash-LSH
     near-dup partner (including exact duplicates — identical texts
     collide in every band with certainty). Dropping these keys from
-    ``ds`` is the whole dedup step; the key list may contain repeats
-    (one per pair), which every consumer here tolerates (np.unique on
-    the broadcast path, duplicate-safe anti-join on the join path)."""
-    from ..text.dedup import MinHasher, lsh_band_pairs
+    ``ds`` is the whole dedup step. Computed pair-free via
+    text/dedup.lsh_loser_keys (per-bucket non-min emission — identical
+    loser set, no O(family²) pair materialization). The key list may
+    contain repeats (one per bucket), which every consumer here
+    tolerates (np.unique on the broadcast path, duplicate-safe
+    anti-join on the join path)."""
+    from ..text.dedup import MinHasher, lsh_loser_keys
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table({key_col: batch.column(key_col),
@@ -92,14 +95,7 @@ def neardup_loser_keys(ds, key_col="doc_id", text_col="text"):
 
     sigs = ds.map_batches(project, batch_format="pyarrow") \
         .map_batches(MinHasher(), batch_format="pyarrow")
-    pairs = lsh_band_pairs(sigs, key_col=key_col)
-
-    def losers(batch: pa.Table) -> pa.Table:
-        a = batch.column("key_a").to_numpy(zero_copy_only=False)
-        b = batch.column("key_b").to_numpy(zero_copy_only=False)
-        return pa.table({"loser": pa.array(np.maximum(a, b))})
-
-    return pairs.map_batches(losers, batch_format="pyarrow")
+    return lsh_loser_keys(sigs, key_col=key_col)
 
 
 def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,

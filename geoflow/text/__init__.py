@@ -3,10 +3,10 @@ from .analysis import (bpe_token_count_batch, detect_language,
                        token_count_batch)
 from .dedup import (CharMinHasher, MinHasher, SimHasher,
                     add_content_hash, exact_dedup, hamming_distance,
-                    lsh_band_pairs, ngram_jaccard)
+                    lsh_band_pairs, lsh_loser_keys, ngram_jaccard)
 
 __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "fingerprint_batch", "langid_batch",
            "quality_batch", "token_count_batch", "MinHasher", "SimHasher",
            "add_content_hash", "exact_dedup", "hamming_distance",
-           "lsh_band_pairs", "ngram_jaccard"]
+           "lsh_band_pairs", "lsh_loser_keys", "ngram_jaccard"]

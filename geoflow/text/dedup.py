@@ -264,24 +264,10 @@ class CharMinHasher(MinHasher):
         return sh, sh_doc, len(texts)
 
 
-def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
-                   bucket_cap=512, prefilter=False):
-    """MinHash-LSH candidate pairs, scale-safe.
-
-    Stage 1 (map): per doc, hash each of `bands` signature segments with
-    the band index mixed in → `bands` rows of (key, bucket) — 16 bytes
-    each; the 1 KB signature never enters the shuffle.
-    Stage 2 (groupby bucket): rows in one bucket collide on that band —
-    emit all pairs (vectorized triu). Buckets larger than `bucket_cap`
-    (boilerplate hot buckets, ubiquitous in web corpora) emit a STAR to
-    the minimum key instead: n-1 pairs, preserving connected-component /
-    representative-dedup semantics at O(n) instead of O(n²).
-    Stage 3 (groupby pair): count the bands each pair collided in →
-    one output row per pair, est_jaccard = (n_bands/bands)^(1/r)
-    (inverse of the band-collision probability J^r).
-
-    Returns Dataset (key_a, key_b, est_jaccard), key_a < key_b, each pair
-    once."""
+def _band_bucket_fn(num_hashes, bands, key_col):
+    """Batch fn: minhash signature rows → `bands` (key, bucket) rows,
+    16 bytes each (band index mixed into the 64-bit bucket hash so one
+    groupby key covers all bands)."""
     rows_per_band = num_hashes // bands
 
     def to_buckets(batch: pa.Table) -> pa.Table:
@@ -305,7 +291,62 @@ def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
             "bucket": pa.array(out_bucket.view(np.int64)),
         })
 
-    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    return to_buckets
+
+
+def lsh_loser_keys(ds, num_hashes=128, bands=32, key_col="doc_id"):
+    """``loser`` keys for representative near-dup DEDUP: every doc that
+    shares some LSH band bucket with a SMALLER key. This is exactly the
+    loser set of the drop-iff-smaller-partner rule over the full
+    candidate-pair output — a key x is a pair loser iff some bucket
+    containing x also contains a smaller key, i.e. iff x is not the
+    minimum of every one of its buckets — but computed WITHOUT
+    materializing pairs: per bucket, emit the non-min keys (n-1 rows —
+    the star emission, here exact, not a cap heuristic) and skip the
+    per-pair band-count aggregate entirely. On duplicate-heavy corpora
+    the pair multiset is O(members² × bands) per near-dup family while
+    this is O(members × bands); measured 4-5× faster end-to-end at 200k
+    docs (BENCH/BASELINE.md §r3). Output may repeat a key (once per
+    bucket); consumers dedup (np.unique / duplicate-safe anti-join).
+
+    Use lsh_band_pairs when the pairs themselves (or est_jaccard) are
+    the product; use this when only the drop set is."""
+    buckets = ds.map_batches(_band_bucket_fn(num_hashes, bands, key_col),
+                             batch_format="pyarrow")
+
+    def non_min(group: pa.Table) -> pa.Table:
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        if len(k) < 2:
+            return pa.table({"loser": pa.array([], type=pa.int64())})
+        mn = k.min()
+        out = np.unique(k[k != mn])
+        return pa.table({"loser": pa.array(out, type=pa.int64())})
+
+    return buckets.groupby("bucket").map_groups(non_min,
+                                                batch_format="pyarrow")
+
+
+def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
+                   bucket_cap=512, prefilter=False):
+    """MinHash-LSH candidate pairs, scale-safe.
+
+    Stage 1 (map): per doc, hash each of `bands` signature segments with
+    the band index mixed in → `bands` rows of (key, bucket) — 16 bytes
+    each; the 1 KB signature never enters the shuffle.
+    Stage 2 (groupby bucket): rows in one bucket collide on that band —
+    emit all pairs (vectorized triu). Buckets larger than `bucket_cap`
+    (boilerplate hot buckets, ubiquitous in web corpora) emit a STAR to
+    the minimum key instead: n-1 pairs, preserving connected-component /
+    representative-dedup semantics at O(n) instead of O(n²).
+    Stage 3 (groupby pair): count the bands each pair collided in →
+    one output row per pair, est_jaccard = (n_bands/bands)^(1/r)
+    (inverse of the band-collision probability J^r).
+
+    Returns Dataset (key_a, key_b, est_jaccard), key_a < key_b, each pair
+    once."""
+    rows_per_band = num_hashes // bands
+    buckets = ds.map_batches(_band_bucket_fn(num_hashes, bands, key_col),
+                             batch_format="pyarrow")
     if prefilter:
         # OPTIONAL collision-bucket prefilter. Measured (tools/
         # bench_lsh_scale.py, BENCH/BASELINE.md round 3): on Ray 2.49

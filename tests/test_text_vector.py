@@ -464,3 +464,33 @@ def test_bpe_token_count_known_values():
     out = bpe_token_count_batch(t).column("n_tokens_bpe").to_pylist()
     # "Hello"," world" | [] | "it","'s"," done" | "a","1","b"
     assert out == [2, 0, 3, 3]
+
+
+def test_lsh_loser_keys_equals_pair_losers(ray_session):
+    """lsh_loser_keys (pair-free drop set) must equal the loser set
+    derived from the full lsh_band_pairs output on a corpus with
+    exact-dup groups, near-dup chains, and unique docs."""
+    import ray
+    from geoflow.text import MinHasher
+    from geoflow.text.dedup import lsh_band_pairs, lsh_loser_keys
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine ten")
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            txt = base                      # exact-dup family
+        elif i % 4 == 1:
+            txt = base.replace("delta", f"delta{i % 8}")  # near family
+        else:
+            txt = f"unique doc {i} " + " ".join(
+                f"tok{i}x{j}" for j in range(30))
+        rows.append({"doc_id": i, "text": txt})
+    sigs = ray.data.from_items(rows).repartition(4).map_batches(
+        MinHasher(), batch_format="pyarrow")
+    pairs = lsh_band_pairs(sigs, key_col="doc_id").take_all()
+    from_pairs = {max(r["key_a"], r["key_b"]) for r in pairs}
+    direct = {r["loser"]
+              for r in lsh_loser_keys(sigs, key_col="doc_id").take_all()}
+    assert direct == from_pairs
+    assert len(direct) > 0
