@@ -1501,6 +1501,46 @@ def q_dim_join(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_solid_volumes(sf_dir: str):
+    """3D solid booleans (geoflow/ops/solids.py — the reference's
+    declared-but-stubbed Intersection3D/Difference3D surface,
+    implemented to SFCGAL semantics for convex solids), ORACLE-GATED:
+    per doc, two integer rectangles extruded to prisms (st_extrude),
+    then st_volume(st_intersection3d) and st_volume(st_difference3d) —
+    integer-valued doubles, exact in both engines (box arithmetic)."""
+    from geoflow.geom.wkb import polygons_to_wkb
+    from geoflow.ops.registry import get_op
+
+    def compute(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+
+        def rects(x0, y0, w, h):
+            c = np.empty((n, 5, 2), dtype=np.float64)
+            c[:, 0] = np.stack([x0, y0], axis=1)
+            c[:, 1] = np.stack([x0 + w, y0], axis=1)
+            c[:, 2] = np.stack([x0 + w, y0 + h], axis=1)
+            c[:, 3] = np.stack([x0, y0 + h], axis=1)
+            c[:, 4] = c[:, 0]
+            return pa.array(polygons_to_wkb(c), type=pa.binary())
+
+        ra = rects((ids % 7).astype(np.float64),
+                   (ids % 5).astype(np.float64), 4.0, 4.0)
+        rb = rects((ids % 4 + 2).astype(np.float64),
+                   (ids % 6 + 1).astype(np.float64), 5.0, 3.0)
+        sa = get_op("st_extrude").fn(ra, 0.0, 3.0)
+        sb = get_op("st_extrude").fn(rb, 1.0, 4.0)
+        inter = get_op("st_volume").fn(
+            get_op("st_intersection3d").fn(sa, sb))
+        diff = get_op("st_volume").fn(
+            get_op("st_difference3d").fn(sa, sb))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "inter_vol": inter, "diff_vol": diff})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        compute, batch_format="pyarrow")
+
+
 def q_pq_ann(sf_dir: str):
     """Product-quantization ANN (geoflow/vector/pq.py — Jégou et al.
     2011 ADC), ORACLE-GATED via self-retrieval: queries are the first 5
@@ -1669,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": q_grouped_topk,
         "dim_join": q_dim_join,
         "pq_ann": q_pq_ann,
+        "solid_volumes": q_solid_volumes,
         "curation": q_curation,
         "curation_neardup": q_curation_neardup,
         "flagship": q_flagship,
@@ -2189,4 +2230,20 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": """
             SELECT vec_id AS query_id, vec_id, 1 AS rank
             FROM embeddings WHERE vec_id < 5""",
+        "solid_volumes": """
+            WITH r AS (
+              SELECT doc_id,
+                     doc_id % 7 AS ax, doc_id % 5 AS ay,
+                     doc_id % 4 + 2 AS bx, doc_id % 6 + 1 AS by
+              FROM documents),
+            v AS (
+              SELECT doc_id,
+                     GREATEST(0, LEAST(ax + 4, bx + 5) - GREATEST(ax, bx))
+                     * GREATEST(0, LEAST(ay + 4, by + 3) - GREATEST(ay, by))
+                     * 2 AS inter
+              FROM r)
+            SELECT doc_id,
+                   CAST(inter AS DOUBLE) AS inter_vol,
+                   CAST(4 * 4 * 3 - inter AS DOUBLE) AS diff_vol
+            FROM v""",
     }
