@@ -460,6 +460,19 @@ def q_bpe_tokens(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signals per doc (text/analysis.py
+    repetition_batch): dup-token mass and top-token frequency over
+    lowercased word tokens — double divisions op-for-op identical to
+    the SQL (both engines: DOUBLE cast then divide)."""
+    from geoflow.text.analysis import repetition_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: repetition_batch(b).select(
+            ["doc_id", "n_tokens_alpha", "dup_token_ratio",
+             "top_token_ratio"]),
+        batch_format="pyarrow")
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 of all embeddings vs the first 5 vectors
     as queries (exact baseline of the ANN stage)."""
@@ -1669,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "bpe_tokens": q_bpe_tokens,
+        "repetition": q_repetition,
         "ann_topk": q_ann_topk,
         "near_dup": q_near_dup,
         "embed_near_dup": q_embed_near_dup,
@@ -1825,6 +1839,27 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
             FROM documents""",
+        "repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(tk) AS nt, len(list_distinct(tk)) AS nd
+              FROM toks),
+            ex AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+            cnt AS (SELECT doc_id, t, count(*) AS c
+                    FROM ex GROUP BY doc_id, t),
+            mx AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(nt AS BIGINT) AS n_tokens_alpha,
+                   CASE WHEN nt = 0 THEN 0.0
+                        ELSE 1.0 - CAST(nd AS DOUBLE) / nt
+                   END AS dup_token_ratio,
+                   CASE WHEN nt = 0 THEN 0.0
+                        ELSE CAST(coalesce(mc, 0) AS DOUBLE) / nt
+                   END AS top_token_ratio
+            FROM base b LEFT JOIN mx USING (doc_id)""",
         "bpe_tokens": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,

@@ -261,6 +261,8 @@ def faces_volume(g: Geometry) -> float:
     faces = g.parts if g.parts is not None else ([g] if g.rings else [])
     six_v = 0.0
     for f in faces:
+        if f.rings is None:     # non-areal part (e.g. collection input)
+            continue
         ring = np.asarray(f.rings[0], dtype=np.float64)
         r = ring[:-1] if len(ring) > 1 and np.allclose(ring[0], ring[-1]) \
             else ring

@@ -143,6 +143,44 @@ def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
                                pc.cast(toks, pa.int64()))
 
 
+def repetition_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Gopher-style within-document repetition signals (public corpus
+    filtering heuristics — Rae et al. 2021 §A1.1): over lowercased
+    word tokens, ``dup_token_ratio`` = 1 - distinct/total (mass of
+    repeated tokens) and ``top_token_ratio`` = most-frequent-token
+    count / total. Empty docs score 0. One Arrow-RE2 tokenize + one
+    lexsort across the whole batch; per-doc counts via bincount /
+    run-length reduceat — no per-doc Python."""
+    texts = pc.cast(batch.column(text_col), pa.string())
+    n = len(texts)
+    flat, parent = tokenize(texts)
+    th = hash64(flat).view(np.int64)
+    nt = np.bincount(parent, minlength=n)
+    mc = np.zeros(n, dtype=np.int64)
+    nd = np.zeros(n, dtype=np.int64)
+    if len(th):
+        order = np.lexsort((th, parent))
+        ps, hs = parent[order], th[order]
+        new_run = np.ones(len(hs), dtype=bool)
+        new_run[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+        run_parent = ps[new_run]
+        run_len = np.diff(np.append(np.nonzero(new_run)[0], len(hs)))
+        nd = np.bincount(run_parent, minlength=n)
+        ne = np.nonzero(nd > 0)[0]
+        starts = np.searchsorted(run_parent, ne)
+        mc[ne] = np.maximum.reduceat(run_len, starts)
+    ntf = nt.astype(np.float64)
+    safe = np.maximum(nt, 1)
+    dup = np.where(nt > 0, 1.0 - nd.astype(np.float64) / safe, 0.0)
+    top = np.where(nt > 0, mc.astype(np.float64) / safe, 0.0)
+    out = batch
+    for name, arr in [("n_tokens_alpha", nt),
+                      ("dup_token_ratio", dup),
+                      ("top_token_ratio", top)]:
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
 # GPT-2-style pre-tokenizer pattern, restricted to RE2 syntax (no
 # lookaheads — Arrow and DuckDB both run RE2, so counts agree exactly):
 # contraction suffixes, space-prefixed letter/digit/punct runs, whitespace

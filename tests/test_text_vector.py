@@ -494,3 +494,19 @@ def test_lsh_loser_keys_equals_pair_losers(ray_session):
               for r in lsh_loser_keys(sigs, key_col="doc_id").take_all()}
     assert direct == from_pairs
     assert len(direct) > 0
+
+
+def test_repetition_signals_known_values():
+    from geoflow.text import repetition_batch
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "text": pa.array([
+                      "spam spam spam eggs",      # 4 tok, 2 distinct
+                      "all words here differ",    # no repeats
+                      "",                         # empty
+                      "A a b B"])})               # lowercased: a a b b
+    out = repetition_batch(t)
+    assert out.column("n_tokens_alpha").to_pylist() == [4, 4, 0, 4]
+    dup = out.column("dup_token_ratio").to_pylist()
+    top = out.column("top_token_ratio").to_pylist()
+    assert dup == [0.5, 0.0, 0.0, 0.5]
+    assert top == [0.75, 0.25, 0.0, 0.5]
