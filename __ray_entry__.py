@@ -1514,6 +1514,49 @@ def q_dim_join(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_stream_dedup(sf_dir: str):
+    """Streaming ingestion dedup via the sharded mutable key index
+    (geoflow/state/keyset.py — the shared-index semantics a groupby
+    cannot express: membership across micro-batches while data is
+    still arriving), ORACLE-GATED: documents arrive in doc_id order as
+    micro-batches; every doc_id%5==0 gets an exact copy planted at
+    id+2e6 LATER in the same batch, so first-seen-wins must keep
+    exactly the min-doc_id winner per distinct text (arrival order ==
+    doc_id order, so first-seen == min key and the SQL oracle is
+    exact — including the handful of organic duplicate texts at
+    sf0.1)."""
+    from geoflow.state import ShardedKeyIndex, StreamingDeduper
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sel = np.nonzero(ids % 5 == 0)[0]
+        copies = texts.take(pa.array(sel))
+        if isinstance(copies, pa.ChunkedArray):
+            copies = copies.combine_chunks()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, ids[sel] + 2_000_000])),
+            "text": pa.concat_arrays([texts, copies])})
+
+    # deterministic ARRIVAL ORDER is the point of this simulation, and
+    # Dataset.iter_batches does not preserve order by default
+    # (preserve_order=False) — so the driver slices the micro-batches
+    # itself; the distributed component under test is the sharded
+    # index actor service the deduper consults
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    idx = ShardedKeyIndex(n_shards=8)
+    dedup = StreamingDeduper(idx)
+    out = []
+    for bi, start in enumerate(range(0, t.num_rows, 1024)):
+        b = synth(t.slice(start, 1024))
+        out.append(dedup(b, owner=bi).select(["doc_id"]))
+    return pa.concat_tables(out)
+
+
 def q_solid_volumes(sf_dir: str):
     """3D solid booleans (geoflow/ops/solids.py — the reference's
     declared-but-stubbed Intersection3D/Difference3D surface,
@@ -1724,6 +1767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_join": q_dim_join,
         "pq_ann": q_pq_ann,
         "solid_volumes": q_solid_volumes,
+        "stream_dedup": q_stream_dedup,
         "curation": q_curation,
         "curation_neardup": q_curation_neardup,
         "flagship": q_flagship,
@@ -2265,6 +2309,10 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": """
             SELECT vec_id AS query_id, vec_id, 1 AS rank
             FROM embeddings WHERE vec_id < 5""",
+        "stream_dedup": """
+            SELECT doc_id FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             GROUP BY text)""",
         "solid_volumes": """
             WITH r AS (
               SELECT doc_id,
