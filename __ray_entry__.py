@@ -1626,6 +1626,32 @@ def q_pq_ann(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_ivfpq_ann(sf_dir: str):
+    """IVF-PQ variant of pq_ann (coarse inverted lists + residual
+    codes + nprobe pruning), same ORACLE-GATED self-retrieval: each
+    query's nearest coarse list is probed first, so the margin argument
+    of pq_ann carries over; verified at sf0.001/0.01/0.1."""
+    import pyarrow.parquet as pq
+    import ray
+    from geoflow.vector import QuerySet
+    from geoflow.vector.ann import _embedding_matrix
+    from geoflow.vector.pq import pq_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qrows = emb.filter(pc.less(emb.column("vec_id"), 5))
+    qs = QuerySet(qrows.column("vec_id").to_numpy(zero_copy_only=False),
+                  _embedding_matrix(qrows, "embedding"))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(ds, qs, k=1, n_lists=16, nprobe=4)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b.column("query_id"),
+            "vec_id": b.column("vec_id"),
+            "rank": pc.cast(b.column("rank"), pa.int32())}),
+        batch_format="pyarrow")
+
+
 def q_curation(sf_dir: str):
     """End-to-end corpus-curation composite, ORACLE-GATED
     (geoflow/pipelines/curation.py): fused language+quality filter →
@@ -1768,6 +1794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann": q_pq_ann,
         "solid_volumes": q_solid_volumes,
         "stream_dedup": q_stream_dedup,
+        "ivfpq_ann": q_ivfpq_ann,
         "curation": q_curation,
         "curation_neardup": q_curation_neardup,
         "flagship": q_flagship,
@@ -2307,6 +2334,9 @@ def oracle_sql() -> dict[str, str]:
         "curation_neardup": """
             SELECT doc_id FROM documents""",
         "pq_ann": """
+            SELECT vec_id AS query_id, vec_id, 1 AS rank
+            FROM embeddings WHERE vec_id < 5""",
+        "ivfpq_ann": """
             SELECT vec_id AS query_id, vec_id, 1 AS rank
             FROM embeddings WHERE vec_id < 5""",
         "stream_dedup": """
