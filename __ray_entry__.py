@@ -485,9 +485,10 @@ def q_ann_topk(sf_dir: str):
     qref = ray.put(QuerySet(qrows.column("vec_id").to_numpy().astype(np.int64),
                             qmat))
     ds = _read(sf_dir, "embeddings")
-    cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(qref,),
-                          fn_constructor_kwargs={"k_local": 10},
-                          batch_format="pyarrow", concurrency=2)
+    # task pool, not an actor pool: the broadcast QuerySet is tiny and
+    # actor spin-up costs seconds per execution (CLAUDE.md)
+    cand = ds.map_batches(BruteForceTopK(qref, k_local=10),
+                          batch_format="pyarrow")
     out = global_topk(cand, 10)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -918,7 +919,7 @@ def q_simhash(sf_dir: str):
     """SimHash fingerprints (deterministic; rows-only check)."""
     from geoflow.text import SimHasher
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        SimHasher(), batch_format="pyarrow", concurrency=2).select_columns(
+        SimHasher(), batch_format="pyarrow").select_columns(
         ["doc_id", "simhash"])
 
 
@@ -945,7 +946,7 @@ def q_simhash_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"]) \
         .map_batches(synth, batch_format="pyarrow") \
-        .map_batches(SimHasher(), batch_format="pyarrow", concurrency=2)
+        .map_batches(SimHasher(), batch_format="pyarrow")
     pairs = simhash_near_dup_pairs(ds, max_hamming=3)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -1017,8 +1018,7 @@ def q_ngram_near_dup(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"]) \
         .map_batches(synth, batch_format="pyarrow") \
-        .map_batches(CharMinHasher(), batch_format="pyarrow",
-                     concurrency=2)
+        .map_batches(CharMinHasher(), batch_format="pyarrow")
     pairs = lsh_band_pairs(ds, key_col="doc_id")
 
     def project(batch: pa.Table) -> pa.Table:
@@ -1037,7 +1037,7 @@ def q_minhash_lsh(sf_dir: str):
     from geoflow.text import MinHasher
     from geoflow.text.dedup import lsh_band_pairs
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        MinHasher(), batch_format="pyarrow", concurrency=2)
+        MinHasher(), batch_format="pyarrow")
     return lsh_band_pairs(ds, key_col="doc_id")
 
 

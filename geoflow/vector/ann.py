@@ -229,12 +229,13 @@ def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
     if dim is None:
         first = ds.take(1)[0][emb_col]
         dim = len(first)
+    # task pool, not an actor pool: the hyperplane state is a ~25 KB
+    # seeded array serialized with the task closure — actor spin-up
+    # costs seconds per execution (CLAUDE.md)
     buckets = ds.map_batches(
-        HyperplaneBucketer, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(dim=dim, n_tables=n_tables,
-                                   n_bits=n_bits, seed=seed,
-                                   emb_col=emb_col, key_col=key_col),
-        concurrency=2)
+        HyperplaneBucketer(dim=dim, n_tables=n_tables, n_bits=n_bits,
+                           seed=seed, emb_col=emb_col, key_col=key_col),
+        batch_format="pyarrow")
     if prefilter:
         # off by default — see the measurement note in
         # text/dedup.lsh_band_pairs (uniformly slower on Ray 2.49)
