@@ -134,6 +134,36 @@ def solid_from_prism(ring: np.ndarray, z0: float, z1: float) -> ConvexSolid:
     return ConvexSolid(A, b)
 
 
+def prism_faces_geometry(ring: np.ndarray, z0: float, z1: float,
+                         srid=4326) -> Geometry:
+    """Direct outward-oriented face set of the prism over a convex CCW
+    ring — O(n) closed-form construction (bottom reversed, top as-is,
+    one quad per edge), bypassing the O(n_faces³) vertex enumeration.
+    Equals solid_faces_geometry(solid_from_prism(...)) up to face
+    vertex order (equality fuzz in tests/test_solid3d.py)."""
+    r = np.asarray(ring, dtype=np.float64)[:, :2]
+    if len(r) > 1 and np.allclose(r[0], r[-1]):
+        r = r[:-1]
+    if len(r) < 3:
+        raise ValueError("prism ring needs >= 3 distinct points")
+    x, y = r[:, 0], r[:, 1]
+    if np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y) < 0:
+        r = r[::-1]
+    z0, z1 = min(z0, z1), max(z0, z1)
+    n = len(r)
+    loops = []
+    bot = np.column_stack([r[::-1], np.full(n, z0)])
+    top = np.column_stack([r, np.full(n, z1)])
+    loops.append(bot)
+    loops.append(top)
+    nxt = np.roll(r, -1, axis=0)
+    for i in range(n):
+        loops.append(np.array([
+            [r[i, 0], r[i, 1], z0], [nxt[i, 0], nxt[i, 1], z0],
+            [nxt[i, 0], nxt[i, 1], z1], [r[i, 0], r[i, 1], z1]]))
+    return _faces_to_geometry(loops, srid)
+
+
 def solid_from_faces(g: Geometry) -> ConvexSolid:
     """MULTIPOLYGON Z face set (outward-oriented, as emitted by this
     module / st_extrude) → half-space system: each face contributes the
@@ -275,3 +305,161 @@ def faces_volume(g: Geometry) -> float:
     # single division: on integer operands Σdet = 6·V exactly, so the
     # result is the exact integer-valued double (hash-comparable)
     return abs(six_v) / 6.0
+
+
+def axis_box_bounds(s: ConvexSolid):
+    """(x0, y0, z0, x1, y1, z1) when every half-space is axis-aligned
+    (normals exactly ±e_k after normalization — true for box/rect-prism
+    inputs), else None. Closed-form fast-path detector: the dominant
+    real-world case (bounding boxes, tiles, voxels) skips the O(n³)
+    vertex enumeration entirely."""
+    A, b = s.A, s.b
+    nz = A != 0.0
+    if not (nz.sum(axis=1) == 1).all():
+        return None
+    if not np.isin(A[nz], (1.0, -1.0)).all():
+        return None
+    lo = np.full(3, -np.inf)
+    hi = np.full(3, np.inf)
+    for i in range(len(A)):
+        k = int(np.nonzero(nz[i])[0][0])
+        if A[i, k] > 0:
+            hi[k] = min(hi[k], b[i])
+        else:
+            lo[k] = max(lo[k], -b[i])
+    if not (np.isfinite(lo).all() and np.isfinite(hi).all()):
+        return None
+    return (*lo, *hi)
+
+
+def _box_faces_geometry(x0, y0, z0, x1, y1, z1, srid=4326) -> Geometry:
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    return prism_faces_geometry(ring, z0, z1, srid)
+
+
+def box_intersection_geometry(pa_, qa, srid=4326) -> Geometry:
+    """Closed-form box∩box faces (empty MULTIPOLYGON when the overlap
+    has no volume)."""
+    lo = np.maximum(pa_[:3], qa[:3])
+    hi = np.minimum(pa_[3:], qa[3:])
+    if (hi - lo <= 0).any():
+        return _faces_to_geometry([], srid)
+    return _box_faces_geometry(*lo, *hi, srid=srid)
+
+
+def box_difference_geometry(pa_, qa, srid=4326) -> Geometry:
+    """Closed-form box \\ box: slab decomposition into ≤6 boxes (below/
+    above in z, then left/right in x, then front/back in y within the
+    overlap slab); faces of all pieces concatenated — internal walls
+    appear in opposite orientations and cancel in the signed volume,
+    same contract as difference_faces."""
+    px0, py0, pz0, px1, py1, pz1 = pa_
+    qx0, qy0, qz0, qx1, qy1, qz1 = qa
+    lo = np.maximum(pa_[:3], qa[:3])
+    hi = np.minimum(pa_[3:], qa[3:])
+    if (hi - lo <= 0).any():        # disjoint: difference is P itself
+        return _box_faces_geometry(*pa_, srid=srid)
+    boxes = []
+    if pz0 < qz0:
+        boxes.append((px0, py0, pz0, px1, py1, qz0))
+    if qz1 < pz1:
+        boxes.append((px0, py0, qz1, px1, py1, pz1))
+    zl, zh = max(pz0, qz0), min(pz1, qz1)
+    if px0 < qx0:
+        boxes.append((px0, py0, zl, qx0, py1, zh))
+    if qx1 < px1:
+        boxes.append((qx1, py0, zl, px1, py1, zh))
+    xl, xh = max(px0, qx0), min(px1, qx1)
+    if py0 < qy0:
+        boxes.append((xl, py0, zl, xh, qy0, zh))
+    if qy1 < py1:
+        boxes.append((xl, qy1, zl, xh, py1, zh))
+    parts = []
+    for bx in boxes:
+        parts.extend(_box_faces_geometry(*bx, srid=srid).parts)
+    out = Geometry(MULTIPOLYGON, parts=parts, srid=srid)
+    out.has_z = True
+    return out
+
+
+def axis_box_from_faces(g: Geometry):
+    """(x0,y0,z0,x1,y1,z1) when every face of the (convex) face set
+    lies in an axis-constant plane — detected directly on the ring
+    coordinates, skipping half-space construction entirely (the hot
+    path for box/rect-prism columns); else None."""
+    faces = g.parts if g.parts is not None else ([g] if g.rings else [])
+    if len(faces) < 4:
+        return None
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for f in faces:
+        if f.rings is None:
+            return None
+        r = np.asarray(f.rings[0], dtype=np.float64)
+        if r.shape[1] < 3:
+            return None
+        mn = r.min(axis=0)
+        mx = r.max(axis=0)
+        scale = max(1.0, float(np.abs(r).max()))
+        if not (mx - mn <= scale * 1e-9).any():
+            return None            # no constant axis → not axis-aligned
+        lo = np.minimum(lo, mn)
+        hi = np.maximum(hi, mx)
+    if (hi - lo <= 0).any():
+        return None
+    return (*lo, *hi)
+
+
+def faces_volume_many(geoms) -> list:
+    """Column-vectorized faces_volume: one flat coordinate array and
+    one cross/dot pass for ALL rows' faces (the per-face numpy-call
+    overhead dominated the scalar path — measured 8×). None rows →
+    None. Equal to faces_volume per row exactly on integer operands
+    (every product/sum exact below 2^53); within float reassociation
+    otherwise (np.sum pairwise order differs)."""
+    pts = []
+    face_row = []          # row index per face
+    face_len = []          # unclosed point count per face
+    for ri, g in enumerate(geoms):
+        if g is None:
+            continue
+        faces = g.parts if g.parts is not None else \
+            ([g] if g.rings is not None else [])
+        for f in faces:
+            if f.rings is None:
+                continue
+            r = np.asarray(f.rings[0], dtype=np.float64)
+            if len(r) > 1 and r.shape[1] >= 3 and \
+                    np.array_equal(r[0], r[-1]):
+                r = r[:-1]
+            if len(r) < 3 or r.shape[1] < 3:
+                continue
+            pts.append(r[:, :3])
+            face_row.append(ri)
+            face_len.append(len(r))
+    out = [None if g is None else 0.0 for g in geoms]
+    if not pts:
+        return [None if g is None else 0.0 for g in geoms]
+    P = np.vstack(pts)
+    face_len = np.asarray(face_len, dtype=np.int64)
+    face_row = np.asarray(face_row, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(face_len)[:-1]])
+    # adjacent cross products over the flat array; valid fan pairs for
+    # a face [s, s+m) are positions p in [s+1, s+m-2]
+    C = np.cross(P[:-1], P[1:])
+    M = len(P)
+    valid = np.zeros(M - 1, dtype=bool)
+    # mark [s+1, s+m-1) per face via the diff trick
+    marks = np.zeros(M, dtype=np.int64)
+    np.add.at(marks, starts + 1, 1)
+    np.add.at(marks, starts + face_len - 1, -1)
+    valid = np.cumsum(marks[:-1]) > 0
+    pair_face = np.repeat(np.arange(len(face_len)), face_len)[:-1]
+    v0 = P[starts]                       # (n_faces, 3)
+    terms = (C[valid] * v0[pair_face[valid]]).sum(axis=1)
+    six_v = np.zeros(len(geoms), dtype=np.float64)
+    np.add.at(six_v, face_row[pair_face[valid]], terms)
+    for ri, g in enumerate(geoms):
+        if g is not None:
+            out[ri] = abs(six_v[ri]) / 6.0
+    return out

@@ -139,3 +139,106 @@ class TestSolidOps:
         from geoflow.ops.registry import get_op
         a = pa.array([None], type=pa.binary())
         assert get_op("st_volume").fn(a).to_pylist() == [None]
+
+
+class TestPrismFastPath:
+    def test_fast_equals_general(self):
+        """prism_faces_geometry == enumeration path: same volume and
+        same face vertex sets on random convex rings."""
+        from geoflow.geom.solid3d import prism_faces_geometry
+
+        def face_keys(g):
+            keys = set()
+            for f in g.parts:
+                r = np.asarray(f.rings[0])[:-1]
+                keys.add(tuple(sorted(map(tuple, np.round(r, 9)))))
+            return keys
+
+        rng = np.random.default_rng(21)
+        for _ in range(30):
+            n = int(rng.integers(3, 8))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            ring = np.column_stack([np.cos(ang), np.sin(ang)]) \
+                * rng.uniform(1, 4)
+            z0, z1 = sorted(rng.uniform(-2, 2, 2))
+            z1 += 0.5
+            fast = prism_faces_geometry(ring, z0, z1)
+            gen = solid_faces_geometry(solid_from_prism(ring, z0, z1))
+            assert faces_volume(fast) == pytest.approx(
+                faces_volume(gen), rel=1e-9)
+            assert face_keys(fast) == face_keys(gen)
+
+
+class TestBoxFastPath:
+    """Axis-aligned fast path (ops dispatch) vs the general
+    enumeration path: identical volumes on random integer boxes,
+    including containment and face-touching cases."""
+
+    def test_fast_equals_general_volumes(self):
+        from geoflow.geom.solid3d import (axis_box_bounds,
+                                          box_difference_geometry,
+                                          box_intersection_geometry)
+        rng = np.random.default_rng(31)
+        for _ in range(150):
+            av = np.sort(rng.integers(-5, 6, size=(3, 2)), axis=1)
+            bv = np.sort(rng.integers(-5, 6, size=(3, 2)), axis=1)
+            a = (av[0, 0], av[1, 0], av[2, 0],
+                 av[0, 1] + 1, av[1, 1] + 1, av[2, 1] + 1)
+            b = (bv[0, 0], bv[1, 0], bv[2, 0],
+                 bv[0, 1] + 1, bv[1, 1] + 1, bv[2, 1] + 1)
+            p, q = solid_from_box(*a), solid_from_box(*b)
+            assert axis_box_bounds(p) == pytest.approx(a)
+            fast_i = faces_volume(box_intersection_geometry(
+                np.asarray(a, float), np.asarray(b, float)))
+            gen_i = faces_volume(solid_faces_geometry(
+                intersect_solids(p, q)))
+            assert fast_i == pytest.approx(gen_i, abs=1e-7)
+            fast_d = faces_volume(box_difference_geometry(
+                np.asarray(a, float), np.asarray(b, float)))
+            gen_d = faces_volume(difference_faces(p, q))
+            assert fast_d == pytest.approx(gen_d, abs=1e-7)
+
+    def test_containment(self):
+        from geoflow.geom.solid3d import box_difference_geometry
+        # Q swallows P entirely -> empty difference
+        a = np.asarray((0, 0, 0, 2, 2, 2), float)
+        b = np.asarray((-1, -1, -1, 3, 3, 3), float)
+        assert faces_volume(box_difference_geometry(a, b)) == 0.0
+        # outer minus inner -> hollow shell, volume 4^3 - 2^3
+        assert faces_volume(box_difference_geometry(b, a)) == \
+            pytest.approx(4 ** 3 - 2 ** 3, rel=1e-9)
+
+    def test_non_axis_pair_uses_general(self):
+        """A rotated prism falls back to the enumeration path through
+        the ops (smoke: correct intersection volume)."""
+        from geoflow.geom import Geometry, to_wkb
+        from geoflow.ops.registry import get_op
+        c, s = np.cos(0.3), np.sin(0.3)
+        sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+        rot = sq @ np.array([[c, s], [-s, c]])
+        a = pa.array([to_wkb(Geometry(3, rings=[rot]))], pa.binary())
+        sa = get_op("st_extrude").fn(a, 0.0, 1.0)
+        inter = get_op("st_intersection3d").fn(sa, sa)
+        vol = get_op("st_volume").fn(inter).to_pylist()[0]
+        assert vol == pytest.approx(4.0, rel=1e-6)
+
+
+def test_faces_volume_many_matches_scalar():
+    from geoflow.geom.solid3d import faces_volume_many
+    rng = np.random.default_rng(41)
+    geoms = [None]
+    for _ in range(25):
+        n = int(rng.integers(3, 7))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        ring = np.column_stack([np.cos(ang), np.sin(ang)]) \
+            * rng.uniform(1, 3)
+        z0, z1 = sorted(rng.uniform(-2, 2, 2))
+        p = solid_from_prism(ring, z0, z1 + 0.5)
+        q = solid_from_box(*np.sort(rng.integers(-3, 4, (3, 2)),
+                                    axis=1).T.ravel())
+        geoms.append(solid_faces_geometry(p))
+        geoms.append(difference_faces(p, q))
+    many = faces_volume_many(geoms)
+    assert many[0] is None
+    for g, v in zip(geoms[1:], many[1:]):
+        assert v == pytest.approx(faces_volume(g), rel=1e-12, abs=1e-12)
