@@ -59,6 +59,18 @@ def run(n_docs):
         out[label] = round(time.monotonic() - t0, 3)
         out.setdefault("n_pairs", n_pairs)
         assert n_pairs >= n_docs // 10   # planted dups recovered
+    # pair-free drop set (lsh_loser_keys): the representative-dedup
+    # path — must stay linear in n and beat the pair pipelines
+    from geoflow.text.dedup import lsh_loser_keys
+    t0 = time.monotonic()
+    losers = lsh_loser_keys(sigs, key_col="doc_id")
+    uniq = len(np.unique(np.concatenate(
+        [b.column("loser").to_numpy(zero_copy_only=False)
+         for b in losers.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, np.int64)])))
+    out["loser_keys_s"] = round(time.monotonic() - t0, 3)
+    assert uniq >= n_docs // 10
+    out["n_losers"] = uniq
     out["n_docs"] = n_docs
     out["ratio_single_over_prefilter"] = round(
         out["single_pass_s"] / out["prefilter_s"], 3)
