@@ -36,7 +36,8 @@ import pyarrow as pa
 
 from .ann import QuerySet, _embedding_matrix, pack_rows, unpack_rows
 
-__all__ = ["train_pq_codebooks", "PqEncoder", "PqTopK", "pq_topk"]
+__all__ = ["train_pq_codebooks", "PqEncoder", "PqTopK", "pq_topk",
+           "build_pq_index", "scan_pq_index"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -266,6 +267,92 @@ def pq_topk(ds, queries: QuerySet, k: int, m: int = 8, n_bits: int = 8,
         )(batch)
 
     cands = ds.map_batches(encode, batch_format="pyarrow") \
+        .map_batches(scan, batch_format="pyarrow")
+    from .ann import global_topk
+    return global_topk(cands, k, key_col=key_col)
+
+
+def build_pq_index(ds, path: str, m: int = 8, n_bits: int = 8,
+                   emb_col="embedding", key_col="vec_id",
+                   train_sample: int = 16384, iters: int = 10,
+                   n_lists: int | None = None) -> dict:
+    """Train + encode ONCE and persist the compressed index: codes as
+    partitioned parquet under ``path`` (m bytes/vector + 8-byte key
+    [+ 4-byte IVF list id]) and the model (codebooks / coarse
+    centroids) as .npy beside them. A 10^12-row corpus is encoded in
+    one streaming pass; scans then never touch the float column.
+    Returns {"rows": encoded_row_count, "path": path}."""
+    import os
+
+    import ray
+
+    sample = _embedding_matrix(
+        pa.concat_tables(
+            b.select([emb_col])
+            for b in ds.limit(train_sample)
+            .iter_batches(batch_format="pyarrow")), emb_col)
+    coarse = None
+    if n_lists:
+        from .ann import train_ivf_centroids
+        ns = _normalize(sample)
+        coarse = train_ivf_centroids(ns, n_lists=n_lists)
+        lists = np.argmin(
+            (np.square(ns).sum(1)[:, None] - 2.0 * (ns @ coarse.T)
+             + np.square(coarse).sum(1)[None, :]), axis=1)
+        cb = train_pq_codebooks(ns - coarse[lists], m=m, n_bits=n_bits,
+                                iters=iters, normalize=False)
+    else:
+        cb = train_pq_codebooks(sample, m=m, n_bits=n_bits, iters=iters)
+
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "_codebooks.npy"), cb)
+    if coarse is not None:
+        np.save(os.path.join(path, "_coarse.npy"), coarse)
+
+    cb_ref = ray.put(cb)
+    coarse_ref = ray.put(coarse) if coarse is not None else None
+    tag = (cb_ref.hex(),)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return _cached_stage(
+            PqEncoder, ("enc-idx",) + tag, codebooks_ref=cb_ref,
+            emb_col=emb_col, key_col=key_col, coarse_ref=coarse_ref
+        )(batch)
+
+    codes = ds.map_batches(encode, batch_format="pyarrow")
+    codes.write_parquet(os.path.join(path, "codes"))
+    import pyarrow.parquet as pq_
+    n = sum(pq_.read_metadata(os.path.join(path, "codes", f)).num_rows
+            for f in os.listdir(os.path.join(path, "codes"))
+            if f.endswith(".parquet"))
+    return {"rows": n, "path": path}
+
+
+def scan_pq_index(path: str, queries: QuerySet, k: int,
+                  key_col="vec_id", k_local: int = 64, nprobe: int = 4):
+    """ADC top-k over a persisted index — reads only the m-byte codes;
+    the model loads from the .npy files written by build_pq_index."""
+    import os
+
+    import ray
+    import ray.data
+
+    cb = np.load(os.path.join(path, "_codebooks.npy"))
+    coarse_p = os.path.join(path, "_coarse.npy")
+    coarse = np.load(coarse_p) if os.path.exists(coarse_p) else None
+    cb_ref = ray.put(cb)
+    coarse_ref = ray.put(coarse) if coarse is not None else None
+    q_ref = ray.put(queries)
+    tag = (q_ref.hex(), cb_ref.hex(), nprobe)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        return _cached_stage(
+            PqTopK, ("scan-idx",) + tag, queries_ref=q_ref,
+            codebooks_ref=cb_ref, key_col=key_col, k_local=k_local,
+            coarse_ref=coarse_ref, nprobe=nprobe
+        )(batch)
+
+    cands = ray.data.read_parquet(os.path.join(path, "codes")) \
         .map_batches(scan, batch_format="pyarrow")
     from .ann import global_topk
     return global_topk(cands, k, key_col=key_col)

@@ -510,3 +510,32 @@ def test_repetition_signals_known_values():
     top = out.column("top_token_ratio").to_pylist()
     assert dup == [0.5, 0.0, 0.0, 0.5]
     assert top == [0.75, 0.25, 0.0, 0.5]
+
+
+def test_pq_index_persist_and_scan(ray_session, tmp_path):
+    """build_pq_index -> scan_pq_index must reproduce pq_topk exactly
+    (same codebooks: deterministic training) while reading only codes."""
+    import os
+    import ray
+    from geoflow.vector import QuerySet
+    from geoflow.vector.pq import build_pq_index, pq_topk, scan_pq_index
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((400, 64)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    qids = np.array([7, 123], dtype=np.int64)
+    qs = QuerySet(qids, mat[qids])
+
+    res = build_pq_index(ds, str(tmp_path / "idx"), m=8, n_bits=8)
+    assert res["rows"] == 400
+    assert os.path.exists(tmp_path / "idx" / "_codebooks.npy")
+
+    direct = {(r["query_id"], r["rank"]): r["vec_id"]
+              for r in pq_topk(ds, qs, k=5, m=8, n_bits=8).take_all()}
+    scanned = {(r["query_id"], r["rank"]): r["vec_id"]
+               for r in scan_pq_index(str(tmp_path / "idx"), qs,
+                                      k=5).take_all()}
+    assert direct == scanned and len(scanned) == 10
