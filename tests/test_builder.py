@@ -65,3 +65,21 @@ def test_applyop_filter_dedup_stages(ray_session):
     rows = pipe.compile(ds).take_all()
     kept = sorted(r["doc_id"] for r in rows)
     assert kept == [1, 2]        # min doc_id per distinct text, area > .5
+
+
+def test_ops_ttl_export():
+    """functions.ttl-style registry export (SURVEY §2.9 'ontology as
+    data'): one geo2:Function individual per registered op, no broken
+    quoting."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.export_ops_ttl import export_ttl
+    import geoflow.ops as ops
+    import geoflow.raster.ops  # noqa: F401
+    t = export_ttl()
+    assert t.count("a geo2:Function") == len(ops.REGISTRY)
+    # every comment line is a single-line, closed triple
+    for line in t.splitlines():
+        if line.startswith("    rdfs:comment"):
+            assert line.endswith('" .') and line.count('"') == 2
