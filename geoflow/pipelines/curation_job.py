@@ -129,3 +129,50 @@ def run_partition(pid: int, files: list, out_dir: str, chain: str,
     result = pa.concat_tables(outs) if outs else pa.table({})
     return write_partition(out_dir, pid, result, chain, rows_in,
                            input_desc=json.dumps(files), t_start=t0)
+
+
+def cap_chain(part_chains: list, cap: int, source_col: str,
+              key_col: str) -> str:
+    from ..io.lineage import op_chain_hash
+    return op_chain_hash(f"curation_cap:v1|cap:{cap}|src:{source_col}"
+                         f"|key:{key_col}|parts:" + ",".join(part_chains))
+
+
+def cap_done(out_dir: str, chain: str) -> bool:
+    meta = os.path.join(out_dir, "_capped", "_meta.json")
+    if not os.path.exists(meta):
+        return False
+    try:
+        with open(meta) as f:
+            return json.load(f).get("op_chain_hash") == chain
+    except (OSError, ValueError):
+        return False
+
+
+def run_cap_phase(out_dir: str, chain: str, cap: int, source_col: str,
+                  key_col: str) -> int:
+    """PHASE 3 (optional): per-source quality cap over the completed
+    phase-2 parts — a global top-k, so it runs as ONE resumable unit
+    keyed by the hash of every part chain it consumed (any re-run part
+    or changed cap invalidates it). Output under out_dir/_capped/."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..ops.grouped import grouped_topk
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    ds = ray.data.read_parquet(parts)
+    capped = grouped_topk(ds, source_col, "quality_score", cap,
+                          tie_col=key_col)
+    dest = os.path.join(out_dir, "_capped")
+    os.makedirs(dest, exist_ok=True)
+    for f in glob.glob(os.path.join(dest, "*.parquet")):
+        os.remove(f)
+    capped.write_parquet(dest)
+    n = sum(pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(dest, "*.parquet")))
+    with open(os.path.join(dest, "_meta.json"), "w") as f:
+        json.dump({"op_chain_hash": chain, "rows": int(n)}, f)
+    return int(n)

@@ -30,10 +30,12 @@ per-partition lineage + metrics"):
   the affected partitions; a killed job resumes where it stopped with
   byte-identical output (deterministic kernels).
 
-The per-source quality cap (curate(per_source_cap=...)) is a global
-top-k over the FINAL output and is intentionally not part of the
-per-partition contract — run `geoflow.ops.grouped.grouped_topk` over
-the curated output as a downstream step.
+  PHASE 3 (optional, --per-source-cap N) — per-source quality cap.
+  A global top-k over the final parts, so it is ONE resumable unit
+  whose chain hash covers every part chain it consumed plus the cap
+  params: any re-run partition or changed knob re-runs it, otherwise
+  it resumes. Output parquet under out/_capped/ (the uncapped parts
+  remain the canonical per-partition output).
 
 Worker-side logic lives in geoflow/pipelines/curation_job.py (the
 package is importable on Ray workers; this file is the thin CLI).
@@ -66,6 +68,10 @@ def main():
     ap.add_argument("--blocklist-key", default="key")
     ap.add_argument("--key-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--per-source-cap", type=int, default=0,
+                    help="phase 3: keep the k best-quality docs per "
+                         "source (0 = skip); output under _capped/")
+    ap.add_argument("--source-col", default="source")
     args = ap.parse_args()
 
     import ray
@@ -127,6 +133,19 @@ def main():
             ready, pending = ray.wait(pending, num_returns=1)
             ray.get(ready)
     ray.get(pending)
+
+    cap_rows = None
+    if args.per_source_cap > 0:
+        c3 = cj.cap_chain([chains[pid] for pid in range(args.partitions)],
+                          args.per_source_cap, args.source_col,
+                          args.key_col)
+        if cj.cap_done(args.output, c3):
+            print("phase3: resumed from checkpoint")
+        else:
+            cap_rows = cj.run_cap_phase(args.output, c3,
+                                        args.per_source_cap,
+                                        args.source_col, args.key_col)
+            print(f"phase3: capped to {cap_rows} rows")
 
     recs = read_lineage(args.output)
     wall = time.monotonic() - t_start

@@ -115,3 +115,40 @@ class TestRunCuration:
         assert "2 to run (0 resumed" in txt
         ids = pq.read_table(out).column("doc_id").to_pylist()
         assert 7 not in ids and 8 not in ids and 9 in ids
+
+    def test_cap_phase_and_partition_invariance(self, ray_session,
+                                                tmp_path, capsys):
+        import glob
+        inp, t = _corpus_files(tmp_path)
+        out2 = str(tmp_path / "p2")
+        out4 = str(tmp_path / "p4")
+        cap_args = ["--min-quality", "0.0", "--per-source-cap", "4"]
+        _job_main(["--input", inp, "--output", out2,
+                   "--partitions", "2"] + cap_args)
+        first = capsys.readouterr().out
+        assert "phase3: capped to" in first
+        # resume: phase 3 skipped
+        _job_main(["--input", inp, "--output", out2,
+                   "--partitions", "2"] + cap_args)
+        assert "phase3: resumed" in capsys.readouterr().out
+        # changing the cap re-runs ONLY phase 3
+        _job_main(["--input", inp, "--output", out2,
+                   "--partitions", "2", "--min-quality", "0.0",
+                   "--per-source-cap", "3"])
+        txt = capsys.readouterr().out
+        assert "0 to run (2 resumed" in txt and "phase3: capped" in txt
+
+    def test_partition_count_invariance(self, ray_session, tmp_path,
+                                        capsys):
+        """Same input at --partitions 2 vs 4: identical curated row
+        set (the drop set is global; partitioning is only layout)."""
+        inp, _ = _corpus_files(tmp_path)
+        rows = {}
+        for nparts in (2, 4):
+            out = str(tmp_path / f"n{nparts}")
+            _job_main(["--input", inp, "--output", out,
+                       "--partitions", str(nparts)])
+            capsys.readouterr()
+            rows[nparts] = sorted(
+                pq.read_table(out).column("doc_id").to_pylist())
+        assert rows[2] == rows[4] and len(rows[2]) == 30
