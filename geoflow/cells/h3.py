@@ -877,7 +877,7 @@ def cell_to_boundary(h: int) -> np.ndarray:
     the containing face's lattice frame and unprojected vertex by
     vertex. Exact for in-face hexagon cells (vertex positions are the
     class-II/III lattice's hex corners); pentagon cells return the same
-    6-vertex construction (真 H3 clips one — documented approximation),
+    6-vertex construction (real H3 clips one — documented approximation),
     and face-edge-band cells inherit the face-clip caveat."""
     res, _bc, _d = cell_to_parts(h)
     la, lo = cell_to_latlng(h)
