@@ -37,7 +37,7 @@ import pyarrow as pa
 from .ann import QuerySet, _embedding_matrix, pack_rows, unpack_rows
 
 __all__ = ["train_pq_codebooks", "PqEncoder", "PqTopK", "pq_topk",
-           "build_pq_index", "scan_pq_index"]
+           "build_pq_index", "scan_pq_index", "append_pq_index"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -356,3 +356,41 @@ def scan_pq_index(path: str, queries: QuerySet, k: int,
         .map_batches(scan, batch_format="pyarrow")
     from .ann import global_topk
     return global_topk(cands, k, key_col=key_col)
+
+
+def append_pq_index(ds, path: str, emb_col="embedding",
+                    key_col="vec_id") -> dict:
+    """Incremental index growth: encode ONLY the new rows with the
+    SAVED model (codebooks/coarse from build_pq_index — retraining
+    would silently re-code nothing else and skew ADC scores) and append
+    their code files beside the existing ones. The ingestion-side
+    complement of scan_pq_index; key uniqueness is the caller's
+    contract (pair with state.ShardedKeyIndex for streaming arrivals)."""
+    import os
+
+    import ray
+
+    cb = np.load(os.path.join(path, "_codebooks.npy"))
+    coarse_p = os.path.join(path, "_coarse.npy")
+    coarse = np.load(coarse_p) if os.path.exists(coarse_p) else None
+    cb_ref = ray.put(cb)
+    coarse_ref = ray.put(coarse) if coarse is not None else None
+    tag = (cb_ref.hex(),)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return _cached_stage(
+            PqEncoder, ("enc-app",) + tag, codebooks_ref=cb_ref,
+            emb_col=emb_col, key_col=key_col, coarse_ref=coarse_ref
+        )(batch)
+
+    codes_dir = os.path.join(path, "codes")
+    before = set(os.listdir(codes_dir))
+    ds.map_batches(encode, batch_format="pyarrow") \
+        .write_parquet(codes_dir)
+    import pyarrow.parquet as pq_
+    added = [f for f in os.listdir(codes_dir)
+             if f not in before and f.endswith(".parquet")]
+    n = sum(pq_.read_metadata(os.path.join(codes_dir, f)).num_rows
+            for f in added)
+    return {"rows_appended": n, "files_appended": len(added),
+            "path": path}

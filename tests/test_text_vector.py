@@ -539,3 +539,33 @@ def test_pq_index_persist_and_scan(ray_session, tmp_path):
                for r in scan_pq_index(str(tmp_path / "idx"), qs,
                                       k=5).take_all()}
     assert direct == scanned and len(scanned) == 10
+
+
+def test_pq_index_append(ray_session, tmp_path):
+    """append_pq_index grows the code table with the saved model; a
+    subsequent scan sees old + new rows."""
+    import ray
+    from geoflow.vector import QuerySet
+    from geoflow.vector.pq import append_pq_index, build_pq_index, \
+        scan_pq_index
+    rng = np.random.default_rng(13)
+    mat = rng.standard_normal((300, 64)).astype(np.float32)
+
+    def ds_of(sl, base):
+        t = pa.table({
+            "vec_id": pa.array(np.arange(base, base + len(sl),
+                                         dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in sl],
+                                  type=pa.list_(pa.float32()))})
+        return ray.data.from_arrow(t).repartition(2)
+
+    path = str(tmp_path / "idx")
+    build_pq_index(ds_of(mat[:200], 0), path, m=8, n_bits=8)
+    res = append_pq_index(ds_of(mat[200:], 200), path)
+    assert res["rows_appended"] == 100
+
+    # a query equal to an APPENDED vector retrieves itself at rank 1
+    qs = QuerySet(np.array([250], dtype=np.int64), mat[250:251])
+    got = scan_pq_index(path, qs, k=3).take_all()
+    top = sorted((r["rank"], r["vec_id"]) for r in got)[0]
+    assert top == (1, 250)
