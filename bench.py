@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "wkt_roundtrip", "tile_z12", "grid_cell", "sjoin_nation",
     "sjoin_nation_cellkey", "sjoin_nation_h3key", "knn_customer", "envelope_lang", "dist_planar",
     "unit_chain", "temporal_allen", "dedup_exact", "token_count",
+    "area_nation", "bbox_ops",
     "ann_topk", "s2_cell", "simhash", "flagship",
     "webmercator", "tile_density", "raster_stats", "topk_orders",
     "groupby_lineitem", "window_events", "sessionize", "near_dup",
