@@ -460,6 +460,35 @@ def q_bpe_tokens(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_url_host(sf_dir: str):
+    """Host extraction from synthesized URLs (text/analysis.py
+    url_host_batch — the per-source-cap source derivation): URL built
+    deterministically from doc_id in BOTH engines with identical
+    string concatenation, host via the same RE2 pattern; doc_id%11==0
+    rows get a non-URL string → '' on both sides."""
+    from geoflow.text import url_host_batch
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        s = pc.cast(ids, pa.string())
+        srcn = pc.cast(pa.array(idn % 20), pa.string())
+        url = pc.binary_join_element_wise(
+            pa.array(np.where(idn % 3 == 0, "https://www.src",
+                              "https://src"), type=pa.string()),
+            srcn, pa.scalar(".example.com/p/"), s, "")
+        url = pc.if_else(pa.array(idn % 11 == 0),
+                         pc.binary_join_element_wise(
+                             pa.scalar("not a url "), s, ""), url)
+        return pa.table({"doc_id": ids, "url": url})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: url_host_batch(b).select(["doc_id", "host"]),
+        batch_format="pyarrow")
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition signals per doc (text/analysis.py
     repetition_batch): dup-token mass and top-token frequency over
@@ -1752,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "bpe_tokens": q_bpe_tokens,
         "repetition": q_repetition,
+        "url_host": q_url_host,
         "ann_topk": q_ann_topk,
         "near_dup": q_near_dup,
         "embed_near_dup": q_embed_near_dup,
@@ -1910,6 +1940,28 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
             FROM documents""",
+        "url_host": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 3 = 0
+                          THEN 'https://www.src' || CAST(doc_id % 20 AS VARCHAR)
+                               || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                          ELSE 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                               || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                     END AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                       1) AS host0
+              FROM u)
+            SELECT doc_id,
+                   CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5)
+                        ELSE host0 END AS host
+            FROM h""",
         "repetition": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "cluster_within", "cluster_intersecting", "semantic_clusters",
     "mvt_tile", "traj_cpa", "semi_join", "grouped_topk", "dim_join",
     "curation", "curation_neardup", "pq_ann", "bpe_tokens",
-    "solid_volumes", "repetition", "stream_dedup", "ivfpq_ann",
+    "solid_volumes", "repetition", "stream_dedup", "ivfpq_ann", "url_host",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

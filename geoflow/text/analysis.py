@@ -181,6 +181,30 @@ def repetition_batch(batch: pa.Table, text_col="text") -> pa.Table:
     return out
 
 
+# scheme://[userinfo@]HOST[:port]/... — RE2-safe, identical result in
+# DuckDB regexp_extract (both engines run RE2)
+URL_HOST_PATTERN = (r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?"
+                    r"(?P<host>[^/?#:]+)")
+
+
+def url_host_batch(batch: pa.Table, url_col="url", out_col="host",
+                   strip_www=True) -> pa.Table:
+    """Host (domain) per URL — the real-world source-derivation step
+    for per-source corpus caps (curate(per_source_cap=...) groups by
+    the column this emits). Vectorized RE2 extract; non-URLs → ''
+    (matching SQL regexp_extract's no-match value); a leading 'www.'
+    is stripped by default so host grouping treats www and bare domains
+    as one source."""
+    ex = pc.extract_regex(pc.cast(batch.column(url_col), pa.string()),
+                          URL_HOST_PATTERN)
+    host = pc.fill_null(pc.struct_field(ex, "host"), "")
+    if strip_www:
+        www = pc.starts_with(host, "www.")
+        host = pc.if_else(www, pc.utf8_slice_codeunits(host, 4, 2**30),
+                          host)
+    return batch.append_column(out_col, host)
+
+
 # GPT-2-style pre-tokenizer pattern, restricted to RE2 syntax (no
 # lookaheads — Arrow and DuckDB both run RE2, so counts agree exactly):
 # contraction suffixes, space-prefixed letter/digit/punct runs, whitespace

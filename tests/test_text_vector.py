@@ -569,3 +569,17 @@ def test_pq_index_append(ray_session, tmp_path):
     got = scan_pq_index(path, qs, k=3).take_all()
     top = sorted((r["rank"], r["vec_id"]) for r in got)[0]
     assert top == (1, 250)
+
+
+def test_url_host_extraction():
+    from geoflow.text import url_host_batch
+    t = pa.table({"url": pa.array([
+        "https://www.example.org/page/1",
+        "http://sub.a.co.uk:8080/x?y=1",
+        "ftp://user:pw@files.example.com/f",
+        "not a url", "", "https://host"])})
+    out = url_host_batch(t).column("host").to_pylist()
+    assert out == ["example.org", "sub.a.co.uk", "files.example.com",
+                   "", "", "host"]
+    raw = url_host_batch(t, strip_www=False).column("host").to_pylist()
+    assert raw[0] == "www.example.org"
