@@ -46,6 +46,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _train_sample(ds, emb_col: str, key_col: str, n: int) -> np.ndarray:
+    """Deterministic corpus-wide training sample: keep rows whose
+    splitmix key hash falls under a rate sized from the dataset's row
+    count (parquet-metadata cheap), then truncate to ``n`` in key-hash
+    order. Unlike ``ds.limit(n)`` — which takes the FIRST rows, i.e.
+    one shard's distribution at corpus scale — this draws uniformly
+    from every block, and identically on every run/retry."""
+    from ..text.hashing import mix64
+
+    total = ds.count()
+    if total <= n:
+        t = pa.concat_tables(b.select([emb_col])
+                             for b in ds.iter_batches(
+                                 batch_format="pyarrow"))
+        return _embedding_matrix(t, emb_col)
+    rate = min(1.0, (n * 1.3) / total)
+    cut = np.uint64(int(rate * 2**32))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = mix64(k.astype(np.uint64))
+        return batch.select([emb_col]).filter(
+            pa.array((h >> np.uint64(32)) < cut))
+
+    t = pa.concat_tables(
+        b for b in ds.map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    mat = _embedding_matrix(t, emb_col)
+    return mat[:n]
+
+
 def _kmeans_1sub(x: np.ndarray, k: int, iters: int) -> np.ndarray:
     """Deterministic Lloyd's on one subspace sample (n, dsub) → (k, dsub).
     Init: evenly-spaced rows of the lexsorted sample (duplicates fine —
@@ -231,11 +262,7 @@ def pq_topk(ds, queries: QuerySet, k: int, m: int = 8, n_bits: int = 8,
     read-only state; see CLAUDE.md)."""
     import ray
 
-    sample = _embedding_matrix(
-        pa.concat_tables(
-            b.select([emb_col])
-            for b in ds.limit(train_sample)
-            .iter_batches(batch_format="pyarrow")), emb_col)
+    sample = _train_sample(ds, emb_col, key_col, train_sample)
     coarse_ref = None
     if n_lists:
         from .ann import train_ivf_centroids
@@ -286,11 +313,7 @@ def build_pq_index(ds, path: str, m: int = 8, n_bits: int = 8,
 
     import ray
 
-    sample = _embedding_matrix(
-        pa.concat_tables(
-            b.select([emb_col])
-            for b in ds.limit(train_sample)
-            .iter_batches(batch_format="pyarrow")), emb_col)
+    sample = _train_sample(ds, emb_col, key_col, train_sample)
     coarse = None
     if n_lists:
         from .ann import train_ivf_centroids
