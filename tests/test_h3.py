@@ -237,3 +237,20 @@ def test_pentagon_rotation_vectorized_equals_scalar():
         mat = np.array(digits, dtype=np.int64).reshape(-1, 1)
         out = H._apply_pent_rotation_vec(mat, np.array([rot]), res)
         assert [int(x) for x in out[:, 0]] == ds[:res + 1]
+
+
+def test_cells_to_latlng_matches_scalar():
+    """Vectorized decode == scalar cell_to_latlng (ulp-level libm
+    differences only), across resolutions and mixed-res arrays."""
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-180, 180, 3000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 3000)))
+    cells = []
+    for res in (3, 5, 7):
+        cells.append(np.unique(h3.lonlat_to_cell(lon, lat, res))[:800])
+    hs = np.concatenate(cells)
+    vla, vlo = h3.cells_to_latlng(hs)
+    for n, c in enumerate(hs):
+        sla, slo = h3.cell_to_latlng(int(c))
+        assert abs(vla[n] - sla) < 1e-10
+        assert abs(((vlo[n] - slo + 180) % 360) - 180) < 1e-10
