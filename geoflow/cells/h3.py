@@ -783,9 +783,9 @@ def grid_disk(h: int, k: int):
     slon = lo + offs[:, 0] * spacing / max(coslat, 1e-6)
     slat = np.clip(la + offs[:, 1] * spacing, -89.999, 89.999)
     cand = np.unique(lonlat_to_cell(slon, slat, res))
+    clats, clons = cells_to_latlng(cand)   # vectorized batch decode
     out = []
-    for c in cand:
-        cla, clo = cell_to_latlng(int(c))
+    for c, cla, clo in zip(cand, clats, clons):
         cx, cy = _geo_to_hex2d(math.radians(cla), math.radians(clo),
                                face, res)
         di, dj, dk = _hex2d_round(cx - hx, cy - hy)
