@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from geoflow.ops.sampling import sample_slot_sql
+
 
 # ---------------------------------------------------------------------------
 # deterministic geometry derivations (shared by Ray + SQL sides)
@@ -1742,6 +1744,79 @@ def q_curation_neardup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (text/decontaminate.py — GPT-3 App. C
+    13-gram protocol, n=5 here so the toy corpus has organic overlaps):
+    the held-out 'benchmark' is the doc_id%97==0 slice of documents; a
+    doc survives iff it shares NO lowercased token 5-gram with any
+    benchmark doc. Engine-side gram equality is on 64-bit rolling
+    hashes of token hashes; the SQL oracle compares gram STRINGS —
+    identical up to the documented hash64 collision bound. Benchmark
+    grams are distinct-ed per batch on workers, unioned at the driver
+    (bounded by the benchmark, not the corpus), broadcast once via
+    ray.put; the corpus pass is a pure map_batches filter — no corpus
+    shuffle."""
+    from geoflow.text import decontaminate
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bench_rows, batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=5).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def q_seq_pack(sf_dir: str):
+    """Sequence packing (text/packing.py): assign each doc's tokens to
+    fixed-512-token training sequences, concatenating in doc_id order
+    within 256-doc buckets; sequence ids are bucket*2^32+local. All
+    integer arithmetic over (doc_id, n_tokens) — bit-identical to the
+    SQL window-function oracle and invariant to Ray block order (the
+    salt-bucket groupby sorts each bucket before one vectorized
+    segmented-cumsum pass)."""
+    from geoflow.text import pack_sequences
+    from geoflow.text.hashing import TOKEN_MATCH
+
+    def ntok(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.cast(b.column("text"), pa.string()), TOKEN_MATCH)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ntok, batch_format="pyarrow")
+    return pack_sequences(ds, seq_len=512, bucket_docs=256, num_salt=8)
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split (ops/sampling.py
+    split_column, lcg32 route): membership is a pure integer-hash
+    function of doc_id — stable under retries / repartitioning, and
+    the exact same BIGINT arithmetic runs in the SQL oracle
+    (sample_slot_sql). val=102/1024, test=51/1024, salt=3."""
+    from geoflow.ops.sampling import split_column
+    return split_column(_read(sf_dir, "documents", ["doc_id"]),
+                        "doc_id", val_frac_1024=102, test_frac_1024=51,
+                        salt=3, method="lcg32")
+
+
+def q_strat_sample(sf_dir: str):
+    """Stratified corpus sampling (ops/sampling.py stratified_sample):
+    language rebalancing — keep 128/1024 of 'en', 512/1024 of 'de',
+    everything else in full; slot arithmetic identical to the SQL
+    oracle (lcg32, salt=7)."""
+    from geoflow.ops.sampling import stratified_sample
+    return stratified_sample(_read(sf_dir, "documents",
+                                   ["doc_id", "lang"]),
+                             "doc_id", "lang", {"en": 128, "de": 512},
+                             default_frac_1024=1024, salt=7,
+                             method="lcg32")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1827,6 +1902,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_ann": q_ivfpq_ann,
         "curation": q_curation,
         "curation_neardup": q_curation_neardup,
+        "decontaminate": q_decontaminate,
+        "seq_pack": q_seq_pack,
+        "hash_split": q_hash_split,
+        "strat_sample": q_strat_sample,
         "flagship": q_flagship,
     }
 
@@ -2395,6 +2474,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents
                              GROUP BY text)""",
+        "decontaminate": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
+              FROM documents),
+            grams AS (
+              SELECT t.doc_id, array_to_string(t.tk[g.i : g.i + 4], ' ') AS gram
+              FROM tok t, LATERAL (
+                SELECT unnest(range(1, greatest(len(t.tk) - 3, 1)))) AS g(i)),
+            bad AS (
+              SELECT DISTINCT c.doc_id
+              FROM grams c
+              JOIN (SELECT DISTINCT gram FROM grams
+                    WHERE doc_id % 97 = 0) b USING (gram))
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "seq_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[\p{L}\p{N}_]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            w AS (
+              SELECT doc_id, n_tokens, doc_id // 256 AS b,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY doc_id // 256 ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS st
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   b * 4294967296 + st // 512 AS seq_first,
+                   b * 4294967296 + CASE WHEN n_tokens = 0 THEN st // 512
+                        ELSE (st + n_tokens - 1) // 512 END AS seq_last
+            FROM w""",
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN ({sample_slot_sql('doc_id', salt=3)}) < 102
+                          THEN 'val'
+                        WHEN ({sample_slot_sql('doc_id', salt=3)}) < 153
+                          THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents""",
+        "strat_sample": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     {sample_slot_sql('doc_id', salt=7)} AS slot
+              FROM documents)
+            WHERE slot < CASE lang WHEN 'en' THEN 128
+                                   WHEN 'de' THEN 512
+                                   ELSE 1024 END""",
         "solid_volumes": """
             WITH r AS (
               SELECT doc_id,

@@ -36,6 +36,33 @@ from ..ops.sketches import BloomFilter, _column_hashes, bloom_aggregate
 __all__ = ["bloom_semi_join", "partitioned_key_filter"]
 
 
+def _drop_schemaless_blocks(key_ds):
+    """Ray 2.49 hash aggregates (groupby().count()) and map_groups emit a
+    ZERO-COLUMN ``pa.table({})`` block for every empty aggregator
+    partition, and map UDFs are never invoked on empty blocks — so these
+    schema-less blocks survive any lazy sanitizing map and crash a
+    downstream ``Dataset.join`` whose partition receives only them
+    (ArrowInvalid: no match for FieldRef on one side). Materialize the
+    key side (block REFS stay in the object store; nothing is fetched to
+    the driver) and rebuild from the non-empty blocks.
+
+    Returns (dataset, keepalive) — keepalive is the MaterializedDataset
+    whose refs back the rebuilt dataset; the caller must hold it as long
+    as the result is alive. (None, None) means the key side is entirely
+    empty."""
+    import ray
+
+    mat = key_ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return None, None
+    return ray.data.from_arrow_refs(refs), mat
+
+
 def _key_array(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -143,6 +170,13 @@ def partitioned_key_filter(big_ds, key_ds, key_col: str,
         key_ds = key_ds.groupby(key_col).count().map_batches(
             lambda b, c=key_col: b.select([c]), batch_format="pyarrow")
 
+    # Sanitize AFTER any internal groupby: hash-aggregate lineages carry
+    # schema-less empty blocks that poison the join (see helper).
+    key_ds, _keepalive = _drop_schemaless_blocks(key_ds)
+    if key_ds is None:
+        # empty key set: anti keeps everything, semi keeps nothing
+        return big_ds if anti else big_ds.limit(0)
+
     if anti:
         # left-outer join against a marker column; survivors are the
         # rows with no key-side match
@@ -163,11 +197,15 @@ def partitioned_key_filter(big_ds, key_ds, key_col: str,
                 hit = hit.combine_chunks()
             return batch.filter(hit.is_null()).drop_columns(["__kf_hit"])
 
-        return joined.map_batches(keep_misses, batch_format="pyarrow")
+        out = joined.map_batches(keep_misses, batch_format="pyarrow")
+        out._geoflow_keepalive = _keepalive  # pin sanitized blocks
+        return out
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({big_key_col: batch.column(key_col)})
 
-    return big_ds.join(key_ds.map_batches(rename, batch_format="pyarrow"),
-                       join_type="inner", num_partitions=num_partitions,
-                       on=(big_key_col,))
+    out = big_ds.join(key_ds.map_batches(rename, batch_format="pyarrow"),
+                      join_type="inner", num_partitions=num_partitions,
+                      on=(big_key_col,))
+    out._geoflow_keepalive = _keepalive  # pin sanitized blocks
+    return out

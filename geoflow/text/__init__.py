@@ -2,13 +2,18 @@ from .analysis import (bpe_token_count_batch, detect_language,
                        fingerprint_batch, langid_batch, quality_batch,
                        repetition_batch, token_count_batch,
                        url_host_batch)
+from .decontaminate import (contaminated_keys, decontaminate,
+                            token_ngram_hashes)
 from .dedup import (CharMinHasher, MinHasher, SimHasher,
                     add_content_hash, exact_dedup, hamming_distance,
                     lsh_band_pairs, lsh_loser_keys, ngram_jaccard)
+from .packing import pack_sequences
 
 __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "fingerprint_batch", "langid_batch", "repetition_batch",
            "quality_batch", "token_count_batch", "url_host_batch",
            "MinHasher", "SimHasher",
            "add_content_hash", "exact_dedup", "hamming_distance",
-           "lsh_band_pairs", "lsh_loser_keys", "ngram_jaccard"]
+           "lsh_band_pairs", "lsh_loser_keys", "ngram_jaccard",
+           "contaminated_keys", "decontaminate", "token_ngram_hashes",
+           "pack_sequences"]

@@ -1,0 +1,218 @@
+"""Decontamination / sequence-packing / deterministic-sampling tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geoflow.ops.sampling import (hash_sample, sample_slot,
+                                  sample_slot_sql, split_column,
+                                  stratified_sample)
+from geoflow.text import (contaminated_keys, decontaminate,
+                          pack_sequences, token_ngram_hashes)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_token_ngram_hashes_semantics():
+    texts = pa.array([
+        "alpha beta gamma delta",   # grams: ab g, b g d  (n=3: 2 windows)
+        "alpha beta gamma",         # 1 window
+        "alpha beta",               # < n tokens -> no grams
+        "",                         # no grams
+        "Alpha  BETA gamma!!",      # normalizes to same window as row 1
+    ])
+    g, doc = token_ngram_hashes(texts, n=3)
+    assert list(doc) == [0, 0, 1, 4]
+    # same token trigram -> same hash, regardless of case/punct/doc
+    assert g[0] == g[2] == g[3]
+    assert g[1] != g[0]
+
+
+def test_token_ngram_no_cross_doc_windows():
+    g1, _ = token_ngram_hashes(pa.array(["a b c", "d e f"]), n=3)
+    g2, _ = token_ngram_hashes(pa.array(["a b c d e f"]), n=3)
+    # concatenated doc has windows spanning the seam; split docs don't
+    assert len(g1) == 2 and len(g2) == 4
+    assert set(g1) < set(g2)
+
+
+def _contamination_fixture():
+    bench = pa.table({
+        "doc_id": [1000, 1001],
+        "text": ["the secret eval question about turtles",
+                 "completely unrelated benchmark prompt text"],
+    })
+    corpus = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "clean document about distributed query engines",
+            "i once read the secret eval question about something",  # 5-gram overlap
+            "benchmark prompt text appears here",                     # 3-gram only
+            "another clean doc mentioning turtles once",
+        ],
+    })
+    return corpus, bench
+
+
+def test_decontaminate_broadcast(ray_session):
+    import ray
+    corpus, bench = _contamination_fixture()
+    out = decontaminate(ray.data.from_arrow(corpus),
+                        ray.data.from_arrow(bench), n=5).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 3, 4]
+    # tighter n=3 also catches doc 3
+    out3 = decontaminate(ray.data.from_arrow(corpus),
+                         ray.data.from_arrow(bench), n=3).take_all()
+    assert sorted(r["doc_id"] for r in out3) == [1, 4]
+
+
+def test_decontaminate_invert_and_keys(ray_session):
+    import ray
+    corpus, bench = _contamination_fixture()
+    bad = decontaminate(ray.data.from_arrow(corpus),
+                        ray.data.from_arrow(bench), n=5,
+                        invert=True).take_all()
+    assert [r["doc_id"] for r in bad] == [2]
+    keys = contaminated_keys(ray.data.from_arrow(corpus),
+                             ray.data.from_arrow(bench), n=5).take_all()
+    assert [r["doc_id"] for r in keys] == [2]
+
+
+def test_decontaminate_join_mode_equivalence(ray_session):
+    import ray
+    corpus, bench = _contamination_fixture()
+    for n in (3, 5):
+        kb = sorted(r["doc_id"] for r in contaminated_keys(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench),
+            n=n).take_all())
+        kj = sorted(r["doc_id"] for r in contaminated_keys(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench),
+            n=n, mode="join").take_all())
+        assert kb == kj
+        sb = sorted(r["doc_id"] for r in decontaminate(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench),
+            n=n).take_all())
+        sj = sorted(r["doc_id"] for r in decontaminate(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench),
+            n=n, mode="join").take_all())
+        assert sb == sj
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    import ray
+    corpus, _ = _contamination_fixture()
+    bench = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    out = decontaminate(ray.data.from_arrow(corpus),
+                        ray.data.from_arrow(bench), n=3).take_all()
+    assert len(out) == corpus.num_rows
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def _pack_reference(keys, ntoks, seq_len, bucket_docs):
+    """Brute-force per-bucket packing oracle."""
+    rows = sorted(zip(keys, ntoks))
+    out = {}
+    offsets = {}
+    for k, nt in rows:
+        b = k // bucket_docs
+        start = offsets.get(b, 0)
+        end = start + nt
+        sf = start // seq_len
+        sl = sf if nt == 0 else (end - 1) // seq_len
+        out[k] = (b * (1 << 32) + sf, b * (1 << 32) + sl)
+        offsets[b] = end
+    return out
+
+
+def test_pack_sequences_matches_reference(ray_session):
+    import ray
+    rng = np.random.default_rng(7)
+    keys = rng.permutation(200).astype(np.int64)
+    ntoks = rng.integers(0, 600, size=200).astype(np.int64)
+    t = pa.table({"doc_id": keys, "n_tokens": ntoks})
+    ref = _pack_reference(keys, ntoks, seq_len=256, bucket_docs=32)
+    out = pack_sequences(ray.data.from_arrow(t), seq_len=256,
+                         bucket_docs=32, num_salt=4).take_all()
+    assert len(out) == 200
+    for r in out:
+        assert (r["seq_first"], r["seq_last"]) == ref[r["doc_id"]], \
+            r["doc_id"]
+
+
+def test_pack_sequences_block_order_invariant(ray_session):
+    import ray
+    keys = np.arange(100, dtype=np.int64)
+    ntoks = (keys * 37) % 300
+    t = pa.table({"doc_id": keys, "n_tokens": ntoks})
+    a = {r["doc_id"]: (r["seq_first"], r["seq_last"])
+         for r in pack_sequences(ray.data.from_arrow(t),
+                                 bucket_docs=16).take_all()}
+    # reversed input order, different block structure
+    t2 = t.take(pa.array(keys[::-1]))
+    ds2 = ray.data.from_arrow(t2).repartition(7)
+    b = {r["doc_id"]: (r["seq_first"], r["seq_last"])
+         for r in pack_sequences(ds2, bucket_docs=16).take_all()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_sample_slot_range_and_determinism():
+    keys = np.arange(-500, 5000, dtype=np.int64)
+    for method in ("splitmix", "lcg32"):
+        s = sample_slot(keys, method=method)
+        assert s.min() >= 0 and s.max() < 1024
+        assert np.array_equal(s, sample_slot(keys, method=method))
+        # roughly uniform: each half holds 40-60%
+        frac = (s < 512).mean()
+        assert 0.4 < frac < 0.6, (method, frac)
+    # salt changes membership
+    a = sample_slot(keys, salt=0, method="lcg32")
+    b = sample_slot(keys, salt=9, method="lcg32")
+    assert (a != b).mean() > 0.5
+
+
+def test_sample_slot_sql_parity():
+    duckdb = pytest.importorskip("duckdb")
+    keys = np.arange(-300, 3000, 7, dtype=np.int64)
+    ours = sample_slot(keys, salt=5, method="lcg32")
+    got = duckdb.sql(
+        "SELECT " + sample_slot_sql("k", salt=5) +
+        " AS s FROM (SELECT unnest(?) AS k)",
+        params=[[int(x) for x in keys]]).fetchnumpy()["s"]
+    assert np.array_equal(ours, got.astype(np.int64))
+
+
+def test_hash_sample_and_split(ray_session):
+    import ray
+    t = pa.table({"doc_id": np.arange(4000, dtype=np.int64),
+                  "lang": (["en"] * 3000 + ["is"] * 1000)})
+    ds = ray.data.from_arrow(t)
+    kept = hash_sample(ds, "doc_id", frac_1024=128).take_all()
+    assert 0.08 < len(kept) / 4000 < 0.17
+    # stratified: keep all Icelandic, ~1/8 English
+    st = stratified_sample(ds, "doc_id", "lang",
+                           {"is": 1024, "en": 128}).take_all()
+    langs = [r["lang"] for r in st]
+    assert langs.count("is") == 1000
+    assert 200 < langs.count("en") < 550
+    # split: disjoint, exhaustive, deterministic
+    sp = split_column(ds, "doc_id", val_frac_1024=102,
+                      test_frac_1024=102).take_all()
+    by = {}
+    for r in sp:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert sum(len(v) for v in by.values()) == 4000
+    assert len(by["train"] | by["val"] | by["test"]) == 4000
+    assert 0.05 < len(by["val"]) / 4000 < 0.15
+    # sample is a subset of itself under re-execution (determinism)
+    kept2 = hash_sample(ds, "doc_id", frac_1024=128).take_all()
+    assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in kept2}
