@@ -1817,6 +1817,39 @@ def q_strat_sample(sf_dir: str):
                              method="lcg32")
 
 
+def q_line_dedup(sf_dir: str):
+    """Repeated-line removal (text/linededup.py — RefinedWeb line-wise
+    filtering): the corpus has no newline structure, so each doc gets a
+    deterministic 3-line form — 'hdr <id%50>' (shared by ~1/50 of docs
+    → dropped), the real text body (unique except organic duplicate
+    texts, which at sf0.1 genuinely repeat and get dropped), and either
+    'promo footer' (docs with id%3==0, shared → dropped) or a unique
+    'sig <id>' line. Lines occurring in >=2 distinct docs (by trimmed
+    form, 64-bit hash identity) are stripped; surviving lines rejoin in
+    order. Count pass ships only (hash, partial-count) 16-byte rows;
+    strip pass is a pure map_batches with the broadcast drop set."""
+    from geoflow.text import line_dedup
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        sig = pc.binary_join_element_wise(
+            pa.scalar("sig "), pc.cast(ids, pa.string()), "")
+        foot = pc.if_else(pa.array(idn % 3 == 0),
+                          pa.scalar("promo footer"), sig)
+        text = pc.binary_join_element_wise(
+            pa.scalar("hdr "), pc.cast(pa.array(idn % 50), pa.string()),
+            pa.scalar("\n"), pc.cast(b.column("text"), pa.string()),
+            pa.scalar("\n"), foot, "")
+        return pa.table({"doc_id": ids, "text": text})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    return line_dedup(ds, min_docs=2).map_batches(
+        lambda b: b.select(["doc_id", "text_clean"]),
+        batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1903,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "curation_neardup": q_curation_neardup,
         "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2490,6 +2524,31 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "line_dedup": """
+            WITH src AS (
+              SELECT doc_id,
+                     'hdr ' || CAST(doc_id % 50 AS VARCHAR) || chr(10)
+                     || text || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0 THEN 'promo footer'
+                          ELSE 'sig ' || CAST(doc_id AS VARCHAR)
+                     END AS text
+              FROM documents),
+            raw AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+            lines AS (
+              SELECT r.doc_id, g.i AS idx, r.ls[g.i] AS line,
+                     trim(r.ls[g.i]) AS t
+              FROM raw r, LATERAL (
+                SELECT unnest(range(1, len(r.ls) + 1))) AS g(i)),
+            common AS (
+              SELECT t FROM lines WHERE t <> '' GROUP BY t
+              HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT doc_id, idx, line FROM lines
+              WHERE t = '' OR t NOT IN (SELECT t FROM common))
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY idx) AS text_clean
+            FROM kept GROUP BY doc_id""",
         "seq_pack": r"""
             WITH t AS (
               SELECT doc_id,

@@ -7,6 +7,8 @@ from .decontaminate import (contaminated_keys, decontaminate,
 from .dedup import (CharMinHasher, MinHasher, SimHasher,
                     add_content_hash, exact_dedup, hamming_distance,
                     lsh_band_pairs, lsh_loser_keys, ngram_jaccard)
+from .linededup import (common_line_hashes, line_dedup,
+                        strip_common_lines)
 from .packing import pack_sequences
 
 __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
@@ -16,4 +18,5 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "add_content_hash", "exact_dedup", "hamming_distance",
            "lsh_band_pairs", "lsh_loser_keys", "ngram_jaccard",
            "contaminated_keys", "decontaminate", "token_ngram_hashes",
-           "pack_sequences"]
+           "pack_sequences", "common_line_hashes", "line_dedup",
+           "strip_common_lines"]

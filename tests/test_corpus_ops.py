@@ -162,6 +162,57 @@ def test_pack_sequences_block_order_invariant(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# line-level dedup
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_semantics(ray_session):
+    import ray
+    from geoflow.text import line_dedup
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "unique first line\nSubscribe to our newsletter\nbody one",
+            "body two\n  Subscribe to our newsletter  \nanother line",
+            "Subscribe to our newsletter",            # only common line
+            "totally original\n\n   \nwith empty lines",
+        ],
+    })
+    out = {r["doc_id"]: r["text_clean"]
+           for r in line_dedup(ray.data.from_arrow(t)).take_all()}
+    # trimmed-form identity: doc 2's padded variant counts as the same
+    assert out[1] == "unique first line\nbody one"
+    assert out[2] == "body two\nanother line"
+    assert 3 not in out            # every line dropped -> doc removed
+    # empty/whitespace lines are never counted and never dropped
+    assert out[4] == "totally original\n\n   \nwith empty lines"
+
+
+def test_line_dedup_min_docs_and_within_doc_repeat(ray_session):
+    import ray
+    from geoflow.text import line_dedup
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "same line\nsame line\nown text",  # repeat WITHIN one doc
+            "threshold line\nfiller a",
+            "threshold line\nfiller b",
+        ],
+    })
+    out = {r["doc_id"]: r["text_clean"]
+           for r in line_dedup(ray.data.from_arrow(t),
+                               min_docs=2).take_all()}
+    # within-doc repetition is 1 distinct doc -> kept (both copies)
+    assert out[1] == "same line\nsame line\nown text"
+    assert out[2] == "filler a" and out[3] == "filler b"
+    out3 = {r["doc_id"]: r["text_clean"]
+            for r in line_dedup(ray.data.from_arrow(t),
+                                min_docs=3).take_all()}
+    # below the raised threshold: everything is kept verbatim
+    assert out3[2] == "threshold line\nfiller a"
+    assert out3[3] == "threshold line\nfiller b"
+
+
+# ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------
 
