@@ -1850,6 +1850,57 @@ def q_line_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_url_canon(sf_dir: str):
+    """URL canonicalization (text/urls.py): messy URLs synthesized
+    deterministically from doc_id in BOTH engines (mixed-case
+    scheme/host, tracking params, fragments, default ports, a non-URL
+    branch), canonicalized by the shared RE2 rewrite chain
+    (urls.CANON_STEPS — the oracle SQL is generated from the same
+    tuple, so the two sides cannot drift)."""
+    from geoflow.text.urls import canonicalize_urls
+
+    def synth_canon(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        s = pc.cast(ids, pa.string())
+        k = pc.cast(pa.array(idn % 20), pa.string())
+        j = pc.binary_join_element_wise
+        b0 = j(pa.scalar("HTTPS://WWW.Src"), k,
+               pa.scalar(".Example.com/p/"), s,
+               pa.scalar("?utm_source=feed&x="), s, pa.scalar("#sec"), "")
+        b1 = j(pa.scalar("http://src"), k,
+               pa.scalar(".example.com:80/p/"), s, "")
+        b2 = j(pa.scalar("https://src"), k,
+               pa.scalar(".example.com:443/p/"), s,
+               pa.scalar("?fbclid=abc"), s, "")
+        b3 = j(pa.scalar("http://src"), k, pa.scalar(".example.com/p/"),
+               s, pa.scalar("?a=1&utm_campaign=c&b=2"), "")
+        b4 = j(pa.scalar("not a url "), s, "")
+        m = idn % 5
+        url = pc.if_else(pa.array(m == 0), b0,
+                         pc.if_else(pa.array(m == 1), b1,
+                                    pc.if_else(pa.array(m == 2), b2,
+                                               pc.if_else(pa.array(m == 3),
+                                                          b3, b4))))
+        return pa.table({"doc_id": ids,
+                         "canon_url": canonicalize_urls(url)})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_canon, batch_format="pyarrow")
+
+
+def _url_canon_sql(url_expr: str) -> str:
+    """The canonicalization chain as DuckDB SQL — generated from
+    urls.CANON_STEPS so the oracle and the kernel share one source."""
+    from geoflow.text.urls import CANON_STEPS, SCHEME_AUTHORITY
+    e = (f"lower(coalesce(regexp_extract({url_expr},"
+         f" '{SCHEME_AUTHORITY}'), ''))"
+         f" || regexp_replace({url_expr}, '{SCHEME_AUTHORITY}', '')")
+    for pat, rep in CANON_STEPS:
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return e
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1937,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_neardup": q_curation_neardup,
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
+        "url_canon": q_url_canon,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2524,6 +2576,26 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "url_canon": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'HTTPS://WWW.Src' || (doc_id % 20)
+                            || '.Example.com/p/' || doc_id
+                            || '?utm_source=feed&x=' || doc_id || '#sec'
+                       WHEN 1 THEN 'http://src' || (doc_id % 20)
+                            || '.example.com:80/p/' || doc_id
+                       WHEN 2 THEN 'https://src' || (doc_id % 20)
+                            || '.example.com:443/p/' || doc_id
+                            || '?fbclid=abc' || doc_id
+                       WHEN 3 THEN 'http://src' || (doc_id % 20)
+                            || '.example.com/p/' || doc_id
+                            || '?a=1&utm_campaign=c&b=2'
+                       ELSE 'not a url ' || doc_id
+                     END AS url
+              FROM documents)
+            SELECT doc_id, {_url_canon_sql('url')} AS canon_url
+            FROM u""",
         "line_dedup": """
             WITH src AS (
               SELECT doc_id,

@@ -20,3 +20,10 @@ Layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Vendored bugfix for Ray 2.49's hash-shuffle schema broadcast being
+# swallowed by empty first blocks (chained Dataset.join poisoning) —
+# version/signature-guarded no-op elsewhere. See geoflow/_rayfix.py.
+from ._rayfix import apply_hash_shuffle_schema_fix as _apply_rayfix
+
+RAY_SHUFFLE_FIX_ACTIVE = _apply_rayfix()

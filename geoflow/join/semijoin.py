@@ -33,10 +33,11 @@ import pyarrow as pa
 
 from ..ops.sketches import BloomFilter, _column_hashes, bloom_aggregate
 
-__all__ = ["bloom_semi_join", "partitioned_key_filter"]
+__all__ = ["bloom_semi_join", "partitioned_key_filter",
+           "drop_schemaless_blocks"]
 
 
-def _drop_schemaless_blocks(key_ds):
+def drop_schemaless_blocks(key_ds):
     """Ray 2.49 hash aggregates (groupby().count()) and map_groups emit a
     ZERO-COLUMN ``pa.table({})`` block for every empty aggregator
     partition, and map UDFs are never invoked on empty blocks — so these
@@ -172,7 +173,7 @@ def partitioned_key_filter(big_ds, key_ds, key_col: str,
 
     # Sanitize AFTER any internal groupby: hash-aggregate lineages carry
     # schema-less empty blocks that poison the join (see helper).
-    key_ds, _keepalive = _drop_schemaless_blocks(key_ds)
+    key_ds, _keepalive = drop_schemaless_blocks(key_ds)
     if key_ds is None:
         # empty key set: anti keeps everything, semi keeps nothing
         return big_ds if anti else big_ds.limit(0)

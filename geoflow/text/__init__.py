@@ -10,6 +10,7 @@ from .dedup import (CharMinHasher, MinHasher, SimHasher,
 from .linededup import (common_line_hashes, line_dedup,
                         strip_common_lines)
 from .packing import pack_sequences
+from .urls import canon_url_batch, url_dedup
 
 __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "fingerprint_batch", "langid_batch", "repetition_batch",
@@ -19,4 +20,4 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "lsh_band_pairs", "lsh_loser_keys", "ngram_jaccard",
            "contaminated_keys", "decontaminate", "token_ngram_hashes",
            "pack_sequences", "common_line_hashes", "line_dedup",
-           "strip_common_lines"]
+           "strip_common_lines", "canon_url_batch", "url_dedup"]

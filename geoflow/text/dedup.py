@@ -141,7 +141,13 @@ def exact_dup_loser_keys(ds, text_col="text", key_col="doc_id",
                          key_col: batch.column(key_col)})
 
     proj = ds.map_batches(project, batch_format="pyarrow")
-    winners = proj.groupby("h64").min(key_col)
+    # hash-agg outputs carry schema-less empty blocks that poison a
+    # downstream join (semijoin.drop_schemaless_blocks docstring)
+    from ..join.semijoin import drop_schemaless_blocks
+    winners, _keep = drop_schemaless_blocks(proj.groupby("h64").min(key_col))
+    if winners is None:  # empty corpus -> no losers
+        return ray.data.from_arrow(
+            pa.table({"loser": pa.array([], type=pa.int64())}))
     joined = proj.join(winners, join_type="inner",
                        num_partitions=num_partitions, on=("h64",))
 
@@ -150,7 +156,9 @@ def exact_dup_loser_keys(ds, text_col="text", key_col="doc_id",
         w = batch.column(f"min({key_col})").to_numpy(zero_copy_only=False)
         return pa.table({"loser": pa.array(k[k != w])})
 
-    return joined.map_batches(non_min, batch_format="pyarrow")
+    out = joined.map_batches(non_min, batch_format="pyarrow")
+    out._geoflow_keepalive = _keep
+    return out
 
 
 # per-worker-process cache of fetched winner arrays (task pool pattern:
@@ -415,8 +423,10 @@ def estimate_pair_jaccard(pairs_ds, sig_ds, key_col="doc_id",
     hash-joined onto the pair set (key_a then key_b) and compared inside
     map_batches, fully distributed."""
     import ray
-    pairs = pairs_ds.select_columns(["key_a", "key_b"]).materialize()
-    n_pairs = pairs.count()
+    from ..join.semijoin import drop_schemaless_blocks
+    pairs, _keep = drop_schemaless_blocks(
+        pairs_ds.select_columns(["key_a", "key_b"]))
+    n_pairs = pairs.count() if pairs is not None else 0
     if n_pairs == 0:
         return ray.data.from_arrow(pa.table({
             "key_a": pa.array([], type=pa.int64()),
@@ -455,7 +465,9 @@ def estimate_pair_jaccard(pairs_ds, sig_ds, key_col="doc_id",
                              "sig_jaccard": pa.array(sj,
                                                      type=pa.float64())})
 
-        return j2.map_batches(score, batch_format="pyarrow")
+        out = j2.map_batches(score, batch_format="pyarrow")
+        out._geoflow_keepalive = _keep  # pin sanitized pair blocks
+        return out
 
     ka_parts, kb_parts = [], []
     for b in pairs.iter_batches(batch_format="pyarrow"):

@@ -261,9 +261,11 @@ def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
     # distinct pairs stay in the object store (never driver-collected
     # wholesale); materialize so counting + the verify pass don't
     # re-execute the whole LSH lineage
-    uniq = pairs.groupby(["key_a", "key_b"]).count() \
-        .select_columns(["key_a", "key_b"]).materialize()
-    n_pairs = uniq.count()
+    from ..join.semijoin import drop_schemaless_blocks
+    uniq, _keep = drop_schemaless_blocks(
+        pairs.groupby(["key_a", "key_b"]).count()
+        .select_columns(["key_a", "key_b"]))
+    n_pairs = uniq.count() if uniq is not None else 0
     if n_pairs == 0:
         return ray.data.from_arrow(pa.table({
             "key_a": pa.array([], type=pa.int64()),
@@ -271,6 +273,7 @@ def cosine_near_dup_pairs(ds, threshold=0.8, n_tables=6, n_bits=16,
             "cos_sim": pa.array([], type=pa.float64())}))
 
     if n_pairs > max_broadcast_pairs:
+        uniq._geoflow_keepalive = _keep
         return _score_pairs_joined(ds, uniq, threshold, emb_col, key_col,
                                    num_partitions)
 
@@ -361,7 +364,10 @@ def _score_pairs_joined(ds, uniq, threshold, emb_col, key_col,
                          "key_b": batch.column("key_b"),
                          "cos_sim": pa.array(cs)}).filter(pa.array(keep))
 
-    return j2.map_batches(score, batch_format="pyarrow")
+    out = j2.map_batches(score, batch_format="pyarrow")
+    # pin the sanitized candidate blocks (see drop_schemaless_blocks)
+    out._geoflow_keepalive = getattr(uniq, "_geoflow_keepalive", None)
+    return out
 
 
 # ---------------------------------------------------------------------------

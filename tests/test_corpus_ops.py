@@ -213,6 +213,110 @@ def test_line_dedup_min_docs_and_within_doc_repeat(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization / URL dedup
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_urls_cases():
+    from geoflow.text.urls import canonicalize_urls
+    cases = [
+        ("HTTPS://Example.COM/Path?a=1&utm_source=x&b=2#frag",
+         "https://example.com/Path?a=1&b=2"),
+        ("http://Host.org:80/p", "http://host.org/p"),
+        ("https://h.io:443?utm_medium=y", "https://h.io"),
+        ("http://a.b/?fbclid=zzz", "http://a.b/"),
+        ("http://a.b/x?utm_a=1&utm_b=2", "http://a.b/x"),
+        ("http://a.b/x?utm_a=1&c=3", "http://a.b/x?c=3"),
+        ("not a url at all", "not a url at all"),
+        ("http://a.b:8080/p?gclid=1&q=2", "http://a.b:8080/p?q=2"),
+        ("ftp://U.P/Q", "ftp://u.p/Q"),  # path case preserved
+    ]
+    got = canonicalize_urls(pa.array([c[0] for c in cases])).to_pylist()
+    assert got == [c[1] for c in cases]
+
+
+def test_canonicalize_urls_duckdb_parity():
+    duckdb = pytest.importorskip("duckdb")
+    from geoflow.text.urls import (CANON_STEPS, SCHEME_AUTHORITY,
+                                   canonicalize_urls)
+    urls = ["HTTP://A.B:80/x?utm_q=1&z=2#f", "https://C.d:443/",
+            "plain text ?utm_x=1", "http://e.f/?a=b&gclid=g&c=d"]
+    expr = (f"lower(coalesce(regexp_extract(url, '{SCHEME_AUTHORITY}'),"
+            f" '')) || regexp_replace(url, '{SCHEME_AUTHORITY}', '')")
+    for pat, rep in CANON_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    sql = duckdb.execute(
+        "SELECT " + expr + " FROM (SELECT unnest(?) AS url)",
+        [urls]).fetchall()
+    assert [r[0] for r in sql] == \
+        canonicalize_urls(pa.array(urls)).to_pylist()
+
+
+def test_url_dedup(ray_session):
+    import ray
+    from geoflow.text import url_dedup
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "url": ["HTTP://Site.com/p?utm_source=a",
+                "http://site.com/p",
+                "http://site.com/p#section",
+                "http://other.com/q"],
+    })
+    out = url_dedup(ray.data.from_arrow(t)).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 4]
+
+
+# ---------------------------------------------------------------------------
+# schema-less empty-block regression (tiny inputs -> empty aggregator
+# partitions -> the 0-column block that used to poison Dataset.join)
+# ---------------------------------------------------------------------------
+
+def test_exact_dup_losers_tiny_corpus(ray_session):
+    import ray
+    from geoflow.text.dedup import exact_dup_loser_keys
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a", "a", "b"]})
+    losers = exact_dup_loser_keys(ray.data.from_arrow(t)).take_all()
+    assert [r["loser"] for r in losers] == [2]
+    # empty corpus short-circuits
+    e = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    assert exact_dup_loser_keys(ray.data.from_arrow(e)).take_all() == []
+
+
+def test_cosine_near_dup_joined_verify_tiny(ray_session):
+    import ray
+    from geoflow.vector.ann import cosine_near_dup_pairs
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8)).astype(np.float32)
+    base[5] = base[0] + 1e-4          # one planted near-dup pair
+    t = pa.table({"vec_id": np.arange(6, dtype=np.int64),
+                  "embedding": [list(map(float, v)) for v in base]})
+    # max_broadcast_pairs=0 forces the hash-join verify path with a
+    # single candidate pair (one join partition stays empty)
+    out = cosine_near_dup_pairs(ray.data.from_arrow(t), threshold=0.99,
+                                max_broadcast_pairs=0).take_all()
+    assert {(r["key_a"], r["key_b"]) for r in out} == {(0, 5)}
+
+
+def test_estimate_pair_jaccard_joined_tiny(ray_session):
+    import ray
+    from geoflow.text.dedup import MinHasher, estimate_pair_jaccard
+    mh = MinHasher(num_hashes=32, shingle_k=2)
+    texts = pa.array(["the quick brown fox jumps over the lazy dog",
+                      "the quick brown fox jumps over the lazy cat"])
+    sigs = mh.signatures(texts).astype(np.uint64)
+    sig_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], type=pa.int64()),
+        "minhash": pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.ravel()), 32)}))
+    pairs = ray.data.from_arrow(pa.table({
+        "key_a": pa.array([10], type=pa.int64()),
+        "key_b": pa.array([11], type=pa.int64())}))
+    out = estimate_pair_jaccard(pairs, sig_ds, num_hashes=32,
+                                max_broadcast_pairs=0).take_all()
+    assert len(out) == 1 and 0.0 < out[0]["sig_jaccard"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------
 
