@@ -1901,6 +1901,77 @@ def _url_canon_sql(url_expr: str) -> str:
     return e
 
 
+def _rdf_lines_ds(sf_dir: str):
+    """Deterministic N-Triples corpus: 3 triples per document (an
+    @en literal WITH escaped quotes, an xsd:integer literal, a
+    geo:asWKT POINT literal with integer coordinates — no float
+    formatting crosses engines)."""
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        s = pc.cast(ids, pa.string())
+        ix = pc.cast(pa.array((idn * 37) % 360 - 180), pa.string())
+        iy = pc.cast(pa.array((idn * 53) % 180 - 90), pa.string())
+        j = pc.binary_join_element_wise
+        subj = j(pa.scalar("<http://ex/doc/"), s, pa.scalar("> "), "")
+        l1 = j(subj,
+               pa.scalar('<http://purl.org/dc/terms/title> "say \\"hi\\" '),
+               s, pa.scalar('"@en .'), "")
+        l2 = j(subj, pa.scalar('<http://ex/count> "'), s,
+               pa.scalar('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
+               "")
+        l3 = j(subj,
+               pa.scalar('<http://www.opengis.net/ont/geosparql#asWKT> '
+                         '"POINT('), ix, pa.scalar(" "), iy,
+               pa.scalar(')"^^<http://www.opengis.net/ont/geosparql'
+                         '#wktLiteral> .'), "")
+        lines = pa.concat_arrays([x.combine_chunks()
+                                  if isinstance(x, pa.ChunkedArray) else x
+                                  for x in (l1, l2, l3)])
+        return pa.table({"text": lines})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+
+
+def q_rdf_load(sf_dir: str):
+    """N-Triples ingest (io/ntriples.py — the reference's native model
+    load, TripleStoreConnection.java:57): a deterministic .nt corpus is
+    synthesized (3 triples/doc incl. escaped-quote literals, typed
+    integers, WKT geometry literals) and parsed by the vectorized
+    line-classifier; the oracle emits the ground-truth parse, so the
+    gate checks that parse inverts construction — including literal
+    unescaping and datatype/lang extraction."""
+    from geoflow.io.ntriples import parse_ntriples_batch
+
+    return _rdf_lines_ds(sf_dir).map_batches(
+        lambda b: parse_ntriples_batch(b.column("text")),
+        batch_format="pyarrow")
+
+
+def q_rdf_wkt(sf_dir: str):
+    """Geometry-literal extraction from parsed triples
+    (io/ntriples.py triples_to_geoms — the GeometryWrapper WKT-parse
+    path, GeomFromText.java:18): rows typed geo:wktLiteral become WKB;
+    output (s, wkt) with the WKT round-tripped back from WKB through
+    the engine's codec, so a parse failure drops the row and fails the
+    row-count gate."""
+    from geoflow.io.ntriples import parse_ntriples_batch, triples_to_geoms
+
+    triples = _rdf_lines_ds(sf_dir).map_batches(
+        lambda b: parse_ntriples_batch(b.column("text")),
+        batch_format="pyarrow")
+    geoms = triples_to_geoms(triples)
+
+    def out(b: pa.Table) -> pa.Table:
+        from geoflow.ops import get_op
+        wkt2 = get_op("st_astext").fn(b.column("geom_wkb"))
+        return pa.table({"s": b.column("s"), "wkt_rt": wkt2})
+
+    return geoms.map_batches(out, batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -1989,6 +2060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "url_canon": q_url_canon,
+        "rdf_load": q_rdf_load,
+        "rdf_wkt": q_rdf_wkt,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2576,6 +2649,31 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "rdf_load": """
+            SELECT 'http://ex/doc/' || doc_id AS s,
+                   'http://purl.org/dc/terms/title' AS p,
+                   'say "hi" ' || doc_id AS o,
+                   'literal' AS o_kind, '' AS o_datatype, 'en' AS o_lang
+            FROM documents
+            UNION ALL
+            SELECT 'http://ex/doc/' || doc_id, 'http://ex/count',
+                   CAST(doc_id AS VARCHAR), 'literal',
+                   'http://www.w3.org/2001/XMLSchema#integer', ''
+            FROM documents
+            UNION ALL
+            SELECT 'http://ex/doc/' || doc_id,
+                   'http://www.opengis.net/ont/geosparql#asWKT',
+                   'POINT(' || (((doc_id * 37) % 360) - 180) || ' '
+                            || (((doc_id * 53) % 180) - 90) || ')',
+                   'literal',
+                   'http://www.opengis.net/ont/geosparql#wktLiteral', ''
+            FROM documents""",
+        "rdf_wkt": """
+            SELECT 'http://ex/doc/' || doc_id AS s,
+                   'POINT (' || (((doc_id * 37) % 360) - 180) || ' '
+                             || (((doc_id * 53) % 180) - 90) || ')'
+                   AS wkt_rt
+            FROM documents""",
         "url_canon": f"""
             WITH u AS (
               SELECT doc_id,
