@@ -1972,6 +1972,19 @@ def q_rdf_wkt(sf_dir: str):
     return geoms.map_batches(out, batch_format="pyarrow")
 
 
+def q_chunk_docs(sf_dir: str):
+    """Document chunking (text/chunking.py): overlapping 32-token
+    windows, stride 24, last window clipped, >=1 window per doc, chunk
+    text = single-space token join. Pure map_batches (repeat/cumsum
+    index build + one take + binary_join); all window arithmetic is
+    integer, identical in the SQL oracle's LATERAL range + list_slice
+    form."""
+    from geoflow.text import chunk_documents
+    return chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        chunk_tokens=32, overlap=8)
+
+
 def q_flagship(sf_dir: str):
     """Flagship synthetic-corpus pipeline: corpus gen → WKT extraction →
     point parsing → broadcast spatial join → z12 tiles (rows-only; the
@@ -2062,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon": q_url_canon,
         "rdf_load": q_rdf_load,
         "rdf_wkt": q_rdf_wkt,
+        "chunk_docs": q_chunk_docs,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2649,6 +2663,24 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "chunk_docs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[\p{L}\p{N}_]+') AS tk
+              FROM documents),
+            w AS (
+              SELECT doc_id, tk,
+                     greatest((len(tk) - 8 + 24 - 1) // 24, 1) AS nw
+              FROM tok),
+            c AS (
+              SELECT doc_id, tk, g.i AS chunk_idx, g.i * 24 AS tok_start,
+                     least(g.i * 24 + 32, len(tk)) AS tok_end
+              FROM w, LATERAL (SELECT unnest(range(0, nw))) AS g(i))
+            SELECT doc_id, chunk_idx, tok_start, tok_end,
+                   tok_end - tok_start AS n_chunk_tokens,
+                   coalesce(array_to_string(
+                     tk[tok_start + 1 : tok_end], ' '), '') AS chunk_text
+            FROM c""",
         "rdf_load": """
             SELECT 'http://ex/doc/' || doc_id AS s,
                    'http://purl.org/dc/terms/title' AS p,

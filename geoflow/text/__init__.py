@@ -7,6 +7,7 @@ from .decontaminate import (contaminated_keys, decontaminate,
 from .dedup import (CharMinHasher, MinHasher, SimHasher,
                     add_content_hash, exact_dedup, hamming_distance,
                     lsh_band_pairs, lsh_loser_keys, ngram_jaccard)
+from .chunking import chunk_batch, chunk_documents
 from .linededup import (common_line_hashes, line_dedup,
                         strip_common_lines)
 from .packing import pack_sequences
@@ -20,4 +21,5 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "lsh_band_pairs", "lsh_loser_keys", "ngram_jaccard",
            "contaminated_keys", "decontaminate", "token_ngram_hashes",
            "pack_sequences", "common_line_hashes", "line_dedup",
-           "strip_common_lines", "canon_url_batch", "url_dedup"]
+           "strip_common_lines", "canon_url_batch", "url_dedup",
+           "chunk_batch", "chunk_documents"]

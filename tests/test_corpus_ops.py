@@ -213,6 +213,62 @@ def test_line_dedup_min_docs_and_within_doc_repeat(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_batch_windows():
+    from geoflow.text.chunking import chunk_batch
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": ["one two three four five six seven",
+                           "tiny", ""]})
+    out = chunk_batch(t, chunk_tokens=4, overlap=1).to_pylist()
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert [(r["tok_start"], r["tok_end"]) for r in d1] == \
+        [(0, 4), (3, 7)]
+    assert d1[0]["chunk_text"] == "one two three four"
+    assert d1[1]["chunk_text"] == "four five six seven"
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "tiny"
+    d3 = [r for r in out if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["chunk_text"] == "" \
+        and d3[0]["n_chunk_tokens"] == 0
+
+
+def test_chunk_documents_coverage_invariants(ray_session):
+    import ray
+    from geoflow.text import chunk_documents
+    rng = np.random.default_rng(5)
+    texts = [" ".join(f"w{i}t{j}" for j in range(rng.integers(0, 90)))
+             for i in range(40)]
+    t = pa.table({"doc_id": np.arange(40, dtype=np.int64),
+                  "text": pa.array(texts)})
+    out = chunk_documents(ray.data.from_arrow(t), chunk_tokens=16,
+                          overlap=4).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(40))  # every doc represented
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = len(texts[d].split())
+        # windows tile the doc: consecutive starts differ by the stride,
+        # last window ends at the token count
+        assert rows[0]["tok_start"] == 0
+        assert rows[-1]["tok_end"] == n or (n == 0 and
+                                            rows[-1]["tok_end"] == 0)
+        for a, b in zip(rows, rows[1:]):
+            assert b["tok_start"] - a["tok_start"] == 12
+            assert b["tok_start"] < a["tok_end"]  # overlap holds
+        # reassembly: stripping the overlap reproduces the doc
+        toks = []
+        for i, r in enumerate(rows):
+            parts = r["chunk_text"].split()
+            toks.extend(parts if i == 0 else parts[
+                rows[i - 1]["tok_end"] - r["tok_start"]:])
+        assert " ".join(toks) == texts[d]
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization / URL dedup
 # ---------------------------------------------------------------------------
 
