@@ -1972,6 +1972,29 @@ def q_rdf_wkt(sf_dir: str):
     return geoms.map_batches(out, batch_format="pyarrow")
 
 
+def q_incr_dedup(sf_dir: str):
+    """Incremental cross-snapshot dedup (text/incremental.py): the
+    'prior snapshot' is the doc_id%2==0 slice; its distinct content
+    hashes form the index (8 B/doc), and the full corpus is
+    anti-filtered against it with the key-partitioned hash join —
+    the persisted-parquet lifecycle (build/append/idempotent re-run)
+    is covered by pytest; this gates the membership semantics."""
+    from geoflow.text import dedup_against_index
+    from geoflow.text.incremental import content_hash_ds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prior_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 2 == 0))
+
+    prior = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        prior_rows, batch_format="pyarrow")
+    out = dedup_against_index(docs, content_hash_ds(prior), mode="join")
+    return out.map_batches(lambda b: b.select(["doc_id"]),
+                           batch_format="pyarrow")
+
+
 def q_chunk_docs(sf_dir: str):
     """Document chunking (text/chunking.py): overlapping 32-token
     windows, stride 24, last window clipped, >=1 window per doc, chunk
@@ -2076,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdf_load": q_rdf_load,
         "rdf_wkt": q_rdf_wkt,
         "chunk_docs": q_chunk_docs,
+        "incr_dedup": q_incr_dedup,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2663,6 +2687,10 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "incr_dedup": """
+            SELECT doc_id FROM documents
+            WHERE text NOT IN (SELECT text FROM documents
+                               WHERE doc_id % 2 = 0)""",
         "chunk_docs": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -8,6 +8,8 @@ from .dedup import (CharMinHasher, MinHasher, SimHasher,
                     add_content_hash, exact_dedup, hamming_distance,
                     lsh_band_pairs, lsh_loser_keys, ngram_jaccard)
 from .chunking import chunk_batch, chunk_documents
+from .incremental import (append_content_index, build_content_index,
+                          dedup_against_index)
 from .linededup import (common_line_hashes, line_dedup,
                         strip_common_lines)
 from .packing import pack_sequences
@@ -22,4 +24,5 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "contaminated_keys", "decontaminate", "token_ngram_hashes",
            "pack_sequences", "common_line_hashes", "line_dedup",
            "strip_common_lines", "canon_url_batch", "url_dedup",
-           "chunk_batch", "chunk_documents"]
+           "chunk_batch", "chunk_documents", "append_content_index",
+           "build_content_index", "dedup_against_index"]

@@ -213,6 +213,37 @@ def test_line_dedup_min_docs_and_within_doc_repeat(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against a persisted content-hash index
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_lifecycle(ray_session, tmp_path):
+    import ray
+    from geoflow.text import (append_content_index, build_content_index,
+                              dedup_against_index)
+    idx = str(tmp_path / "idx")
+    snap1 = pa.table({"doc_id": [1, 2, 3],
+                      "text": ["alpha", "beta", "alpha"]})
+    n = build_content_index(ray.data.from_arrow(snap1), idx)
+    assert n == 2  # distinct contents only
+    snap2 = pa.table({"doc_id": [10, 11, 12, 13],
+                      "text": ["alpha", "gamma", "beta", "delta"]})
+    for mode in ("broadcast", "join"):
+        out = dedup_against_index(ray.data.from_arrow(snap2), idx,
+                                  mode=mode).take_all()
+        assert sorted(r["doc_id"] for r in out) == [11, 13], mode
+    # append snapshot-2 survivors; index now covers gamma+delta too
+    added = append_content_index(
+        ray.data.from_arrow(snap2), idx)
+    assert added == 2
+    snap3 = pa.table({"doc_id": [20, 21],
+                      "text": ["gamma", "epsilon"]})
+    out = dedup_against_index(ray.data.from_arrow(snap3), idx).take_all()
+    assert [r["doc_id"] for r in out] == [21]
+    # idempotent re-append: nothing new
+    assert append_content_index(ray.data.from_arrow(snap2), idx) == 0
+
+
+# ---------------------------------------------------------------------------
 # document chunking
 # ---------------------------------------------------------------------------
 
