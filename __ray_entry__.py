@@ -1972,6 +1972,15 @@ def q_rdf_wkt(sf_dir: str):
     return geoms.map_batches(out, batch_format="pyarrow")
 
 
+def q_stopwords(sf_dir: str):
+    """Stopword discovery (text/analysis.py top_df_tokens): top-30
+    tokens by DISTINCT-document frequency, deterministic (df desc,
+    token asc) tiebreak. Per-batch (token, partial-df) combiners feed
+    the groupby-sum; the sort moves only token-cardinality rows."""
+    from geoflow.text import top_df_tokens
+    return top_df_tokens(_read(sf_dir, "documents", ["text"]), k=30)
+
+
 def q_incr_dedup(sf_dir: str):
     """Incremental cross-snapshot dedup (text/incremental.py): the
     'prior snapshot' is the doc_id%2==0 slice; its distinct content
@@ -2100,6 +2109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdf_wkt": q_rdf_wkt,
         "chunk_docs": q_chunk_docs,
         "incr_dedup": q_incr_dedup,
+        "stopwords": q_stopwords,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2687,6 +2697,16 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "stopwords": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       lower(text), '[\p{L}\p{N}_]+'))) AS token
+              FROM documents),
+            df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                   FROM tok GROUP BY token)
+            SELECT token, df FROM df
+            ORDER BY df DESC, token LIMIT 30""",
         "incr_dedup": """
             SELECT doc_id FROM documents
             WHERE text NOT IN (SELECT text FROM documents

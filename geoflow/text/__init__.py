@@ -1,4 +1,5 @@
 from .analysis import (bpe_token_count_batch, detect_language,
+                       document_frequency, top_df_tokens,
                        fingerprint_batch, langid_batch, quality_batch,
                        repetition_batch, token_count_batch,
                        url_host_batch)
@@ -25,4 +26,5 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "pack_sequences", "common_line_hashes", "line_dedup",
            "strip_common_lines", "canon_url_batch", "url_dedup",
            "chunk_batch", "chunk_documents", "append_content_index",
-           "build_content_index", "dedup_against_index"]
+           "build_content_index", "dedup_against_index",
+           "document_frequency", "top_df_tokens"]

@@ -264,3 +264,67 @@ def fingerprint_batch(batch: pa.Table, text_col="text", window: int = 16,
         out[i] = mix64(np.array([lens[i]], dtype=np.uint64)
                        + b.sum().astype(np.uint64))[0]
     return batch.append_column(out_col, pa.array(out.view(np.int64)))
+
+
+def doc_frequency_partials(batch: pa.Table, text_col="text") -> pa.Table:
+    """(token, partial document-frequency) rows for one batch: per-doc
+    DISTINCT lowercased tokens (one lexsort pair-dedup — each doc lives
+    wholly in its row, so per-batch pair dedup is global), collapsed to
+    per-batch counts. Only the distinct-token projection enters the
+    groupby shuffle; with Zipfian text the partials collapse the head
+    tokens ~batch-size-fold before the exchange."""
+    from .hashing import tokenize
+
+    flat, parent = tokenize(batch.column(text_col))
+    if len(parent) == 0:
+        return pa.table({"token": pa.array([], type=pa.string()),
+                         "df_part": pa.array([], type=pa.int64())})
+    # distinct (token, doc) pairs via sort over (hash, doc) — then the
+    # string tokens are gathered only for the surviving pair reps
+    from .hashing import hash64
+    h = hash64(flat)
+    order = np.lexsort((parent, h))
+    hs, ds_ = h[order], parent[order]
+    first = np.empty(len(hs), dtype=bool)
+    first[0] = True
+    first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+    rep_idx = order[first]           # one flat-index per (token, doc)
+    hu = hs[first]
+    # per-batch df: run length per hash (pairs are hash-sorted)
+    tok_first = np.empty(len(hu), dtype=bool)
+    tok_first[0] = True
+    tok_first[1:] = hu[1:] != hu[:-1]
+    df = np.diff(np.append(np.nonzero(tok_first)[0], len(hu)))
+    toks = flat.take(pa.array(rep_idx[tok_first], type=pa.int64()))
+    return pa.table({"token": toks,
+                     "df_part": pa.array(df.astype(np.int64))})
+
+
+def document_frequency(ds, text_col="text", min_df: int = 1):
+    """Dataset (token, df): number of distinct documents containing
+    each lowercased token. Per-batch partials (doc_frequency_partials)
+    feed a (token, int64) groupby-sum; tokens below ``min_df`` are
+    dropped after the aggregate."""
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(
+        lambda b: doc_frequency_partials(b, text_col),
+        batch_format="pyarrow").groupby("token").aggregate(Sum("df_part"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "token" not in b.schema.names:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        df = pc.cast(b.column("sum(df_part)"), pa.int64())
+        out = pa.table({"token": b.column("token"), "df": df})
+        return out.filter(pc.greater_equal(df, min_df))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_df_tokens(ds, k: int = 30, text_col="text"):
+    """Top-k tokens by document frequency (stopword discovery —
+    deterministic tiebreak on the token itself). The aggregate output
+    is token-cardinality-sized; the sort moves only (token, df)."""
+    return document_frequency(ds, text_col).sort(
+        ["df", "token"], descending=[True, False]).limit(k)

@@ -213,6 +213,27 @@ def test_line_dedup_min_docs_and_within_doc_repeat(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# document frequency / stopword discovery
+# ---------------------------------------------------------------------------
+
+def test_document_frequency(ray_session):
+    import ray
+    from geoflow.text import document_frequency, top_df_tokens
+    t = pa.table({"text": [
+        "the cat sat", "the dog ran", "THE the the bird",  # 'the' df=3
+        "cat and dog", "", "unique"]})
+    ds = ray.data.from_arrow(t)
+    df = {r["token"]: r["df"]
+          for r in document_frequency(ds).take_all()}
+    assert df["the"] == 3      # within-doc repeats count once
+    assert df["cat"] == 2 and df["dog"] == 2 and df["unique"] == 1
+    top = top_df_tokens(ds, k=2).take_all()
+    assert top[0]["token"] == "the" and top[0]["df"] == 3
+    # deterministic tiebreak at df=2: 'and'? no - and df=1; cat < dog
+    assert top[1]["token"] == "cat"
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup against a persisted content-hash index
 # ---------------------------------------------------------------------------
 
