@@ -101,7 +101,8 @@ def neardup_loser_keys(ds, key_col="doc_id", text_col="text"):
 def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
            languages=("en",), min_quality=0.0, near_dup=True,
            blocklist_ds=None, blocklist_key=None, per_source_cap=None,
-           filter_mode="broadcast"):
+           filter_mode="broadcast", line_dedup_min_docs=None,
+           decontam_ds=None, decontam_ngram=13):
     """documents Dataset → curated documents Dataset (same columns,
     plus ``quality_score`` whenever a quality/language filter or the
     per-source cap is active). See module docstring for the stage
@@ -117,8 +118,40 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
     "join" (key-partitioned hash joins via partitioned_key_filter —
     the payload crosses the wire once per filtered stage, but nothing
     is driver-materialized at ANY key cardinality; the 10-TB+ setting
-    for duplicate-heavy corpora)."""
+    for duplicate-heavy corpora).
+
+    Two optional pre-stages (session-6 operators): ``line_dedup_min_docs``
+    strips boilerplate lines repeated across >= that many docs
+    (text/linededup.py) BEFORE anything reads the text — quality
+    scores and dedup hashes then see the cleaned text;
+    ``decontam_ds`` drops docs sharing any ``decontam_ngram``-gram
+    with the given benchmark Dataset (text/decontaminate.py), using
+    the broadcast or join route per ``filter_mode``."""
     from ..text.dedup import _winner_cache_get, exact_dedup
+
+    # 0a: boilerplate line strip (text-mutating — must precede every
+    # stage that reads the text)
+    if line_dedup_min_docs is not None:
+        from ..text.linededup import line_dedup as _line_dedup
+        cleaned = _line_dedup(docs_ds, text_col=text_col,
+                              min_docs=line_dedup_min_docs,
+                              out_col="__clean_text")
+
+        def swap(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index(text_col)
+            return batch.set_column(
+                i, text_col, batch.column("__clean_text")) \
+                .drop_columns(["__clean_text"])
+
+        docs_ds = cleaned.map_batches(swap, batch_format="pyarrow")
+
+    # 0b: benchmark decontamination
+    if decontam_ds is not None:
+        from ..text.decontaminate import decontaminate
+        docs_ds = decontaminate(
+            docs_ds, decontam_ds, text_col=text_col, key_col=key_col,
+            n=decontam_ngram,
+            mode="join" if filter_mode == "join" else "broadcast")
 
     # 1+2: language + quality in ONE map stage (both are per-row
     # vectorized kernels; fusing avoids a second pass over the text).

@@ -149,3 +149,33 @@ class TestCurateJoinMode:
         # only exact dups collapse: 100/101 die (winner 0); near
         # copies 200/201 survive (texts differ)
         assert got == list(range(30)) + [200, 201]
+
+    def test_line_strip_and_decontam_stages(self, ray_session):
+        import pyarrow as pa
+        import ray
+        from geoflow.pipelines.curation import curate
+        docs = pa.table({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "subscribe now\nreal body zero",
+                "subscribe now\nreal body one",
+                "subscribe now\nthe secret benchmark sentence is here",
+                "subscribe now",          # boilerplate-only -> dropped
+            ],
+        })
+        bench = pa.table({
+            "doc_id": [99],
+            "text": ["the secret benchmark sentence is here indeed"],
+        })
+        for mode in ("broadcast", "join"):
+            out = curate(ray.data.from_arrow(docs), languages=None,
+                         min_quality=0.0, near_dup=False,
+                         filter_mode=mode, line_dedup_min_docs=2,
+                         decontam_ds=ray.data.from_arrow(bench),
+                         decontam_ngram=5)
+            rows = {r["doc_id"]: r["text"] for r in out.take_all()}
+            # doc 2 contaminated (5-gram overlap), doc 3 emptied by the
+            # line strip; survivors have the boilerplate line removed
+            assert sorted(rows) == [0, 1], mode
+            assert rows[0] == "real body zero"
+            assert rows[1] == "real body one"
