@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "mvt_tile", "traj_cpa", "semi_join", "grouped_topk", "dim_join",
     "curation", "curation_neardup", "pq_ann", "bpe_tokens",
     "solid_volumes", "repetition", "stream_dedup", "ivfpq_ann", "url_host",
+    "decontaminate", "seq_pack", "hash_split", "strat_sample",
+    "line_dedup", "url_canon", "rdf_load", "rdf_wkt", "chunk_docs",
+    "incr_dedup", "stopwords",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
