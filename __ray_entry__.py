@@ -1972,6 +1972,48 @@ def q_rdf_wkt(sf_dir: str):
     return geoms.map_batches(out, batch_format="pyarrow")
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (text/pii.py): deterministic PII (email, IP,
+    phone) is appended to each real text in BOTH engines, then
+    scrubbed by the shared RE2 chain (pii.PII_STEPS — the oracle SQL
+    is generated from the same tuple). Counts are over the original
+    text; replacement order is part of the contract."""
+    from geoflow.text import pii_scrub_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        s = pc.cast(ids, pa.string())
+        j = pc.binary_join_element_wise
+        text2 = j(pc.cast(b.column("text"), pa.string()),
+                  pa.scalar(" contact u"), s, pa.scalar("@ex"),
+                  pc.cast(pa.array(idn % 7), pa.string()),
+                  pa.scalar(".org or 10."),
+                  pc.cast(pa.array(idn % 256), pa.string()),
+                  pa.scalar(".0."),
+                  pc.cast(pa.array(idn % 100), pa.string()),
+                  pa.scalar(" tel +1 555 000 "),
+                  pc.cast(pa.array(1000 + idn % 9000), pa.string()), "")
+        return pa.table({"doc_id": ids, "text": text2})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: pii_scrub_batch(b).drop_columns(["text"]),
+        batch_format="pyarrow")
+
+
+def _pii_sql(text_expr: str) -> str:
+    """Counts + scrub as DuckDB SQL — generated from pii.PII_STEPS."""
+    from geoflow.text.pii import PII_STEPS
+    sel = [f"CAST(len(regexp_extract_all({text_expr}, '{p}')) AS BIGINT)"
+           f" AS n_{n}" for n, p, _ in PII_STEPS]
+    e = text_expr
+    for _, p, r in PII_STEPS:
+        e = f"regexp_replace({e}, '{p}', '{r}', 'g')"
+    return ", ".join(sel) + f", {e} AS text_scrubbed"
+
+
 def q_stopwords(sf_dir: str):
     """Stopword discovery (text/analysis.py top_df_tokens): top-30
     tokens by DISTINCT-document frequency, deterministic (df desc,
@@ -2110,6 +2152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "incr_dedup": q_incr_dedup,
         "stopwords": q_stopwords,
+        "pii_scrub": q_pii_scrub,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2697,6 +2740,16 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "pii_scrub": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id || '@ex'
+                          || (doc_id % 7) || '.org or 10.'
+                          || (doc_id % 256) || '.0.' || (doc_id % 100)
+                          || ' tel +1 555 000 '
+                          || (1000 + doc_id % 9000) AS text
+              FROM documents)
+            SELECT doc_id, {_pii_sql('text')} FROM s""",
         "stopwords": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -14,6 +14,7 @@ from .incremental import (append_content_index, build_content_index,
 from .linededup import (common_line_hashes, line_dedup,
                         strip_common_lines)
 from .packing import pack_sequences
+from .pii import pii_scrub_batch, scrub_pii
 from .urls import canon_url_batch, url_dedup
 
 __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
@@ -27,4 +28,5 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "strip_common_lines", "canon_url_batch", "url_dedup",
            "chunk_batch", "chunk_documents", "append_content_index",
            "build_content_index", "dedup_against_index",
-           "document_frequency", "top_df_tokens"]
+           "document_frequency", "top_df_tokens", "pii_scrub_batch",
+           "scrub_pii"]

@@ -479,3 +479,41 @@ def test_hash_sample_and_split(ray_session):
     # sample is a subset of itself under re-execution (determinism)
     kept2 = hash_sample(ds, "doc_id", frac_1024=128).take_all()
     assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in kept2}
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_batch():
+    from geoflow.text import pii_scrub_batch
+    t = pa.table({"text": [
+        "mail john.doe+x@Example.co.uk now",
+        "hosts 192.168.1.10 8.8.8.8",
+        "call +1 (555) 123-4567 ok",
+        "year 2024 version 1.2.3 untouched",
+    ]})
+    out = pii_scrub_batch(t).to_pylist()
+    assert out[0]["text_scrubbed"] == "mail <EMAIL> now"
+    assert out[0]["n_email"] == 1
+    assert out[1]["text_scrubbed"] == "hosts <IP> <IP>"
+    assert out[1]["n_ip"] == 2
+    assert out[2]["text_scrubbed"] == "call <PHONE> ok"
+    assert out[2]["n_phone"] == 1
+    assert out[3]["text_scrubbed"] == out[3]["text"]  # no false hits
+
+
+def test_pii_scrub_duckdb_parity():
+    duckdb = pytest.importorskip("duckdb")
+    from geoflow.text.pii import PII_STEPS, pii_scrub_batch
+    texts = ["a@b.io and 10.0.0.1 and +49 30 901820 42",
+             "nothing here", "x@y.z 1.2.3.4 +1 555 000 1234"]
+    t = pa.table({"text": pa.array(texts)})
+    ours = pii_scrub_batch(t).to_pylist()
+    expr = "text"
+    for _, p, r in PII_STEPS:
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    got = duckdb.connect().execute(
+        "SELECT " + expr + " FROM (SELECT unnest(?) AS text)",
+        [texts]).fetchall()
+    assert [r["text_scrubbed"] for r in ours] == [g[0] for g in got]
