@@ -88,3 +88,60 @@ def test_triples_to_geoms(ray_session, tmp_path):
     geom = from_wkb(g[0]["geom_wkb"])
     import numpy as np
     assert np.asarray(geom.coords).ravel()[:2].tolist() == [1.5, 2.5]
+
+
+# ---------------------------------------------------------------------------
+# GeoParquet interop (io/geoparquet.py)
+# ---------------------------------------------------------------------------
+
+def test_geoparquet_roundtrip(ray_session, tmp_path):
+    import json
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    from geoflow.io.geoparquet import read_geoparquet, write_geoparquet
+    from geoflow.ops import get_op
+
+    wkb = get_op("st_geomfromtext").fn(pa.array(
+        ["POINT(1 2)", "POINT(-10 5)", "LINESTRING(0 0, 3 4)"]))
+    t = pa.table({"fid": pa.array([1, 2, 3], type=pa.int64()),
+                  "geom_wkb": wkb})
+    out = str(tmp_path / "gpq")
+    write_geoparquet(ray.data.from_arrow(t), out,
+                     geometry_types=["Point", "LineString"],
+                     compute_bbox=True)
+    # file-level contract: geo key present, spec fields populated
+    import glob
+    f = glob.glob(out + "/*.parquet")[0]
+    md = pq.read_schema(f).metadata
+    geo = json.loads(md[b"geo"].decode())
+    assert geo["version"] == "1.0.0"
+    assert geo["primary_column"] == "geom_wkb"
+    col = geo["columns"]["geom_wkb"]
+    assert col["encoding"] == "WKB"
+    assert col["geometry_types"] == ["LineString", "Point"]
+    assert col["bbox"] == [-10.0, 0.0, 3.0, 5.0]
+    # reader returns data + contract
+    ds, geo2 = read_geoparquet(out)
+    assert geo2 == geo
+    assert sorted(r["fid"] for r in ds.take_all()) == [1, 2, 3]
+
+
+def test_geoparquet_crs_and_plain_read(ray_session, tmp_path):
+    import json
+    import ray
+    from geoflow.io.geoparquet import read_geoparquet, write_geoparquet
+    from geoflow.ops import get_op
+
+    wkb = get_op("st_geomfromtext").fn(pa.array(["POINT(500000 4649776)"]))
+    t = pa.table({"geom_wkb": wkb})
+    out = str(tmp_path / "gpq_crs")
+    write_geoparquet(ray.data.from_arrow(t), out, epsg=32633)
+    _, geo = read_geoparquet(out)
+    assert geo["columns"]["geom_wkb"]["crs"]["id"] == \
+        {"authority": "EPSG", "code": 32633}
+    # non-geo parquet: reader degrades to (ds, None)
+    plain = str(tmp_path / "plain")
+    ray.data.from_arrow(pa.table({"x": [1]})).write_parquet(plain)
+    _, geo_none = read_geoparquet(plain)
+    assert geo_none is None
