@@ -2046,6 +2046,31 @@ def q_incr_dedup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_warc_ingest(sf_dir: str):
+    """WARC ingest (io/warc.py): spec-framed WARC/1.0 bytes are built
+    per batch from the documents table (status 404 for doc_id%5==0),
+    then parsed back through the full record → response → doc chain;
+    the oracle emits the ground truth, so the gate checks that parsing
+    inverts the writer — framing, HTTP head split, status filter and
+    utf-8 body decode."""
+    from geoflow.io.warc import (_records_table, make_warc_bytes,
+                                 parse_warc_bytes, responses_to_docs,
+                                 warc_responses)
+
+    def build_and_parse(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        rows = [(f"http://ex.com/p/{i}", "2024-01-01T00:00:00Z",
+                 404 if i % 5 == 0 else 200, "text/html", t)
+                for i, t in zip(ids, texts)]
+        return _records_table(parse_warc_bytes(make_warc_bytes(rows)))
+
+    recs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        build_and_parse, batch_format="pyarrow")
+    return responses_to_docs(warc_responses(recs)).map_batches(
+        lambda b: b.select(["url", "text"]), batch_format="pyarrow")
+
+
 def q_chunk_docs(sf_dir: str):
     """Document chunking (text/chunking.py): overlapping 32-token
     windows, stride 24, last window clipped, >=1 window per doc, chunk
@@ -2153,6 +2178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incr_dedup": q_incr_dedup,
         "stopwords": q_stopwords,
         "pii_scrub": q_pii_scrub,
+        "warc_ingest": q_warc_ingest,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2740,6 +2766,9 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "warc_ingest": """
+            SELECT 'http://ex.com/p/' || doc_id AS url, text
+            FROM documents WHERE doc_id % 5 <> 0""",
         "pii_scrub": f"""
             WITH s AS (
               SELECT doc_id,

@@ -145,3 +145,63 @@ def test_geoparquet_crs_and_plain_read(ray_session, tmp_path):
     ray.data.from_arrow(pa.table({"x": [1]})).write_parquet(plain)
     _, geo_none = read_geoparquet(plain)
     assert geo_none is None
+
+
+# ---------------------------------------------------------------------------
+# WARC source (io/warc.py)
+# ---------------------------------------------------------------------------
+
+def _warc_fixture_bytes():
+    from geoflow.io.warc import make_warc_bytes
+    return make_warc_bytes([
+        ("http://ex.com/a", "2024-01-01T00:00:00Z", 200, "text/html",
+         "<html>alpha page</html>"),
+        ("http://ex.com/b", "2024-01-01T00:00:01Z", 404, "text/html",
+         "not found"),
+        ("http://ex.com/c", "2024-01-01T00:00:02Z", 200,
+         "text/plain; charset=utf-8", "café content"),
+    ])
+
+
+def test_parse_warc_records():
+    from geoflow.io.warc import parse_warc_bytes
+    recs = parse_warc_bytes(_warc_fixture_bytes())
+    assert [r["warc_type"] for r in recs] == \
+        ["warcinfo", "response", "response", "response"]
+    assert recs[1]["target_uri"] == "http://ex.com/a"
+    assert recs[1]["payload"].startswith(b"HTTP/1.1 200")
+    assert recs[1]["content_length"] == len(recs[1]["payload"])
+
+
+def test_warc_read_responses_docs(ray_session, tmp_path):
+    import gzip
+    from geoflow.io.warc import (read_warc, responses_to_docs,
+                                 warc_responses)
+    raw = _warc_fixture_bytes()
+    (tmp_path / "a.warc").write_bytes(raw)
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(raw))
+    ds = read_warc([str(tmp_path / "a.warc"),
+                    str(tmp_path / "b.warc.gz")])
+    recs = ds.take_all()
+    assert len(recs) == 8  # both files parse identically
+    resp = warc_responses(ds).take_all()
+    assert len(resp) == 6
+    assert {r["http_status"] for r in resp} == {200, 404}
+    assert all(r["http_content_type"] for r in resp)
+    docs = responses_to_docs(warc_responses(ds)).take_all()
+    # 2xx only; utf-8 decoded
+    assert sorted({r["url"] for r in docs}) == \
+        ["http://ex.com/a", "http://ex.com/c"]
+    texts = {r["url"]: r["text"] for r in docs}
+    assert texts["http://ex.com/c"] == "café content"
+
+
+def test_parse_warc_truncation_errors():
+    import pytest as _pt
+    from geoflow.io.warc import parse_warc_bytes
+    good = _warc_fixture_bytes()
+    with _pt.raises(ValueError, match="truncated record payload"):
+        parse_warc_bytes(good[:-20])
+    # trailing junk after final record parses cleanly (stops at junk)
+    recs = parse_warc_bytes(good + b"random trailing bytes")
+    assert len(recs) == 4
