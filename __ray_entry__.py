@@ -2046,6 +2046,30 @@ def q_incr_dedup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_lm_score(sf_dir: str):
+    """N-gram LM filter core (text/lm.py — CCNet/KenLM-style): train a
+    pruned bigram model on the doc_id%3==0 slice (top-16 unigrams /
+    top-64 bigrams by the SQL-reproducible (count DESC, gram ASC)
+    tiebreak — tight limits force real OOV and pruning on the small
+    synthetic vocabulary), score every document, emit the integer
+    membership signals. The Stupid-Backoff log-prob column is
+    engine-side (pytest-gated) and excluded here."""
+    from geoflow.text.lm import lm_score, train_bigram_lm
+
+    def train_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    train = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        train_rows, batch_format="pyarrow")
+    ref = train_bigram_lm(train, top_unigrams=16, top_bigrams=64)
+    out = lm_score(_read(sf_dir, "documents", ["doc_id", "text"]), ref)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens", "n_unigram_oov",
+                            "n_bigrams", "n_bigram_hits"]),
+        batch_format="pyarrow")
+
+
 def q_warc_ingest(sf_dir: str):
     """WARC ingest (io/warc.py): spec-framed WARC/1.0 bytes are built
     per batch from the documents table (status 404 for doc_id%5==0),
@@ -2179,6 +2203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopwords": q_stopwords,
         "pii_scrub": q_pii_scrub,
         "warc_ingest": q_warc_ingest,
+        "lm_score": q_lm_score,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2766,6 +2791,60 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "lm_score": r"""
+            WITH tk_all AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
+              FROM documents),
+            toks_train AS (
+              SELECT t.doc_id, g.i AS pos, t.tk[g.i] AS tok
+              FROM tk_all t, LATERAL (
+                SELECT unnest(range(1, len(t.tk) + 1))) AS g(i)
+              WHERE t.doc_id % 3 = 0),
+            uni AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks_train
+              GROUP BY tok ORDER BY c DESC, tok LIMIT 16),
+            bt AS (
+              SELECT doc_id, pos, tok,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS nxt
+              FROM toks_train),
+            big AS (
+              SELECT tok || ' ' || nxt AS gram,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM bt WHERE nxt IS NOT NULL
+              GROUP BY gram ORDER BY c DESC, gram LIMIT 64),
+            toks AS (
+              SELECT t.doc_id, g.i AS pos, t.tk[g.i] AS tok
+              FROM tk_all t, LATERAL (
+                SELECT unnest(range(1, len(t.tk) + 1))) AS g(i)),
+            bt_all AS (
+              SELECT doc_id, pos, tok,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS nxt
+              FROM toks),
+            per_tok AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(*) FILTER (tok NOT IN (SELECT tok FROM uni))
+                       AS n_unigram_oov
+              FROM toks GROUP BY doc_id),
+            per_big AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     count(*) FILTER ((tok || ' ' || nxt) IN
+                                      (SELECT gram FROM big))
+                       AS n_bigram_hits
+              FROM bt_all WHERE nxt IS NOT NULL GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(pt.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(pt.n_unigram_oov, 0) AS BIGINT)
+                     AS n_unigram_oov,
+                   CAST(coalesce(pb.n_bigrams, 0) AS BIGINT)
+                     AS n_bigrams,
+                   CAST(coalesce(pb.n_bigram_hits, 0) AS BIGINT)
+                     AS n_bigram_hits
+            FROM documents d
+            LEFT JOIN per_tok pt USING (doc_id)
+            LEFT JOIN per_big pb USING (doc_id)""",
         "warc_ingest": """
             SELECT 'http://ex.com/p/' || doc_id AS url, text
             FROM documents WHERE doc_id % 5 <> 0""",

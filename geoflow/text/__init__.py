@@ -13,6 +13,7 @@ from .incremental import (append_content_index, build_content_index,
                           dedup_against_index)
 from .linededup import (common_line_hashes, line_dedup,
                         strip_common_lines)
+from .lm import lm_score, lm_score_batch, train_bigram_lm
 from .packing import pack_sequences
 from .pii import pii_scrub_batch, scrub_pii
 from .urls import canon_url_batch, url_dedup
@@ -29,4 +30,5 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "chunk_batch", "chunk_documents", "append_content_index",
            "build_content_index", "dedup_against_index",
            "document_frequency", "top_df_tokens", "pii_scrub_batch",
-           "scrub_pii"]
+           "scrub_pii", "lm_score", "lm_score_batch",
+           "train_bigram_lm"]

@@ -1,0 +1,196 @@
+"""N-gram language-model quality filtering (the CCNet/KenLM-style
+corpus step: train a small LM on trusted text, keep documents the
+model finds unsurprising).
+
+Distributed shape (100 TB):
+
+- TRAIN: unigram and bigram counts stream through per-batch partial
+  counters (one np.unique per batch — Zipfian text collapses the head
+  massively before the exchange) into a (gram, int64) groupby-sum;
+  the model is then PRUNED to the top-V grams by ``(count DESC, gram
+  ASC)`` — a deterministic, SQL-reproducible tiebreak — and broadcast
+  once via ``ray.put`` (vocab-bounded: V grams × ~16 B of hash+count,
+  independent of corpus size), read through the per-worker cache.
+- SCORE: one pure map_batches pass per document computing
+    n_tokens, n_unigram_oov   (tokens outside the model vocabulary),
+    n_bigrams, n_bigram_hits  (adjacent pairs found in the model),
+    logprob_q                 (int64: round(1000 × Σ log P) — see below)
+  Membership is sorted-hash searchsorted over the flat token-hash
+  array; no per-row Python.
+
+Scoring model (Stupid Backoff, Brants et al. 2007 — the published
+web-scale choice precisely because it needs no normalized backoff
+weights): P(w|v) = c(v,w)/c(v) when the bigram is in the pruned model,
+else 0.4 · c(w)/total when the unigram is, else 0.4 · floor_p. The
+integer membership counts are bit-exactly SQL-reproducible and drive
+the oracle gate; the log-prob aggregate is quantized to 1e-3 nats
+(ratios of IDENTICAL int64 counts on both engines, so quantization
+boundary flips have ~ulp/1e-3 ≈ 1e-13 probability per doc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import hash64, tokenize
+
+__all__ = ["train_bigram_lm", "lm_score", "lm_score_batch"]
+
+
+def _grams(texts):
+    """(unigram hashes, bigram pair hashes combined, parent doc ids,
+    bigram parent ids, flat token strings, parent) for one batch."""
+    flat, parent = tokenize(texts)
+    th = hash64(flat)
+    if len(th) == 0:
+        e = np.empty(0, np.uint64)
+        return th, e, parent, np.empty(0, np.int64), flat, parent
+    from .hashing import _GOLD, mix64
+    pair = mix64(th[:-1] * _GOLD + th[1:])
+    same = parent[:-1] == parent[1:]
+    return th, pair[same], parent, parent[:-1][same], flat, parent
+
+
+def train_bigram_lm(ds, text_col: str = "text", top_unigrams: int = 4096,
+                    top_bigrams: int = 16384):
+    """Broadcast handle to the pruned model:
+    (sorted uni hashes, counts, sorted bi hashes, counts, total_tokens).
+
+    Pruning tiebreak is (count DESC, token-string ASC) for unigrams /
+    (count DESC, "tok1 tok2" ASC) for bigrams — reproducible in SQL.
+    Gram STRINGS ride the aggregate so the tiebreak can use them; the
+    broadcast model stores only hashes + counts."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        th, bi, parent, bparent, flat, _ = _grams(batch.column(text_col))
+        toks = flat.to_pylist()
+        u_gram, u_first, u_cnt = np.unique(th, return_index=True,
+                                           return_counts=True)
+        names = [toks[i] for i in u_first]
+        # bigram strings: "tok1 tok2" at the pair's first occurrence
+        b_gram, b_first, b_cnt = np.unique(bi, return_index=True,
+                                           return_counts=True)
+        # recover pair positions: bi was built from positions where
+        # parent matched; map back through the same mask
+        pos = np.nonzero(parent[:-1] == parent[1:])[0] if len(th) else \
+            np.empty(0, np.int64)
+        b_names = [f"{toks[pos[i]]} {toks[pos[i] + 1]}" for i in b_first]
+        return pa.table({
+            "gram": pa.array(names + b_names, type=pa.string()),
+            "h": pa.array(np.concatenate([u_gram, b_gram]).view(np.int64)),
+            "kind": pa.array([0] * len(u_gram) + [1] * len(b_gram),
+                             type=pa.int8()),
+            "c": pa.array(np.concatenate([u_cnt, b_cnt]).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby(["kind", "h", "gram"]).aggregate(Sum("c"))
+
+    kinds, hs, cs, gs = [], [], [], []
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_rows == 0 or "kind" not in b.schema.names:
+            continue
+        kinds.append(b.column("kind").to_numpy(zero_copy_only=False))
+        hs.append(b.column("h").to_numpy(zero_copy_only=False))
+        cs.append(b.column("sum(c)").to_numpy(zero_copy_only=False))
+        gs.append(np.asarray(b.column("gram").to_pylist(), dtype=object))
+    if not kinds:
+        z = np.empty(0, np.uint64), np.empty(0, np.int64)
+        return ray.put((z[0], z[1], z[0].copy(), z[1].copy(),
+                        np.int64(1)))
+    kind = np.concatenate(kinds)
+    h = np.concatenate(hs)
+    c = np.concatenate(cs).astype(np.int64)
+    g = np.concatenate(gs)
+    total = int(c[kind == 0].sum())
+
+    def prune(mask, k):
+        # top-k by (count DESC, gram-string ASC) — one lexsort, then
+        # re-sort the kept hashes for searchsorted membership
+        ci, gi, hi = c[mask], g[mask].astype(str), h[mask]
+        order = np.lexsort((gi, -ci))[:k]
+        keep_h = hi[order].astype(np.int64).view(np.uint64)
+        keep_c = ci[order]
+        o = np.argsort(keep_h)
+        return keep_h[o], keep_c[o]
+
+    uh, uc = prune(kind == 0, top_unigrams)
+    bh, bc = prune(kind == 1, top_bigrams)
+    return ray.put((uh, uc, bh, bc, np.int64(max(total, 1))))
+
+
+_LM_CACHE: dict = {}
+
+
+def _lm_get(ref):
+    key = ref.hex()
+    m = _LM_CACHE.get(key)
+    if m is None:
+        import ray
+        m = ray.get(ref)
+        _LM_CACHE.clear()
+        _LM_CACHE[key] = m
+    return m
+
+
+def lm_score_batch(batch: pa.Table, model_ref, text_col: str = "text",
+                   alpha: float = 0.4, floor_p: float = 1e-7) -> pa.Table:
+    uh, uc, bh, bc, total = _lm_get(model_ref)
+    th, bi, parent, bparent, _, _ = _grams(batch.column(text_col))
+    n = batch.num_rows
+    n_tok = np.bincount(parent, minlength=n).astype(np.int64)
+    n_big = np.bincount(bparent, minlength=n).astype(np.int64)
+
+    def member(sorted_h, vals):
+        if len(sorted_h) == 0 or len(vals) == 0:
+            return np.zeros(len(vals), dtype=bool), \
+                np.zeros(len(vals), dtype=np.int64)
+        pos = np.clip(np.searchsorted(sorted_h, vals), 0,
+                      len(sorted_h) - 1)
+        hit = sorted_h[pos] == vals
+        return hit, pos
+
+    u_hit, u_pos = member(uh, th)
+    b_hit, b_pos = member(bh, bi)
+    oov = np.bincount(parent[~u_hit], minlength=n).astype(np.int64) \
+        if len(th) else np.zeros(n, np.int64)
+    bhits = np.bincount(bparent[b_hit], minlength=n).astype(np.int64) \
+        if len(bi) else np.zeros(n, np.int64)
+
+    # Stupid Backoff log-prob over bigram positions (first token of
+    # each doc scored as unigram)
+    logp_tok = np.zeros(len(th))
+    if len(th):
+        p_uni = np.where(u_hit, uc[u_pos] / float(total), floor_p)
+        logp_tok = np.log(alpha * p_uni)
+    if len(bi):
+        # bigram positions: token at pos+1 conditioned on token at pos
+        pos_idx = np.nonzero(parent[:-1] == parent[1:])[0]
+        prev_hit = u_hit[pos_idx]
+        prev_c = np.where(prev_hit, uc[np.clip(u_pos[pos_idx], 0,
+                                               max(len(uc) - 1, 0))], 1)
+        p_bi = np.where(b_hit & prev_hit,
+                        bc[b_pos] / prev_c.astype(np.float64), 0.0)
+        use_bi = p_bi > 0
+        logp_tok[pos_idx + 1] = np.where(
+            use_bi, np.log(np.maximum(p_bi, 1e-300)),
+            logp_tok[pos_idx + 1])
+    logp_doc = np.bincount(parent, weights=logp_tok, minlength=n) \
+        if len(th) else np.zeros(n)
+    out = batch.append_column("n_tokens", pa.array(n_tok))
+    out = out.append_column("n_unigram_oov", pa.array(oov))
+    out = out.append_column("n_bigrams", pa.array(n_big))
+    out = out.append_column("n_bigram_hits", pa.array(bhits))
+    return out.append_column(
+        "logprob_q",
+        pa.array(np.round(logp_doc * 1000.0).astype(np.int64)))
+
+
+def lm_score(ds, model_ref, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: lm_score_batch(b, model_ref, text_col=text_col),
+        batch_format="pyarrow")

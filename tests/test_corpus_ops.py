@@ -517,3 +517,49 @@ def test_pii_scrub_duckdb_parity():
         "SELECT " + expr + " FROM (SELECT unnest(?) AS text)",
         [texts]).fetchall()
     assert [r["text_scrubbed"] for r in ours] == [g[0] for g in got]
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM filter (text/lm.py)
+# ---------------------------------------------------------------------------
+
+def test_lm_train_prune_and_score(ray_session):
+    import ray
+    from geoflow.text.lm import lm_score, train_bigram_lm
+    train = pa.table({"text": [
+        "the cat sat on the mat", "the dog sat on the rug",
+        "a cat and a dog"]})
+    ref = train_bigram_lm(ray.data.from_arrow(train),
+                          top_unigrams=8, top_bigrams=8)
+    uh, uc, bh, bc, total = ray.get(ref)
+    assert total == 17 and len(uh) == 8 and len(bh) == 8
+    test = pa.table({"doc_id": [1, 2, 3],
+                     "text": ["the cat sat", "zebra quantum flux", ""]})
+    out = {r["doc_id"]: r
+           for r in lm_score(ray.data.from_arrow(test), ref).take_all()}
+    # in-domain text scores far above OOV garbage; empty doc is zero
+    assert out[1]["n_unigram_oov"] == 0
+    assert out[2]["n_unigram_oov"] == 3
+    assert out[1]["logprob_q"] > out[2]["logprob_q"]
+    assert out[3]["n_tokens"] == 0 and out[3]["logprob_q"] == 0
+    # pruning tiebreak: "the cat"(1) loses its top-8 bigram slot to
+    # alphabetically-earlier count-1 grams; "cat sat"(1) keeps one
+    assert out[1]["n_bigram_hits"] == 1
+
+
+def test_lm_score_deterministic_across_runs(ray_session):
+    import ray
+    from geoflow.text.lm import lm_score, train_bigram_lm
+    rng = np.random.default_rng(11)
+    texts = [" ".join(rng.choice(list("abcdefgh"), size=20))
+             for _ in range(50)]
+    t = pa.table({"doc_id": np.arange(50, dtype=np.int64),
+                  "text": pa.array(texts)})
+    outs = []
+    for _ in range(2):
+        ref = train_bigram_lm(ray.data.from_arrow(t).repartition(5),
+                              top_unigrams=4, top_bigrams=12)
+        outs.append(sorted(
+            (r["doc_id"], r["logprob_q"], r["n_bigram_hits"])
+            for r in lm_score(ray.data.from_arrow(t), ref).take_all()))
+    assert outs[0] == outs[1]
