@@ -2046,6 +2046,43 @@ def q_incr_dedup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_html_text(sf_dir: str):
+    """HTML → text (text/htmltext.py): each document is wrapped in a
+    deterministic HTML shell (script/style/comment junk, heading,
+    entities) in BOTH engines and stripped by the shared RE2 chain
+    (htmltext.HTML_STEPS — the oracle SQL is generated from the same
+    tuple)."""
+    from geoflow.text import html_to_text
+
+    def synth_and_strip(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        s = pc.cast(ids, pa.string())
+        j = pc.binary_join_element_wise
+        html = j(pa.scalar("<html><head><script>var x="), s,
+                 pa.scalar(";</script><style>p{color:red}</style>"
+                           "</head><body><h1>Doc "), s,
+                 pa.scalar("</h1><p>"),
+                 pc.cast(b.column("text"), pa.string()),
+                 pa.scalar(" &amp; more</p><!-- hidden "), s,
+                 pa.scalar(" --></body></html>"), "")
+        return pa.table({"doc_id": ids, "text": html_to_text(html)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth_and_strip, batch_format="pyarrow")
+
+
+def _html_sql(expr: str) -> str:
+    """The HTML strip chain as DuckDB SQL — generated from
+    htmltext.HTML_STEPS (newlines in replacements via chr(10))."""
+    from geoflow.text.htmltext import HTML_STEPS
+    e = expr
+    for pat, rep in HTML_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
+        e = f"regexp_replace({e}, '{p}', '{r}', 'g')"
+    return e
+
+
 def q_lm_score(sf_dir: str):
     """N-gram LM filter core (text/lm.py — CCNet/KenLM-style): train a
     pruned bigram model on the doc_id%3==0 slice (top-16 unigrams /
@@ -2204,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "warc_ingest": q_warc_ingest,
         "lm_score": q_lm_score,
+        "html_text": q_html_text,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2791,6 +2829,17 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "html_text": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head><script>var x=' || doc_id
+                     || ';</script><style>p{{color:red}}</style>'
+                     || '</head><body><h1>Doc ' || doc_id
+                     || '</h1><p>' || text
+                     || ' &amp; more</p><!-- hidden ' || doc_id
+                     || ' --></body></html>' AS html
+              FROM documents)
+            SELECT doc_id, {_html_sql('html')} AS text FROM h""",
         "lm_score": r"""
             WITH tk_all AS (
               SELECT doc_id,

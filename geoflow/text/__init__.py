@@ -9,6 +9,7 @@ from .dedup import (CharMinHasher, MinHasher, SimHasher,
                     add_content_hash, exact_dedup, hamming_distance,
                     lsh_band_pairs, lsh_loser_keys, ngram_jaccard)
 from .chunking import chunk_batch, chunk_documents
+from .htmltext import html_to_text, html_to_text_batch
 from .incremental import (append_content_index, build_content_index,
                           dedup_against_index)
 from .linededup import (common_line_hashes, line_dedup,
@@ -31,4 +32,4 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "build_content_index", "dedup_against_index",
            "document_frequency", "top_df_tokens", "pii_scrub_batch",
            "scrub_pii", "lm_score", "lm_score_batch",
-           "train_bigram_lm"]
+           "train_bigram_lm", "html_to_text", "html_to_text_batch"]

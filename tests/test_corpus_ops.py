@@ -563,3 +563,40 @@ def test_lm_score_deterministic_across_runs(ray_session):
             (r["doc_id"], r["logprob_q"], r["n_bigram_hits"])
             for r in lm_score(ray.data.from_arrow(t), ref).take_all()))
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text
+# ---------------------------------------------------------------------------
+
+def test_html_to_text_cases():
+    from geoflow.text import html_to_text
+    cases = [
+        ("<html><head><script>var x=1;</script><style>p{}</style>"
+         "</head><body><h1>Title</h1><p>Hello <b>world</b> &amp; "
+         "friends</p><!-- hidden --><div>Second &lt;line&gt;</div>"
+         "</body></html>",
+         "Title\nHello world & friends\nSecond <line>"),
+        ("plain text stays", "plain text stays"),
+        ("<ul><li>a</li><li>b</li></ul>", "a\nb"),
+        ("broken <script>never closed...", "broken never closed..."),
+        ("spaces   and\t\ttabs &nbsp; here", "spaces and tabs here"),
+    ]
+    got = html_to_text(pa.array([c[0] for c in cases])).to_pylist()
+    assert got == [c[1] for c in cases]
+
+
+def test_html_to_text_duckdb_parity():
+    duckdb = pytest.importorskip("duckdb")
+    from geoflow.text.htmltext import HTML_STEPS, html_to_text
+    html = ["<p>x&amp;y</p><script>a</script>",
+            "<div>A</div><div>B</div>", "no tags &quot;q&quot;"]
+    expr = "h"
+    for pat, rep in HTML_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    sql = [r[0] for r in duckdb.connect().execute(
+        "SELECT " + expr + " FROM (SELECT unnest(?) AS h)",
+        [html]).fetchall()]
+    assert sql == html_to_text(pa.array(html)).to_pylist()
