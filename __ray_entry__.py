@@ -2046,6 +2046,47 @@ def q_incr_dedup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_web_pipeline(sf_dir: str):
+    """END-TO-END web-corpus composite, every stage the real library
+    code: WARC bytes built per batch (404s for doc_id%5==0) → record
+    parse → HTTP response split → 2xx body decode → HTML strip →
+    token-count filter (>=5) → exact content dedup (min doc_id wins;
+    the sf0.1 corpus has organic duplicate texts). The oracle mirrors
+    the whole chain in SQL (HTML chain generated from HTML_STEPS)."""
+    from geoflow.io.warc import (_records_table, make_warc_bytes,
+                                 parse_warc_bytes, responses_to_docs,
+                                 warc_responses)
+    from geoflow.text import html_to_text
+    from geoflow.text.dedup import exact_dedup
+    from geoflow.text.hashing import TOKEN_MATCH
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        rows = [(f"http://ex.com/p/{i}", "2024-01-01T00:00:00Z",
+                 404 if i % 5 == 0 else 200, "text/html",
+                 f"<html><body><p>{t}</p></body></html>")
+                for i, t in zip(ids, texts)]
+        return _records_table(parse_warc_bytes(make_warc_bytes(rows)))
+
+    recs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow")
+    docs = responses_to_docs(warc_responses(recs))
+
+    def extract(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column("url"),
+                              r"/p/(?P<id>\d+)$")
+        ids = pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        text = html_to_text(b.column("text"))
+        n = pc.cast(pc.count_substring_regex(text, TOKEN_MATCH),
+                    pa.int64())
+        t = pa.table({"doc_id": ids, "n_tok": n, "text": text})
+        return t.filter(pc.greater_equal(n, 5))
+
+    ds = docs.map_batches(extract, batch_format="pyarrow")
+    return exact_dedup(ds, text_col="text", key_col="doc_id")
+
+
 def q_html_text(sf_dir: str):
     """HTML → text (text/htmltext.py): each document is wrapped in a
     deterministic HTML shell (script/style/comment junk, heading,
@@ -2242,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": q_warc_ingest,
         "lm_score": q_lm_score,
         "html_text": q_html_text,
+        "web_pipeline": q_web_pipeline,
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
@@ -2829,6 +2871,20 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 97 = 0) b USING (gram))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "web_pipeline": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     {_html_sql("('<html><body><p>' || text || '</p></body></html>')")}
+                       AS text
+              FROM documents WHERE doc_id % 5 <> 0),
+            t AS (
+              SELECT doc_id, text,
+                     CAST(len(regexp_extract_all(text,
+                       '[\\p{{L}}\\p{{N}}_]+')) AS BIGINT) AS n_tok
+              FROM s),
+            f AS (SELECT * FROM t WHERE n_tok >= 5)
+            SELECT doc_id, n_tok, text FROM f
+            WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY text)""",
         "html_text": f"""
             WITH h AS (
               SELECT doc_id,

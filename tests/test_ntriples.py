@@ -205,3 +205,38 @@ def test_parse_warc_truncation_errors():
     # trailing junk after final record parses cleanly (stops at junk)
     recs = parse_warc_bytes(good + b"random trailing bytes")
     assert len(recs) == 4
+
+
+# ---------------------------------------------------------------------------
+# end-to-end web-corpus pipeline (pipelines/webcorpus.py)
+# ---------------------------------------------------------------------------
+
+def test_run_webcorpus_end_to_end(ray_session, tmp_path):
+    from geoflow.io.warc import make_warc_bytes
+    from geoflow.pipelines.webcorpus import run_webcorpus
+    body = ("<html><body><p>the quick brown fox jumps over the lazy "
+            "dog again and again in this perfectly ordinary test "
+            "document with enough words</p></body></html>")
+    raw = make_warc_bytes([
+        ("http://ex.com/a?utm_source=x", "2024-01-01T00:00:00Z", 200,
+         "text/html", body),
+        ("http://ex.com/a", "2024-01-01T00:00:01Z", 200,
+         "text/html", body),                       # url dup after canon
+        ("http://ex.com/b", "2024-01-01T00:00:02Z", 200,
+         "text/html", "<p>tiny</p>"),              # low quality
+        ("http://ex.com/c", "2024-01-01T00:00:03Z", 404,
+         "text/html", body),                       # non-2xx dropped
+        ("http://ex.com/d", "2024-01-01T00:00:04Z", 200, "text/html",
+         "<html><body><p>a completely different long and reasonable "
+         "document about nothing in particular but with plenty of "
+         "words to pass the filter</p></body></html>"),
+    ])
+    (tmp_path / "crawl.warc").write_bytes(raw)
+    out = run_webcorpus(str(tmp_path / "crawl.warc"), languages=None,
+                        min_quality=0.5, near_dup=False).take_all()
+    urls = sorted(r["url"] for r in out)
+    # canon-identical pair deduped to one row; tiny + 404 gone
+    assert urls == ["http://ex.com/a", "http://ex.com/d"]
+    assert all("quick brown fox" in r["text"] or "completely" in
+               r["text"] for r in out)
+    assert all("<" not in r["text"] for r in out)
