@@ -28,19 +28,143 @@ def _load_keys(path: str, chain: str) -> np.ndarray:
                 zero_copy_only=False)
         else:
             arr = np.empty(0, dtype=np.int64)
-        _KEYS_CACHE.clear()
+        # a job holds a handful of artifacts (dropkeys, droplines,
+        # benchgrams, blocklist); evict oldest beyond that instead of
+        # clearing wholesale (which would thrash between them)
+        while len(_KEYS_CACHE) >= 8:
+            _KEYS_CACHE.pop(next(iter(_KEYS_CACHE)))
         _KEYS_CACHE[k] = arr
     return arr
 
 
 def phase1_chain(files: list, *, neardup: bool, languages: str,
-                 min_quality: float, key_col: str, text_col: str) -> str:
+                 min_quality: float, key_col: str, text_col: str,
+                 prep: str = "-") -> str:
     from ..io.lineage import op_chain_hash
     desc = (f"curation_dropkeys:v1|neardup:{neardup}"
             f"|langs:{languages}|minq:{min_quality}"
-            f"|key:{key_col}|text:{text_col}"
+            f"|key:{key_col}|text:{text_col}|prep:{prep}"
             "|files:" + ",".join(files))
     return op_chain_hash(desc)
+
+
+# ---------------------------------------------------------------------------
+# PHASE 0 (optional prep artifacts): boilerplate-line drop set and
+# benchmark decontamination gram set — each a global, checkpointed
+# array under _state/, chained like the drop-key set, applied inside
+# phase 1 AND every phase-2 partition (so their semantics match
+# curate(line_dedup_min_docs=..., decontam_ds=...)).
+# ---------------------------------------------------------------------------
+
+def droplines_chain(files: list, *, text_col: str, min_docs: int) -> str:
+    from ..io.lineage import op_chain_hash
+    return op_chain_hash(f"curation_droplines:v1|min_docs:{min_docs}"
+                         f"|text:{text_col}|files:" + ",".join(files))
+
+
+def compute_drop_lines(files: list, state_dir: str, chain: str, *,
+                       text_col: str, min_docs: int) -> int:
+    """Distributed repeated-line hash set (text/linededup partials →
+    16-byte groupby-sum), checkpointed to _state/droplines.parquet."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..text.linededup import _pair_partials
+
+    def partials(batch: pa.Table) -> pa.Table:
+        h, c = _pair_partials(batch, text_col)
+        return pa.table({"lh": pa.array(h.view(np.int64)),
+                         "c": pa.array(c)})
+
+    agg = ray.data.read_parquet(files, columns=[text_col]).map_batches(
+        partials, batch_format="pyarrow").groupby("lh").aggregate(Sum("c"))
+    parts = []
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_rows == 0 or "lh" not in b.schema.names:
+            continue
+        tot = b.column("sum(c)").to_numpy(zero_copy_only=False)
+        parts.append(b.column("lh").to_numpy(
+            zero_copy_only=False)[tot >= min_docs])
+    # stored in UINT64 order (the searchsorted order of the hash view)
+    keys = np.sort(np.concatenate(parts).view(np.uint64)) \
+        .view(np.int64) if parts else np.empty(0, np.int64)
+    _write_state(state_dir, "droplines", keys, chain)
+    return int(len(keys))
+
+
+def benchgrams_chain(bench_files: list, *, text_col: str,
+                     ngram: int) -> str:
+    from ..io.lineage import op_chain_hash
+    return op_chain_hash(f"curation_benchgrams:v1|n:{ngram}"
+                         f"|text:{text_col}|files:"
+                         + ",".join(bench_files))
+
+
+def compute_bench_grams(bench_files: list, state_dir: str, chain: str,
+                        *, text_col: str, ngram: int) -> int:
+    """Distinct benchmark n-gram hashes (bounded by the benchmark, not
+    the corpus), checkpointed to _state/benchgrams.parquet."""
+    import ray.data
+
+    from ..text.decontaminate import token_ngram_hashes
+
+    def grams(batch: pa.Table) -> pa.Table:
+        g, _ = token_ngram_hashes(batch.column(text_col), ngram)
+        return pa.table({"g": pa.array(np.unique(g).view(np.int64))})
+
+    parts = [b.column("g").to_numpy(zero_copy_only=False)
+             for b in ray.data.read_parquet(
+                 bench_files, columns=[text_col]).map_batches(
+                 grams, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")
+             if b.num_rows and "g" in b.schema.names]
+    # stored in UINT64 order (the searchsorted order of the hash view)
+    keys = np.sort(np.unique(np.concatenate(parts)).view(np.uint64)) \
+        .view(np.int64) if parts else np.empty(0, np.int64)
+    _write_state(state_dir, "benchgrams", keys, chain)
+    return int(len(keys))
+
+
+def _write_state(state_dir: str, name: str, keys: np.ndarray,
+                 chain: str):
+    import pyarrow.parquet as pq
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, f".{name}.tmp")
+    pq.write_table(pa.table({"key": pa.array(keys)}), tmp)
+    os.replace(tmp, os.path.join(state_dir, f"{name}.parquet"))
+    with open(os.path.join(state_dir, f"{name}.json"), "w") as f:
+        json.dump({"op_chain_hash": chain, "n_keys": int(len(keys))}, f)
+
+
+def state_done(state_dir: str, name: str, chain: str) -> bool:
+    meta = os.path.join(state_dir, f"{name}.json")
+    if not (os.path.exists(meta)
+            and os.path.exists(os.path.join(state_dir,
+                                            f"{name}.parquet"))):
+        return False
+    try:
+        with open(meta) as f:
+            return json.load(f).get("op_chain_hash") == chain
+    except (OSError, ValueError):
+        return False
+
+
+def apply_prep(table: pa.Table, lines_sorted: np.ndarray,
+               grams_sorted: np.ndarray, text_col: str,
+               ngram: int) -> pa.Table:
+    """The phase-0 transforms on one table, in curate()'s order: line
+    strip first (text-mutating), then decontamination filter."""
+    if len(lines_sorted):
+        from ..text.linededup import strip_lines_table
+        table = strip_lines_table(table, lines_sorted.view(np.uint64),
+                                  text_col=text_col)
+    if len(grams_sorted) and table.num_rows:
+        from ..text.decontaminate import contaminated_mask
+        bad = contaminated_mask(table, grams_sorted.view(np.uint64),
+                                text_col=text_col, n=ngram)
+        table = table.filter(pa.array(~bad))
+    return table
 
 
 def _parse_langs(languages: str):
@@ -49,19 +173,29 @@ def _parse_langs(languages: str):
 
 def compute_drop_keys(files: list, state_dir: str, chain: str, *,
                       neardup: bool, languages: str, min_quality: float,
-                      key_col: str, text_col: str) -> int:
+                      key_col: str, text_col: str,
+                      droplines_path: str = "", droplines_chain_: str = "",
+                      benchgrams_path: str = "",
+                      benchgrams_chain_: str = "", ngram: int = 13) -> int:
     """PHASE 1: distributed drop-key computation + checkpoint write.
-    Returns the number of drop keys."""
+    Returns the number of drop keys. Phase-0 prep artifacts (line strip
+    / decontamination) apply BEFORE the filter so winner competition
+    sees the same text phase 2 emits."""
     import pyarrow.parquet as pq
     import ray.data
 
     from ..text.dedup import exact_dup_loser_keys
     from .curation import make_filter_fn, neardup_loser_keys
 
+    filt = make_filter_fn(text_col, _parse_langs(languages), min_quality)
+
+    def prep_and_filter(batch: pa.Table) -> pa.Table:
+        lines = _load_keys(droplines_path, droplines_chain_)
+        grams = _load_keys(benchgrams_path, benchgrams_chain_)
+        return filt(apply_prep(batch, lines, grams, text_col, ngram))
+
     ds = ray.data.read_parquet(files, columns=[key_col, text_col])
-    ds = ds.map_batches(
-        make_filter_fn(text_col, _parse_langs(languages), min_quality),
-        batch_format="pyarrow")
+    ds = ds.map_batches(prep_and_filter, batch_format="pyarrow")
     if neardup:
         losers = neardup_loser_keys(ds, key_col=key_col,
                                     text_col=text_col)
@@ -99,7 +233,9 @@ def run_partition(pid: int, files: list, out_dir: str, chain: str,
                   dropkeys_path: str, drop_chain: str,
                   blocklist_path: str, blocklist_key: str,
                   key_col: str, text_col: str, languages: str,
-                  min_quality: float) -> dict:
+                  min_quality: float, droplines_path: str = "",
+                  droplines_chain_: str = "", benchgrams_path: str = "",
+                  benchgrams_chain_: str = "", ngram: int = 13) -> dict:
     """PHASE 2: one partition (runs inside a Ray task)."""
     import pyarrow.parquet as pq
 
@@ -107,7 +243,15 @@ def run_partition(pid: int, files: list, out_dir: str, chain: str,
     from .curation import make_filter_fn
 
     t0 = time.monotonic()
-    filt = make_filter_fn(text_col, _parse_langs(languages), min_quality)
+    base_filt = make_filter_fn(text_col, _parse_langs(languages),
+                               min_quality)
+
+    def filt(table: pa.Table) -> pa.Table:
+        lines = _load_keys(droplines_path, droplines_chain_)
+        grams = _load_keys(benchgrams_path, benchgrams_chain_)
+        return base_filt(apply_prep(table, lines, grams, text_col,
+                                    ngram))
+
     drop = _load_keys(dropkeys_path, drop_chain)
     block = np.sort(pq.read_table(blocklist_path)
                     .column(blocklist_key).to_numpy(

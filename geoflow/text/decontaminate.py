@@ -108,19 +108,28 @@ def benchmark_gram_refs(bench_ds, text_col: str = "text", n: int = 13):
     return ray.put(np.sort(allg))
 
 
-def _hit_doc_mask(batch: pa.Table, gram_ref, text_col: str,
-                  n: int) -> np.ndarray:
-    """bool mask: row has ≥1 n-gram in the broadcast benchmark set."""
-    bench = _gram_cache_get(gram_ref)
+def contaminated_mask(batch: pa.Table, bench_sorted: np.ndarray,
+                      text_col: str = "text", n: int = 13) -> np.ndarray:
+    """bool mask: row shares ≥1 token n-gram with the SORTED uint64
+    benchmark gram array (array-level entry point — used directly by
+    the resumable curation job on per-partition tables)."""
     bad = np.zeros(batch.num_rows, dtype=bool)
-    if len(bench) == 0:
+    if len(bench_sorted) == 0:
         return bad
     g, doc = token_ngram_hashes(batch.column(text_col), n)
     if len(g) == 0:
         return bad
-    pos = np.clip(np.searchsorted(bench, g), 0, len(bench) - 1)
-    bad[doc[bench[pos] == g]] = True
+    pos = np.clip(np.searchsorted(bench_sorted, g),
+                  0, len(bench_sorted) - 1)
+    bad[doc[bench_sorted[pos] == g]] = True
     return bad
+
+
+def _hit_doc_mask(batch: pa.Table, gram_ref, text_col: str,
+                  n: int) -> np.ndarray:
+    """bool mask: row has ≥1 n-gram in the broadcast benchmark set."""
+    return contaminated_mask(batch, _gram_cache_get(gram_ref),
+                             text_col, n)
 
 
 def decontaminate(corpus_ds, bench_ds, text_col: str = "text",

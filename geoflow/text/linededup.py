@@ -50,7 +50,8 @@ import pyarrow.compute as pc
 
 from .hashing import hash64
 
-__all__ = ["common_line_hashes", "strip_common_lines", "line_dedup"]
+__all__ = ["common_line_hashes", "strip_common_lines", "line_dedup",
+           "strip_lines_table"]
 
 
 def _line_arrays(texts):
@@ -134,6 +135,41 @@ def _drop_cache_get(ref) -> np.ndarray:
     return arr
 
 
+def strip_lines_table(batch: pa.Table, drop_sorted: np.ndarray,
+                      text_col: str = "text",
+                      out_col: str | None = None) -> pa.Table:
+    """Array-level strip kernel over one table (used directly by the
+    resumable curation job): remove lines whose trimmed-form hash is
+    in the SORTED uint64 ``drop_sorted``; rows left with zero lines
+    are removed. ``out_col=None`` replaces ``text_col`` in place."""
+    trimmed, flat, parent = _line_arrays(batch.column(text_col))
+    lens = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False)
+    h = hash64(trimmed)
+    if len(drop_sorted):
+        pos = np.clip(np.searchsorted(drop_sorted, h),
+                      0, len(drop_sorted) - 1)
+        hit = (drop_sorted[pos] == h) & (lens > 0)
+    else:
+        hit = np.zeros(len(h), dtype=bool)
+    keep = ~hit
+    kept_flat = flat.filter(pa.array(keep))
+    counts = np.bincount(parent[keep], minlength=batch.num_rows)
+    offsets = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(counts)]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                     kept_flat.combine_chunks()
+                                     if isinstance(kept_flat,
+                                                   pa.ChunkedArray)
+                                     else kept_flat)
+    joined = pc.binary_join(lists, "\n")
+    if out_col is None:
+        i = batch.schema.get_field_index(text_col)
+        out = batch.set_column(i, text_col, joined)
+    else:
+        out = batch.append_column(out_col, joined)
+    return out.filter(pa.array(counts > 0))
+
+
 def strip_common_lines(ds, drop_ref, text_col: str = "text",
                        out_col: str = "text_clean"):
     """Rows of ``ds`` with ``out_col`` = the document minus its dropped
@@ -142,28 +178,8 @@ def strip_common_lines(ds, drop_ref, text_col: str = "text",
     reassembly is ListArray offsets + pc.binary_join, no Python loop."""
 
     def strip(batch: pa.Table) -> pa.Table:
-        drop = _drop_cache_get(drop_ref)
-        trimmed, flat, parent = _line_arrays(batch.column(text_col))
-        lens = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False)
-        h = hash64(trimmed)
-        if len(drop):
-            pos = np.clip(np.searchsorted(drop, h), 0, len(drop) - 1)
-            hit = (drop[pos] == h) & (lens > 0)
-        else:
-            hit = np.zeros(len(h), dtype=bool)
-        keep = ~hit
-        kept_flat = flat.filter(pa.array(keep))
-        counts = np.bincount(parent[keep], minlength=batch.num_rows)
-        offsets = np.concatenate(
-            [np.zeros(1, np.int64), np.cumsum(counts)]).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(offsets),
-                                         kept_flat.combine_chunks()
-                                         if isinstance(kept_flat,
-                                                       pa.ChunkedArray)
-                                         else kept_flat)
-        joined = pc.binary_join(lists, "\n")
-        out = batch.append_column(out_col, joined)
-        return out.filter(pa.array(counts > 0))
+        return strip_lines_table(batch, _drop_cache_get(drop_ref),
+                                 text_col=text_col, out_col=out_col)
 
     return ds.map_batches(strip, batch_format="pyarrow")
 

@@ -72,6 +72,14 @@ def main():
                     help="phase 3: keep the k best-quality docs per "
                          "source (0 = skip); output under _capped/")
     ap.add_argument("--source-col", default="source")
+    ap.add_argument("--line-dedup-min-docs", type=int, default=0,
+                    help="phase 0a: strip lines repeated across >= N "
+                         "docs before everything else (0 = skip)")
+    ap.add_argument("--benchmark", default="",
+                    help="phase 0b: parquet dir of benchmark docs; "
+                         "documents sharing any --decontam-ngram-gram "
+                         "are dropped")
+    ap.add_argument("--decontam-ngram", type=int, default=13)
     args = ap.parse_args()
 
     import ray
@@ -87,23 +95,64 @@ def main():
                    for f in os.listdir(args.input)
                    if f.endswith(".parquet"))
     state_dir = os.path.join(args.output, "_state")
+    t_start = time.monotonic()
+
+    # PHASE 0a (optional): repeated-line drop set
+    dl_path = dl_chain = ""
+    if args.line_dedup_min_docs > 0:
+        dl_chain = cj.droplines_chain(
+            files, text_col=args.text_col,
+            min_docs=args.line_dedup_min_docs)
+        dl_path = os.path.join(state_dir, "droplines.parquet")
+        if cj.state_done(state_dir, "droplines", dl_chain):
+            print("phase0a: resumed drop-line set from checkpoint")
+        else:
+            n = cj.compute_drop_lines(
+                files, state_dir, dl_chain, text_col=args.text_col,
+                min_docs=args.line_dedup_min_docs)
+            print(f"phase0a: computed {n} drop-line hashes")
+
+    # PHASE 0b (optional): benchmark decontamination gram set
+    bg_path = bg_chain = ""
+    if args.benchmark:
+        bench_files = sorted(
+            os.path.join(args.benchmark, f)
+            for f in os.listdir(args.benchmark)
+            if f.endswith(".parquet"))
+        bg_chain = cj.benchgrams_chain(bench_files,
+                                       text_col=args.text_col,
+                                       ngram=args.decontam_ngram)
+        bg_path = os.path.join(state_dir, "benchgrams.parquet")
+        if cj.state_done(state_dir, "benchgrams", bg_chain):
+            print("phase0b: resumed benchmark grams from checkpoint")
+        else:
+            n = cj.compute_bench_grams(
+                bench_files, state_dir, bg_chain,
+                text_col=args.text_col, ngram=args.decontam_ngram)
+            print(f"phase0b: computed {n} benchmark gram hashes")
+
+    prep_sig = f"{dl_chain or '-'}:{bg_chain or '-'}:{args.decontam_ngram}"
     params = dict(neardup=not args.no_neardup, languages=args.languages,
                   min_quality=args.min_quality, key_col=args.key_col,
                   text_col=args.text_col)
-    p1 = cj.phase1_chain(files, **params)
-    t_start = time.monotonic()
+    prep_kw = dict(droplines_path=dl_path, droplines_chain_=dl_chain,
+                   benchgrams_path=bg_path, benchgrams_chain_=bg_chain,
+                   ngram=args.decontam_ngram)
+    p1 = cj.phase1_chain(files, prep=prep_sig, **params)
     if cj.dropkeys_done(state_dir, p1):
         with open(os.path.join(state_dir, "dropkeys.json")) as f:
             n_drop = json.load(f)["n_keys"]
         print(f"phase1: resumed from checkpoint ({n_drop} drop keys)")
     else:
-        n_drop = cj.compute_drop_keys(files, state_dir, p1, **params)
+        n_drop = cj.compute_drop_keys(files, state_dir, p1, **params,
+                                      **prep_kw)
         print(f"phase1: computed {n_drop} drop keys")
     p1_wall = time.monotonic() - t_start
 
     groups = [files[i::args.partitions] for i in range(args.partitions)]
     chains = [op_chain_hash(
-        f"curation_apply:v1|p1:{p1}|blk:{args.blocklist}:"
+        f"curation_apply:v1|p1:{p1}|prep:{prep_sig}"
+        f"|blk:{args.blocklist}:"
         f"{args.blocklist_key}|nparts:{args.partitions}"
         "|files:" + ",".join(grp)) for grp in groups]
 
@@ -128,7 +177,9 @@ def main():
         pending.append(task.remote(
             pid, grp, args.output, chains[pid], dk_path, p1,
             args.blocklist, args.blocklist_key, args.key_col,
-            args.text_col, args.languages, args.min_quality))
+            args.text_col, args.languages, args.min_quality,
+            dl_path, dl_chain, bg_path, bg_chain,
+            args.decontam_ngram))
         if len(pending) >= max_parallel:
             ready, pending = ray.wait(pending, num_returns=1)
             ray.get(ready)

@@ -152,3 +152,84 @@ class TestRunCuration:
             rows[nparts] = sorted(
                 pq.read_table(out).column("doc_id").to_pylist())
         assert rows[2] == rows[4] and len(rows[2]) == 30
+
+    def test_prep_phases_resume_and_equivalence(self, ray_session,
+                                                tmp_path, capsys):
+        import pyarrow as pa
+        docs = pa.table({
+            "doc_id": pa.array(range(8), type=pa.int64()),
+            "text": [
+                "subscribe now\nreal body zero",
+                "subscribe now\nreal body one",
+                "subscribe now\nthe secret benchmark sentence is here",
+                "subscribe now",
+                "subscribe now\nreal body four",
+                "subscribe now\nreal body five",
+                "subscribe now\nreal body zero",   # dup of doc 0
+                "subscribe now\nanother clean body",
+            ],
+        })
+        inp = str(tmp_path / "corpus")
+        os.makedirs(inp, exist_ok=True)
+        pq.write_table(docs.slice(0, 4), inp + "/f0.parquet")
+        pq.write_table(docs.slice(4, 4), inp + "/f1.parquet")
+        bench_dir = str(tmp_path / "bench")
+        os.makedirs(bench_dir, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([99], type=pa.int64()),
+            "text": ["well the secret benchmark sentence is here"],
+        }), bench_dir + "/b.parquet")
+
+        out = str(tmp_path / "out")
+        args = ["--input", inp, "--output", out, "--partitions", "2",
+                "--no-neardup", "--line-dedup-min-docs", "3",
+                "--benchmark", bench_dir, "--decontam-ngram", "5"]
+        _job_main(args)
+        first = capsys.readouterr().out
+        assert "phase0a: computed" in first
+        assert "phase0b: computed" in first
+        got = pq.read_table(out)
+        rows = {r["doc_id"]: r["text"] for r in got.to_pylist()}
+        # min_docs=3: only 'subscribe now' (8 docs) strips — the
+        # 2-doc 'real body zero' line survives; doc 2 contaminated;
+        # doc 3 emptied by the strip; doc 6 an exact dup of doc 0
+        # AFTER stripping (min key 0 wins)
+        assert sorted(rows) == [0, 1, 4, 5, 7]
+        assert rows[0] == "real body zero"
+
+        # everything resumes
+        _job_main(args)
+        second = capsys.readouterr().out
+        assert "phase0a: resumed" in second
+        assert "phase0b: resumed" in second
+        assert "phase1: resumed" in second
+        assert "0 to run (2 resumed" in second
+
+        # changing the benchmark invalidates 0b + phase1 + partitions
+        # chains cover the input FILE LIST (immutable-input
+        # contract, as for the corpus): swap the benchmark by name
+        os.remove(bench_dir + "/b.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([99], type=pa.int64()),
+            "text": ["completely unrelated benchmark content this "
+                     "time around honestly"],
+        }), bench_dir + "/b2.parquet")
+        _job_main(args)
+        third = capsys.readouterr().out
+        assert "phase0b: computed" in third
+        assert "phase0a: resumed" in third
+        assert "2 to run (0 resumed" in third
+        rows3 = sorted(pq.read_table(out).column("doc_id").to_pylist())
+        assert rows3 == [0, 1, 2, 4, 5, 7]  # doc 2 no longer dirty
+
+        # library equivalence on the final configuration
+        import ray
+        from geoflow.pipelines.curation import curate
+        bench_t = pq.read_table(bench_dir + "/b2.parquet")
+        lib = curate(ray.data.from_arrow(docs), languages=None,
+                     min_quality=0.0, near_dup=False,
+                     line_dedup_min_docs=3,
+                     decontam_ds=ray.data.from_arrow(bench_t),
+                     decontam_ngram=5)
+        lib_ids = sorted(r["doc_id"] for r in lib.take_all())
+        assert rows3 == lib_ids
