@@ -43,7 +43,8 @@ BENCH_QUERIES = [
     "solid_volumes", "repetition", "stream_dedup", "ivfpq_ann", "url_host",
     "decontaminate", "seq_pack", "hash_split", "strat_sample",
     "line_dedup", "url_canon", "rdf_load", "rdf_wkt", "chunk_docs",
-    "incr_dedup", "stopwords",
+    "incr_dedup", "stopwords", "pii_scrub", "warc_ingest", "lm_score",
+    "html_text", "web_pipeline",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
