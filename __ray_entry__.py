@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from geoflow.ops.sampling import sample_slot_sql
+from geoflow.ops.sampling import order_key32_sql, sample_slot_sql
 
 
 # ---------------------------------------------------------------------------
@@ -2014,6 +2014,29 @@ def _pii_sql(text_expr: str) -> str:
     return ", ".join(sel) + f", {e} AS text_scrubbed"
 
 
+def q_token_mix(sf_dir: str):
+    """Dataset mixing under per-source token budgets
+    (ops/sampling.token_budget_sample): each source contributes docs
+    in the deterministic lcg32 hash order until ~500 tokens, exceeding
+    by at most one doc. Pure-integer cumsum semantics — bit-identical
+    to the SQL window mirror."""
+    from geoflow.ops.sampling import token_budget_sample
+    from geoflow.text.hashing import TOKEN_MATCH
+
+    def ntok(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.cast(b.column("text"), pa.string()), TOKEN_MATCH)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "source", "text"]).map_batches(
+        ntok, batch_format="pyarrow")
+    return token_budget_sample(ds, "source", "n_tokens", "doc_id",
+                               budget=500, salt=5)
+
+
 def q_stopwords(sf_dir: str):
     """Stopword discovery (text/analysis.py top_df_tokens): top-30
     tokens by DISTINCT-document frequency, deterministic (df desc,
@@ -2279,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "incr_dedup": q_incr_dedup,
         "stopwords": q_stopwords,
+        "token_mix": q_token_mix,
         "pii_scrub": q_pii_scrub,
         "warc_ingest": q_warc_ingest,
         "lm_score": q_lm_score,
@@ -2963,6 +2987,22 @@ def oracle_sql() -> dict[str, str]:
                           || (1000 + doc_id % 9000) AS text
               FROM documents)
             SELECT doc_id, {_pii_sql('text')} FROM s""",
+        "token_mix": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(text,
+                       '[\\p{{L}}\\p{{N}}_]+')) AS BIGINT) AS n_tokens
+              FROM documents),
+            w AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY {order_key32_sql('doc_id', salt=5)}, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_before
+              FROM t)
+            SELECT doc_id, source, n_tokens FROM w
+            WHERE tok_before < 500""",
         "stopwords": r"""
             WITH tok AS (
               SELECT doc_id,

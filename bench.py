@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "decontaminate", "seq_pack", "hash_split", "strat_sample",
     "line_dedup", "url_canon", "rdf_load", "rdf_wkt", "chunk_docs",
     "incr_dedup", "stopwords", "pii_scrub", "warc_ingest", "lm_score",
-    "html_text", "web_pipeline",
+    "html_text", "web_pipeline", "token_mix",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -31,7 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["sample_slot", "hash_sample", "stratified_sample",
-           "split_column"]
+           "split_column", "order_key32", "order_key32_sql",
+           "token_budget_sample"]
 
 _M32 = np.int64(1 << 32)
 _LCG_A = np.int64(69069)
@@ -129,3 +130,88 @@ def split_column(ds, key_col: str, val_frac_1024: int = 10,
                                    pa.array(lbl, type=pa.string()))
 
     return ds.map_batches(lab, batch_format="pyarrow")
+
+
+def order_key32(keys, salt: int = 0) -> np.ndarray:
+    """int64 in [0, 2^32): the full lcg32 state (the slot's h2 before
+    the top-10-bit shift) — a deterministic pseudo-random ORDERING key
+    reproducible in SQL (order_key32_sql). Used to give token-budget
+    sampling a stable, engine-independent 'random' order."""
+    k = np.asarray(keys).astype(np.int64)
+    h = np.mod(k, _M32)
+    h = (h + np.int64(salt * 2654435761 % (1 << 32))) % _M32
+    h = (h * _LCG_A + 1) % _M32
+    h = (h * _LCG_A + 1) % _M32
+    return h
+
+
+def order_key32_sql(key_expr: str, salt: int = 0) -> str:
+    sm = salt * 2654435761 % (1 << 32)
+    h0 = f"((({key_expr}) % 4294967296 + 4294967296) + {sm}) % 4294967296"
+    h1 = f"(({h0}) * 69069 + 1) % 4294967296"
+    return f"(({h1}) * 69069 + 1) % 4294967296"
+
+
+def token_budget_sample(ds, source_col: str, ntok_col: str,
+                        key_col: str, budget: int, salt: int = 0):
+    """Dataset-mixing sampler: per source, keep documents in the
+    deterministic lcg32 hash order until the source's token budget is
+    reached (a doc is kept iff the budget was not already exhausted
+    BEFORE it — so each source overshoots by at most one document, and
+    every source with any data contributes at least one doc).
+
+    Determinism: membership is a pure function of (key, salt, the
+    source's doc set) — independent of Ray block order, resume-safe,
+    and bit-identical to a SQL window cumsum over the same ordering.
+    Scale shape: only (key, source, n_tokens) enter the groupby;
+    per-group work is one argsort + cumsum (sources are bounded
+    cardinality — domains, not documents); the kept-key set then
+    filters the full rows via the broadcast/join machinery the caller
+    prefers (here: an inner map-side filter with the kept keys
+    broadcast, bounded by kept docs at 8 B/key)."""
+    import ray
+
+    proj_cols = [key_col, source_col, ntok_col]
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(proj_cols)
+
+    def pick(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        nt = group.column(ntok_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = order_key32(keys, salt=salt)
+        order = np.lexsort((keys, ok))
+        cum = np.cumsum(nt[order]) - nt[order]   # tokens BEFORE each
+        keep = order[cum < budget]
+        return pa.table({key_col: pa.array(keys[keep])})
+
+    kept = ds.map_batches(project, batch_format="pyarrow") \
+        .groupby(source_col).map_groups(pick, batch_format="pyarrow")
+
+    parts = [b.column(key_col).to_numpy(zero_copy_only=False)
+             for b in kept.iter_batches(batch_format="pyarrow")
+             if b.num_rows and key_col in b.schema.names]
+    keep_keys = np.sort(np.concatenate(parts)) if parts else \
+        np.empty(0, np.int64)
+    ref = np.sort(keep_keys)
+    import ray as _ray
+    kref = _ray.put(ref)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        import ray as _r
+        arr = _KEEP_CACHE.get(kref.hex())
+        if arr is None:
+            arr = _r.get(kref)
+            _KEEP_CACHE.clear()
+            _KEEP_CACHE[kref.hex()] = arr
+        kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if len(arr) == 0:
+            return batch.slice(0, 0)
+        pos = np.clip(np.searchsorted(arr, kv), 0, len(arr) - 1)
+        return batch.filter(pa.array(arr[pos] == kv))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+_KEEP_CACHE: dict = {}

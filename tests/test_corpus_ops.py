@@ -600,3 +600,51 @@ def test_html_to_text_duckdb_parity():
         "SELECT " + expr + " FROM (SELECT unnest(?) AS h)",
         [html]).fetchall()]
     assert sql == html_to_text(pa.array(html)).to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixing
+# ---------------------------------------------------------------------------
+
+def test_token_budget_sample(ray_session):
+    import ray
+    from geoflow.ops.sampling import order_key32, token_budget_sample
+    rng = np.random.default_rng(9)
+    n = 300
+    t = pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        "n_tokens": rng.integers(10, 100, size=n).astype(np.int64),
+    })
+    out = token_budget_sample(ray.data.from_arrow(t), "source",
+                              "n_tokens", "doc_id", budget=400,
+                              salt=2).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    # brute-force per-source oracle
+    keys = t.column("doc_id").to_numpy()
+    srcs = t.column("source").to_pylist()
+    toks = t.column("n_tokens").to_numpy()
+    ok = order_key32(keys, salt=2)
+    for s, rows in by_src.items():
+        idx = [i for i in range(n) if srcs[i] == s]
+        idx.sort(key=lambda i: (ok[i], keys[i]))
+        cum, expect = 0, set()
+        for i in idx:
+            if cum < 400:
+                expect.add(int(keys[i]))
+            cum += int(toks[i])
+        got = {r["doc_id"] for r in rows}
+        assert got == expect, s
+        total = sum(r["n_tokens"] for r in rows)
+        # budget respected up to one-doc overshoot
+        assert total >= 400 and total < 400 + 100
+
+    # block-order invariance
+    t2 = t.take(pa.array(np.arange(n)[::-1]))
+    out2 = token_budget_sample(
+        ray.data.from_arrow(t2).repartition(5), "source", "n_tokens",
+        "doc_id", budget=400, salt=2).take_all()
+    assert {r["doc_id"] for r in out2} == {r["doc_id"] for r in out}
