@@ -1744,6 +1744,42 @@ def q_curation_neardup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_near_dup_clusters(sf_dir: str):
+    """Fuzzy-dedup cluster labels (text/dedup.lsh_cluster_labels —
+    the SlimPajama/BigCode 'cluster, then keep one per cluster' shape):
+    connected components over the MinHash-LSH candidate graph, cluster
+    = min member key, singletons labeled self. ORACLE-GATED over the
+    same planted corpus as curation_neardup (unique per-doc token sets;
+    EXACT copy at +2e6 for id%7==0, NEAR copy — last token replaced,
+    J≈0.901, all-band miss probability ≈1e-15 and deterministic under
+    the seeded MinHasher — at +1e6 for id%10==0; disjoint cross-doc
+    token sets make organic edges impossible). Every family's members
+    therefore map to cluster = doc_id % 1e6, which is what the SQL
+    oracle enumerates. Edges are per-bucket stars to the bucket min
+    (O(members×bands)); components solved driver-side under the edge
+    cap with the distributed label-propagation escape hatch."""
+    from geoflow.text import MinHasher, lsh_cluster_labels
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [" ".join(f"t{i}a{j}" for j in range(100)) for i in ids]
+        near = np.nonzero(ids % 10 == 0)[0]
+        near_texts = [
+            " ".join([f"t{ids[i]}a{j}" for j in range(99)] + [f"zz{ids[i]}"])
+            for i in near]
+        exact = np.nonzero(ids % 7 == 0)[0]
+        all_ids = np.concatenate(
+            [ids, ids[near] + 1_000_000, ids[exact] + 2_000_000])
+        all_texts = texts + near_texts + [texts[i] for i in exact]
+        return pa.table({"doc_id": pa.array(all_ids),
+                         "text": pa.array(all_texts, type=pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
+    return lsh_cluster_labels(sigs, key_col="doc_id")
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (text/decontaminate.py — GPT-3 App. C
     13-gram protocol, n=5 here so the toy corpus has organic overlaps):
@@ -1815,6 +1851,25 @@ def q_strat_sample(sf_dir: str):
                              "doc_id", "lang", {"en": 128, "de": 512},
                              default_frac_1024=1024, salt=7,
                              method="lcg32")
+
+
+def q_substr_dedup(sf_dir: str):
+    """Exact substring dedup (text/substrdedup.py — Lee et al. 2021
+    ExactSubstr, fixed-window formulation): every 8-token window whose
+    k-gram occurs >= 2 times in the corpus is removed from ALL its
+    occurrences (including the first, including within-doc repeats);
+    output is each doc's surviving lowercased tokens space-joined plus
+    token/removed counts. The sf corpora contain organic exact
+    duplicate texts, so whole documents genuinely strip to ''. Count
+    pass ships only 16-byte (gram-hash, partial-count) rows; strip
+    pass is a pure map_batches against the broadcast duplicated-gram
+    set. Engine window equality is on 64-bit rolling hashes; the SQL
+    oracle compares gram STRINGS — identical up to the documented
+    hash64 collision bound (decontaminate gate accepts the same)."""
+    from geoflow.text import substr_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substr_dedup(docs, k=8)
 
 
 def q_line_dedup(sf_dir: str):
@@ -2295,6 +2350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "curation_neardup": q_curation_neardup,
         "decontaminate": q_decontaminate,
+        "near_dup_clusters": q_near_dup_clusters,
+        "substr_dedup": q_substr_dedup,
         "line_dedup": q_line_dedup,
         "url_canon": q_url_canon,
         "rdf_load": q_rdf_load,
@@ -2879,6 +2936,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents
                              GROUP BY text)""",
+        "near_dup_clusters": """
+            WITH ids AS (SELECT doc_id FROM documents)
+            SELECT doc_id, doc_id AS cluster FROM ids
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, doc_id AS cluster
+            FROM ids WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, doc_id AS cluster
+            FROM ids WHERE doc_id % 7 = 0""",
+        "substr_dedup": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
+              FROM documents),
+            toks AS (
+              SELECT t.doc_id, g.i AS pos, t.tk[g.i] AS tok
+              FROM tok t, LATERAL (
+                SELECT unnest(range(1, len(t.tk) + 1))) AS g(i)),
+            grams AS (
+              SELECT t.doc_id, g.i AS pos,
+                     array_to_string(t.tk[g.i : g.i + 7], ' ') AS gram
+              FROM tok t, LATERAL (
+                SELECT unnest(range(1, greatest(len(t.tk) - 6, 1)))) AS g(i)),
+            dup AS (
+              SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+            dwin AS (
+              SELECT g.doc_id, g.pos FROM grams g
+              WHERE g.gram IN (SELECT gram FROM dup)),
+            rem AS (
+              SELECT DISTINCT t.doc_id, t.pos
+              FROM toks t JOIN dwin w
+                ON w.doc_id = t.doc_id
+               AND t.pos >= w.pos AND t.pos < w.pos + 8),
+            agg AS (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(r.pos) AS BIGINT) AS n_removed,
+                     COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                              FILTER (WHERE r.pos IS NULL), '')
+                       AS text_dedup
+              FROM toks t LEFT JOIN rem r
+                ON r.doc_id = t.doc_id AND r.pos = t.pos
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                   COALESCE(a.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+                   COALESCE(a.text_dedup, '') AS text_dedup
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "decontaminate": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -7,7 +7,8 @@ from .decontaminate import (contaminated_keys, decontaminate,
                             token_ngram_hashes)
 from .dedup import (CharMinHasher, MinHasher, SimHasher,
                     add_content_hash, exact_dedup, hamming_distance,
-                    lsh_band_pairs, lsh_loser_keys, ngram_jaccard)
+                    lsh_band_pairs, lsh_cluster_labels, lsh_loser_keys,
+                    ngram_jaccard)
 from .chunking import chunk_batch, chunk_documents
 from .htmltext import html_to_text, html_to_text_batch
 from .incremental import (append_content_index, build_content_index,
@@ -17,6 +18,8 @@ from .linededup import (common_line_hashes, line_dedup,
 from .lm import lm_score, lm_score_batch, train_bigram_lm
 from .packing import pack_sequences
 from .pii import pii_scrub_batch, scrub_pii
+from .substrdedup import (duplicated_window_hashes, strip_dup_windows,
+                          substr_dedup)
 from .urls import canon_url_batch, url_dedup
 
 __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
@@ -24,7 +27,8 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "quality_batch", "token_count_batch", "url_host_batch",
            "MinHasher", "SimHasher",
            "add_content_hash", "exact_dedup", "hamming_distance",
-           "lsh_band_pairs", "lsh_loser_keys", "ngram_jaccard",
+           "lsh_band_pairs", "lsh_cluster_labels", "lsh_loser_keys",
+           "ngram_jaccard",
            "contaminated_keys", "decontaminate", "token_ngram_hashes",
            "pack_sequences", "common_line_hashes", "line_dedup",
            "strip_common_lines", "canon_url_batch", "url_dedup",
@@ -32,4 +36,6 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "build_content_index", "dedup_against_index",
            "document_frequency", "top_df_tokens", "pii_scrub_batch",
            "scrub_pii", "lm_score", "lm_score_batch",
-           "train_bigram_lm", "html_to_text", "html_to_text_batch"]
+           "train_bigram_lm", "html_to_text", "html_to_text_batch",
+           "duplicated_window_hashes", "strip_dup_windows",
+           "substr_dedup"]

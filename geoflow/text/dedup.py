@@ -334,6 +334,127 @@ def lsh_loser_keys(ds, num_hashes=128, bands=32, key_col="doc_id"):
                                                 batch_format="pyarrow")
 
 
+# per-worker-process cache for the broadcast (nodes, labels) mapping
+_CLUSTER_CACHE: dict = {}
+
+
+def _cluster_cache_get(ref):
+    key = ref.hex()
+    v = _CLUSTER_CACHE.get(key)
+    if v is None:
+        import ray
+        v = ray.get(ref)
+        _CLUSTER_CACHE.clear()
+        _CLUSTER_CACHE[key] = v
+    return v
+
+
+def lsh_cluster_labels(ds, num_hashes=128, bands=32, key_col="doc_id",
+                       cc_mode: str = "auto",
+                       max_driver_edges: int = 2_000_000,
+                       max_rounds: int = 16):
+    """(key, cluster) for EVERY doc: cluster = the minimum doc key of
+    the doc's connected component in the MinHash-LSH candidate graph;
+    singletons get their own key. This is the published fuzzy-dedup
+    "cluster, then keep/sample one per cluster" shape (SlimPajama,
+    BigCode/The-Stack dedup): unlike lsh_loser_keys (drop-iff-smaller-
+    partner, band-local), cluster labels are TRANSITIVE — A~B~C puts C
+    in A's cluster even when A and C never share a bucket.
+
+    Scale shape: edges are per-bucket STARS to the bucket minimum
+    (n-1 rows per bucket — identical connected components to the full
+    clique at O(members x bands) instead of O(members^2 x bands);
+    same argument as lsh_loser_keys). Connected components then run in
+    dbscan's two modes (ops/clustering.py): the edge list — bounded by
+    duplicated content, metadata-sized relative to the corpus — is
+    solved driver-side with the vectorized hash-to-min loop and the
+    labels broadcast back into one attach pass; beyond
+    ``max_driver_edges`` it switches to the distributed hash-to-min +
+    pointer-jumping label propagation in 16-byte (key,label) shuffle
+    rows, O(log diameter) rounds."""
+    import ray
+    from ..ops.clustering import (_cc_min_labels, _propagate_min,
+                                  _shortcut)
+
+    if cc_mode not in ("auto", "driver", "distributed"):
+        raise ValueError("cc_mode must be auto|driver|distributed")
+    buckets = ds.map_batches(_band_bucket_fn(num_hashes, bands, key_col),
+                             batch_format="pyarrow")
+
+    def star_edges(group: pa.Table) -> pa.Table:
+        k = np.unique(group.column(key_col).to_numpy(zero_copy_only=False))
+        if len(k) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        return pa.table({
+            "a": pa.array(np.full(len(k) - 1, k[0]), type=pa.int64()),
+            "b": pa.array(k[1:], type=pa.int64())})
+
+    edges = buckets.groupby("bucket").map_groups(
+        star_edges, batch_format="pyarrow").materialize()
+
+    if cc_mode == "driver" or (cc_mode == "auto"
+                               and edges.count() <= max_driver_edges):
+        a_l, b_l = [], []
+        for blk in edges.iter_batches(batch_format="pyarrow"):
+            if blk.num_rows == 0 or "a" not in blk.schema.names:
+                continue  # 0-column blocks from empty map_groups parts
+            a_l.append(blk.column("a").to_numpy(zero_copy_only=False))
+            b_l.append(blk.column("b").to_numpy(zero_copy_only=False))
+        a = np.concatenate(a_l) if a_l else np.empty(0, np.int64)
+        b = np.concatenate(b_l) if b_l else np.empty(0, np.int64)
+        nodes, labels = _cc_min_labels(a, b)
+        ref = ray.put((nodes, labels))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            nds, lbs = _cluster_cache_get(ref)
+            k = pc.cast(batch.column(key_col), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            lab = k.copy()
+            if len(nds):
+                pos = np.clip(np.searchsorted(nds, k), 0, len(nds) - 1)
+                hit = nds[pos] == k
+                lab[hit] = lbs[pos[hit]]
+            return pa.table({key_col: pa.array(k),
+                             "cluster": pa.array(lab)})
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    # distributed: propagation needs both edge directions (a receives
+    # labels from its edge-partners b)
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        an = batch.column("a").to_numpy(zero_copy_only=False)
+        bn = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(np.concatenate([an, bn])),
+                         "b": pa.array(np.concatenate([bn, an]))})
+
+    cedges = edges.map_batches(both_dirs, batch_format="pyarrow")
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch.column(key_col), pa.int64())
+        return pa.table({"key": k, "label": k})
+
+    labels = ds.map_batches(init_labels,
+                            batch_format="pyarrow").materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        labels = _propagate_min(labels, cedges)
+        labels = _shortcut(labels).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "lsh_cluster_labels hit max_rounds=%d before the monotone "
+            "label sum stabilized; labels may be non-minimal", max_rounds)
+    return labels.map_batches(
+        lambda bt: pa.table({key_col: bt.column("key"),
+                             "cluster": bt.column("label")}),
+        batch_format="pyarrow")
+
+
 def lsh_band_pairs(ds, num_hashes=128, bands=32, key_col="doc_id",
                    bucket_cap=512, prefilter=False):
     """MinHash-LSH candidate pairs, scale-safe.

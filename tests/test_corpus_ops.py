@@ -648,3 +648,97 @@ def test_token_budget_sample(ray_session):
         ray.data.from_arrow(t2).repartition(5), "source", "n_tokens",
         "doc_id", budget=400, salt=2).take_all()
     assert {r["doc_id"] for r in out2} == {r["doc_id"] for r in out}
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (ExactSubstr fixed-window formulation)
+# ---------------------------------------------------------------------------
+
+def _brute_substr_dedup(texts, k):
+    """Reference: token position removed iff covered by a k-gram (as a
+    token TUPLE) occurring >= 2 times across the whole corpus."""
+    import re
+    from collections import Counter
+    toks = [re.findall(r"[\w]+", t.lower(), re.UNICODE) for t in texts]
+    cnt = Counter()
+    for tk in toks:
+        for i in range(len(tk) - k + 1):
+            cnt[tuple(tk[i:i + k])] += 1
+    out = []
+    for tk in toks:
+        rem = [False] * len(tk)
+        for i in range(len(tk) - k + 1):
+            if cnt[tuple(tk[i:i + k])] >= 2:
+                for j in range(i, i + k):
+                    rem[j] = True
+        out.append((len(tk), sum(rem),
+                    " ".join(t for t, r in zip(tk, rem) if not r)))
+    return out
+
+
+def test_substr_dedup_semantics(ray_session):
+    import ray
+    from geoflow.text import substr_dedup
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "one two three four END of the first document here",
+            "prefix words one two three four SUFFIX tail tokens",
+            "short doc",                       # < k tokens: untouched
+            "",                                # tokenless
+            "one two three four END of the first document here",  # exact dup of 1
+        ],
+    })
+    out = {r["doc_id"]: r for r in substr_dedup(
+        ray.data.from_arrow(t), k=4).take_all()}
+    # the shared 4-gram "one two three four" is removed EVERYWHERE,
+    # including the first occurrence (ExactSubstr: all copies go)
+    assert "one two three four" not in out[2]["text_dedup"]
+    assert out[2]["text_dedup"] == "prefix words suffix tail tokens"
+    # docs 1 and 5 are exact duplicates: every window duplicated
+    assert out[1]["text_dedup"] == "" and out[5]["text_dedup"] == ""
+    assert out[1]["n_removed"] == out[1]["n_tokens"] == 10
+    # short / empty docs survive untouched
+    assert out[3]["text_dedup"] == "short doc"
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 2
+    assert out[4]["text_dedup"] == "" and out[4]["n_tokens"] == 0
+
+
+def test_substr_dedup_within_doc_repeat(ray_session):
+    import ray
+    from geoflow.text import substr_dedup
+    t = pa.table({
+        "doc_id": [1],
+        "text": ["a b c d middle filler words a b c d trailing bits"],
+    })
+    out = substr_dedup(ray.data.from_arrow(t), k=4).take_all()[0]
+    # within-doc repetition counts: both copies of "a b c d" removed
+    assert out["text_dedup"] == "middle filler words trailing bits"
+    assert out["n_removed"] == 8
+
+
+def test_substr_dedup_matches_brute_and_block_invariant(ray_session):
+    import ray
+    from geoflow.text import substr_dedup
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for d in range(30):
+        n = int(rng.randint(3, 25))
+        texts.append(" ".join(vocab[i] for i in rng.randint(0, 40, n)))
+    # plant a shared phrase mid-document in several docs
+    phrase = "alpha beta gamma delta epsilon"
+    for d in (3, 11, 19):
+        texts[d] = texts[d] + " " + phrase + " " + texts[(d * 7) % 30]
+    t = pa.table({"doc_id": list(range(30)), "text": texts})
+    exp = _brute_substr_dedup(texts, k=5)
+    for nblocks in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        got = {r["doc_id"]: r for r in substr_dedup(ds, k=5).take_all()}
+        for d in range(30):
+            nt, nr, txt = exp[d]
+            assert got[d]["n_tokens"] == nt, d
+            assert got[d]["n_removed"] == nr, d
+            assert got[d]["text_dedup"] == txt, d

@@ -583,3 +583,53 @@ def test_url_host_extraction():
                    "", "", "host"]
     raw = url_host_batch(t, strip_www=False).column("host").to_pylist()
     assert raw[0] == "www.example.org"
+
+
+def test_lsh_cluster_labels_transitive_and_singletons(ray_session):
+    """Cluster labels are TRANSITIVE (A~B~C -> one cluster) and every
+    doc gets a row; singletons keep their own key."""
+    import ray
+    from geoflow.text import MinHasher
+    from geoflow.text.dedup import lsh_cluster_labels
+    base = " ".join(f"tok{j}" for j in range(60))
+    mid = base.replace("tok59", "x59")          # near dup of base
+    far = mid.replace("tok0", "y0")             # near dup of mid
+    rows = [{"doc_id": 5, "text": base},
+            {"doc_id": 9, "text": mid},
+            {"doc_id": 12, "text": far},
+            {"doc_id": 3, "text": "completely unrelated island words "
+                                  "about nothing in particular at all"},
+            {"doc_id": 7, "text": base}]        # exact dup of base
+    ds = ray.data.from_items(rows).map_batches(MinHasher(),
+                                               batch_format="pyarrow")
+    out = {r["doc_id"]: r["cluster"]
+           for r in lsh_cluster_labels(ds, key_col="doc_id").take_all()}
+    assert len(out) == 5
+    assert out[5] == out[7] == out[9] == out[12] == 5
+    assert out[3] == 3
+
+
+def test_lsh_cluster_labels_driver_equals_distributed(ray_session):
+    import ray
+    from geoflow.text import MinHasher
+    from geoflow.text.dedup import lsh_cluster_labels
+    rows = []
+    for g in range(6):
+        base = " ".join(f"g{g}w{j}" for j in range(40))
+        rows.append({"doc_id": g * 100, "text": base})
+        if g % 2 == 0:
+            rows.append({"doc_id": g * 100 + 1, "text": base})
+        if g % 3 == 0:
+            rows.append({"doc_id": g * 100 + 2,
+                         "text": base.replace(f"g{g}w39", "zz")})
+    ds = ray.data.from_items(rows).map_batches(
+        MinHasher(), batch_format="pyarrow").materialize()
+    drv = {r["doc_id"]: r["cluster"] for r in lsh_cluster_labels(
+        ds, key_col="doc_id", cc_mode="driver").take_all()}
+    dist = {r["doc_id"]: r["cluster"] for r in lsh_cluster_labels(
+        ds, key_col="doc_id", cc_mode="distributed",
+        max_rounds=8).take_all()}
+    assert drv == dist
+    for g in range(6):
+        members = [k for k in drv if k // 100 == g]
+        assert {drv[k] for k in members} == {g * 100}

@@ -1,6 +1,8 @@
 """Local stand-in for the driver's correctness gate: run each queries()
 entry and its oracle_sql() side-by-side, compare row-count + schema +
-order-insensitive values. Usage: python tools/check_oracles.py [sf_dir]."""
+order-insensitive values. Usage:
+python tools/check_oracles.py [sf_dir] [query_name ...]
+(extra args restrict the run to the named queries)."""
 
 import sys
 
@@ -23,7 +25,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
 
 
-def main(sf_dir):
+def main(sf_dir, names=()):
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -37,6 +39,8 @@ def main(sf_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entrymod.queries()
+    if names:
+        qs = {k: v for k, v in qs.items() if k in names}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -82,4 +86,5 @@ def main(sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+                  names=frozenset(sys.argv[2:])))
