@@ -1744,6 +1744,40 @@ def q_curation_neardup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_nfc_norm(sf_dir: str):
+    """Unicode NFC normalization (text/analysis.normalize_text_batch —
+    UAX #15, the standard corpus canonicalization step before
+    tokenize/hash). Each doc's text is prefixed with a DECOMPOSED
+    combining sequence chosen by doc_id%3 (e+U+0301, u+U+0308,
+    A+U+030A); Arrow's utf8_normalize(NFC) must be bit-identical to
+    DuckDB's nfc_normalize on the same construction, including the
+    codepoint-length change from composition."""
+    from geoflow.text import normalize_text_batch
+
+    pre = np.array(["wort e\u0301 ende ", "gru\u0308n ",
+                    "A\u030a unit "], dtype=object)
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        p = pa.array(pre[ids % 3], type=pa.string())
+        t = pc.binary_join_element_wise(
+            p, pc.cast(b.column("text"), pa.string()), "")
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+
+    def out(b: pa.Table) -> pa.Table:
+        nb = normalize_text_batch(b, out_col="text_norm")
+        return pa.table({
+            "doc_id": nb.column("doc_id"),
+            "text_norm": nb.column("text_norm"),
+            "n_chars": pc.cast(pc.utf8_length(nb.column("text_norm")),
+                               pa.int64())})
+
+    return ds.map_batches(out, batch_format="pyarrow")
+
+
 def q_near_dup_clusters(sf_dir: str):
     """Fuzzy-dedup cluster labels (text/dedup.lsh_cluster_labels —
     the SlimPajama/BigCode 'cluster, then keep one per cluster' shape):
@@ -2350,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "curation_neardup": q_curation_neardup,
         "decontaminate": q_decontaminate,
+        "nfc_norm": q_nfc_norm,
         "near_dup_clusters": q_near_dup_clusters,
         "substr_dedup": q_substr_dedup,
         "line_dedup": q_line_dedup,
@@ -2936,6 +2971,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents
                              GROUP BY text)""",
+        "nfc_norm": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INTEGER)
+                       WHEN 0 THEN 'wort e' || chr(769) || ' ende '
+                       WHEN 1 THEN 'gru' || chr(776) || 'n '
+                       ELSE 'A' || chr(778) || ' unit '
+                     END || text AS t
+              FROM documents)
+            SELECT doc_id, nfc_normalize(t) AS text_norm,
+                   CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars
+            FROM s""",
         "near_dup_clusters": """
             WITH ids AS (SELECT doc_id FROM documents)
             SELECT doc_id, doc_id AS cluster FROM ids

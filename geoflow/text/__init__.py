@@ -1,8 +1,8 @@
 from .analysis import (bpe_token_count_batch, detect_language,
                        document_frequency, top_df_tokens,
                        fingerprint_batch, langid_batch, quality_batch,
-                       repetition_batch, token_count_batch,
-                       url_host_batch)
+                       normalize_text_batch, repetition_batch,
+                       token_count_batch, url_host_batch)
 from .decontaminate import (contaminated_keys, decontaminate,
                             token_ngram_hashes)
 from .dedup import (CharMinHasher, MinHasher, SimHasher,
@@ -24,7 +24,8 @@ from .urls import canon_url_batch, url_dedup
 
 __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "fingerprint_batch", "langid_batch", "repetition_batch",
-           "quality_batch", "token_count_batch", "url_host_batch",
+           "normalize_text_batch", "quality_batch",
+           "token_count_batch", "url_host_batch",
            "MinHasher", "SimHasher",
            "add_content_hash", "exact_dedup", "hamming_distance",
            "lsh_band_pairs", "lsh_cluster_labels", "lsh_loser_keys",

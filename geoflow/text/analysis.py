@@ -328,3 +328,38 @@ def top_df_tokens(ds, k: int = 30, text_col="text"):
     is token-cardinality-sized; the sort moves only (token, df)."""
     return document_frequency(ds, text_col).sort(
         ["df", "token"], descending=[True, False]).limit(k)
+
+
+def normalize_text_batch(batch: pa.Table, text_col="text",
+                         out_col="text_norm", form="NFC") -> pa.Table:
+    """Unicode normalization (UAX #15) of a string column — the
+    standard first step of corpus text canonicalization before
+    tokenization/hashing (composes decomposed combining sequences;
+    folds compatibility ligatures under NFKC).
+
+    Arrow's utf8_normalize in this container (pyarrow 16.1) only
+    DECOMPOSES — verified: NFC(e+U+0301) stays decomposed and NFC of
+    composed U+00E9 comes back decomposed — so it cannot implement NFC
+    at all. Instead: every normalization form is the identity on pure
+    ASCII, so the batch short-circuits on a vectorized
+    pc.string_is_ascii mask and only the non-ASCII rows (the small
+    minority in web corpora) go through CPython's unicodedata
+    (UAX #15-conformant; output bit-identical to DuckDB's
+    nfc_normalize, which the nfc_norm driver oracle checks)."""
+    import unicodedata
+    s = pc.cast(batch.column(text_col), pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    is_ascii = pc.fill_null(pc.string_is_ascii(s), False) \
+        .to_numpy(zero_copy_only=False).astype(bool)
+    if bool(np.all(is_ascii)):
+        out = s
+    else:
+        vals = s.to_pylist()
+        out = pa.array(
+            [v if a or v is None else unicodedata.normalize(form, v)
+             for v, a in zip(vals, is_ascii)], type=pa.string())
+    if out_col == text_col:
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, out)
+    return batch.append_column(out_col, out)

@@ -742,3 +742,35 @@ def test_substr_dedup_matches_brute_and_block_invariant(ray_session):
             assert got[d]["n_tokens"] == nt, d
             assert got[d]["n_removed"] == nr, d
             assert got[d]["text_dedup"] == txt, d
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_batch():
+    from geoflow.text import normalize_text_batch
+    t = pa.table({"text": pa.array(
+        ["plain ascii text",
+         "wort é ende",        # decomposed -> composes
+         "grün",
+         "ligature ﬁn",         # NFC keeps ligature
+         None])})
+    out = normalize_text_batch(t)["text_norm"].to_pylist()
+    assert out[0] == "plain ascii text"
+    assert out[1] == "wort é ende" and len(out[1]) == 11
+    assert out[2] == "grün"
+    assert out[3] == "ligature ﬁn"      # canonical form keeps U+FB01
+    assert out[4] is None
+    # NFKC folds the compatibility ligature
+    nk = normalize_text_batch(t, form="NFKC")["text_norm"].to_pylist()
+    assert nk[3] == "ligature fin"
+
+
+def test_normalize_text_batch_ascii_fast_path_zero_copy():
+    from geoflow.text import normalize_text_batch
+    col = pa.array(["only", "ascii", "rows"])
+    out = normalize_text_batch(pa.table({"text": col}))
+    # all-ASCII batches pass the column through untouched
+    assert out["text_norm"].chunk(0) is col or \
+        out["text_norm"].to_pylist() == col.to_pylist()
