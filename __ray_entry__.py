@@ -1814,6 +1814,52 @@ def q_near_dup_clusters(sf_dir: str):
     return lsh_cluster_labels(sigs, key_col="doc_id")
 
 
+def q_cluster_dedup(sf_dir: str):
+    """Fuzzy-dedup composite: near-dup CLUSTER labels
+    (lsh_cluster_labels over the planted-family corpus of
+    near_dup_clusters) -> keep the best member per cluster by a
+    deterministic priority (doc_id*2654435761 % 1000 — int64-exact in
+    numpy and DuckDB, Knuth multiplier so family members get distinct
+    pseudo-random priorities), ties by min doc_id. This is the
+    SlimPajama/BigCode 'cluster then keep one representative' shape
+    where the representative is QUALITY-chosen, not min-key — the
+    piece lsh_loser_keys (min-key winner) cannot express. Selection
+    runs as grouped_topk(k=1) over (cluster, pri): per-batch partial
+    top-k then a tiny per-cluster reduce; the text payload never
+    enters the shuffle."""
+    from geoflow.ops.grouped import grouped_topk
+    from geoflow.text import MinHasher, lsh_cluster_labels
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [" ".join(f"t{i}a{j}" for j in range(100)) for i in ids]
+        near = np.nonzero(ids % 10 == 0)[0]
+        near_texts = [
+            " ".join([f"t{ids[i]}a{j}" for j in range(99)] + [f"zz{ids[i]}"])
+            for i in near]
+        exact = np.nonzero(ids % 7 == 0)[0]
+        all_ids = np.concatenate(
+            [ids, ids[near] + 1_000_000, ids[exact] + 2_000_000])
+        all_texts = texts + near_texts + [texts[i] for i in exact]
+        return pa.table({"doc_id": pa.array(all_ids),
+                         "text": pa.array(all_texts, type=pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
+    labels = lsh_cluster_labels(sigs, key_col="doc_id")
+
+    def pri(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        p = (ids * np.int64(2654435761)) % np.int64(1000)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cluster": b.column("cluster"),
+                         "pri": pa.array(p)})
+
+    scored = labels.map_batches(pri, batch_format="pyarrow")
+    return grouped_topk(scored, "cluster", "pri", 1, "doc_id")
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (text/decontaminate.py — GPT-3 App. C
     13-gram protocol, n=5 here so the toy corpus has organic overlaps):
@@ -2386,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "nfc_norm": q_nfc_norm,
         "near_dup_clusters": q_near_dup_clusters,
+        "cluster_dedup": q_cluster_dedup,
         "substr_dedup": q_substr_dedup,
         "line_dedup": q_line_dedup,
         "url_canon": q_url_canon,
@@ -2992,6 +3039,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id + 2000000 AS doc_id, doc_id AS cluster
             FROM ids WHERE doc_id % 7 = 0""",
+        "cluster_dedup": """
+            WITH ids AS (SELECT doc_id FROM documents),
+            fam AS (
+              SELECT doc_id, doc_id AS cluster FROM ids
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, doc_id AS cluster
+              FROM ids WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, doc_id AS cluster
+              FROM ids WHERE doc_id % 7 = 0),
+            p AS (
+              SELECT doc_id, cluster,
+                     (doc_id * 2654435761) % 1000 AS pri
+              FROM fam)
+            SELECT doc_id, cluster, pri FROM p
+            QUALIFY row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY pri DESC, doc_id) = 1""",
         "substr_dedup": r"""
             WITH tok AS (
               SELECT doc_id,
