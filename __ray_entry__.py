@@ -1811,7 +1811,7 @@ def q_near_dup_clusters(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         synth, batch_format="pyarrow")
     sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
-    return lsh_cluster_labels(sigs, key_col="doc_id")
+    return lsh_cluster_labels(sigs, key_col="doc_id", attach_ds=ds)
 
 
 def q_cluster_dedup(sf_dir: str):
@@ -1847,7 +1847,7 @@ def q_cluster_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         synth, batch_format="pyarrow")
     sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
-    labels = lsh_cluster_labels(sigs, key_col="doc_id")
+    labels = lsh_cluster_labels(sigs, key_col="doc_id", attach_ds=ds)
 
     def pri(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "line_dedup", "url_canon", "rdf_load", "rdf_wkt", "chunk_docs",
     "incr_dedup", "stopwords", "pii_scrub", "warc_ingest", "lm_score",
     "html_text", "web_pipeline", "token_mix",
+    "substr_dedup", "near_dup_clusters", "cluster_dedup", "nfc_norm",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

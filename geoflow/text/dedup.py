@@ -352,7 +352,7 @@ def _cluster_cache_get(ref):
 def lsh_cluster_labels(ds, num_hashes=128, bands=32, key_col="doc_id",
                        cc_mode: str = "auto",
                        max_driver_edges: int = 2_000_000,
-                       max_rounds: int = 16):
+                       max_rounds: int = 16, attach_ds=None):
     """(key, cluster) for EVERY doc: cluster = the minimum doc key of
     the doc's connected component in the MinHash-LSH candidate graph;
     singletons get their own key. This is the published fuzzy-dedup
@@ -371,7 +371,13 @@ def lsh_cluster_labels(ds, num_hashes=128, bands=32, key_col="doc_id",
     labels broadcast back into one attach pass; beyond
     ``max_driver_edges`` it switches to the distributed hash-to-min +
     pointer-jumping label propagation in 16-byte (key,label) shuffle
-    rows, O(log diameter) rounds."""
+    rows, O(log diameter) rounds.
+
+    ``ds`` is consumed twice (bucket pass + attach/init pass); since
+    the attach pass only reads ``key_col``, pass ``attach_ds`` — any
+    dataset with the same key set but WITHOUT the signature lineage
+    (e.g. the raw docs projection) — to avoid recomputing MinHash
+    signatures on the second consumption."""
     import ray
     from ..ops.clustering import (_cc_min_labels, _propagate_min,
                                   _shortcut)
@@ -418,7 +424,8 @@ def lsh_cluster_labels(ds, num_hashes=128, bands=32, key_col="doc_id",
             return pa.table({key_col: pa.array(k),
                              "cluster": pa.array(lab)})
 
-        return ds.map_batches(attach, batch_format="pyarrow")
+        return (attach_ds if attach_ds is not None else ds) \
+            .map_batches(attach, batch_format="pyarrow")
 
     # distributed: propagation needs both edge directions (a receives
     # labels from its edge-partners b)
@@ -434,8 +441,8 @@ def lsh_cluster_labels(ds, num_hashes=128, bands=32, key_col="doc_id",
         k = pc.cast(batch.column(key_col), pa.int64())
         return pa.table({"key": k, "label": k})
 
-    labels = ds.map_batches(init_labels,
-                            batch_format="pyarrow").materialize()
+    labels = (attach_ds if attach_ds is not None else ds) \
+        .map_batches(init_labels, batch_format="pyarrow").materialize()
     prev_sum = None
     for _ in range(max_rounds):
         labels = _propagate_min(labels, cedges)

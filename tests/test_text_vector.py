@@ -607,6 +607,13 @@ def test_lsh_cluster_labels_transitive_and_singletons(ray_session):
     assert len(out) == 5
     assert out[5] == out[7] == out[9] == out[12] == 5
     assert out[3] == 3
+    # attach_ds (signature-free key source) must give identical labels
+    keys_only = ray.data.from_items([{"doc_id": r["doc_id"]}
+                                     for r in rows])
+    out2 = {r["doc_id"]: r["cluster"]
+            for r in lsh_cluster_labels(ds, key_col="doc_id",
+                                        attach_ds=keys_only).take_all()}
+    assert out2 == out
 
 
 def test_lsh_cluster_labels_driver_equals_distributed(ray_session):
