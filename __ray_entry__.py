@@ -1744,6 +1744,21 @@ def q_curation_neardup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_keyword_search(sf_dir: str):
+    """Distributed-grep keyword search (text/search.py): documents
+    containing ALL of {scan, join, window}, global top-20 by total
+    query-token term frequency, ties by doc_id. One streaming
+    map_batches pass (tokenize/hash64/bincount, fully vectorized);
+    only the matched (doc_id, tf) 16-byte projection enters the
+    top-k sort. Engine token equality is hash64-based; the SQL oracle
+    counts token STRINGS via list_filter — identical up to the
+    documented collision bound."""
+    from geoflow.text import keyword_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return keyword_search(docs, ["scan", "join", "window"], k=20)
+
+
 def q_nfc_norm(sf_dir: str):
     """Unicode NFC normalization (text/analysis.normalize_text_batch —
     UAX #15, the standard corpus canonicalization step before
@@ -2430,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "curation_neardup": q_curation_neardup,
         "decontaminate": q_decontaminate,
+        "keyword_search": q_keyword_search,
         "nfc_norm": q_nfc_norm,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_dedup": q_cluster_dedup,
@@ -3018,6 +3034,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents
                              GROUP BY text)""",
+        "keyword_search": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(list_filter(tk, x -> x = 'scan')) AS c1,
+                     len(list_filter(tk, x -> x = 'join')) AS c2,
+                     len(list_filter(tk, x -> x = 'window')) AS c3
+              FROM tk)
+            SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS tf
+            FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
+            ORDER BY tf DESC, doc_id LIMIT 20""",
         "nfc_norm": """
             WITH s AS (
               SELECT doc_id,

@@ -18,6 +18,7 @@ from .linededup import (common_line_hashes, line_dedup,
 from .lm import lm_score, lm_score_batch, train_bigram_lm
 from .packing import pack_sequences
 from .pii import pii_scrub_batch, scrub_pii
+from .search import keyword_match_batch, keyword_search
 from .substrdedup import (duplicated_window_hashes, strip_dup_windows,
                           substr_dedup)
 from .urls import canon_url_batch, url_dedup
@@ -39,4 +40,4 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "scrub_pii", "lm_score", "lm_score_batch",
            "train_bigram_lm", "html_to_text", "html_to_text_batch",
            "duplicated_window_hashes", "strip_dup_windows",
-           "substr_dedup"]
+           "substr_dedup", "keyword_match_batch", "keyword_search"]

@@ -774,3 +774,44 @@ def test_normalize_text_batch_ascii_fast_path_zero_copy():
     # all-ASCII batches pass the column through untouched
     assert out["text_norm"].chunk(0) is col or \
         out["text_norm"].to_pylist() == col.to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# keyword search
+# ---------------------------------------------------------------------------
+
+def test_keyword_search_and_or_semantics(ray_session):
+    import ray
+    from geoflow.text import keyword_search
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma alpha",      # alpha x2, beta
+            "alpha only here",
+            "beta beta beta",
+            "nothing relevant at all",
+        ],
+    })
+    ds = ray.data.from_arrow(t)
+    both = {r["doc_id"]: r["tf"] for r in keyword_search(
+        ds, ["alpha", "beta"]).take_all()}
+    assert both == {1: 3}                  # AND: only doc 1; tf = 2+1
+    any_ = {r["doc_id"]: r["tf"] for r in keyword_search(
+        ds, ["alpha", "beta"], mode="any").take_all()}
+    assert any_ == {1: 3, 2: 1, 3: 3}
+    # case-insensitive on both sides
+    up = {r["doc_id"]: r["tf"] for r in keyword_search(
+        ds, ["ALPHA", "Beta"]).take_all()}
+    assert up == both
+
+
+def test_keyword_search_topk_deterministic(ray_session):
+    import ray
+    from geoflow.text import keyword_search
+    rows = [{"doc_id": i, "text": "hit " * (i % 5 + 1)} for i in range(23)]
+    ds = ray.data.from_items(rows)
+    out = keyword_search(ds, ["hit"], k=6).take_all()
+    tfs = [r["tf"] for r in out]
+    ids = [r["doc_id"] for r in out]
+    assert tfs == [5, 5, 5, 5, 4, 4]       # tf desc, ties by doc_id asc
+    assert ids == [4, 9, 14, 19, 3, 8]
