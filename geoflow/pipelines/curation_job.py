@@ -126,6 +126,55 @@ def compute_bench_grams(bench_files: list, state_dir: str, chain: str,
     return int(len(keys))
 
 
+def dupgrams_chain(files: list, *, text_col: str, k: int,
+                   prep: str = "-") -> str:
+    from ..io.lineage import op_chain_hash
+    return op_chain_hash(f"curation_dupgrams:v1|k:{k}|text:{text_col}"
+                         f"|prep:{prep}|files:" + ",".join(files))
+
+
+def compute_dup_grams(files: list, state_dir: str, chain: str, *,
+                      text_col: str, k: int,
+                      droplines_path: str = "",
+                      droplines_chain_: str = "",
+                      benchgrams_path: str = "",
+                      benchgrams_chain_: str = "",
+                      ngram: int = 13) -> int:
+    """Duplicated k-token-window hash set (text/substrdedup — the
+    ExactSubstr count pass: per-batch partials → 16-byte groupby-sum,
+    duplicated subset only), checkpointed to _state/dupgrams.parquet.
+    Counted over the text phase 1/2 will actually strip — i.e. AFTER
+    the line-strip and decontamination prep artifacts — so its chain
+    includes theirs (any upstream artifact change invalidates it)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..text.substrdedup import window_hash_partials
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lines = _load_keys(droplines_path, droplines_chain_)
+        grams = _load_keys(benchgrams_path, benchgrams_chain_)
+        t = apply_prep(batch, lines, grams, text_col, ngram)
+        u, c = window_hash_partials(t, text_col, k, raw_tokens=True)
+        return pa.table({"gh": pa.array(u.view(np.int64)),
+                         "c": pa.array(c)})
+
+    agg = ray.data.read_parquet(files, columns=[text_col]).map_batches(
+        partials, batch_format="pyarrow").groupby("gh").aggregate(Sum("c"))
+    parts = []
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_rows == 0 or "gh" not in b.schema.names:
+            continue
+        tot = b.column("sum(c)").to_numpy(zero_copy_only=False)
+        parts.append(b.column("gh").to_numpy(
+            zero_copy_only=False)[tot >= 2])
+    # stored in UINT64 order (the searchsorted order of the hash view)
+    keys = np.sort(np.concatenate(parts).view(np.uint64)) \
+        .view(np.int64) if parts else np.empty(0, np.int64)
+    _write_state(state_dir, "dupgrams", keys, chain)
+    return int(len(keys))
+
+
 def _write_state(state_dir: str, name: str, keys: np.ndarray,
                  chain: str):
     import pyarrow.parquet as pq
@@ -167,6 +216,18 @@ def apply_prep(table: pa.Table, lines_sorted: np.ndarray,
     return table
 
 
+def apply_substr(table: pa.Table, dupgrams_sorted: np.ndarray,
+                 text_col: str, k: int) -> pa.Table:
+    """ExactSubstr strip against the checkpointed dup-gram artifact —
+    runs AFTER apply_prep (the artifact was counted over prep-applied
+    text) and before the language/quality filter."""
+    if len(dupgrams_sorted) == 0 or table.num_rows == 0:
+        return table
+    from ..text.substrdedup import strip_dup_windows_text_table
+    return strip_dup_windows_text_table(
+        table, dupgrams_sorted.view(np.uint64), text_col=text_col, k=k)
+
+
 def _parse_langs(languages: str):
     return tuple(s for s in languages.split(",") if s) or None
 
@@ -176,7 +237,10 @@ def compute_drop_keys(files: list, state_dir: str, chain: str, *,
                       key_col: str, text_col: str,
                       droplines_path: str = "", droplines_chain_: str = "",
                       benchgrams_path: str = "",
-                      benchgrams_chain_: str = "", ngram: int = 13) -> int:
+                      benchgrams_chain_: str = "", ngram: int = 13,
+                      dupgrams_path: str = "",
+                      dupgrams_chain_: str = "",
+                      substr_k: int = 0) -> int:
     """PHASE 1: distributed drop-key computation + checkpoint write.
     Returns the number of drop keys. Phase-0 prep artifacts (line strip
     / decontamination) apply BEFORE the filter so winner competition
@@ -192,7 +256,12 @@ def compute_drop_keys(files: list, state_dir: str, chain: str, *,
     def prep_and_filter(batch: pa.Table) -> pa.Table:
         lines = _load_keys(droplines_path, droplines_chain_)
         grams = _load_keys(benchgrams_path, benchgrams_chain_)
-        return filt(apply_prep(batch, lines, grams, text_col, ngram))
+        t = apply_prep(batch, lines, grams, text_col, ngram)
+        if substr_k:
+            t = apply_substr(t, _load_keys(dupgrams_path,
+                                           dupgrams_chain_),
+                             text_col, substr_k)
+        return filt(t)
 
     ds = ray.data.read_parquet(files, columns=[key_col, text_col])
     ds = ds.map_batches(prep_and_filter, batch_format="pyarrow")
@@ -235,7 +304,9 @@ def run_partition(pid: int, files: list, out_dir: str, chain: str,
                   key_col: str, text_col: str, languages: str,
                   min_quality: float, droplines_path: str = "",
                   droplines_chain_: str = "", benchgrams_path: str = "",
-                  benchgrams_chain_: str = "", ngram: int = 13) -> dict:
+                  benchgrams_chain_: str = "", ngram: int = 13,
+                  dupgrams_path: str = "", dupgrams_chain_: str = "",
+                  substr_k: int = 0) -> dict:
     """PHASE 2: one partition (runs inside a Ray task)."""
     import pyarrow.parquet as pq
 
@@ -249,8 +320,12 @@ def run_partition(pid: int, files: list, out_dir: str, chain: str,
     def filt(table: pa.Table) -> pa.Table:
         lines = _load_keys(droplines_path, droplines_chain_)
         grams = _load_keys(benchgrams_path, benchgrams_chain_)
-        return base_filt(apply_prep(table, lines, grams, text_col,
-                                    ngram))
+        t = apply_prep(table, lines, grams, text_col, ngram)
+        if substr_k:
+            t = apply_substr(t, _load_keys(dupgrams_path,
+                                           dupgrams_chain_),
+                             text_col, substr_k)
+        return base_filt(t)
 
     drop = _load_keys(dropkeys_path, drop_chain)
     block = np.sort(pq.read_table(blocklist_path)

@@ -20,7 +20,8 @@ from .packing import pack_sequences
 from .pii import pii_scrub_batch, scrub_pii
 from .search import keyword_match_batch, keyword_search
 from .substrdedup import (duplicated_window_hashes, strip_dup_windows,
-                          substr_dedup)
+                          strip_dup_windows_text_table, substr_dedup,
+                          window_hash_partials)
 from .urls import canon_url_batch, url_dedup
 
 __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
@@ -40,4 +41,6 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "scrub_pii", "lm_score", "lm_score_batch",
            "train_bigram_lm", "html_to_text", "html_to_text_batch",
            "duplicated_window_hashes", "strip_dup_windows",
-           "substr_dedup", "keyword_match_batch", "keyword_search"]
+           "substr_dedup", "strip_dup_windows_text_table",
+           "window_hash_partials", "keyword_match_batch",
+           "keyword_search"]

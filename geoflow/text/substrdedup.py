@@ -55,6 +55,24 @@ __all__ = ["duplicated_window_hashes", "strip_dup_windows_table",
            "strip_dup_windows", "substr_dedup"]
 
 
+def _tokens_and_hashes(texts, raw_tokens: bool):
+    """(flat token array for OUTPUT, int64 doc index, uint64 token
+    hash). raw_tokens=False: engine-standard whole-string-lowercased
+    tokens (oracle-parity path — DuckDB lower(text) then split).
+    raw_tokens=True: original-spelling tokens, hashed via per-token
+    lowercasing — output preserves case; identical hash stream on
+    ASCII, may differ from whole-string lowering only on exotic
+    case-mapping edge cases (no oracle rides this path)."""
+    if raw_tokens:
+        flat, parent = tokenize(texts, lower=False)
+        low = pc.utf8_lower(flat)
+        if isinstance(low, pa.ChunkedArray):
+            low = low.combine_chunks()
+        return flat, parent, hash64(low)
+    flat, parent = tokenize(texts)
+    return flat, parent, hash64(flat)
+
+
 def _window_hashes(th: np.ndarray, parent: np.ndarray, k: int):
     """(uint64 rolling k-gram hash, int64 global start index) for every
     window that stays inside one document. Same polynomial as
@@ -71,8 +89,21 @@ def _window_hashes(th: np.ndarray, parent: np.ndarray, k: int):
     return acc[idx], idx.astype(np.int64)
 
 
+def window_hash_partials(batch: pa.Table, text_col: str, k: int,
+                         raw_tokens: bool = False):
+    """(uint64 distinct window hashes, int64 partial occurrence counts)
+    for one table — the count-pass kernel, exposed for the resumable
+    curation job's checkpointed dup-gram artifact."""
+    flat, parent, th = _tokens_and_hashes(batch.column(text_col),
+                                          raw_tokens)
+    g, _ = _window_hashes(th, parent, k)
+    uniq, cnt = np.unique(g, return_counts=True)
+    return uniq, cnt.astype(np.int64)
+
+
 def duplicated_window_hashes(ds, text_col: str = "text", k: int = 15,
-                             min_count: int = 2):
+                             min_count: int = 2,
+                             raw_tokens: bool = False):
     """ray.ObjectRef to the SORTED uint64 hash array of k-token windows
     occurring >= min_count times in the corpus (occurrences, not
     distinct docs — within-doc repeats are duplicates per the
@@ -82,11 +113,9 @@ def duplicated_window_hashes(ds, text_col: str = "text", k: int = 15,
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        flat, parent = tokenize(batch.column(text_col))
-        g, _ = _window_hashes(hash64(flat), parent, k)
-        uniq, cnt = np.unique(g, return_counts=True)
+        uniq, cnt = window_hash_partials(batch, text_col, k, raw_tokens)
         return pa.table({"gh": pa.array(uniq.view(np.int64)),
-                         "c": pa.array(cnt.astype(np.int64))})
+                         "c": pa.array(cnt)})
 
     agg = ds.map_batches(partials, batch_format="pyarrow") \
         .groupby("gh").aggregate(Sum("c"))
@@ -126,20 +155,8 @@ def strip_dup_windows_table(batch: pa.Table, dup_sorted: np.ndarray,
     ``dup_sorted``. Returns (key, n_tokens, n_removed, out_col) — every
     input row kept (a fully-duplicated doc yields out_col='')."""
     flat, parent = tokenize(batch.column(text_col))
-    n_tok = len(parent)
     n_rows = batch.num_rows
-    removed = np.zeros(n_tok, dtype=bool)
-    if n_tok >= k and len(dup_sorted):
-        g, idx = _window_hashes(hash64(flat), parent, k)
-        if len(g):
-            pos = np.clip(np.searchsorted(dup_sorted, g),
-                          0, len(dup_sorted) - 1)
-            hit = idx[dup_sorted[pos] == g]
-            if len(hit):
-                diff = np.zeros(n_tok + 1, dtype=np.int64)
-                np.add.at(diff, hit, 1)
-                np.add.at(diff, hit + k, -1)
-                removed = np.cumsum(diff[:-1]) > 0
+    removed = _removed_token_mask(hash64(flat), parent, dup_sorted, k)
     keep = ~removed
     n_tokens = np.bincount(parent, minlength=n_rows).astype(np.int64)
     n_removed = (np.bincount(parent[removed], minlength=n_rows)
@@ -157,6 +174,57 @@ def strip_dup_windows_table(batch: pa.Table, dup_sorted: np.ndarray,
                      "n_tokens": pa.array(n_tokens),
                      "n_removed": pa.array(n_removed),
                      out_col: joined})
+
+
+def _removed_token_mask(th: np.ndarray, parent: np.ndarray,
+                        dup_sorted: np.ndarray, k: int) -> np.ndarray:
+    """bool mask over the flat token array: position covered by a
+    duplicated k-window (difference-array cumsum over window hits)."""
+    n_tok = len(parent)
+    removed = np.zeros(n_tok, dtype=bool)
+    if n_tok >= k and len(dup_sorted):
+        g, idx = _window_hashes(th, parent, k)
+        if len(g):
+            pos = np.clip(np.searchsorted(dup_sorted, g),
+                          0, len(dup_sorted) - 1)
+            hit = idx[dup_sorted[pos] == g]
+            if len(hit):
+                diff = np.zeros(n_tok + 1, dtype=np.int64)
+                np.add.at(diff, hit, 1)
+                np.add.at(diff, hit + k, -1)
+                removed = np.cumsum(diff[:-1]) > 0
+    return removed
+
+
+def strip_dup_windows_text_table(batch: pa.Table,
+                                 dup_sorted: np.ndarray,
+                                 text_col: str = "text", k: int = 15,
+                                 drop_empty: bool = True) -> pa.Table:
+    """Pipeline-integration variant of strip_dup_windows_table:
+    replaces ``text_col`` IN PLACE with the doc's surviving
+    ORIGINAL-SPELLING tokens space-joined, preserving every other
+    column; docs stripped to zero tokens are removed when
+    ``drop_empty`` (mirroring line_dedup's zero-line rule). Window
+    hashes use per-token lowercasing (_tokens_and_hashes raw path) —
+    the dup set it is matched against must be built with
+    ``raw_tokens=True`` for hash-stream consistency."""
+    flat, parent, th = _tokens_and_hashes(batch.column(text_col), True)
+    removed = _removed_token_mask(th, parent, dup_sorted, k)
+    keep = ~removed
+    n_rows = batch.num_rows
+    kept_flat = flat.filter(pa.array(keep))
+    if isinstance(kept_flat, pa.ChunkedArray):
+        kept_flat = kept_flat.combine_chunks()
+    counts = np.bincount(parent[keep], minlength=n_rows)
+    offsets = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(counts)]).astype(np.int32)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), kept_flat), " ")
+    i = batch.schema.get_field_index(text_col)
+    out = batch.set_column(i, text_col, joined)
+    if drop_empty:
+        out = out.filter(pa.array(counts > 0))
+    return out
 
 
 def strip_dup_windows(ds, dup_ref, text_col: str = "text",

@@ -37,6 +37,14 @@ per-partition lineage + metrics"):
   it resumes. Output parquet under out/_capped/ (the uncapped parts
   remain the canonical per-partition output).
 
+  PHASE 0 (optional prep artifacts, each checkpointed + chain-hashed
+  like dropkeys): 0a repeated-line drop set (--line-dedup-min-docs),
+  0b benchmark decontamination grams (--benchmark), 0c duplicated
+  k-token-window set for ExactSubstr substring dedup
+  (--substr-dedup-k; counted over 0a/0b-applied text, so its chain
+  embeds theirs). Phases 1 and 2 apply them in that order before the
+  language/quality filter.
+
 Worker-side logic lives in geoflow/pipelines/curation_job.py (the
 package is importable on Ray workers; this file is the thin CLI).
 """
@@ -80,6 +88,10 @@ def main():
                          "documents sharing any --decontam-ngram-gram "
                          "are dropped")
     ap.add_argument("--decontam-ngram", type=int, default=13)
+    ap.add_argument("--substr-dedup-k", type=int, default=0,
+                    help="phase 0c: ExactSubstr — strip every k-token "
+                         "window duplicated anywhere in the (prep-"
+                         "applied) corpus (0 = skip)")
     args = ap.parse_args()
 
     import ray
@@ -131,13 +143,37 @@ def main():
                 text_col=args.text_col, ngram=args.decontam_ngram)
             print(f"phase0b: computed {n} benchmark gram hashes")
 
-    prep_sig = f"{dl_chain or '-'}:{bg_chain or '-'}:{args.decontam_ngram}"
+    # PHASE 0c (optional): duplicated-window (ExactSubstr) gram set —
+    # counted over prep-applied text, so it runs after 0a/0b and its
+    # chain embeds theirs
+    dg_path = dg_chain = ""
+    if args.substr_dedup_k > 0:
+        dg_chain = cj.dupgrams_chain(
+            files, text_col=args.text_col, k=args.substr_dedup_k,
+            prep=f"{dl_chain or '-'}:{bg_chain or '-'}"
+                 f":{args.decontam_ngram}")
+        dg_path = os.path.join(state_dir, "dupgrams.parquet")
+        if cj.state_done(state_dir, "dupgrams", dg_chain):
+            print("phase0c: resumed dup-gram set from checkpoint")
+        else:
+            n = cj.compute_dup_grams(
+                files, state_dir, dg_chain, text_col=args.text_col,
+                k=args.substr_dedup_k, droplines_path=dl_path,
+                droplines_chain_=dl_chain, benchgrams_path=bg_path,
+                benchgrams_chain_=bg_chain, ngram=args.decontam_ngram)
+            print(f"phase0c: computed {n} duplicated-window hashes")
+
+    prep_sig = (f"{dl_chain or '-'}:{bg_chain or '-'}"
+                f":{args.decontam_ngram}:{dg_chain or '-'}"
+                f":{args.substr_dedup_k}")
     params = dict(neardup=not args.no_neardup, languages=args.languages,
                   min_quality=args.min_quality, key_col=args.key_col,
                   text_col=args.text_col)
     prep_kw = dict(droplines_path=dl_path, droplines_chain_=dl_chain,
                    benchgrams_path=bg_path, benchgrams_chain_=bg_chain,
-                   ngram=args.decontam_ngram)
+                   ngram=args.decontam_ngram, dupgrams_path=dg_path,
+                   dupgrams_chain_=dg_chain,
+                   substr_k=args.substr_dedup_k)
     p1 = cj.phase1_chain(files, prep=prep_sig, **params)
     if cj.dropkeys_done(state_dir, p1):
         with open(os.path.join(state_dir, "dropkeys.json")) as f:
@@ -179,7 +215,8 @@ def main():
             args.blocklist, args.blocklist_key, args.key_col,
             args.text_col, args.languages, args.min_quality,
             dl_path, dl_chain, bg_path, bg_chain,
-            args.decontam_ngram))
+            args.decontam_ngram, dg_path, dg_chain,
+            args.substr_dedup_k))
         if len(pending) >= max_parallel:
             ready, pending = ray.wait(pending, num_returns=1)
             ray.get(ready)

@@ -233,3 +233,48 @@ class TestRunCuration:
                      decontam_ngram=5)
         lib_ids = sorted(r["doc_id"] for r in lib.take_all())
         assert rows3 == lib_ids
+
+    def test_substr_dedup_phase(self, ray_session, tmp_path, capsys):
+        import pyarrow as pa
+        docs = pa.table({
+            "doc_id": pa.array(range(5), type=pa.int64()),
+            "text": [
+                "Alpha Beta Gamma Delta Epsilon unique zero words",
+                "one prefix Alpha Beta Gamma Delta Epsilon tail",
+                "Alpha Beta Gamma Delta Epsilon",   # only the phrase
+                "independent text three with plenty tokens",
+                "another body four",
+            ],
+        })
+        inp = str(tmp_path / "corpus")
+        os.makedirs(inp, exist_ok=True)
+        pq.write_table(docs.slice(0, 3), inp + "/f0.parquet")
+        pq.write_table(docs.slice(3, 2), inp + "/f1.parquet")
+        out = str(tmp_path / "out")
+        args = ["--input", inp, "--output", out, "--partitions", "2",
+                "--no-neardup", "--substr-dedup-k", "5"]
+        _job_main(args)
+        first = capsys.readouterr().out
+        assert "phase0c: computed" in first
+        rows = {r["doc_id"]: r["text"]
+                for r in pq.read_table(out).to_pylist()}
+        # the shared 5-token phrase strips from ALL its occurrences
+        # (original spelling preserved); doc 2 empties and is dropped
+        assert rows == {0: "unique zero words",
+                        1: "one prefix tail",
+                        3: "independent text three with plenty tokens",
+                        4: "another body four"}
+
+        # full resume
+        _job_main(args)
+        second = capsys.readouterr().out
+        assert "phase0c: resumed" in second
+        assert "phase1: resumed" in second
+        assert "0 to run (2 resumed" in second
+
+        # changing k invalidates the artifact, phase 1 and partitions
+        args_k4 = args[:-1] + ["4"]
+        _job_main(args_k4)
+        third = capsys.readouterr().out
+        assert "phase0c: computed" in third
+        assert "2 to run (0 resumed" in third
