@@ -94,10 +94,56 @@ def _knn_one_pass(probes_ds, nbrs, k, disk, res, probe_key, neighbor_key,
         ids = group.column(neighbor_key).to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, d))[:k]
         t = group.take(pa.array(order, type=pa.int64()))
-        return t.append_column("rank", pa.array(
+        # n_cands (candidates found in the disk, pre-top-k) lets the
+        # widening loop decide convergence from a single result scan —
+        # no extra hash aggregate per round (see _retry_probe_keys)
+        t = t.append_column("rank", pa.array(
             np.arange(1, len(order) + 1, dtype=np.int32)))
+        return t.append_column("n_cands", pa.array(
+            np.full(len(order), group.num_rows, dtype=np.int64)))
 
     return scored.groupby(probe_key).map_groups(topk, batch_format="pyarrow")
+
+
+def _retry_probe_keys(result, probes_ds, k, probe_key,
+                      guard_fn) -> np.ndarray:
+    """Probe keys needing a wider-disk retry, computed from ONE scan of
+    the (≤ k rows/probe) annotated result: short = rank==1 row with
+    n_cands<k; unguaranteed = max-dist row (rank==n_cands, capped at k)
+    failing ``guard_fn(dist_m, py) -> bool mask``. Probes with ZERO
+    candidates are absent from the result entirely — detected by
+    comparing the result's rank==1 row count against the probe count
+    (cheap), falling back to the distributed probes∪result aggregate of
+    _short_probe_keys only when they exist (rare: a disk with no
+    neighbors at all)."""
+    flagged = []
+    n_rank1 = 0
+    for b in result.iter_batches(batch_format="pyarrow",
+                                 batch_size=65536):
+        if b.num_rows == 0 or probe_key not in b.schema.names:
+            continue
+        rank = b.column("rank").to_numpy(zero_copy_only=False)
+        nc = b.column("n_cands").to_numpy(zero_copy_only=False)
+        d = b.column("dist_m").to_numpy(zero_copy_only=False)
+        keys = b.column(probe_key).to_numpy(zero_copy_only=False)
+        r1 = rank == 1
+        n_rank1 += int(r1.sum())
+        short = r1 & (nc < k)
+        last = rank == np.minimum(nc, k)
+        py = (b.column("py").to_numpy(zero_copy_only=False)
+              if "py" in b.schema.names else None)
+        over = last & guard_fn(d, py)
+        hit = short | over
+        if hit.any():
+            flagged.append(keys[hit].astype(np.int64))
+    out = (np.unique(np.concatenate(flagged)) if flagged
+           else np.empty(0, dtype=np.int64))
+    if n_rank1 != probes_ds.count():
+        # zero-candidate probes exist — find them distributedly
+        out = np.union1d(out,
+                         _short_probe_keys(result, probes_ds, k,
+                                           probe_key))
+    return out
 
 
 def _short_probe_keys(result, probes_ds, k, probe_key) -> np.ndarray:
@@ -126,61 +172,6 @@ def _short_probe_keys(result, probes_ds, k, probe_key) -> np.ndarray:
         return batch.select([probe_key]).filter(pa.array(c < k))
 
     out = counts.map_batches(shorts, batch_format="pyarrow").take_all()
-    return np.array([r[probe_key] for r in out], dtype=np.int64)
-
-
-def _unguaranteed_probe_keys(result, probe_key, max_dist_m) -> np.ndarray:
-    """Probes whose k-th neighbor distance exceeds the disk's guaranteed
-    coverage radius: their in-disk top-k might not be the global top-k
-    (standard ring-expansion termination criterion), so they must be
-    retried at a wider disk even though they found k candidates."""
-    if not np.isfinite(max_dist_m):
-        return np.empty(0, dtype=np.int64)
-    maxd = result.groupby(probe_key).max("dist_m")
-
-    def over(batch: pa.Table) -> pa.Table:
-        d = batch.column("max(dist_m)").to_numpy(zero_copy_only=False)
-        return batch.select([probe_key]).filter(pa.array(d > max_dist_m))
-
-    out = maxd.map_batches(over, batch_format="pyarrow").take_all()
-    return np.array([r[probe_key] for r in out], dtype=np.int64)
-
-
-def _unguaranteed_probe_keys_grid(result, probe_key, wide,
-                                  spacing_deg) -> np.ndarray:
-    """Latitude-aware exactness check for the degree-grid disk.
-
-    A (2w+1)² disk of spacing-`s` degree cells around the probe's cell
-    is guaranteed to contain every point within ground distance D of the
-    probe iff the point's cell is at most w rows AND w columns away.
-    Row bound: |Δlat| < w·s  (floor(a+δ)−floor(a) ≤ w whenever δ < w·s).
-    Column bound: the max longitude excursion reachable within angular
-    distance θ from latitude φ is asin(sinθ/cosφ) ≤ w·s whenever
-    θ ≤ w·s·cos(|φ|+w·s)  (proof: ws·cos(φ+ws) ≤ cosφ·sin(ws), so
-    sinθ/cosφ ≤ θ/cosφ ≤ sin(ws)).  Hence per-probe guarantee
-        guard(φ) = w·s·cos(min(|φ|+w·s, 90°)) · m-per-deg,
-    which is 0 at/near the poles → polar probes are retried
-    unconditionally.  Once the disk wraps every longitude column
-    (2w+1 ≥ n_cols) only the row bound remains: guard = w·s·m-per-deg,
-    which also covers pole-crossing paths (all longitudes present).
-    Probes whose k-th distance meets/exceeds their guard are flagged."""
-    nx_cols = math.ceil(360.0 / spacing_deg)
-    full_wrap = (2 * wide + 1) >= nx_cols
-    base_m = wide * spacing_deg * _M_PER_DEG
-    maxd = result.groupby(probe_key).max(["dist_m", "py"])
-
-    def over(batch: pa.Table) -> pa.Table:
-        d = batch.column("max(dist_m)").to_numpy(zero_copy_only=False)
-        if full_wrap:
-            guard = np.full(len(d), base_m)
-        else:
-            lat = np.abs(batch.column("max(py)").to_numpy(
-                zero_copy_only=False))
-            band = np.minimum(lat + wide * spacing_deg, 90.0)
-            guard = base_m * np.maximum(np.cos(np.radians(band)), 0.0)
-        return batch.select([probe_key]).filter(pa.array(d >= guard))
-
-    out = maxd.map_batches(over, batch_format="pyarrow").take_all()
     return np.array([r[probe_key] for r in out], dtype=np.int64)
 
 
@@ -244,47 +235,68 @@ def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
     # once instead of re-executing the upstream lineage per pass
     nbrs = neighbors_ds.map_batches(
         nbr_prep, batch_format="pyarrow").materialize()
+    # probe set is re-read per round (retry-decision count + short-probe
+    # subset); materialize once instead of re-executing its lineage
+    probes_ds = probes_ds.materialize()
 
     result = _knn_one_pass(probes_ds, nbrs, k, disk, res, probe_key,
                            neighbor_key, x_col, y_col,
                            num_partitions).materialize()
     wide = disk
     spacing_deg = 36.0 / (1 << res)
+    nx_cols = math.ceil(360.0 / spacing_deg)
     for _ in range(max_widen):
-        short = _short_probe_keys(result, probes_ds, k, probe_key)
-        # exactness criterion: latitude-aware per-probe coverage
-        # guarantee (east-west cell span shrinks with cos(lat); polar
-        # probes are flagged unconditionally until the disk wraps all
-        # longitude columns) — see _unguaranteed_probe_keys_grid
-        over = _unguaranteed_probe_keys_grid(result, probe_key, wide,
-                                             spacing_deg)
-        short = np.union1d(short, over)
+        # Latitude-aware exactness criterion for the degree-grid disk:
+        # a (2w+1)² disk of spacing-s cells around the probe's cell
+        # contains every point within ground distance D iff the point's
+        # cell is ≤ w rows AND ≤ w columns away. Row bound: |Δlat| <
+        # w·s. Column bound: max longitude excursion within angular
+        # distance θ from latitude φ is asin(sinθ/cosφ) ≤ w·s whenever
+        # θ ≤ w·s·cos(|φ|+w·s)  (since ws·cos(φ+ws) ≤ cosφ·sin(ws) ⇒
+        # sinθ/cosφ ≤ θ/cosφ ≤ sin(ws)). Hence per-probe guarantee
+        #   guard(φ) = w·s·cos(min(|φ|+w·s, 90°)) · m-per-deg,
+        # 0 at/near the poles → polar probes retried unconditionally.
+        # Once the disk wraps every longitude column (2w+1 ≥ n_cols)
+        # only the row bound remains: guard = w·s·m-per-deg, which also
+        # covers pole-crossing paths (all longitudes present). Probes
+        # whose k-th distance meets/exceeds their guard are flagged.
+        def grid_guard(d, py, _w=wide):
+            base_m = _w * spacing_deg * _M_PER_DEG
+            if (2 * _w + 1) >= nx_cols:
+                return d >= base_m
+            band = np.minimum(np.abs(py) + _w * spacing_deg, 90.0)
+            guard = base_m * np.maximum(np.cos(np.radians(band)), 0.0)
+            return d >= guard
+
+        short = _retry_probe_keys(result, probes_ds, k, probe_key,
+                                  grid_guard)
         if len(short) == 0:
             break
         wide = wide * 3 + 1
-        short_set = set(short.tolist())
-
-        def only_short(batch: pa.Table, _keys=short_set) -> pa.Table:
-            kv = batch.column(probe_key).to_numpy(zero_copy_only=False)
-            mask = np.fromiter((int(v) in _keys for v in kv),
-                               dtype=bool, count=len(kv))
-            return batch.filter(pa.array(mask))
-
-        def drop_short(batch: pa.Table, _keys=short_set) -> pa.Table:
-            kv = batch.column(probe_key).to_numpy(zero_copy_only=False)
-            mask = np.fromiter((int(v) not in _keys for v in kv),
-                               dtype=bool, count=len(kv))
-            return batch.filter(pa.array(mask))
-
-        sub = _collect_probe_subset(probes_ds, only_short)
+        sub = _collect_probe_subset(probes_ds, _key_filter(
+            probe_key, short, keep=True))
         if sub is None:
             break
         retry = _knn_one_pass(
             sub, nbrs, k, wide, res, probe_key, neighbor_key, x_col,
             y_col, num_partitions)
-        result = result.map_batches(drop_short, batch_format="pyarrow") \
-            .union(retry).materialize()
-    return result.drop_columns(["py"])
+        result = result.map_batches(
+            _key_filter(probe_key, short, keep=False),
+            batch_format="pyarrow").union(retry).materialize()
+    return result.drop_columns(["py", "n_cands"])
+
+
+def _key_filter(probe_key, keys: np.ndarray, keep: bool):
+    """Vectorized batch filter on int64 key membership."""
+    keys = np.sort(keys.astype(np.int64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        kv = batch.column(probe_key).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mask = np.isin(kv, keys)
+        return batch.filter(pa.array(mask if keep else ~mask))
+
+    return fn
 
 
 def _knn_h3_one_pass(probes_ds, nbrs, k, disk, res, probe_key,
@@ -324,8 +336,10 @@ def _knn_h3_one_pass(probes_ds, nbrs, k, disk, res, probe_key,
         ids = group.column(neighbor_key).to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, d))[:k]
         t = group.take(pa.array(order, type=pa.int64()))
-        return t.append_column("rank", pa.array(
+        t = t.append_column("rank", pa.array(
             np.arange(1, len(order) + 1, dtype=np.int32)))
+        return t.append_column("n_cands", pa.array(
+            np.full(len(order), group.num_rows, dtype=np.int64)))
 
     return scored.groupby(probe_key).map_groups(topk, batch_format="pyarrow")
 
@@ -357,6 +371,7 @@ def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
 
     nbrs = neighbors_ds.map_batches(
         nbr_prep, batch_format="pyarrow").materialize()
+    probes_ds = probes_ds.materialize()
 
     result = _knn_h3_one_pass(probes_ds, nbrs, k, disk, res, probe_key,
                               neighbor_key, x_col, y_col,
@@ -365,7 +380,6 @@ def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
     from ..cells.h3 import M_SQRT7, RES0_U_GNOMONIC
     spacing_deg = math.degrees(math.atan(RES0_U_GNOMONIC / M_SQRT7 ** res))
     for _ in range(max_widen):
-        short = _short_probe_keys(result, probes_ds, k, probe_key)
         # Coverage guarantee for the GEOGRAPHIC sample ball of radius
         # wide·spacing: a point q at distance D from the probe lies in a
         # sampled cell when a sampler-hit disk (radius 0.283·s for the
@@ -378,31 +392,23 @@ def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
         # SMALLEST (vertex-distorted ×0.63 → inradius 0.315·s) cells,
         # so no distortion derate is needed at either end.
         guard_m = max(0.0, (wide - 1) * spacing_deg) * _M_PER_DEG
-        over = _unguaranteed_probe_keys(result, probe_key, guard_m)
-        short = np.union1d(short, over)
+
+        def h3_guard(d, py, _g=guard_m):
+            return d > _g
+
+        short = _retry_probe_keys(result, probes_ds, k, probe_key,
+                                  h3_guard)
         if len(short) == 0:
             break
         wide = wide * 2 + 1
-        short_set = set(short.tolist())
-
-        def only_short(batch: pa.Table, _keys=short_set) -> pa.Table:
-            kv = batch.column(probe_key).to_numpy(zero_copy_only=False)
-            mask = np.fromiter((int(v) in _keys for v in kv),
-                               dtype=bool, count=len(kv))
-            return batch.filter(pa.array(mask))
-
-        def drop_short(batch: pa.Table, _keys=short_set) -> pa.Table:
-            kv = batch.column(probe_key).to_numpy(zero_copy_only=False)
-            mask = np.fromiter((int(v) not in _keys for v in kv),
-                               dtype=bool, count=len(kv))
-            return batch.filter(pa.array(mask))
-
-        sub = _collect_probe_subset(probes_ds, only_short)
+        sub = _collect_probe_subset(probes_ds, _key_filter(
+            probe_key, short, keep=True))
         if sub is None:
             break
         retry = _knn_h3_one_pass(
             sub, nbrs, k, wide, res, probe_key, neighbor_key, x_col,
             y_col, num_partitions)
-        result = result.map_batches(drop_short, batch_format="pyarrow") \
-            .union(retry).materialize()
-    return result
+        result = result.map_batches(
+            _key_filter(probe_key, short, keep=False),
+            batch_format="pyarrow").union(retry).materialize()
+    return result.drop_columns(["n_cands"])
