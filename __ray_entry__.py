@@ -1793,6 +1793,53 @@ def q_nfc_norm(sf_dir: str):
     return ds.map_batches(out, batch_format="pyarrow")
 
 
+def q_c4_filter(sf_dir: str):
+    """C4 heuristic page cleaning (text/c4.py — Raffel et al. 2020
+    §2.2: terminal-punctuation + min-word line rules, javascript line
+    drop, lorem-ipsum / curly-brace / badword page drops, min kept
+    lines). Each doc gets a deterministic 5-line page exercising every
+    rule: a kept header sentence, a punctuation-less nav line (drop),
+    the body with a terminal clause (kept), a javascript line on
+    doc_id%4==0 (drop) else a kept sentence, and a page-killing last
+    line on doc_id%7==0 (lorem ipsum) / %11==0 (badword) / %13==0
+    (curly brace) else a kept closer. Every rule is the same RE2 regex
+    in Arrow and DuckDB, so the cleaned text hashes byte-identically."""
+    from geoflow.text import c4_clean
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        l4 = pc.if_else(
+            pa.array(idn % 4 == 0),
+            pa.scalar("Please enable javascript in your browser "
+                      "settings."),
+            pa.scalar("A third proper sentence closes the page "
+                      "nicely."))
+        l5 = np.where(
+            idn % 7 == 0, "Lorem ipsum dolor sit amet consectetur.",
+            np.where(idn % 11 == 0,
+                     "He said bukkake loudly yesterday evening.",
+                     np.where(idn % 13 == 0,
+                              "JSON sample { key value } here.",
+                              "Closing remark with proper punctuation "
+                              "right here!")))
+        text = pc.binary_join_element_wise(
+            pa.scalar("Header sentence number "),
+            pc.cast(pa.array(idn % 7), pa.string()),
+            pa.scalar(" is definitely long enough.\n"
+                      "nav home about contact\n"),
+            pc.cast(b.column("text"), pa.string()),
+            pa.scalar(" and that is the truth.\n"), l4,
+            pa.scalar("\n"), pa.array(l5, type=pa.string()), "")
+        return pa.table({"doc_id": ids, "text": text})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    return c4_clean(ds).map_batches(
+        lambda b: b.select(["doc_id", "text_clean"]),
+        batch_format="pyarrow")
+
+
 def q_near_dup_clusters(sf_dir: str):
     """Fuzzy-dedup cluster labels (text/dedup.lsh_cluster_labels —
     the SlimPajama/BigCode 'cluster, then keep one per cluster' shape):
@@ -2447,6 +2494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "keyword_search": q_keyword_search,
         "nfc_norm": q_nfc_norm,
+        "c4_filter": q_c4_filter,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_dedup": q_cluster_dedup,
         "substr_dedup": q_substr_dedup,
@@ -3060,6 +3108,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, nfc_normalize(t) AS text_norm,
                    CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars
             FROM s""",
+        "c4_filter": r"""
+            WITH src AS (
+              SELECT doc_id,
+                'Header sentence number ' ||
+                CAST(doc_id % 7 AS VARCHAR) ||
+                ' is definitely long enough.' || chr(10) ||
+                'nav home about contact' || chr(10) ||
+                text || ' and that is the truth.' || chr(10) ||
+                CASE WHEN doc_id % 4 = 0
+                  THEN 'Please enable javascript in your browser '
+                       || 'settings.'
+                  ELSE 'A third proper sentence closes the page '
+                       || 'nicely.' END || chr(10) ||
+                CASE WHEN doc_id % 7 = 0
+                       THEN 'Lorem ipsum dolor sit amet consectetur.'
+                     WHEN doc_id % 11 = 0
+                       THEN 'He said bukkake loudly yesterday evening.'
+                     WHEN doc_id % 13 = 0
+                       THEN 'JSON sample { key value } here.'
+                     ELSE 'Closing remark with proper punctuation '
+                          || 'right here!' END AS text
+              FROM documents),
+            raw AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS ls
+              FROM src),
+            lines AS (
+              SELECT r.doc_id, g.i AS idx, r.ls[g.i] AS line,
+                     trim(r.ls[g.i]) AS t
+              FROM raw r, LATERAL (
+                SELECT unnest(range(1, len(r.ls) + 1))) AS g(i)),
+            kept AS (
+              SELECT doc_id, idx, line FROM lines
+              WHERE regexp_matches(t, '[.!?"]$')
+                AND len(regexp_extract_all(t, '\S+')) >= 5
+                AND NOT regexp_matches(t, '(?i)javascript')),
+            pages AS (
+              SELECT doc_id FROM kept GROUP BY doc_id
+              HAVING count(*) >= 3),
+            ok AS (
+              SELECT r.doc_id FROM raw r JOIN pages p USING (doc_id)
+              WHERE NOT regexp_matches(r.text, '(?i)lorem ipsum')
+                AND NOT contains(r.text, '{')
+                AND NOT regexp_matches(
+                      lower(r.text),
+                      '\b(bukkake|shitload|dickhead)\b'))
+            SELECT k.doc_id,
+                   string_agg(k.line, chr(10) ORDER BY k.idx)
+                     AS text_clean
+            FROM kept k JOIN ok USING (doc_id)
+            GROUP BY k.doc_id""",
         "near_dup_clusters": """
             WITH ids AS (SELECT doc_id FROM documents)
             SELECT doc_id, doc_id AS cluster FROM ids

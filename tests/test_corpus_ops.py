@@ -815,3 +815,49 @@ def test_keyword_search_topk_deterministic(ray_session):
     ids = [r["doc_id"] for r in out]
     assert tfs == [5, 5, 5, 5, 4, 4]       # tf desc, ties by doc_id asc
     assert ids == [4, 9, 14, 19, 3, 8]
+
+
+def test_c4_clean_rules(ray_session):
+    import ray
+    from geoflow.text import c4_clean
+    pages = {
+        0: ("Good first sentence with enough words.\n"
+            "short line.\n"                       # <5 words
+            "no terminal punctuation here at all\n"
+            "Another proper sentence that is kept!\n"
+            "Is this a kept question with words?"),
+        1: ("Good first sentence with enough words.\n"
+            "Another proper sentence that is kept!\n"
+            "Lorem Ipsum dolor sit amet words here.\n"
+            "Third proper sentence keeps the page alive."),
+        2: ("Good first sentence with enough words.\n"
+            "Another proper sentence that is kept!\n"
+            "var x = { broken: true };\n"
+            "Third proper sentence keeps the page alive."),
+        3: ("Enable JavaScript to see this content now.\n"
+            "Good first sentence with enough words.\n"
+            "Another proper sentence that is kept!\n"
+            "Third proper sentence keeps the page alive."),
+        4: ("Only one kept sentence lives right here.\n"
+            "and nothing else\n"
+            "more filler"),
+        5: ("He shouted bukkake in the meeting room.\n"
+            "Good first sentence with enough words.\n"
+            "Another proper sentence that is kept!\n"
+            "Third proper sentence keeps the page alive."),
+    }
+    t = pa.table({"doc_id": pa.array(sorted(pages), type=pa.int64()),
+                  "text": [pages[k] for k in sorted(pages)]})
+    out = {r["doc_id"]: r["text_clean"]
+           for r in c4_clean(ray.data.from_arrow(t)).take_all()}
+    # page 0 survives: 3 kept lines (header, exclamation, question)
+    assert out[0] == ("Good first sentence with enough words.\n"
+                      "Another proper sentence that is kept!\n"
+                      "Is this a kept question with words?")
+    # 1: lorem ipsum page drop; 2: curly brace; 4: <3 kept lines;
+    # 5: badword page drop
+    # 3: javascript LINE dropped but page keeps 3 other sentences
+    assert out[3] == ("Good first sentence with enough words.\n"
+                      "Another proper sentence that is kept!\n"
+                      "Third proper sentence keeps the page alive.")
+    assert set(out) == {0, 3}
