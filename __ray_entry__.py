@@ -1840,6 +1840,43 @@ def q_c4_filter(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_dsir_filter(sf_dir: str):
+    """DSIR importance-weight selection (text/dsir.py — Xie et al.
+    2023): Laplace-smoothed bag-of-unigram target vs raw models, log
+    importance weight per doc, keep weight > 0. Planted corpus: doc
+    gets c = doc_id%11 target-vocabulary tokens (aa0..aa_{c-1}) and
+    10-c raw-only tokens (bb_c..bb9); the target corpus is 20 pure-aa
+    docs. Weights are then strict class functions of c with ≥1-nat
+    gaps between classes and no class within float error of 0, so the
+    SELECTED SET is engine-independent (pq_ann margin argument) even
+    though the float weights themselves are never hashed."""
+    import ray.data
+
+    from geoflow.text import dsir_resample
+
+    texts_by_c = np.array(
+        [" ".join([f"aa{j}" for j in range(c)]
+                  + [f"bb{j}" for j in range(c, 10)])
+         for c in range(11)], dtype=object)
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pa.array(texts_by_c[ids % 11], type=pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    target = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(20, dtype=np.int64)),
+        "text": pa.array([" ".join(f"aa{j}" for j in range(10))] * 20,
+                         type=pa.string())}))
+    out = dsir_resample(ds, target, threshold=0.0)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_feats"]),
+        batch_format="pyarrow")
+
+
 def q_near_dup_clusters(sf_dir: str):
     """Fuzzy-dedup cluster labels (text/dedup.lsh_cluster_labels —
     the SlimPajama/BigCode 'cluster, then keep one per cluster' shape):
@@ -2495,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": q_keyword_search,
         "nfc_norm": q_nfc_norm,
         "c4_filter": q_c4_filter,
+        "dsir_filter": q_dsir_filter,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_dedup": q_cluster_dedup,
         "substr_dedup": q_substr_dedup,
@@ -3158,6 +3196,37 @@ def oracle_sql() -> dict[str, str]:
                      AS text_clean
             FROM kept k JOIN ok USING (doc_id)
             GROUP BY k.doc_id""",
+        "dsir_filter": """
+            WITH corpus AS (
+              SELECT doc_id, CAST(doc_id % 11 AS BIGINT) AS c
+              FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN g.i < c
+                          THEN 'aa' || CAST(g.i AS VARCHAR)
+                          ELSE 'bb' || CAST(g.i AS VARCHAR) END AS tok
+              FROM corpus, LATERAL (
+                SELECT unnest(range(0, 10))) AS g(i)),
+            tcnt AS (
+              SELECT 'aa' || CAST(i AS VARCHAR) AS tok,
+                     CAST(20 AS BIGINT) AS ct
+              FROM (SELECT unnest(range(0, 10)) AS i)),
+            rcnt AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS cr
+              FROM toks GROUP BY tok),
+            consts AS (
+              SELECT 220.0 AS tv,
+                     (SELECT count(*) FROM toks) + 20.0 AS rv),
+            scored AS (
+              SELECT t.doc_id,
+                     SUM(ln(COALESCE(tc.ct, 0) + 1.0) - ln(k.tv)
+                         - ln(r.cr + 1.0) + ln(k.rv)) AS w,
+                     CAST(count(*) AS BIGINT) AS n_feats
+              FROM toks t
+              LEFT JOIN tcnt tc USING (tok)
+              JOIN rcnt r USING (tok), consts k
+              GROUP BY t.doc_id)
+            SELECT doc_id, n_feats FROM scored WHERE w > 0""",
         "near_dup_clusters": """
             WITH ids AS (SELECT doc_id FROM documents)
             SELECT doc_id, doc_id AS cluster FROM ids

@@ -19,6 +19,7 @@ from .lm import lm_score, lm_score_batch, train_bigram_lm
 from .packing import pack_sequences
 from .pii import pii_scrub_batch, scrub_pii
 from .c4 import c4_clean, c4_clean_table
+from .dsir import dsir_resample, dsir_weights, feature_counts
 from .search import keyword_match_batch, keyword_search
 from .substrdedup import (duplicated_window_hashes, strip_dup_windows,
                           strip_dup_windows_text_table, substr_dedup,
@@ -44,4 +45,5 @@ __all__ = ["CharMinHasher", "bpe_token_count_batch", "detect_language",
            "duplicated_window_hashes", "strip_dup_windows",
            "substr_dedup", "strip_dup_windows_text_table",
            "window_hash_partials", "keyword_match_batch",
-           "keyword_search", "c4_clean", "c4_clean_table"]
+           "keyword_search", "c4_clean", "c4_clean_table",
+           "dsir_resample", "dsir_weights", "feature_counts"]

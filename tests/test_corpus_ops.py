@@ -861,3 +861,73 @@ def test_c4_clean_rules(ray_session):
                       "Another proper sentence that is kept!\n"
                       "Third proper sentence keeps the page alive.")
     assert set(out) == {0, 3}
+
+
+def test_dsir_weights_and_selection(ray_session):
+    import ray
+    from geoflow.text import dsir_resample, dsir_weights
+    # 3 target-ish docs, 3 raw-only docs; brute-force expected weights
+    corpus = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": ["good clean prose", "good clean words", "good prose text",
+                 "spam junk noise", "junk noise filler", "spam filler junk"],
+    })
+    target = pa.table({
+        "doc_id": pa.array([100, 101], type=pa.int64()),
+        "text": ["good clean prose", "good clean text"],
+    })
+    ds = ray.data.from_arrow(corpus)
+    tds = ray.data.from_arrow(target)
+    out = {r["doc_id"]: r["weight"]
+           for r in dsir_weights(ds, tds).take_all()}
+
+    # brute force in plain python
+    import collections
+    import math
+    rt = [t.split() for t in corpus.column("text").to_pylist()]
+    tt = [t.split() for t in target.column("text").to_pylist()]
+    cr = collections.Counter(w for d in rt for w in d)
+    ct = collections.Counter(w for d in tt for w in d)
+    V = len(set(cr) | set(ct))
+    T = sum(ct.values())
+    R = sum(cr.values())
+    for i, d in enumerate(rt):
+        w = sum(math.log((ct[x] + 1) / (T + V))
+                - math.log((cr[x] + 1) / (R + V)) for x in d)
+        assert abs(out[i] - w) < 1e-9, (i, out[i], w)
+    # target-like docs all outrank raw-only docs
+    assert min(out[0], out[1], out[2]) > max(out[3], out[4], out[5])
+
+    # threshold + top-k + gumbel selection shapes
+    kept = {r["doc_id"] for r in dsir_resample(
+        ds, tds, threshold=0.0).take_all()}
+    assert kept == {0, 1, 2}
+    top2 = [r["doc_id"] for r in dsir_resample(ds, tds, k=2).take_all()]
+    assert set(top2) <= {0, 1, 2} and len(top2) == 2
+    g1 = [r["doc_id"] for r in dsir_resample(
+        ds, tds, k=3, gumbel=True, seed=7).take_all()]
+    g2 = [r["doc_id"] for r in dsir_resample(
+        ds, tds, k=3, gumbel=True, seed=7).take_all()]
+    assert g1 == g2                        # deterministic under a seed
+
+
+def test_dsir_bucket_mode_and_bigrams(ray_session):
+    import ray
+    from geoflow.text import dsir_weights
+    corpus = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": ["alpha beta gamma", "alpha beta beta",
+                 "delta epsilon zeta", "zeta delta eta"],
+    })
+    target = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                       "text": ["alpha beta gamma alpha beta"]})
+    ds = ray.data.from_arrow(corpus)
+    tds = ray.data.from_arrow(target)
+    # m-bucket mode: fixed feature space, still separates the planted
+    # target-like docs from the rest
+    out = {r["doc_id"]: r["weight"]
+           for r in dsir_weights(ds, tds, m=512).take_all()}
+    assert min(out[0], out[1]) > max(out[2], out[3])
+    outb = {r["doc_id"]: r["weight"]
+            for r in dsir_weights(ds, tds, bigrams=True).take_all()}
+    assert min(outb[0], outb[1]) > max(outb[2], outb[3])
