@@ -1378,6 +1378,55 @@ def q_semantic_clusters(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_semdedup(sf_dir: str):
+    """Full SemDeDup composite (ops/clustering.semdedup — Abbas et al.
+    2023: spherical k-means + within-cluster greedy prune keeping the
+    lowest-centroid-similarity representative of every near-dup group).
+    Planted geometry: doc vector = 10·e_{id%3} + 8·e_{3+(id//3)%3} in
+    R^7 (3 clusters × 3 exact-copy families each, cross-family cosine
+    0.61 < τ=0.9); ids with id%10==0 add a NEAR copy at key id+1e6
+    with an extra 4·e_6 component (cosine 0.955 to its family, lower
+    centroid similarity by ~0.02 ≫ float error, so greedy keeps IT and
+    drops every exact member). Kept set is therefore exactly one row
+    per family — the minimum near key (min exact key for families
+    without a near copy) — which the SQL oracle enumerates; margins
+    make the float order engine-independent (pq_ann argument)."""
+    from geoflow.ops.clustering import semdedup
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        d = (ids % 3).astype(np.int64)
+        a = 3 + ((ids // 3) % 3).astype(np.int64)
+        n = len(ids)
+        base = np.zeros((n, 7), np.float32)
+        base[np.arange(n), d] = 10.0
+        base[np.arange(n), a] = 8.0
+        nr = np.nonzero(ids % 10 == 0)[0]
+        near = base[nr].copy()
+        near[:, 6] = 4.0
+        keys = np.concatenate([ids, ids[nr] + 1_000_000])
+        mat = np.concatenate([base, near])
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel()), 7)
+        return pa.table({"key": pa.array(keys), "embedding": emb})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = semdedup(ds, key_col="key", vec_col="embedding", k=3,
+                   iters=2, tau=0.9)
+
+    def kept(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "kept" not in b.schema.names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64())})
+        t = b.filter(b.column("kept"))
+        return pa.table({"doc_id": pc.cast(t.column("key"), pa.int64()),
+                         "cluster": pc.cast(t.column("cluster"),
+                                            pa.int64())})
+
+    return out.map_batches(kept, batch_format="pyarrow")
+
+
 def q_mvt_tile(sf_dir: str):
     """Mapbox-vector-tile geometry prep over the doc points:
     st_asmvtgeom (geoflow/ops/stub_surface.py — AsMVTGeom.java:11 is a
@@ -2533,6 +2582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_norm": q_nfc_norm,
         "c4_filter": q_c4_filter,
         "dsir_filter": q_dsir_filter,
+        "semdedup": q_semdedup,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_dedup": q_cluster_dedup,
         "substr_dedup": q_substr_dedup,
@@ -3227,6 +3277,17 @@ def oracle_sql() -> dict[str, str]:
               JOIN rcnt r USING (tok), consts k
               GROUP BY t.doc_id)
             SELECT doc_id, n_feats FROM scored WHERE w > 0""",
+        "semdedup": """
+            WITH fam AS (
+              SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS c,
+                     CAST((doc_id // 3) % 3 AS BIGINT) AS a
+              FROM documents),
+            nearw AS (
+              SELECT c, a, min(doc_id) + 1000000 AS w FROM fam
+              WHERE doc_id % 10 = 0 GROUP BY c, a),
+            exw AS (SELECT c, a, min(doc_id) AS w FROM fam GROUP BY c, a)
+            SELECT COALESCE(n.w, e.w) AS doc_id, e.c AS cluster
+            FROM exw e LEFT JOIN nearw n USING (c, a)""",
         "near_dup_clusters": """
             WITH ids AS (SELECT doc_id FROM documents)
             SELECT doc_id, doc_id AS cluster FROM ids

@@ -790,7 +790,7 @@ def cluster_intersecting(ds, *, key_col: str = "key",
 
 def kmeans_nd(ds, *, key_col: str = "key", vec_col: str = "embedding",
               k: int, iters: int = 3, spherical: bool = False,
-              reduce_mode: str = "auto"):
+              reduce_mode: str = "auto", return_state: bool = False):
     """d-dimensional Lloyd's k-means over an embedding column
     (list<float> / fixed_size_list<float>) — the scale path for
     SemDeDup-style semantic organisation of a training corpus (cluster
@@ -906,6 +906,12 @@ def kmeans_nd(ds, *, key_col: str = "key", vec_col: str = "embedding",
             new = np.where(nrm > 0, new / np.maximum(nrm, 1e-300), new)
         cent = np.where(live[:, None], new, C)
 
+    if return_state:
+        # (materialized normalized (key, vec) points, final (k,d)
+        # float64 centroid matrix) — for composites that need both the
+        # assignment AND the vectors/centroids (semdedup)
+        return pts, cent
+
     Cf = cent
     c2f = (Cf * Cf).sum(axis=1)
 
@@ -918,3 +924,86 @@ def kmeans_nd(ds, *, key_col: str = "key", vec_col: str = "embedding",
                              np.argmin(d2, axis=1).astype(np.int64))})
 
     return pts.map_batches(final, batch_format="pyarrow")
+
+
+def semdedup(ds, *, key_col: str = "key", vec_col: str = "embedding",
+             k: int, iters: int = 2, tau: float = 0.9,
+             group_cap: int = 65536, reduce_mode: str = "auto"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup by spherical k-means clustering + within-cluster greedy
+    pruning. Returns (key, cluster, kept) for EVERY input row; the
+    pruned corpus is the kept=true subset.
+
+    Published recipe, re-expressed Ray-Data-first:
+      1. cosine k-means over the embedding column (kmeans_nd
+         scaffold: deterministic min-key seeding, broadcast centroid
+         matrix, binary-packed vectors);
+      2. per cluster, process members by INCREASING cosine similarity
+         to their centroid (the paper keeps low-centroid-similarity
+         examples — they carry the diversity), ties by key; keep a
+         member iff its max cosine to the already-kept members of the
+         cluster is <= tau.
+
+    Scale shape: step 2 is groupby(cluster).map_groups — one shuffle
+    of (cluster, key, csim, packed vec) rows; the greedy pass inside a
+    group is a per-member numpy matvec against the (small) kept set,
+    O(m * kept * d) — the same within-cluster quadratic the published
+    implementation runs per cluster, bounded by choosing k so clusters
+    stay ~corpus/k. Groups beyond ``group_cap`` keep their tail
+    UNCHECKED (conservative: never a false drop) — raise k instead.
+    Partitioning assumption (SURVEY §2 custom-operator rule): cluster
+    sizes are bounded by k choice; skewed mega-clusters should raise k
+    or pre-split by a secondary hash.
+
+    Determinism: greedy order is (csim, key) with float csim computed
+    identically on every retry (fixed centroid matrix broadcast once);
+    exact-duplicate vectors tie and fall to key order."""
+    from ..vector.ann import pack_rows, unpack_rows
+
+    pts, cent = kmeans_nd(ds, key_col=key_col, vec_col=vec_col, k=k,
+                          iters=iters, spherical=True,
+                          reduce_mode=reduce_mode, return_state=True)
+    dim = cent.shape[1]
+    # cosine to centroid == dot (pts vectors and centroids are unit)
+    c2 = (cent * cent).sum(axis=1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        x = unpack_rows(batch.column("vec"), dim, np.float32) \
+            .astype(np.float64)
+        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T) + c2[None, :]
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        csim = (x * cent[a]).sum(axis=1)
+        return pa.table({"cluster": pa.array(a),
+                         "key": batch.column("key"),
+                         "csim": pa.array(csim),
+                         "vec": batch.column("vec")})
+
+    tagged = pts.map_batches(tag, batch_format="pyarrow")
+
+    def greedy(group: pa.Table) -> pa.Table:
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        csim = group.column("csim").to_numpy(zero_copy_only=False)
+        x = unpack_rows(group.column("vec"), dim, np.float32) \
+            .astype(np.float64)
+        order = np.lexsort((keys, csim))
+        m = len(keys)
+        kept = np.zeros(m, dtype=bool)
+        kept_rows = np.empty((min(m, 4096), dim), np.float64)
+        nk = 0
+        for j, i in enumerate(order):
+            if j >= group_cap:
+                kept[order[j:]] = True  # unchecked tail, documented
+                break
+            if nk == 0 or (kept_rows[:nk] @ x[i]).max() <= tau:
+                if nk == kept_rows.shape[0]:
+                    kept_rows = np.concatenate(
+                        [kept_rows, np.empty_like(kept_rows)])
+                kept_rows[nk] = x[i]
+                nk += 1
+                kept[i] = True
+        return pa.table({"key": pa.array(keys),
+                         "cluster": group.column("cluster"),
+                         "kept": pa.array(kept)})
+
+    return tagged.groupby("cluster").map_groups(
+        greedy, batch_format="pyarrow")

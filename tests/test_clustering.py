@@ -364,3 +364,34 @@ def test_kmeans_nd_separated_blobs(ray_session):
         by_truth.setdefault(t, set()).add(got[i])
     assert all(len(v) == 1 for v in by_truth.values())
     assert len({v.pop() for v in by_truth.values()}) == 3
+
+
+def test_semdedup_greedy_semantics(ray_session):
+    import ray
+
+    from geoflow.ops.clustering import semdedup
+    # 2 well-separated clusters; within cluster 0: family A (keys 0,2
+    # exact copies + key 10 a near copy with an extra component →
+    # lower centroid-sim → processed first and kept), family B (key 4,
+    # orthogonal-ish, kept). Cluster 1: two exact copies (keys 1, 3)
+    # → min key kept.
+    vecs = {
+        0: [10, 0, 8, 0, 0],  1: [0, 10, 0, 8, 0],
+        2: [10, 0, 8, 0, 0],  3: [0, 10, 0, 8, 0],
+        4: [10, 0, 0, 8, 0],
+        10: [10, 0, 8, 0, 4],
+    }
+    keys = sorted(vecs)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.array([vecs[k] for k in keys],
+                          dtype=np.float32).ravel()), 5)
+    ds = ray.data.from_arrow(pa.table({
+        "key": pa.array(keys, type=pa.int64()), "embedding": emb}))
+    out = {r["key"]: (r["cluster"], r["kept"])
+           for r in semdedup(ds, k=2, iters=2, tau=0.9).take_all()}
+    assert set(out) == set(keys)
+    kept = {k for k, (_, kp) in out.items() if kp}
+    assert kept == {10, 4, 1}
+    # cluster labels: seeds are the 2 lowest keys (0 → cid 0, 1 → cid 1)
+    assert out[0][0] == out[2][0] == out[4][0] == out[10][0] == 0
+    assert out[1][0] == out[3][0] == 1
