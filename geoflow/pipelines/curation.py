@@ -102,7 +102,7 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
            languages=("en",), min_quality=0.0, near_dup=True,
            blocklist_ds=None, blocklist_key=None, per_source_cap=None,
            filter_mode="broadcast", line_dedup_min_docs=None,
-           decontam_ds=None, decontam_ngram=13):
+           decontam_ds=None, decontam_ngram=13, c4_rules=False):
     """documents Dataset → curated documents Dataset (same columns,
     plus ``quality_score`` whenever a quality/language filter or the
     per-source cap is active). See module docstring for the stage
@@ -126,8 +126,17 @@ def curate(docs_ds, key_col="doc_id", text_col="text", source_col=None,
     scores and dedup hashes then see the cleaned text;
     ``decontam_ds`` drops docs sharing any ``decontam_ngram``-gram
     with the given benchmark Dataset (text/decontaminate.py), using
-    the broadcast or join route per ``filter_mode``."""
+    the broadcast or join route per ``filter_mode``. ``c4_rules``
+    applies the C4 heuristic page/line cleaning (text/c4.py) in place
+    before everything else."""
     from ..text.dedup import _winner_cache_get, exact_dedup
+
+    # 0: C4 heuristic cleaning (text/c4.py) — the raw-page rule set
+    # runs FIRST (its page rules are defined on the uncleaned text);
+    # purely doc-local, so it fuses into the read as one map stage
+    if c4_rules:
+        from ..text.c4 import c4_clean
+        docs_ds = c4_clean(docs_ds, text_col=text_col, out_col=None)
 
     # 0a: boilerplate line strip (text-mutating — must precede every
     # stage that reads the text)

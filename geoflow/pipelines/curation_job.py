@@ -56,14 +56,17 @@ def phase1_chain(files: list, *, neardup: bool, languages: str,
 # curate(line_dedup_min_docs=..., decontam_ds=...)).
 # ---------------------------------------------------------------------------
 
-def droplines_chain(files: list, *, text_col: str, min_docs: int) -> str:
+def droplines_chain(files: list, *, text_col: str, min_docs: int,
+                    c4: bool = False) -> str:
     from ..io.lineage import op_chain_hash
     return op_chain_hash(f"curation_droplines:v1|min_docs:{min_docs}"
-                         f"|text:{text_col}|files:" + ",".join(files))
+                         f"|text:{text_col}|c4:{int(c4)}|files:"
+                         + ",".join(files))
 
 
 def compute_drop_lines(files: list, state_dir: str, chain: str, *,
-                       text_col: str, min_docs: int) -> int:
+                       text_col: str, min_docs: int,
+                       c4: bool = False) -> int:
     """Distributed repeated-line hash set (text/linededup partials →
     16-byte groupby-sum), checkpointed to _state/droplines.parquet."""
     import pyarrow.parquet as pq
@@ -73,6 +76,10 @@ def compute_drop_lines(files: list, state_dir: str, chain: str, *,
     from ..text.linededup import _pair_partials
 
     def partials(batch: pa.Table) -> pa.Table:
+        if c4 and batch.num_rows:
+            from ..text.c4 import c4_clean_table
+            batch = c4_clean_table(batch, text_col=text_col,
+                                   out_col=None)
         h, c = _pair_partials(batch, text_col)
         return pa.table({"lh": pa.array(h.view(np.int64)),
                          "c": pa.array(c)})
@@ -139,7 +146,7 @@ def compute_dup_grams(files: list, state_dir: str, chain: str, *,
                       droplines_chain_: str = "",
                       benchgrams_path: str = "",
                       benchgrams_chain_: str = "",
-                      ngram: int = 13) -> int:
+                      ngram: int = 13, c4: bool = False) -> int:
     """Duplicated k-token-window hash set (text/substrdedup — the
     ExactSubstr count pass: per-batch partials → 16-byte groupby-sum,
     duplicated subset only), checkpointed to _state/dupgrams.parquet.
@@ -154,7 +161,7 @@ def compute_dup_grams(files: list, state_dir: str, chain: str, *,
     def partials(batch: pa.Table) -> pa.Table:
         lines = _load_keys(droplines_path, droplines_chain_)
         grams = _load_keys(benchgrams_path, benchgrams_chain_)
-        t = apply_prep(batch, lines, grams, text_col, ngram)
+        t = apply_prep(batch, lines, grams, text_col, ngram, c4)
         u, c = window_hash_partials(t, text_col, k, raw_tokens=True)
         return pa.table({"gh": pa.array(u.view(np.int64)),
                          "c": pa.array(c)})
@@ -173,6 +180,110 @@ def compute_dup_grams(files: list, state_dir: str, chain: str, *,
         .view(np.int64) if parts else np.empty(0, np.int64)
     _write_state(state_dir, "dupgrams", keys, chain)
     return int(len(keys))
+
+
+def dsirratio_chain(files: list, target_files: list, *, text_col: str,
+                    m: int, prep: str = "-") -> str:
+    from ..io.lineage import op_chain_hash
+    return op_chain_hash(f"curation_dsirratio:v1|m:{m}|text:{text_col}"
+                         f"|prep:{prep}|target:" + ",".join(target_files)
+                         + "|files:" + ",".join(files))
+
+
+def compute_dsir_ratio(files: list, target_files: list, state_dir: str,
+                       chain: str, *, text_col: str, m: int = 0,
+                       droplines_path: str = "",
+                       droplines_chain_: str = "",
+                       benchgrams_path: str = "",
+                       benchgrams_chain_: str = "",
+                       dupgrams_path: str = "",
+                       dupgrams_chain_: str = "", substr_k: int = 0,
+                       ngram: int = 13, c4: bool = False) -> int:
+    """DSIR log-ratio artifact (text/dsir.py — Xie et al. 2023):
+    Laplace-smoothed feature models of the TARGET corpus vs the
+    PREP-APPLIED raw corpus, collapsed to one (feature_key, log_ratio)
+    table + the unseen-feature default, checkpointed to
+    _state/dsirratio.parquet. Raw counts run over exactly the text
+    phases 1/2 will score (after every prep artifact), so the chain
+    embeds theirs."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..text.dsir import feature_counts
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lines = _load_keys(droplines_path, droplines_chain_)
+        grams = _load_keys(benchgrams_path, benchgrams_chain_)
+        t = apply_prep(batch, lines, grams, text_col, ngram, c4)
+        if substr_k:
+            t = apply_substr(t, _load_keys(dupgrams_path,
+                                           dupgrams_chain_),
+                             text_col, substr_k)
+        return t
+
+    raw = ray.data.read_parquet(files, columns=[text_col]).map_batches(
+        prep, batch_format="pyarrow")
+    tgt = ray.data.read_parquet(target_files, columns=[text_col])
+    tk, tc, T = feature_counts(tgt, text_col, m)
+    rk, rc, R = feature_counts(raw, text_col, m)
+    union = np.union1d(tk, rk)
+    V = m if m else len(union)
+    ct = np.zeros(len(union), np.int64)
+    ct[np.searchsorted(union, tk)] = tc
+    cr = np.zeros(len(union), np.int64)
+    cr[np.searchsorted(union, rk)] = rc
+    ratio = (np.log(ct + 1.0) - np.log(float(T + V))
+             - np.log(cr + 1.0) + np.log(float(R + V)))
+    ratio0 = float(-np.log(float(T + V)) + np.log(float(R + V)))
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, ".dsirratio.tmp")
+    pq.write_table(pa.table({"key": pa.array(union),
+                             "ratio": pa.array(ratio)}), tmp)
+    os.replace(tmp, os.path.join(state_dir, "dsirratio.parquet"))
+    with open(os.path.join(state_dir, "dsirratio.json"), "w") as f:
+        json.dump({"op_chain_hash": chain, "n_keys": int(len(union)),
+                   "ratio0": ratio0}, f)
+    return int(len(union))
+
+
+# per-worker cache: (path, chain) -> (keys_sorted, ratio, ratio0)
+_DSIR_CACHE: dict = {}
+
+
+def _load_dsir(path: str, chain: str):
+    import pyarrow.parquet as pq
+    k = (path, chain)
+    v = _DSIR_CACHE.get(k)
+    if v is None:
+        t = pq.read_table(path)
+        with open(path.replace(".parquet", ".json")) as f:
+            ratio0 = json.load(f)["ratio0"]
+        v = (t.column("key").to_numpy(zero_copy_only=False),
+             t.column("ratio").to_numpy(zero_copy_only=False), ratio0)
+        _DSIR_CACHE.clear()
+        _DSIR_CACHE[k] = v
+    return v
+
+
+def apply_dsir(table: pa.Table, path: str, chain: str, *,
+               text_col: str, threshold: float, m: int) -> pa.Table:
+    """DSIR selection against the checkpointed ratio artifact — keeps
+    rows whose log importance weight exceeds ``threshold``. Runs after
+    every prep transform (the artifact was counted over that text)."""
+    if table.num_rows == 0:
+        return table
+    from ..text.dsir import _doc_features
+    keys, ratio, ratio0 = _load_dsir(path, chain)
+    fk, parent = _doc_features(table.column(text_col), m, False)
+    n = table.num_rows
+    if len(fk) and len(keys):
+        pos = np.clip(np.searchsorted(keys, fk), 0, len(keys) - 1)
+        hit = keys[pos] == fk
+        vals = np.where(hit, ratio[pos], ratio0)
+        w = np.bincount(parent, weights=vals, minlength=n)
+    else:
+        w = np.zeros(n, np.float64)
+    return table.filter(pa.array(w > threshold))
 
 
 def _write_state(state_dir: str, name: str, keys: np.ndarray,
@@ -201,9 +312,13 @@ def state_done(state_dir: str, name: str, chain: str) -> bool:
 
 def apply_prep(table: pa.Table, lines_sorted: np.ndarray,
                grams_sorted: np.ndarray, text_col: str,
-               ngram: int) -> pa.Table:
-    """The phase-0 transforms on one table, in curate()'s order: line
-    strip first (text-mutating), then decontamination filter."""
+               ngram: int, c4: bool = False) -> pa.Table:
+    """The phase-0 transforms on one table, in curate()'s order: C4
+    heuristic cleaning first (stateless, doc-local — no artifact),
+    then line strip (text-mutating), then decontamination filter."""
+    if c4 and table.num_rows:
+        from ..text.c4 import c4_clean_table
+        table = c4_clean_table(table, text_col=text_col, out_col=None)
     if len(lines_sorted):
         from ..text.linededup import strip_lines_table
         table = strip_lines_table(table, lines_sorted.view(np.uint64),
@@ -240,7 +355,10 @@ def compute_drop_keys(files: list, state_dir: str, chain: str, *,
                       benchgrams_chain_: str = "", ngram: int = 13,
                       dupgrams_path: str = "",
                       dupgrams_chain_: str = "",
-                      substr_k: int = 0) -> int:
+                      substr_k: int = 0, c4: bool = False,
+                      dsir_path: str = "", dsir_chain_: str = "",
+                      dsir_threshold: float = 0.0,
+                      dsir_m: int = 0) -> int:
     """PHASE 1: distributed drop-key computation + checkpoint write.
     Returns the number of drop keys. Phase-0 prep artifacts (line strip
     / decontamination) apply BEFORE the filter so winner competition
@@ -256,11 +374,15 @@ def compute_drop_keys(files: list, state_dir: str, chain: str, *,
     def prep_and_filter(batch: pa.Table) -> pa.Table:
         lines = _load_keys(droplines_path, droplines_chain_)
         grams = _load_keys(benchgrams_path, benchgrams_chain_)
-        t = apply_prep(batch, lines, grams, text_col, ngram)
+        t = apply_prep(batch, lines, grams, text_col, ngram, c4)
         if substr_k:
             t = apply_substr(t, _load_keys(dupgrams_path,
                                            dupgrams_chain_),
                              text_col, substr_k)
+        if dsir_path:
+            t = apply_dsir(t, dsir_path, dsir_chain_,
+                           text_col=text_col,
+                           threshold=dsir_threshold, m=dsir_m)
         return filt(t)
 
     ds = ray.data.read_parquet(files, columns=[key_col, text_col])
@@ -306,7 +428,10 @@ def run_partition(pid: int, files: list, out_dir: str, chain: str,
                   droplines_chain_: str = "", benchgrams_path: str = "",
                   benchgrams_chain_: str = "", ngram: int = 13,
                   dupgrams_path: str = "", dupgrams_chain_: str = "",
-                  substr_k: int = 0) -> dict:
+                  substr_k: int = 0, c4: bool = False,
+                  dsir_path: str = "", dsir_chain_: str = "",
+                  dsir_threshold: float = 0.0,
+                  dsir_m: int = 0) -> dict:
     """PHASE 2: one partition (runs inside a Ray task)."""
     import pyarrow.parquet as pq
 
@@ -320,11 +445,15 @@ def run_partition(pid: int, files: list, out_dir: str, chain: str,
     def filt(table: pa.Table) -> pa.Table:
         lines = _load_keys(droplines_path, droplines_chain_)
         grams = _load_keys(benchgrams_path, benchgrams_chain_)
-        t = apply_prep(table, lines, grams, text_col, ngram)
+        t = apply_prep(table, lines, grams, text_col, ngram, c4)
         if substr_k:
             t = apply_substr(t, _load_keys(dupgrams_path,
                                            dupgrams_chain_),
                              text_col, substr_k)
+        if dsir_path:
+            t = apply_dsir(t, dsir_path, dsir_chain_,
+                           text_col=text_col,
+                           threshold=dsir_threshold, m=dsir_m)
         return base_filt(t)
 
     drop = _load_keys(dropkeys_path, drop_chain)

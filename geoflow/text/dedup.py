@@ -140,12 +140,22 @@ def exact_dup_loser_keys(ds, text_col="text", key_col="doc_id",
         return pa.table({"h64": pa.array(h.view(np.int64)),
                          key_col: batch.column(key_col)})
 
-    proj = ds.map_batches(project, batch_format="pyarrow")
-    # hash-agg outputs carry schema-less empty blocks that poison a
-    # downstream join (semijoin.drop_schemaless_blocks docstring)
     from ..join.semijoin import drop_schemaless_blocks
+    # Sanitize the projection BEFORE both consumers: an upstream filter
+    # that empties a block short-circuits the rest of the fused map
+    # chain (Ray 2.49), so the empty block reaches the join with its
+    # PRE-projection schema (no h64) and poisons the partition —
+    # same family as the schema-less hash-agg empties the helper
+    # documents. Materializing also reuses the (h64,key) pass for both
+    # the groupby and the join left side instead of re-executing the
+    # corpus lineage twice.
+    proj, _keep_p = drop_schemaless_blocks(
+        ds.map_batches(project, batch_format="pyarrow"))
+    if proj is None:  # empty corpus -> no losers
+        return ray.data.from_arrow(
+            pa.table({"loser": pa.array([], type=pa.int64())}))
     winners, _keep = drop_schemaless_blocks(proj.groupby("h64").min(key_col))
-    if winners is None:  # empty corpus -> no losers
+    if winners is None:
         return ray.data.from_arrow(
             pa.table({"loser": pa.array([], type=pa.int64())}))
     joined = proj.join(winners, join_type="inner",
@@ -157,7 +167,7 @@ def exact_dup_loser_keys(ds, text_col="text", key_col="doc_id",
         return pa.table({"loser": pa.array(k[k != w])})
 
     out = joined.map_batches(non_min, batch_format="pyarrow")
-    out._geoflow_keepalive = _keep
+    out._geoflow_keepalive = (_keep_p, _keep)
     return out
 
 

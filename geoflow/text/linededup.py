@@ -54,12 +54,14 @@ __all__ = ["common_line_hashes", "strip_common_lines", "line_dedup",
            "strip_lines_table"]
 
 
-def _line_arrays(texts):
+def _line_arrays(texts, sep: str = "\n"):
     """(flat trimmed-line StringArray, flat original-line StringArray,
-    int64 doc index per line). Lines = '\n' split, every position kept
-    (empty lines included) so reassembly preserves structure."""
+    int64 doc index per line). Units = ``sep`` split ('\n' for lines,
+    '\n\n' for PARAGRAPHS — the RefinedWeb recipe runs at both
+    granularities), every position kept (empty units included) so
+    reassembly preserves structure."""
     s = pc.cast(texts, pa.string())
-    lists = pc.split_pattern(s, pattern="\n")
+    lists = pc.split_pattern(s, pattern=sep)
     flat = pc.list_flatten(lists)
     parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
     trimmed = pc.utf8_trim_whitespace(flat)
@@ -70,10 +72,10 @@ def _line_arrays(texts):
     return trimmed, flat, parent.astype(np.int64)
 
 
-def _pair_partials(batch: pa.Table, text_col: str):
+def _pair_partials(batch: pa.Table, text_col: str, sep: str = "\n"):
     """(uint64 line_hash, int64 distinct-doc partial count) for the
     batch — one lexsort pass; empty (trimmed) lines excluded."""
-    trimmed, _, parent = _line_arrays(batch.column(text_col))
+    trimmed, _, parent = _line_arrays(batch.column(text_col), sep)
     lens = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False)
     nz = lens > 0
     if not nz.any():
@@ -92,7 +94,8 @@ def _pair_partials(batch: pa.Table, text_col: str):
     return uniq, cnt.astype(np.int64)
 
 
-def common_line_hashes(ds, text_col: str = "text", min_docs: int = 2):
+def common_line_hashes(ds, text_col: str = "text", min_docs: int = 2,
+                       sep: str = "\n"):
     """ray.ObjectRef to the SORTED uint64 hash array of lines occurring
     in >= min_docs distinct documents. Per-batch partial counts feed a
     16-byte groupby-sum shuffle; only the repeated subset (8 B/line)
@@ -101,7 +104,7 @@ def common_line_hashes(ds, text_col: str = "text", min_docs: int = 2):
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        h, c = _pair_partials(batch, text_col)
+        h, c = _pair_partials(batch, text_col, sep)
         return pa.table({"lh": pa.array(h.view(np.int64)),
                          "c": pa.array(c)})
 
@@ -137,12 +140,13 @@ def _drop_cache_get(ref) -> np.ndarray:
 
 def strip_lines_table(batch: pa.Table, drop_sorted: np.ndarray,
                       text_col: str = "text",
-                      out_col: str | None = None) -> pa.Table:
+                      out_col: str | None = None,
+                      sep: str = "\n") -> pa.Table:
     """Array-level strip kernel over one table (used directly by the
     resumable curation job): remove lines whose trimmed-form hash is
     in the SORTED uint64 ``drop_sorted``; rows left with zero lines
     are removed. ``out_col=None`` replaces ``text_col`` in place."""
-    trimmed, flat, parent = _line_arrays(batch.column(text_col))
+    trimmed, flat, parent = _line_arrays(batch.column(text_col), sep)
     lens = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False)
     h = hash64(trimmed)
     if len(drop_sorted):
@@ -161,7 +165,7 @@ def strip_lines_table(batch: pa.Table, drop_sorted: np.ndarray,
                                      if isinstance(kept_flat,
                                                    pa.ChunkedArray)
                                      else kept_flat)
-    joined = pc.binary_join(lists, "\n")
+    joined = pc.binary_join(lists, sep)
     if out_col is None:
         i = batch.schema.get_field_index(text_col)
         out = batch.set_column(i, text_col, joined)
@@ -171,7 +175,7 @@ def strip_lines_table(batch: pa.Table, drop_sorted: np.ndarray,
 
 
 def strip_common_lines(ds, drop_ref, text_col: str = "text",
-                       out_col: str = "text_clean"):
+                       out_col: str = "text_clean", sep: str = "\n"):
     """Rows of ``ds`` with ``out_col`` = the document minus its dropped
     lines ('\n'-rejoined, original spelling, order preserved). Documents
     with zero surviving lines are removed. Pure map_batches — the
@@ -179,16 +183,19 @@ def strip_common_lines(ds, drop_ref, text_col: str = "text",
 
     def strip(batch: pa.Table) -> pa.Table:
         return strip_lines_table(batch, _drop_cache_get(drop_ref),
-                                 text_col=text_col, out_col=out_col)
+                                 text_col=text_col, out_col=out_col,
+                                 sep=sep)
 
     return ds.map_batches(strip, batch_format="pyarrow")
 
 
 def line_dedup(ds, text_col: str = "text", min_docs: int = 2,
-               out_col: str = "text_clean"):
+               out_col: str = "text_clean", sep: str = "\n"):
     """Full pipeline: count pass -> broadcast drop set -> strip pass.
     ``ds`` is read twice (two executions of its lineage); pass a
     materialized or re-readable dataset, as with every multi-pass stage
     in this engine."""
-    ref = common_line_hashes(ds, text_col=text_col, min_docs=min_docs)
-    return strip_common_lines(ds, ref, text_col=text_col, out_col=out_col)
+    ref = common_line_hashes(ds, text_col=text_col, min_docs=min_docs,
+                             sep=sep)
+    return strip_common_lines(ds, ref, text_col=text_col,
+                              out_col=out_col, sep=sep)

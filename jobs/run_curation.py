@@ -37,13 +37,16 @@ per-partition lineage + metrics"):
   it resumes. Output parquet under out/_capped/ (the uncapped parts
   remain the canonical per-partition output).
 
-  PHASE 0 (optional prep artifacts, each checkpointed + chain-hashed
-  like dropkeys): 0a repeated-line drop set (--line-dedup-min-docs),
-  0b benchmark decontamination grams (--benchmark), 0c duplicated
+  PHASE 0 (optional prep, each artifact checkpointed + chain-hashed
+  like dropkeys): --c4 stateless C4 page cleaning (first, no
+  artifact), 0a repeated-line drop set (--line-dedup-min-docs), 0b
+  benchmark decontamination grams (--benchmark), 0c duplicated
   k-token-window set for ExactSubstr substring dedup
-  (--substr-dedup-k; counted over 0a/0b-applied text, so its chain
-  embeds theirs). Phases 1 and 2 apply them in that order before the
-  language/quality filter.
+  (--substr-dedup-k; counted over c4/0a/0b-applied text, so its chain
+  embeds theirs), 0d DSIR importance-selection log-ratio table
+  (--dsir-target/--dsir-threshold/--dsir-m; raw model counted over
+  fully prep-applied text). Phases 1 and 2 apply them in that order
+  before the language/quality filter.
 
 Worker-side logic lives in geoflow/pipelines/curation_job.py (the
 package is importable on Ray workers; this file is the thin CLI).
@@ -88,6 +91,18 @@ def main():
                          "documents sharing any --decontam-ngram-gram "
                          "are dropped")
     ap.add_argument("--decontam-ngram", type=int, default=13)
+    ap.add_argument("--c4", action="store_true",
+                    help="phase 0 prep: C4 heuristic page/line "
+                         "cleaning (text/c4.py), applied before every "
+                         "other stage")
+    ap.add_argument("--dsir-target", default="",
+                    help="phase 0d: DSIR importance selection (Xie et "
+                         "al. 2023) — directory of target-corpus "
+                         "parquet; docs below --dsir-threshold log "
+                         "weight are dropped")
+    ap.add_argument("--dsir-threshold", type=float, default=0.0)
+    ap.add_argument("--dsir-m", type=int, default=0,
+                    help="hashed feature buckets (0 = exact vocab)")
     ap.add_argument("--substr-dedup-k", type=int, default=0,
                     help="phase 0c: ExactSubstr — strip every k-token "
                          "window duplicated anywhere in the (prep-"
@@ -114,14 +129,14 @@ def main():
     if args.line_dedup_min_docs > 0:
         dl_chain = cj.droplines_chain(
             files, text_col=args.text_col,
-            min_docs=args.line_dedup_min_docs)
+            min_docs=args.line_dedup_min_docs, c4=args.c4)
         dl_path = os.path.join(state_dir, "droplines.parquet")
         if cj.state_done(state_dir, "droplines", dl_chain):
             print("phase0a: resumed drop-line set from checkpoint")
         else:
             n = cj.compute_drop_lines(
                 files, state_dir, dl_chain, text_col=args.text_col,
-                min_docs=args.line_dedup_min_docs)
+                min_docs=args.line_dedup_min_docs, c4=args.c4)
             print(f"phase0a: computed {n} drop-line hashes")
 
     # PHASE 0b (optional): benchmark decontamination gram set
@@ -151,7 +166,7 @@ def main():
         dg_chain = cj.dupgrams_chain(
             files, text_col=args.text_col, k=args.substr_dedup_k,
             prep=f"{dl_chain or '-'}:{bg_chain or '-'}"
-                 f":{args.decontam_ngram}")
+                 f":{args.decontam_ngram}:c4={int(args.c4)}")
         dg_path = os.path.join(state_dir, "dupgrams.parquet")
         if cj.state_done(state_dir, "dupgrams", dg_chain):
             print("phase0c: resumed dup-gram set from checkpoint")
@@ -160,12 +175,41 @@ def main():
                 files, state_dir, dg_chain, text_col=args.text_col,
                 k=args.substr_dedup_k, droplines_path=dl_path,
                 droplines_chain_=dl_chain, benchgrams_path=bg_path,
-                benchgrams_chain_=bg_chain, ngram=args.decontam_ngram)
+                benchgrams_chain_=bg_chain, ngram=args.decontam_ngram,
+                c4=args.c4)
             print(f"phase0c: computed {n} duplicated-window hashes")
+
+    # PHASE 0d (optional): DSIR log-ratio artifact — raw counts run
+    # over fully prep-applied text, so it is LAST in the prep chain
+    dr_path = dr_chain = ""
+    if args.dsir_target:
+        tgt_files = sorted(os.path.join(args.dsir_target, f)
+                           for f in os.listdir(args.dsir_target)
+                           if f.endswith(".parquet"))
+        dr_chain = cj.dsirratio_chain(
+            files, tgt_files, text_col=args.text_col, m=args.dsir_m,
+            prep=f"{dl_chain or '-'}:{bg_chain or '-'}"
+                 f":{args.decontam_ngram}:{dg_chain or '-'}"
+                 f":{args.substr_dedup_k}:c4={int(args.c4)}")
+        dr_path = os.path.join(state_dir, "dsirratio.parquet")
+        if cj.state_done(state_dir, "dsirratio", dr_chain):
+            print("phase0d: resumed DSIR ratio artifact from checkpoint")
+        else:
+            n = cj.compute_dsir_ratio(
+                files, tgt_files, state_dir, dr_chain,
+                text_col=args.text_col, m=args.dsir_m,
+                droplines_path=dl_path, droplines_chain_=dl_chain,
+                benchgrams_path=bg_path, benchgrams_chain_=bg_chain,
+                dupgrams_path=dg_path, dupgrams_chain_=dg_chain,
+                substr_k=args.substr_dedup_k,
+                ngram=args.decontam_ngram, c4=args.c4)
+            print(f"phase0d: computed DSIR ratios over {n} features")
 
     prep_sig = (f"{dl_chain or '-'}:{bg_chain or '-'}"
                 f":{args.decontam_ngram}:{dg_chain or '-'}"
-                f":{args.substr_dedup_k}")
+                f":{args.substr_dedup_k}:c4={int(args.c4)}"
+                f":dsir={dr_chain or '-'}:{args.dsir_threshold}"
+                f":{args.dsir_m}")
     params = dict(neardup=not args.no_neardup, languages=args.languages,
                   min_quality=args.min_quality, key_col=args.key_col,
                   text_col=args.text_col)
@@ -173,7 +217,10 @@ def main():
                    benchgrams_path=bg_path, benchgrams_chain_=bg_chain,
                    ngram=args.decontam_ngram, dupgrams_path=dg_path,
                    dupgrams_chain_=dg_chain,
-                   substr_k=args.substr_dedup_k)
+                   substr_k=args.substr_dedup_k, c4=args.c4,
+                   dsir_path=dr_path, dsir_chain_=dr_chain,
+                   dsir_threshold=args.dsir_threshold,
+                   dsir_m=args.dsir_m)
     p1 = cj.phase1_chain(files, prep=prep_sig, **params)
     if cj.dropkeys_done(state_dir, p1):
         with open(os.path.join(state_dir, "dropkeys.json")) as f:
@@ -216,7 +263,8 @@ def main():
             args.text_col, args.languages, args.min_quality,
             dl_path, dl_chain, bg_path, bg_chain,
             args.decontam_ngram, dg_path, dg_chain,
-            args.substr_dedup_k))
+            args.substr_dedup_k, args.c4, dr_path, dr_chain,
+            args.dsir_threshold, args.dsir_m))
         if len(pending) >= max_parallel:
             ready, pending = ray.wait(pending, num_returns=1)
             ray.get(ready)

@@ -931,3 +931,23 @@ def test_dsir_bucket_mode_and_bigrams(ray_session):
     outb = {r["doc_id"]: r["weight"]
             for r in dsir_weights(ds, tds, bigrams=True).take_all()}
     assert min(outb[0], outb[1]) > max(outb[2], outb[3])
+
+
+def test_paragraph_dedup_sep(ray_session):
+    import ray
+    from geoflow.text import line_dedup
+    shared = "Subscribe to our newsletter.\nIt is great."
+    docs = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": [f"unique one\nkeeps lines\n\n{shared}",
+                 f"{shared}\n\nanother body\nwith lines",
+                 "solo paragraph\nno repeats at all"],
+    })
+    ds = ray.data.from_arrow(docs)
+    out = {r["doc_id"]: r["text_clean"]
+           for r in line_dedup(ds, sep="\n\n").take_all()}
+    # the shared PARAGRAPH (itself containing a newline) drops whole;
+    # single newlines inside surviving paragraphs are untouched
+    assert out == {0: "unique one\nkeeps lines",
+                   1: "another body\nwith lines",
+                   2: "solo paragraph\nno repeats at all"}

@@ -179,3 +179,27 @@ class TestCurateJoinMode:
             assert sorted(rows) == [0, 1], mode
             assert rows[0] == "real body zero"
             assert rows[1] == "real body one"
+
+
+def test_curate_c4_stage(ray_session):
+    import ray
+
+    from geoflow.pipelines.curation import curate
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["Good first sentence with enough words.\n"
+                 "nav junk\n"
+                 "Another proper sentence that is kept!\n"
+                 "Third proper sentence keeps the page alive.",
+                 "Contains a curly { bracket so the page dies.\n"
+                 "Another proper sentence that is kept!\n"
+                 "Third proper sentence keeps the page alive."],
+    })
+    out = curate(ray.data.from_arrow(docs), languages=None,
+                 min_quality=0.0, near_dup=False,
+                 c4_rules=True).take_all()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["text"] == (
+        "Good first sentence with enough words.\n"
+        "Another proper sentence that is kept!\n"
+        "Third proper sentence keeps the page alive.")

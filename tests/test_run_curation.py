@@ -278,3 +278,105 @@ class TestRunCuration:
         third = capsys.readouterr().out
         assert "phase0c: computed" in third
         assert "2 to run (0 resumed" in third
+
+    def test_c4_prep_flag(self, ray_session, tmp_path, capsys):
+        import pyarrow as pa
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [
+                "Good first sentence with enough words.\n"
+                "nav junk\n"
+                "Another proper sentence that is kept!\n"
+                "Third proper sentence keeps the page alive.",
+                "Page with a curly { bracket dies entirely.\n"
+                "Another proper sentence that is kept!\n"
+                "Third proper sentence keeps the page alive.",
+                "Good first sentence with enough words.\n"
+                "Another proper sentence that is kept!\n"
+                "Third proper sentence keeps the page alive.",
+                "Good first sentence with enough words.\n"
+                "Another proper sentence that is kept!\n"
+                "Third proper sentence keeps the page alive.",
+            ],
+        })
+        inp = str(tmp_path / "corpus")
+        os.makedirs(inp, exist_ok=True)
+        pq.write_table(docs.slice(0, 2), inp + "/f0.parquet")
+        pq.write_table(docs.slice(2, 2), inp + "/f1.parquet")
+        out = str(tmp_path / "out")
+        args = ["--input", inp, "--output", out, "--partitions", "2",
+                "--no-neardup", "--c4"]
+        _job_main(args)
+        capsys.readouterr()
+        rows = {r["doc_id"]: r["text"]
+                for r in pq.read_table(out).to_pylist()}
+        clean = ("Good first sentence with enough words.\n"
+                 "Another proper sentence that is kept!\n"
+                 "Third proper sentence keeps the page alive.")
+        # doc 1 page-dropped (curly); docs 0/2/3 identical after the
+        # line strip -> exact dedup keeps min key 0
+        assert rows == {0: clean}
+
+        # resume, then flipping the flag invalidates phase 1+2
+        _job_main(args)
+        assert "phase1: resumed" in capsys.readouterr().out
+        _job_main(args[:-1])
+        third = capsys.readouterr().out
+        assert "phase1: computed" in third
+        assert "2 to run (0 resumed" in third
+
+    def test_dsir_phase(self, ray_session, tmp_path, capsys):
+        import pyarrow as pa
+        texts_by_c = [" ".join([f"aa{j}" for j in range(c)]
+                               + [f"bb{j}" for j in range(c, 10)])
+                      for c in range(11)]
+        docs = pa.table({
+            "doc_id": pa.array(range(22), type=pa.int64()),
+            "text": [texts_by_c[i % 11] for i in range(22)],
+        })
+        inp = str(tmp_path / "corpus")
+        os.makedirs(inp, exist_ok=True)
+        pq.write_table(docs.slice(0, 11), inp + "/f0.parquet")
+        pq.write_table(docs.slice(11, 11), inp + "/f1.parquet")
+        tgt = str(tmp_path / "target")
+        os.makedirs(tgt, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(5), type=pa.int64()),
+            "text": [" ".join(f"aa{j}" for j in range(10))] * 5,
+        }), tgt + "/t0.parquet")
+        out = str(tmp_path / "out")
+        args = ["--input", inp, "--output", out, "--partitions", "2",
+                "--no-neardup", "--dsir-target", tgt]
+        _job_main(args)
+        first = capsys.readouterr().out
+        assert "phase0d: computed" in first
+        kept = sorted(r["doc_id"] for r in pq.read_table(out).to_pylist())
+        # weight is monotone in c = doc_id % 11 with ~unit-nat gaps:
+        # only the most target-like classes pass threshold 0 (and the
+        # exact dedup keeps the first copy of each class)
+        assert kept, "dsir dropped everything"
+        cs = sorted({k % 11 for k in kept})
+        assert min(cs) >= 7  # only high-target-fraction classes survive
+        assert all(c >= min(cs) for c in cs)
+        # library parity: same selection via dsir_weights threshold
+        import ray
+
+        from geoflow.text import dsir_resample
+        lib = dsir_resample(
+            ray.data.from_arrow(docs),
+            ray.data.from_arrow(pq.read_table(tgt + "/t0.parquet")),
+            threshold=0.0).take_all()
+        lib_classes = sorted({r["doc_id"] % 11 for r in lib})
+        assert lib_classes == cs
+
+        # resume: artifact + phases all cached
+        _job_main(args)
+        second = capsys.readouterr().out
+        assert "phase0d: resumed" in second
+        assert "0 to run (2 resumed" in second
+
+        # threshold change invalidates phase 1/2 but NOT the artifact
+        _job_main(args + ["--dsir-threshold", "5.0"])
+        third = capsys.readouterr().out
+        assert "phase0d: resumed" in third
+        assert "2 to run (0 resumed" in third
