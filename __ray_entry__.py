@@ -736,6 +736,59 @@ def q_raster_stats(sf_dir: str):
     return _read(sf_dir, "part").map_batches(build, batch_format="pyarrow")
 
 
+def q_zonal_stats(sf_dir: str):
+    """Distributed zonal statistics (raster/zonal.py — the classic
+    raster↔vector bridge: per-zone aggregate of pixel CENTERS inside
+    each polygon; tiles stream, zones broadcast, 40-byte partials
+    shuffle). Each part row becomes an 8×8 uint8 tile at origin
+    ((k%10)·8, (k//10%10)·8) with pixel (r,c) = (k·64+r·8+c)%251; 8
+    rectangle zones cut across tile boundaries. Integer pixel values
+    make every partial sum float-exact, so count/sum/min/max hash as
+    BIGINTs and mean = sum/count is one IEEE division — bit-identical
+    in DuckDB."""
+    from geoflow.geom import Geometry
+    from geoflow.geom.wkb import to_wkb as geom_to_wkb
+    from geoflow.raster import Raster, zonal_stats
+    from geoflow.raster import to_wkb as rast_to_wkb
+
+    rects = []
+    for z in range(8):
+        x0, x1, y0, y1 = z * 9 + 1.0, z * 9 + 15.0, 3.0, 69.0
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                         [x0, y0]], dtype=np.float64)
+        rects.append(geom_to_wkb(Geometry(3, rings=[ring], srid=4326)))
+    zones = pa.table({
+        "zone_id": pa.array(np.arange(8, dtype=np.int64)),
+        "geom_wkb": pa.array(rects, type=pa.binary())})
+
+    def build(batch: pa.Table) -> pa.Table:
+        keys = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        wkbs = []
+        for kv in keys:
+            px = (np.int64(kv) * 64
+                  + np.arange(64, dtype=np.int64)) % 251
+            r = Raster([px.reshape(8, 8).astype(np.uint8)], [4], [None],
+                       1.0, 1.0, float(kv % 10) * 8.0,
+                       float((kv // 10) % 10) * 8.0, 0.0, 0.0, 4326)
+            wkbs.append(rast_to_wkb(r))
+        return pa.table({"rast": pa.array(wkbs, type=pa.binary())})
+
+    tiles = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        build, batch_format="pyarrow")
+    out = zonal_stats(tiles, zones)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "zone_id": batch.column("zone_id"),
+            "px_count": batch.column("px_count"),
+            "px_sum": pc.cast(batch.column("px_sum"), pa.int64()),
+            "px_min": pc.cast(batch.column("px_min"), pa.int64()),
+            "px_max": pc.cast(batch.column("px_max"), pa.int64()),
+            "px_mean": batch.column("px_mean")})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def q_webmercator(sf_dir: str):
     """EPSG:4326 → 3857 projection of the doc points (st_transform path;
     formula written op-for-op like the SQL oracle)."""
@@ -2539,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setops_overlay": q_setops_overlay,
         "media_stats": q_media_stats,
         "raster_stats": q_raster_stats,
+        "zonal_stats": q_zonal_stats,
         "webmercator": q_webmercator,
         "transform_3395": q_transform_3395,
         "tile_density": q_tile_density,
@@ -2850,6 +2904,28 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range(8)) AS tr(r),
                        unnest(range(8)) AS tc(c))
             GROUP BY doc_id""",
+        "zonal_stats": """
+            WITH px AS (
+              SELECT CAST((p_partkey % 10) * 8 + (g.i % 8) AS DOUBLE)
+                       + 0.5 AS x,
+                     CAST(((p_partkey // 10) % 10) * 8 + (g.i // 8)
+                          AS DOUBLE) + 0.5 AS y,
+                     CAST((p_partkey * 64 + g.i) % 251 AS BIGINT) AS v
+              FROM part, LATERAL (
+                SELECT unnest(range(0, 64))) AS g(i)),
+            z AS (SELECT unnest(range(0, 8)) AS zone_id),
+            hits AS (
+              SELECT z.zone_id, px.v FROM z JOIN px
+                ON px.x > z.zone_id * 9 + 1
+               AND px.x < z.zone_id * 9 + 15
+               AND px.y > 3 AND px.y < 69)
+            SELECT CAST(zone_id AS BIGINT) AS zone_id,
+                   CAST(count(*) AS BIGINT) AS px_count,
+                   CAST(sum(v) AS BIGINT) AS px_sum,
+                   CAST(min(v) AS BIGINT) AS px_min,
+                   CAST(max(v) AS BIGINT) AS px_max,
+                   CAST(sum(v) AS DOUBLE) / count(*) AS px_mean
+            FROM hits GROUP BY zone_id""",
         "raster_stats": """
             SELECT p_partkey,
                    count(*) AS px_count,

@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "incr_dedup", "stopwords", "pii_scrub", "warc_ingest", "lm_score",
     "html_text", "web_pipeline", "token_mix",
     "substr_dedup", "near_dup_clusters", "cluster_dedup", "nfc_norm",
-    "c4_filter", "dsir_filter", "semdedup",
+    "c4_filter", "dsir_filter", "semdedup", "zonal_stats",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -263,3 +263,68 @@ def test_raster_codec_roundtrip_fuzz():
                 r.skew_x, r.skew_y, r.srid)
         r3 = from_hexwkb(to_hexwkb(r))
         assert np.array_equal(r3.bands[0], r.bands[0])
+
+
+def test_zonal_stats_semantics(ray_session):
+    import ray
+
+    from geoflow.geom import Geometry
+    from geoflow.geom.wkb import to_wkb as geom_to_wkb
+    from geoflow.raster import Raster, to_wkb, zonal_stats
+
+    # two 4x4 tiles side by side, scale (1, -1) like real imagery
+    # (ip at top-left, rows go DOWN); values = tile*16 + idx; nodata=7
+    tiles = []
+    for t in range(2):
+        v = (np.arange(16) + t * 16).reshape(4, 4).astype(np.float64)
+        tiles.append(to_wkb(Raster([v], [10], [7.0], 1.0, -1.0,
+                                   t * 4.0, 4.0, 0.0, 0.0, 4326)))
+    # zone 0: rectangle covering the right half of tile 0 and the
+    # left half of tile 1: x in (2, 6), y in (0, 4)
+    ring = np.array([[2.0, 0.0], [6.0, 0.0], [6.0, 4.0], [2.0, 4.0],
+                     [2.0, 0.0]])
+    zones = pa.table({
+        "zone_id": pa.array([0], type=pa.int64()),
+        "geom_wkb": pa.array([geom_to_wkb(Geometry(3, rings=[ring],
+                                                   srid=4326))],
+                             type=pa.binary())})
+    ds = ray.data.from_arrow(pa.table({
+        "rast": pa.array(tiles, type=pa.binary())}))
+    out = zonal_stats(ds, zones).take_all()
+    assert len(out) == 1
+    r = out[0]
+    # brute force: pixel (row, col) of tile t has center
+    # x = t*4 + col + 0.5, y = 4 - row - 0.5; value = t*16 + row*4+col
+    exp = []
+    for t in range(2):
+        for row in range(4):
+            for col in range(4):
+                x, y = t * 4 + col + 0.5, 4 - row - 0.5
+                v = t * 16 + row * 4 + col
+                if 2 < x < 6 and 0 < y < 4 and v != 7:
+                    exp.append(v)
+    assert r["px_count"] == len(exp)
+    assert r["px_sum"] == sum(exp)
+    assert r["px_min"] == min(exp) and r["px_max"] == max(exp)
+    assert abs(r["px_mean"] - sum(exp) / len(exp)) < 1e-12
+
+
+def test_zonal_stats_disjoint_zone_absent(ray_session):
+    import ray
+
+    from geoflow.geom import Geometry
+    from geoflow.geom.wkb import to_wkb as geom_to_wkb
+    from geoflow.raster import Raster, to_wkb, zonal_stats
+    v = np.ones((2, 2))
+    t = to_wkb(Raster([v], [10], [None], 1.0, -1.0, 0.0, 2.0,
+                      0.0, 0.0, 4326))
+    far = np.array([[100.0, 100.0], [101.0, 100.0], [101.0, 101.0],
+                    [100.0, 101.0], [100.0, 100.0]])
+    zones = pa.table({
+        "zone_id": pa.array([5], type=pa.int64()),
+        "geom_wkb": pa.array([geom_to_wkb(Geometry(3, rings=[far],
+                                                   srid=4326))],
+                             type=pa.binary())})
+    ds = ray.data.from_arrow(pa.table({"rast": pa.array([t],
+                                                        type=pa.binary())}))
+    assert zonal_stats(ds, zones).take_all() == []
