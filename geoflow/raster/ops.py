@@ -1073,3 +1073,69 @@ def rast_grayscale(col):
             return r
         return _float_result(r, [luma])
     return _map_unary(col, f)
+
+
+@register_op("rast_clip", 2, "raster_transform")
+def rast_clip(col, geom_wkb, nodata_value=None, crop=True):
+    """PostGIS-style ST_Clip (no reference counterpart — the reference
+    stops at raster↔vector relations): pixels whose CENTER falls
+    outside the polygon become nodata; ``crop=True`` also trims the
+    grid to the pixel window of the geometry's bbox (georeference
+    shifted accordingly). ``geom_wkb`` is one geometry (bytes) applied
+    to every raster in the column, or a same-length sequence."""
+    from ..geom.algorithms import points_in_polygon
+    from ..geom.wkb import from_wkb as geom_from_wkb
+
+    rasters = col.to_pylist()
+    geoms = ([geom_wkb] * len(rasters)
+             if isinstance(geom_wkb, (bytes, bytearray))
+             else list(geom_wkb))
+    out = []
+    for buf, gw in zip(rasters, geoms):
+        if buf is None or gw is None:
+            out.append(None)
+            continue
+        r = from_wkb(buf)
+        g = geom_from_wkb(bytes(gw))
+        bx0, by0, bx1, by1 = g.bounds()
+        if r.is_empty or not np.isfinite(bx0):
+            out.append(to_wkb(r))
+            continue
+        h, w = r.height, r.width
+        cs, rs = r.world_to_raster(np.array([bx0, bx1, bx0, bx1]),
+                                   np.array([by0, by1, by1, by0]))
+        # tight center-containment window: pixel c's center sits at
+        # c+0.5 in pixel space, so c ∈ [ceil(min-0.5), floor(max-0.5)]
+        c0 = max(0, int(np.ceil(cs.min() - 0.5)))
+        c1 = min(w - 1, int(np.floor(cs.max() - 0.5)))
+        r0 = max(0, int(np.ceil(rs.min() - 0.5)))
+        r1 = min(h - 1, int(np.floor(rs.max() - 0.5)))
+        if not crop:
+            c0, c1, r0, r1 = 0, w - 1, 0, h - 1
+        if c1 < c0 or r1 < r0:
+            ip_x, ip_y = r.raster_to_world(0, 0)
+            out.append(to_wkb(Raster(
+                [b[:0, :0] for b in r.bands], r.pixtypes, r.nodata,
+                r.scale_x, r.scale_y, float(ip_x), float(ip_y),
+                r.skew_x, r.skew_y, r.srid, shape=(0, 0))))
+            continue
+        cc, rr = np.meshgrid(np.arange(c0, c1 + 1, dtype=np.float64),
+                             np.arange(r0, r1 + 1, dtype=np.float64))
+        px, py = r.raster_to_world(cc.ravel() + 0.5, rr.ravel() + 0.5)
+        inside = points_in_polygon(px, py, g, on_boundary=True) \
+            .reshape(r1 - r0 + 1, c1 - c0 + 1)
+        bands, nods = [], []
+        for bi, b in enumerate(r.bands):
+            nd = r.nodata[bi]
+            if nd is None:
+                nd = float(nodata_value) if nodata_value is not None \
+                    else 0.0
+            win = b[r0:r1 + 1, c0:c1 + 1].astype(np.float64).copy()
+            win[~inside] = nd
+            bands.append(win)
+            nods.append(nd)
+        ip_x, ip_y = r.raster_to_world(c0, r0)
+        out.append(to_wkb(Raster(
+            bands, [PT_64BF] * len(bands), nods, r.scale_x, r.scale_y,
+            float(ip_x), float(ip_y), r.skew_x, r.skew_y, r.srid)))
+    return pa.array(out, type=pa.binary())

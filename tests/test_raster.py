@@ -328,3 +328,46 @@ def test_zonal_stats_disjoint_zone_absent(ray_session):
     ds = ray.data.from_arrow(pa.table({"rast": pa.array([t],
                                                         type=pa.binary())}))
     assert zonal_stats(ds, zones).take_all() == []
+
+
+def test_rast_clip_crop_and_mask():
+    from geoflow.geom import Geometry
+    from geoflow.geom.wkb import to_wkb as geom_to_wkb
+    from geoflow.ops.registry import get_op
+    from geoflow.raster import Raster, from_wkb, to_wkb
+    v = np.arange(16, dtype=np.float64).reshape(4, 4)
+    rast = to_wkb(Raster([v], [10], [None], 1.0, -1.0, 0.0, 4.0,
+                         0.0, 0.0, 4326))
+    # triangle over the upper-left area
+    tri = np.array([[0.0, 4.0], [3.0, 4.0], [0.0, 1.0], [0.0, 4.0]])
+    gw = geom_to_wkb(Geometry(3, rings=[tri], srid=4326))
+    out = get_op("rast_clip").fn(pa.array([rast], type=pa.binary()),
+                                 gw, -1.0)
+    r = from_wkb(out[0].as_py())
+    # crop window = bbox pixel window: cols 0..2, rows 0..2
+    assert (r.height, r.width) == (3, 3)
+    assert (r.ip_x, r.ip_y) == (0.0, 4.0)
+    b = r.bands[0]
+    # centers (x=c+0.5, y=3.5-r) inside x+ (4-y) <= 3 i.e. c <= 2-r
+    exp = np.full((3, 3), -1.0)
+    for row in range(3):
+        for colm in range(3):
+            if colm + row <= 2:
+                exp[row, colm] = v[row, colm]
+    assert np.array_equal(b, exp)
+    assert r.nodata[0] == -1.0
+
+
+def test_rast_clip_disjoint_empty():
+    from geoflow.geom import Geometry
+    from geoflow.geom.wkb import to_wkb as geom_to_wkb
+    from geoflow.ops.registry import get_op
+    from geoflow.raster import Raster, from_wkb, to_wkb
+    rast = to_wkb(Raster([np.ones((2, 2))], [10], [None], 1.0, -1.0,
+                         0.0, 2.0, 0.0, 0.0, 4326))
+    far = np.array([[50.0, 50.0], [51.0, 50.0], [51.0, 51.0],
+                    [50.0, 50.0]])
+    gw = geom_to_wkb(Geometry(3, rings=[far], srid=4326))
+    out = get_op("rast_clip").fn(pa.array([rast], type=pa.binary()), gw)
+    r = from_wkb(out[0].as_py())
+    assert r.is_empty
