@@ -1425,6 +1425,9 @@ def q_semantic_clusters(sf_dir: str):
                                 columns=["vec_id", "embedding"])
     res = kmeans_nd(emb, key_col="vec_id", vec_col="embedding",
                     k=8, iters=3, spherical=True)
+    # the semantic-dedup FAMILY is oracle-gated via q_semdedup (planted
+    # margins pin the kept set); this query over the organic embeddings
+    # table stays rows-only for the float-centroid reason above
     return res.map_batches(
         lambda b: pa.table({"vec_id": b.column("key"),
                             "cluster": b.column("cluster")}),

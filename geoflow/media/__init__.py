@@ -13,12 +13,15 @@ Design (the part that matters at 100 TB):
   memory knob: batch_size × payload_size × concurrency must fit the
   worker heap).
 
-Container note: no image/audio libraries ship in this environment, so
-REAL codec decode (png/jpeg/...) is stubbed behind an import-try that
-raises NotImplementedError with the library name; the "fake8" codec is
-a deterministic byte-stream decoder (payload bytes = row-major uint8
-pixels, shaped by meta) that keeps every downstream kernel — resize,
-stats, frame sampling, audio features — real, vectorized and testable.
+Codecs: "png" decodes for real (pure-stdlib codec in
+geoflow/raster/imageio.py — zlib + the W3C filter spec; TIFF/BIL live
+there too as raster ops). Entropy-coded formats (jpeg/audio/video)
+need codec libraries this container doesn't ship, so they stay behind
+an import-try that raises NotImplementedError with the library name;
+the "fake8" codec is a deterministic byte-stream decoder (payload
+bytes = row-major uint8 pixels, shaped by meta) that keeps every
+downstream kernel — resize, stats, frame sampling, audio features —
+real, vectorized and testable.
 """
 
 from .stages import (AudioFeatures, FrameSampler, ImageStats, MediaDecoder,

@@ -47,15 +47,18 @@ class MediaDecoder:
 
     codecs:
       fake8      payload bytes ARE the pixels (deterministic test codec)
-      png/jpeg   require PIL — absent in this container, so the stage
-                 raises NotImplementedError naming the dependency (the
-                 Ray plumbing around it is identical)."""
+      png        real pure-stdlib decoder (raster/imageio.py — zlib +
+                 the W3C filter spec); 8-bit only here (the pixels
+                 column contract is uint8)
+      jpeg       requires a codec library absent in this container, so
+                 the stage raises NotImplementedError naming the
+                 dependency (the Ray plumbing around it is identical)."""
 
     def __init__(self):
-        self._codecs = {"fake8": self._decode_fake8}
+        self._codecs = {"fake8": self._decode_fake8,
+                        "png": self._decode_png}
         try:  # pragma: no cover - library absent in this container
             from PIL import Image  # noqa: F401
-            self._codecs["png"] = self._decode_pil
             self._codecs["jpeg"] = self._decode_pil
         except ImportError:
             pass
@@ -66,6 +69,18 @@ class MediaDecoder:
         if len(buf) < need:
             buf = buf + b"\x00" * (need - len(buf))
         return buf[:need]
+
+    @staticmethod
+    def _decode_png(buf, w, h, c, f):
+        from ..raster.imageio import png_decode
+        px = png_decode(bytes(buf))
+        if px.dtype != np.uint8:
+            raise ValueError("png decode: 16-bit image in an 8-bit "
+                             "pixels pipeline (use raster ops instead)")
+        if px.shape != (h, w, c):
+            raise ValueError(f"png decode: metadata says {(h, w, c)}, "
+                             f"image is {px.shape}")
+        return px.tobytes()
 
     @staticmethod
     def _decode_pil(buf, w, h, c, f):  # pragma: no cover

@@ -1089,7 +1089,8 @@ def rast_clip(col, geom_wkb, nodata_value=None, crop=True):
     rasters = col.to_pylist()
     geoms = ([geom_wkb] * len(rasters)
              if isinstance(geom_wkb, (bytes, bytearray))
-             else list(geom_wkb))
+             else (geom_wkb.to_pylist() if hasattr(geom_wkb, "to_pylist")
+                   else list(geom_wkb)))
     out = []
     for buf, gw in zip(rasters, geoms):
         if buf is None or gw is None:
@@ -1138,4 +1139,70 @@ def rast_clip(col, geom_wkb, nodata_value=None, crop=True):
         out.append(to_wkb(Raster(
             bands, [PT_64BF] * len(bands), nods, r.scale_x, r.scale_y,
             float(ip_x), float(ip_y), r.skew_x, r.skew_y, r.srid)))
+    return pa.array(out, type=pa.binary())
+
+
+# ---------------------------------------------------------------------------
+# image egress/ingress — the reference DECLARES AsPNG/AsTIFF/AsBIL
+# (raster/exporter/AsPNG.java:8, AsTIFF.java:11, AsBIL.java:3; AsPNG
+# and AsTIFF are stubs) and a GeoTIFF datatype (GeoTIFFDatatype.java).
+# Implemented here with pure-stdlib codecs (raster/imageio.py): PNG =
+# zlib + the W3C filter spec, TIFF 6.0 baseline + OGC GeoTIFF keys.
+# JPEG stays an honest NotImplementedError (entropy coding needs a
+# codec library this container doesn't have).
+# ---------------------------------------------------------------------------
+
+@register_op("rast_aspng", 1, "raster_exporter")
+def rast_aspng(col):
+    """Raster WKB column → PNG bytes (uniform 8/16-bit unsigned bands,
+    1-4 bands; georeference is not carried — use rast_astiff)."""
+    from .imageio import raster_to_png
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else raster_to_png(from_wkb(a)))
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_frompng", 1, "raster_constructor")
+def rast_frompng(col):
+    """PNG bytes column → raster WKB (unit grid at the origin; set the
+    georeference with rast_setscale/rast_setupperleft)."""
+    from .imageio import png_to_raster
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else to_wkb(png_to_raster(a)))
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_astiff", 1, "raster_exporter")
+def rast_astiff(col, compression="deflate"):
+    """Raster WKB column → GeoTIFF bytes (georeference + EPSG carried
+    via ModelPixelScale/Tiepoint/Transformation + GeoKeyDirectory)."""
+    from .imageio import tiff_encode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else tiff_encode(from_wkb(a),
+                                                      compression))
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_fromtiff", 1, "raster_constructor")
+def rast_fromtiff(col):
+    """(Geo)TIFF bytes column → raster WKB."""
+    from .imageio import tiff_decode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else to_wkb(tiff_decode(a)))
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_asbil", 1, "raster_exporter")
+def rast_asbil(col):
+    """Raster WKB column → ESRI BIL raw bytes (band-interleaved-by-
+    line, little-endian; headerless per the format — shape/type travel
+    with the raster metadata)."""
+    from .imageio import bil_encode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else bil_encode(from_wkb(a)))
     return pa.array(out, type=pa.binary())

@@ -62,6 +62,7 @@ _TYPED_WKB = {  # ops that validate their input's geometry type
     "st_straightskeleton": "POLYGON((0 0,2 0,2 2,0 2,0 0))",
 }
 _COVJSON = {"rast_fromcoveragejson"}
+_IMGBYTES = {"rast_frompng": "rast_aspng", "rast_fromtiff": "rast_astiff"}
 
 
 def test_every_unary_op_smokes():
@@ -87,6 +88,8 @@ def test_every_unary_op_smokes():
             elif name in _COVJSON:
                 cj = get_op("rast_ascoveragejson").fn(RAST)
                 op.fn(cj)
+            elif name in _IMGBYTES:
+                op.fn(get_op(_IMGBYTES[name]).fn(RAST))
             elif name.startswith("rast_"):
                 op.fn(RAST)
             else:
@@ -188,6 +191,7 @@ def test_every_multiarg_op_smokes():
         "rast_resize": (RAST2, 2, 2),
         "rast_retile": (RAST2, 2, 2),
         "rast_setgeoreference": (RAST2, 0.0, 4.0, 1.0, -1.0, 0.0, 0.0),
+        "rast_clip": (RAST2, POLY4),
         "rast_smallerintersects": (RAST2, RAST2, 0, 1.0),
         "rast_greaterintersects": (RAST2, RAST2, 0, 1.0),
         "rast_valueintersects": (RAST2, RAST2, 0, 1.0),
