@@ -705,6 +705,45 @@ def q_media_stats(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow")
 
 
+def q_audio_features(sf_dir: str):
+    """Audio pipeline plumbing through the REAL RIFF/WAVE PCM codec
+    (geoflow/media/wavio.py), oracle-gated: per doc, synthesize
+    64+(doc_id%5)*16 int16 samples v_i = ((doc_id*9973+i*131) % 20001)
+    - 10000, ENCODE them to WAV bytes, then run the actor-pool
+    AudioFeatures stage whose codec dispatch wav-DECODES the payload
+    and computes integer-exact rms_milli / zero_crossings. The SQL
+    oracle recomputes both from the sample arithmetic alone — a
+    mismatch anywhere in encode→decode→feature chain fails the gate
+    (all partial sums < 2^53, so numpy-vs-SQL order is immaterial;
+    sqrt is IEEE-exact in both engines)."""
+    from geoflow.media import AudioFeatures, wav_encode
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nmax = 64 + 4 * 16
+        idx = np.arange(nmax, dtype=np.int64)
+        mat = ((ids[:, None] * 9973 + idx[None, :] * 131) % 20001) - 10000
+        ns = 64 + (ids % 5) * 16
+        payloads = [wav_encode(mat[i, :ns[i]], 8000, bits=16)
+                    for i in range(len(ids))]
+        return pa.table({
+            "key": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "codec": pa.array(["wav"] * len(ids), type=pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow") \
+        .map_batches(AudioFeatures, batch_format="pyarrow", concurrency=2)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("key"),
+                         "rms_milli": batch.column("rms_milli"),
+                         "zero_crossings": batch.column("zero_crossings")})
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
 def q_raster_stats(sf_dir: str):
     """Raster pipeline parity: per part, build a deterministic 4x4 uint8
     raster (pixel[i] = (p_partkey*16 + i) % 251), run it through the
@@ -2594,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "setops_overlay": q_setops_overlay,
         "media_stats": q_media_stats,
+        "audio_features": q_audio_features,
         "raster_stats": q_raster_stats,
         "zonal_stats": q_zonal_stats,
         "webmercator": q_webmercator,
@@ -2907,6 +2947,35 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range(8)) AS tr(r),
                        unnest(range(8)) AS tc(c))
             GROUP BY doc_id""",
+        "audio_features": """
+            WITH s AS (
+              SELECT doc_id, g.i AS i,
+                     ((doc_id * 9973 + g.i * 131) % 20001) - 10000 AS v
+              FROM documents, LATERAL (
+                SELECT unnest(range(0, 64 + (doc_id % 5) * 16))) AS g(i)),
+            r AS (
+              SELECT doc_id,
+                     CAST(floor(sqrt(CAST(sum(v * v) AS DOUBLE)
+                                     / count(*)) * 1000) AS BIGINT)
+                       AS rms_milli
+              FROM s GROUP BY doc_id),
+            nz AS (
+              SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE -1 END AS sg
+              FROM s WHERE v <> 0),
+            l AS (
+              SELECT doc_id, sg,
+                     lag(sg) OVER (PARTITION BY doc_id ORDER BY i) AS pg
+              FROM nz),
+            z AS (
+              SELECT doc_id,
+                     CAST(COALESCE(SUM(CASE WHEN pg IS NOT NULL
+                                            AND sg <> pg
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS zero_crossings
+              FROM l GROUP BY doc_id)
+            SELECT r.doc_id, r.rms_milli,
+                   COALESCE(z.zero_crossings, 0) AS zero_crossings
+            FROM r LEFT JOIN z ON r.doc_id = z.doc_id""",
         "zonal_stats": """
             WITH px AS (
               SELECT CAST((p_partkey % 10) * 8 + (g.i % 8) AS DOUBLE)

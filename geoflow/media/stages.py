@@ -185,15 +185,32 @@ class FrameSampler:
 
 
 class AudioFeatures:
-    """PCM (uint8 centered at 128 for the fake codec) → integer-exact
-    features: rms_milli (int64, floor of RMS*1000) + zero crossings."""
+    """PCM → integer-exact features: rms_milli (int64, floor of
+    RMS*1000) + zero crossings, over interleaved signed samples.
+
+    codec column dispatch (built once per actor):
+      fake8 / absent  payload bytes are uint8 PCM centered at 128
+      wav             real RIFF/WAVE PCM decode (media/wavio.py;
+                      8/16/24/32-bit, any channel count)"""
+
+    def __init__(self):
+        from .wavio import wav_decode
+        self._wav_decode = wav_decode
+
+    def _samples(self, buf: bytes, codec) -> np.ndarray:
+        if codec == "wav":
+            frames, _rate = self._wav_decode(bytes(buf))
+            return frames.reshape(-1).astype(np.int64)
+        return np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bufs = batch.column("payload").to_pylist()
+        codecs = (batch.column("codec").to_pylist()
+                  if "codec" in batch.schema.names else [None] * len(bufs))
         rms = np.zeros(len(bufs), dtype=np.int64)
         zc = np.zeros(len(bufs), dtype=np.int64)
         for i, buf in enumerate(bufs):
-            s = np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128
+            s = self._samples(buf, codecs[i])
             if len(s) == 0:
                 continue
             rms[i] = int(np.floor(np.sqrt((s * s).mean()) * 1000.0))

@@ -39,9 +39,9 @@ def test_decode_resize_stats_chain():
 
 
 def test_unknown_codec_raises():
-    t = make_media_batch(np.array([1]), codec="png")
+    t = make_media_batch(np.array([1]), codec="jpeg")
     dec = MediaDecoder()
-    if "png" not in dec._codecs:     # pillow absent in this container
+    if "jpeg" not in dec._codecs:    # pillow absent in this container
         with pytest.raises(NotImplementedError):
             dec(t)
 
