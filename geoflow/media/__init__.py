@@ -15,11 +15,12 @@ Design (the part that matters at 100 TB):
 
 Codecs: "png" decodes for real (pure-stdlib codec in
 geoflow/raster/imageio.py — zlib + the W3C filter spec; TIFF/BIL live
-there too as raster ops) and "wav" PCM audio decodes/encodes for real
-(media/wavio.py — RIFF chunk walk, 8/16/24/32-bit). Entropy-coded
-formats (jpeg/mp3/aac/video) need codec libraries this container
-doesn't ship, so they stay behind an import-try that raises
-NotImplementedError with the library name;
+there too as raster ops), "jpeg" decodes for real (pure-numpy baseline
+T.81 codec in geoflow/raster/jpegio.py — Huffman + vectorized DCT)
+and "wav" PCM audio decodes/encodes for real (media/wavio.py — RIFF
+chunk walk, 8/16/24/32-bit). Entropy-coded audio/video formats
+(mp3/aac/h264) need codec libraries this container doesn't ship, so
+they raise NotImplementedError with the library name;
 the "fake8" codec is a deterministic byte-stream decoder (payload
 bytes = row-major uint8 pixels, shaped by meta) that keeps every
 downstream kernel — resize, stats, frame sampling, audio features —

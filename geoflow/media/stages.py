@@ -50,18 +50,14 @@ class MediaDecoder:
       png        real pure-stdlib decoder (raster/imageio.py — zlib +
                  the W3C filter spec); 8-bit only here (the pixels
                  column contract is uint8)
-      jpeg       requires a codec library absent in this container, so
-                 the stage raises NotImplementedError naming the
-                 dependency (the Ray plumbing around it is identical)."""
+      jpeg       real pure-numpy baseline decoder (raster/jpegio.py —
+                 T.81 baseline sequential, Huffman, 1/3 components,
+                 sampling factors 1-2; progressive rejected by name)."""
 
     def __init__(self):
         self._codecs = {"fake8": self._decode_fake8,
-                        "png": self._decode_png}
-        try:  # pragma: no cover - library absent in this container
-            from PIL import Image  # noqa: F401
-            self._codecs["jpeg"] = self._decode_pil
-        except ImportError:
-            pass
+                        "png": self._decode_png,
+                        "jpeg": self._decode_jpeg}
 
     @staticmethod
     def _decode_fake8(buf: bytes, w: int, h: int, c: int, f: int) -> bytes:
@@ -83,9 +79,15 @@ class MediaDecoder:
         return px.tobytes()
 
     @staticmethod
-    def _decode_pil(buf, w, h, c, f):  # pragma: no cover
-        raise NotImplementedError("PIL decode path exercised only where "
-                                  "pillow is installed")
+    def _decode_jpeg(buf, w, h, c, f):
+        from ..raster.jpegio import jpeg_decode
+        px = jpeg_decode(bytes(buf))
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.shape != (h, w, c):
+            raise ValueError(f"jpeg decode: metadata says {(h, w, c)}, "
+                             f"image is {px.shape}")
+        return px.tobytes()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bufs = batch.column("payload").to_pylist()

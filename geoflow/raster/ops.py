@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..ops.registry import register_op
-from .rastwkb import PT_64BF, Raster, from_wkb, to_wkb
+from .rastwkb import PT_8BUI, PT_64BF, Raster, from_wkb, to_wkb
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1148,8 +1148,9 @@ def rast_clip(col, geom_wkb, nodata_value=None, crop=True):
 # and AsTIFF are stubs) and a GeoTIFF datatype (GeoTIFFDatatype.java).
 # Implemented here with pure-stdlib codecs (raster/imageio.py): PNG =
 # zlib + the W3C filter spec, TIFF 6.0 baseline + OGC GeoTIFF keys.
-# JPEG stays an honest NotImplementedError (entropy coding needs a
-# codec library this container doesn't have).
+# JPEG (AsJPG.java, also a reference stub) is the pure-numpy baseline
+# T.81 codec in raster/jpegio.py — DCT as 8x8 matrix products,
+# Annex-K tables, Huffman entropy coding in plain bit arithmetic.
 # ---------------------------------------------------------------------------
 
 @register_op("rast_aspng", 1, "raster_exporter")
@@ -1193,6 +1194,50 @@ def rast_fromtiff(col):
     out = []
     for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
         out.append(None if a is None else to_wkb(tiff_decode(a)))
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_asjpg", 1, "raster_exporter")
+def rast_asjpg(col, quality=85, subsampling="444"):
+    """Raster WKB column → baseline JPEG bytes (uniform 8BUI bands,
+    1 or 3 bands; lossy-but-deterministic — see raster/jpegio.py).
+    Closes the reference's stubbed AsJPG (raster/exporter/AsJPG.java)."""
+    from .jpegio import jpeg_encode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        if a is None:
+            out.append(None)
+            continue
+        r = from_wkb(a)
+        if len(r.bands) not in (1, 3) or any(pt != PT_8BUI
+                                             for pt in r.pixtypes):
+            raise ValueError("JPEG needs 1 or 3 uniform 8BUI bands, got "
+                             f"{len(r.bands)} of {r.pixtypes}")
+        arr = (r.bands[0].astype(np.uint8) if len(r.bands) == 1 else
+               np.stack([b.astype(np.uint8) for b in r.bands], axis=-1))
+        out.append(jpeg_encode(arr, quality=quality,
+                               subsampling=subsampling))
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_fromjpg", 1, "raster_constructor")
+def rast_fromjpg(col):
+    """Baseline JPEG bytes column → raster WKB (unit grid at the
+    origin; set the georeference with rast_setscale/rast_setupperleft)."""
+    from .jpegio import jpeg_decode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        if a is None:
+            out.append(None)
+            continue
+        arr = jpeg_decode(a)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        bands = [arr[:, :, i] for i in range(arr.shape[2])]
+        out.append(to_wkb(Raster(bands, [PT_8BUI] * len(bands),
+                                 [None] * len(bands), 1.0, -1.0,
+                                 0.0, 0.0, 0.0, 0.0, 0,
+                                 shape=arr.shape[:2])))
     return pa.array(out, type=pa.binary())
 
 

@@ -62,7 +62,8 @@ _TYPED_WKB = {  # ops that validate their input's geometry type
     "st_straightskeleton": "POLYGON((0 0,2 0,2 2,0 2,0 0))",
 }
 _COVJSON = {"rast_fromcoveragejson"}
-_IMGBYTES = {"rast_frompng": "rast_aspng", "rast_fromtiff": "rast_astiff"}
+_IMGBYTES = {"rast_frompng": "rast_aspng", "rast_fromtiff": "rast_astiff",
+             "rast_fromjpg": "rast_asjpg"}
 
 
 def test_every_unary_op_smokes():
