@@ -462,6 +462,31 @@ def q_bpe_tokens(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_bpe_train(sf_dir: str):
+    """END-TO-END BPE tokenizer training (text/bpetrain.py — Sennrich
+    et al. 2016): distributed word histogram → driver merge loop →
+    broadcast encode, over a planted probe corpus derived from doc_id
+    whose BPE token counts are CLOSED-FORM (three engineered word
+    classes: frequent → fully merged to 1 token, frequent+suffix → 2
+    tokens, unique rare → ' Q'+3 bytes = 4 tokens; derivation in
+    bpetrain.py). The SQL oracle computes the same closed forms, so a
+    wrong merge order, tiebreak, min_count gate, or encode walk all
+    hash-mismatch."""
+    from geoflow.text.bpetrain import (bpe_encode, bpe_probe_corpus_batch,
+                                       train_bpe)
+    base = _read(sf_dir, "documents", ["doc_id"])
+    n = base.count()  # parquet metadata, no execution
+
+    def corpus():
+        return base.map_batches(bpe_probe_corpus_batch,
+                                batch_format="pyarrow")
+
+    merges = train_bpe(corpus(), "text", num_merges=512,
+                       min_count=max(2, n // 8))
+    return bpe_encode(corpus(), merges).select_columns(
+        ["doc_id", "n_pretokens", "n_bpe_tokens", "n_word_bytes"])
+
+
 def q_url_host(sf_dir: str):
     """Host extraction from synthesized URLs (text/analysis.py
     url_host_batch — the per-source-cap source derivation): URL built
@@ -2625,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "bpe_tokens": q_bpe_tokens,
+        "bpe_train": q_bpe_train,
         "repetition": q_repetition,
         "url_host": q_url_host,
         "ann_topk": q_ann_topk,
@@ -2861,6 +2887,31 @@ def oracle_sql() -> dict[str, str]:
                         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s+'))
                         AS BIGINT) AS n_tokens_bpe
             FROM documents""",
+        "bpe_train": """
+            WITH wl AS (
+              SELECT * FROM (VALUES (0,5),(1,5),(2,6),(3,6),(4,6),(5,5),
+                                    (6,5),(7,6),(8,5),(9,5),(10,6),(11,6),
+                                    (12,5),(13,6),(14,5),(15,6))
+                   AS t(widx, wlen)),
+            d AS (SELECT doc_id AS k FROM documents),
+            slot AS (SELECT k, (k + i) % 16 AS widx
+                     FROM d, LATERAL (SELECT unnest(range(10)) AS i) g),
+            fb AS (SELECT k, SUM(wlen) AS fbytes
+                   FROM slot JOIN wl USING (widx) GROUP BY k)
+            SELECT k AS doc_id,
+              CAST(10 + CASE WHEN k % 3 = 1 THEN 1 ELSE 0 END
+                      + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_pretokens,
+              CAST(10 + CASE WHEN k % 3 = 1 THEN 2 ELSE 0 END
+                      + CASE WHEN k % 2 = 0 THEN 4 ELSE 0 END
+                   AS BIGINT) AS n_bpe_tokens,
+              CAST(fbytes
+                   + CASE WHEN k % 3 = 1 THEN
+                       (SELECT wlen FROM wl
+                        WHERE widx = (7 * k + 3) % 16) + 1 ELSE 0 END
+                   + CASE WHEN k % 2 = 0 THEN 5 ELSE 0 END
+                   AS BIGINT) AS n_word_bytes
+            FROM fb""",
         "near_dup": """
             SELECT doc_id AS key_a, doc_id + 1000000 AS key_b
             FROM documents WHERE doc_id % 10 = 0""",
