@@ -769,6 +769,56 @@ def q_audio_features(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow")
 
 
+def q_video_frames(sf_dir: str):
+    """Video pipeline through the REAL MJPEG/AVI codec
+    (geoflow/media/avio.py — RIFF container walk + per-frame baseline
+    JPEG), oracle-gated: per doc, ENCODE a 4-frame 16x16 grayscale
+    video whose frame f is the constant (7*doc_id + 31*f) % 251
+    (constant 8x8 blocks are bit-exact through JPEG at quality=100 —
+    DC-only, all-ones quant), then container-decode, sample every 2nd
+    frame, and take integer pixel stats per sampled frame. The SQL
+    oracle recomputes the constants — any fault in the container walk,
+    Huffman/DCT path, frame ordering, or stride sampling mismatches."""
+    from geoflow.media import FrameSampler, MediaDecoder, avi_encode_mjpeg
+
+    NF, H, W = 4, 16, 16
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        payloads = []
+        for k in ids.tolist():
+            frames = np.stack([np.full((H, W), (7 * k + 31 * f) % 251,
+                                       np.uint8) for f in range(NF)])
+            payloads.append(avi_encode_mjpeg(frames, fps=10, quality=100))
+        n = len(ids)
+        return pa.table({
+            "key": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(np.full(n, W, np.int32)),
+            "height": pa.array(np.full(n, H, np.int32)),
+            "channels": pa.array(np.full(n, 1, np.int32)),
+            "n_frames": pa.array(np.full(n, NF, np.int32)),
+            "codec": pa.array(["mjpeg_avi"] * n, type=pa.string())})
+
+    def stats(batch: pa.Table) -> pa.Table:
+        px = np.frombuffer(
+            b"".join(batch.column("pixels").to_pylist()),
+            np.uint8).reshape(batch.num_rows, H * W).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("key"),
+            "frame_idx": pc.cast(batch.column("frame_idx"), pa.int64()),
+            "px_sum": pa.array(px.sum(axis=1)),
+            "px_min": pa.array(px.min(axis=1)),
+            "px_max": pa.array(px.max(axis=1))})
+
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow") \
+        .map_batches(MediaDecoder(), batch_format="pyarrow") \
+        .map_batches(FrameSampler(stride=2), batch_format="pyarrow") \
+        .map_batches(stats, batch_format="pyarrow")
+
+
 def q_raster_stats(sf_dir: str):
     """Raster pipeline parity: per part, build a deterministic 4x4 uint8
     raster (pixel[i] = (p_partkey*16 + i) % 251), run it through the
@@ -2659,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "setops_overlay": q_setops_overlay,
         "media_stats": q_media_stats,
+        "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "raster_stats": q_raster_stats,
         "zonal_stats": q_zonal_stats,
@@ -2998,6 +3049,14 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range(8)) AS tr(r),
                        unnest(range(8)) AS tc(c))
             GROUP BY doc_id""",
+        "video_frames": """
+            SELECT doc_id,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(256 * ((7 * doc_id + 31 * f) % 251)
+                        AS BIGINT) AS px_sum,
+                   CAST((7 * doc_id + 31 * f) % 251 AS BIGINT) AS px_min,
+                   CAST((7 * doc_id + 31 * f) % 251 AS BIGINT) AS px_max
+            FROM documents, unnest([0, 2]) AS g(f)""",
         "audio_features": """
             WITH s AS (
               SELECT doc_id, g.i AS i,

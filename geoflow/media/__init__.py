@@ -18,18 +18,23 @@ geoflow/raster/imageio.py — zlib + the W3C filter spec; TIFF/BIL live
 there too as raster ops), "jpeg" decodes for real (pure-numpy baseline
 T.81 codec in geoflow/raster/jpegio.py — Huffman + vectorized DCT)
 and "wav" PCM audio decodes/encodes for real (media/wavio.py — RIFF
-chunk walk, 8/16/24/32-bit). Entropy-coded audio/video formats
-(mp3/aac/h264) need codec libraries this container doesn't ship, so
-they raise NotImplementedError with the library name;
+chunk walk, 8/16/24/32-bit). VIDEO decodes for real via "mjpeg_avi"
+(media/avio.py — RIFF/AVI container walk + per-frame baseline JPEG;
+the one mainstream video format with no inter-frame entropy coding).
+Inter-frame-coded formats (mp3/aac/h264/vp9) need codec libraries
+this container doesn't ship, so they raise NotImplementedError with
+the library name;
 the "fake8" codec is a deterministic byte-stream decoder (payload
 bytes = row-major uint8 pixels, shaped by meta) that keeps every
 downstream kernel — resize, stats, frame sampling, audio features —
 real, vectorized and testable.
 """
 
+from .avio import avi_decode_mjpeg, avi_encode_mjpeg
 from .stages import (AudioFeatures, FrameSampler, ImageStats, MediaDecoder,
                      MediaResize, make_media_batch)
 from .wavio import wav_decode, wav_encode
 
 __all__ = ["MediaDecoder", "MediaResize", "ImageStats", "FrameSampler",
-           "AudioFeatures", "make_media_batch", "wav_decode", "wav_encode"]
+           "AudioFeatures", "make_media_batch", "wav_decode", "wav_encode",
+           "avi_encode_mjpeg", "avi_decode_mjpeg"]

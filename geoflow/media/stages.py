@@ -52,12 +52,16 @@ class MediaDecoder:
                  column contract is uint8)
       jpeg       real pure-numpy baseline decoder (raster/jpegio.py —
                  T.81 baseline sequential, Huffman, 1/3 components,
-                 sampling factors 1-2; progressive rejected by name)."""
+                 sampling factors 1-2; progressive rejected by name)
+      mjpeg_avi  real video decode: RIFF/AVI container walk
+                 (media/avio.py) + per-frame baseline JPEG; pixels =
+                 n_frames consecutive h*w*c frames."""
 
     def __init__(self):
         self._codecs = {"fake8": self._decode_fake8,
                         "png": self._decode_png,
-                        "jpeg": self._decode_jpeg}
+                        "jpeg": self._decode_jpeg,
+                        "mjpeg_avi": self._decode_mjpeg_avi}
 
     @staticmethod
     def _decode_fake8(buf: bytes, w: int, h: int, c: int, f: int) -> bytes:
@@ -87,6 +91,15 @@ class MediaDecoder:
         if px.shape != (h, w, c):
             raise ValueError(f"jpeg decode: metadata says {(h, w, c)}, "
                              f"image is {px.shape}")
+        return px.tobytes()
+
+    @staticmethod
+    def _decode_mjpeg_avi(buf, w, h, c, f):
+        from .avio import avi_decode_mjpeg
+        px, _fps = avi_decode_mjpeg(bytes(buf))
+        if px.shape != (f, h, w, c):
+            raise ValueError(f"avi decode: metadata says {(f, h, w, c)}, "
+                             f"stream is {px.shape}")
         return px.tobytes()
 
     def __call__(self, batch: pa.Table) -> pa.Table:

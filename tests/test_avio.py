@@ -1,0 +1,88 @@
+"""RIFF/AVI Motion-JPEG codec (geoflow/media/avio.py) + the video
+decode → frame-sample pipeline plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geoflow.media import (FrameSampler, MediaDecoder, avi_decode_mjpeg,
+                           avi_encode_mjpeg)
+
+
+def _const_frames(k, nf=4, h=16, w=16):
+    return np.stack([np.full((h, w), (7 * k + 31 * f) % 251, np.uint8)
+                     for f in range(nf)])
+
+
+def test_roundtrip_constant_frames_bit_exact():
+    f = _const_frames(3)
+    out, fps = avi_decode_mjpeg(avi_encode_mjpeg(f, fps=12, quality=100))
+    assert fps == 12
+    assert out.shape == (4, 16, 16, 1)
+    assert np.array_equal(out[:, :, :, 0], f)
+
+
+def test_roundtrip_smooth_frames_low_error():
+    base = np.linspace(0, 200, 24 * 32).reshape(24, 32)
+    fr = np.stack([(base + 10 * i).clip(0, 255).astype(np.uint8)
+                   for i in range(3)])
+    fr3 = np.repeat(fr[:, :, :, None], 3, axis=3)
+    out, fps = avi_decode_mjpeg(avi_encode_mjpeg(fr3, fps=5, quality=90))
+    assert out.shape == fr3.shape and fps == 5
+    assert np.abs(out.astype(int) - fr3.astype(int)).mean() < 2.0
+
+
+def test_container_structure():
+    buf = avi_encode_mjpeg(_const_frames(0, nf=2), fps=10)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    # RIFF size field covers everything after the first 8 bytes
+    import struct
+    assert struct.unpack_from("<I", buf, 4)[0] == len(buf) - 8
+    assert b"MJPG" in buf and b"movi" in buf and b"idx1" in buf
+    assert buf.count(b"00dc") >= 4  # 2 movi chunks + 2 idx1 entries
+
+
+def test_decode_rejects_garbage_and_empty():
+    with pytest.raises(ValueError):
+        avi_decode_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        avi_decode_mjpeg(b"\x89PNG not an avi")
+
+
+def test_decode_mismatched_frame_shapes_raises():
+    from geoflow.raster.jpegio import jpeg_encode
+    import struct
+    j1 = jpeg_encode(np.zeros((8, 8), np.uint8))
+    j2 = jpeg_encode(np.zeros((16, 16), np.uint8))
+
+    def chunk(cc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cc + struct.pack("<I", len(payload)) + payload + pad
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", j1) + chunk(b"00dc", j2))
+    body = b"AVI " + movi
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="disagree"):
+        avi_decode_mjpeg(buf)
+
+
+def test_media_decoder_video_path_and_frame_sampler():
+    keys = np.array([5, 9], dtype=np.int64)
+    nf, h, w = 4, 16, 16
+    payloads = [avi_encode_mjpeg(_const_frames(int(k), nf, h, w),
+                                 fps=10, quality=100) for k in keys]
+    batch = pa.table({
+        "key": pa.array(keys),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(np.full(2, w, np.int32)),
+        "height": pa.array(np.full(2, h, np.int32)),
+        "channels": pa.array(np.full(2, 1, np.int32)),
+        "n_frames": pa.array(np.full(2, nf, np.int32)),
+        "codec": pa.array(["mjpeg_avi"] * 2)})
+    dec = MediaDecoder()(batch)
+    assert len(dec.column("pixels")[0].as_py()) == nf * h * w
+    sampled = FrameSampler(stride=2)(dec)
+    assert sampled.num_rows == 4  # frames 0,2 per key
+    for row in sampled.to_pylist():
+        g = (7 * row["key"] + 31 * row["frame_idx"]) % 251
+        px = np.frombuffer(row["pixels"], np.uint8)
+        assert px.shape == (h * w,) and (px == g).all(), row
