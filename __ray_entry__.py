@@ -1366,10 +1366,12 @@ def q_distinct_users(sf_dir: str):
 
 def q_hll_users(sf_dir: str):
     """HyperLogLog distinct-user estimate per event type (rows-only: the
-    register math has no SQL equivalent — DuckDB's approx_count_distinct
-    is a different HLL. Estimates are deterministic (blake2b-free
-    splitmix hashing) and accuracy-gated in tests/test_sketches.py;
-    q_distinct_users above is the oracle-gated exact companion)."""
+    harmonic-mean float estimate has no stable SQL twin — DuckDB's
+    approx_count_distinct is a different HLL. The REGISTER MATH behind
+    this estimate IS value-gated: q_hll_registers reproduces splitmix64
+    + clz + max-merge bit-exactly in SQL; q_distinct_users is the
+    oracle-gated exact companion; estimate accuracy is gated in
+    tests/test_sketches.py)."""
     from geoflow.ops.sketches import hll_aggregate
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
@@ -1380,6 +1382,55 @@ def q_hll_users(sf_dir: str):
             "event_type": b.column("event_type"),
             "est_users": pc.cast(pc.round(b.column("hll(user_id)")),
                                  pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_hll_registers(sf_dir: str):
+    """HLL REGISTER STATE, oracle-gated (p=10): splitmix64(user_id) →
+    (register = top 10 bits, rank = clz(rest)+1 capped at 55) →
+    distributed max-merge, emitted as (event_type, reg_idx, reg_rank)
+    rows. DuckDB reproduces splitmix64 bit-exactly in HUGEINT
+    arithmetic (32-bit split multiplies mod 2^64) and the clz via a
+    min-over-powers-of-two scan — so the sketch machinery behind
+    hll_users' estimate is value-gated even though the harmonic-mean
+    float estimate itself stays rows-only. Shape: per-batch partial
+    max per (type, register) via sort+reduceat (≤ types·1024 rows per
+    batch leave the map), then ONE small groupby max."""
+    from geoflow.ops.sketches import _clz64
+    from geoflow.text.hashing import mix64
+    P = 10
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = mix64(uid.view(np.uint64))
+        idx = (h >> np.uint64(64 - P)).astype(np.int64)
+        rank = np.minimum(_clz64(h << np.uint64(P)) + 1,
+                          64 - P + 1).astype(np.int64)
+        etd = pc.dictionary_encode(
+            pc.cast(batch.column("event_type"), pa.string())) \
+            .combine_chunks()
+        codes = etd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = codes * (1 << P) + idx
+        order = np.argsort(key, kind="stable")
+        ks, starts = np.unique(key[order], return_index=True)
+        mx = np.maximum.reduceat(rank[order], starts)
+        return pa.table({
+            "event_type": etd.dictionary.take(
+                pa.array(ks >> P, type=pa.int64())),
+            "reg_idx": pa.array(ks & ((1 << P) - 1)),
+            "reg_rank": pa.array(mx)})
+
+    out = _read(sf_dir, "events", ["event_type", "user_id"]) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .groupby(["event_type", "reg_idx"]).max("reg_rank")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "reg_idx": b.column("reg_idx"),
+                         "reg_rank": pc.cast(b.column("max(reg_rank)"),
+                                             pa.int64())})
 
     return out.map_batches(rename, batch_format="pyarrow")
 
@@ -2735,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quantiles": q_event_quantiles,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
+        "hll_registers": q_hll_registers,
         "dbscan": q_dbscan,
         "kmeans": q_kmeans,
         "cluster_within": q_cluster_within,
@@ -3211,6 +3263,41 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(value * 1000.0) AS BIGINT) AS value_milli
                   FROM events)
             GROUP BY event_type""",
+        "hll_registers": """
+            WITH m AS (
+              SELECT event_type, xor(d, d >> 31) AS h FROM (
+                SELECT event_type,
+                  (( (c * 321982955)
+                   + (((c % 4294967296) * 2496678331) % 4294967296)
+                     * 4294967296
+                   ) % 18446744073709551616) AS d
+                FROM (
+                  SELECT event_type, xor(b, b >> 27) AS c FROM (
+                    SELECT event_type,
+                      (( (a * 484763065)
+                       + (((a % 4294967296) * 3210233709) % 4294967296)
+                         * 4294967296
+                       ) % 18446744073709551616) AS b
+                    FROM (
+                      SELECT event_type, xor(h0, h0 >> 30) AS a
+                      FROM (SELECT event_type,
+                                   CASE WHEN user_id < 0
+                                        THEN CAST(user_id AS HUGEINT)
+                                             + 18446744073709551616
+                                        ELSE CAST(user_id AS HUGEINT)
+                                   END AS h0
+                            FROM events) t0) t1) t2) t3) t4),
+            r AS (SELECT event_type, CAST(h >> 54 AS BIGINT) AS reg_idx,
+                         (h << 10) % 18446744073709551616 AS rem FROM m),
+            rk AS (SELECT event_type, reg_idx,
+                     LEAST(COALESCE(
+                       (SELECT MIN(g.i)
+                        FROM (SELECT unnest(range(1,65)) AS i) g
+                        WHERE rem >= (CAST(1 AS HUGEINT) << (64 - g.i))),
+                       55), 55) AS rnk
+                   FROM r)
+            SELECT event_type, reg_idx, CAST(MAX(rnk) AS BIGINT) AS reg_rank
+            FROM rk GROUP BY event_type, reg_idx""",
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",

@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "html_text", "web_pipeline", "token_mix",
     "substr_dedup", "near_dup_clusters", "cluster_dedup", "nfc_norm",
     "c4_filter", "dsir_filter", "semdedup", "zonal_stats",
-    "audio_features", "bpe_train", "video_frames",
+    "audio_features", "bpe_train", "video_frames", "hll_registers",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
