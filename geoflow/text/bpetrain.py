@@ -40,7 +40,8 @@ import pyarrow.compute as pc
 
 __all__ = ["corpus_word_counts", "train_bpe", "bpe_encode_batch",
            "bpe_encode", "learn_merges", "bpe_probe_corpus_batch",
-           "BPE_PROBE_WORDS", "BPE_SPLIT_PATTERN_PY"]
+           "BPE_PROBE_WORDS", "BPE_SPLIT_PATTERN_PY", "bpe_vocab",
+           "bpe_encode_ids", "bpe_encode_ids_batch", "bpe_decode_ids"]
 
 # Python-`re` twin of analysis.BPE_SPLIT_PATTERN (RE2 syntax): Python
 # has no \p{L}/\p{N}, so letters are [^\W\d_] and digits \d. The only
@@ -313,3 +314,62 @@ def bpe_encode(ds, merges, text_col: str = "text"):
     return ds.map_batches(bpe_encode_batch, batch_format="pyarrow",
                           fn_kwargs={"merges_ref": ref,
                                      "text_col": text_col})
+
+
+# --- token-id emission (the training-data product) ---------------------
+
+def bpe_vocab(merges) -> list:
+    """Ordered vocabulary: ids 0..255 are raw bytes (byte-level
+    alphabet), id 256+i is merge i's combined symbol — the GPT-2 id
+    convention minus the byte-to-unicode display remap (ids and
+    segmentations are identical; only the printable alias differs)."""
+    return [bytes([b]) for b in range(256)] + [a + b for a, b in merges]
+
+
+def bpe_encode_ids_batch(batch: pa.Table, merges_ref,
+                         text_col: str = "text",
+                         out_col: str = "token_ids") -> pa.Table:
+    """Append a list<int32> token-id column (full encode, not counts).
+    Broadcast merge table; per-worker word→ids memo (Zipf-amortized)."""
+    ranks, memo = _ranks_get(merges_ref)
+    sym_id = memo.setdefault(
+        "__sym_id__", {p[0] + p[1]: 256 + i for i, p in
+                       enumerate(sorted(ranks, key=ranks.get))})
+    id_memo = memo.setdefault("__ids__", {})
+    docs = _extract_all(pc.fill_null(
+        pc.cast(batch.column(text_col), pa.string()), ""),
+        BPE_SPLIT_PATTERN_PY)
+    out = []
+    for d in docs:
+        ids = []
+        for w in d:
+            wb = w.encode("utf-8")
+            cached = id_memo.get(wb)
+            if cached is None:
+                cached = [sym_id[s] if len(s) > 1 else s[0]
+                          for s in _segment(wb, ranks, memo)]
+                id_memo[wb] = cached
+            ids.extend(cached)
+        out.append(ids)
+    return batch.append_column(
+        out_col, pa.array(out, type=pa.list_(pa.int32())))
+
+
+def bpe_encode_ids(ds, merges, text_col: str = "text",
+                   out_col: str = "token_ids"):
+    """Dataset → Dataset with a list<int32> token-id column."""
+    import ray
+    ref = ray.put(list(merges))
+    return ds.map_batches(bpe_encode_ids_batch, batch_format="pyarrow",
+                          fn_kwargs={"merges_ref": ref,
+                                     "text_col": text_col,
+                                     "out_col": out_col})
+
+
+def bpe_decode_ids(ids, merges) -> str:
+    """Token ids → text (lossless inverse of bpe_encode_ids wherever
+    pre-tokenization is lossless — see BPE_SPLIT_PATTERN_PY note on
+    lone apostrophes)."""
+    vocab = bpe_vocab(merges)
+    return b"".join(vocab[int(i)] for i in ids).decode(
+        "utf-8", errors="replace")

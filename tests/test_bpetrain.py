@@ -167,6 +167,50 @@ def test_learn_merges_unicode_and_empty():
     assert _segment("héhé".encode(), ranks, {}) == ["héhé".encode()]
 
 
+def test_encode_ids_roundtrip_and_vocab():
+    import re
+
+    from geoflow.text.bpetrain import (BPE_SPLIT_PATTERN_PY, _segment,
+                                       bpe_decode_ids, bpe_vocab,
+                                       learn_merges)
+    wc = {"hello": 9, "world": 7, "low": 5, "lower": 3, "héhé": 4}
+    merges = learn_merges(wc, 64, min_count=2)
+    vocab = bpe_vocab(merges)
+    assert len(vocab) == 256 + len(merges)
+    assert vocab[:256] == [bytes([b]) for b in range(256)]
+    ranks = {p: i for i, p in enumerate(merges)}
+    sym_id = {p[0] + p[1]: 256 + i for i, p in enumerate(merges)}
+    rx = re.compile(BPE_SPLIT_PATTERN_PY)
+    for text in ["hello world", " low lower hello", "héhé!", "",
+                 "unseen wörds 42 all-bytes \x01\x7f"]:
+        ids = []
+        for w in rx.findall(text):
+            wb = w.encode()
+            ids.extend(sym_id[s] if len(s) > 1 else s[0]
+                       for s in _segment(wb, ranks, {}))
+        assert bpe_decode_ids(ids, merges) == text, text
+
+
+def test_encode_ids_distributed_matches_counts():
+    import ray
+    from geoflow.text.bpetrain import (bpe_decode_ids, bpe_encode,
+                                       bpe_encode_ids, learn_merges)
+    texts = ["hello hello world", "", "low lower", "héhé héhé"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                       type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    merges = learn_merges({"hello": 2, "héhé": 2}, 32, min_count=2)
+    ds = ray.data.from_arrow(tbl)
+    ids = {r["doc_id"]: r["token_ids"]
+           for r in bpe_encode_ids(ds, merges).take_all()}
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_encode(ray.data.from_arrow(tbl),
+                                  merges).take_all()}
+    for k, t in enumerate(texts):
+        assert len(ids[k]) == counts[k], (k, t)
+        assert bpe_decode_ids(ids[k], merges) == t, (k, t)
+
+
 # ---------------------------------------------------------------------------
 # distributed path (Ray session from conftest)
 # ---------------------------------------------------------------------------
@@ -213,6 +257,32 @@ def test_train_bpe_deterministic():
     m1 = train_bpe(ds, "text", num_merges=64, min_count=6)
     m2 = train_bpe(_probe_ds(48), "text", num_merges=64, min_count=6)
     assert m1 == m2 and len(m1) > 0
+
+
+def test_tokenizer_feeds_sequence_packing():
+    # end-to-end training-data chain: train BPE -> encode counts ->
+    # pack into fixed-length sequences; token mass is conserved
+    from geoflow.text.packing import pack_sequences
+    n, seq_len = 60, 32
+    ds = _probe_ds(n)
+    merges = train_bpe(ds, "text", num_merges=512, min_count=max(2, n // 8))
+    enc = bpe_encode(_probe_ds(n), merges).map_batches(
+        lambda b: b.select(["doc_id", "n_bpe_tokens"]).rename_columns(
+            ["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+    packed = {r["doc_id"]: r for r in
+              pack_sequences(enc, ntok_col="n_tokens", key_col="doc_id",
+                             seq_len=seq_len).take_all()}
+    assert set(packed) == set(range(n))
+    # one bucket (n < bucket_docs): recompute stream offsets from the
+    # closed-form counts and check every doc's sequence span
+    off = 0
+    for k in range(n):
+        nt = 10 + 2 * (k % 3 == 1) + 4 * (k % 2 == 0)
+        assert packed[k]["n_tokens"] == nt, k
+        assert packed[k]["seq_first"] == off // seq_len, k
+        assert packed[k]["seq_last"] == (off + nt - 1) // seq_len, k
+        off += nt
 
 
 def test_encode_handles_null_and_empty_text():
