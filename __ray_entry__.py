@@ -1435,6 +1435,44 @@ def q_hll_registers(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_cms_counters(sf_dir: str):
+    """Count-Min COUNTER STATE, oracle-gated (depth=3, width=256,
+    class-default salts): per-batch CountMinSketch over
+    splitmix64(user_id), counter matrix emitted as (depth, bucket,
+    cnt) partials, merged by ONE groupby sum (sum-merge IS the CMS
+    merge law). DuckDB reproduces the double-mix bucket derivation
+    bit-exactly (_sql_mix64_chain), so the sketch behind the
+    heavy-hitter prune is value-gated — complementing heavy_tokens,
+    which gates only the exact final output."""
+    from geoflow.ops.sketches import CountMinSketch
+    from geoflow.text.hashing import mix64
+    D, W = 3, 256
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cms = CountMinSketch(depth=D, width=W)
+        cms.add_hashes(mix64(uid.view(np.uint64)))
+        depth = np.repeat(np.arange(D, dtype=np.int64), W)
+        bucket = np.tile(np.arange(W, dtype=np.int64), D)
+        cnt = cms.counts.reshape(-1)
+        nz = cnt > 0
+        return pa.table({"depth": pa.array(depth[nz]),
+                         "bucket": pa.array(bucket[nz]),
+                         "cnt": pa.array(cnt[nz])})
+
+    out = _read(sf_dir, "events", ["user_id"]) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .groupby(["depth", "bucket"]).sum("cnt")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"depth": b.column("depth"),
+                         "bucket": b.column("bucket"),
+                         "cnt": pc.cast(b.column("sum(cnt)"), pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_dbscan(sf_dir: str):
     """Deterministic distributed DBSCAN (geoflow.ops.clustering.dbscan —
     eps-grid 9-replication neighbor counts, core-graph connected
@@ -2787,6 +2825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "hll_registers": q_hll_registers,
+        "cms_counters": q_cms_counters,
         "dbscan": q_dbscan,
         "kmeans": q_kmeans,
         "cluster_within": q_cluster_within,
@@ -2830,6 +2869,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strat_sample": q_strat_sample,
         "flagship": q_flagship,
     }
+
+
+_SQL_U64 = "18446744073709551616"
+
+
+def _sql_mix64_chain(src: str, in_expr: str, out_col: str,
+                     carry: tuple = ()) -> str:
+    """SQL relation reproducing text/hashing.mix64 (splitmix64
+    avalanche) BIT-EXACTLY on ``in_expr`` (a non-negative HUGEINT
+    expression over ``src``): HUGEINT is signed 128-bit, so each
+    64×64→64 multiply is split into 32-bit halves mod 2^64. Returns
+    ``SELECT <carry...>, mix64(in_expr) AS <out_col> FROM <src>`` as a
+    nested-subquery chain (linear size). Verified against numpy in
+    tests and by the hll_registers / cms_counters driver gates."""
+    c = ", ".join(carry)
+    cpre = (c + ", ") if c else ""
+    q = f"SELECT {cpre}{in_expr} AS z FROM {src}"
+    q = f"SELECT {cpre}xor(z, z >> 30) AS z FROM ({q}) m0"
+    q = (f"SELECT {cpre}((z * 484763065 + (((z % 4294967296) * 3210233709)"
+         f" % 4294967296) * 4294967296) % {_SQL_U64}) AS z FROM ({q}) m1")
+    q = f"SELECT {cpre}xor(z, z >> 27) AS z FROM ({q}) m2"
+    q = (f"SELECT {cpre}((z * 321982955 + (((z % 4294967296) * 2496678331)"
+         f" % 4294967296) * 4294967296) % {_SQL_U64}) AS z FROM ({q}) m3")
+    return f"SELECT {cpre}xor(z, z >> 31) AS {out_col} FROM ({q}) m4"
+
+
+_SQL_UID_U64 = ("(SELECT event_type, CASE WHEN user_id < 0 "
+                f"THEN CAST(user_id AS HUGEINT) + {_SQL_U64} "
+                "ELSE CAST(user_id AS HUGEINT) END AS u FROM events) uu")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3263,32 +3331,11 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(value * 1000.0) AS BIGINT) AS value_milli
                   FROM events)
             GROUP BY event_type""",
-        "hll_registers": """
-            WITH m AS (
-              SELECT event_type, xor(d, d >> 31) AS h FROM (
-                SELECT event_type,
-                  (( (c * 321982955)
-                   + (((c % 4294967296) * 2496678331) % 4294967296)
-                     * 4294967296
-                   ) % 18446744073709551616) AS d
-                FROM (
-                  SELECT event_type, xor(b, b >> 27) AS c FROM (
-                    SELECT event_type,
-                      (( (a * 484763065)
-                       + (((a % 4294967296) * 3210233709) % 4294967296)
-                         * 4294967296
-                       ) % 18446744073709551616) AS b
-                    FROM (
-                      SELECT event_type, xor(h0, h0 >> 30) AS a
-                      FROM (SELECT event_type,
-                                   CASE WHEN user_id < 0
-                                        THEN CAST(user_id AS HUGEINT)
-                                             + 18446744073709551616
-                                        ELSE CAST(user_id AS HUGEINT)
-                                   END AS h0
-                            FROM events) t0) t1) t2) t3) t4),
+        "hll_registers": f"""
+            WITH m AS ({_sql_mix64_chain(_SQL_UID_U64, "u", "h",
+                                         ("event_type",))}),
             r AS (SELECT event_type, CAST(h >> 54 AS BIGINT) AS reg_idx,
-                         (h << 10) % 18446744073709551616 AS rem FROM m),
+                         (h << 10) % {_SQL_U64} AS rem FROM m),
             rk AS (SELECT event_type, reg_idx,
                      LEAST(COALESCE(
                        (SELECT MIN(g.i)
@@ -3298,6 +3345,19 @@ def oracle_sql() -> dict[str, str]:
                    FROM r)
             SELECT event_type, reg_idx, CAST(MAX(rnk) AS BIGINT) AS reg_rank
             FROM rk GROUP BY event_type, reg_idx""",
+        "cms_counters": f"""
+            WITH h1 AS ({_sql_mix64_chain(_SQL_UID_U64, "u", "h")}),
+            sx AS (SELECT d.i AS depth,
+                          xor(h, CASE d.i
+                                 WHEN 0 THEN 13668716854216234992
+                                 WHEN 1 THEN 1569357542320612025
+                                 ELSE 18283364107299824138 END) AS hs
+                   FROM h1, (SELECT unnest(range(3)) AS i) d),
+            h2 AS ({_sql_mix64_chain("sx", "hs", "h", ("depth",))})
+            SELECT CAST(depth AS BIGINT) AS depth,
+                   CAST(h % 256 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM h2 GROUP BY depth, bucket""",
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
