@@ -819,6 +819,52 @@ def q_video_frames(sf_dir: str):
         .map_batches(stats, batch_format="pyarrow")
 
 
+def q_video_motion(sf_dir: str):
+    """Video TEMPORAL features through the real MJPEG/AVI path,
+    oracle-gated: same planted 4-frame constant-gray videos as
+    q_video_frames (frame f = (7*doc_id+31*f) % 251, bit-exact through
+    JPEG at q=100), then MotionFeatures — Σ|Δ| motion energy,
+    PySceneDetect-style mean-abs-diff cut count (threshold 100: a cut
+    iff the mod-251 wrap makes |Δg|=220 instead of 31), peak
+    transition. SQL recomputes all three per doc from the closed
+    forms; any frame-order, decode, or diff fault mismatches."""
+    from geoflow.media import MediaDecoder, MotionFeatures, \
+        avi_encode_mjpeg
+
+    NF, H, W = 4, 16, 16
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        payloads = []
+        for k in ids.tolist():
+            frames = np.stack([np.full((H, W), (7 * k + 31 * f) % 251,
+                                       np.uint8) for f in range(NF)])
+            payloads.append(avi_encode_mjpeg(frames, fps=10, quality=100))
+        n = len(ids)
+        return pa.table({
+            "key": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(np.full(n, W, np.int32)),
+            "height": pa.array(np.full(n, H, np.int32)),
+            "channels": pa.array(np.full(n, 1, np.int32)),
+            "n_frames": pa.array(np.full(n, NF, np.int32)),
+            "codec": pa.array(["mjpeg_avi"] * n, type=pa.string())})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("key"),
+                         "motion_energy": b.column("motion_energy"),
+                         "n_cuts": b.column("n_cuts"),
+                         "peak_diff": b.column("peak_diff")})
+
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow") \
+        .map_batches(MediaDecoder(), batch_format="pyarrow") \
+        .map_batches(MotionFeatures(cut_threshold=100),
+                     batch_format="pyarrow") \
+        .map_batches(rename, batch_format="pyarrow")
+
+
 def q_raster_stats(sf_dir: str):
     """Raster pipeline parity: per part, build a deterministic 4x4 uint8
     raster (pixel[i] = (p_partkey*16 + i) % 251), run it through the
@@ -2799,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setops_overlay": q_setops_overlay,
         "media_stats": q_media_stats,
         "video_frames": q_video_frames,
+        "video_motion": q_video_motion,
         "audio_features": q_audio_features,
         "raster_stats": q_raster_stats,
         "zonal_stats": q_zonal_stats,
@@ -3177,6 +3224,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST((7 * doc_id + 31 * f) % 251 AS BIGINT) AS px_min,
                    CAST((7 * doc_id + 31 * f) % 251 AS BIGINT) AS px_max
             FROM documents, unnest([0, 2]) AS g(f)""",
+        "video_motion": """
+            WITH tr AS (
+              SELECT doc_id,
+                     abs(((7 * doc_id + 31 * (f + 1)) % 251)
+                         - ((7 * doc_id + 31 * f) % 251)) AS d
+              FROM documents, unnest([0, 1, 2]) AS g(f))
+            SELECT doc_id,
+                   CAST(256 * SUM(d) AS BIGINT) AS motion_energy,
+                   CAST(SUM(CASE WHEN d >= 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cuts,
+                   CAST(256 * MAX(d) AS BIGINT) AS peak_diff
+            FROM tr GROUP BY doc_id""",
         "audio_features": """
             WITH s AS (
               SELECT doc_id, g.i AS i,

@@ -199,6 +199,50 @@ class FrameSampler:
             "pixels": pa.array(opx, type=pa.binary())})
 
 
+class MotionFeatures:
+    """Temporal features over a decoded multi-frame (video) payload —
+    the standard video-curation signals (PySceneDetect-style
+    mean-abs-diff content metric, integer-exact):
+
+      motion_energy   Σ over frame transitions of Σ|frame[f+1]-frame[f]|
+                      (int64 — order-free, hashable across engines)
+      n_cuts          transitions whose MEAN abs diff (per pixel,
+                      integer-floored) >= cut_threshold
+      peak_diff       max per-transition Σ|Δ| (0 for single-frame)
+
+    Input: rows with pixels (n_frames·h·w·c uint8 bytes) + the metadata
+    columns. One vectorized pass per row (frames stacked, one abs-diff
+    over the whole stack); no Python per pixel or per frame."""
+
+    def __init__(self, cut_threshold: int = 30):
+        self.cut_threshold = int(cut_threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("pixels").to_pylist()
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        c = batch.column("channels").to_numpy(zero_copy_only=False)
+        f = batch.column("n_frames").to_numpy(zero_copy_only=False)
+        energy = np.zeros(len(bufs), dtype=np.int64)
+        cuts = np.zeros(len(bufs), dtype=np.int64)
+        peak = np.zeros(len(bufs), dtype=np.int64)
+        for i, buf in enumerate(bufs):
+            nf, fsz = int(f[i]), int(w[i]) * int(h[i]) * int(c[i])
+            if nf < 2:
+                continue
+            px = np.frombuffer(buf, dtype=np.uint8)[:nf * fsz] \
+                .reshape(nf, fsz).astype(np.int64)
+            d = np.abs(np.diff(px, axis=0)).sum(axis=1)
+            energy[i] = int(d.sum())
+            peak[i] = int(d.max())
+            cuts[i] = int(np.count_nonzero(d // fsz >= self.cut_threshold))
+        return pa.table({
+            "key": batch.column("key"),
+            "motion_energy": pa.array(energy),
+            "n_cuts": pa.array(cuts),
+            "peak_diff": pa.array(peak)})
+
+
 class AudioFeatures:
     """PCM → integer-exact features: rms_milli (int64, floor of
     RMS*1000) + zero crossings, over interleaved signed samples.

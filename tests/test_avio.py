@@ -65,6 +65,36 @@ def test_decode_mismatched_frame_shapes_raises():
         avi_decode_mjpeg(buf)
 
 
+def test_motion_features_closed_form_and_brute():
+    from geoflow.media import MotionFeatures
+    h, w = 6, 7
+    rng = np.random.default_rng(11)
+    rows = []
+    for k, nf in [(3, 4), (9, 1), (12, 3)]:
+        fr = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+        rows.append((k, nf, fr))
+    batch = pa.table({
+        "key": pa.array([r[0] for r in rows], type=pa.int64()),
+        "pixels": pa.array([r[2].tobytes() for r in rows],
+                           type=pa.binary()),
+        "width": pa.array(np.full(3, w, np.int32)),
+        "height": pa.array(np.full(3, h, np.int32)),
+        "channels": pa.array(np.full(3, 1, np.int32)),
+        "n_frames": pa.array(np.array([r[1] for r in rows], np.int32))})
+    out = {r["key"]: r for r in
+           MotionFeatures(cut_threshold=30)(batch).to_pylist()}
+    for k, nf, fr in rows:
+        px = fr.reshape(nf, -1).astype(np.int64)
+        if nf < 2:
+            assert out[k] == {"key": k, "motion_energy": 0,
+                              "n_cuts": 0, "peak_diff": 0}
+            continue
+        d = np.abs(np.diff(px, axis=0)).sum(axis=1)
+        assert out[k]["motion_energy"] == d.sum()
+        assert out[k]["peak_diff"] == d.max()
+        assert out[k]["n_cuts"] == int((d // (h * w) >= 30).sum())
+
+
 def test_media_decoder_video_path_and_frame_sampler():
     keys = np.array([5, 9], dtype=np.int64)
     nf, h, w = 4, 16, 16
