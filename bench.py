@@ -108,6 +108,23 @@ BENCH_CORPUS_DIR = os.environ.get("GRAFT_BENCH_DIR",
                                   "/tmp/geoflow_bench_corpus")
 
 
+def _host_canary() -> float:
+    """Single-thread compute probe (seconds; smaller = healthier box).
+    This sandbox's host slows compute by up to ~1.9x in windows that
+    are INVISIBLE to /proc/stat steal, load average, or process lists
+    (measured session 9: steal 0.18 cpu, idle box, disk 2.7 GB/s —
+    yet this canary 14% slower and 16-cpu legs 1.8x slower than the
+    settled records). Recording it beside every scaling leg makes a
+    run's numbers interpretable: compare legs only across similar
+    canary readings."""
+    import numpy as np
+    a = np.random.default_rng(0).random((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        (a @ a).sum()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _ensure_bench_corpus(rows: int) -> str:
     """Generate the seeded corpus ONCE to parquet (BASELINE.md protocol
     step 1); both scaling runs then read the identical files. One file per
@@ -250,8 +267,10 @@ def run_scaling():
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
             rec = json.loads(line)
+            rec["canary_s"] = _host_canary()
             print(f"# num_cpus={cpus} run {rep + 1}/{repeat}: "
-                  f"{rec['rows_per_sec']:.0f} rows/s ({rec['sec']:.2f}s)",
+                  f"{rec['rows_per_sec']:.0f} rows/s ({rec['sec']:.2f}s) "
+                  f"canary={rec['canary_s']}s",
                   file=sys.stderr)
             if best is None or rec["rows_per_sec"] > best["rows_per_sec"]:
                 best = rec
@@ -272,7 +291,9 @@ def run_scaling():
         "queries": {f"rows_per_sec_cpus{lo}": round(rps_lo, 1),
                     f"rows_per_sec_cpus{hi}": round(rps_hi, 1),
                     f"sec_cpus{lo}": round(results[lo]["sec"], 3),
-                    f"sec_cpus{hi}": round(results[hi]["sec"], 3)},
+                    f"sec_cpus{hi}": round(results[hi]["sec"], 3),
+                    f"canary_s_cpus{lo}": results[lo].get("canary_s"),
+                    f"canary_s_cpus{hi}": results[hi].get("canary_s")},
         "sf": f"synth:{SCALE_ROWS}",
         "num_cpus": hi,
     }))
