@@ -2932,7 +2932,7 @@ def _sql_mix64_chain(src: str, in_expr: str, out_col: str,
     tests and by the hll_registers / cms_counters driver gates."""
     c = ", ".join(carry)
     cpre = (c + ", ") if c else ""
-    q = f"SELECT {cpre}{in_expr} AS z FROM {src}"
+    q = f"SELECT {cpre}CAST(({in_expr}) AS HUGEINT) AS z FROM {src}"
     q = f"SELECT {cpre}xor(z, z >> 30) AS z FROM ({q}) m0"
     q = (f"SELECT {cpre}((z * 484763065 + (((z % 4294967296) * 3210233709)"
          f" % 4294967296) * 4294967296) % {_SQL_U64}) AS z FROM ({q}) m1")

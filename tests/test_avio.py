@@ -65,6 +65,38 @@ def test_decode_mismatched_frame_shapes_raises():
         avi_decode_mjpeg(buf)
 
 
+def test_roundtrip_fuzz_shapes_and_channels():
+    # random shapes (incl. non-multiple-of-8 dims), 1 and 3 channels,
+    # smooth content: container must round-trip shape/fps exactly and
+    # pixels within JPEG tolerance at quality=95
+    rng = np.random.default_rng(20260819)
+    for trial in range(12):
+        nf = int(rng.integers(1, 6))
+        h = int(rng.integers(5, 40))
+        w = int(rng.integers(5, 40))
+        c = int(rng.choice([1, 3]))
+        fps = int(rng.integers(1, 61))
+        base = rng.integers(0, 200, (h, w), dtype=np.int64)
+        # smooth it (JPEG-friendly) with a box blur
+        k = np.ones((3, 3)) / 9.0
+        sm = base.astype(float)
+        for _ in range(2):
+            p = np.pad(sm, 1, mode="edge")
+            sm = sum(p[i:i + h, j:j + w] * k[i, j]
+                     for i in range(3) for j in range(3))
+        fr = np.stack([(sm + 5 * f).clip(0, 255).astype(np.uint8)
+                       for f in range(nf)])
+        if c == 3:
+            fr = np.repeat(fr[:, :, :, None], 3, axis=3)
+        out, got_fps = avi_decode_mjpeg(avi_encode_mjpeg(fr, fps=fps,
+                                                         quality=95))
+        want = fr if fr.ndim == 4 else fr[:, :, :, None]
+        assert out.shape == want.shape, (trial, out.shape, want.shape)
+        assert got_fps == fps, trial
+        err = np.abs(out.astype(int) - want.astype(int)).mean()
+        assert err < 4.0, (trial, err)
+
+
 def test_motion_features_closed_form_and_brute():
     from geoflow.media import MotionFeatures
     h, w = 6, 7
