@@ -119,9 +119,27 @@ def _huff_codes(bits, values):
 
 
 def _huff_decode_map(bits, values):
-    """{(length, code): symbol} for MSB-first sequential decode."""
-    enc = _huff_codes(bits, values)
-    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+    """{(length, code): symbol} for MSB-first sequential decode.
+    Cached per table content — tiny-image decode calls this for every
+    DHT segment, and the standard tables repeat in every stream."""
+    key = (bytes(bits), bytes(values))
+    m = _DEC_CACHE.get(key)
+    if m is None:
+        enc = _huff_codes(bits, values)
+        m = {(ln, code): sym for sym, (code, ln) in enc.items()}
+        if len(_DEC_CACHE) > 64:
+            _DEC_CACHE.clear()
+        _DEC_CACHE[key] = m
+    return m
+
+
+_DEC_CACHE: dict = {}
+
+# encoder-side tables are spec constants — built once at import
+_DC_LUM_T = _huff_codes(*_DC_LUM)
+_AC_LUM_T = _huff_codes(*_AC_LUM)
+_DC_CHR_T = _huff_codes(*_DC_CHR)
+_AC_CHR_T = _huff_codes(*_AC_CHR)
 
 
 # orthonormal 8x8 DCT-II matrix: F = C @ f @ C.T reproduces the T.81
@@ -198,7 +216,10 @@ def _plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     nby, nbx = h // 8, w // 8
     f = plane.astype(np.float64) - 128.0
     blocks = f.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ij,bcjk,lk->bcil", _C, blocks, _C, optimize=True)
+    # matmul broadcasts over the leading block dims; einsum(optimize=
+    # True) re-derived its contraction path on EVERY call (~30% of a
+    # tiny-image encode)
+    coef = _C @ blocks @ _C.T
     zz = coef.reshape(nby, nbx, 64)[:, :, ZIGZAG]
     # symmetric rounding to match round(coef/q)
     qz = np.round(zz / qtab.astype(np.float64)).astype(np.int64)
@@ -308,12 +329,8 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
     qtabs = [qlum] + [qchr] * (ncomp - 1)
     comp_zz = [_plane_blocks(p, q) for p, q in zip(planes, qtabs)]
 
-    dc_lum_t = _huff_codes(*_DC_LUM)
-    ac_lum_t = _huff_codes(*_AC_LUM)
-    dc_chr_t = _huff_codes(*_DC_CHR)
-    ac_chr_t = _huff_codes(*_AC_CHR)
-    dc_tabs = [dc_lum_t] + [dc_chr_t] * (ncomp - 1)
-    ac_tabs = [ac_lum_t] + [ac_chr_t] * (ncomp - 1)
+    dc_tabs = [_DC_LUM_T] + [_DC_CHR_T] * (ncomp - 1)
+    ac_tabs = [_AC_LUM_T] + [_AC_CHR_T] * (ncomp - 1)
 
     # header
     out = bytearray()
@@ -607,7 +624,7 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
             raise ValueError("jpeg: missing quantization table")
         zz = per_comp_blocks[ci].astype(np.float64) * q.astype(np.float64)
         nat = zz[:, _UNZIGZAG].reshape(-1, 8, 8)
-        pix = np.einsum("ji,bjk,kl->bil", _C, nat, _C, optimize=True)
+        pix = _C.T @ nat @ _C
         pix = pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
         plane = pix.reshape(nby * 8, nbx * 8) + 128.0
         # upsample to the full MCU-aligned grid, then crop
