@@ -1481,6 +1481,20 @@ def q_hll_registers(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_table_profile(sf_dir: str):
+    """Distributed data-quality PROFILE of lineitem (ops/profile.py):
+    per-column row/null counts + min/max in one streaming pass —
+    per-batch partials collapse each batch to one 40-byte row per
+    column, then a #columns-cardinality groupby. min/max are
+    order-free (hash-safe); string columns profile BYTE length
+    (DuckDB strlen == Arrow binary_length); timestamps profile
+    epoch-microseconds (exact in float64 below 2^53)."""
+    from geoflow.ops.profile import profile_columns
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_shipdate"]
+    return profile_columns(_read(sf_dir, "lineitem", cols), cols)
+
+
 def q_cms_counters(sf_dir: str):
     """Count-Min COUNTER STATE, oracle-gated (depth=3, width=256,
     class-default salts): per-batch CountMinSketch over
@@ -2873,6 +2887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": q_hll_users,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
+        "table_profile": q_table_profile,
         "dbscan": q_dbscan,
         "kmeans": q_kmeans,
         "cluster_within": q_cluster_within,
@@ -3417,6 +3432,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h % 256 AS BIGINT) AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM h2 GROUP BY depth, bucket""",
+        "table_profile": """
+            SELECT 'l_orderkey' AS col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+                   CAST(MIN(l_orderkey) AS DOUBLE) AS min_v,
+                   CAST(MAX(l_orderkey) AS DOUBLE) AS max_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+                   CAST(MIN(l_quantity) AS DOUBLE),
+                   CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+                   CAST(MIN(l_extendedprice) AS DOUBLE),
+                   CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+                   CAST(MIN(strlen(l_returnflag)) AS DOUBLE),
+                   CAST(MAX(strlen(l_returnflag)) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+                   CAST(MIN(epoch_us(l_shipdate)) AS DOUBLE),
+                   CAST(MAX(epoch_us(l_shipdate)) AS DOUBLE) FROM lineitem""",
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",

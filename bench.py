@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "substr_dedup", "near_dup_clusters", "cluster_dedup", "nfc_norm",
     "c4_filter", "dsir_filter", "semdedup", "zonal_stats",
     "audio_features", "bpe_train", "video_frames", "hll_registers",
-    "cms_counters", "video_motion", "keyword_search",
+    "cms_counters", "video_motion", "keyword_search", "table_profile",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -1,0 +1,89 @@
+"""Distributed table profiling: per-column row/null counts and
+min/max in ONE streaming pass.
+
+The data-quality step every corpus pipeline runs before training
+(column completeness, range sanity, schema drift detection). No
+reference equivalent (jena-geo's aggregate surface is per-query
+Min/Max/Avg — aggregates/*.java); this is engine infrastructure like
+sketches.py.
+
+Scale shape: each batch collapses to ONE tiny row per profiled column
+(n, nulls, min, max — computed by pyarrow.compute kernels, zero-copy),
+so a 10^12-row table exchanges only batches×columns 40-byte rows into
+a groupby over the column-name key (cardinality = #columns). min/max
+are order-independent and hash-safe across engines; sums of floats are
+deliberately NOT emitted (accumulation order differs — CLAUDE.md
+oracle-parity rules), and counts are int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["profile_columns", "profile_batch"]
+
+
+def profile_batch(batch: pa.Table, columns=None) -> pa.Table:
+    """One (col_name, n_rows, n_nulls, min_v, max_v) row per profiled
+    column of this batch. Numeric/temporal columns report min/max cast
+    to float64; string/binary report min/max BYTE LENGTH (the corpus
+    profiling convention — value ordering on text is collation-trapped
+    across engines, lengths are not)."""
+    cols = list(columns) if columns is not None else batch.column_names
+    names, nrows, nnull, mins, maxs = [], [], [], [], []
+    for name in cols:
+        col = batch.column(name)
+        t = col.type
+        names.append(name)
+        nrows.append(batch.num_rows)
+        nnull.append(col.null_count)
+        target = None
+        if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            target = pc.binary_length(col)
+        elif pa.types.is_integer(t) or pa.types.is_floating(t) \
+                or pa.types.is_boolean(t):
+            target = col
+        elif pa.types.is_timestamp(t) or pa.types.is_date(t) \
+                or pa.types.is_time(t):
+            target = pc.cast(col, pa.int64())
+        if target is None or batch.num_rows == col.null_count:
+            mins.append(None)
+            maxs.append(None)
+        else:
+            mm = pc.min_max(target)
+            mins.append(float(mm["min"].cast(pa.float64()).as_py()))
+            maxs.append(float(mm["max"].cast(pa.float64()).as_py()))
+    return pa.table({
+        "col_name": pa.array(names, type=pa.string()),
+        "n_rows": pa.array(np.asarray(nrows, dtype=np.int64)),
+        "n_nulls": pa.array(np.asarray(nnull, dtype=np.int64)),
+        "min_v": pa.array(mins, type=pa.float64()),
+        "max_v": pa.array(maxs, type=pa.float64())})
+
+
+def profile_columns(ds, columns=None):
+    """Dataset → Dataset[(col_name, n_rows, n_nulls, min_v, max_v)], one
+    row per column. Per-batch partials + one #columns-cardinality
+    groupby (Sum/Sum/Min/Max)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return profile_batch(batch, columns)
+
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("col_name").aggregate(
+            Sum("n_rows"), Sum("n_nulls"),
+            Min("min_v"), Max("max_v"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": b.column("col_name"),
+            "n_rows": pc.cast(b.column("sum(n_rows)"), pa.int64()),
+            "n_nulls": pc.cast(b.column("sum(n_nulls)"), pa.int64()),
+            "min_v": pc.cast(b.column("min(min_v)"), pa.float64()),
+            "max_v": pc.cast(b.column("max(max_v)"), pa.float64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
