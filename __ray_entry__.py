@@ -1495,6 +1495,17 @@ def q_table_profile(sf_dir: str):
     return profile_columns(_read(sf_dir, "lineitem", cols), cols)
 
 
+def q_source_profile(sf_dir: str):
+    """Per-GROUP table profile (ops/profile.py group_by=): data-quality
+    stats broken down by documents.lang — the per-source breakdown a
+    mixing decision reads. Same one-pass partial shape; groupby
+    cardinality = #langs × #columns."""
+    from geoflow.ops.profile import profile_columns
+    return profile_columns(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        ["doc_id", "text"], group_by="lang")
+
+
 def q_cms_counters(sf_dir: str):
     """Count-Min COUNTER STATE, oracle-gated (depth=3, width=256,
     class-default salts): per-batch CountMinSketch over
@@ -2888,6 +2899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
         "table_profile": q_table_profile,
+        "source_profile": q_source_profile,
         "dbscan": q_dbscan,
         "kmeans": q_kmeans,
         "cluster_within": q_cluster_within,
@@ -3432,6 +3444,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h % 256 AS BIGINT) AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM h2 GROUP BY depth, bucket""",
+        "source_profile": """
+            SELECT lang, 'doc_id' AS col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+                   CAST(MIN(doc_id) AS DOUBLE) AS min_v,
+                   CAST(MAX(doc_id) AS DOUBLE) AS max_v
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 'text', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(text) AS BIGINT),
+                   CAST(MIN(strlen(text)) AS DOUBLE),
+                   CAST(MAX(strlen(text)) AS DOUBLE)
+            FROM documents GROUP BY lang""",
         "table_profile": """
             SELECT 'l_orderkey' AS col_name,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -64,26 +64,45 @@ def profile_batch(batch: pa.Table, columns=None) -> pa.Table:
         "max_v": pa.array(maxs, type=pa.float64())})
 
 
-def profile_columns(ds, columns=None):
-    """Dataset → Dataset[(col_name, n_rows, n_nulls, min_v, max_v)], one
-    row per column. Per-batch partials + one #columns-cardinality
-    groupby (Sum/Sum/Min/Max)."""
+def profile_columns(ds, columns=None, group_by: str | None = None):
+    """Dataset → Dataset[(col_name, n_rows, n_nulls, min_v, max_v)],
+    one row per column — or per (group, column) with ``group_by`` (the
+    per-source / per-language corpus-quality breakdown that drives
+    mixing decisions). Per-batch partials + one groupby whose
+    cardinality is #columns (× #groups), never #rows."""
     from ray.data.aggregate import Max, Min, Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        return profile_batch(batch, columns)
+        if group_by is None:
+            return profile_batch(batch, columns)
+        gcol = pc.cast(batch.column(group_by), pa.string())
+        gd = pc.dictionary_encode(gcol).combine_chunks()
+        codes = gd.indices.to_numpy(zero_copy_only=False)
+        parts = []
+        for gi in range(len(gd.dictionary)):
+            sub = batch.filter(pa.array(codes == gi))
+            p = profile_batch(sub, columns)
+            parts.append(p.append_column(
+                group_by, pa.array([gd.dictionary[gi].as_py()]
+                                   * p.num_rows, type=pa.string())))
+        if not parts:
+            p = profile_batch(batch.slice(0, 0), columns)
+            return p.append_column(group_by,
+                                   pa.array([], type=pa.string()))
+        return pa.concat_tables(parts)
 
+    keys = ["col_name"] if group_by is None else [group_by, "col_name"]
     agg = ds.map_batches(partials, batch_format="pyarrow") \
-        .groupby("col_name").aggregate(
+        .groupby(keys if len(keys) > 1 else keys[0]).aggregate(
             Sum("n_rows"), Sum("n_nulls"),
             Min("min_v"), Max("max_v"))
 
     def rename(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "col_name": b.column("col_name"),
-            "n_rows": pc.cast(b.column("sum(n_rows)"), pa.int64()),
-            "n_nulls": pc.cast(b.column("sum(n_nulls)"), pa.int64()),
-            "min_v": pc.cast(b.column("min(min_v)"), pa.float64()),
-            "max_v": pc.cast(b.column("max(max_v)"), pa.float64())})
+        out = {k: b.column(k) for k in keys}
+        out["n_rows"] = pc.cast(b.column("sum(n_rows)"), pa.int64())
+        out["n_nulls"] = pc.cast(b.column("sum(n_nulls)"), pa.int64())
+        out["min_v"] = pc.cast(b.column("min(min_v)"), pa.float64())
+        out["max_v"] = pc.cast(b.column("max(max_v)"), pa.float64())
+        return pa.table(out)
 
     return agg.map_batches(rename, batch_format="pyarrow")

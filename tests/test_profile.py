@@ -34,6 +34,21 @@ def test_profile_batch_types_and_nulls():
     assert out["lst"]["n_nulls"] == 1 and out["lst"]["max_v"] is None
 
 
+def test_profile_columns_grouped():
+    import ray
+    tbl = pa.table({
+        "src": pa.array(["a", "a", "b", "b", "b"], type=pa.string()),
+        "v": pa.array([1, None, 10, 20, 30], type=pa.int64())})
+    out = {(r["src"], r["col_name"]): r for r in
+           profile_columns(ray.data.from_arrow(tbl), ["v"],
+                           group_by="src").take_all()}
+    assert out[("a", "v")] == {"src": "a", "col_name": "v", "n_rows": 2,
+                               "n_nulls": 1, "min_v": 1.0, "max_v": 1.0}
+    assert out[("b", "v")]["n_rows"] == 3
+    assert out[("b", "v")]["min_v"] == 10.0
+    assert out[("b", "v")]["max_v"] == 30.0
+
+
 def test_profile_columns_distributed_merge():
     import ray
     ds = ray.data.from_arrow(_tbl()).union(
