@@ -77,14 +77,22 @@ def profile_columns(ds, columns=None, group_by: str | None = None):
             return profile_batch(batch, columns)
         gcol = pc.cast(batch.column(group_by), pa.string())
         gd = pc.dictionary_encode(gcol).combine_chunks()
-        codes = gd.indices.to_numpy(zero_copy_only=False)
+        # NULL group keys: dictionary_encode yields null indices —
+        # fill to -1 so those rows land in a dedicated NULL-group
+        # partition (matching SQL GROUP BY, which emits a NULL group)
+        # instead of silently vanishing from every `codes == gi` mask.
+        codes = gd.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        groups = [(gi, gd.dictionary[gi].as_py())
+                  for gi in range(len(gd.dictionary))]
+        if (codes == -1).any():
+            groups.append((-1, None))
         parts = []
-        for gi in range(len(gd.dictionary)):
+        for gi, gval in groups:
             sub = batch.filter(pa.array(codes == gi))
             p = profile_batch(sub, columns)
             parts.append(p.append_column(
-                group_by, pa.array([gd.dictionary[gi].as_py()]
-                                   * p.num_rows, type=pa.string())))
+                group_by, pa.array([gval] * p.num_rows,
+                                   type=pa.string())))
         if not parts:
             p = profile_batch(batch.slice(0, 0), columns)
             return p.append_column(group_by,

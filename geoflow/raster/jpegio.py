@@ -484,6 +484,10 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them (external encoders emit them; ours doesn't)
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -268,8 +268,11 @@ def bpe_encode_batch(batch: pa.Table, merges_ref,
 #     token (every intermediate pair of a word with count ≥ min_count
 #     itself has count ≥ min_count, so merging runs to completion).
 #   * docs with k%3==1 add one "class-C" word: frequent base +
-#     uppercase suffix chr(65+(5k+1)%16) ('A'..'P'). Each distinct
-#     class-C string has count ~N/768 < min_count and its final pair
+#     uppercase suffix chr(65+(5k+1)%16) ('A'..'P'). The string is
+#     determined by k mod 48 (k%3==1 selects 16 residues mod 48; base
+#     (7k+3)%16 and suffix (5k+1)%16 both repeat with period 48 on
+#     them), so each distinct class-C string has count ~N/48 —
+#     below min_count = N//8 with a 6x margin — and its final pair
 #     (base, suffix) stays unmergeable → exactly 2 tokens.
 #   * docs with k%2==0 add one "rare" word ' Q'+base26((k*2654435761
 #     mod 2^32) mod 17576): (' ','Q') has count N/2 → merges; every

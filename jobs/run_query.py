@@ -79,6 +79,9 @@ def main() -> int:
             out = {"query": args.name, "rows": n, "output": args.output,
                    "wall_s": round(time.monotonic() - t0, 3)}
         else:
+            # materialize ONCE: count() + take() on a lazy Dataset each
+            # re-execute the whole lineage (CLAUDE.md two-consumers rule)
+            res = res.materialize()
             n = res.count()
             out = {"query": args.name, "rows": n,
                    "schema": [f.name for f in res.schema().base_schema],
