@@ -54,17 +54,10 @@ BPE_SPLIT_PATTERN_PY = (r"'(?:s|t|re|ve|m|ll|d)"
                         r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w']|_)+|\s+")
 
 
-def _extract_all(col, pattern):
-    # Arrow has no extract_all kernel returning matched substrings as a
-    # list array, and split_pattern_regex on the complement is lossy —
-    # so pre-tokenization itself runs Python's re (same RE2-compatible,
-    # lookahead-free pattern Arrow/DuckDB use for COUNTS elsewhere).
-    # Cost note: this is the histogram/encode pre-pass, amortized by
-    # Zipf (the per-worker word memo makes the merge walk run at the
-    # distinct-word rate, and the histogram collapses per batch).
-    import re
-    rx = re.compile(pattern)
-    return [rx.findall(s) if s else [] for s in col.to_pylist()]
+# Pre-tokenization runs the vectorized codepoint-class machine in
+# pretoken.py (exact parity with this pattern, fuzz-tested); Python
+# work happens only at the distinct-word rate. The per-doc re.findall
+# fallback lives in pretoken._pretok_re (NUL-containing documents).
 
 
 def corpus_word_counts(ds, text_col: str = "text",
@@ -75,16 +68,12 @@ def corpus_word_counts(ds, text_col: str = "text",
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        docs = _extract_all(pc.fill_null(
-            pc.cast(batch.column(text_col), pa.string()), ""),
-            BPE_SPLIT_PATTERN_PY)
-        flat = np.asarray([w for d in docs for w in d], dtype=object)
-        if len(flat) == 0:
-            return pa.table({"w": pa.array([], type=pa.string()),
-                             "c": pa.array([], type=pa.int64())})
-        uniq, cnt = np.unique(flat.astype(str), return_counts=True)
-        return pa.table({"w": pa.array(uniq.tolist(), type=pa.string()),
-                         "c": pa.array(cnt.astype(np.int64))})
+        # vectorized pre-tokenization (pretoken.py): Python work only
+        # at the distinct-word rate, parity-fuzzed vs the re pattern
+        from .pretoken import pretokenize
+        p = pretokenize(batch.column(text_col))
+        return pa.table({"w": pa.array(p.words, type=pa.string()),
+                         "c": pa.array(p.counts, type=pa.int64())})
 
     agg = ds.map_batches(partials, batch_format="pyarrow") \
         .groupby("w").aggregate(Sum("c"))
@@ -235,21 +224,21 @@ def bpe_encode_batch(batch: pa.Table, merges_ref,
     """Per-doc BPE stats: n_pretokens, n_bpe_tokens, n_bytes.
     Broadcast merge table + per-worker word→segmentation memo."""
     ranks, memo = _ranks_get(merges_ref)
-    docs = _extract_all(pc.fill_null(
-        pc.cast(batch.column(text_col), pa.string()), ""),
-        BPE_SPLIT_PATTERN_PY)
-    n_pre = np.fromiter((len(d) for d in docs), np.int64, len(docs))
-    n_tok = np.zeros(len(docs), np.int64)
-    n_bytes = np.zeros(len(docs), np.int64)
-    for di, d in enumerate(docs):
-        t = 0
-        nb = 0
-        for w in d:
-            wb = w.encode("utf-8")
-            nb += len(wb)
-            t += len(_segment(wb, ranks, memo))
-        n_tok[di] = t
-        n_bytes[di] = nb
+    from .pretoken import pretokenize
+    p = pretokenize(batch.column(text_col))
+    k = len(p.words)
+    seglen = np.empty(k, np.int64)
+    wbyte = np.empty(k, np.int64)
+    for i, w in enumerate(p.words):  # distinct-rate only (memoized)
+        wb = w.encode("utf-8")
+        wbyte[i] = len(wb)
+        seglen[i] = len(_segment(wb, ranks, memo))
+    n_pre = np.bincount(p.doc_of, minlength=p.n_docs).astype(np.int64)
+    # float64 weights are exact below 2^53 — batch-bounded counts
+    n_tok = np.bincount(p.doc_of, weights=seglen[p.inv].astype(np.float64),
+                        minlength=p.n_docs).astype(np.int64)
+    n_bytes = np.bincount(p.doc_of, weights=wbyte[p.inv].astype(np.float64),
+                          minlength=p.n_docs).astype(np.int64)
     return batch.append_column(
         "n_pretokens", pa.array(n_pre)).append_column(
         "n_bpe_tokens", pa.array(n_tok)).append_column(
@@ -339,23 +328,42 @@ def bpe_encode_ids_batch(batch: pa.Table, merges_ref,
         "__sym_id__", {p[0] + p[1]: 256 + i for i, p in
                        enumerate(sorted(ranks, key=ranks.get))})
     id_memo = memo.setdefault("__ids__", {})
-    docs = _extract_all(pc.fill_null(
-        pc.cast(batch.column(text_col), pa.string()), ""),
-        BPE_SPLIT_PATTERN_PY)
-    out = []
-    for d in docs:
-        ids = []
-        for w in d:
-            wb = w.encode("utf-8")
-            cached = id_memo.get(wb)
-            if cached is None:
-                cached = [sym_id[s] if len(s) > 1 else s[0]
-                          for s in _segment(wb, ranks, memo)]
-                id_memo[wb] = cached
-            ids.extend(cached)
-        out.append(ids)
-    return batch.append_column(
-        out_col, pa.array(out, type=pa.list_(pa.int32())))
+    from .pretoken import pretokenize
+    p = pretokenize(batch.column(text_col))
+    dlists = []
+    for w in p.words:  # distinct-rate only (memoized across batches)
+        wb = w.encode("utf-8")
+        cached = id_memo.get(wb)
+        if cached is None:
+            cached = np.asarray(
+                [sym_id[s] if len(s) > 1 else s[0]
+                 for s in _segment(wb, ranks, memo)], np.int32)
+            id_memo[wb] = cached
+        dlists.append(cached)
+    if dlists:
+        dlen = np.fromiter((len(a) for a in dlists), np.int64, len(dlists))
+        dstart = np.zeros(len(dlists), np.int64)
+        np.cumsum(dlen[:-1], out=dstart[1:])
+        dconcat = np.concatenate(dlists)
+        # vectorized gather: token i copies dconcat[dstart[j]:+dlen[j]]
+        tok_len = dlen[p.inv]
+        total = int(tok_len.sum())
+        csum = np.zeros(len(tok_len), np.int64)
+        np.cumsum(tok_len[:-1], out=csum[1:])
+        idx = (np.repeat(dstart[p.inv], tok_len)
+               + np.arange(total) - np.repeat(csum, tok_len))
+        flat = dconcat[idx]
+        doc_len = np.bincount(p.doc_of, weights=tok_len.astype(np.float64),
+                              minlength=p.n_docs).astype(np.int64)
+    else:
+        flat = np.empty(0, np.int32)
+        doc_len = np.zeros(p.n_docs, np.int64)
+    offsets = np.zeros(p.n_docs + 1, np.int64)
+    np.cumsum(doc_len, out=offsets[1:])
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), type=pa.int32()),
+        pa.array(flat, type=pa.int32()))
+    return batch.append_column(out_col, lst)
 
 
 def bpe_encode_ids(ds, merges, text_col: str = "text",

@@ -67,10 +67,11 @@ def train_bigram_lm(ds, text_col: str = "text", top_unigrams: int = 4096,
 
     def partials(batch: pa.Table) -> pa.Table:
         th, bi, parent, bparent, flat, _ = _grams(batch.column(text_col))
-        toks = flat.to_pylist()
         u_gram, u_first, u_cnt = np.unique(th, return_index=True,
                                            return_counts=True)
-        names = [toks[i] for i in u_first]
+        # gram strings only at the DISTINCT rate, via Arrow take — no
+        # to_pylist of the full token stream (r3 verdict perf nit)
+        names = flat.take(pa.array(u_first, type=pa.int64()))
         # bigram strings: "tok1 tok2" at the pair's first occurrence
         b_gram, b_first, b_cnt = np.unique(bi, return_index=True,
                                            return_counts=True)
@@ -78,12 +79,21 @@ def train_bigram_lm(ds, text_col: str = "text", top_unigrams: int = 4096,
         # parent matched; map back through the same mask
         pos = np.nonzero(parent[:-1] == parent[1:])[0] if len(th) else \
             np.empty(0, np.int64)
-        b_names = [f"{toks[pos[i]]} {toks[pos[i] + 1]}" for i in b_first]
+        bpos = pos[b_first] if len(b_first) else np.empty(0, np.int64)
+        b_names = pc.binary_join_element_wise(
+            flat.take(pa.array(bpos, type=pa.int64())),
+            flat.take(pa.array(bpos + 1, type=pa.int64())), " ")
+        gram = pa.concat_arrays([
+            pc.cast(names, pa.string()).combine_chunks()
+            if isinstance(names, pa.ChunkedArray) else names,
+            b_names.combine_chunks()
+            if isinstance(b_names, pa.ChunkedArray) else b_names])
         return pa.table({
-            "gram": pa.array(names + b_names, type=pa.string()),
+            "gram": gram,
             "h": pa.array(np.concatenate([u_gram, b_gram]).view(np.int64)),
-            "kind": pa.array([0] * len(u_gram) + [1] * len(b_gram),
-                             type=pa.int8()),
+            "kind": pa.array(
+                np.concatenate([np.zeros(len(u_gram), np.int8),
+                                np.ones(len(b_gram), np.int8)])),
             "c": pa.array(np.concatenate([u_cnt, b_cnt]).astype(np.int64)),
         })
 

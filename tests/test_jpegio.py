@@ -156,3 +156,30 @@ def test_media_decoder_real_jpeg():
     px = np.frombuffer(out.column("pixels")[0].as_py(),
                        np.uint8).reshape(24, 16, 3)
     assert np.abs(px.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_fill_bytes_before_markers_tolerated():
+    # T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker;
+    # external encoders emit them (ADVICE r3). Inject fill bytes before
+    # every marker segment of an own-encoded stream and re-decode.
+    img = _gradient(16, 16)
+    buf = jpeg_encode(img, quality=90)
+    out = bytearray(buf[:2])  # SOI stays at offset 0
+    i = 2
+    n = len(buf)
+    while i < n:
+        if buf[i] == 0xFF and i + 1 < n and buf[i + 1] != 0x00:
+            out += b"\xff\xff"  # fill bytes, then the real marker
+            out += buf[i:i + 2]
+            i += 2
+            if buf[i - 1] == 0xDA:
+                # entropy-coded scan follows SOS header: copy the rest
+                # untouched (fill injection inside the scan is invalid)
+                out += buf[i:]
+                break
+        else:
+            out += buf[i:i + 1]
+            i += 1
+    dec_plain = jpeg_decode(buf)
+    dec_fill = jpeg_decode(bytes(out))
+    assert np.array_equal(dec_plain, dec_fill)

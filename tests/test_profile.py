@@ -67,3 +67,20 @@ def test_profile_columns_distributed_merge():
     assert out["f"]["n_nulls"] == 2 and out["f"]["max_v"] == 9.0
     assert out["s"]["max_v"] == 14.0
     assert out["dead"]["n_nulls"] == 6 and out["dead"]["min_v"] is None
+
+
+def test_profile_columns_null_group_key():
+    # NULL group keys must land in a dedicated NULL group (SQL GROUP BY
+    # semantics), not silently vanish from the counts (ADVICE r3).
+    import ray
+    tbl = pa.table({
+        "src": pa.array(["a", None, "b", None, "b"], type=pa.string()),
+        "v": pa.array([1, 2, 10, None, 30], type=pa.int64())})
+    rows = profile_columns(ray.data.from_arrow(tbl), ["v"],
+                           group_by="src").take_all()
+    out = {(r["src"], r["col_name"]): r for r in rows}
+    assert out[(None, "v")]["n_rows"] == 2
+    assert out[(None, "v")]["n_nulls"] == 1
+    assert out[(None, "v")]["min_v"] == 2.0
+    # total row count across groups == table rows
+    assert sum(r["n_rows"] for r in rows) == 5
