@@ -14,6 +14,46 @@ from __future__ import annotations
 import json
 
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _json_quote(col) -> pa.Array:
+    """String column → JSON string literal per value (quoted, escaped;
+    nulls propagate). Vectorized replace chain for the common escapes;
+    a batch containing OTHER control chars (rare) falls back to
+    per-value json.dumps for exactness."""
+    s = pc.cast(col, pa.string())
+    bad = pc.match_substring_regex(
+        s, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    if pc.any(pc.fill_null(bad, False)).as_py():
+        return pa.array([None if v is None
+                         else json.dumps(v, ensure_ascii=False)
+                         for v in s.to_pylist()], type=pa.string())
+    for raw, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+        s = pc.replace_substring(s, pattern=raw, replacement=esc)
+    return pc.binary_join_element_wise(pa.scalar('"'), s,
+                                       pa.scalar('"'), "")
+
+
+def _json_value(col) -> pa.Array:
+    """Column → JSON value text per row ("null" for nulls)."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        enc = _json_quote(col)
+    elif pa.types.is_boolean(t) or pa.types.is_integer(t):
+        enc = pc.cast(col, pa.string())
+    elif pa.types.is_floating(t):
+        enc = pc.cast(pc.cast(col, pa.float64()), pa.string())
+        # Arrow spells non-finite floats nan/inf; python-json reads
+        # NaN/Infinity (both are JSON extensions)
+        for a, b in (("nan", "NaN"), ("-inf", "-Infinity"),
+                     ("inf", "Infinity")):
+            enc = pc.if_else(pc.equal(enc, a), pa.scalar(b), enc)
+    else:  # uncommon property types: exact per-value fallback
+        enc = pa.array([None if v is None else json.dumps(v)
+                        for v in col.to_pylist()], type=pa.string())
+    return pc.fill_null(enc, "null")
 
 
 def to_geojson_features(ds, wkb_col="geom_wkb", prop_cols=None):
@@ -43,17 +83,24 @@ def write_geojson(ds, path, wkb_col="geom_wkb", prop_cols=None):
     def write_block(batch: pa.Table) -> pa.Table:
         import hashlib
         import os
-        geom = batch.column("geometry").to_pylist()
-        names = [c for c in batch.schema.names
-                 if c not in ("type", "geometry")]
-        lines = []
-        for i in range(batch.num_rows):
-            props = {c: batch.column(c)[i].as_py() for c in names}
-            lines.append(json.dumps({
-                "type": "Feature",
-                "geometry": json.loads(geom[i]) if geom[i] else None,
-                "properties": props}, sort_keys=True))
-        data = "\n".join(lines) + "\n"
+        # vectorized line assembly (no per-row json.dumps — r3 verdict):
+        # one binary_join_element_wise concat per block; key order
+        # matches json.dumps(sort_keys=True): geometry < properties
+        # < type, property names sorted
+        names = sorted(c for c in batch.schema.names
+                       if c not in ("type", "geometry"))
+        geom = pc.fill_null(pc.cast(batch.column("geometry"),
+                                    pa.string()), "null")
+        geom = pc.if_else(pc.equal(geom, ""), pa.scalar("null"), geom)
+        pieces = [pa.scalar('{"geometry": '), geom,
+                  pa.scalar(', "properties": {')]
+        for i, c in enumerate(names):
+            pre = ("" if i == 0 else ", ") + json.dumps(c) + ": "
+            pieces.append(pa.scalar(pre))
+            pieces.append(_json_value(batch.column(c)))
+        pieces.append(pa.scalar('}, "type": "Feature"}'))
+        lines = pc.binary_join_element_wise(*pieces, "")
+        data = "\n".join(lines.to_pylist()) + "\n"
         h = hashlib.blake2b(data.encode(), digest_size=8).hexdigest()
         os.makedirs(path, exist_ok=True)
         final = os.path.join(path, f"part-{h}.geojsonl")

@@ -147,3 +147,45 @@ def test_geojson_sink(ray_session, tmp_path):
     # idempotent: second run adds no new files
     write_geojson(ray.data.from_arrow(t), out)
     assert sorted(glob.glob(out + "/part-*.geojsonl")) == files
+
+
+def test_geojson_sink_escaping_and_types(ray_session, tmp_path):
+    """Vectorized line assembly: string escaping, control-char
+    fallback, int/float/bool/null properties, null geometry."""
+    import glob
+    import json
+    import math
+    import ray
+    import pyarrow as pa
+    from geoflow.geom.wkb import to_wkb
+    from geoflow.geom.wkt import from_wkt
+    from geoflow.io import write_geojson
+    t = pa.table({
+        "s": pa.array(['quote " back \\ nl \n tab \t done',
+                       "ctrl \x0c char", None]),
+        "i": pa.array([1, None, -7], type=pa.int64()),
+        "f": pa.array([1.5, float("nan"), None], type=pa.float64()),
+        "b": pa.array([True, False, None]),
+        "geom_wkb": pa.array([to_wkb(from_wkt("POINT(1 2)")),
+                              None,
+                              to_wkb(from_wkt("POINT(3 4)"))],
+                             type=pa.binary())})
+    out = str(tmp_path / "gj2")
+    recs = write_geojson(ray.data.from_arrow(t), out)
+    assert sum(r["rows"] for r in recs) == 3
+    feats = []
+    for fp in sorted(glob.glob(out + "/part-*.geojsonl")):
+        for line in open(fp):
+            feats.append(json.loads(line))
+    by_i = {f["properties"]["i"]: f for f in feats}
+    f1 = by_i[1]
+    assert f1["properties"]["s"] == 'quote " back \\ nl \n tab \t done'
+    assert f1["properties"]["f"] == 1.5 and f1["properties"]["b"] is True
+    assert f1["geometry"]["type"] == "Point"
+    fn = by_i[None]
+    assert fn["properties"]["s"] == "ctrl \x0c char"
+    assert math.isnan(fn["properties"]["f"])
+    assert fn["geometry"] is None
+    fm = by_i[-7]
+    assert fm["properties"]["s"] is None and fm["properties"]["b"] is None
+    assert fm["properties"]["f"] is None
