@@ -106,7 +106,7 @@ def _knn_one_pass(probes_ds, nbrs, k, disk, res, probe_key, neighbor_key,
 
 
 def _retry_probe_keys(result, probes_ds, k, probe_key,
-                      guard_fn) -> np.ndarray:
+                      guard_fn, cap: int | None = None):
     """Probe keys needing a wider-disk retry, computed from ONE scan of
     the (≤ k rows/probe) annotated result: short = rank==1 row with
     n_cands<k; unguaranteed = max-dist row (rank==n_cands, capped at k)
@@ -115,27 +115,28 @@ def _retry_probe_keys(result, probes_ds, k, probe_key,
     comparing the result's rank==1 row count against the probe count
     (cheap), falling back to the distributed probes∪result aggregate of
     _short_probe_keys only when they exist (rare: a disk with no
-    neighbors at all)."""
+    neighbors at all).
+
+    ``cap`` bounds the driver-resident key collection (8 B/key):
+    returns None as soon as more than ``cap`` keys are flagged, telling
+    the caller to run the widening round in distributed join mode
+    (_retry_keys_ds + partitioned_key_filter) instead — the same
+    max_broadcast escape-hatch pattern as every other driver touchpoint
+    (text/dedup.py, join/semijoin.py)."""
     flagged = []
+    n_flagged = 0
     n_rank1 = 0
     for b in result.iter_batches(batch_format="pyarrow",
                                  batch_size=65536):
         if b.num_rows == 0 or probe_key not in b.schema.names:
             continue
-        rank = b.column("rank").to_numpy(zero_copy_only=False)
-        nc = b.column("n_cands").to_numpy(zero_copy_only=False)
-        d = b.column("dist_m").to_numpy(zero_copy_only=False)
-        keys = b.column(probe_key).to_numpy(zero_copy_only=False)
-        r1 = rank == 1
-        n_rank1 += int(r1.sum())
-        short = r1 & (nc < k)
-        last = rank == np.minimum(nc, k)
-        py = (b.column("py").to_numpy(zero_copy_only=False)
-              if "py" in b.schema.names else None)
-        over = last & guard_fn(d, py)
-        hit = short | over
-        if hit.any():
-            flagged.append(keys[hit].astype(np.int64))
+        hit, r1 = _flag_batch(b, k, probe_key, guard_fn)
+        n_rank1 += r1
+        if hit is not None:
+            flagged.append(hit)
+            n_flagged += len(hit)
+            if cap is not None and n_flagged > cap:
+                return None
     out = (np.unique(np.concatenate(flagged)) if flagged
            else np.empty(0, dtype=np.int64))
     if n_rank1 != probes_ds.count():
@@ -143,7 +144,94 @@ def _retry_probe_keys(result, probes_ds, k, probe_key,
         out = np.union1d(out,
                          _short_probe_keys(result, probes_ds, k,
                                            probe_key))
+        if cap is not None and len(out) > cap:
+            return None
     return out
+
+
+def _flag_batch(b: pa.Table, k, probe_key, guard_fn):
+    """Per-batch retry-flag kernel shared by the driver scan and the
+    distributed key map: returns (flagged int64 keys or None, rank-1
+    row count)."""
+    rank = b.column("rank").to_numpy(zero_copy_only=False)
+    nc = b.column("n_cands").to_numpy(zero_copy_only=False)
+    d = b.column("dist_m").to_numpy(zero_copy_only=False)
+    keys = b.column(probe_key).to_numpy(zero_copy_only=False)
+    r1 = rank == 1
+    short = r1 & (nc < k)
+    last = rank == np.minimum(nc, k)
+    py = (b.column("py").to_numpy(zero_copy_only=False)
+          if "py" in b.schema.names else None)
+    over = last & guard_fn(d, py)
+    hit = short | over
+    return (keys[hit].astype(np.int64) if hit.any() else None,
+            int(r1.sum()))
+
+
+def _retry_keys_ds(result, probes_ds, k, probe_key, guard_fn):
+    """Distributed twin of _retry_probe_keys for retry sets too large
+    to broadcast: Dataset of (possibly duplicate) probe keys needing a
+    retry — the guard/short flags mapped over the result union the
+    <k-result-row probes from the probes∪result contribution aggregate
+    (which also catches zero-candidate probes absent from the result).
+    Consumers: partitioned_key_filter (anti is duplicate-safe; semi
+    passes keys_unique=False)."""
+
+    def flag(batch: pa.Table) -> pa.Table:
+        hit, _ = _flag_batch(batch, k, probe_key, guard_fn)
+        if hit is None:
+            hit = np.empty(0, np.int64)
+        return pa.table({probe_key: pa.array(hit)})
+
+    def mark0(batch: pa.Table) -> pa.Table:
+        return pa.table({probe_key: batch.column(probe_key),
+                         "contrib": pa.array(
+                             np.zeros(batch.num_rows, dtype=np.int64))})
+
+    def mark1(batch: pa.Table) -> pa.Table:
+        return pa.table({probe_key: batch.column(probe_key),
+                         "contrib": pa.array(
+                             np.ones(batch.num_rows, dtype=np.int64))})
+
+    marks = probes_ds.map_batches(mark0, batch_format="pyarrow").union(
+        result.map_batches(mark1, batch_format="pyarrow"))
+    counts = marks.groupby(probe_key).sum("contrib")
+
+    def shorts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum(contrib)" not in batch.schema.names:
+            return pa.table({probe_key: pa.array([], type=pa.int64())})
+        c = batch.column("sum(contrib)").to_numpy(zero_copy_only=False)
+        return pa.table({probe_key: batch.filter(
+            pa.array(c < k)).column(probe_key)})
+
+    return result.map_batches(flag, batch_format="pyarrow").union(
+        counts.map_batches(shorts, batch_format="pyarrow"))
+
+
+def _widen_join_mode(result, probes_ds, k, probe_key, guard_fn,
+                     num_partitions):
+    """One widening round's retry-subset / kept-result split in
+    distributed join mode (retry set too large to broadcast).
+    Returns (retry_probes, kept_result), or (None, None) when no probe
+    needs a retry."""
+    from .semijoin import drop_schemaless_blocks, partitioned_key_filter
+    keys_ds = _retry_keys_ds(result, probes_ds, k, probe_key,
+                             guard_fn).materialize()
+    if keys_ds.count() == 0:
+        return None, None
+    sub = partitioned_key_filter(probes_ds, keys_ds, probe_key,
+                                 keys_unique=False,
+                                 num_partitions=num_partitions)
+    # result is a map_groups lineage → sanitize its 0-column empty
+    # blocks before it becomes a join side (semijoin.py helper doc)
+    clean, keep = drop_schemaless_blocks(result)
+    if clean is None:
+        return sub, None
+    kept = partitioned_key_filter(clean, keys_ds, probe_key,
+                                  anti=True,
+                                  num_partitions=num_partitions)
+    kept._geoflow_keepalive = keep
+    return sub, kept
 
 
 def _short_probe_keys(result, probes_ds, k, probe_key) -> np.ndarray:
@@ -200,7 +288,7 @@ def _collect_probe_subset(probes_ds, only_short):
 def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
                   probe_key="doc_id", neighbor_key="neighbor_id",
                   x_col="x", y_col="y", num_partitions=None,
-                  max_widen=2):
+                  max_widen=2, max_broadcast_retry=4_000_000):
     """Returns Dataset (probe_key, neighbor_id, rank, dist_m) with the
     probe's k nearest among neighbors found in its cell disk.
 
@@ -269,7 +357,20 @@ def knn_cell_join(probes_ds, neighbors_ds, k=5, res=5, disk=1,
             return d >= guard
 
         short = _retry_probe_keys(result, probes_ds, k, probe_key,
-                                  grid_guard)
+                                  grid_guard, cap=max_broadcast_retry)
+        if short is None:  # retry set over the broadcast cap: join mode
+            sub, kept = _widen_join_mode(result, probes_ds, k,
+                                         probe_key, grid_guard,
+                                         num_partitions)
+            if sub is None:
+                break
+            wide = wide * 3 + 1
+            retry = _knn_one_pass(
+                sub, nbrs, k, wide, res, probe_key, neighbor_key,
+                x_col, y_col, num_partitions)
+            result = (retry if kept is None
+                      else kept.union(retry)).materialize()
+            continue
         if len(short) == 0:
             break
         wide = wide * 3 + 1
@@ -346,7 +447,8 @@ def _knn_h3_one_pass(probes_ds, nbrs, k, disk, res, probe_key,
 
 def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
                 probe_key="doc_id", neighbor_key="neighbor_id",
-                x_col="x", y_col="y", num_partitions=None, max_widen=2):
+                x_col="x", y_col="y", num_partitions=None, max_widen=2,
+                max_broadcast_retry=4_000_000):
     """H3-keyed kNN (the north-star 'nearby via H3 grid_disk' shape):
     neighbors keyed by H3 res cell; probes expand to the ball of `disk`
     cell-spacings via grid_disk_cells; hash join on the cell, exact
@@ -397,7 +499,20 @@ def knn_h3_join(probes_ds, neighbors_ds, k=5, res=7, disk=2,
             return d > _g
 
         short = _retry_probe_keys(result, probes_ds, k, probe_key,
-                                  h3_guard)
+                                  h3_guard, cap=max_broadcast_retry)
+        if short is None:  # retry set over the broadcast cap: join mode
+            sub, kept = _widen_join_mode(result, probes_ds, k,
+                                         probe_key, h3_guard,
+                                         num_partitions)
+            if sub is None:
+                break
+            wide = wide * 2 + 1
+            retry = _knn_h3_one_pass(
+                sub, nbrs, k, wide, res, probe_key, neighbor_key,
+                x_col, y_col, num_partitions)
+            result = (retry if kept is None
+                      else kept.union(retry)).materialize()
+            continue
         if len(short) == 0:
             break
         wide = wide * 2 + 1

@@ -120,3 +120,61 @@ def test_knn_cell_join_high_latitude_exact(ray_session):
     exp = sorted(range(3), key=lambda j: (d[j], j))[:2]
     assert [r["neighbor_id"] for r in rows] == exp
     assert "py" not in out.schema().names
+
+
+def test_knn_cell_join_join_mode_retry_matches_broadcast(ray_session):
+    """max_broadcast_retry=0 forces every widening round through the
+    distributed join path (_retry_keys_ds + partitioned_key_filter);
+    results must be identical to the broadcast path — including probes
+    with ZERO candidates in the first disk."""
+    import ray
+    from geoflow.join import knn_cell_join
+    rng = np.random.default_rng(11)
+    nn = 400
+    nx = np.concatenate([rng.uniform(9, 11, nn - 2), [30.0, 31.0]])
+    ny = np.concatenate([rng.uniform(49, 51, nn - 2), [50.0, 50.5]])
+    nbrs = pa.table({"neighbor_id": pa.array(np.arange(nn)),
+                     "x": pa.array(nx), "y": pa.array(ny)})
+    # mix: in-cluster probes plus sparse probes whose first disk is
+    # empty or under-filled
+    probes = pa.table({"doc_id": pa.array([0, 1, 2, 3]),
+                       "x": pa.array([10.0, 21.0, 10.5, 28.0]),
+                       "y": pa.array([50.0, 50.0, 49.5, 50.0])})
+
+    def run(cap):
+        out = knn_cell_join(ray.data.from_arrow(probes),
+                            ray.data.from_arrow(nbrs), k=3, res=5,
+                            disk=1, num_partitions=2,
+                            max_broadcast_retry=cap)
+        rows = sorted(((r["doc_id"], r["rank"], r["neighbor_id"],
+                        round(r["dist_m"], 6)) for r in out.take_all()))
+        return rows
+
+    broadcast = run(4_000_000)
+    joinmode = run(0)
+    assert broadcast == joinmode
+    assert len({d for d, _, _, _ in broadcast}) == 4
+
+
+def test_knn_h3_join_join_mode_retry_matches_broadcast(ray_session):
+    import ray
+    from geoflow.join import knn_h3_join
+    rng = np.random.default_rng(13)
+    nn = 300
+    nx = np.concatenate([rng.uniform(9, 11, nn - 1), [14.0]])
+    ny = np.concatenate([rng.uniform(49, 51, nn - 1), [50.0]])
+    nbrs = pa.table({"neighbor_id": pa.array(np.arange(nn)),
+                     "x": pa.array(nx), "y": pa.array(ny)})
+    probes = pa.table({"doc_id": pa.array([0, 1]),
+                       "x": pa.array([10.0, 13.5]),
+                       "y": pa.array([50.0, 50.0])})
+
+    def run(cap):
+        out = knn_h3_join(ray.data.from_arrow(probes),
+                          ray.data.from_arrow(nbrs), k=3, res=6,
+                          disk=2, num_partitions=2,
+                          max_broadcast_retry=cap)
+        return sorted(((r["doc_id"], r["rank"], r["neighbor_id"],
+                        round(r["dist_m"], 6)) for r in out.take_all()))
+
+    assert run(4_000_000) == run(0)
