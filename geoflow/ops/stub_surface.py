@@ -1021,6 +1021,103 @@ def st_astopojson(col):
     return pa.array(out, type=pa.string())
 
 
+def _topo_decode_arcs(topo: dict) -> list:
+    """Topology arcs → list of float (n, 2) coordinate arrays. With a
+    "transform" member, arc positions are delta-encoded quantized
+    integers (first absolute, rest deltas — TopoJSON spec §2.1.1/2.2):
+    cumsum then scale+translate; without one, positions are absolute."""
+    tr = topo.get("transform")
+    out = []
+    for arc in topo.get("arcs", []):
+        a = np.asarray(arc, dtype=np.float64)
+        if a.ndim != 2:
+            a = a.reshape(0, 2)
+        if tr is not None:
+            a = np.cumsum(a, axis=0)
+            a = a * np.asarray(tr["scale"], dtype=np.float64)[:a.shape[1]] \
+                + np.asarray(tr["translate"], dtype=np.float64)[:a.shape[1]]
+        out.append(a[:, :2])
+    return out
+
+
+def _topo_position(c, tr):
+    x, y = float(c[0]), float(c[1])
+    if tr is not None:
+        x = x * tr["scale"][0] + tr["translate"][0]
+        y = y * tr["scale"][1] + tr["translate"][1]
+    return x, y
+
+
+def _topo_stitch(arc_ids, arcs: list) -> np.ndarray:
+    """Arc index list → stitched coordinate array. Negative index ~i
+    selects arc i reversed (ones' complement per spec §2.1.4); stitched
+    arcs share endpoints, so every arc after the first drops its first
+    position."""
+    parts = []
+    for i, aid in enumerate(arc_ids):
+        a = arcs[aid] if aid >= 0 else arcs[~aid][::-1]
+        parts.append(a if i == 0 else a[1:])
+    return np.vstack(parts) if parts else np.empty((0, 2))
+
+
+def _topo_parse(obj: dict, arcs: list, tr):
+    t = obj.get("type")
+    if t == "Point":
+        return Geometry.point(*_topo_position(obj["coordinates"], tr))
+    if t == "MultiPoint":
+        return Geometry.multi(MULTIPOINT, [
+            Geometry.point(*_topo_position(c, tr))
+            for c in obj["coordinates"]])
+    if t == "LineString":
+        return Geometry.linestring(_topo_stitch(obj["arcs"], arcs))
+    if t == "MultiLineString":
+        return Geometry.multi(MULTILINESTRING, [
+            Geometry.linestring(_topo_stitch(ids, arcs))
+            for ids in obj["arcs"]])
+    if t == "Polygon":
+        return Geometry.polygon([_topo_stitch(ids, arcs)
+                                 for ids in obj["arcs"]])
+    if t == "MultiPolygon":
+        return Geometry.multi(MULTIPOLYGON, [
+            Geometry.polygon([_topo_stitch(ids, arcs) for ids in rings])
+            for rings in obj["arcs"]])
+    if t == "GeometryCollection":
+        return Geometry.multi(GEOMETRYCOLLECTION, [
+            _topo_parse(g, arcs, tr)
+            for g in obj.get("geometries", [])])
+    raise ValueError(f"topojson: unknown geometry type {t!r}")
+
+
+@register_op("st_geomfromtopojson", 1, "constructor")
+def st_geomfromtopojson(col):
+    """TopoJSON Topology string → geometry WKB, pairing st_astopojson
+    (the reference's TopoJSONDatatype reads; its AsTopoJSON exporter is
+    a stub). Full spec surface: quantized (transform + delta-encoded
+    arcs) and absolute topologies, reversed-arc ~i indices, multi-arc
+    stitching, all seven geometry types. A topology with ONE object
+    yields that object's geometry; several become a collection."""
+    out = []
+    for s in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        if s is None:
+            out.append(None)
+            continue
+        topo = json.loads(s)
+        if topo.get("type") != "Topology":
+            raise ValueError("topojson: not a Topology object")
+        arcs = _topo_decode_arcs(topo)
+        tr = topo.get("transform")
+        geoms = [_topo_parse(o, arcs, tr)
+                 for _, o in sorted(topo.get("objects", {}).items())]
+        if not geoms:
+            g = Geometry.empty(GEOMETRYCOLLECTION, 0)
+        elif len(geoms) == 1:
+            g = geoms[0]
+        else:
+            g = Geometry.multi(GEOMETRYCOLLECTION, geoms)
+        out.append(to_wkb(g))
+    return pa.array(out, type=pa.binary())
+
+
 # ---------------------------------------------------------------------------
 # ST_AsDXF — geometry/exporter/AsDXF.java:6 (stub)
 # ---------------------------------------------------------------------------

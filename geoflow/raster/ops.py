@@ -1241,6 +1241,54 @@ def rast_fromjpg(col):
     return pa.array(out, type=pa.binary())
 
 
+@register_op("rast_asnetcdf", 1, "raster_exporter")
+def rast_asnetcdf(col):
+    """Raster WKB column → NetCDF-3 classic bytes (CDF-1; bands as
+    variables, georeference as global attributes). Closes the
+    reference's NetCDFDatatype (datatype/raster/NetCDFDatatype.java:23,
+    a stub throwing UnsupportedOperationException)."""
+    from .netcdfio import nc_encode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else nc_encode(from_wkb(a)))
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_fromnetcdf", 1, "raster_constructor")
+def rast_fromnetcdf(col):
+    """NetCDF-3 classic bytes column → raster WKB (general classic
+    reader: CDF-1/CDF-2, fixed + record variables; every 2-D numeric
+    variable becomes a band)."""
+    from .netcdfio import nc_decode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else to_wkb(nc_decode(a)))
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_asgmlcov", 1, "raster_exporter")
+def rast_asgmlcov(col):
+    """Raster WKB column → OGC GMLCOV RectifiedGridCoverage XML string.
+    Closes the reference's GMLCOVDatatype
+    (datatype/raster/GMLCOVDatatype.java:17, a stub returning null)."""
+    from .gmlcovio import gmlcov_encode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else gmlcov_encode(from_wkb(a)))
+    return pa.array(out, type=pa.string())
+
+
+@register_op("rast_fromgmlcov", 1, "raster_constructor")
+def rast_fromgmlcov(col):
+    """GMLCOV RectifiedGridCoverage XML column → raster WKB
+    (namespace-lenient parse; georeference from the RectifiedGrid)."""
+    from .gmlcovio import gmlcov_decode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else to_wkb(gmlcov_decode(a)))
+    return pa.array(out, type=pa.binary())
+
+
 @register_op("rast_asbil", 1, "raster_exporter")
 def rast_asbil(col):
     """Raster WKB column → ESRI BIL raw bytes (band-interleaved-by-

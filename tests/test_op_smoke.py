@@ -51,6 +51,9 @@ _STRING_IN = {
     "st_geomfromgeouri": "geo:1.5,2.5",
     "st_geomfromosm": to_wkb(from_wkt("POINT(1 2)")).hex(),
     "rast_fromxyz": "0.5 0.5 1\n1.5 0.5 2\n0.5 1.5 3\n1.5 1.5 4",
+    "st_geomfromtopojson":
+        '{"type": "Topology", "objects": {"g": {"type": "LineString",'
+        ' "arcs": [0]}}, "arcs": [[[0, 0], [1, 1]]]}',
 }
 _TYPED_WKB = {  # ops that validate their input's geometry type
     "st_pointfromwkb": "POINT(3 4)",
@@ -63,7 +66,9 @@ _TYPED_WKB = {  # ops that validate their input's geometry type
 }
 _COVJSON = {"rast_fromcoveragejson"}
 _IMGBYTES = {"rast_frompng": "rast_aspng", "rast_fromtiff": "rast_astiff",
-             "rast_fromjpg": "rast_asjpg"}
+             "rast_fromjpg": "rast_asjpg",
+             "rast_fromnetcdf": "rast_asnetcdf",
+             "rast_fromgmlcov": "rast_asgmlcov"}
 
 
 def test_every_unary_op_smokes():

@@ -371,3 +371,141 @@ def test_rast_clip_disjoint_empty():
     out = get_op("rast_clip").fn(pa.array([rast], type=pa.binary()), gw)
     r = from_wkb(out[0].as_py())
     assert r.is_empty
+
+
+class TestNetCDF:
+    def _raster(self):
+        import numpy as np
+        from geoflow.raster.rastwkb import (PT_8BUI, PT_16BSI, PT_32BF,
+                                            Raster)
+        return Raster(
+            [np.arange(12, dtype=np.uint8).reshape(3, 4) * 20,
+             np.array([[-5, 300], [7, -32768], [0, 1]],
+                      dtype=np.int16).repeat(2, axis=1),
+             np.linspace(-1, 1, 12, dtype=np.float32).reshape(3, 4)],
+            [PT_8BUI, PT_16BSI, PT_32BF], [255.0, None, -1.0],
+            scale_x=0.5, scale_y=-0.5, ip_x=10.0, ip_y=20.0, srid=4326)
+
+    def test_roundtrip_bands_types_georef(self):
+        import numpy as np
+        from geoflow.raster.netcdfio import nc_decode, nc_encode
+        r = self._raster()
+        r2 = nc_decode(nc_encode(r))
+        assert len(r2.bands) == 3
+        for a, b in zip(r.bands, r2.bands):
+            assert np.array_equal(a, b) and a.dtype == b.dtype
+        assert r2.pixtypes == r.pixtypes
+        assert r2.nodata == r.nodata
+        assert (r2.scale_x, r2.scale_y, r2.ip_x, r2.ip_y, r2.srid) == \
+            (0.5, -0.5, 10.0, 20.0, 4326)
+
+    def test_header_spec_anchors(self):
+        """Byte-level anchors from the Unidata classic spec: magic,
+        dim-list tag 0x0A, attr tag 0x0C, var tag 0x0B, big-endian."""
+        import struct
+        from geoflow.raster.netcdfio import nc_encode
+        buf = nc_encode(self._raster())
+        assert buf[:4] == b"CDF\x01"
+        assert struct.unpack_from(">i", buf, 4)[0] == 0  # numrecs
+        assert struct.unpack_from(">ii", buf, 8) == (0x0A, 2)  # 2 dims
+        # dim 0: name "y" (len 1, padded to 4) then size 3
+        assert struct.unpack_from(">i", buf, 16)[0] == 1
+        assert buf[20:21] == b"y"
+        assert struct.unpack_from(">i", buf, 24)[0] == 3
+
+    def test_record_variable_and_cdf2_decode(self):
+        """Hand-crafted CDF-2 file with one record variable exercises
+        the general-reader paths our encoder never writes (64-bit
+        begin offsets, unlimited dimension, per-record layout)."""
+        import struct
+        import numpy as np
+        from geoflow.raster.netcdfio import nc_parse
+        hdr = [b"CDF\x02", struct.pack(">i", 2)]          # 2 records
+        hdr.append(struct.pack(">ii", 0x0A, 2))           # dims
+        hdr.append(struct.pack(">i", 4) + b"time" +
+                   struct.pack(">i", 0))                  # record dim
+        hdr.append(struct.pack(">i", 1) + b"x\x00\x00\x00" +
+                   struct.pack(">i", 3))
+        hdr.append(struct.pack(">ii", 0, 0))              # no gatts
+        hdr.append(struct.pack(">ii", 0x0B, 1))           # 1 var
+        hdr.append(struct.pack(">i", 1) + b"v\x00\x00\x00")
+        hdr.append(struct.pack(">ii", 2, 0) +
+                   struct.pack(">i", 1))                  # dims time,x
+        hdr.append(struct.pack(">ii", 0, 0))              # no vatts
+        hdr.append(struct.pack(">ii", 4, 12))             # NC_INT vsize
+        head = b"".join(hdr)
+        begin = len(head) + 8
+        blob = head + struct.pack(">q", begin) + \
+            np.arange(6, dtype=">i4").tobytes()
+        dims, gatts, nvars = nc_parse(blob)
+        assert dims == [("time", 0), ("x", 3)]
+        v = nvars[0]
+        assert v["name"] == "v" and v["data"].shape == (2, 3)
+        assert v["data"].tolist() == [[0, 1, 2], [3, 4, 5]]
+
+    def test_rejects_non_netcdf(self):
+        import pytest
+        from geoflow.raster.netcdfio import nc_decode
+        with pytest.raises(ValueError):
+            nc_decode(b"nope")
+        with pytest.raises(ValueError):
+            nc_decode(b"CDF\x05xxxx")
+
+
+class TestGMLCOV:
+    def test_roundtrip(self):
+        import numpy as np
+        from geoflow.raster.gmlcovio import gmlcov_decode, gmlcov_encode
+        from geoflow.raster.rastwkb import PT_8BUI, PT_64BF, Raster
+        r = Raster([np.arange(6, dtype=np.uint8).reshape(2, 3),
+                    np.array([[0.5, -1.25, 3.0], [9.0, 0.0, 2.5]])],
+                   [PT_8BUI, PT_64BF], [255.0, None],
+                   scale_x=2.0, scale_y=-2.0, ip_x=100.0, ip_y=200.0,
+                   srid=3857)
+        r2 = gmlcov_decode(gmlcov_encode(r))
+        for a, b in zip(r.bands, r2.bands):
+            assert np.array_equal(a, b) and a.dtype == b.dtype
+        assert r2.pixtypes == r.pixtypes and r2.nodata == r.nodata
+        assert (r2.scale_x, r2.scale_y, r2.ip_x, r2.ip_y, r2.srid) == \
+            (2.0, -2.0, 100.0, 200.0, 3857)
+
+    def test_foreign_namespace_prefixes(self):
+        """Decoder matches local names — a differently-prefixed,
+        attribute-less external coverage still parses."""
+        from geoflow.raster.gmlcovio import gmlcov_decode
+        xml = """<cov:RectifiedGridCoverage
+            xmlns:cov="http://www.opengis.net/gmlcov/1.0"
+            xmlns:g="http://www.opengis.net/gml/3.2">
+          <g:domainSet><g:RectifiedGrid dimension="2">
+            <g:limits><g:GridEnvelope>
+              <g:low>0 0</g:low><g:high>1 1</g:high>
+            </g:GridEnvelope></g:limits>
+            <g:origin><g:Point
+              srsName="urn:ogc:def:crs:EPSG::4326">
+              <g:pos>5 6</g:pos></g:Point></g:origin>
+            <g:offsetVector>1 0</g:offsetVector>
+            <g:offsetVector>0 -1</g:offsetVector>
+          </g:RectifiedGrid></g:domainSet>
+          <g:rangeSet><g:DataBlock><g:rangeParameters/>
+            <g:tupleList>1 2 3 4</g:tupleList>
+          </g:DataBlock></g:rangeSet>
+        </cov:RectifiedGridCoverage>"""
+        r = gmlcov_decode(xml)
+        assert r.bands[0].tolist() == [[1.0, 2.0], [3.0, 4.0]]
+        assert r.srid == 4326 and (r.ip_x, r.ip_y) == (5.0, 6.0)
+
+    def test_registered_ops_roundtrip(self):
+        import numpy as np
+        import pyarrow as pa
+        from geoflow.ops import get_op
+        from geoflow.raster.rastwkb import (PT_8BUI, Raster, from_wkb,
+                                            to_wkb)
+        r = Raster([np.arange(4, dtype=np.uint8).reshape(2, 2)],
+                   [PT_8BUI], [None], 1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 0)
+        col = pa.array([to_wkb(r), None], type=pa.binary())
+        for enc, dec in (("rast_asnetcdf", "rast_fromnetcdf"),
+                         ("rast_asgmlcov", "rast_fromgmlcov")):
+            o = get_op(dec).fn(get_op(enc).fn(col))
+            assert np.array_equal(from_wkb(o[0].as_py()).bands[0],
+                                  r.bands[0])
+            assert o[1].as_py() is None

@@ -628,3 +628,57 @@ def test_cpa_mixed_column_uses_general_path():
                   has_m=True)
     t = get_op("st_closestpointofapproach").fn(col(a3), col(b2))[0].as_py()
     assert t == pytest.approx(4.0)
+
+
+class TestTopoJSONReader:
+    WKTS = ["POINT (1 2)", "LINESTRING (0 0, 1 1, 2 0)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 1 2, 1 1))",
+            "MULTIPOINT ((1 1), (2 2))",
+            "MULTILINESTRING ((0 0, 1 0), (2 2, 3 3))",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), "
+            "((5 5, 6 5, 6 6, 5 5)))",
+            "GEOMETRYCOLLECTION (POINT (9 9), LINESTRING (0 0, 1 2))"]
+
+    def test_roundtrip_vs_writer(self):
+        import pyarrow as pa
+        from geoflow.geom.wkb import from_wkb, to_wkb
+        from geoflow.geom.wkt import from_wkt, to_wkt
+        c = pa.array([to_wkb(from_wkt(w)) for w in self.WKTS],
+                     type=pa.binary())
+        back = get_op("st_geomfromtopojson").fn(
+            get_op("st_astopojson").fn(c))
+        for w, b in zip(self.WKTS, back):
+            assert to_wkt(from_wkb(b.as_py())) == w
+
+    def test_quantized_shared_reversed_arcs(self):
+        """Spec §2.1.1/2.1.4: transform + delta-encoded arcs, ~i
+        reversed-arc indices, multi-arc ring stitching, multiple
+        objects → collection (name-sorted)."""
+        import json
+        import pyarrow as pa
+        from geoflow.geom.wkb import from_wkb
+        from geoflow.geom.wkt import to_wkt
+        topo = {
+            "type": "Topology",
+            "transform": {"scale": [0.5, 0.25],
+                          "translate": [10.0, 20.0]},
+            "arcs": [[[0, 0], [2, 2], [2, -2]],
+                     [[4, 0], [-4, 0]]],
+            "objects": {
+                "ring": {"type": "Polygon", "arcs": [[0, 1]]},
+                "line": {"type": "LineString", "arcs": [~0]}}}
+        c = pa.array([json.dumps(topo)], type=pa.string())
+        g = from_wkb(get_op("st_geomfromtopojson").fn(c)[0].as_py())
+        assert to_wkt(g) == (
+            "GEOMETRYCOLLECTION (LINESTRING (12 20, 11 20.5, 10 20), "
+            "POLYGON ((10 20, 11 20.5, 12 20, 10 20)))")
+
+    def test_rejects_non_topology_and_none(self):
+        import json
+        import pyarrow as pa
+        with pytest.raises(ValueError):
+            get_op("st_geomfromtopojson").fn(
+                pa.array([json.dumps({"type": "FeatureCollection"})]))
+        out = get_op("st_geomfromtopojson").fn(
+            pa.array([None], type=pa.string()))
+        assert out[0].as_py() is None
