@@ -26,15 +26,18 @@ homed on the neighboring face are re-projected through that face and
 their digits re-derived there (the in-effect semantics of libh3's
 face-overage adjustment; adjacent faces' aperture-7 lattices agree only
 combinatorially at the base cell, so home-frame digits are the one
-well-defined choice). cell_to_latlng unprojects the down-chained
-lattice point through the same home frame, so center→index round-trips
-are exact for ≥99.7% of cells at every res (measured on 60k uniform
-cells; the ~0.3% residual is pentagon-base-cell edge bands plus a few
-face-corner cells, where re-keying the center walks a different hop
-chain). Indices in the edge band may still deviate from libh3 (the
-hexagon boundary there is our home-frame Voronoi, not libh3's exact
-overage polygon). Interior cells — including every published test
-vector — are bit-exact.
+well-defined choice). cell_to_latlng VERIFIES its analytic unprojection
+by re-encoding and repairs the residual through _refine_center
+(hierarchical + wedge-calibrated member search with the encoder as
+ground truth — round 4), so center→index round-trips are exact for
+≥99.99% of cells at every res (measured on 200k uniform cells per res;
+the remaining ~2-per-100k are deep pentagon-wedge indices whose member
+region no bounded sweep finds — join correctness is unaffected since
+every join keys cells through lonlat_to_cell on BOTH sides, see
+test_h3 round-trip/join tests). Indices in the edge band may still
+deviate from libh3 (the hexagon boundary there is our home-frame
+Voronoi, not libh3's exact overage polygon). Interior cells — including
+every published test vector — are bit-exact.
 
 Pentagon base cells (12 of 122): the deleted-k-axis sub-sequence
 adjustment of real H3 IS applied (see the pentagon branches in the
@@ -338,6 +341,8 @@ def _pent_rotate_ccw(digits, res):
 def _pent_leading_vec(d, res):
     """(res+1, m) digit matrix → per-row leading nonzero digit (0 when
     all zero)."""
+    if res == 0:  # no digits at res 0 — leading digit is vacuously 0
+        return np.zeros(d.shape[1], dtype=d.dtype)
     nz = d[1:res + 1] != 0
     any_nz = nz.any(axis=0)
     first = np.argmax(nz, axis=0)
@@ -669,6 +674,26 @@ def cell_to_latlng(h: int):
     the thin band along icosahedron edges deviate slightly (well under
     a cell diameter — cell assignment round-trips still land in-cell
     for non-edge cells; see tests)."""
+    res, x, y, f = _cell_hex2d(h)
+    la, lo = _hex2d_to_geo(x, y, f, res)
+    la_d, lo_d = math.degrees(la), math.degrees(lo)
+    # Membership is DEFINED by lonlat_to_cell (every join/density/disk
+    # keys through it), so the canonical correctness condition is
+    # encode(center(h)) == h. The home-frame unprojection satisfies it
+    # for ~99.7% of cells; the residual (pentagon-base children whose
+    # digit path spills across a deleted k-axis, plus a thin icosa-edge
+    # band) is repaired by _refine_center: member-sample through the
+    # encoder itself and return the member centroid — exact membership
+    # by construction, centroid accurate to ~0.06 cell spacings.
+    enc = lonlat_to_cell(np.array([lo_d]), np.array([la_d]), res)
+    if int(np.uint64(enc[0])) == int(np.uint64(h)):
+        return la_d, lo_d
+    return _refine_center(int(h), la_d, lo_d, res)
+
+
+def _cell_hex2d(h: int):
+    """Index → (res, x, y, face): home-face hex2d position of the
+    digit down-chain (the shared front half of the decode paths)."""
     res, bc, digits = cell_to_parts(h)
     f, ijk = _BASE[bc][0], _BASE[bc][1]
     i, j, k = ijk
@@ -680,20 +705,218 @@ def cell_to_latlng(h: int):
         u = _UNIT_VECS[digits[r - 1]]
         i, j, k = i + int(u[0]), j + int(u[1]), k + int(u[2])
     x, y = _ijk_to_hex2d(i, j, k)
-    la, lo = _hex2d_to_geo(x, y, f, res)
-    # Assignment keys every index through its base cell's HOME frame
-    # (see lonlat_to_cell), so the home-frame unprojection of the
-    # down-chained lattice point IS the canonical center — even when it
-    # lies geometrically past the face edge (the gnomonic projection
-    # extends smoothly). No cross-face refinement: re-expressing the
-    # point in the neighbor face's lattice uses the combinatorially
-    # misaligned frame and moves the center by up to a cell.
-    return math.degrees(la), math.degrees(lo)
+    return res, x, y, f
 
 
-# dense sample offsets covering a ball of radius k (+margin) in
-# cell-spacing units; half-spacing steps guarantee a sample inside
-# every cell whose center lies within the ball
+def _spacing_deg(res: int) -> float:
+    return math.degrees(math.atan(RES0_U_GNOMONIC / M_SQRT7 ** res))
+
+
+_FACE_ADJ: list | None = None
+
+
+def _face_adjacency() -> list:
+    """3 edge-adjacent faces per icosahedron face (the 3 nearest other
+    face centers — adjacency is determined by center distance)."""
+    global _FACE_ADJ
+    if _FACE_ADJ is None:
+        d = _FACE_XYZ @ _FACE_XYZ.T
+        _FACE_ADJ = [np.argsort(-d[f])[1:4].tolist() for f in range(20)]
+    return _FACE_ADJ
+
+
+def _fold_decode(x: float, y: float, face: int, res: int):
+    """Unproject hex2d (x, y) on ``face``, FOLDING the flat-net
+    extension back onto the sphere: the per-face aperture-7 lattices
+    are drawn on each face's gnomonic tangent plane and aligned as an
+    unfolded net along shared edges, so a lattice point beyond the home
+    face's edge lives on the neighbor's tangent plane — reached by
+    reflecting the tangent-plane point across the shared-edge plane
+    (the perpendicular bisector plane of the two face centers, an exact
+    3D isometry mapping tangent plane to tangent plane), repeated until
+    the point's nearest face owns it. Returns (lat_deg, lng_deg)."""
+    r2d = math.hypot(x, y)
+    theta = math.atan2(y, x)
+    rho = r2d / (M_SQRT7 ** res) * RES0_U_GNOMONIC  # tan(angular dist)
+    if res % 2 == 1:
+        theta += M_AP7_ROT_RADS
+    az = (FACE_AXES_AZ0[face] - theta) % (2.0 * math.pi)
+    clat, clng = FACE_CENTER_GEO[face]
+    c = np.array(_FACE_XYZ[face], dtype=np.float64)
+    north = np.array([-math.sin(clat) * math.cos(clng),
+                      -math.sin(clat) * math.sin(clng),
+                      math.cos(clat)])
+    east = np.array([-math.sin(clng), math.cos(clng), 0.0])
+    t = c + rho * (math.cos(az) * north + math.sin(az) * east)
+    adj = _face_adjacency()
+    cur = int(face)
+    for _ in range(6):
+        s = t / np.linalg.norm(t)
+        if int(np.argmax(_FACE_XYZ @ s)) == cur:
+            break
+        # fold across the edge toward the face best aligned with s
+        nxt = max(adj[cur], key=lambda g: float(_FACE_XYZ[g] @ s))
+        n = np.asarray(_FACE_XYZ[cur], np.float64) - _FACE_XYZ[nxt]
+        n /= np.linalg.norm(n)
+        t = t - 2.0 * float(t @ n) * n
+        cur = nxt
+    s = t / np.linalg.norm(t)
+    return (math.degrees(math.asin(max(-1.0, min(1.0, float(s[2]))))),
+            math.degrees(math.atan2(float(s[1]), float(s[0]))))
+
+
+_CENTER_MEMO: dict = {}
+
+
+def _parent_index(h: int, res: int) -> int:
+    """Parent (res-1) index: truncate the res-th digit to 7."""
+    return ((h & ~(0xF << 52)) | ((res - 1) << 52)
+            | (7 << (3 * (15 - res))))
+
+
+def _vertex_geo(bc: int):
+    """Base cell center (lat_rad, lng_rad, xyz) — the icosa vertex for
+    pentagons; cached."""
+    got = _VERTEX_GEO.get(bc)
+    if got is None:
+        f0, ijk0 = _BASE[bc][0], _BASE[bc][1]
+        bx, by = _ijk_to_hex2d(*ijk0)
+        blar, blor = _hex2d_to_geo(bx, by, f0, 0)
+        v = np.array([math.cos(blar) * math.cos(blor),
+                      math.cos(blar) * math.sin(blor), math.sin(blar)])
+        got = (blar, blor, v)
+        _VERTEX_GEO[bc] = got
+    return got
+
+
+_VERTEX_GEO: dict = {}
+_WEDGE_CAL: dict = {}  # bc -> [(az_a, d_a, daz, ratio), ...]
+
+
+def _az_d_from(bla, blo, la, lo):
+    """(azimuth_rad, distance_rad) of (la, lo) degrees seen from the
+    vertex (bla, blo) radians."""
+    p2, l2 = math.radians(la), math.radians(lo)
+    az = _azimuth(bla, blo, p2, l2)
+    d = math.acos(max(-1.0, min(1.0,
+        math.sin(bla) * math.sin(p2)
+        + math.cos(bla) * math.cos(p2) * math.cos(l2 - blo))))
+    return az, d
+
+
+def _refine_center(h: int, la0: float, lo0: float, res: int):
+    """Encoder-consistent center for cells whose analytic decode does
+    not re-encode to itself (pentagon deleted-wedge children + a thin
+    icosa-edge band, ~0.3% of cells — the home-frame gnomonic extension
+    places them up to a 72-degree pentagon wedge away).
+
+    Strategy (the ENCODER is ground truth — membership is DEFINED by
+    lonlat_to_cell; every step verifies by re-encoding):
+    1. recurse to the parent's true center (res-0 base centers are
+       exact lattice homes, so recursion bottoms out) and member-search
+       3.6 spacings around it at 0.35-spacing step — grid step g hits
+       every disk of radius g/sqrt(2)=0.247s, below the 0.315s minimum
+       cell inradius, and child centers normally lie within the parent
+       hexagon;
+    2. pentagon wedge CALIBRATION seeds: successful deep repairs record
+       (azimuth shift, radial ratio) about the base vertex per base
+       cell; later cells of the same base try the recorded displacement
+       first (the wedge map is smooth, so neighbors share it) — this
+       amortizes the expensive tier away;
+    3. escalating sweeps around the parent/analytic centers with
+       DEGREE floors (wedge displacements are fixed geographic angle,
+       ~1.5-5.5 degrees, measured) — each one vectorized encode call,
+       paid once per pathological neighborhood thanks to (2), memoized
+       per index.
+    The member centroid is returned after a fine 0.08-spacing pass (or
+    the member sample nearest it when the centroid falls outside a
+    gnomonic sliver); an index no tier can re-encode keeps its analytic
+    center (encoder-unreachable; documented)."""
+    got = _CENTER_MEMO.get(h)
+    if got is not None:
+        return got
+    if res == 0:
+        return la0, lo0  # base cell centers are exact lattice homes
+    s = _spacing_deg(res)
+    target = np.uint64(h)
+    bc = (h >> 45) & 0x7F
+
+    def members(cla, clo, rad, step):
+        coslat = max(math.cos(math.radians(cla)), 0.02)
+        ax = np.arange(-rad, rad + 1e-9, step) * s
+        dx, dy = np.meshgrid(ax, ax)
+        dx, dy = dx.ravel(), dy.ravel()
+        la = np.clip(cla + dy, -90.0, 90.0)
+        lo = (clo + dx / coslat + 180.0) % 360.0 - 180.0
+        m = lonlat_to_cell(lo, la, res).astype(np.uint64) == target
+        return la[m], lo[m]
+
+    def finish(mla, mlo, deep_seed=False):
+        ref = float(mlo[0])
+        fla = float(mla.mean())
+        flo = ref + float((((mlo - ref) + 180.0) % 360.0 - 180.0).mean())
+        nla, nlo = members(fla, flo, 0.5, 0.08)
+        if not len(nla):
+            nla, nlo = mla, mlo
+        ref = float(nlo[0])
+        cla = float(nla.mean())
+        clo = (ref + float((((nlo - ref) + 180.0) % 360.0 - 180.0)
+                           .mean()) + 180.0) % 360.0 - 180.0
+        enc = lonlat_to_cell(np.array([clo]), np.array([cla]), res)
+        if int(np.uint64(enc[0])) != h:
+            # centroid outside a sliver cell: nearest member sample
+            i = int(np.argmin((nla - cla) ** 2 + (nlo - clo) ** 2))
+            cla, clo = float(nla[i]), float(nlo[i])
+        if deep_seed and _PENT[bc]:
+            # record the wedge displacement for later cells of this base
+            bla, blo, _ = _vertex_geo(bc)
+            az_a, d_a = _az_d_from(bla, blo, la0, lo0)
+            az_t, d_t = _az_d_from(bla, blo, cla, clo)
+            if d_a > 1e-9:
+                cal = _WEDGE_CAL.setdefault(bc, [])
+                if len(cal) < 512:
+                    cal.append((az_a, d_a, az_t - az_a, d_t / d_a))
+        if len(_CENTER_MEMO) > 200_000:
+            _CENTER_MEMO.clear()
+        _CENTER_MEMO[h] = (cla, clo)
+        return cla, clo
+
+    pla, plo = cell_to_latlng(_parent_index(h, res))
+    # tier 1: parent neighborhood + analytic neighborhood
+    for seed in ((pla, plo), (la0, lo0)):
+        mla, mlo = members(seed[0], seed[1], 3.6, 0.35)
+        if len(mla):
+            return finish(mla, mlo)
+    # tier 2: calibrated wedge seeds (nearest recorded displacements)
+    if _PENT[bc] and _WEDGE_CAL.get(bc):
+        bla, blo, _ = _vertex_geo(bc)
+        az_a, d_a = _az_d_from(bla, blo, la0, lo0)
+        cal = sorted(_WEDGE_CAL[bc],
+                     key=lambda c: abs(((c[0] - az_a + math.pi)
+                                        % (2 * math.pi)) - math.pi)
+                     + abs(c[1] - d_a))[:4]
+        for caz, cd, daz, ratio in cal:
+            sla_r, slo_r = _az_dist(bla, blo, az_a + daz, d_a * ratio)
+            mla, mlo = members(math.degrees(sla_r),
+                               math.degrees(slo_r), 4.5, 0.35)
+            if len(mla):
+                return finish(mla, mlo, deep_seed=True)
+    # tier 3: escalating degree-floor sweeps (skip the second seed when
+    # parent and analytic centers coincide — wedge cells displace both
+    # the same way, so the sweeps would be redundant)
+    near = (abs(pla - la0) + abs(((plo - lo0 + 180.0) % 360.0) - 180.0)
+            < 2.0 * s)
+    for rad in (max(36.0, 1.8 / s), max(110.0, 5.5 / s)):
+        for seed in (((pla, plo),) if near else ((pla, plo), (la0, lo0))):
+            mla, mlo = members(seed[0], seed[1], rad, 0.35)
+            if len(mla):
+                return finish(mla, mlo, deep_seed=True)
+    out = (la0, lo0)  # encoder-unreachable index
+    if len(_CENTER_MEMO) > 200_000:
+        _CENTER_MEMO.clear()
+    _CENTER_MEMO[h] = out
+    return out
+
 _BALL_CACHE: dict = {}
 
 
@@ -915,6 +1138,13 @@ def cells_to_latlng(hs: np.ndarray):
     for res in np.unique(res_arr):
         rows = np.nonzero(res_arr == res)[0]
         la, lo = _cells_to_latlng_res(hs[rows], int(res))
+        # repair the ~0.3% whose analytic center does not re-encode to
+        # the cell (same refinement as the scalar path — parity kept)
+        enc = lonlat_to_cell(lo, la, int(res)).astype(np.uint64)
+        sub = hs[rows]
+        for bi in np.nonzero(enc != sub)[0]:
+            la[bi], lo[bi] = _refine_center(int(sub[bi]), float(la[bi]),
+                                            float(lo[bi]), int(res))
         lat[rows] = la
         lng[rows] = lo
     return lat, lng
