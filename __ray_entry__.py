@@ -896,6 +896,56 @@ def q_raster_stats(sf_dir: str):
     return _read(sf_dir, "part").map_batches(build, batch_format="pyarrow")
 
 
+def q_raster_codecs(sf_dir: str):
+    """NetCDF-3 + GMLCOV codec parity (raster/netcdfio.py,
+    raster/gmlcovio.py — the reference's NetCDFDatatype/GMLCOVDatatype
+    stubs implemented to the public specs): per part key, build a
+    2-band raster (uint8 band1 pixel i = (k*16+i)%251 with nodata 255;
+    float64 band2 pixel i = (k*7+i)%97 — integer-valued, so every
+    value is IEEE-exact), chain it through WKB → NetCDF → WKB →
+    GMLCOV → WKB, and emit per-band integer stats + the surviving
+    georeference. The SQL oracle recomputes the same modular
+    arithmetic with no raster code — any byte the two codecs corrupt
+    flips a hash."""
+    from geoflow.ops import get_op
+    from geoflow.raster import Raster, to_wkb as rast_to_wkb
+    from geoflow.raster.rastwkb import from_wkb as rast_from_wkb
+
+    def build(batch: pa.Table) -> pa.Table:
+        keys = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        wkbs = []
+        for kv in keys:
+            i16 = np.arange(16, dtype=np.int64)
+            b1 = ((np.int64(kv) * 16 + i16) % 251).reshape(4, 4) \
+                .astype(np.uint8)
+            b2 = ((np.int64(kv) * 7 + i16) % 97).reshape(4, 4) \
+                .astype(np.float64)
+            r = Raster([b1, b2], [4, 11], [255.0, None],
+                       0.5, -0.5, float(int(kv) % 100) / 4.0, 20.0,
+                       0.0, 0.0, 4326)
+            wkbs.append(rast_to_wkb(r))
+        col = pa.array(wkbs, type=pa.binary())
+        col = get_op("rast_fromnetcdf").fn(get_op("rast_asnetcdf").fn(col))
+        col = get_op("rast_fromgmlcov").fn(get_op("rast_asgmlcov").fn(col))
+        b1s, b2s, ipx, nod, srid = [], [], [], [], []
+        for buf in col.to_pylist():
+            r = rast_from_wkb(buf)
+            b1s.append(int(r.bands[0].astype(np.int64).sum()))
+            b2s.append(int(r.bands[1].astype(np.int64).sum()))
+            ipx.append(r.ip_x)
+            nod.append(float(r.nodata[0]))
+            srid.append(int(r.srid))
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "b1_sum": pa.array(b1s, type=pa.int64()),
+            "b2_sum": pa.array(b2s, type=pa.int64()),
+            "ip_x": pa.array(ipx, type=pa.float64()),
+            "nodata1": pa.array(nod, type=pa.float64()),
+            "srid": pa.array(srid, type=pa.int64())})
+
+    return _read(sf_dir, "part").map_batches(build, batch_format="pyarrow")
+
+
 def q_zonal_stats(sf_dir: str):
     """Distributed zonal statistics (raster/zonal.py — the classic
     raster↔vector bridge: per-zone aggregate of pixel CENTERS inside
@@ -2856,6 +2906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counters": q_cms_counters,
         "table_profile": q_table_profile,
         "source_profile": q_source_profile,
+        "raster_codecs": q_raster_codecs,
         "dbscan": q_dbscan,
         "kmeans": q_kmeans,
         "cluster_within": q_cluster_within,
@@ -3321,6 +3372,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(v) AS BIGINT) AS px_max,
                    CAST(sum(v) AS DOUBLE) / count(*) AS px_mean
             FROM hits GROUP BY zone_id""",
+        "raster_codecs": """
+            SELECT p_partkey,
+                   CAST(sum((p_partkey * 16 + i) % 251) AS BIGINT) AS b1_sum,
+                   CAST(sum((p_partkey * 7 + i) % 97) AS BIGINT) AS b2_sum,
+                   CAST(p_partkey % 100 AS DOUBLE) / 4.0 AS ip_x,
+                   CAST(255 AS DOUBLE) AS nodata1,
+                   CAST(4326 AS BIGINT) AS srid
+            FROM part, unnest(range(16)) AS t(i)
+            GROUP BY p_partkey""",
         "raster_stats": """
             SELECT p_partkey,
                    count(*) AS px_count,

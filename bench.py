@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "c4_filter", "dsir_filter", "semdedup", "zonal_stats",
     "audio_features", "bpe_train", "video_frames", "hll_registers",
     "cms_counters", "video_motion", "keyword_search", "table_profile",
-    "source_profile",
+    "source_profile", "raster_codecs",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
@@ -99,13 +99,12 @@ def run_queries():
     # separators + 2-decimal per-query times keep the full suite line
     # under the budget; the 4-decimal record goes to BENCH/ on disk.
     summary = {
-        "metric": "geoflow_query_suite_total",
-        "value": round(total, 4),
+        "metric": "geoflow_suite",
+        "value": round(total, 2),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "passes": max(1, PASSES),
     }
     try:
         full = dict(summary, queries=times)
