@@ -946,6 +946,56 @@ def q_raster_codecs(sf_dir: str):
     return _read(sf_dir, "part").map_batches(build, batch_format="pyarrow")
 
 
+def q_gif_codecs(sf_dir: str):
+    """GIF codec parity (raster/gifio.py — pure-stdlib LZW, GIF89a):
+    per part key, build a 3-frame animation (frame f pixel i =
+    (k*16 + 31*f + i) % 251 on a 4x4 grid), encode → decode the full
+    container (LZW variable codes, GCE delays), and separately chain
+    frame 0 through rast_asgif → rast_fromgif. GIF is lossless for
+    8-bit indexed data, so the SQL oracle recomputes every statistic
+    with plain modular arithmetic — one corrupted LZW code or palette
+    byte flips a hash."""
+    from geoflow.ops import get_op
+    from geoflow.raster import Raster, to_wkb as rast_to_wkb
+    from geoflow.raster.gifio import gif_decode_frames, gif_encode_frames
+    from geoflow.raster.rastwkb import from_wkb as rast_from_wkb
+
+    def build(batch: pa.Table) -> pa.Table:
+        keys = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        i16 = np.arange(16, dtype=np.int64)
+        wkbs, nfr, asum, dsum, pmin, pmax = [], [], [], [], [], []
+        for kv in keys:
+            frames = [(((np.int64(kv) * 16 + 31 * f + i16) % 251)
+                       .reshape(4, 4).astype(np.uint8)) for f in range(3)]
+            dec, delays = gif_decode_frames(gif_encode_frames(frames))
+            nfr.append(len(dec))
+            dsum.append(int(sum(delays)))
+            # identity gray palette: channel 0 of the composed RGB IS
+            # the index plane
+            asum.append(int(sum(d[:, :, 0].astype(np.int64).sum()
+                                for d in dec)))
+            pmin.append(int(dec[0][:, :, 0].min()))
+            pmax.append(int(dec[0][:, :, 0].max()))
+            wkbs.append(rast_to_wkb(Raster([frames[0]], [4], [None],
+                                           1.0, -1.0, 0.0, 0.0, 0.0, 0.0,
+                                           0, shape=(4, 4))))
+        col = get_op("rast_fromgif").fn(
+            get_op("rast_asgif").fn(pa.array(wkbs, type=pa.binary())))
+        b1s = [int(rast_from_wkb(b).bands[0].astype(np.int64).sum())
+               for b in col.to_pylist()]
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "n_frames": pa.array(nfr, type=pa.int64()),
+            "anim_sum": pa.array(asum, type=pa.int64()),
+            "b1_sum": pa.array(b1s, type=pa.int64()),
+            "px_min": pa.array(pmin, type=pa.int64()),
+            "px_max": pa.array(pmax, type=pa.int64()),
+            "delay_cs": pa.array(dsum, type=pa.int64())})
+
+    return _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        build, batch_format="pyarrow")
+
+
 def q_zonal_stats(sf_dir: str):
     """Distributed zonal statistics (raster/zonal.py — the classic
     raster↔vector bridge: per-zone aggregate of pixel CENTERS inside
@@ -2949,7 +2999,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
         "flagship": q_flagship,
-        # --- 50-entry driver window ends after the next entry ---
+        # --- the 50-entry driver window ends HERE (flagship is #50);
+        # everything below is driver-green from round 3
+        # (CORRECTNESS_r03.json) or new-but-locally-gated ---
+        "gif_codecs": q_gif_codecs,
         "wkt_roundtrip": q_wkt_roundtrip,
         "tile_z12": q_tile_z12,
         "grid_cell": q_grid_cell,
@@ -3380,6 +3433,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(255 AS DOUBLE) AS nodata1,
                    CAST(4326 AS BIGINT) AS srid
             FROM part, unnest(range(16)) AS t(i)
+            GROUP BY p_partkey""",
+        "gif_codecs": """
+            SELECT p_partkey,
+                   CAST(3 AS BIGINT) AS n_frames,
+                   CAST(sum((p_partkey * 16 + 31 * f + i) % 251) AS BIGINT)
+                       AS anim_sum,
+                   CAST(sum(CASE WHEN f = 0
+                            THEN (p_partkey * 16 + i) % 251 END) AS BIGINT)
+                       AS b1_sum,
+                   CAST(min(CASE WHEN f = 0
+                            THEN (p_partkey * 16 + i) % 251 END) AS BIGINT)
+                       AS px_min,
+                   CAST(max(CASE WHEN f = 0
+                            THEN (p_partkey * 16 + i) % 251 END) AS BIGINT)
+                       AS px_max,
+                   CAST(12 AS BIGINT) AS delay_cs
+            FROM part, unnest(range(3)) AS tf(f), unnest(range(16)) AS ti(i)
             GROUP BY p_partkey""",
         "raster_stats": """
             SELECT p_partkey,

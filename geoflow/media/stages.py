@@ -55,13 +55,20 @@ class MediaDecoder:
                  sampling factors 1-2; progressive rejected by name)
       mjpeg_avi  real video decode: RIFF/AVI container walk
                  (media/avio.py) + per-frame baseline JPEG; pixels =
-                 n_frames consecutive h*w*c frames."""
+                 n_frames consecutive h*w*c frames.
+      gif        real pure-stdlib GIF87a/89a decoder
+                 (raster/gifio.py — LZW variable codes); first frame,
+                 composed to RGB (c must be 3)
+      gif_anim   all frames of an animated GIF (disposal/transparency
+                 composed); pixels = n_frames consecutive h*w*3 frames."""
 
     def __init__(self):
         self._codecs = {"fake8": self._decode_fake8,
                         "png": self._decode_png,
                         "jpeg": self._decode_jpeg,
-                        "mjpeg_avi": self._decode_mjpeg_avi}
+                        "mjpeg_avi": self._decode_mjpeg_avi,
+                        "gif": self._decode_gif,
+                        "gif_anim": self._decode_gif_anim}
 
     @staticmethod
     def _decode_fake8(buf: bytes, w: int, h: int, c: int, f: int) -> bytes:
@@ -99,6 +106,25 @@ class MediaDecoder:
         px, _fps = avi_decode_mjpeg(bytes(buf))
         if px.shape != (f, h, w, c):
             raise ValueError(f"avi decode: metadata says {(f, h, w, c)}, "
+                             f"stream is {px.shape}")
+        return px.tobytes()
+
+    @staticmethod
+    def _decode_gif(buf, w, h, c, f):
+        from ..raster.gifio import gif_decode
+        px = gif_decode(bytes(buf))
+        if px.shape != (h, w, c):
+            raise ValueError(f"gif decode: metadata says {(h, w, c)}, "
+                             f"image is {px.shape}")
+        return px.tobytes()
+
+    @staticmethod
+    def _decode_gif_anim(buf, w, h, c, f):
+        from ..raster.gifio import gif_decode_frames
+        frames, _delays = gif_decode_frames(bytes(buf))
+        px = np.stack(frames)
+        if px.shape != (f, h, w, c):
+            raise ValueError(f"gif decode: metadata says {(f, h, w, c)}, "
                              f"stream is {px.shape}")
         return px.tobytes()
 

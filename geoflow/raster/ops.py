@@ -1241,6 +1241,52 @@ def rast_fromjpg(col):
     return pa.array(out, type=pa.binary())
 
 
+@register_op("rast_asgif", 1, "raster_exporter")
+def rast_asgif(col):
+    """Raster WKB column → GIF89a bytes (pure-stdlib LZW codec,
+    raster/gifio.py). 1 uniform 8BUI band, encoded as grayscale
+    (identity 256-gray palette) — lossless, unlike JPEG."""
+    from .gifio import gif_encode
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        if a is None:
+            out.append(None)
+            continue
+        r = from_wkb(a)
+        if len(r.bands) != 1 or r.pixtypes[0] != PT_8BUI:
+            raise ValueError("GIF needs exactly one 8BUI band, got "
+                             f"{len(r.bands)} of {r.pixtypes}")
+        out.append(gif_encode(r.bands[0].astype(np.uint8)))
+    return pa.array(out, type=pa.binary())
+
+
+@register_op("rast_fromgif", 1, "raster_constructor")
+def rast_fromgif(col, mode="indexed"):
+    """GIF bytes column → raster WKB (unit grid at the origin).
+
+    mode="indexed" (default): the palette INDEX plane as one 8BUI band
+    — the lossless inverse of rast_asgif (grayscale palette = identity,
+    so indices ARE the gray values). mode="rgb": first frame composed
+    to three 8BUI bands through the palette."""
+    from .gifio import gif_decode, gif_decode_indexed
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        if a is None:
+            out.append(None)
+            continue
+        if mode == "indexed":
+            idx, _pal = gif_decode_indexed(a)
+            bands = [idx]
+        else:
+            rgb = gif_decode(a)
+            bands = [rgb[:, :, i] for i in range(3)]
+        out.append(to_wkb(Raster(bands, [PT_8BUI] * len(bands),
+                                 [None] * len(bands), 1.0, -1.0,
+                                 0.0, 0.0, 0.0, 0.0, 0,
+                                 shape=bands[0].shape)))
+    return pa.array(out, type=pa.binary())
+
+
 @register_op("rast_asnetcdf", 1, "raster_exporter")
 def rast_asnetcdf(col):
     """Raster WKB column → NetCDF-3 classic bytes (CDF-1; bands as
