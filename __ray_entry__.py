@@ -529,6 +529,22 @@ def q_repetition(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher document-level quality rules (text/analysis.py
+    gopher_rules_batch — Rae et al. 2021 §A1.1, published thresholds):
+    word count, mean word length, symbol/bullet/ellipsis ratios,
+    alpha-word fraction, stopword count and the combined keep flag.
+    Every signal is one RE2 count + at most one int/int double
+    division, bit-identical to the SQL (both engines run RE2)."""
+    from geoflow.text.analysis import gopher_rules_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: gopher_rules_batch(b).select(
+            ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+             "bullet_frac", "ellipsis_frac", "alpha_frac",
+             "n_stopwords", "gopher_keep"]),
+        batch_format="pyarrow")
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 of all embeddings vs the first 5 vectors
     as queries (exact baseline of the ANN stage)."""
@@ -3003,6 +3019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # everything below is driver-green from round 3
         # (CORRECTNESS_r03.json) or new-but-locally-gated ---
         "gif_codecs": q_gif_codecs,
+        "gopher_quality": q_gopher_quality,
         "wkt_roundtrip": q_wkt_roundtrip,
         "tile_z12": q_tile_z12,
         "grid_cell": q_grid_cell,
@@ -3216,6 +3233,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5)
                         ELSE host0 END AS host
             FROM h""",
+        "gopher_quality": r"""
+            WITH s AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '\S+')) AS n_words,
+                len(regexp_extract_all(text, '\S')) AS nonspace,
+                len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+                len(regexp_extract_all(text, '\n')) + 1 AS n_lines,
+                len(regexp_extract_all(text, '(?m)^[ \t]*[-•*]'))
+                    AS n_bullet,
+                len(regexp_extract_all(text, '(?m)(?:\.\.\.|…)[ \t]*$'))
+                    AS n_ell,
+                len(regexp_extract_all(text, '\S*\p{L}\S*')) AS n_alpha,
+                len(regexp_extract_all(text,
+                    '(?i)\b(?:the|be|to|of|and|that|have|with)\b'))
+                    AS n_stop
+              FROM documents)
+            SELECT doc_id,
+              CAST(n_words AS BIGINT) AS n_words,
+              CAST(nonspace AS DOUBLE) / greatest(n_words, 1)
+                  AS mean_word_len,
+              CAST(n_sym AS DOUBLE) / greatest(n_words, 1)
+                  AS symbol_ratio,
+              CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+              CAST(n_ell AS DOUBLE) / n_lines AS ellipsis_frac,
+              CAST(n_alpha AS DOUBLE) / greatest(n_words, 1)
+                  AS alpha_frac,
+              CAST(n_stop AS BIGINT) AS n_stopwords,
+              CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                    AND CAST(nonspace AS DOUBLE) / greatest(n_words, 1)
+                        BETWEEN 3.0 AND 10.0
+                    AND CAST(n_sym AS DOUBLE) / greatest(n_words, 1)
+                        <= 0.1
+                    AND CAST(n_bullet AS DOUBLE) / n_lines < 0.9
+                    AND CAST(n_ell AS DOUBLE) / n_lines < 0.3
+                    AND CAST(n_alpha AS DOUBLE) / greatest(n_words, 1)
+                        >= 0.8
+                    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+                  AS gopher_keep
+            FROM s""",
         "repetition": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "c4_filter", "dsir_filter", "semdedup", "zonal_stats",
     "audio_features", "bpe_train", "video_frames", "hll_registers",
     "cms_counters", "video_motion", "keyword_search", "table_profile",
-    "source_profile", "raster_codecs", "gif_codecs",
+    "source_profile", "raster_codecs", "gif_codecs", "gopher_quality",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -181,6 +181,66 @@ def repetition_batch(batch: pa.Table, text_col="text") -> pa.Table:
     return out
 
 
+# Gopher document-level quality rules (Rae et al. 2021 §A1.1, public
+# corpus-filtering heuristics; reference has no equivalent — this is
+# part of the training-data-pipeline layer). Every signal is one RE2
+# count (same engine as DuckDB) + at most one int/int double division,
+# so the whole row — including the keep flag — is oracle-reproducible
+# bit-for-bit. Thresholds are the published Gopher values.
+GOPHER_STOP_PATTERN = r"(?i)\b(?:the|be|to|of|and|that|have|with)\b"
+_GOPHER_PATTERNS = {
+    "n_words": r"\S+",
+    "nonspace": r"\S",
+    "n_sym": r"#|\.\.\.|…",                      # hash + ellipsis marks
+    "n_nl": r"\n",
+    "n_bullet": r"(?m)^[ \t]*[-•*]",             # bullet-led lines
+    "n_ell": r"(?m)(?:\.\.\.|…)[ \t]*$",         # ellipsis-ended lines
+    "n_alpha": r"\S*\p{L}\S*",                   # words with a letter
+    "n_stop": GOPHER_STOP_PATTERN,
+}
+
+
+def gopher_rules_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Gopher quality rules per document: word count, mean word length,
+    symbol-to-word ratio (# / ellipsis), bullet-led and ellipsis-ended
+    line fractions, alpha-word fraction, stopword count, and the
+    combined ``gopher_keep`` flag (published thresholds: 50 ≤ words ≤
+    100k, 3 ≤ mean word length ≤ 10, symbol ratio ≤ 0.1, bullet lines
+    < 90%, ellipsis lines < 30%, ≥80% words contain a letter, ≥2
+    stopwords). Complements repetition_batch (the §A1.1 repetition
+    signals live there)."""
+    texts = pc.cast(batch.column(text_col), pa.string())
+    c = {k: _count_regex(texts, p) for k, p in _GOPHER_PATTERNS.items()}
+    n_words = c["n_words"]
+    safe_w = np.maximum(1, n_words)
+    n_lines = c["n_nl"] + 1
+    mwl = c["nonspace"] / safe_w
+    sym = c["n_sym"] / safe_w
+    bullet = c["n_bullet"] / n_lines
+    ell = c["n_ell"] / n_lines
+    alpha = c["n_alpha"] / safe_w
+    keep = ((n_words >= 50) & (n_words <= 100_000)
+            & (mwl >= 3.0) & (mwl <= 10.0)
+            & (sym <= 0.1) & (bullet < 0.9) & (ell < 0.3)
+            & (alpha >= 0.8) & (c["n_stop"] >= 2)).astype(np.int64)
+    out = batch
+    for name, arr in [("n_words", n_words), ("mean_word_len", mwl),
+                      ("symbol_ratio", sym), ("bullet_frac", bullet),
+                      ("ellipsis_frac", ell), ("alpha_frac", alpha),
+                      ("n_stopwords", c["n_stop"]),
+                      ("gopher_keep", keep)]:
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def gopher_filter(ds, text_col="text"):
+    """Dataset-level Gopher filter: keep only rows passing all rules."""
+    def fn(b: pa.Table) -> pa.Table:
+        g = gopher_rules_batch(b, text_col=text_col)
+        return b.filter(pc.equal(g.column("gopher_keep"), 1))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # scheme://[userinfo@]HOST[:port]/... — RE2-safe, identical result in
 # DuckDB regexp_extract (both engines run RE2)
 URL_HOST_PATTERN = (r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?"
