@@ -545,6 +545,32 @@ def q_gopher_quality(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over a deterministic link graph synthesized from
+    doc_ids (graph/pagerank.py — out-degree 1+(id%3), edge j targets
+    (id*(17+5j)+3+7j) % N; the SQL builds the identical edges). Four
+    fixed-point iterations (mass 10^12 units, damping 17/20): every
+    update is int64 arithmetic whose groupby SUM is order-independent,
+    so rank_units hash-match the unrolled-CTE oracle exactly; the
+    float rank is a single /1e12 division on both sides."""
+    from geoflow.graph.pagerank import pagerank, synth_edges_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        return synth_edges_batch(
+            b.column("doc_id").to_numpy(zero_copy_only=False), n)
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    pr = pagerank(edges, n_nodes=n, iterations=4)
+    return pr.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"),
+                            "rank_units": b.column("rank_units"),
+                            "rank": b.column("rank")}),
+        batch_format="pyarrow")
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 of all embeddings vs the first 5 vectors
     as queries (exact baseline of the ANN stage)."""
@@ -3020,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (CORRECTNESS_r03.json) or new-but-locally-gated ---
         "gif_codecs": q_gif_codecs,
         "gopher_quality": q_gopher_quality,
+        "pagerank": q_pagerank,
         "wkt_roundtrip": q_wkt_roundtrip,
         "tile_z12": q_tile_z12,
         "grid_cell": q_grid_cell,
@@ -3103,6 +3130,7 @@ _SQL_UID_U64 = ("(SELECT event_type, CASE WHEN user_id < 0 "
 
 
 def oracle_sql() -> dict[str, str]:
+    from geoflow.graph.pagerank import pagerank_oracle_sql
     doc_pts = (f"SELECT doc_id, lang, {_DOC_LON_SQL} AS x, "
                f"{_DOC_LAT_SQL} AS y FROM documents")
     nation_rects = f"SELECT n_nationkey, {_NATION_RECT_SQL} FROM nation"
@@ -3233,6 +3261,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5)
                         ELSE host0 END AS host
             FROM h""",
+        # generated from the same constants as the Ray kernels
+        # (graph/pagerank.py) so the two sides cannot drift
+        "pagerank": pagerank_oracle_sql(),
         "gopher_quality": r"""
             WITH s AS (
               SELECT doc_id,

@@ -1,0 +1,10 @@
+"""Graph algorithms over integer-keyed edge datasets (link analysis
+for web corpora: PageRank; connected components live in text/dedup's
+label machinery)."""
+
+from geoflow.graph.pagerank import (attach_outdegree, pagerank,
+                                    pagerank_oracle_sql,
+                                    synth_edges_batch)
+
+__all__ = ["pagerank", "attach_outdegree", "synth_edges_batch",
+           "pagerank_oracle_sql"]
