@@ -571,6 +571,35 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_graph_components(sf_dir: str):
+    """Connected components (graph/components.py) over a planted-
+    structure link graph: chain edges (i, i+7) plus star edges
+    (i, i%7) for i%3==0 — every component is exactly a residue class
+    mod 7 whose minimum key IS the residue, so the oracle is the
+    closed form doc_id % 7. The Ray side runs the real hash-to-min
+    machinery (driver mode under the 2M-edge cap; the distributed
+    pointer-jumping path is pytest-gated equivalent)."""
+    from geoflow.graph.components import connected_components
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False)
+        chain = i[i + 7 < n]
+        star = i[i % 3 == 0]
+        return pa.table({
+            "src": np.concatenate([chain, star]),
+            "dst": np.concatenate([chain + 7, star % 7])})
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    cc = connected_components(edges, max_driver_edges=2_000_000)
+    return cc.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"),
+                            "component": b.column("component")}),
+        batch_format="pyarrow")
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 of all embeddings vs the first 5 vectors
     as queries (exact baseline of the ANN stage)."""
@@ -3047,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_codecs": q_gif_codecs,
         "gopher_quality": q_gopher_quality,
         "pagerank": q_pagerank,
+        "graph_components": q_graph_components,
         "wkt_roundtrip": q_wkt_roundtrip,
         "tile_z12": q_tile_z12,
         "grid_cell": q_grid_cell,
@@ -3264,6 +3294,10 @@ def oracle_sql() -> dict[str, str]:
         # generated from the same constants as the Ray kernels
         # (graph/pagerank.py) so the two sides cannot drift
         "pagerank": pagerank_oracle_sql(),
+        # planted structure: every component is a residue class mod 7
+        # whose minimum key is the residue (see q_graph_components)
+        "graph_components":
+            "SELECT doc_id, doc_id % 7 AS component FROM documents",
         "gopher_quality": r"""
             WITH s AS (
               SELECT doc_id,
