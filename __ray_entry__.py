@@ -600,6 +600,77 @@ def q_graph_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _nb_probe_corpus(sf_dir: str):
+    """Planted 3-class NB probe corpus (text/nbclassify.py gates):
+    class c = doc_id%3, text = 'alphac '×(1+doc_id%4) + 'betac web
+    data page'. Marker token counts give every document a winning-
+    class margin of several nats (ln(cnt_marker+1) ≈ 6 at sf0.001),
+    dwarfing cross-engine libm drift — the DSIR gating pattern.
+    Built from 12 precomputed combo strings (no per-row Python)."""
+    combos = np.array([("alpha%d " % c) * k + "beta%d web data page" % c
+                       for c in range(3) for k in range(1, 5)],
+                      dtype=object)
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        c = ids % 3
+        k = ids % 4  # combo index offset (k repeats = 1 + doc_id%4)
+        return pa.table({
+            "doc_id": ids,
+            "label": pa.array((c.astype("U1")).tolist(),
+                              type=pa.string()),
+            "text": pa.array(combos[c * 4 + k].tolist(),
+                             type=pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+
+
+_NB_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS label,
+         repeat('alpha' || (doc_id % 3) || ' ', 1 + doc_id % 4)
+           || 'beta' || (doc_id % 3) || ' web data page' AS text
+  FROM documents),
+tok AS (
+  SELECT doc_id, label, t.tok
+  FROM corpus, LATERAL (SELECT unnest(regexp_extract_all(
+       lower(text), '[\\p{L}\\p{N}_]+'))) AS t(tok))"""
+
+
+def q_nb_train_counts(sf_dir: str):
+    """Distributed NB training (text/nbclassify.train_nb): one
+    tokenize+count pass -> (label⊕token) groupby -> driver model. The
+    output is the model's integer (token, label, cnt) state — exact
+    order-independent sums, hash-gated against the SQL aggregation."""
+    import ray.data
+
+    from geoflow.text.nbclassify import train_nb
+    model = train_nb(_nb_probe_corpus(sf_dir), label_col="label")
+    return ray.data.from_arrow(model.counts_table())
+
+
+def q_nb_classify(sf_dir: str):
+    """NB scoring (text/nbclassify.classify_nb): broadcast model,
+    per-batch vectorized tokenize -> searchsorted vocab ids ->
+    scatter-add log-likelihood rows -> argmax class. Gated on the
+    predicted CLASS only (planted margins >= several nats; float
+    score sums are not cross-engine comparable)."""
+    from geoflow.text.nbclassify import classify_nb, train_nb
+    # consumed twice (train + score) — deliberately NOT materialized:
+    # the lineage is read_parquet + a 12-string-combo map, and at scale
+    # re-reading the durable source beats pinning the corpus in the
+    # object store across both passes
+    corpus = _nb_probe_corpus(sf_dir)
+    model = train_nb(corpus, label_col="label")
+    out = classify_nb(corpus, model)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "pred": pc.cast(b.column("pred_label"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 of all embeddings vs the first 5 vectors
     as queries (exact baseline of the ANN stage)."""
@@ -3077,6 +3148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "pagerank": q_pagerank,
         "graph_components": q_graph_components,
+        "nb_train_counts": q_nb_train_counts,
+        "nb_classify": q_nb_classify,
         "wkt_roundtrip": q_wkt_roundtrip,
         "tile_z12": q_tile_z12,
         "grid_cell": q_grid_cell,
@@ -3298,6 +3371,39 @@ def oracle_sql() -> dict[str, str]:
         # whose minimum key is the residue (see q_graph_components)
         "graph_components":
             "SELECT doc_id, doc_id % 7 AS component FROM documents",
+        "nb_train_counts": f"""
+            WITH {_NB_CORPUS_SQL}
+            SELECT tok AS token, label, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY tok, label""",
+        "nb_classify": f"""
+            WITH {_NB_CORPUS_SQL},
+            counts AS (
+              SELECT tok, label, COUNT(*) AS cnt
+              FROM tok GROUP BY tok, label),
+            v AS (SELECT COUNT(DISTINCT tok) AS v FROM counts),
+            tot AS (SELECT label, SUM(cnt) AS t FROM counts
+                    GROUP BY label),
+            prior AS (SELECT label, COUNT(*) AS nd FROM corpus
+                      GROUP BY label),
+            nn AS (SELECT COUNT(*) AS n FROM corpus),
+            cl AS (SELECT DISTINCT label FROM corpus),
+            sc AS (
+              SELECT tk.doc_id, cl.label,
+                     SUM(ln(CAST(COALESCE(c2.cnt, 0) + 1 AS DOUBLE)
+                            / CAST(tot.t + v.v AS DOUBLE))) AS ll
+              FROM tok tk CROSS JOIN cl
+              JOIN tot ON tot.label = cl.label CROSS JOIN v
+              LEFT JOIN counts c2
+                ON c2.tok = tk.tok AND c2.label = cl.label
+              GROUP BY tk.doc_id, cl.label),
+            scored AS (
+              SELECT sc.doc_id, sc.label,
+                     sc.ll + ln(CAST(prior.nd AS DOUBLE)
+                                / CAST(nn.n AS DOUBLE)) AS s
+              FROM sc JOIN prior ON prior.label = sc.label
+              CROSS JOIN nn)
+            SELECT doc_id, CAST(arg_max(label, s) AS BIGINT) AS pred
+            FROM scored GROUP BY doc_id""",
         "gopher_quality": r"""
             WITH s AS (
               SELECT doc_id,

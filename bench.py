@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "audio_features", "bpe_train", "video_frames", "hll_registers",
     "cms_counters", "video_motion", "keyword_search", "table_profile",
     "source_profile", "raster_codecs", "gif_codecs", "gopher_quality",
-    "pagerank", "graph_components",
+    "pagerank", "graph_components", "nb_train_counts", "nb_classify",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

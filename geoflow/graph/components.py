@@ -34,6 +34,9 @@ def connected_components(edges, src_col: str = "src",
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError("mode must be auto|driver|distributed")
     if mode == "auto":
+        # count() executes the lineage and the chosen path consumes it
+        # again — materialize once (two-consumers rule, CLAUDE.md)
+        edges = edges.materialize()
         n_edges = edges.count()
         mode = "driver" if n_edges <= max_driver_edges else "distributed"
     if mode == "driver":
