@@ -600,6 +600,125 @@ def q_graph_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_host_pagerank(sf_dir: str):
+    """Domain-level rank composite (the CommonCrawl-style host-rank
+    quality signal): every doc emits two host-graph link events
+    (host = doc_id%20 -> (13·id+5)%20 and (7·id+3)%20), aggregated to
+    a WEIGHTED host edge list by one distributed groupby (pair key =
+    src·20+dst rides a single int column), ranked with 3 weighted
+    fixed-point PageRank iterations (graph/pagerank.py weight_col:
+    contrib = rank·w // out_weight, all int64), then broadcast-joined
+    back onto every document. Exact oracle: integer sums + the same
+    unrolled arithmetic in SQL."""
+    import ray.data
+
+    from geoflow.graph.pagerank import MASS, pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def events(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([i % 20, i % 20])
+        dst = np.concatenate([(i * 13 + 5) % 20, (i * 7 + 3) % 20])
+        u, c = np.unique(src * 20 + dst, return_counts=True)
+        return pa.table({"pair": u, "cnt": c.astype(np.int64)})
+
+    agg = docs.map_batches(events, batch_format="pyarrow") \
+        .groupby("pair").sum("cnt")
+    pair_l, cnt_l = [], []
+    for blk in agg.iter_batches(batch_format="pyarrow"):
+        if "pair" not in blk.schema.names or blk.num_rows == 0:
+            continue
+        pair_l.append(blk.column("pair").to_numpy(zero_copy_only=False))
+        cnt_l.append(blk.column("sum(cnt)").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    pair = np.concatenate(pair_l)
+    w = np.concatenate(cnt_l)
+    src, dst = pair // 20, pair % 20
+    outw = np.zeros(20, dtype=np.int64)
+    np.add.at(outw, src, w)
+    edges = ray.data.from_arrow(pa.table({
+        "src": src, "dst": dst, "w": w, "outw": outw[src]}))
+    pr = pagerank(edges, n_nodes=20, outdeg_col="outw", weight_col="w",
+                  iterations=3, materialize_edges=False)
+    rank_units = np.zeros(20, dtype=np.int64)
+    for r in pr.take_all():
+        rank_units[r["node"]] = r["rank_units"]
+
+    def attach(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = i % 20
+        u = rank_units[h]
+        return pa.table({"doc_id": i, "host": h,
+                         "host_rank_units": u,
+                         "host_rank": u.astype(np.float64) / float(MASS)})
+
+    return docs.map_batches(attach, batch_format="pyarrow")
+
+
+def _host_pagerank_oracle_sql(iterations: int = 3) -> str:
+    from geoflow.graph.pagerank import MASS
+    r0 = MASS // 20
+    base = (r0 * 3) // 20
+    parts = [f"""
+        WITH ev AS (
+          SELECT doc_id % 20 AS src, (doc_id * 13 + 5) % 20 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 20, (doc_id * 7 + 3) % 20 FROM documents),
+        edges AS (SELECT src, dst, COUNT(*) AS w FROM ev
+                  GROUP BY src, dst),
+        outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        e2 AS (SELECT e.src, e.dst, e.w, o.ow
+               FROM edges e JOIN outw o ON o.src = e.src),
+        nodes AS (SELECT unnest(range(20)) AS node),
+        r0 AS (SELECT node, {r0} AS rank_units FROM nodes)"""]
+    for t in range(1, iterations + 1):
+        parts.append(f""",
+        r{t} AS (
+          SELECT nd.node,
+                 {base} + (17 * COALESCE(s.s, 0)) // 20 AS rank_units
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM((r.rank_units * e.w) // e.ow) AS BIGINT) AS s
+            FROM e2 e JOIN r{t - 1} r ON r.node = e.src
+            GROUP BY e.dst) s ON s.node = nd.node)""")
+    parts.append(f"""
+        SELECT d.doc_id, d.doc_id % 20 AS host,
+               r.rank_units AS host_rank_units,
+               CAST(r.rank_units AS DOUBLE) / 1e{len(str(MASS)) - 1}
+                   AS host_rank
+        FROM documents d JOIN r{iterations} r ON r.node = d.doc_id % 20""")
+    return "".join(parts)
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (graph/hits.py — Kleinberg 1999) over
+    the same synthetic link graph as q_pagerank. Two iterations of
+    integer-mass sums with exact renormalization (driver rescale in
+    Python ints, oracle rescale in HUGEINT) — auth/hub units
+    hash-match the unrolled-CTE oracle bit-for-bit."""
+    from geoflow.graph.hits import hits
+    from geoflow.graph.pagerank import synth_edges_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        return synth_edges_batch(
+            b.column("doc_id").to_numpy(zero_copy_only=False), n)
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    out = hits(edges, n_nodes=n, iterations=2)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"),
+                            "auth_units": b.column("auth_units"),
+                            "hub_units": b.column("hub_units"),
+                            "auth": b.column("auth"),
+                            "hub": b.column("hub")}),
+        batch_format="pyarrow")
+
+
 def _nb_probe_corpus(sf_dir: str):
     """Planted 3-class NB probe corpus (text/nbclassify.py gates):
     class c = doc_id%3, text = 'alphac '×(1+doc_id%4) + 'betac web
@@ -3148,6 +3267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "pagerank": q_pagerank,
         "graph_components": q_graph_components,
+        "hits": q_hits,
+        "host_pagerank": q_host_pagerank,
         "nb_train_counts": q_nb_train_counts,
         "nb_classify": q_nb_classify,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -3233,6 +3354,7 @@ _SQL_UID_U64 = ("(SELECT event_type, CASE WHEN user_id < 0 "
 
 
 def oracle_sql() -> dict[str, str]:
+    from geoflow.graph.hits import hits_oracle_sql
     from geoflow.graph.pagerank import pagerank_oracle_sql
     doc_pts = (f"SELECT doc_id, lang, {_DOC_LON_SQL} AS x, "
                f"{_DOC_LAT_SQL} AS y FROM documents")
@@ -3367,6 +3489,8 @@ def oracle_sql() -> dict[str, str]:
         # generated from the same constants as the Ray kernels
         # (graph/pagerank.py) so the two sides cannot drift
         "pagerank": pagerank_oracle_sql(),
+        "hits": hits_oracle_sql(),
+        "host_pagerank": _host_pagerank_oracle_sql(),
         # planted structure: every component is a residue class mod 7
         # whose minimum key is the residue (see q_graph_components)
         "graph_components":

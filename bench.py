@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "cms_counters", "video_motion", "keyword_search", "table_profile",
     "source_profile", "raster_codecs", "gif_codecs", "gopher_quality",
     "pagerank", "graph_components", "nb_train_counts", "nb_classify",
+    "hits", "host_pagerank",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

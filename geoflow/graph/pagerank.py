@@ -158,14 +158,22 @@ def pc_cast_i64(col):
 # --------------------------------------------------------------------
 
 def _batch_partials(ranks: np.ndarray, b: pa.Table, src_col: str,
-                    dst_col: str, outdeg_col: str) -> pa.Table:
+                    dst_col: str, outdeg_col: str,
+                    weight_col: str | None = None) -> pa.Table:
     """Per-batch combiner: int64 contribution sums per distinct dst
     (sort + reduceat — the batch's distinct-dst set is small relative
-    to n_nodes, so no n_nodes-length scatter)."""
+    to n_nodes, so no n_nodes-length scatter). Weighted graphs:
+    contrib = rank * w // out_weight (rank <= mass, so w must stay
+    below 2^63 / mass ~ 9e6 for the multiply to fit int64 — checked
+    by the caller's docstring contract, not per batch)."""
     src = b.column(src_col).to_numpy(zero_copy_only=False)
     dst = b.column(dst_col).to_numpy(zero_copy_only=False)
     od = b.column(outdeg_col).to_numpy(zero_copy_only=False)
-    contrib = ranks[src] // od
+    if weight_col is not None:
+        w = b.column(weight_col).to_numpy(zero_copy_only=False)
+        contrib = (ranks[src] * w) // od
+    else:
+        contrib = ranks[src] // od
     order = np.argsort(dst, kind="stable")
     d_s, c_s = dst[order], contrib[order]
     cuts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]]) \
@@ -178,6 +186,7 @@ def _batch_partials(ranks: np.ndarray, b: pa.Table, src_col: str,
 
 def pagerank(edges, *, n_nodes: int, src_col: str = "src",
              dst_col: str = "dst", outdeg_col: str = "outdeg",
+             weight_col: str | None = None,
              iterations: int = 4, mass: int = MASS,
              damping: tuple[int, int] = DAMPING, mode: str = "auto",
              reduce: str = "auto", max_broadcast_nodes: int = 4_000_000,
@@ -187,7 +196,12 @@ def pagerank(edges, *, n_nodes: int, src_col: str = "src",
     src row must carry its out-degree — ``attach_outdegree`` for raw
     graphs). Returns a Dataset with columns (node, rank_units, rank);
     ``rank = rank_units / mass`` is a single exact-power-of-ten double
-    division, IEEE-identical in numpy and SQL."""
+    division, IEEE-identical in numpy and SQL.
+
+    Weighted graphs: pass ``weight_col`` and put the TOTAL out-weight
+    per source in ``outdeg_col``; contrib = rank * w // out_weight.
+    Weights must satisfy max_weight < 2**63 / mass (~9.2e6 at the
+    default mass) so the multiply stays in int64."""
     import ray
     import ray.data
 
@@ -208,16 +222,19 @@ def pagerank(edges, *, n_nodes: int, src_col: str = "src",
     if mode == "broadcast":
         return _pagerank_broadcast(
             edges, n_nodes=n_nodes, src_col=src_col, dst_col=dst_col,
-            outdeg_col=outdeg_col, iterations=iterations, r0=r0,
+            outdeg_col=outdeg_col, weight_col=weight_col,
+            iterations=iterations, r0=r0,
             base=base, num=num, den=den, scale=scale, reduce=reduce)
     return _pagerank_join(
         edges, n_nodes=n_nodes, src_col=src_col, dst_col=dst_col,
-        outdeg_col=outdeg_col, iterations=iterations, r0=r0, base=base,
+        outdeg_col=outdeg_col, weight_col=weight_col,
+        iterations=iterations, r0=r0, base=base,
         num=num, den=den, scale=scale, num_partitions=num_partitions)
 
 
 def _pagerank_broadcast(edges, *, n_nodes, src_col, dst_col, outdeg_col,
-                        iterations, r0, base, num, den, scale, reduce):
+                        weight_col, iterations, r0, base, num, den,
+                        scale, reduce):
     import ray
     import ray.data
 
@@ -231,7 +248,7 @@ def _pagerank_broadcast(edges, *, n_nodes, src_col, dst_col, outdeg_col,
 
         def combiner(b: pa.Table, _ref=ref) -> pa.Table:
             return _batch_partials(ray.get(_ref), b, src_col, dst_col,
-                                   outdeg_col)
+                                   outdeg_col, weight_col)
 
         partials = edges.map_batches(combiner, batch_format="pyarrow")
         new = np.full(n_nodes, base, dtype=np.int64)
@@ -263,7 +280,7 @@ def _pagerank_broadcast(edges, *, n_nodes, src_col, dst_col, outdeg_col,
 
 
 def _pagerank_join(edges, *, n_nodes, src_col, dst_col, outdeg_col,
-                   iterations, r0, base, num, den, scale,
+                   weight_col, iterations, r0, base, num, den, scale,
                    num_partitions):
     import ray
     import ray.data
@@ -292,7 +309,12 @@ def _pagerank_join(edges, *, n_nodes, src_col, dst_col, outdeg_col,
     def contrib(b: pa.Table) -> pa.Table:
         r = b.column("__pr_units").to_numpy(zero_copy_only=False)
         od = b.column(outdeg_col).to_numpy(zero_copy_only=False)
-        return pa.table({"dst": b.column(dst_col), "partial": r // od})
+        if weight_col is not None:
+            w = b.column(weight_col).to_numpy(zero_copy_only=False)
+            part = (r * w) // od
+        else:
+            part = r // od
+        return pa.table({"dst": b.column(dst_col), "partial": part})
 
     def finish(b: pa.Table) -> pa.Table:
         if "__pr_sum" in b.schema.names:

@@ -121,6 +121,28 @@ def test_attach_outdegree(ray_session):
     assert len(r) == 4
 
 
+def test_weighted_contrib(ray_session):
+    # node 0 splits mass 3:1 between nodes 1 and 2 (out_weight 4).
+    import ray
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 0, 1, 2], type=pa.int64()),
+        "dst": pa.array([1, 2, 1, 2], type=pa.int64()),
+        "w": pa.array([3, 1, 1, 1], type=pa.int64()),
+        "outw": pa.array([4, 4, 1, 1], type=pa.int64())}))
+    r = _ranks(pagerank(ds, n_nodes=3, iterations=1,
+                        outdeg_col="outw", weight_col="w"))
+    r0 = 10 ** 12 // 3
+    base = (r0 * 3) // 20
+    assert r[0] == base
+    assert r[1] == base + (17 * ((r0 * 3) // 4 + r0)) // 20
+    assert r[2] == base + (17 * ((r0 * 1) // 4 + r0)) // 20
+    # weighted join mode agrees
+    rj = _ranks(pagerank(ds, n_nodes=3, iterations=1, mode="join",
+                         outdeg_col="outw", weight_col="w",
+                         num_partitions=2))
+    assert (r == rj).all()
+
+
 def test_bad_args(ray_session):
     ds = _edges_ds([0], [0], [1])
     with pytest.raises(ValueError):
