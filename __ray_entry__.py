@@ -1188,11 +1188,16 @@ def q_raster_codecs(sf_dir: str):
         col = pa.array(wkbs, type=pa.binary())
         col = get_op("rast_fromnetcdf").fn(get_op("rast_asnetcdf").fn(col))
         col = get_op("rast_fromgmlcov").fn(get_op("rast_asgmlcov").fn(col))
-        b1s, b2s, ipx, nod, srid = [], [], [], [], []
+        from geoflow.raster.rastwkb import from_asciigrid, to_asciigrid
+        b1s, b2s, b2a, ipx, nod, srid = [], [], [], [], [], []
         for buf in col.to_pylist():
             r = rast_from_wkb(buf)
             b1s.append(int(r.bands[0].astype(np.int64).sum()))
             b2s.append(int(r.bands[1].astype(np.int64).sum()))
+            # one more hop: float band through the ESRI ASCII grid
+            # codec ("%.17g" text — integer-valued doubles are exact)
+            ra = from_asciigrid(to_asciigrid(r, band=1))
+            b2a.append(int(ra.bands[0].astype(np.int64).sum()))
             ipx.append(r.ip_x)
             nod.append(float(r.nodata[0]))
             srid.append(int(r.srid))
@@ -1200,6 +1205,7 @@ def q_raster_codecs(sf_dir: str):
             "p_partkey": batch.column("p_partkey"),
             "b1_sum": pa.array(b1s, type=pa.int64()),
             "b2_sum": pa.array(b2s, type=pa.int64()),
+            "b2_asc_sum": pa.array(b2a, type=pa.int64()),
             "ip_x": pa.array(ipx, type=pa.float64()),
             "nodata1": pa.array(nod, type=pa.float64()),
             "srid": pa.array(srid, type=pa.int64())})
@@ -3780,6 +3786,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    CAST(sum((p_partkey * 16 + i) % 251) AS BIGINT) AS b1_sum,
                    CAST(sum((p_partkey * 7 + i) % 97) AS BIGINT) AS b2_sum,
+                   CAST(sum((p_partkey * 7 + i) % 97) AS BIGINT)
+                       AS b2_asc_sum,
                    CAST(p_partkey % 100 AS DOUBLE) / 4.0 AS ip_x,
                    CAST(255 AS DOUBLE) AS nodata1,
                    CAST(4326 AS BIGINT) AS srid

@@ -1001,6 +1001,30 @@ def rast_fromxyz(col):
     return pa.array(out, type=pa.binary())
 
 
+@register_op("rast_asasciigrid", 1, "raster_exporter")
+def rast_asasciigrid(col):
+    """Raster WKB column → ESRI ASCII grid (AAIGrid) text — the public
+    GDAL/ArcInfo interchange format (no reference equivalent; rounds
+    out the raster text-IO family beside XYZ/CoverageJSON). See
+    rastwkb.to_asciigrid."""
+    from .rastwkb import to_asciigrid
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else to_asciigrid(from_wkb(a)))
+    return pa.array(out, type=pa.string())
+
+
+@register_op("rast_fromasciigrid", 1, "raster_constructor")
+def rast_fromasciigrid(col):
+    """ESRI ASCII grid text column → raster WKB (xllcorner/xllcenter
+    variants, NODATA_value; see rastwkb.from_asciigrid)."""
+    from .rastwkb import from_asciigrid
+    out = []
+    for a in (col.to_pylist() if hasattr(col, "to_pylist") else col):
+        out.append(None if a is None else to_wkb(from_asciigrid(a)))
+    return pa.array(out, type=pa.binary())
+
+
 # ---------------------------------------------------------------------------
 # transform tail — Rescale / Rotation / Grayscale are stubs in the
 # reference (raster/transform/Rescale.java, Rotation.java,

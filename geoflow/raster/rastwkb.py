@@ -236,3 +236,72 @@ def from_xyz(text: str, srid: int = 0, nodata=None) -> Raster:
                   ip_x=float(xs[0]) - sx / 2.0,
                   ip_y=float(ys[-1]) + sy / 2.0,
                   srid=srid)
+
+
+def to_asciigrid(r: Raster, band: int = 0) -> str:
+    """Raster band → ESRI ASCII grid (AAIGrid) text: the public GDAL/
+    ArcInfo interchange format (ncols/nrows/xllcorner/yllcorner/
+    cellsize header + north-up rows). Requires square, axis-aligned,
+    north-up cells (cellsize is a single scalar in the format)."""
+    if r.skew_x or r.skew_y:
+        raise ValueError("asciigrid: rotated rasters not representable")
+    if r.scale_y >= 0 or abs(abs(r.scale_x) - abs(r.scale_y)) > 1e-12:
+        raise ValueError("asciigrid: requires square north-up cells")
+    h, w = r.height, r.width
+    cell = float(r.scale_x)
+    nodata = r.nodata[band]
+    z = np.asarray(r.bands[band], dtype=np.float64)
+    if nodata is not None:
+        z = np.where(np.isnan(z), float(nodata), z)
+    nd = -9999.0 if nodata is None else float(nodata)
+    head = (f"ncols {w}\nnrows {h}\n"
+            f"xllcorner {r.ip_x:.17g}\n"
+            f"yllcorner {r.ip_y + r.scale_y * h:.17g}\n"
+            f"cellsize {cell:.17g}\n"
+            f"NODATA_value {nd:.17g}\n")
+    rows = np.char.mod("%.17g", z)
+    return head + "\n".join(" ".join(row) for row in rows.tolist())
+
+
+def from_asciigrid(text: str, srid: int = 0) -> Raster:
+    """ESRI ASCII grid text → single-band 64BF Raster. Accepts
+    xllcorner/yllcorner or xllcenter/yllcenter headers (case-
+    insensitive, any order), optional NODATA_value. Values keep the
+    declared nodata VALUE in the band (the nodata rides the raster
+    metadata, matching the other codecs)."""
+    toks = text.split()
+    hdr: dict[str, float] = {}
+    i = 0
+    while i + 1 < len(toks):
+        k = toks[i].lower()
+        if k in ("ncols", "nrows", "xllcorner", "yllcorner",
+                 "xllcenter", "yllcenter", "cellsize", "nodata_value"):
+            hdr[k] = float(toks[i + 1])
+            i += 2
+        else:
+            break
+    for req in ("ncols", "nrows", "cellsize"):
+        if req not in hdr:
+            raise ValueError(f"asciigrid: missing header {req}")
+    w, h = int(hdr["ncols"]), int(hdr["nrows"])
+    cell = hdr["cellsize"]
+    vals = np.array(toks[i:], dtype=np.float64)
+    if len(vals) != w * h:
+        raise ValueError(
+            f"asciigrid: expected {w * h} values, got {len(vals)}")
+    if "xllcorner" in hdr:
+        xll = hdr["xllcorner"]
+    elif "xllcenter" in hdr:
+        xll = hdr["xllcenter"] - cell / 2.0
+    else:
+        raise ValueError("asciigrid: missing xllcorner/xllcenter")
+    if "yllcorner" in hdr:
+        yll = hdr["yllcorner"]
+    elif "yllcenter" in hdr:
+        yll = hdr["yllcenter"] - cell / 2.0
+    else:
+        raise ValueError("asciigrid: missing yllcorner/yllcenter")
+    nodata = hdr.get("nodata_value")
+    return Raster([vals.reshape(h, w)], [PT_64BF], [nodata],
+                  scale_x=cell, scale_y=-cell,
+                  ip_x=xll, ip_y=yll + h * cell, srid=srid)

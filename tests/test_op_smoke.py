@@ -69,7 +69,8 @@ _IMGBYTES = {"rast_frompng": "rast_aspng", "rast_fromtiff": "rast_astiff",
              "rast_fromjpg": "rast_asjpg",
              "rast_fromnetcdf": "rast_asnetcdf",
              "rast_fromgmlcov": "rast_asgmlcov",
-             "rast_fromgif": "rast_asgif"}
+             "rast_fromgif": "rast_asgif",
+             "rast_fromasciigrid": "rast_asasciigrid"}
 
 
 def test_every_unary_op_smokes():

@@ -509,3 +509,53 @@ class TestGMLCOV:
             assert np.array_equal(from_wkb(o[0].as_py()).bands[0],
                                   r.bands[0])
             assert o[1].as_py() is None
+
+
+class TestAsciiGrid:
+    def test_roundtrip_values_and_georef(self):
+        import numpy as np
+        from geoflow.raster.rastwkb import (PT_64BF, Raster,
+                                            from_asciigrid, to_asciigrid)
+        r = Raster([np.array([[1.5, 2.0], [3.0, -9999.0]])],
+                   [PT_64BF], [-9999.0], scale_x=2.0, scale_y=-2.0,
+                   ip_x=10.0, ip_y=20.0, srid=4326)
+        r2 = from_asciigrid(to_asciigrid(r), srid=4326)
+        assert np.array_equal(r2.bands[0], r.bands[0])
+        assert (r2.scale_x, r2.scale_y, r2.ip_x, r2.ip_y) == \
+            (2.0, -2.0, 10.0, 20.0)
+        assert r2.nodata[0] == -9999.0
+
+    def test_center_variant_and_case(self):
+        from geoflow.raster.rastwkb import from_asciigrid
+        r = from_asciigrid(
+            "NCOLS 2\nNROWS 1\nXLLCENTER 1.0\nYLLCENTER 1.0\n"
+            "cellsize 2\n5 6")
+        assert (r.ip_x, r.ip_y) == (0.0, 2.0)
+        assert r.bands[0].tolist() == [[5.0, 6.0]]
+
+    def test_rejects_bad_grids(self):
+        import numpy as np
+        import pytest
+        from geoflow.raster.rastwkb import (PT_64BF, Raster,
+                                            from_asciigrid, to_asciigrid)
+        with pytest.raises(ValueError):
+            from_asciigrid("ncols 2\nnrows 2\nxllcorner 0\n"
+                           "yllcorner 0\ncellsize 1\n1 2 3")  # 3 != 4
+        rect = Raster([np.zeros((2, 2))], [PT_64BF], [None],
+                      scale_x=2.0, scale_y=-1.0, ip_x=0.0, ip_y=2.0)
+        with pytest.raises(ValueError):
+            to_asciigrid(rect)  # non-square cells
+
+    def test_registered_ops_roundtrip(self):
+        import numpy as np
+        import pyarrow as pa
+        from geoflow.ops import get_op
+        from geoflow.raster.rastwkb import (PT_64BF, Raster, from_wkb,
+                                            to_wkb)
+        r = Raster([np.array([[7.0, 8.0]])], [PT_64BF], [None],
+                   1.0, -1.0, 0.0, 1.0, 0.0, 0.0, 0)
+        col = pa.array([to_wkb(r), None], type=pa.binary())
+        o = get_op("rast_fromasciigrid").fn(
+            get_op("rast_asasciigrid").fn(col))
+        assert np.array_equal(from_wkb(o[0].as_py()).bands[0], r.bands[0])
+        assert o[1].as_py() is None
