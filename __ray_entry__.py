@@ -516,6 +516,96 @@ def q_url_host(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _links_fixture_html(batch: pa.Table) -> pa.Table:
+    """Deterministic link-bearing HTML per doc (fixture synthesis,
+    shared by q_link_extract / q_anchor_agg): doc_id gets
+    k = 1 + doc_id%4 anchors, anchor j targets
+    host (doc_id*7 + j*13) % 50 with path '{doc_id}-{j}' and text
+    'Link {doc_id} {j}'; odd-j anchors use upper-case <A HREF and an
+    extra attribute, and every page carries a decoy href-less
+    <a name=...> — the oracle derives the same rows from the formula,
+    so extraction correctness (not just roundtrip) is gated. Assembly
+    is vectorized (numpy repeat + Arrow binary_join per list)."""
+    ids = batch.column("doc_id")
+    idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = 1 + (idn % 4)
+    ends = np.cumsum(k)
+    src = np.repeat(idn, k)
+    j = np.arange(int(ends[-1]) if len(ends) else 0) \
+        - np.repeat(ends - k, k)
+    t = (src * 7 + j * 13) % 50
+
+    def s(a):
+        return pc.cast(pa.array(a), pa.string())
+
+    J = pc.binary_join_element_wise
+    open_tag = pa.array(np.where(j % 2 == 0, '<a href="',
+                                 '<A class="l" HREF="'),
+                        type=pa.string())
+    piece = J(open_tag, pa.scalar("https://host"), s(t),
+              pa.scalar(".example.com/p/"), s(src), pa.scalar("-"),
+              s(j), pa.scalar('">Link '), s(src), pa.scalar(" "),
+              s(j), pa.scalar("</a>"), "")
+    lst = pa.ListArray.from_arrays(
+        pa.array(np.insert(ends, 0, 0), type=pa.int32()), piece)
+    html = J(pa.scalar('<html><body><a name="d'), s(idn % 9),
+             pa.scalar('">decoy</a><p>'), pc.binary_join(lst, ""),
+             pa.scalar("</p></body></html>"), "")
+    return pa.table({"doc_id": ids, "html": html})
+
+
+def q_link_extract(sf_dir: str):
+    """Crawl-graph edge extraction (text/links.py
+    extract_links_batch): split-on-<a + one RE2 extract, fully
+    vectorized; gated against formula-DERIVED ground truth (the SQL
+    never parses HTML — independent derivation, not a shared
+    roundtrip)."""
+    from geoflow.text.links import extract_links_batch
+
+    def synth_extract(b: pa.Table) -> pa.Table:
+        return extract_links_batch(_links_fixture_html(b))
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_extract, batch_format="pyarrow")
+
+
+def q_anchor_agg(sf_dir: str):
+    """Anchor-text aggregation per target host (the classic
+    search-quality signal table): extract links → host parse
+    (links.href_host) → two-level distributed aggregate
+    (groupby(host, doc) collapses duplicates inside the shuffle, then
+    groupby(host) sums — exact distinct-source counts with no driver
+    materialization, same shape as q_distinct_users)."""
+    from ray.data.aggregate import Count, Sum
+
+    from geoflow.text.links import extract_links_batch, href_host
+
+    def stage(b: pa.Table) -> pa.Table:
+        t = extract_links_batch(_links_fixture_html(b))
+        return pa.table({
+            "host": href_host(t.column("href")),
+            "doc_id": t.column("doc_id"),
+            "alen": pc.cast(pc.utf8_length(t.column("anchor")),
+                            pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        stage, batch_format="pyarrow")
+    inner = ds.groupby(["host", "doc_id"]).aggregate(
+        Count(), Sum("alen"))
+    out = inner.groupby("host").aggregate(
+        Sum("count()"), Sum("sum(alen)"), Count())
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": b.column("host"),
+            "inlinks": pc.cast(b.column("sum(count())"), pa.int64()),
+            "n_src": pc.cast(b.column("count()"), pa.int64()),
+            "anchor_chars": pc.cast(b.column("sum(sum(alen))"),
+                                    pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition signals per doc (text/analysis.py
     repetition_batch): dup-token mass and top-token frequency over
@@ -3229,9 +3319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_intersecting": q_cluster_intersecting,
         "mvt_tile": q_mvt_tile,
         "traj_cpa": q_traj_cpa,
-        "semi_join": q_semi_join,
+        "link_extract": q_link_extract,
         "grouped_topk": q_grouped_topk,
-        "dim_join": q_dim_join,
+        "anchor_agg": q_anchor_agg,
         "pq_ann": q_pq_ann,
         "solid_volumes": q_solid_volumes,
         "stream_dedup": q_stream_dedup,
@@ -3280,6 +3370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "host_pagerank": q_host_pagerank,
         "nb_train_counts": q_nb_train_counts,
+        "semi_join": q_semi_join,
+        "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
         "tile_z12": q_tile_z12,
         "grid_cell": q_grid_cell,
@@ -3537,6 +3629,36 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN nn)
             SELECT doc_id, CAST(arg_max(label, s) AS BIGINT) AS pred
             FROM scored GROUP BY doc_id""",
+        # link extraction gated against formula-DERIVED rows (the SQL
+        # never parses the HTML the Ray side builds and strips)
+        "link_extract": """
+            WITH l AS (SELECT doc_id,
+                              unnest(range(1 + doc_id % 4)) AS j
+                       FROM documents)
+            SELECT doc_id,
+                   'https://host' ||
+                       CAST((doc_id*7 + j*13) % 50 AS VARCHAR) ||
+                       '.example.com/p/' ||
+                       CAST(doc_id AS VARCHAR) || '-' ||
+                       CAST(j AS VARCHAR) AS href,
+                   'Link ' || CAST(doc_id AS VARCHAR) || ' ' ||
+                       CAST(j AS VARCHAR) AS anchor
+            FROM l
+        """,
+        "anchor_agg": """
+            WITH l AS (SELECT doc_id,
+                              unnest(range(1 + doc_id % 4)) AS j
+                       FROM documents)
+            SELECT 'host' ||
+                       CAST((doc_id*7 + j*13) % 50 AS VARCHAR) ||
+                       '.example.com' AS host,
+                   CAST(count(*) AS BIGINT) AS inlinks,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src,
+                   CAST(sum(length(
+                       'Link ' || CAST(doc_id AS VARCHAR) || ' ' ||
+                       CAST(j AS VARCHAR))) AS BIGINT) AS anchor_chars
+            FROM l GROUP BY host
+        """,
         "gopher_quality": r"""
             WITH s AS (
               SELECT doc_id,
