@@ -782,6 +782,119 @@ def _host_pagerank_oracle_sql(iterations: int = 3) -> str:
     return "".join(parts)
 
 
+def q_link_rank(sf_dir: str):
+    """End-to-end crawl→graph→rank composite over EXTRACTED links:
+    fixture HTML → text/links.extract_links_batch (real RE2
+    extraction) → href_host on both the page's own URL and each
+    target → per-batch combined (src,dst) counts → one distributed
+    groupby to the weighted host edge list → 3 weighted fixed-point
+    PageRank iterations (graph/pagerank.py). Output is keyed by HOST
+    STRING, so the engine's internal host→node encoding never leaks
+    into the gate; the oracle rebuilds the edge list from the fixture
+    formula and unrolls the same integer arithmetic with n derived in
+    SQL. The aggregated host edge list is driver-collected under the
+    fixture bound (≤50² pairs; general case: pagerank join mode +
+    distributed dictionary encode)."""
+    import ray.data
+
+    from geoflow.graph.pagerank import MASS, pagerank
+    from geoflow.text.links import extract_links_batch, href_host
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edge_partials(b: pa.Table) -> pa.Table:
+        t = extract_links_batch(_links_fixture_html(b))
+        ids = t.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        src_url = pc.binary_join_element_wise(
+            pa.scalar("https://host"),
+            pc.cast(pa.array(idn % 50), pa.string()),
+            pa.scalar(".example.com/p/"), pc.cast(ids, pa.string()), "")
+        pair = pc.binary_join_element_wise(
+            href_host(src_url), pa.scalar(">"),
+            href_host(t.column("href")), "")
+        u, c = np.unique(np.asarray(pair), return_counts=True)
+        return pa.table({"pair": pa.array(u, type=pa.string()),
+                         "cnt": c.astype(np.int64)})
+
+    agg = docs.map_batches(edge_partials, batch_format="pyarrow") \
+        .groupby("pair").sum("cnt")
+    src_l, dst_l, w_l = [], [], []
+    for blk in agg.iter_batches(batch_format="pyarrow"):
+        if "pair" not in blk.schema.names or blk.num_rows == 0:
+            continue
+        for p, cnt in zip(blk.column("pair").to_pylist(),
+                          blk.column("sum(cnt)").to_pylist()):
+            s, _, d = p.partition(">")
+            src_l.append(s)
+            dst_l.append(d)
+            w_l.append(int(cnt))
+    hosts = sorted(set(src_l) | set(dst_l))
+    hid = {h: i for i, h in enumerate(hosts)}
+    src = np.array([hid[s] for s in src_l], dtype=np.int64)
+    dst = np.array([hid[d] for d in dst_l], dtype=np.int64)
+    w = np.array(w_l, dtype=np.int64)
+    outw = np.zeros(len(hosts), dtype=np.int64)
+    np.add.at(outw, src, w)
+    edges = ray.data.from_arrow(pa.table(
+        {"src": src, "dst": dst, "w": w, "outw": outw[src]}))
+    pr = pagerank(edges, n_nodes=len(hosts), outdeg_col="outw",
+                  weight_col="w", iterations=3,
+                  materialize_edges=False)
+    units = np.zeros(len(hosts), dtype=np.int64)
+    for r in pr.take_all():
+        units[r["node"]] = r["rank_units"]
+    return ray.data.from_arrow(pa.table({
+        "host": pa.array(hosts, type=pa.string()),
+        "rank_units": units,
+        "rank": units.astype(np.float64) / float(MASS)}))
+
+
+def _link_rank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled weighted-PageRank oracle for q_link_rank, keyed by
+    host string, with n (node count) computed IN SQL from the same
+    node set the engine derives (distinct src ∪ dst)."""
+    from geoflow.graph.pagerank import MASS
+    parts = [f"""
+        WITH l AS (SELECT doc_id, unnest(range(1 + doc_id % 4)) AS j
+                   FROM documents),
+        ev AS (SELECT 'host' || CAST(doc_id % 50 AS VARCHAR) ||
+                          '.example.com' AS src,
+                      'host' ||
+                          CAST((doc_id*7 + j*13) % 50 AS VARCHAR) ||
+                          '.example.com' AS dst
+               FROM l),
+        edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+                  FROM ev GROUP BY src, dst),
+        outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+                 FROM edges GROUP BY src),
+        e2 AS (SELECT e.src, e.dst, e.w, o.ow
+               FROM edges e JOIN outw o ON o.src = e.src),
+        nodes AS (SELECT DISTINCT src AS node FROM ev
+                  UNION SELECT DISTINCT dst AS node FROM ev),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (SELECT node, {MASS} // c.n AS rank_units
+               FROM nodes, c)"""]
+    for t in range(1, iterations + 1):
+        parts.append(f""",
+        r{t} AS (
+          SELECT nd.node,
+                 (({MASS} // c.n) * 3) // 20 +
+                     (17 * COALESCE(s.s, 0)) // 20 AS rank_units
+          FROM nodes nd CROSS JOIN c LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM((r.rank_units * e.w) // e.ow) AS BIGINT)
+                       AS s
+            FROM e2 e JOIN r{t - 1} r ON r.node = e.src
+            GROUP BY e.dst) s ON s.node = nd.node)""")
+    parts.append(f"""
+        SELECT node AS host, rank_units,
+               CAST(rank_units AS DOUBLE) /
+                   1e{len(str(MASS)) - 1} AS rank
+        FROM r{iterations}""")
+    return "".join(parts)
+
+
 def q_hits(sf_dir: str):
     """HITS hubs & authorities (graph/hits.py — Kleinberg 1999) over
     the same synthetic link graph as q_pagerank. Two iterations of
@@ -3369,6 +3482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": q_graph_components,
         "hits": q_hits,
         "host_pagerank": q_host_pagerank,
+        "link_rank": q_link_rank,
         "nb_train_counts": q_nb_train_counts,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -3592,6 +3706,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_oracle_sql(),
         "hits": hits_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
+        "link_rank": _link_rank_oracle_sql(),
         # planted structure: every component is a residue class mod 7
         # whose minimum key is the residue (see q_graph_components)
         "graph_components":
