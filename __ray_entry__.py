@@ -2708,6 +2708,68 @@ def q_keyword_search(sf_dir: str):
     return keyword_search(docs, ["scan", "join", "window"], k=20)
 
 
+_BM25_TERMS = ("query", "join", "spark")
+
+
+def q_bm25(sf_dir: str):
+    """Okapi BM25 ranked retrieval (text/search.bm25_score, published
+    k1=1.2 b=0.75): one corpus pass → compact (doc, dl, per-term tf)
+    projection → one distributed aggregate for N/Σdl/df → scoring map.
+    The DOUBLE score is hash-gated bit-exactly: idf uses math.log,
+    which shares glibc libm with DuckDB ln() (numpy's SIMD log does
+    not — banned from this path), and every other op is IEEE +,·,/ in
+    the same written order on both engines."""
+    from geoflow.text.search import bm25_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_score(docs, list(_BM25_TERMS))
+
+
+def _bm25_oracle_sql(terms=_BM25_TERMS, k1: float = 1.2,
+                     b: float = 0.75) -> str:
+    """BM25 oracle generated from the same term list / constants as
+    q_bm25 — the score expression mirrors bm25_score op-for-op
+    (left-associated term sum in list order, double-forced chains)."""
+    tf_defs = ",\n                  ".join(
+        f"SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf{j}"
+        for j, t in enumerate(terms))
+    tf_outer = ",\n                   ".join(
+        f"CAST(COALESCE(t.tf{j}, 0) AS BIGINT) AS tf{j}"
+        for j in range(len(terms)))
+    df_defs = ",\n                  ".join(
+        f"CAST(SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{j}" for j in range(len(terms)))
+    norm = (f"({k1!r} * ((1.0 - {b!r}) + "
+            f"{b!r} * CAST(a.dl AS DOUBLE) / st.avgdl))")
+    ws = [f"""(CASE WHEN a.tf{j} > 0 THEN
+                 ln((CAST(st.n AS DOUBLE) - st.df{j} + 0.5)
+                    / (CAST(st.df{j} AS DOUBLE) + 0.5))
+                 * a.tf{j} * ({k1!r} + 1.0) / (a.tf{j} + {norm})
+               ELSE CAST(0 AS DOUBLE) END)"""
+          for j in range(len(terms))]
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                                           '[\\p{{L}}\\p{{N}}_]+'))
+                     AS tok
+          FROM documents),
+        per AS (SELECT doc_id, COUNT(*) AS dl,
+                  {tf_defs}
+                FROM tok GROUP BY doc_id),
+        agg AS (SELECT d.doc_id,
+                   CAST(COALESCE(t.dl, 0) AS BIGINT) AS dl,
+                   {tf_outer}
+                FROM documents d LEFT JOIN per t USING (doc_id)),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                  {df_defs}
+               FROM agg)
+        SELECT a.doc_id, a.dl,
+               {" + ".join(ws)} AS bm25
+        FROM agg a, st"""
+
+
 def q_nfc_norm(sf_dir: str):
     """Unicode NFC normalization (text/analysis.normalize_text_batch —
     UAX #15, the standard corpus canonicalization step before
@@ -3483,6 +3545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "host_pagerank": q_host_pagerank,
         "link_rank": q_link_rank,
+        "bm25": q_bm25,
         "nb_train_counts": q_nb_train_counts,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -3707,6 +3770,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": hits_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
+        "bm25": _bm25_oracle_sql(),
         # planted structure: every component is a residue class mod 7
         # whose minimum key is the residue (see q_graph_components)
         "graph_components":

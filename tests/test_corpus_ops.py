@@ -817,6 +817,49 @@ def test_keyword_search_topk_deterministic(ray_session):
     assert ids == [4, 9, 14, 19, 3, 8]
 
 
+def test_bm25_matches_brute_reference(ray_session):
+    import math
+
+    import ray
+    from geoflow.text.search import bm25_score
+    texts = ["query join table query", "join join spark", "table scan",
+             "", "query spark query spark query", "misc words only"]
+    t = pa.table({"doc_id": list(range(6)), "text": texts})
+    terms = ["query", "join", "spark"]
+    out = {r["doc_id"]: (r["dl"], r["bm25"]) for r in bm25_score(
+        ray.data.from_arrow(t), terms).take_all()}
+    # brute reference (same formula, same order)
+    toks = [tx.split() for tx in texts]
+    n = len(texts)
+    avgdl = sum(len(tk) for tk in toks) / n
+    df = {q: sum(1 for tk in toks if q in tk) for q in terms}
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for q in terms:
+            tf = tk.count(q)
+            if tf:
+                idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5))
+                s = s + idf * tf * (1.2 + 1.0) / (
+                    tf + 1.2 * ((1.0 - 0.75) + 0.75 * len(tk) / avgdl))
+        assert out[i] == (len(tk), s)      # bit-exact, not approx
+    # zero-match and empty docs present with score exactly 0.0
+    assert out[3] == (0, 0.0) and out[5][1] == 0.0
+
+
+def test_bm25_topk_and_absent_term(ray_session):
+    import ray
+    from geoflow.text.search import bm25_score
+    rows = [{"doc_id": i, "text": "hit " * (i % 4 + 1) + "pad"}
+            for i in range(17)]
+    ds = ray.data.from_items(rows)
+    out = bm25_score(ds, ["hit", "zzz_absent"], k=5).take_all()
+    assert len(out) == 5
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # absent term: df=0 branch must not NaN/throw anywhere
+    assert all(np.isfinite(s) for s in scores)
+
+
 def test_c4_clean_rules(ray_session):
     import ray
     from geoflow.text import c4_clean
