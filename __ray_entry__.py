@@ -2708,6 +2708,52 @@ def q_keyword_search(sf_dir: str):
     return keyword_search(docs, ["scan", "join", "window"], k=20)
 
 
+def q_cooccur_top(sf_dir: str):
+    """Windowed token co-occurrence + exact PMI (text/cooccur.py,
+    window=2, top-50 by count with full tie order): per-batch
+    value_counts partials → one pair groupby; marginals from the pair
+    table (both slots stacked, distributed groupby) with only the
+    ≤100 needed tokens fetched to the driver; PMI via math.log over
+    double products in the SQL's exact order."""
+    from geoflow.text.cooccur import cooccur_pmi
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cooccur_pmi(docs, window=2, k=50)
+
+
+_COOCCUR_ORACLE_SQL = r"""
+    WITH tk AS (SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[\p{L}\p{N}_]+') AS tk
+                FROM documents),
+    pairs AS (
+      -- window distances expanded manually (DuckDB cannot bind a
+      -- prior LATERAL alias inside a second LATERAL range)
+      SELECT CASE WHEN tk[i] <= tk[i+1] THEN tk[i] ELSE tk[i+1] END
+                 AS t1,
+             CASE WHEN tk[i] <= tk[i+1] THEN tk[i+1] ELSE tk[i] END
+                 AS t2
+      FROM tk, LATERAL (SELECT unnest(range(1, len(tk)))) AS g(i)
+      UNION ALL
+      SELECT CASE WHEN tk[i] <= tk[i+2] THEN tk[i] ELSE tk[i+2] END,
+             CASE WHEN tk[i] <= tk[i+2] THEN tk[i+2] ELSE tk[i] END
+      FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 1))) AS g(i)),
+    cnt AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM pairs GROUP BY t1, t2),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnt),
+    marg AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS m FROM (
+               SELECT t1 AS tok, cnt FROM cnt
+               UNION ALL SELECT t2, cnt FROM cnt)
+             GROUP BY tok),
+    top AS (SELECT * FROM cnt ORDER BY cnt DESC, t1, t2 LIMIT 50)
+    SELECT top.t1, top.t2, top.cnt,
+           ln((CAST(top.cnt AS DOUBLE) * CAST(tot.t AS DOUBLE))
+              / (CAST(m1.m AS DOUBLE) * CAST(m2.m AS DOUBLE))) AS pmi
+    FROM top, tot
+    JOIN marg m1 ON m1.tok = top.t1
+    JOIN marg m2 ON m2.tok = top.t2"""
+
+
 _BM25_TERMS = ("query", "join", "spark")
 
 
@@ -3546,6 +3592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q_host_pagerank,
         "link_rank": q_link_rank,
         "bm25": q_bm25,
+        "cooccur_top": q_cooccur_top,
         "nb_train_counts": q_nb_train_counts,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -3771,6 +3818,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
         "bm25": _bm25_oracle_sql(),
+        "cooccur_top": _COOCCUR_ORACLE_SQL,
         # planted structure: every component is a residue class mod 7
         # whose minimum key is the residue (see q_graph_components)
         "graph_components":
