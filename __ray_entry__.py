@@ -606,6 +606,63 @@ def q_anchor_agg(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_robots_filter(sf_dir: str):
+    """Robots Exclusion Protocol crawl admission (text/robots.py —
+    RFC 9309): per-host robots.txt BODIES (30 hosts, with decoy
+    agent groups, comments, case variance, empty-Disallow lines and a
+    wildcard rule) are parsed by the engine (parse_robots_batch),
+    broadcast once with ray.put, and the URL stream is filtered in
+    one map_batches task-pool pass (per-worker matcher cache). The
+    oracle never sees robots.txt — it re-derives allow/deny from the
+    synthesis formulas plus the RFC longest-match/allow-wins-ties
+    score, so parsing, group selection (exact agent token beats '*'),
+    wildcard '*'/'$' translation and precedence are all value-gated.
+    Host/path residues are decorrelated through a Knuth 2654435761
+    mix (int64-safe in both engines)."""
+    import ray
+
+    from geoflow.text.robots import (parse_robots_batch,
+                                     robots_filter_stage)
+
+    def body(h: int) -> str:
+        b = [f"# robots for host{h}", "User-Agent: OtherBot",
+             "Disallow: /", "", "User-agent: *",
+             f"Disallow: /p/{h % 5}", f"Allow: /p/{h % 5}-{h % 3}"]
+        if h % 5 == 4:
+            b.append("Disallow: /p/*-2$")
+        b.append("Disallow:")          # empty value → no rule (REP)
+        if h % 4 == 0:
+            b += ["", "User-agent: GeoflowBot", "Disallow: /g"]
+        return "\n".join(b) + "\n"
+
+    robots = pa.table({
+        "host": [f"host{h}.example.com" for h in range(30)],
+        "body": [body(h) for h in range(30)]})
+    rules_ref = ray.put(parse_robots_batch(robots))
+    stage = robots_filter_stage(rules_ref, "GeoflowBot")
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((d * 2654435761) % 2**31) % 30
+        x = (((d * 97 + 13) * 2654435761) % 2**31) % 10
+        y = (((d * 31 + 7) * 2654435761) % 2**31) % 3
+        host = np.char.add(np.char.add("host", h.astype(str)),
+                           ".example.com")
+        path = np.where(
+            d % 13 == 0,
+            np.char.add("/g/", (d % 7).astype(str)),
+            np.char.add(np.char.add("/p/", x.astype(str)),
+                        np.char.add("-", y.astype(str))))
+        return pa.table({"doc_id": ids,
+                         "host": pa.array(host, pa.string()),
+                         "path": pa.array(path, pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition signals per doc (text/analysis.py
     repetition_batch): dup-token mass and top-token frequency over
@@ -3594,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q_bm25,
         "cooccur_top": q_cooccur_top,
         "nb_train_counts": q_nb_train_counts,
+        "robots_filter": q_robots_filter,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -3885,6 +3943,43 @@ def oracle_sql() -> dict[str, str]:
                        'Link ' || CAST(doc_id AS VARCHAR) || ' ' ||
                        CAST(j AS VARCHAR))) AS BIGINT) AS anchor_chars
             FROM l GROUP BY host
+        """,
+        # robots admission gated against formula-DERIVED allow/deny
+        # (the SQL never parses the robots.txt the Ray side builds):
+        # scores are 2*pattern_len + is_allow per RFC 9309 §2.2.2 —
+        # plain disallow '/p/X' = 8, allow '/p/X-Y' = 13, wildcard
+        # '/p/*-2$' = 14; h%4==0 hosts use ONLY the exact-agent group
+        "robots_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     ((doc_id*2654435761) % 2147483648) % 30 AS h,
+                     (((doc_id*97+13)*2654435761) % 2147483648) % 10
+                         AS x,
+                     (((doc_id*31+7)*2654435761) % 2147483648) % 3
+                         AS y,
+                     doc_id % 13 = 0 AS is_g
+              FROM documents),
+            s AS (
+              SELECT doc_id, h, x, y, is_g,
+                greatest(
+                  CASE WHEN NOT is_g AND x = h % 5
+                       THEN 8 ELSE -1 END,
+                  CASE WHEN NOT is_g AND x = h % 5 AND y = h % 3
+                       THEN 13 ELSE -1 END,
+                  CASE WHEN NOT is_g AND h % 5 = 4 AND y = 2
+                       THEN 14 ELSE -1 END) AS best
+              FROM u)
+            SELECT doc_id,
+                   'host' || CAST(h AS VARCHAR) || '.example.com'
+                       AS host,
+                   CASE WHEN is_g
+                        THEN '/g/' || CAST(doc_id % 7 AS VARCHAR)
+                        ELSE '/p/' || CAST(x AS VARCHAR) || '-' ||
+                             CAST(y AS VARCHAR) END AS path,
+                   CASE WHEN h % 4 = 0 THEN NOT is_g
+                        WHEN best < 0 THEN true
+                        ELSE best % 2 = 1 END AS allowed
+            FROM s
         """,
         "gopher_quality": r"""
             WITH s AS (

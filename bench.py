@@ -51,7 +51,8 @@ BENCH_QUERIES = [
     "cms_counters", "video_motion", "keyword_search", "table_profile",
     "source_profile", "raster_codecs", "gif_codecs", "gopher_quality",
     "pagerank", "graph_components", "nb_train_counts", "nb_classify",
-    "hits", "host_pagerank",
+    "hits", "host_pagerank", "link_extract", "anchor_agg", "link_rank",
+    "bm25", "cooccur_top", "robots_filter",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

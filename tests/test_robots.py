@@ -1,0 +1,141 @@
+"""Robots Exclusion Protocol — text/robots.py (RFC 9309)."""
+import numpy as np
+import pyarrow as pa
+
+from geoflow.text.robots import (RobotsMatcher, build_matcher,
+                                 parse_robots_batch,
+                                 robots_filter_stage)
+
+
+def _rules(bodies: dict) -> pa.Table:
+    t = pa.table({"host": list(bodies), "body": list(bodies.values())})
+    return parse_robots_batch(t)
+
+
+def _allowed(rules, agent, pairs):
+    m = build_matcher(rules, agent)
+    h = pa.array([p[0] for p in pairs])
+    p = pa.array([p[1] for p in pairs])
+    return m.allowed(h, p).tolist()
+
+
+class TestParse:
+    def test_groups_comments_case(self):
+        r = _rules({"a.com": (
+            "# header comment\n"
+            "User-Agent: FooBot\n"
+            "Disallow: /f # inline comment\n"
+            "\n"
+            "user-agent: *\n"
+            "ALLOW: /ok\n"
+            "disallow: /no\n")})
+        rows = sorted(zip(r.column("agent").to_pylist(),
+                          r.column("allow").to_pylist(),
+                          r.column("path").to_pylist()))
+        assert rows == [("*", False, "/no"), ("*", True, "/ok"),
+                        ("foobot", False, "/f")]
+
+    def test_multi_agent_group_shares_rules(self):
+        r = _rules({"a.com": (
+            "User-agent: A\nUser-agent: B\nDisallow: /x\n")})
+        assert sorted(r.column("agent").to_pylist()) == ["a", "b"]
+        assert r.column("path").to_pylist() == ["/x", "/x"]
+
+    def test_orphan_rules_and_empty_disallow_dropped(self):
+        r = _rules({"a.com": (
+            "Disallow: /orphan\n"         # before any group: ignored
+            "User-agent: *\n"
+            "Disallow:\n"                 # empty: allow-all, no rule
+            "Disallow: /real\n")})
+        assert r.column("path").to_pylist() == ["/real"]
+
+    def test_groups_do_not_span_documents(self):
+        # doc 1 ends with a UA group; doc 2 starts with bare rules —
+        # those rules must NOT attach to doc 1's group
+        r = _rules({"a.com": "User-agent: *\nDisallow: /a\n",
+                    "b.com": "Disallow: /leak\nUser-agent: *\n"
+                             "Disallow: /b\n"})
+        got = sorted(zip(r.column("host").to_pylist(),
+                         r.column("path").to_pylist()))
+        assert got == [("a.com", "/a"), ("b.com", "/b")]
+
+    def test_crlf_and_no_rules(self):
+        r = _rules({"a.com": "User-agent: *\r\nDisallow: /w\r\n",
+                    "b.com": "# only comments\n"})
+        assert r.column("host").to_pylist() == ["a.com"]
+        assert r.column("path").to_pylist() == ["/w"]
+
+
+class TestMatch:
+    BODY = ("User-agent: *\n"
+            "Disallow: /p\n"
+            "Allow: /p/ok\n"
+            "Disallow: /p/ok/no\n")
+
+    def test_longest_match_wins_allow_ties(self):
+        r = _rules({"a.com": self.BODY})
+        got = _allowed(r, "anybot", [
+            ("a.com", "/p/x"),        # disallow /p
+            ("a.com", "/p/ok/yes"),   # allow /p/ok beats /p
+            ("a.com", "/p/ok/no/x"),  # deepest disallow wins
+            ("a.com", "/free"),       # no rule → allowed
+            ("other.com", "/p/x"),    # host without robots → allowed
+        ])
+        assert got == [False, True, False, True, True]
+
+    def test_allow_wins_equal_length(self):
+        r = _rules({"a.com": "User-agent: *\nDisallow: /same\n"
+                             "Allow: /same\n"})
+        assert _allowed(r, "x", [("a.com", "/same/p")]) == [True]
+
+    def test_exact_agent_group_is_exclusive(self):
+        r = _rules({"a.com": ("User-agent: *\nDisallow: /all\n\n"
+                              "User-agent: FooBot\nDisallow: /foo\n")})
+        # foobot: only its group — /all is NOT disallowed for it
+        assert _allowed(r, "FooBot", [("a.com", "/all/x"),
+                                      ("a.com", "/foo/x")]) == \
+            [True, False]
+        # other agents: '*' group
+        assert _allowed(r, "Bar", [("a.com", "/all/x"),
+                                   ("a.com", "/foo/x")]) == \
+            [False, True]
+
+    def test_wildcard_and_anchor(self):
+        r = _rules({"a.com": ("User-agent: *\n"
+                              "Disallow: /*.pdf$\n"
+                              "Disallow: /tmp*x\n")})
+        got = _allowed(r, "x", [
+            ("a.com", "/doc/a.pdf"),      # $-anchored match
+            ("a.com", "/doc/a.pdfx"),     # not at end → allowed
+            ("a.com", "/tmp/zzz/x"),      # * spans path chars
+            ("a.com", "/tmp/zzz/y"),      # no trailing x → allowed
+        ])
+        assert got == [False, True, False, True]
+
+    def test_wildcard_specificity_is_pattern_length(self):
+        # allow '/a/b' (len 4→9) vs disallow '/a/*c$' (len 6→12)
+        r = _rules({"a.com": ("User-agent: *\nAllow: /a/b\n"
+                              "Disallow: /a/*c$\n")})
+        assert _allowed(r, "x", [("a.com", "/a/bc"),
+                                 ("a.com", "/a/bd")]) == [False, True]
+
+    def test_empty_rule_set_allows_everything(self):
+        m = RobotsMatcher([], [], [])
+        assert m.allowed(pa.array(["h"]), pa.array(["/p"])).tolist() \
+            == [True]
+
+
+class TestStage:
+    def test_stage_over_dataset(self, ray_session):
+        import ray
+        import ray.data as rd
+        rules = _rules({"a.com": "User-agent: *\nDisallow: /no\n"})
+        stage = robots_filter_stage(ray.put(rules), "bot")
+        ds = rd.from_arrow(pa.table({
+            "host": ["a.com", "a.com", "b.com"],
+            "path": ["/no/1", "/yes", "/no/1"]}))
+        out = ds.map_batches(stage, batch_format="pyarrow").take_all()
+        got = {(r["host"], r["path"]): r["allowed"] for r in out}
+        assert got == {("a.com", "/no/1"): False,
+                       ("a.com", "/yes"): True,
+                       ("b.com", "/no/1"): True}
