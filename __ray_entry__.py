@@ -663,6 +663,42 @@ def q_robots_filter(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def q_script_profile(sf_dir: str):
+    """Unicode script profiling (text/analysis.py
+    script_profile_batch): per-doc RE2 \\p{Script} counts for 11
+    scripts + dominant-script argmax (first-max tiebreak) + scripted
+    fraction. Each doc gets deterministic planted non-Latin runs
+    (script and lengths from doc_id moduli, assembled with Arrow
+    binary_repeat) so every planted count is FORMULA-derived in the
+    oracle, while counts over the real text run the same RE2 in both
+    engines; the argmax CASE chain mirrors SCRIPTS order."""
+    from geoflow.text.analysis import script_profile_batch
+
+    chars = pa.array(list("дλ字مא"), pa.string())
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        la = (d * 13) % 9
+        s = d % 5
+        ns = 1 + (d * 7) % 12
+        n2 = np.where(d % 3 == 0, 1 + (d * 11) % 10, 0)
+        s2 = (d + 2) % 5
+        J = pc.binary_join_element_wise
+        text = pc.cast(b.column("text"), pa.string())
+        t2 = J(text, pa.scalar(" "),
+               pc.binary_repeat("ab", pa.array(la)),
+               pc.binary_repeat(pc.take(chars, pa.array(s)),
+                                pa.array(ns)),
+               pc.binary_repeat(pc.take(chars, pa.array(s2)),
+                                pa.array(n2)), "")
+        return pa.table({"doc_id": ids, "text": t2})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(synth, batch_format="pyarrow") \
+        .map_batches(script_profile_batch, batch_format="pyarrow")
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition signals per doc (text/analysis.py
     repetition_batch): dup-token mass and top-token frequency over
@@ -3652,6 +3688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_top": q_cooccur_top,
         "nb_train_counts": q_nb_train_counts,
         "robots_filter": q_robots_filter,
+        "script_profile": q_script_profile,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -3980,6 +4017,84 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        # script profiling: planted-run counts are formula-derived;
+        # real-text counts run the identical RE2 \p{Script} classes
+        # in both engines; argmax tiebreak = first max in SCRIPTS
+        # order (CASE chain against the greatest)
+        "script_profile": r"""
+            WITH f AS (
+              SELECT doc_id, text,
+                     (doc_id*13) % 9 AS la,
+                     doc_id % 5 AS s,
+                     1 + (doc_id*7) % 12 AS ns,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 1 + (doc_id*11) % 10 ELSE 0 END AS n2,
+                     (doc_id+2) % 5 AS s2
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text,'\p{Latin}'))
+                     + 2*la AS BIGINT) AS n_latin,
+                CAST(len(regexp_extract_all(text,'\p{Cyrillic}'))
+                     + CASE WHEN s = 0 THEN ns ELSE 0 END
+                     + CASE WHEN s2 = 0 THEN n2 ELSE 0 END
+                     AS BIGINT) AS n_cyrillic,
+                CAST(len(regexp_extract_all(text,'\p{Greek}'))
+                     + CASE WHEN s = 1 THEN ns ELSE 0 END
+                     + CASE WHEN s2 = 1 THEN n2 ELSE 0 END
+                     AS BIGINT) AS n_greek,
+                CAST(len(regexp_extract_all(text,'\p{Han}'))
+                     + CASE WHEN s = 2 THEN ns ELSE 0 END
+                     + CASE WHEN s2 = 2 THEN n2 ELSE 0 END
+                     AS BIGINT) AS n_han,
+                CAST(len(regexp_extract_all(text,'\p{Arabic}'))
+                     + CASE WHEN s = 3 THEN ns ELSE 0 END
+                     + CASE WHEN s2 = 3 THEN n2 ELSE 0 END
+                     AS BIGINT) AS n_arabic,
+                CAST(len(regexp_extract_all(text,'\p{Hebrew}'))
+                     + CASE WHEN s = 4 THEN ns ELSE 0 END
+                     + CASE WHEN s2 = 4 THEN n2 ELSE 0 END
+                     AS BIGINT) AS n_hebrew,
+                CAST(len(regexp_extract_all(text,'\p{Devanagari}'))
+                     AS BIGINT) AS n_devanagari,
+                CAST(len(regexp_extract_all(text,'\p{Hangul}'))
+                     AS BIGINT) AS n_hangul,
+                CAST(len(regexp_extract_all(text,'\p{Hiragana}'))
+                     AS BIGINT) AS n_hiragana,
+                CAST(len(regexp_extract_all(text,'\p{Katakana}'))
+                     AS BIGINT) AS n_katakana,
+                CAST(len(regexp_extract_all(text,'\p{Thai}'))
+                     AS BIGINT) AS n_thai,
+                CAST(len(regexp_extract_all(text,'\p{L}'))
+                     + 2*la + ns + n2 AS BIGINT) AS n_letters
+              FROM f),
+            m AS (
+              SELECT *,
+                greatest(n_latin, n_cyrillic, n_greek, n_han,
+                         n_arabic, n_hebrew, n_devanagari, n_hangul,
+                         n_hiragana, n_katakana, n_thai) AS mx,
+                n_latin + n_cyrillic + n_greek + n_han + n_arabic
+                  + n_hebrew + n_devanagari + n_hangul + n_hiragana
+                  + n_katakana + n_thai AS tot
+              FROM c)
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
+                   n_arabic, n_hebrew, n_devanagari, n_hangul,
+                   n_hiragana, n_katakana, n_thai, n_letters,
+                   CASE WHEN n_latin = mx THEN 'Latin'
+                        WHEN n_cyrillic = mx THEN 'Cyrillic'
+                        WHEN n_greek = mx THEN 'Greek'
+                        WHEN n_han = mx THEN 'Han'
+                        WHEN n_arabic = mx THEN 'Arabic'
+                        WHEN n_hebrew = mx THEN 'Hebrew'
+                        WHEN n_devanagari = mx THEN 'Devanagari'
+                        WHEN n_hangul = mx THEN 'Hangul'
+                        WHEN n_hiragana = mx THEN 'Hiragana'
+                        WHEN n_katakana = mx THEN 'Katakana'
+                        ELSE 'Thai' END AS script,
+                   CAST(mx AS DOUBLE) / greatest(tot, 1)
+                       AS script_frac
+            FROM m
         """,
         "gopher_quality": r"""
             WITH s AS (

@@ -423,3 +423,42 @@ def normalize_text_batch(batch: pa.Table, text_col="text",
         i = batch.schema.get_field_index(text_col)
         return batch.set_column(i, text_col, out)
     return batch.append_column(out_col, out)
+
+
+# Unicode script inventory for script_profile_batch — fixed order;
+# dominant-script ties break toward the EARLIER entry (np.argmax
+# first-max semantics, mirrored by the oracle's CASE chain order).
+SCRIPTS = ("Latin", "Cyrillic", "Greek", "Han", "Arabic", "Hebrew",
+           "Devanagari", "Hangul", "Hiragana", "Katakana", "Thai")
+
+
+def script_profile_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Per-document Unicode script profile: one RE2
+    ``\\p{Script}`` count per entry of SCRIPTS (count_substring_regex
+    — the same RE2 DuckDB runs, so counts are bit-reproducible in
+    SQL), total letters ``\\p{L}``, the dominant script label
+    (argmax over SCRIPTS order; all-zero rows get SCRIPTS[0]) and its
+    fraction of the scripted total. The workhorse behind
+    language/script routing in multilingual corpus pipelines."""
+    s = pc.cast(batch.column(text_col), pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    counts = np.stack([
+        np.asarray(pc.count_substring_regex(
+            s, pattern=r"\p{%s}" % name), dtype=np.int64)
+        for name in SCRIPTS])
+    n_letters = np.asarray(
+        pc.count_substring_regex(s, pattern=r"\p{L}"), dtype=np.int64)
+    dom = np.argmax(counts, axis=0)          # first max wins
+    total = counts.sum(axis=0)
+    dom_cnt = counts[dom, np.arange(counts.shape[1])]
+    cols = {"doc_id": batch.column("doc_id")} \
+        if "doc_id" in batch.schema.names else {}
+    for i, name in enumerate(SCRIPTS):
+        cols["n_" + name.lower()] = pa.array(counts[i])
+    cols["n_letters"] = pa.array(n_letters)
+    cols["script"] = pa.array(
+        np.asarray(SCRIPTS, dtype=object)[dom], pa.string())
+    cols["script_frac"] = pa.array(
+        dom_cnt.astype(np.float64) / np.maximum(total, 1))
+    return pa.table(cols)

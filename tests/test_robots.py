@@ -139,3 +139,32 @@ class TestStage:
         assert got == {("a.com", "/no/1"): False,
                        ("a.com", "/yes"): True,
                        ("b.com", "/no/1"): True}
+
+
+class TestScriptProfile:
+    """script_profile_batch (text/analysis.py) — co-located here to
+    keep the crawl-layer additions in one suite."""
+
+    def test_counts_dominant_and_ties(self):
+        import duckdb
+        from geoflow.text.analysis import SCRIPTS, script_profile_batch
+        t = pa.table({"doc_id": [0, 1, 2, 3],
+                      "text": ["привет ab", "", "汉字 λλλ xx",
+                               "ab дд"]})  # 2 latin vs 2 cyrillic: tie
+        out = script_profile_batch(t)
+        assert out.column("script").to_pylist() == \
+            ["Cyrillic", "Latin", "Greek", "Latin"]  # tie → first
+        assert out.column("n_letters").to_pylist() == [8, 0, 7, 4]
+        # parity with DuckDB RE2 for every script class
+        for name in SCRIPTS:
+            got = out.column("n_" + name.lower()).to_pylist()
+            exp = [r[0] for r in duckdb.sql(
+                "SELECT len(regexp_extract_all(text, '\\p{%s}')) "
+                "FROM t" % name).fetchall()]
+            assert got == exp, name
+
+    def test_frac_and_empty(self):
+        from geoflow.text.analysis import script_profile_batch
+        out = script_profile_batch(
+            pa.table({"doc_id": [0], "text": ["汉汉汉λ"]}))
+        assert out.column("script_frac").to_pylist() == [0.75]
