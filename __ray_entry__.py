@@ -754,6 +754,34 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_trustrank(sf_dir: str):
+    """Personalized PageRank / TrustRank (Gyöngyi et al. 2004) over
+    the same synthetic link graph as q_pagerank, with teleport mass
+    uniform over the seed set {doc_id % 17 == 3}: r0 and the
+    per-iteration base are mass//n_seeds on seeds, 0 elsewhere — all
+    int64 fixed point, hash-exact vs the unrolled-CTE oracle
+    generated from the same constants (graph/pagerank.py
+    trustrank_oracle_sql)."""
+    from geoflow.graph.pagerank import pagerank, synth_edges_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    seeds = np.arange(n, dtype=np.int64)
+    seeds = seeds[seeds % 17 == 3]
+
+    def synth(b: pa.Table) -> pa.Table:
+        return synth_edges_batch(
+            b.column("doc_id").to_numpy(zero_copy_only=False), n)
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    pr = pagerank(edges, n_nodes=n, iterations=4, seeds=seeds)
+    return pr.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"),
+                            "rank_units": b.column("rank_units"),
+                            "rank": b.column("rank")}),
+        batch_format="pyarrow")
+
+
 def q_graph_components(sf_dir: str):
     """Connected components (graph/components.py) over a planted-
     structure link graph: chain edges (i, i+7) plus star edges
@@ -3689,6 +3717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_train_counts": q_nb_train_counts,
         "robots_filter": q_robots_filter,
         "script_profile": q_script_profile,
+        "trustrank": q_trustrank,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -3775,7 +3804,8 @@ _SQL_UID_U64 = ("(SELECT event_type, CASE WHEN user_id < 0 "
 
 def oracle_sql() -> dict[str, str]:
     from geoflow.graph.hits import hits_oracle_sql
-    from geoflow.graph.pagerank import pagerank_oracle_sql
+    from geoflow.graph.pagerank import (pagerank_oracle_sql,
+                                        trustrank_oracle_sql)
     doc_pts = (f"SELECT doc_id, lang, {_DOC_LON_SQL} AS x, "
                f"{_DOC_LAT_SQL} AS y FROM documents")
     nation_rects = f"SELECT n_nationkey, {_NATION_RECT_SQL} FROM nation"
@@ -3909,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         # generated from the same constants as the Ray kernels
         # (graph/pagerank.py) so the two sides cannot drift
         "pagerank": pagerank_oracle_sql(),
+        "trustrank": trustrank_oracle_sql(),
         "hits": hits_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),

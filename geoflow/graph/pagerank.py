@@ -113,6 +113,49 @@ FROM r{iterations}""")
     return "".join(parts)
 
 
+def trustrank_oracle_sql(table: str = "documents",
+                         id_col: str = "doc_id",
+                         iterations: int = 4, mass: int = MASS,
+                         damping: tuple[int, int] = DAMPING,
+                         seed_mod: int = 17, seed_res: int = 3) -> str:
+    """Unrolled-CTE oracle for personalized PageRank / TrustRank over
+    the synthetic graph with seed set ``{id : id % seed_mod ==
+    seed_res}``: teleport mass is uniform over seeds (r0 and base are
+    mass//n_seeds on seeds, 0 elsewhere) — generated from the same
+    constants as the kernel."""
+    num, den = damping
+    seed = f"({{n}} % {seed_mod} = {seed_res})"
+    parts = [f"WITH c AS (SELECT COUNT(*) AS n,"
+             f" {mass} // COUNT(*) FILTER ({seed.format(n=id_col)})"
+             f" AS r0,"
+             f" (({mass} // COUNT(*) FILTER ({seed.format(n=id_col)}))"
+             f" * {den - num}) // {den} AS base"
+             f" FROM {table}),",
+             _EDGES_SQL.format(table=table, id=id_col) + ",",
+             f"r0 AS (SELECT {id_col} AS node,"
+             f" CASE WHEN {seed.format(n=id_col)} THEN c.r0 ELSE 0 END"
+             f" AS rank_units FROM {table}, c)"]
+    for t in range(1, iterations + 1):
+        parts.append(f""",
+r{t} AS (
+  SELECT nd.node,
+         CASE WHEN {seed.format(n='nd.node')} THEN c.base ELSE 0 END
+           + ({num} * COALESCE(s.s, 0)) // {den} AS rank_units
+  FROM (SELECT node FROM r0) nd CROSS JOIN c
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(r.rank_units // e.outdeg) AS BIGINT) AS s
+    FROM edges e JOIN r{t - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nd.node
+)""")
+    parts.append(f"""
+SELECT node AS {id_col}, rank_units,
+       CAST(rank_units AS DOUBLE) / 1e{len(str(mass)) - 1} AS rank
+FROM r{iterations}""")
+    return "".join(parts)
+
+
 # --------------------------------------------------------------------
 # general-graph helper
 # --------------------------------------------------------------------
@@ -191,7 +234,8 @@ def pagerank(edges, *, n_nodes: int, src_col: str = "src",
              damping: tuple[int, int] = DAMPING, mode: str = "auto",
              reduce: str = "auto", max_broadcast_nodes: int = 4_000_000,
              num_partitions: int | None = None,
-             materialize_edges: bool = True):
+             materialize_edges: bool = True,
+             seeds: np.ndarray | None = None):
     """PageRank over ``edges`` (int64 node ids in [0, n_nodes); every
     src row must carry its out-degree — ``attach_outdegree`` for raw
     graphs). Returns a Dataset with columns (node, rank_units, rank);
@@ -201,7 +245,14 @@ def pagerank(edges, *, n_nodes: int, src_col: str = "src",
     Weighted graphs: pass ``weight_col`` and put the TOTAL out-weight
     per source in ``outdeg_col``; contrib = rank * w // out_weight.
     Weights must satisfy max_weight < 2**63 / mass (~9.2e6 at the
-    default mass) so the multiply stays in int64."""
+    default mass) so the multiply stays in int64.
+
+    Personalized PageRank / TrustRank (Gyöngyi et al. 2004): pass
+    ``seeds`` (int64 node ids) — the teleport distribution becomes
+    uniform over the SEED set instead of all nodes (r0 and the
+    per-iteration base term are mass//len(seeds) on seeds, 0
+    elsewhere). The seed set is broadcast (it is small by
+    definition); both rank-state modes support it."""
     import ray
     import ray.data
 
@@ -212,7 +263,13 @@ def pagerank(edges, *, n_nodes: int, src_col: str = "src",
     if mode == "auto":
         mode = "broadcast" if n_nodes <= max_broadcast_nodes else "join"
     num, den = damping
-    r0 = mass // n_nodes
+    if seeds is not None:
+        seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+        if len(seeds) == 0:
+            raise ValueError("seeds must be non-empty")
+        r0 = mass // len(seeds)
+    else:
+        r0 = mass // n_nodes
     base = (r0 * (den - num)) // den
     scale = float(mass)
 
@@ -224,17 +281,19 @@ def pagerank(edges, *, n_nodes: int, src_col: str = "src",
             edges, n_nodes=n_nodes, src_col=src_col, dst_col=dst_col,
             outdeg_col=outdeg_col, weight_col=weight_col,
             iterations=iterations, r0=r0,
-            base=base, num=num, den=den, scale=scale, reduce=reduce)
+            base=base, num=num, den=den, scale=scale, reduce=reduce,
+            seeds=seeds)
     return _pagerank_join(
         edges, n_nodes=n_nodes, src_col=src_col, dst_col=dst_col,
         outdeg_col=outdeg_col, weight_col=weight_col,
         iterations=iterations, r0=r0, base=base,
-        num=num, den=den, scale=scale, num_partitions=num_partitions)
+        num=num, den=den, scale=scale, num_partitions=num_partitions,
+        seeds=seeds)
 
 
 def _pagerank_broadcast(edges, *, n_nodes, src_col, dst_col, outdeg_col,
                         weight_col, iterations, r0, base, num, den,
-                        scale, reduce):
+                        scale, reduce, seeds=None):
     import ray
     import ray.data
 
@@ -242,7 +301,14 @@ def _pagerank_broadcast(edges, *, n_nodes, src_col, dst_col, outdeg_col,
         # driver combine is O(blocks * distinct-dst-per-block) rows —
         # right up to a few million nodes; hash groupby beyond.
         reduce = "driver" if n_nodes <= 4_000_000 else "groupby"
-    ranks = np.full(n_nodes, r0, dtype=np.int64)
+    if seeds is None:
+        ranks = np.full(n_nodes, r0, dtype=np.int64)
+        base_vec = None                    # scalar base everywhere
+    else:
+        ranks = np.zeros(n_nodes, dtype=np.int64)
+        ranks[seeds] = r0
+        base_vec = np.zeros(n_nodes, dtype=np.int64)
+        base_vec[seeds] = base
     for _ in range(iterations):
         ref = ray.put(ranks)
 
@@ -251,7 +317,8 @@ def _pagerank_broadcast(edges, *, n_nodes, src_col, dst_col, outdeg_col,
                                    outdeg_col, weight_col)
 
         partials = edges.map_batches(combiner, batch_format="pyarrow")
-        new = np.full(n_nodes, base, dtype=np.int64)
+        new = np.full(n_nodes, base, dtype=np.int64) \
+            if base_vec is None else base_vec.copy()
         if reduce == "driver":
             acc = np.zeros(n_nodes, dtype=np.int64)
             hit = np.zeros(n_nodes, dtype=bool)
@@ -262,7 +329,7 @@ def _pagerank_broadcast(edges, *, n_nodes, src_col, dst_col, outdeg_col,
                 np.add.at(acc, d, b.column("partial").to_numpy(
                     zero_copy_only=False))
                 hit[d] = True
-            new[hit] = base + (num * acc[hit]) // den
+            new[hit] += (num * acc[hit]) // den
         else:
             agg = partials.groupby("dst").sum("partial")
             for b in agg.iter_batches(batch_format="pyarrow"):
@@ -271,7 +338,7 @@ def _pagerank_broadcast(edges, *, n_nodes, src_col, dst_col, outdeg_col,
                 d = b.column("dst").to_numpy(zero_copy_only=False)
                 s = b.column("sum(partial)").to_numpy(
                     zero_copy_only=False).astype(np.int64)
-                new[d] = base + (num * s) // den
+                new[d] += (num * s) // den
         ranks = new
     nodes = np.arange(n_nodes, dtype=np.int64)
     return ray.data.from_arrow(pa.table({
@@ -281,7 +348,7 @@ def _pagerank_broadcast(edges, *, n_nodes, src_col, dst_col, outdeg_col,
 
 def _pagerank_join(edges, *, n_nodes, src_col, dst_col, outdeg_col,
                    weight_col, iterations, r0, base, num, den, scale,
-                   num_partitions):
+                   num_partitions, seeds=None):
     import ray
     import ray.data
 
@@ -292,12 +359,23 @@ def _pagerank_join(edges, *, n_nodes, src_col, dst_col, outdeg_col,
             if ray.is_initialized() else 4
         num_partitions = max(2, min(cpus // 4, 16))
     keepalives = []
+    # the seed set is small by definition — broadcast it; every task
+    # derives its per-node r0/base via sorted-array membership
+    seeds_ref = ray.put(seeds) if seeds is not None else None
+
+    def _seed_mask(ids):
+        s = ray.get(seeds_ref)
+        pos = np.searchsorted(s, ids)
+        pos = np.minimum(pos, len(s) - 1)
+        return s[pos] == ids
 
     def init_ranks(b: pa.Table) -> pa.Table:
         ids = b.column("id").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": ids,
-            "rank_units": np.full(len(ids), r0, dtype=np.int64)})
+        if seeds_ref is None:
+            u = np.full(len(ids), r0, dtype=np.int64)
+        else:
+            u = np.where(_seed_mask(ids), r0, 0).astype(np.int64)
+        return pa.table({"node": ids, "rank_units": u})
 
     ranks = ray.data.range(n_nodes).map_batches(
         init_ranks, batch_format="pyarrow").materialize()
@@ -316,6 +394,12 @@ def _pagerank_join(edges, *, n_nodes, src_col, dst_col, outdeg_col,
             part = r // od
         return pa.table({"dst": b.column(dst_col), "partial": part})
 
+    def _base_of(b: pa.Table):
+        if seeds_ref is None:
+            return base
+        ids = b.column("node").to_numpy(zero_copy_only=False)
+        return np.where(_seed_mask(ids), base, 0).astype(np.int64)
+
     def finish(b: pa.Table) -> pa.Table:
         if "__pr_sum" in b.schema.names:
             import pyarrow.compute as pc
@@ -325,7 +409,7 @@ def _pagerank_join(edges, *, n_nodes, src_col, dst_col, outdeg_col,
             s = np.zeros(b.num_rows, dtype=np.int64)
         return pa.table({
             "node": b.column("node"),
-            "rank_units": base + (num * s) // den})
+            "rank_units": _base_of(b) + (num * s) // den})
 
     for _ in range(iterations):
         rs, ka = drop_schemaless_blocks(
@@ -348,8 +432,9 @@ def _pagerank_join(edges, *, n_nodes, src_col, dst_col, outdeg_col,
             nxt = ranks.map_batches(
                 lambda b: pa.table({
                     "node": b.column("node"),
-                    "rank_units": np.full(b.num_rows, base,
-                                          dtype=np.int64)}),
+                    "rank_units": np.broadcast_to(
+                        np.asarray(_base_of(b), dtype=np.int64),
+                        (b.num_rows,)).copy()}),
                 batch_format="pyarrow")
         else:
             nxt = ranks.select_columns(["node"]).join(

@@ -170,3 +170,48 @@ def test_oracle_sql_matches_kernels():
             == want["rank_units"].to_numpy()).all()
     assert (got["rank"].to_numpy().view(np.int64)
             == want["rank"].to_numpy().view(np.int64)).all()
+
+
+def test_seeded_modes_identical(ray_session):
+    # TrustRank: teleport uniform over seeds; all three execution
+    # modes must agree bit-for-bit.
+    ids = np.arange(200, dtype=np.int64)
+    seeds = ids[ids % 17 == 3]
+    import ray
+    ds = ray.data.from_arrow(synth_edges_batch(ids, 200))
+    a = _ranks(pagerank(ds, n_nodes=200, iterations=3, seeds=seeds))
+    b = _ranks(pagerank(ds, n_nodes=200, iterations=3, seeds=seeds,
+                        reduce="groupby"))
+    c = _ranks(pagerank(ds, n_nodes=200, iterations=3, seeds=seeds,
+                        mode="join", num_partitions=2))
+    assert (a == b).all() and (a == c).all()
+
+
+def test_seeded_hand_checked(ray_session):
+    # 0->1->2->0 cycle with seed {0}: non-seeds get no base term.
+    ds = _edges_ds([0, 1, 2], [1, 2, 0], [1, 1, 1])
+    r = _ranks(pagerank(ds, n_nodes=3, iterations=1, mass=10 ** 12,
+                        seeds=np.array([0])))
+    r0 = 10 ** 12                 # all teleport mass on node 0
+    base = (r0 * 3) // 20
+    # after 1 iter: node1 gets 17*r0//20 (from 0) + no base;
+    # node 0 gets base + 17*0//20; node 2 gets 0
+    assert r[0] == base
+    assert r[1] == (17 * r0) // 20
+    assert r[2] == 0
+
+
+def test_seeded_mass_bounded(ray_session):
+    ids = np.arange(100, dtype=np.int64)
+    seeds = np.array([5, 50, 95], dtype=np.int64)
+    import ray
+    ds = ray.data.from_arrow(synth_edges_batch(ids, 100))
+    r = _ranks(pagerank(ds, n_nodes=100, iterations=4, seeds=seeds))
+    assert r.sum() <= 10 ** 12
+    assert r[seeds].min() > 0
+
+
+def test_seeds_empty_raises(ray_session):
+    ds = _edges_ds([0], [0], [1])
+    with pytest.raises(ValueError):
+        pagerank(ds, n_nodes=1, seeds=np.array([], dtype=np.int64))
