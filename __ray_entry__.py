@@ -663,6 +663,52 @@ def q_robots_filter(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def q_boilerplate(sf_dir: str):
+    """Per-host boilerplate line removal (text/boilerplate.py):
+    planted per-host templates — 'nav {h}' / 'footer {h} x' in every
+    doc of host h (always dropped when the host has >=2 docs),
+    'promo {h}' in d%3==0 docs and 'hot {h}' in d%3!=0 docs (dropped
+    iff count>=2 AND 2*count >= host_docs — the majority branch flips
+    with sf, exercising both outcomes), plus a unique body line
+    (always kept). One (hk,lh,c)+sentinel shuffle computes counts AND
+    host totals; the oracle re-derives the rule with SQL GROUP BY
+    over the same formulas and assembles the cleaned text with
+    concat_ws."""
+    from geoflow.text.boilerplate import host_boilerplate_dedup
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = d % 20
+        hs = h.astype(str)
+        p = d % 3 == 0
+        nav = np.char.add("nav ", hs)
+        promo = np.where(p, np.char.add(
+            np.char.add("promo ", hs), "\n"), "")
+        hot = np.where(~p, np.char.add(
+            np.char.add("hot ", hs), "\n"), "")
+        body = np.char.add(
+            np.char.add(np.char.add("body ", d.astype(str)), " "),
+            ((d * 7) % 101).astype(str))
+        footer = np.char.add(np.char.add("footer ", hs), " x")
+        text = np.char.add(
+            np.char.add(np.char.add(nav, "\n"),
+                        np.char.add(promo, hot)),
+            np.char.add(np.char.add(body, "\n"), footer))
+        return pa.table({
+            "doc_id": ids,
+            "host": pa.array(np.char.add(
+                np.char.add("h", hs), ".com"), pa.string()),
+            "text": pa.array(text, pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").materialize()
+    out = host_boilerplate_dedup(ds)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "host", "text_clean"]),
+        batch_format="pyarrow")
+
+
 def q_script_profile(sf_dir: str):
     """Unicode script profiling (text/analysis.py
     script_profile_batch): per-doc RE2 \\p{Script} counts for 11
@@ -3718,6 +3764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q_robots_filter,
         "script_profile": q_script_profile,
         "trustrank": q_trustrank,
+        "boilerplate": q_boilerplate,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4048,6 +4095,35 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        # boilerplate: the SQL re-derives the per-(host,line)
+        # doc-count rule (c>=2 AND 2c>=n) with GROUP BY over the same
+        # planted formulas and rebuilds the cleaned text (concat_ws
+        # skips NULL branches exactly like the strip pass drops lines)
+        "boilerplate": """
+            WITH d AS (SELECT doc_id, doc_id % 20 AS h,
+                              doc_id % 3 = 0 AS p
+                       FROM documents),
+            hn AS (SELECT h, COUNT(*) AS n,
+                          SUM(CASE WHEN p THEN 1 ELSE 0 END) AS cp,
+                          SUM(CASE WHEN p THEN 0 ELSE 1 END) AS ch
+                   FROM d GROUP BY h)
+            SELECT doc_id,
+                   'h' || CAST(d.h AS VARCHAR) || '.com' AS host,
+                   concat_ws(chr(10),
+                     CASE WHEN n < 2
+                          THEN 'nav ' || CAST(d.h AS VARCHAR) END,
+                     CASE WHEN p AND NOT (cp >= 2 AND 2*cp >= n)
+                          THEN 'promo ' || CAST(d.h AS VARCHAR) END,
+                     CASE WHEN NOT p AND NOT (ch >= 2 AND 2*ch >= n)
+                          THEN 'hot ' || CAST(d.h AS VARCHAR) END,
+                     'body ' || CAST(doc_id AS VARCHAR) || ' ' ||
+                         CAST((doc_id*7) % 101 AS VARCHAR),
+                     CASE WHEN n < 2
+                          THEN 'footer ' || CAST(d.h AS VARCHAR)
+                               || ' x' END
+                   ) AS text_clean
+            FROM d JOIN hn ON d.h = hn.h
         """,
         # script profiling: planted-run counts are formula-derived;
         # real-text counts run the identical RE2 \p{Script} classes
