@@ -663,6 +663,32 @@ def q_robots_filter(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def q_crawl_schedule(sf_dir: str):
+    """Politeness-aware crawl scheduling (ops/grouped.py
+    grouped_rank): every frontier URL gets its per-host fetch wave —
+    0-based rank within host by priority DESC, doc_id ties — so wave
+    w is the set of URLs fetchable in round w with one connection per
+    host. Oracle: ROW_NUMBER() OVER (PARTITION BY host ORDER BY
+    priority DESC, doc_id) - 1."""
+    from geoflow.ops.grouped import grouped_rank
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((d * 2654435761) % 2**31) % 25
+        return pa.table({
+            "doc_id": ids,
+            "host": pa.array(np.char.add(
+                np.char.add("h", h.astype(str)), ".com"),
+                pa.string()),
+            "priority": pa.array((d * 37) % 97)})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return grouped_rank(ds, "host", "priority", "doc_id",
+                        out_col="wave", descending=True)
+
+
 def q_boilerplate(sf_dir: str):
     """Per-host boilerplate line removal (text/boilerplate.py):
     planted per-host templates — 'nav {h}' / 'footer {h} x' in every
@@ -3765,6 +3791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_profile": q_script_profile,
         "trustrank": q_trustrank,
         "boilerplate": q_boilerplate,
+        "crawl_schedule": q_crawl_schedule,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4095,6 +4122,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        "crawl_schedule": """
+            SELECT doc_id,
+                   'h' || CAST(((doc_id*2654435761) % 2147483648)
+                               % 25 AS VARCHAR) || '.com' AS host,
+                   (doc_id*37) % 97 AS priority,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY ((doc_id*2654435761)
+                                      % 2147483648) % 25
+                        ORDER BY (doc_id*37) % 97 DESC, doc_id)
+                        - 1 AS BIGINT) AS wave
+            FROM documents
         """,
         # boilerplate: the SQL re-derives the per-(host,line)
         # doc-count rule (c>=2 AND 2c>=n) with GROUP BY over the same

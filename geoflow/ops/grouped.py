@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["grouped_topk"]
+__all__ = ["grouped_topk", "grouped_rank"]
 
 
 def _topk_table(batch: pa.Table, key_col, val_col, tie_col, k,
@@ -56,3 +56,26 @@ def grouped_topk(ds, key_col: str, val_col: str, k: int,
 
     return partial.groupby(key_col).map_groups(final,
                                                batch_format="pyarrow")
+
+
+def grouped_rank(ds, key_col: str, val_col: str, tie_col: str,
+                 out_col: str = "rank", descending: bool = False):
+    """0-based rank of every row within its ``key_col`` group,
+    ordered by ``val_col`` (ties by ``tie_col`` ascending) — SQL
+    ROW_NUMBER()-1 OVER (PARTITION BY key ORDER BY val). Unlike
+    grouped_topk there is no partial pruning stage (every row keeps a
+    rank), so the shape is one groupby shuffle + an in-group lexsort;
+    the per-host politeness scheduler of a crawl frontier
+    (wave = rank means one fetch per host per round)."""
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        vals = group.column(val_col).to_numpy(zero_copy_only=False)
+        ties = group.column(tie_col).to_numpy(zero_copy_only=False)
+        sv = -vals if descending else vals
+        order = np.lexsort((ties, sv))
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        return group.append_column(out_col, pa.array(rank))
+
+    return ds.groupby(key_col).map_groups(rank_group,
+                                          batch_format="pyarrow")

@@ -278,3 +278,36 @@ class TestExactDedupJoinMode:
         row = exact_dedup(ds, key_col="doc_id",
                           winner_mode="join").take(1)[0]
         assert set(row) == {"doc_id", "text"}
+
+
+class TestGroupedRank:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+        from geoflow.ops.grouped import grouped_rank
+        d = _events(2000, keys=40)
+        ds = rd.from_arrow(pa.table(d))
+        out = grouped_rank(ds, "key", "val", "id",
+                           descending=True).take_all()
+        got = {r["id"]: r["rank"] for r in out}
+        # brute force per key
+        import collections
+        byk = collections.defaultdict(list)
+        for k, v, i in zip(d["key"], d["val"], d["id"]):
+            byk[k].append((-v, i))
+        for k, rows in byk.items():
+            for rank, (_, i) in enumerate(sorted(rows)):
+                assert got[i] == rank, (k, i)
+
+    def test_every_row_ranked_dense_per_key(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+        from geoflow.ops.grouped import grouped_rank
+        d = _events(999, keys=7)
+        ds = rd.from_arrow(pa.table(d))
+        out = grouped_rank(ds, "key", "val", "id").take_all()
+        assert len(out) == 999
+        byk = {}
+        for r in out:
+            byk.setdefault(r["key"], []).append(r["rank"])
+        for k, ranks in byk.items():
+            assert sorted(ranks) == list(range(len(ranks)))
