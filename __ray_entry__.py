@@ -663,6 +663,73 @@ def q_robots_filter(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def q_sitemap_parse(sf_dir: str):
+    """Sitemap-protocol parsing (text/sitemap.py): docs with
+    doc_id%5==0 are <sitemapindex> documents (1+d%3 child locs), the
+    rest are <urlset> documents (1+d%4 url entries with out-of-order
+    optional lastmod/changefreq/priority fields and &amp; entities in
+    half the locs). The XML is built only on the Ray side; the oracle
+    derives every row from the same formulas (entity decoding,
+    optional-field presence and double parsing all value-gated)."""
+    from geoflow.text.sitemap import parse_sitemap_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = d % 30
+        is_idx = d % 5 == 0
+        k = np.where(is_idx, 1 + d % 3, 1 + d % 4)
+        ends = np.cumsum(k)
+        n = int(ends[-1]) if len(ends) else 0
+        src = np.repeat(np.arange(len(d)), k)
+        j = np.arange(n) - np.repeat(ends - k, k)
+        dd, hh = d[src], h[src]
+        idx = is_idx[src]
+        A = np.char.add
+        S = lambda a: a.astype(str)  # noqa: E731
+        base = A(A(A(A("https://h", S(hh)), ".com"),
+                   np.where(idx, "/sm/", "/s/")),
+                 A(A(S(dd), "-"), S(j)))
+        loc = np.where(
+            idx, A(base, ".xml"),
+            np.where(j % 2 == 1,
+                     A(A(A(base, "?a=1&amp;b="), S(j)), ""), base))
+        lastmod = np.where(~idx & ((dd + j) % 7 != 0),
+                           A(A("<lastmod>2024-01-",
+                               S(1 + (dd + j) % 28)), "</lastmod>"),
+                           "")
+        freqs = np.array(["daily", "weekly", "monthly"], dtype=object)
+        changefreq = np.where(
+            ~idx & (j % 3 == 0),
+            A(A("<changefreq>",
+                freqs[(dd + j) % 3].astype(str)), "</changefreq>"),
+            "")
+        prio = np.where(~idx & ((dd + j) % 3 != 0),
+                        A(A("<priority>0.", S((dd + j) % 10)),
+                          "</priority>"), "")
+        piece = np.where(
+            idx,
+            A(A("<sitemap><loc>", loc), "</loc></sitemap>"),
+            A(A(A(A(A(A("<url>", prio), "<loc>"), loc), "</loc>"),
+                A(lastmod, changefreq)), "</url>"))
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.insert(ends, 0, 0), type=pa.int32()),
+            pa.array(piece.astype(object), pa.string()))
+        body = pc.binary_join(lst, "\n ")
+        J = pc.binary_join_element_wise
+        root = pa.array(np.where(is_idx, "sitemapindex", "urlset"),
+                        pa.string())
+        xml = J(pa.scalar('<?xml version="1.0"?>\n<'), root,
+                pa.scalar(' xmlns="http://www.sitemaps.org/schemas'
+                          '/sitemap/0.9">\n '), body,
+                pa.scalar("\n</"), root, pa.scalar(">"), "")
+        return pa.table({"doc_id": ids, "xml": xml})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").map_batches(
+        parse_sitemap_batch, batch_format="pyarrow")
+
+
 def q_crawl_schedule(sf_dir: str):
     """Politeness-aware crawl scheduling (ops/grouped.py
     grouped_rank): every frontier URL gets its per-host fetch wave —
@@ -3792,6 +3859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank": q_trustrank,
         "boilerplate": q_boilerplate,
         "crawl_schedule": q_crawl_schedule,
+        "sitemap_parse": q_sitemap_parse,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4121,6 +4189,46 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN h % 4 = 0 THEN NOT is_g
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
+            FROM s
+        """,
+        # sitemap rows formula-derived (the SQL never parses the
+        # XML the Ray side assembles): entity decode, optional-field
+        # presence and priority double parse all value-gated
+        "sitemap_parse": """
+            WITH u AS (
+              SELECT doc_id, doc_id % 30 AS h, g.j
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1 + doc_id % 4)))
+                       AS g(j)
+              WHERE doc_id % 5 <> 0),
+            s AS (
+              SELECT doc_id, doc_id % 30 AS h, g.j
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1 + doc_id % 3)))
+                       AS g(j)
+              WHERE doc_id % 5 = 0)
+            SELECT doc_id, 'url' AS kind,
+              'https://h' || CAST(h AS VARCHAR) || '.com/s/' ||
+                CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+                || CASE WHEN j % 2 = 1
+                        THEN '?a=1&b=' || CAST(j AS VARCHAR)
+                        ELSE '' END AS loc,
+              CASE WHEN (doc_id + j) % 7 <> 0
+                   THEN '2024-01-' ||
+                        CAST(1 + (doc_id + j) % 28 AS VARCHAR)
+                   END AS lastmod,
+              CASE WHEN j % 3 = 0
+                   THEN (['daily','weekly','monthly'])
+                        [(doc_id + j) % 3 + 1] END AS changefreq,
+              CASE WHEN (doc_id + j) % 3 <> 0
+                   THEN ((doc_id + j) % 10) / 10.0 END AS priority
+            FROM u
+            UNION ALL
+            SELECT doc_id, 'sitemap',
+              'https://h' || CAST(h AS VARCHAR) || '.com/sm/' ||
+                CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+                || '.xml',
+              NULL, NULL, NULL
             FROM s
         """,
         "crawl_schedule": """

@@ -1,0 +1,67 @@
+"""Sitemap protocol parsing — text/sitemap.py."""
+import pyarrow as pa
+
+from geoflow.text.sitemap import parse_sitemap_batch
+
+
+def _parse(xmls, ids=None):
+    ids = list(range(len(xmls))) if ids is None else ids
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "xml": pa.array(xmls, pa.string())})
+    return parse_sitemap_batch(t)
+
+
+def test_urlset_fields_any_order_and_entities():
+    out = _parse(["""<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+ <url><loc>https://a.com/p?x=1&amp;y=&lt;2&gt;</loc>
+      <lastmod>2024-01-05</lastmod><priority>0.8</priority></url>
+ <url><priority>0.3</priority><loc> https://a.com/q </loc>
+      <changefreq>daily</changefreq></url>
+ <url><loc>https://a.com/r</loc></url>
+</urlset>"""])
+    rows = out.to_pylist()
+    assert [r["loc"] for r in rows] == [
+        "https://a.com/p?x=1&y=<2>", "https://a.com/q",
+        "https://a.com/r"]
+    assert [r["lastmod"] for r in rows] == ["2024-01-05", None, None]
+    assert [r["priority"] for r in rows] == [0.8, 0.3, None]
+    assert [r["changefreq"] for r in rows] == [None, "daily", None]
+    assert all(r["kind"] == "url" for r in rows)
+
+
+def test_sitemapindex_and_non_sitemap_docs():
+    out = _parse([
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+        "</sitemap><sitemap><loc>https://a.com/s2.xml</loc>"
+        "</sitemap></sitemapindex>",
+        "<html>not a sitemap</html>",
+    ])
+    rows = out.to_pylist()
+    assert len(rows) == 2
+    assert {r["loc"] for r in rows} == {"https://a.com/s1.xml",
+                                        "https://a.com/s2.xml"}
+    assert all(r["kind"] == "sitemap" and r["doc_id"] == 0
+               for r in rows)
+
+
+def test_truncated_entry_skipped():
+    out = _parse(["<urlset><url><loc>https://ok.com/1</loc></url>"
+                  "<url><loc>https://truncated.com/2</loc>"])
+    assert out.to_pylist()[0]["loc"] == "https://ok.com/1"
+    assert out.num_rows == 1
+
+
+def test_entry_without_loc_skipped_and_empty_output_schema():
+    out = _parse(["<urlset><url><lastmod>2024-01-01</lastmod></url>"
+                  "</urlset>"])
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "kind", "loc", "lastmod",
+                                "changefreq", "priority"]
+    assert out.schema.field("priority").type == pa.float64()
+
+
+def test_case_insensitive_tags_multiline():
+    out = _parse(["<URLSET><URL>\n<LOC>\nhttps://a.com/x\n</LOC>\n"
+                  "</URL></URLSET>"])
+    assert out.to_pylist()[0]["loc"] == "https://a.com/x"
