@@ -663,6 +663,36 @@ def q_robots_filter(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def q_crawl_diff(sf_dir: str):
+    """Crawl snapshot diffing (text/snapshots.py): snapshot A holds
+    urls with d%7!=0, snapshot B those with d%5!=0; content signature
+    v=(d*13)%50 gains +3 in B when d%3==0. One 16-byte-row full_outer
+    hash join classifies every url added/deleted/changed/same; the
+    oracle derives the same rows closed-form from the residues."""
+    from geoflow.text.snapshots import snapshot_diff
+
+    def snap(which):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = (d * 13) % 50
+            if which == "old":
+                m = d % 7 != 0
+                sig = v
+            else:
+                m = d % 5 != 0
+                sig = v + np.where(d % 3 == 0, 3, 0)
+            url = np.char.add("https://ex.com/p/", d.astype(str))
+            return pa.table({"url": pa.array(url[m], pa.string()),
+                             "sig": pa.array(sig[m])})
+        return fn
+
+    base = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    old = base.map_batches(snap("old"), batch_format="pyarrow")
+    new = base.map_batches(snap("new"), batch_format="pyarrow")
+    return snapshot_diff(old, new)
+
+
 def q_sitemap_parse(sf_dir: str):
     """Sitemap-protocol parsing (text/sitemap.py): docs with
     doc_id%5==0 are <sitemapindex> documents (1+d%3 child locs), the
@@ -3860,6 +3890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": q_boilerplate,
         "crawl_schedule": q_crawl_schedule,
         "sitemap_parse": q_sitemap_parse,
+        "crawl_diff": q_crawl_diff,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4190,6 +4221,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        "crawl_diff": """
+            SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN (doc_id*13) % 50 END AS sig_old,
+                   CASE WHEN doc_id % 5 <> 0
+                        THEN (doc_id*13) % 50 +
+                             CASE WHEN doc_id % 3 = 0
+                                  THEN 3 ELSE 0 END END AS sig_new,
+                   CASE WHEN doc_id % 7 = 0 THEN 'added'
+                        WHEN doc_id % 5 = 0 THEN 'deleted'
+                        WHEN doc_id % 3 = 0 THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM documents
+            WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 = 0)
         """,
         # sitemap rows formula-derived (the SQL never parses the
         # XML the Ray side assembles): entity decode, optional-field
