@@ -663,6 +663,32 @@ def q_robots_filter(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def q_host_budget(sf_dir: str):
+    """Per-domain token-budget capping (ops/grouped.py
+    grouped_budget_filter): keep each host's docs in doc_id order
+    while the PRIOR token spend is under 1000 (straddle semantics —
+    the standard corpus-mixing "at most N tokens per domain" rule).
+    One groupby shuffle + in-group sort/cumsum; oracle = window SUM
+    ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING (CAST BIGINT —
+    DuckDB window sums are HUGEINT)."""
+    from geoflow.ops.grouped import grouped_budget_filter
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((d * 2654435761) % 2**31) % 15
+        return pa.table({
+            "doc_id": ids,
+            "host": pa.array(np.char.add("h", h.astype(str)),
+                             pa.string()),
+            "n_tokens": pa.array(50 + (d * 19) % 200)})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return grouped_budget_filter(ds, "host", "n_tokens", "doc_id",
+                                 budget=1000)
+
+
 def q_crawl_diff(sf_dir: str):
     """Crawl snapshot diffing (text/snapshots.py): snapshot A holds
     urls with d%7!=0, snapshot B those with d%5!=0; content signature
@@ -3891,6 +3917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": q_crawl_schedule,
         "sitemap_parse": q_sitemap_parse,
         "crawl_diff": q_crawl_diff,
+        "host_budget": q_host_budget,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4221,6 +4248,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        "host_budget": """
+            WITH t AS (
+              SELECT doc_id,
+                     'h' || CAST(((doc_id*2654435761) % 2147483648)
+                                 % 15 AS VARCHAR) AS host,
+                     50 + (doc_id*19) % 200 AS n_tokens
+              FROM documents),
+            w AS (
+              SELECT doc_id, host, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY host ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT)
+                         AS spent_before
+              FROM t)
+            SELECT doc_id, host, n_tokens, spent_before
+            FROM w WHERE spent_before < 1000
         """,
         "crawl_diff": """
             SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR)

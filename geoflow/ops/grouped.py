@@ -19,7 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["grouped_topk", "grouped_rank"]
+__all__ = ["grouped_topk", "grouped_rank", "grouped_cumsum",
+           "grouped_budget_filter"]
 
 
 def _topk_table(batch: pa.Table, key_col, val_col, tie_col, k,
@@ -79,3 +80,49 @@ def grouped_rank(ds, key_col: str, val_col: str, tie_col: str,
 
     return ds.groupby(key_col).map_groups(rank_group,
                                           batch_format="pyarrow")
+
+
+def grouped_cumsum(ds, key_col: str, val_col: str, order_col: str,
+                   out_col: str = "cumsum",
+                   include_current: bool = True):
+    """Per-key running sum of ``val_col`` ordered by ``order_col``
+    (ascending, unique within key for determinism) — SQL
+    SUM(val) OVER (PARTITION BY key ORDER BY ord). With
+    ``include_current=False`` the row's own value is excluded
+    (ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING, 0 for the
+    first row) — the form a budget filter wants: keep while the
+    PRIOR spend is under the cap. One groupby shuffle + an in-group
+    sort/cumsum; int64 in, int64 out (order-independent)."""
+
+    def cum_group(group: pa.Table) -> pa.Table:
+        o = group.column(order_col).to_numpy(zero_copy_only=False)
+        v = group.column(val_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(o, kind="stable")
+        cs = np.cumsum(v[order])
+        if not include_current:
+            cs = cs - v[order]
+        out = np.empty(len(o), dtype=np.int64)
+        out[order] = cs
+        return group.append_column(out_col, pa.array(out))
+
+    return ds.groupby(key_col).map_groups(cum_group,
+                                          batch_format="pyarrow")
+
+
+def grouped_budget_filter(ds, key_col: str, val_col: str,
+                          order_col: str, budget: int,
+                          spent_col: str = "spent_before"):
+    """Keep each key's rows, in ``order_col`` order, while the PRIOR
+    cumulative ``val_col`` stays under ``budget`` (so one row may
+    straddle the cap — the standard token-budget semantics: a doc is
+    taken iff the budget wasn't already exhausted). The corpus-mixing
+    primitive "at most N tokens per domain"."""
+    import pyarrow.compute as pc
+    cum = grouped_cumsum(ds, key_col, val_col, order_col,
+                         out_col=spent_col, include_current=False)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column(spent_col), budget))
+
+    return cum.map_batches(keep, batch_format="pyarrow")

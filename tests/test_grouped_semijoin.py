@@ -311,3 +311,37 @@ class TestGroupedRank:
             byk.setdefault(r["key"], []).append(r["rank"])
         for k, ranks in byk.items():
             assert sorted(ranks) == list(range(len(ranks)))
+
+
+class TestGroupedCumsumBudget:
+    def test_cumsum_matches_brute(self, ray_session):
+        import collections
+
+        import ray.data as rd
+        from geoflow.ops.grouped import grouped_cumsum
+        d = _events(1500, keys=25)
+        ds = rd.from_arrow(pa.table(d))
+        out = grouped_cumsum(ds, "key", "val", "id").take_all()
+        got = {r["id"]: r["cumsum"] for r in out}
+        byk = collections.defaultdict(list)
+        for k, v, i in zip(d["key"], d["val"], d["id"]):
+            byk[k].append((i, v))
+        for rows in byk.values():
+            c = 0
+            for i, v in sorted(rows):
+                c += v
+                assert got[i] == c
+
+    def test_exclusive_and_budget_straddle(self, ray_session):
+        import ray.data as rd
+        from geoflow.ops.grouped import grouped_budget_filter
+        t = pa.table({"h": ["a"] * 4 + ["b"],
+                      "tok": [40, 50, 30, 10, 99],
+                      "i": [0, 1, 2, 3, 4]})
+        out = grouped_budget_filter(rd.from_arrow(t), "h", "tok",
+                                    "i", 100).take_all()
+        got = sorted((r["h"], r["i"], r["spent_before"])
+                     for r in out)
+        # a keeps 0/40/90 (90 < 100 straddles), drops 120; b keeps
+        assert got == [("a", 0, 0), ("a", 1, 40), ("a", 2, 90),
+                       ("b", 4, 0)]
