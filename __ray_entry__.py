@@ -663,6 +663,53 @@ def q_robots_filter(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def q_html_meta(sf_dir: str):
+    """HTML head-metadata extraction (text/htmlmeta.py): title with
+    an &amp; entity, meta description with attribute order flipping
+    by parity (both RE2 alternation branches exercised), canonical
+    link on d%3==0, robots meta noindex/nofollow flags on d%6
+    residues, plus decoys (keywords meta, a body <title>). The HTML
+    exists only on the Ray side; the oracle derives every field from
+    the formulas."""
+    from geoflow.text.htmlmeta import extract_meta_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        A = np.char.add
+        S = lambda a: a.astype(str)  # noqa: E731
+        title = A(A(A(A("<title>Page ", S(d)), " &amp; "),
+                    S((d * 3) % 7)), "</title>")
+        desc_v = A(A(A("Desc ", S(d)), " x"), S((d * 11) % 13))
+        desc = np.where(
+            d % 4 == 0, "",
+            np.where(d % 2 == 0,
+                     A(A('<meta name="description" content="',
+                         desc_v), '">'),
+                     A(A('<meta content="', desc_v),
+                       '" name="description">')))
+        canon = np.where(
+            d % 3 == 0,
+            A(A('<link rel="canonical" href="https://c.ex.com/',
+                S(d % 50)), '">'), "")
+        robots = np.where(
+            d % 6 == 0, '<meta name="robots" content="noindex, follow">',
+            np.where(d % 6 == 3,
+                     '<meta name="robots" content="index, nofollow">',
+                     ""))
+        html = A(A(A(A(A(
+            '<html><head><meta name="keywords" content="decoy">',
+            title), desc.astype(str)), canon.astype(str)),
+            robots.astype(str)),
+            "</head><body><title>body decoy</title></body></html>")
+        return pa.table({"doc_id": ids,
+                         "html": pa.array(html, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").map_batches(
+        extract_meta_batch, batch_format="pyarrow")
+
+
 def q_host_budget(sf_dir: str):
     """Per-domain token-budget capping (ops/grouped.py
     grouped_budget_filter): keep each host's docs in doc_id order
@@ -3918,6 +3965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_parse": q_sitemap_parse,
         "crawl_diff": q_crawl_diff,
         "host_budget": q_host_budget,
+        "html_meta": q_html_meta,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4248,6 +4296,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        "html_meta": """
+            SELECT doc_id,
+                   'Page ' || CAST(doc_id AS VARCHAR) || ' & ' ||
+                       CAST((doc_id*3) % 7 AS VARCHAR) AS title,
+                   CASE WHEN doc_id % 4 <> 0
+                        THEN 'Desc ' || CAST(doc_id AS VARCHAR) ||
+                             ' x' || CAST((doc_id*11) % 13 AS VARCHAR)
+                        END AS description,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'https://c.ex.com/' ||
+                             CAST(doc_id % 50 AS VARCHAR)
+                        END AS canonical,
+                   CASE WHEN doc_id % 6 = 0 THEN 'noindex, follow'
+                        WHEN doc_id % 6 = 3 THEN 'index, nofollow'
+                        END AS robots_meta,
+                   doc_id % 6 = 0 AS noindex,
+                   doc_id % 6 = 3 AS nofollow
+            FROM documents
         """,
         "host_budget": """
             WITH t AS (

@@ -65,3 +65,41 @@ def test_case_insensitive_tags_multiline():
     out = _parse(["<URLSET><URL>\n<LOC>\nhttps://a.com/x\n</LOC>\n"
                   "</URL></URLSET>"])
     assert out.to_pylist()[0]["loc"] == "https://a.com/x"
+
+
+class TestHtmlMeta:
+    """extract_meta_batch (text/htmlmeta.py)."""
+
+    def _meta(self, htmls):
+        from geoflow.text.htmlmeta import extract_meta_batch
+        t = pa.table({"doc_id": list(range(len(htmls))),
+                      "html": pa.array(htmls, pa.string())})
+        return extract_meta_batch(t).to_pylist()
+
+    def test_fields_orders_entities_decoys(self):
+        rows = self._meta([
+            '<head><meta name="keywords" content="decoy">'
+            '<title> A &amp; &lt;B&gt; </title>'
+            '<meta name="description" content="d one">'
+            '<link rel="canonical" href="https://c/1">'
+            '<meta name="robots" content="NOINDEX, nofollow"></head>'
+            '<body><title>body decoy</title></body>',
+            '<head><meta content="rev" name="description">'
+            '<link href="https://c/2" rel="canonical"></head>',
+            '<p>nothing</p>',
+        ])
+        assert rows[0]["title"] == "A & <B>"
+        assert rows[0]["description"] == "d one"
+        assert rows[0]["canonical"] == "https://c/1"
+        assert rows[0]["noindex"] and rows[0]["nofollow"]
+        assert rows[1]["description"] == "rev"
+        assert rows[1]["canonical"] == "https://c/2"
+        assert not rows[1]["noindex"] and not rows[1]["nofollow"]
+        assert rows[2]["title"] is None
+        assert rows[2]["robots_meta"] is None
+
+    def test_noindex_word_boundary(self):
+        rows = self._meta([
+            '<meta name="robots" content="no-noindexing here">'])
+        # 'noindexing' must not trip the \bnoindex\b flag
+        assert rows[0]["noindex"] is False
