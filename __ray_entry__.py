@@ -710,6 +710,80 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-layer composite — the full admission chain a crawler
+    runs per frontier batch: sitemap DISCOVERY (text/sitemap.py over
+    the q_sitemap_parse fixture XML) → robots ADMISSION
+    (text/robots.py bodies with per-host formula rules, exclusive
+    exact-agent groups and a wildcard) → POLITENESS scheduling
+    (ops/grouped.grouped_rank per-host waves). Every stage's real
+    kernel runs; the oracle composes the three formula derivations in
+    one SQL chain (LATERAL expansion → prefix/score CASE → window
+    ROW_NUMBER)."""
+    import ray
+
+    from geoflow.ops.grouped import grouped_rank
+    from geoflow.text.robots import (parse_robots_batch,
+                                     robots_filter_stage)
+    from geoflow.text.sitemap import parse_sitemap_batch
+
+    # robots bodies for the sitemap hosts h0..h29.com (rule residues
+    # keyed by h; mirrors the SQL's score CASE chain)
+    def body(h: int) -> str:
+        b = ["# crawl-frontier robots", "User-Agent: OtherBot",
+             "Disallow: /", "", "User-agent: *",
+             f"Disallow: /s/{h % 5}",
+             f"Allow: /s/{h % 5}{h % 3}"]
+        if h % 5 == 4:
+            b.append("Disallow: /s/*-2$")
+        b.append("Disallow:")
+        if h % 4 == 0:
+            b += ["", "User-agent: GeoflowBot", "Disallow: /sm"]
+        return "\n".join(b) + "\n"
+
+    robots = pa.table({"host": [f"h{h}.com" for h in range(30)],
+                       "body": [body(h) for h in range(30)]})
+    rules_ref = ray.put(parse_robots_batch(robots))
+    admit = robots_filter_stage(rules_ref, "GeoflowBot")
+
+    # reuse the sitemap fixture synthesis (urlset + index docs)
+    sitemap_synth = _sitemap_fixture_synth()
+
+    def to_frontier(b: pa.Table) -> pa.Table:
+        """url rows → (doc_id, host, path, loc, priority, tie)."""
+        b = b.filter(pc.equal(b.column("kind"), "url"))
+        loc = b.column("loc")
+        st = pc.extract_regex(
+            loc, pattern=r"(?s)^[a-z]+://(?P<h>[^/]+)(?P<p>/.*)$")
+        jt = pc.extract_regex(
+            loc, pattern=r"-(?P<j>\d+)(?:\?|$)")
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        j = np.asarray(pc.cast(pc.struct_field(jt, "j"),
+                               pa.int64()), dtype=np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "host": pc.struct_field(st, "h"),
+            "path": pc.struct_field(st, "p"),
+            "loc": loc,
+            "priority": pa.array((d * 7 + j * 13) % 97),
+            "tie": pa.array(d * 4 + j)})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(sitemap_synth, batch_format="pyarrow") \
+        .map_batches(parse_sitemap_batch, batch_format="pyarrow") \
+        .map_batches(to_frontier, batch_format="pyarrow") \
+        .map_batches(admit, batch_format="pyarrow") \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b.column("allowed"), True)),
+            batch_format="pyarrow")
+    ranked = grouped_rank(ds, "host", "priority", "tie",
+                          out_col="wave", descending=True)
+    return ranked.map_batches(
+        lambda b: b.select(["doc_id", "host", "loc", "priority",
+                            "wave"]),
+        batch_format="pyarrow")
+
+
 def q_host_budget(sf_dir: str):
     """Per-domain token-budget capping (ops/grouped.py
     grouped_budget_filter): keep each host's docs in doc_id order
@@ -776,6 +850,15 @@ def q_sitemap_parse(sf_dir: str):
     optional-field presence and double parsing all value-gated)."""
     from geoflow.text.sitemap import parse_sitemap_batch
 
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _sitemap_fixture_synth(), batch_format="pyarrow").map_batches(
+        parse_sitemap_batch, batch_format="pyarrow")
+
+
+def _sitemap_fixture_synth():
+    """Deterministic sitemap-XML synthesis from doc_ids (shared by
+    q_sitemap_parse and q_crawl_frontier; both oracles mirror the
+    formulas)."""
     def synth(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id")
         d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -828,9 +911,7 @@ def q_sitemap_parse(sf_dir: str):
                 pa.scalar("\n</"), root, pa.scalar(">"), "")
         return pa.table({"doc_id": ids, "xml": xml})
 
-    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        synth, batch_format="pyarrow").map_batches(
-        parse_sitemap_batch, batch_format="pyarrow")
+    return synth
 
 
 def q_crawl_schedule(sf_dir: str):
@@ -3966,6 +4047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": q_crawl_diff,
         "host_budget": q_host_budget,
         "html_meta": q_html_meta,
+        "crawl_frontier": q_crawl_frontier,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4296,6 +4378,53 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        # crawl_frontier: the three stage derivations composed in
+        # one chain (LATERAL url expansion -> robots score CASE with
+        # RFC precedence constants 10/13/14 -> politeness window)
+        "crawl_frontier": """
+            WITH u AS (
+              SELECT doc_id, doc_id % 30 AS h, g.j
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1 + doc_id % 4)))
+                       AS g(j)
+              WHERE doc_id % 5 <> 0),
+            e AS (
+              SELECT doc_id, h, j,
+                     CAST(doc_id AS VARCHAR) || '-' ||
+                     CAST(j AS VARCHAR) ||
+                     CASE WHEN j % 2 = 1
+                          THEN '?a=1&b=' || CAST(j AS VARCHAR)
+                          ELSE '' END AS tail,
+                     (doc_id*7 + j*13) % 97 AS priority,
+                     doc_id*4 + j AS tie
+              FROM u),
+            s AS (
+              SELECT *, greatest(
+                CASE WHEN starts_with(tail,
+                          CAST(h % 5 AS VARCHAR)) THEN 10
+                     ELSE -1 END,
+                CASE WHEN starts_with(tail,
+                          CAST(h % 5 AS VARCHAR) ||
+                          CAST(h % 3 AS VARCHAR)) THEN 13
+                     ELSE -1 END,
+                CASE WHEN h % 5 = 4 AND j = 2 THEN 14
+                     ELSE -1 END) AS best
+              FROM e),
+            a AS (
+              SELECT doc_id, h, tail, priority, tie FROM s
+              WHERE CASE WHEN h % 4 = 0 THEN true
+                         ELSE best < 0 OR best % 2 = 1 END)
+            SELECT doc_id,
+                   'h' || CAST(h AS VARCHAR) || '.com' AS host,
+                   'https://h' || CAST(h AS VARCHAR) || '.com/s/'
+                       || tail AS loc,
+                   priority,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY h
+                        ORDER BY priority DESC, tie) - 1 AS BIGINT)
+                       AS wave
+            FROM a
         """,
         "html_meta": """
             SELECT doc_id,
