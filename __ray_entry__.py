@@ -710,6 +710,39 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_canonical_resolve(sf_dir: str):
+    """Redirect/canonical chain resolution (graph/chains.py): doc d
+    points at d-1 unless d%8==0, so every chain terminates at its
+    multiple of 8 after d%8 hops — closed form for the oracle.
+    Pointer jumping (binary doubling) resolves depth-7 chains in 3
+    rounds; broadcast and join modes are pytest-proven identical."""
+    from geoflow.graph.chains import resolve_chains
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = d % 8 != 0
+        return pa.table({"src": pa.array(d[m]),
+                         "dst": pa.array(d[m] - 1)})
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    res = resolve_chains(edges, rounds=4)
+
+    def to_urls(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        f = b.column("final").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url": pa.array(np.char.add("u", s.astype(str)),
+                            pa.string()),
+            "canonical": pa.array(np.char.add("u", f.astype(str)),
+                                  pa.string()),
+            "hops": b.column("hops"),
+            "resolved": b.column("resolved")})
+
+    return res.map_batches(to_urls, batch_format="pyarrow")
+
+
 def q_crawl_frontier(sf_dir: str):
     """Crawl-layer composite — the full admission chain a crawler
     runs per frontier batch: sitemap DISCOVERY (text/sitemap.py over
@@ -4048,6 +4081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_budget": q_host_budget,
         "html_meta": q_html_meta,
         "crawl_frontier": q_crawl_frontier,
+        "canonical_resolve": q_canonical_resolve,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4378,6 +4412,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        "canonical_resolve": """
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                   'u' || CAST(doc_id - doc_id % 8 AS VARCHAR)
+                       AS canonical,
+                   doc_id % 8 AS hops,
+                   true AS resolved
+            FROM documents WHERE doc_id % 8 <> 0
         """,
         # crawl_frontier: the three stage derivations composed in
         # one chain (LATERAL url expansion -> robots score CASE with

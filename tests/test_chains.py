@@ -1,0 +1,70 @@
+"""Redirect/canonical chain resolution — graph/chains.py."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geoflow.graph.chains import resolve_chains
+
+
+def _edges(src, dst):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "src": np.asarray(src, dtype=np.int64),
+        "dst": np.asarray(dst, dtype=np.int64)}))
+
+
+def _resolve(src, dst, **kw):
+    out = resolve_chains(_edges(src, dst), **kw).take_all()
+    return {r["src"]: (r["final"], r["hops"], r["resolved"])
+            for r in out}
+
+
+def test_chains_to_terminals(ray_session):
+    d = np.arange(64)
+    src = d[d % 8 != 0]
+    got = _resolve(src, src - 1, rounds=4)
+    for s in src:
+        assert got[s] == (s - s % 8, s % 8, True)
+
+
+def test_modes_identical_incl_deep_chain(ray_session):
+    # one chain of depth 200: needs 8 doubling rounds
+    src = np.arange(1, 201)
+    dst = src - 1
+    a = _resolve(src, dst, rounds=8)
+    b = _resolve(src, dst, rounds=8, mode="join", num_partitions=2)
+    assert a == b
+    assert a[200] == (0, 200, True)
+
+
+def test_insufficient_rounds_reports_unresolved(ray_session):
+    src = np.arange(1, 201)
+    got = _resolve(src, src - 1, rounds=3)   # 2^3 = 8 << 200
+    assert got[200][2] is False or got[200][2] == False  # noqa: E712
+    assert got[1] == (0, 1, True)
+
+
+def test_cycle_and_tail_into_cycle(ray_session):
+    got = _resolve([100, 101, 102], [101, 100, 100], rounds=5)
+    assert not got[100][2] and not got[101][2] and not got[102][2]
+
+
+def test_self_loops_dropped_and_duplicate_src(ray_session):
+    # self-loop 5->5 vanishes; duplicate src 1->{0,2}: min dst wins
+    got = _resolve([5, 1, 1], [5, 2, 0], rounds=3)
+    assert 5 not in got
+    assert got[1] == (0, 1, True)
+
+
+def test_branching_tree_into_one_terminal(ray_session):
+    # star: many nodes point at 0 directly, others via one hop
+    src = [1, 2, 3, 4]
+    dst = [0, 0, 1, 2]
+    got = _resolve(src, dst, rounds=3)
+    assert got[3] == (0, 2, True) and got[4] == (0, 2, True)
+    assert got[1] == (0, 1, True)
+
+
+def test_bad_mode_raises(ray_session):
+    with pytest.raises(ValueError):
+        resolve_chains(_edges([1], [0]), mode="nope")
