@@ -710,6 +710,28 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_indexed_search(sf_dir: str):
+    """Persisted inverted-index retrieval (text/invindex.py): the
+    index is BUILT (one map pass + hash-partitioned parquet write,
+    no shuffle) into a fresh /tmp dir, then SEARCHED reading only the
+    query tokens' bucket directories — the build-once/search-many
+    artifact shape (vector/pq.py's text sibling). AND semantics over
+    the same RE2 tokenizer as keyword_search; oracle scores the
+    corpus directly in SQL (independent path: no index, just token
+    counting), top-25 by tf DESC, doc_id ASC."""
+    import tempfile
+
+    from geoflow.text.invindex import (build_keyword_index,
+                                       search_keyword_index)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # the returned Dataset reads the index lazily — the dir must
+    # outlive this call (OS tmp cleanup owns it)
+    idx = tempfile.mkdtemp(prefix="geoflow_kwidx_")
+    build_keyword_index(ds, idx, n_buckets=8)
+    return search_keyword_index(idx, ["table", "hash"], k=25)
+
+
 def q_canonical_resolve(sf_dir: str):
     """Redirect/canonical chain resolution (graph/chains.py): doc d
     points at d-1 unless d%8==0, so every chain terminates at its
@@ -4082,6 +4104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_meta": q_html_meta,
         "crawl_frontier": q_crawl_frontier,
         "canonical_resolve": q_canonical_resolve,
+        "indexed_search": q_indexed_search,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4412,6 +4435,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        "indexed_search": """
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[\\p{L}\\p{N}_]+') AS tk
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(list_filter(tk, x -> x = 'table')) AS c1,
+                     len(list_filter(tk, x -> x = 'hash')) AS c2
+              FROM tk)
+            SELECT doc_id, CAST(c1 + c2 AS BIGINT) AS tf
+            FROM m WHERE c1 > 0 AND c2 > 0
+            ORDER BY tf DESC, doc_id LIMIT 25
         """,
         "canonical_resolve": """
             SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,

@@ -1,0 +1,67 @@
+"""Persisted inverted index — text/invindex.py."""
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from geoflow.text.invindex import (build_keyword_index,
+                                   search_keyword_index)
+
+
+@pytest.fixture()
+def corpus_index(ray_session, tmp_path):
+    import ray.data as rd
+    docs = [
+        {"doc_id": 0, "text": "scan join window scan"},
+        {"doc_id": 1, "text": "scan scan scan join window window"},
+        {"doc_id": 2, "text": "scan only here"},
+        {"doc_id": 3, "text": "join window"},
+        {"doc_id": 4, "text": "Scan JOIN window!"},
+        {"doc_id": 5, "text": ""},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    idx = str(tmp_path / "idx")
+    meta = build_keyword_index(ds, idx, n_buckets=4)
+    return idx, meta
+
+
+def _hits(idx, tokens, k=10):
+    return [(r["doc_id"], r["tf"]) for r in
+            search_keyword_index(idx, tokens, k=k).take_all()]
+
+
+def test_and_semantics_and_ranking(corpus_index):
+    idx, meta = corpus_index
+    assert meta["n_docs"] == 6
+    # doc 5 is empty; total_tokens = 4+6+3+2+3
+    assert meta["total_tokens"] == 18
+    got = _hits(idx, ["scan", "join", "window"])
+    assert got == [(1, 6), (0, 4), (4, 3)]   # AND drops docs 2,3,5
+
+
+def test_single_token_and_case_fold(corpus_index):
+    idx, _ = corpus_index
+    got = _hits(idx, ["SCAN"])
+    assert got == [(1, 3), (0, 2), (2, 1), (4, 1)]
+
+
+def test_k_limit_and_tie_order(corpus_index):
+    idx, _ = corpus_index
+    got = _hits(idx, ["window"], k=2)
+    assert got == [(1, 2), (0, 1)]   # tie 0 vs 3 vs 4 → doc_id asc
+
+
+def test_missing_token_empty(corpus_index):
+    idx, _ = corpus_index
+    assert _hits(idx, ["zzznope"]) == []
+    assert _hits(idx, ["scan", "zzznope"]) == []   # AND fails
+
+
+def test_layout_is_bucket_partitioned(corpus_index):
+    idx, meta = corpus_index
+    buckets = os.listdir(os.path.join(idx, "postings"))
+    assert all(b.startswith("bucket=") for b in buckets)
+    assert 1 <= len(buckets) <= meta["n_buckets"]
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["n_buckets"] == 4
