@@ -710,6 +710,40 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_url_templates(sf_dir: str):
+    """URL template mining (text/urls.url_template_counts) — the
+    crawler-trap detector: paths with real ids ('/p/123',
+    '/cat/2/item-77', '/h/<16-hex>') are masked (hex runs then digit
+    runs) and counted per host. Kind k=(d//12)%3 varies WITHIN a host
+    (h=d%12 — any mod-3 function of d would be constant per host);
+    the oracle maps k to the expected template and GROUP BYs the same
+    formulas."""
+    from geoflow.text.hashing import mix64
+    from geoflow.text.urls import url_template_counts
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = d % 12
+        k = (d // 12) % 3
+        hexs = np.char.mod("%016x", mix64(d.view(np.uint64)))
+        A = np.char.add
+        path = np.where(
+            k == 0, A("/p/", d.astype(str)),
+            np.where(k == 1,
+                     A(A(A("/cat/", (d % 5).astype(str)), "/item-"),
+                       d.astype(str)),
+                     A("/h/", hexs)))
+        return pa.table({
+            "host": pa.array(np.char.add("h", h.astype(str)),
+                             pa.string()),
+            "path": pa.array(path, pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return url_template_counts(ds)
+
+
 def q_indexed_search(sf_dir: str):
     """Persisted inverted-index retrieval (text/invindex.py): the
     index is BUILT (one map pass + hash-partitioned parquet write,
@@ -4105,6 +4139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": q_crawl_frontier,
         "canonical_resolve": q_canonical_resolve,
         "indexed_search": q_indexed_search,
+        "url_templates": q_url_templates,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4435,6 +4470,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN best < 0 THEN true
                         ELSE best % 2 = 1 END AS allowed
             FROM s
+        """,
+        "url_templates": """
+            WITH t AS (SELECT doc_id % 12 AS h,
+                              (doc_id // 12) % 3 AS k
+                       FROM documents)
+            SELECT 'h' || CAST(h AS VARCHAR) AS host,
+                   CASE k WHEN 0 THEN '/p/N'
+                          WHEN 1 THEN '/cat/N/item-N'
+                          ELSE '/h/H' END AS template,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY h, k
         """,
         "indexed_search": """
             WITH tk AS (

@@ -7,13 +7,16 @@ Layout under ``index_dir``:
   postings/bucket=<B>/...parquet   (th, tf, <key>) posting rows,
                                    hash-partitioned by token bucket
                                    B = token_hash64 % n_buckets
-  doclens/...parquet               (<key>, dl) per-doc token counts
-                                   (the BM25 length statistic)
+  postings/bucket=-1/...parquet    doclen sentinel rows (th =
+                                   _DL_SENTINEL, tf = doc token
+                                   count) — the BM25 length
+                                   statistic, in the same write
   meta.json                        n_docs, total_tokens, n_buckets
 
-Build is ONE map_batches pass + the partitioned write — no shuffle:
-a document lives in one input row, so per-batch (doc, token) counts
-ARE the global posting rows. Partitioned writes fan out one file per
+Build is ONE map_batches pass + the partitioned write — no shuffle,
+no second corpus read: a document lives in one input row, so
+per-batch (doc, token) counts ARE the global posting rows, and the
+per-doc lengths ride along as bucket=-1 sentinel rows. Partitioned writes fan out one file per
 (block, present-bucket); pick ``n_buckets`` so blocks × buckets
 stays within the input-file budget (CLAUDE.md: ≤ ~800 files per
 read) — the default 16 suits thousand-block corpora; a consolidating
@@ -39,7 +42,16 @@ import pyarrow.compute as pc
 
 from .hashing import hash64, tokenize
 
-__all__ = ["build_keyword_index", "search_keyword_index"]
+__all__ = ["build_keyword_index", "search_keyword_index",
+           "read_doclens"]
+
+
+# doclen sentinel rows live in the reserved partition bucket=-1
+# (token buckets are always >= 0), with th = _DL_SENTINEL and
+# tf = the document's token count — the single-shuffle-totals trick
+# (CLAUDE.md): one map pass + one partitioned write produce postings
+# AND the BM25 length statistic, no second corpus read.
+_DL_SENTINEL = np.int64(-(2 ** 63) + 0x1DEC)
 
 
 def _posting_rows(batch: pa.Table, text_col: str, key_col: str,
@@ -57,42 +69,59 @@ def _posting_rows(batch: pa.Table, text_col: str, key_col: str,
     keys = pc.take(batch.column(key_col), pa.array(p_s[idx]))
     bucket = (t_s[idx].view(np.uint64)
               % np.uint64(n_buckets)).astype(np.int64)
-    return pa.table({"bucket": pa.array(bucket),
-                     "th": pa.array(t_s[idx]),
-                     "tf": pa.array(tf),
-                     key_col: keys})
-
-
-def _doclen_rows(batch: pa.Table, text_col: str,
-                 key_col: str) -> pa.Table:
-    _, parent = tokenize(batch.column(text_col))
     dl = np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
-    return pa.table({key_col: batch.column(key_col),
-                     "dl": pa.array(dl)})
+    return pa.table({
+        "bucket": pa.array(np.concatenate(
+            [bucket, np.full(batch.num_rows, -1, dtype=np.int64)])),
+        "th": pa.array(np.concatenate(
+            [t_s[idx], np.full(batch.num_rows, _DL_SENTINEL)])),
+        "tf": pa.array(np.concatenate([tf, dl])),
+        key_col: pa.concat_arrays([
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys,
+            batch.column(key_col).combine_chunks()
+            if isinstance(batch.column(key_col), pa.ChunkedArray)
+            else batch.column(key_col)])})
+
+
+def read_doclens(index_dir: str):
+    """Dataset of (key, dl) per-document token counts (the BM25
+    length statistic), read from the reserved bucket=-1 partition."""
+    import ray.data
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        key_col = json.load(f)["key_col"]
+    p = os.path.join(index_dir, "postings", "bucket=-1")
+    files = [os.path.join(p, f) for f in sorted(os.listdir(p))
+             if f.endswith(".parquet")]
+    ds = ray.data.read_parquet(files, columns=["tf", key_col])
+    return ds.map_batches(
+        lambda b: pa.table({key_col: b.column(key_col),
+                            "dl": b.column("tf")}),
+        batch_format="pyarrow")
 
 
 def build_keyword_index(ds, index_dir: str, text_col: str = "text",
                         key_col: str = "doc_id",
                         n_buckets: int = 16) -> dict:
-    """Build the index under ``index_dir`` (created). ``ds`` executes
-    twice (postings + doclens) — pass a re-readable source. Returns
-    the meta dict."""
+    """Build the index under ``index_dir`` (created) in ONE pass over
+    ``ds`` — postings and doclens share the partitioned write (see
+    _DL_SENTINEL). Returns the meta dict."""
     os.makedirs(index_dir, exist_ok=True)
     ds.map_batches(
         lambda b: _posting_rows(b, text_col, key_col, n_buckets),
         batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, "postings"),
         partition_cols=["bucket"])
-    dl = ds.map_batches(
-        lambda b: _doclen_rows(b, text_col, key_col),
-        batch_format="pyarrow")
-    dl.write_parquet(os.path.join(index_dir, "doclens"))
+    # meta from the small doclens partition (stats are exact; the
+    # tuple is read in one pass over bucket=-1 only)
     import ray.data
-    stats = ray.data.read_parquet(
-        os.path.join(index_dir, "doclens"), columns=["dl"]).sum("dl")
-    n_docs = ray.data.read_parquet(
-        os.path.join(index_dir, "doclens")).count()
-    meta = {"n_docs": int(n_docs), "total_tokens": int(stats),
+    p = os.path.join(index_dir, "postings", "bucket=-1")
+    files = [os.path.join(p, f) for f in sorted(os.listdir(p))
+             if f.endswith(".parquet")]
+    dl = ray.data.read_parquet(files, columns=["tf"])
+    total = dl.sum("tf") or 0
+    n_docs = dl.count()
+    meta = {"n_docs": int(n_docs), "total_tokens": int(total),
             "n_buckets": int(n_buckets), "key_col": key_col}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)

@@ -31,7 +31,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["CANON_STEPS", "canon_url_batch", "url_dedup"]
+__all__ = ["CANON_STEPS", "canon_url_batch", "url_dedup",
+           "url_template", "url_template_counts"]
 
 _TRACK = r"utm_[a-z0-9]*|fbclid|gclid"
 
@@ -99,3 +100,65 @@ def url_dedup(ds, url_col: str = "url", key_col: str = "doc_id",
         batch_format="pyarrow")
     return exact_dedup(canon, text_col="canon_url", key_col=key_col,
                        winner_mode=winner_mode)
+
+
+# URL template mining — crawler-trap / faceted-navigation detection:
+# mask variable path segments so '/item/123' and '/item/456' collapse
+# to one template whose per-host count exposes infinite spaces
+# (calendars, session ids, facets). Mask order matters: long hex ids
+# first (a digit mask would shred them), then digit runs.
+_TEMPLATE_MASKS = (
+    (r"[0-9a-f]{16,}", "H"),      # long hex ids / hashes
+    (r"\d+", "N"),                # any digit run
+)
+
+
+def url_template(col) -> pa.Array:
+    """Path-template mask of a path/url column (RE2, identical in
+    DuckDB regexp_replace(..., 'g') — both masks are applied in
+    order)."""
+    s = pc.cast(col, pa.string())
+    for pat, rep in _TEMPLATE_MASKS:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+    return s
+
+
+def url_template_counts(ds, path_col: str = "path",
+                        host_col: str = "host"):
+    """(host, template, n) — distributed count of masked templates
+    per host: the mask runs where the rows live; only compact
+    (host, template, partial) rows enter the groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = url_template(b.column(path_col))
+        tb = pa.table({host_col: b.column(host_col), "template": t})
+        # per-batch combine: value_counts over (host, template)
+        import numpy as np
+        h = np.asarray(tb.column(host_col), dtype=object)
+        tp = np.asarray(tb.column("template"), dtype=object)
+        order = np.lexsort((tp, h))
+        hs, ts = h[order], tp[order]
+        first = np.empty(len(hs), dtype=bool)
+        if len(hs):
+            first[0] = True
+            first[1:] = (hs[1:] != hs[:-1]) | (ts[1:] != ts[:-1])
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.r_[idx, len(hs)]).astype(np.int64)
+        return pa.table({host_col: pa.array(hs[idx].astype(str)),
+                         "template": pa.array(ts[idx].astype(str)),
+                         "c": pa.array(cnt)})
+
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby([host_col, "template"]).aggregate(Sum("c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "template" not in b.schema.names or b.num_rows == 0:
+            return pa.table({host_col: pa.array([], pa.string()),
+                             "template": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({host_col: b.column(host_col),
+                         "template": b.column("template"),
+                         "n": pc.cast(b.column("sum(c)"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -994,3 +994,37 @@ def test_paragraph_dedup_sep(ray_session):
     assert out == {0: "unique one\nkeeps lines",
                    1: "another body\nwith lines",
                    2: "solo paragraph\nno repeats at all"}
+
+
+class TestUrlTemplates:
+    """url_template / url_template_counts (text/urls.py)."""
+
+    def test_mask_rules_and_duckdb_parity(self):
+        import duckdb
+
+        from geoflow.text.urls import url_template
+        paths = ["/item/123", "/h/deadbeefdeadbeef00/x",
+                 "/cat/5/item-77?page=3", "/plain", "/y2024/m12/d01",
+                 "/0123456789abcdef"]
+        t = pa.table({"p": paths})
+        got = url_template(t.column("p")).to_pylist()
+        exp = [r[0] for r in duckdb.sql(
+            "SELECT regexp_replace(regexp_replace(p,"
+            " '[0-9a-f]{16,}', 'H', 'g'), '\\d+', 'N', 'g') FROM t"
+        ).fetchall()]
+        assert got == exp
+        assert got[0] == "/item/N" and got[1] == "/h/H/x"
+        assert got[5] == "/H"
+
+    def test_counts_per_host(self, ray_session):
+        import ray.data as rd
+
+        from geoflow.text.urls import url_template_counts
+        rows = [{"host": "a", "path": f"/p/{i}"} for i in range(5)] \
+            + [{"host": "a", "path": "/about"},
+               {"host": "b", "path": "/p/9"}]
+        out = url_template_counts(
+            rd.from_arrow(pa.Table.from_pylist(rows))).take_all()
+        got = {(r["host"], r["template"]): r["n"] for r in out}
+        assert got == {("a", "/p/N"): 5, ("a", "/about"): 1,
+                       ("b", "/p/N"): 1}

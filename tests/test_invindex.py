@@ -62,6 +62,15 @@ def test_layout_is_bucket_partitioned(corpus_index):
     idx, meta = corpus_index
     buckets = os.listdir(os.path.join(idx, "postings"))
     assert all(b.startswith("bucket=") for b in buckets)
-    assert 1 <= len(buckets) <= meta["n_buckets"]
+    assert "bucket=-1" in buckets   # doclen sentinel partition
+    assert 2 <= len(buckets) <= meta["n_buckets"] + 1
     with open(os.path.join(idx, "meta.json")) as f:
         assert json.load(f)["n_buckets"] == 4
+
+
+def test_doclens_partition(corpus_index):
+    from geoflow.text.invindex import read_doclens
+    idx, meta = corpus_index
+    dl = {r["doc_id"]: r["dl"] for r in read_doclens(idx).take_all()}
+    assert dl == {0: 4, 1: 6, 2: 3, 3: 2, 4: 3, 5: 0}
+    assert meta["total_tokens"] == sum(dl.values())
