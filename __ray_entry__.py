@@ -710,6 +710,26 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_indexed_bm25(sf_dir: str):
+    """BM25 over the PERSISTED inverted index (text/invindex.py
+    search_keyword_index_bm25): df from the query buckets' postings
+    (driver-combined partials), dl from the bucket=-1 sentinel
+    partition via one hash join, per-doc term sum left-folded in
+    query order with math.log idf — pytest-proven bit-identical to
+    the corpus-pass bm25_score on hit docs; the oracle is the bm25
+    SQL restricted to docs containing >=1 term, top-15."""
+    import tempfile
+
+    from geoflow.text.invindex import (build_keyword_index,
+                                       search_keyword_index_bm25)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="geoflow_kwidx_")
+    build_keyword_index(ds, idx, n_buckets=8)
+    return search_keyword_index_bm25(idx, ["merge", "batch", "spark"],
+                                     k=15)
+
+
 def q_url_templates(sf_dir: str):
     """URL template mining (text/urls.url_template_counts) — the
     crawler-trap detector: paths with real ids ('/p/123',
@@ -3305,7 +3325,7 @@ def q_bm25(sf_dir: str):
 
 
 def _bm25_oracle_sql(terms=_BM25_TERMS, k1: float = 1.2,
-                     b: float = 0.75) -> str:
+                     b: float = 0.75, hits_only_top: int = 0) -> str:
     """BM25 oracle generated from the same term list / constants as
     q_bm25 — the score expression mirrors bm25_score op-for-op
     (left-associated term sum in list order, double-forced chains)."""
@@ -3320,6 +3340,14 @@ def _bm25_oracle_sql(terms=_BM25_TERMS, k1: float = 1.2,
         f" AS df{j}" for j in range(len(terms)))
     norm = (f"({k1!r} * ((1.0 - {b!r}) + "
             f"{b!r} * CAST(a.dl AS DOUBLE) / st.avgdl))")
+    # hits_only_top=k: rank only docs containing >=1 query token
+    # (index-search semantics) and keep the deterministic top-k
+    tail = ""
+    if hits_only_top:
+        tf_any = " + ".join(f"a.tf{j}" for j in range(len(terms)))
+        tail = (f"\n        WHERE {tf_any} > 0"
+                f"\n        ORDER BY bm25 DESC, a.doc_id"
+                f"\n        LIMIT {hits_only_top}")
     ws = [f"""(CASE WHEN a.tf{j} > 0 THEN
                  ln((CAST(st.n AS DOUBLE) - st.df{j} + 0.5)
                     / (CAST(st.df{j} AS DOUBLE) + 0.5))
@@ -3346,7 +3374,7 @@ def _bm25_oracle_sql(terms=_BM25_TERMS, k1: float = 1.2,
                FROM agg)
         SELECT a.doc_id, a.dl,
                {" + ".join(ws)} AS bm25
-        FROM agg a, st"""
+        FROM agg a, st{tail}"""
 
 
 def q_nfc_norm(sf_dir: str):
@@ -4139,6 +4167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": q_crawl_frontier,
         "canonical_resolve": q_canonical_resolve,
         "indexed_search": q_indexed_search,
+        "indexed_bm25": q_indexed_bm25,
         "url_templates": q_url_templates,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -4366,6 +4395,8 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
         "bm25": _bm25_oracle_sql(),
+        "indexed_bm25": _bm25_oracle_sql(
+            terms=("merge", "batch", "spark"), hits_only_top=15),
         "cooccur_top": _COOCCUR_ORACLE_SQL,
         # planted structure: every component is a residue class mod 7
         # whose minimum key is the residue (see q_graph_components)

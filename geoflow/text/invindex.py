@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 from .hashing import hash64, tokenize
 
 __all__ = ["build_keyword_index", "search_keyword_index",
-           "read_doclens"]
+           "search_keyword_index_bm25", "read_doclens"]
 
 
 # doclen sentinel rows live in the reserved partition bucket=-1
@@ -179,4 +179,123 @@ def search_keyword_index(index_dir: str, query_tokens, k: int = 20):
 
     res = agg.map_batches(finish, batch_format="pyarrow")
     return res.sort(["tf", key_col],
+                    descending=[True, False]).limit(k)
+
+
+def search_keyword_index_bm25(index_dir: str, query_tokens,
+                              k: int = 20, k1: float = 1.2,
+                              b: float = 0.75):
+    """Okapi BM25 over the persisted index: df comes from the query
+    tokens' posting buckets (driver-combined partials — at most
+    n_tokens × blocks rows, no hash-aggregate spin-up), dl from the
+    bucket=-1 sentinel partition via one hash join, and the per-doc
+    score sums terms in QUERY-TOKEN ORDER (left-folded Python floats
+    inside map_groups — the groupby fixes per-doc row sets, the fold
+    fixes association) with idf through math.log (glibc libm,
+    bit-identical to DuckDB ln(); numpy's SIMD log is excluded —
+    text/search.py bm25_score contract). Only documents containing at
+    least one query token are ranked (index semantics — an absent doc
+    scores 0 by definition); top-k by (bm25 DESC, key ASC)."""
+    import math
+
+    import ray.data
+
+    from geoflow.join.semijoin import drop_schemaless_blocks
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    key_col = meta["key_col"]
+    n_docs = meta["n_docs"]
+    avgdl = float(meta["total_tokens"]) / n_docs
+    toks = []
+    for t in query_tokens:             # dedupe, keep first position
+        tl = t.lower()
+        if tl not in toks:
+            toks.append(tl)
+    qh = hash64(pa.array(toks, pa.string())).view(np.int64)
+    nq = len(qh)
+    order = np.argsort(qh.view(np.uint64))
+    qh_sorted = qh[order]
+    qpos_sorted = np.arange(nq)[order]
+
+    buckets = np.unique(qh.view(np.uint64) % np.uint64(
+        meta["n_buckets"]))
+    dirs = [os.path.join(index_dir, "postings", f"bucket={int(x)}")
+            for x in buckets]
+    paths = [os.path.join(p, f) for p in dirs if os.path.isdir(p)
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    empty = pa.table({key_col: pa.array([], pa.int64()),
+                      "dl": pa.array([], pa.int64()),
+                      "bm25": pa.array([], pa.float64())})
+    if not paths or nq == 0:
+        return ray.data.from_arrow(empty)
+
+    def hit(bt: pa.Table) -> pa.Table:
+        th = bt.column("th").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(
+            qh_sorted.view(np.uint64), th.view(np.uint64)), 0, nq - 1)
+        m = qh_sorted[pos] == th
+        out = bt.filter(pa.array(m))
+        return out.append_column(
+            "qpos", pa.array(qpos_sorted[pos[m]].astype(np.int64)))
+
+    hits = ray.data.read_parquet(
+        paths, columns=["th", "tf", key_col]).map_batches(
+        hit, batch_format="pyarrow").materialize()
+
+    # df: per-block partials, driver combine (<= nq rows per block)
+    df = np.zeros(nq, dtype=np.int64)
+    for bt in hits.map_batches(
+            lambda t: pa.table(
+                {"qpos": pa.array(
+                    np.unique(t.column("qpos").to_numpy(
+                        zero_copy_only=False),
+                        return_counts=True)[0]),
+                 "c": pa.array(np.unique(
+                     t.column("qpos").to_numpy(zero_copy_only=False),
+                     return_counts=True)[1].astype(np.int64))}),
+            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        if "qpos" not in bt.schema.names or bt.num_rows == 0:
+            continue
+        np.add.at(df, bt.column("qpos").to_numpy(zero_copy_only=False),
+                  bt.column("c").to_numpy(zero_copy_only=False))
+    idf = [math.log((n_docs - int(d) + 0.5) / (int(d) + 0.5))
+           for d in df]
+
+    dl_ds, ka = drop_schemaless_blocks(read_doclens(index_dir))
+    hs, ka2 = drop_schemaless_blocks(
+        hits.map_batches(lambda t: t.select([key_col, "tf", "qpos"]),
+                         batch_format="pyarrow"))
+    if hs is None:
+        return ray.data.from_arrow(empty)
+    cpus = 4
+    try:
+        import ray as _ray
+        if _ray.is_initialized():
+            cpus = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        pass
+    nparts = max(2, min(cpus // 4, 16))
+    j = hs.join(dl_ds, join_type="inner", num_partitions=nparts,
+                on=(key_col,))
+
+    def score_group(g: pa.Table) -> pa.Table:
+        qp = g.column("qpos").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False)
+        dl = int(g.column("dl")[0].as_py())
+        norm = k1 * ((1.0 - b) + b * float(dl) / avgdl)
+        s = 0.0
+        for i in np.argsort(qp, kind="stable"):  # query-token order
+            t = float(tf[i])
+            s = s + idf[int(qp[i])] * t * (k1 + 1.0) / (t + norm)
+        return pa.table({
+            key_col: g.column(key_col).slice(0, 1),
+            "dl": pa.array([dl]),
+            "bm25": pa.array([s], pa.float64())})
+
+    out = j.groupby(key_col).map_groups(score_group,
+                                        batch_format="pyarrow")
+    out._geoflow_keepalive = [ka, ka2]
+    return out.sort(["bm25", key_col],
                     descending=[True, False]).limit(k)

@@ -74,3 +74,33 @@ def test_doclens_partition(corpus_index):
     dl = {r["doc_id"]: r["dl"] for r in read_doclens(idx).take_all()}
     assert dl == {0: 4, 1: 6, 2: 3, 3: 2, 4: 3, 5: 0}
     assert meta["total_tokens"] == sum(dl.values())
+
+
+def test_bm25_over_index_matches_corpus_pass(corpus_index,
+                                             ray_session):
+    import ray.data as rd
+    from geoflow.text.invindex import search_keyword_index_bm25
+    from geoflow.text.search import bm25_score
+    idx, _ = corpus_index
+    docs = [
+        {"doc_id": 0, "text": "scan join window scan"},
+        {"doc_id": 1, "text": "scan scan scan join window window"},
+        {"doc_id": 2, "text": "scan only here"},
+        {"doc_id": 3, "text": "join window"},
+        {"doc_id": 4, "text": "Scan JOIN window!"},
+        {"doc_id": 5, "text": ""},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    toks = ["scan", "window"]
+    got = {r["doc_id"]: (r["dl"], r["bm25"]) for r in
+           search_keyword_index_bm25(idx, toks, k=10).take_all()}
+    ref = {r["doc_id"]: (r["dl"], r["bm25"]) for r in
+           bm25_score(ds, toks).take_all() if r["bm25"] != 0.0}
+    assert got == ref          # bit-identical on hit docs
+
+
+def test_bm25_index_rank_order_and_k(corpus_index):
+    from geoflow.text.invindex import search_keyword_index_bm25
+    idx, _ = corpus_index
+    rows = search_keyword_index_bm25(idx, ["only"], k=3).take_all()
+    assert [r["doc_id"] for r in rows] == [2]
