@@ -710,6 +710,31 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_link_reciprocity(sf_dir: str):
+    """Link reciprocity (graph/reciprocity.py — the link-exchange
+    spam signal): a 40-host ring (h→h+1, never reciprocated) plus
+    planted mutual pairs (h↔h+2 for h%4==0) and a duplicate directed
+    edge + self-loop as decoys. One undirected-pair-key groupby marks
+    reciprocation; per-host ratio = reciprocated/outdeg. Oracle is
+    closed-form on the residues."""
+    from geoflow.graph.reciprocity import host_reciprocity
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = d[d < 40]
+        src = [h, h[h % 4 == 0], (h[h % 4 == 0] + 2) % 40,
+               h[h % 4 == 1], h[:1]]          # dup A-edge + self-loop
+        dst = [(h + 1) % 40, (h[h % 4 == 0] + 2) % 40,
+               h[h % 4 == 0], (h[h % 4 == 1] + 1) % 40, h[:1]]
+        return pa.table({"src": pa.array(np.concatenate(src)),
+                         "dst": pa.array(np.concatenate(dst))})
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return host_reciprocity(edges)
+
+
 def q_indexed_bm25(sf_dir: str):
     """BM25 over the PERSISTED inverted index (text/invindex.py
     search_keyword_index_bm25): df from the query buckets' postings
@@ -4168,6 +4193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_resolve": q_canonical_resolve,
         "indexed_search": q_indexed_search,
         "indexed_bm25": q_indexed_bm25,
+        "link_reciprocity": q_link_reciprocity,
         "url_templates": q_url_templates,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -4395,6 +4421,22 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
         "bm25": _bm25_oracle_sql(),
+        "link_reciprocity": """
+            WITH h AS (SELECT doc_id AS x FROM documents
+                       WHERE doc_id < 40)
+            SELECT x AS host,
+                   CAST(1 + CASE WHEN x % 4 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN x % 4 = 2 THEN 1 ELSE 0 END
+                        AS BIGINT) AS outdeg,
+                   CAST(CASE WHEN x % 4 IN (0, 2) THEN 1 ELSE 0 END
+                        AS BIGINT) AS reciprocated,
+                   CAST(CASE WHEN x % 4 IN (0, 2) THEN 1 ELSE 0 END
+                        AS DOUBLE)
+                     / (1 + CASE WHEN x % 4 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN x % 4 = 2 THEN 1 ELSE 0 END)
+                       AS ratio
+            FROM h
+        """,
         "indexed_bm25": _bm25_oracle_sql(
             terms=("merge", "batch", "spark"), hits_only_top=15),
         "cooccur_top": _COOCCUR_ORACLE_SQL,

@@ -68,3 +68,31 @@ def test_branching_tree_into_one_terminal(ray_session):
 def test_bad_mode_raises(ray_session):
     with pytest.raises(ValueError):
         resolve_chains(_edges([1], [0]), mode="nope")
+
+
+class TestReciprocity:
+    """edge_reciprocity / host_reciprocity (graph/reciprocity.py)."""
+
+    def _edges(self, src, dst):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "src": np.asarray(src, dtype=np.int64),
+            "dst": np.asarray(dst, dtype=np.int64)}))
+
+    def test_marking_dedup_and_self_loops(self, ray_session):
+        from geoflow.graph.reciprocity import edge_reciprocity
+        e = self._edges([0, 1, 2, 3, 10, 11, 10, 7],
+                        [1, 2, 3, 0, 11, 10, 11, 7])
+        got = sorted((r["src"], r["dst"], r["reciprocated"])
+                     for r in edge_reciprocity(e).take_all())
+        assert got == [(0, 1, False), (1, 2, False), (2, 3, False),
+                       (3, 0, False), (10, 11, True), (11, 10, True)]
+
+    def test_host_ratio(self, ray_session):
+        from geoflow.graph.reciprocity import host_reciprocity
+        # host 5 has 2 outlinks, 1 reciprocated
+        e = self._edges([5, 5, 6], [6, 7, 5])
+        got = {r["host"]: (r["outdeg"], r["reciprocated"], r["ratio"])
+               for r in host_reciprocity(e).take_all()}
+        assert got[5] == (2, 1, 0.5)
+        assert got[6] == (1, 1, 1.0)
