@@ -710,6 +710,73 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_feed_parse(sf_dir: str):
+    """RSS/Atom feed parsing (text/feeds.py): even docs are RSS
+    channels (1+d%3 items, optional title with an &amp; entity,
+    optional pubDate, channel-level title/link decoys), odd docs are
+    Atom feeds (1+d%2 entries, link href with rel attribute, optional
+    updated, feed-level decoys). XML exists only on the Ray side; the
+    oracle derives every row from the formulas."""
+    from geoflow.text.feeds import parse_feed_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = d % 20
+        is_rss = d % 2 == 0
+        k = np.where(is_rss, 1 + d % 3, 1 + d % 2)
+        ends = np.cumsum(k)
+        n = int(ends[-1]) if len(ends) else 0
+        src = np.repeat(np.arange(len(d)), k)
+        j = np.arange(n) - np.repeat(ends - k, k)
+        dd, hh, rss = d[src], h[src], is_rss[src]
+        A = np.char.add
+        S = lambda a: a.astype(str)  # noqa: E731
+        title_r = np.where(
+            (dd + j) % 5 != 0,
+            A(A(A(A(A("<title>Post ", S(dd)), " &amp; "), S(j)),
+                "</title>"), ""), "")
+        date_r = np.where(
+            j % 2 == 0,
+            A(A("<pubDate>Day ", S((dd + j) % 28)), "</pubDate>"),
+            "")
+        item = A(A(A(A(A("<item>", title_r),
+                       A(A(A(A("<link>https://f", S(hh)), ".ex/r/"),
+                           A(A(S(dd), "-"), S(j))), "</link>")),
+                     date_r), "</item>"), "")
+        title_a = A(A(A(A("<title>A", S(dd)), "-"), S(j)), "</title>")
+        date_a = np.where(
+            (dd + j) % 3 != 0,
+            A(A("<updated>2024-", S(1 + (dd + j) % 12)),
+              "</updated>"), "")
+        entry = A(A(A(A(A("<entry>", title_a),
+                        A(A(A(A('<link rel="alternate" href='
+                               '"https://f', S(hh)), ".ex/a/"),
+                            A(A(S(dd), "-"), S(j))), '"/>')),
+                      date_a), "</entry>"), "")
+        piece = np.where(rss, item, entry)
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.insert(ends, 0, 0), type=pa.int32()),
+            pa.array(piece.astype(object), pa.string()))
+        body = pc.binary_join(lst, "\n")
+        J = pc.binary_join_element_wise
+        head = pa.array(np.where(
+            is_rss,
+            '<rss version="2.0"><channel><title>decoy</title>'
+            '<link>https://decoy</link>\n',
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            '<title>decoy</title><link href="https://decoy"/>\n'),
+            pa.string())
+        tail = pa.array(np.where(is_rss, "\n</channel></rss>",
+                                 "\n</feed>"), pa.string())
+        xml = J(head, body, tail, "")
+        return pa.table({"doc_id": ids, "xml": xml})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").map_batches(
+        parse_feed_batch, batch_format="pyarrow")
+
+
 def q_link_reciprocity(sf_dir: str):
     """Link reciprocity (graph/reciprocity.py — the link-exchange
     spam signal): a 40-host ring (h→h+1, never reciprocated) plus
@@ -4194,6 +4261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexed_search": q_indexed_search,
         "indexed_bm25": q_indexed_bm25,
         "link_reciprocity": q_link_reciprocity,
+        "feed_parse": q_feed_parse,
         "url_templates": q_url_templates,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -4421,6 +4489,41 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
         "bm25": _bm25_oracle_sql(),
+        "feed_parse": """
+            WITH r AS (
+              SELECT doc_id, doc_id % 20 AS h, g.j
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1 + doc_id % 3)))
+                       AS g(j)
+              WHERE doc_id % 2 = 0),
+            a AS (
+              SELECT doc_id, doc_id % 20 AS h, g.j
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1 + doc_id % 2)))
+                       AS g(j)
+              WHERE doc_id % 2 = 1)
+            SELECT doc_id, 'rss' AS kind,
+              'https://f' || CAST(h AS VARCHAR) || '.ex/r/' ||
+                CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+                AS link,
+              CASE WHEN (doc_id + j) % 5 <> 0
+                   THEN 'Post ' || CAST(doc_id AS VARCHAR) || ' & '
+                        || CAST(j AS VARCHAR) END AS title,
+              CASE WHEN j % 2 = 0
+                   THEN 'Day ' || CAST((doc_id + j) % 28 AS VARCHAR)
+                   END AS updated
+            FROM r
+            UNION ALL
+            SELECT doc_id, 'atom',
+              'https://f' || CAST(h AS VARCHAR) || '.ex/a/' ||
+                CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR),
+              'A' || CAST(doc_id AS VARCHAR) || '-' ||
+                CAST(j AS VARCHAR),
+              CASE WHEN (doc_id + j) % 3 <> 0
+                   THEN '2024-' ||
+                        CAST(1 + (doc_id + j) % 12 AS VARCHAR) END
+            FROM a
+        """,
         "link_reciprocity": """
             WITH h AS (SELECT doc_id AS x FROM documents
                        WHERE doc_id < 40)

@@ -103,3 +103,47 @@ class TestHtmlMeta:
             '<meta name="robots" content="no-noindexing here">'])
         # 'noindexing' must not trip the \bnoindex\b flag
         assert rows[0]["noindex"] is False
+
+
+class TestFeeds:
+    """parse_feed_batch (text/feeds.py)."""
+
+    def _parse(self, xmls):
+        from geoflow.text.feeds import parse_feed_batch
+        t = pa.table({"doc_id": list(range(len(xmls))),
+                      "xml": pa.array(xmls, pa.string())})
+        return parse_feed_batch(t).to_pylist()
+
+    def test_rss_items_channel_decoys_entities(self):
+        rows = self._parse(["""<?xml version="1.0"?>
+<rss version="2.0"><channel><title>Chan decoy</title>
+<link>https://site/decoy</link>
+<item><title>Post &amp; one</title><link>https://site/p1</link>
+<pubDate>Mon, 01 Jan 2024</pubDate></item>
+<item><link>https://site/p2</link></item>
+<item><title>no link skipped</title></item>
+</channel></rss>"""])
+        assert [(r["link"], r["title"], r["updated"]) for r in rows] \
+            == [("https://site/p1", "Post & one", "Mon, 01 Jan 2024"),
+                ("https://site/p2", None, None)]
+        assert all(r["kind"] == "rss" for r in rows)
+
+    def test_atom_entries_and_feed_decoys(self):
+        rows = self._parse(["""<feed xmlns="http://www.w3.org/2005/Atom">
+<title>Feed decoy</title><link href="https://site/self" rel="self"/>
+<entry><title>A1</title><link rel="alternate"
+ href="https://site/a1"/><updated>2024-02-03T00:00:00Z</updated></entry>
+<entry><link href="https://site/a2"/></entry>
+</feed>"""])
+        assert [(r["kind"], r["link"], r["title"], r["updated"])
+                for r in rows] == \
+            [("atom", "https://site/a1", "A1", "2024-02-03T00:00:00Z"),
+             ("atom", "https://site/a2", None, None)]
+
+    def test_non_feed_vanishes_with_schema(self):
+        from geoflow.text.feeds import parse_feed_batch
+        t = pa.table({"doc_id": [9], "xml": ["<html>page</html>"]})
+        out = parse_feed_batch(t)
+        assert out.num_rows == 0
+        assert out.schema.names == ["doc_id", "kind", "link",
+                                    "title", "updated"]
