@@ -710,6 +710,62 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_recrawl_plan(sf_dir: str):
+    """Incremental-recrawl composite: snapshot diff
+    (text/snapshots.py) → keep added/changed urls → per-host
+    politeness waves (ops/grouped.grouped_rank; added urls outrank
+    changed, ties by url bytes — ASCII, so numpy lexsort == DuckDB
+    binary collation). The full freshness loop a production crawler
+    runs; oracle composes the diff residues with a window."""
+    from geoflow.ops.grouped import grouped_rank
+    from geoflow.text.links import href_host
+    from geoflow.text.snapshots import snapshot_diff
+
+    def snap(which):
+        def fn(b: pa.Table) -> pa.Table:
+            d = b.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            v = (d * 13) % 50
+            if which == "old":
+                m = d % 7 != 0
+                sig = v
+            else:
+                m = d % 5 != 0
+                sig = v + np.where(d % 3 == 0, 3, 0)
+            url = np.char.add(
+                np.char.add(np.char.add("https://h",
+                                        (d % 12).astype(str)),
+                            ".ex/p/"), d.astype(str))
+            return pa.table({"url": pa.array(url[m], pa.string()),
+                             "sig": pa.array(sig[m])})
+        return fn
+
+    base = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    diff = snapshot_diff(base.map_batches(snap("old"),
+                                          batch_format="pyarrow"),
+                         base.map_batches(snap("new"),
+                                          batch_format="pyarrow"))
+
+    def frontier(b: pa.Table) -> pa.Table:
+        st = b.column("status")
+        keep = pc.is_in(st, value_set=pa.array(["added", "changed"]))
+        b = b.filter(keep)
+        pri = pc.if_else(pc.equal(b.column("status"), "added"),
+                         pa.scalar(2, pa.int64()),
+                         pa.scalar(1, pa.int64()))
+        return pa.table({"url": b.column("url"),
+                         "host": href_host(b.column("url")),
+                         "status": b.column("status"),
+                         "pri": pri})
+
+    ds = diff.map_batches(frontier, batch_format="pyarrow")
+    ranked = grouped_rank(ds, "host", "pri", "url", out_col="wave",
+                          descending=True)
+    return ranked.map_batches(
+        lambda b: b.select(["url", "host", "status", "wave"]),
+        batch_format="pyarrow")
+
+
 def q_feed_parse(sf_dir: str):
     """RSS/Atom feed parsing (text/feeds.py): even docs are RSS
     channels (1+d%3 items, optional title with an &amp; entity,
@@ -4262,6 +4318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexed_bm25": q_indexed_bm25,
         "link_reciprocity": q_link_reciprocity,
         "feed_parse": q_feed_parse,
+        "recrawl_plan": q_recrawl_plan,
         "url_templates": q_url_templates,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -4489,6 +4546,31 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
         "bm25": _bm25_oracle_sql(),
+        "recrawl_plan": """
+            WITH c AS (
+              SELECT doc_id, doc_id % 12 AS h,
+                     CASE WHEN doc_id % 7 = 0 THEN 'added'
+                          WHEN doc_id % 5 = 0 THEN 'deleted'
+                          WHEN doc_id % 3 = 0 THEN 'changed'
+                          ELSE 'same' END AS status
+              FROM documents
+              WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 = 0)),
+            f AS (
+              SELECT doc_id, h, status,
+                     CASE WHEN status = 'added' THEN 2 ELSE 1 END
+                         AS pri,
+                     'https://h' || CAST(h AS VARCHAR) || '.ex/p/'
+                         || CAST(doc_id AS VARCHAR) AS url
+              FROM c WHERE status IN ('added', 'changed'))
+            SELECT url,
+                   'h' || CAST(h AS VARCHAR) || '.ex' AS host,
+                   status,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY h
+                        ORDER BY pri DESC, url) - 1 AS BIGINT)
+                       AS wave
+            FROM f
+        """,
         "feed_parse": """
             WITH r AS (
               SELECT doc_id, doc_id % 20 AS h, g.j
