@@ -710,6 +710,64 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_crawl_delay_plan(sf_dir: str):
+    """Politeness with real Crawl-delay parsing (text/robots.py
+    parse_crawl_delays + agent_delays): the crawl_schedule frontier
+    gains per-host delays from robots bodies — '*' groups carry
+    1+h%4 s, h%5==0 hosts override with an exclusive GeoflowBot group
+    at 10+h%3 s — and fetch_at = wave * delay. The oracle rederives
+    delays from the residues and the window."""
+    from geoflow.ops.grouped import grouped_rank
+    from geoflow.text.robots import agent_delays, parse_crawl_delays
+
+    def body(h: int) -> str:
+        b = ["User-agent: *", f"Crawl-delay: {1 + h % 4}",
+             "Disallow: /private"]
+        if h % 5 == 0:
+            b += ["", "User-agent: GeoflowBot",
+                  f"Crawl-delay: {10 + h % 3}"]
+        return "\n".join(b) + "\n"
+
+    robots = pa.table({"host": [f"h{h}.com" for h in range(25)],
+                       "body": [body(h) for h in range(25)]})
+    dt = agent_delays(parse_crawl_delays(robots), "GeoflowBot")
+    d_hosts = np.asarray(dt.column("host"), dtype=str)
+    d_vals = np.asarray(dt.column("delay"), dtype=np.float64)
+    order = np.argsort(d_hosts)
+    d_hosts, d_vals = d_hosts[order], d_vals[order]
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((d * 2654435761) % 2**31) % 25
+        return pa.table({
+            "doc_id": ids,
+            "host": pa.array(np.char.add(
+                np.char.add("h", h.astype(str)), ".com"),
+                pa.string()),
+            "priority": pa.array((d * 37) % 97)})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    ranked = grouped_rank(ds, "host", "priority", "doc_id",
+                          out_col="wave", descending=True)
+
+    def attach(b: pa.Table) -> pa.Table:
+        hs = np.asarray(b.column("host"), dtype=str)
+        pos = np.clip(np.searchsorted(d_hosts, hs), 0,
+                      max(len(d_hosts) - 1, 0))
+        delay = np.where(d_hosts[pos] == hs, d_vals[pos], 1.0)
+        wave = b.column("wave").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "host": b.column("host"),
+            "wave": b.column("wave"),
+            "delay": pa.array(delay),
+            "fetch_at": pa.array(wave.astype(np.float64) * delay)})
+
+    return ranked.map_batches(attach, batch_format="pyarrow")
+
+
 def q_recrawl_plan(sf_dir: str):
     """Incremental-recrawl composite: snapshot diff
     (text/snapshots.py) → keep added/changed urls → per-host
@@ -4319,6 +4377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_reciprocity": q_link_reciprocity,
         "feed_parse": q_feed_parse,
         "recrawl_plan": q_recrawl_plan,
+        "crawl_delay_plan": q_crawl_delay_plan,
         "url_templates": q_url_templates,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -4546,6 +4605,27 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
         "bm25": _bm25_oracle_sql(),
+        "crawl_delay_plan": """
+            WITH t AS (
+              SELECT doc_id,
+                     ((doc_id*2654435761) % 2147483648) % 25 AS h,
+                     (doc_id*37) % 97 AS priority
+              FROM documents),
+            w AS (
+              SELECT doc_id, h,
+                     CAST(ROW_NUMBER() OVER (
+                          PARTITION BY h
+                          ORDER BY priority DESC, doc_id) - 1
+                          AS BIGINT) AS wave,
+                     CAST(CASE WHEN h % 5 = 0 THEN 10 + h % 3
+                               ELSE 1 + h % 4 END AS DOUBLE) AS delay
+              FROM t)
+            SELECT doc_id,
+                   'h' || CAST(h AS VARCHAR) || '.com' AS host,
+                   wave, delay,
+                   CAST(wave AS DOUBLE) * delay AS fetch_at
+            FROM w
+        """,
         "recrawl_plan": """
             WITH c AS (
               SELECT doc_id, doc_id % 12 AS h,

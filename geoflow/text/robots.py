@@ -46,17 +46,18 @@ __all__ = [
 ]
 
 # directive line:  name ":" value   (comments stripped, ws trimmed)
-_LINE_RE = (r"(?i)^[ \t]*(?P<name>user-agent|allow|disallow)"
+_LINE_RE = (r"(?i)^[ \t]*(?P<name>user-agent|allow|disallow"
+            r"|crawl-delay)"
             r"[ \t]*:[ \t]*(?P<value>[^#\r\n]*?)[ \t]*(?:#[^\r\n]*)?$")
 
 
-def parse_robots_batch(batch: pa.Table, host_col: str = "host",
-                       body_col: str = "body") -> pa.Table:
-    """(host, body) robots.txt batch → rule rows
-    (host, agent, allow:bool, path). Group assembly is numpy over the
-    flattened line stream (group id = cumsum of user-agent-run
-    starts; rules fan out to every agent of their group). Empty
-    Disallow values are dropped (allow-all)."""
+def _directive_rows(batch: pa.Table, host_col: str, body_col: str):
+    """Shared group-assembly scan: (host idx, agent, name, value) per
+    non-user-agent directive, fanned out to every agent of its group
+    (group id = cumsum of user-agent-run starts; directives before
+    any group or with empty values are dropped; a group cannot span
+    robots bodies). Returns (host StringArray, r_par, agents, names,
+    values) numpy arrays — or None when nothing parsed."""
     host = pc.cast(batch.column(host_col), pa.string())
     if isinstance(host, pa.ChunkedArray):
         host = host.combine_chunks()
@@ -67,10 +68,7 @@ def parse_robots_batch(batch: pa.Table, host_col: str = "host",
     st = pc.extract_regex(flat, pattern=_LINE_RE)
     ok = np.asarray(pc.is_valid(st))
     if not ok.any():
-        return pa.table({"host": pa.array([], pa.string()),
-                         "agent": pa.array([], pa.string()),
-                         "allow": pa.array([], pa.bool_()),
-                         "path": pa.array([], pa.string())})
+        return None
     par = par[ok]
     name = np.asarray(pc.utf8_lower(pc.struct_field(st, "name"))
                       .filter(pa.array(ok)), dtype=object)
@@ -88,36 +86,102 @@ def parse_robots_batch(batch: pa.Table, host_col: str = "host",
     a_g = gid[is_ua & in_group]
     a_tok = value[is_ua & in_group]
     a_par = par[is_ua & in_group]
-    # rules per group (drop empty-value rules: REP allow-all)
+    # directives per group (drop empty values: REP allow-all)
     is_rule = ~is_ua & in_group & (value != "")
     r_g = gid[is_rule]
-    r_allow = name[is_rule] == "allow"
-    r_path = value[is_rule]
+    r_name = name[is_rule]
+    r_val = value[is_rule]
     r_par = par[is_rule]
     if len(r_g) == 0 or len(a_g) == 0:
-        return pa.table({"host": pa.array([], pa.string()),
-                         "agent": pa.array([], pa.string()),
-                         "allow": pa.array([], pa.bool_()),
-                         "path": pa.array([], pa.string())})
-    # fan rules out to every agent of their group: both sides sorted
-    # by gid already (stream order); counts via searchsorted
+        return None
+    # fan directives out to every agent of their group: both sides
+    # sorted by gid already (stream order); counts via searchsorted
     a_lo = np.searchsorted(a_g, r_g, side="left")
     a_hi = np.searchsorted(a_g, r_g, side="right")
     k = a_hi - a_lo                        # agents per rule's group
     idx = np.repeat(a_lo, k) + (
         np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k))
     ri = np.repeat(np.arange(len(r_g)), k)
-    # rules only bind agents of the SAME document (a group cannot
-    # span robots bodies)
     same = a_par[idx] == r_par[ri]
     idx, ri = idx[same], ri[same]
-    return pa.table({
-        "host": pc.take(host, pa.array(r_par[ri])),
-        "agent": pa.array(
-            np.char.lower(a_tok[idx].astype(str)), pa.string()),
-        "allow": pa.array(r_allow[ri]),
-        "path": pa.array(r_path[ri].astype(str), pa.string()),
-    })
+    agents = np.char.lower(a_tok[idx].astype(str)).astype(object)
+    return host, r_par[ri], agents, r_name[ri], r_val[ri]
+
+
+def parse_robots_batch(batch: pa.Table, host_col: str = "host",
+                       body_col: str = "body") -> pa.Table:
+    """(host, body) robots.txt batch → path-rule rows
+    (host, agent, allow:bool, path); crawl-delay directives are
+    surfaced by parse_crawl_delays instead."""
+    got = _directive_rows(batch, host_col, body_col)
+    if got is not None:
+        host, r_par, agents, names, values = got
+        m = (names == "allow") | (names == "disallow")
+        if m.any():
+            return pa.table({
+                "host": pc.take(host, pa.array(r_par[m])),
+                "agent": pa.array(agents[m].astype(str),
+                                  pa.string()),
+                "allow": pa.array(names[m] == "allow"),
+                "path": pa.array(values[m].astype(str), pa.string()),
+            })
+    return pa.table({"host": pa.array([], pa.string()),
+                     "agent": pa.array([], pa.string()),
+                     "allow": pa.array([], pa.bool_()),
+                     "path": pa.array([], pa.string())})
+
+
+def parse_crawl_delays(batch: pa.Table, host_col: str = "host",
+                       body_col: str = "body") -> pa.Table:
+    """(host, body) batch → (host, agent, delay:double) rows from
+    Crawl-delay directives (de-facto extension — not in RFC 9309 but
+    honored by major crawlers). Unparseable numbers are dropped."""
+    got = _directive_rows(batch, host_col, body_col)
+    if got is not None:
+        host, r_par, agents, names, values = got
+        m = names == "crawl-delay"
+        if m.any():
+            raw = pa.array(values[m].astype(str), pa.string())
+            # Arrow cast raises on any unparseable string — gate with
+            # a numeric-shape regex first
+            num = np.asarray(pc.match_substring_regex(
+                raw, pattern=r"^\d+(\.\d+)?$"))
+            if num.any():
+                keepm = pa.array(num)
+                v = pc.cast(raw.filter(keepm), pa.float64())
+                return pa.table({
+                    "host": pc.take(host, pa.array(r_par[m][num])),
+                    "agent": pa.array(agents[m][num].astype(str),
+                                      pa.string()),
+                    "delay": v,
+                })
+    return pa.table({"host": pa.array([], pa.string()),
+                     "agent": pa.array([], pa.string()),
+                     "delay": pa.array([], pa.float64())})
+
+
+def agent_delays(delays: pa.Table, agent: str) -> pa.Table:
+    """Crawl-delay table → one (host, delay) row per host for
+    `agent`: hosts with an exact-token group use ONLY its delay,
+    others fall back to '*'; several delays in the applicable group
+    keep the maximum (conservative)."""
+    a = np.asarray(delays.column("agent"), dtype=object)
+    hosts = np.asarray(delays.column("host"), dtype=object)
+    d = np.asarray(delays.column("delay"), dtype=np.float64)
+    tok = agent.lower()
+    exact_hosts = set(hosts[a == tok].tolist())
+    keep = (a == tok) | ((a == "*") &
+                         ~np.isin(hosts, list(exact_hosts)))
+    h, dl = hosts[keep], d[keep]
+    order = np.argsort(h.astype(str), kind="stable")
+    hs, ds_ = h[order], dl[order]
+    first = np.r_[True, hs[1:] != hs[:-1]] if len(hs) else \
+        np.zeros(0, dtype=bool)
+    idx = np.flatnonzero(first)
+    out_d = np.maximum.reduceat(ds_, idx) if len(idx) else ds_
+    return pa.table({"host": pa.array(hs[idx].astype(str),
+                                      pa.string()),
+                     "delay": pa.array(out_d)})
 
 
 def _wild_to_re2(pat: str) -> str:

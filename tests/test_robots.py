@@ -168,3 +168,30 @@ class TestScriptProfile:
         out = script_profile_batch(
             pa.table({"doc_id": [0], "text": ["汉汉汉λ"]}))
         assert out.column("script_frac").to_pylist() == [0.75]
+
+
+class TestCrawlDelay:
+    def test_parse_select_and_fallback(self):
+        from geoflow.text.robots import agent_delays, parse_crawl_delays
+        t = pa.table({"host": ["a.com", "b.com"], "body": [
+            "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+            "User-agent: FastBot\nCrawl-delay: 0.5\n",
+            "User-agent: *\nCrawl-delay: nope\nCrawl-delay: 3\n"
+            "Crawl-delay: 7\n"]})
+        d = parse_crawl_delays(t)
+        # unparseable dropped; duplicates kept for the selector
+        assert d.num_rows == 4
+        fast = {r["host"]: r["delay"]
+                for r in agent_delays(d, "FastBot").to_pylist()}
+        assert fast == {"a.com": 0.5, "b.com": 7.0}  # max of dups
+        other = {r["host"]: r["delay"]
+                 for r in agent_delays(d, "Other").to_pylist()}
+        assert other == {"a.com": 2.0, "b.com": 7.0}
+
+    def test_no_delays(self):
+        from geoflow.text.robots import parse_crawl_delays
+        t = pa.table({"host": ["a.com"],
+                      "body": ["User-agent: *\nDisallow: /x\n"]})
+        out = parse_crawl_delays(t)
+        assert out.num_rows == 0
+        assert out.schema.names == ["host", "agent", "delay"]
