@@ -710,6 +710,33 @@ def q_html_meta(sf_dir: str):
         extract_meta_batch, batch_format="pyarrow")
 
 
+def q_triangles(sf_dir: str):
+    """Distributed triangle counting + clustering coefficient
+    (graph/triangles.py — degree-ordered orientation, wedge join):
+    ring nodes 0..99 with +1/+2 chords (100 triangles, 3 per node)
+    plus +5 chords on u%10==0 (degree variety, no new triangles) and
+    dup/self decoys. The oracle counts triangles with an independent
+    SQL triple self-join over the same formula edges."""
+    from geoflow.graph.triangles import clustering_coefficient
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = d[d < 100] % 100
+        u5 = u[u % 10 == 0]
+        src = np.concatenate([u, u, u5, u[:1], u[:1]])
+        dst = np.concatenate([(u + 1) % 100, (u + 2) % 100,
+                              (u5 + 5) % 100, (u[:1] + 1) % 100,
+                              u[:1]])            # dup + self decoys
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return clustering_coefficient(edges).map_batches(
+        lambda b: b.select(["node", "triangles", "degree", "coeff"]),
+        batch_format="pyarrow")
+
+
 def q_crawl_delay_plan(sf_dir: str):
     """Politeness with real Crawl-delay parsing (text/robots.py
     parse_crawl_delays + agent_delays): the crawl_schedule frontier
@@ -4378,6 +4405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed_parse": q_feed_parse,
         "recrawl_plan": q_recrawl_plan,
         "crawl_delay_plan": q_crawl_delay_plan,
+        "triangles": q_triangles,
         "url_templates": q_url_templates,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -4605,6 +4633,44 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
         "bm25": _bm25_oracle_sql(),
+        # triangles: independent SQL triple self-join over the same
+        # formula edges (degree-ordered wedge join on the Ray side)
+        "triangles": """
+            WITH raw AS (
+              SELECT doc_id % 100 AS u,
+                     (doc_id % 100 + 1) % 100 AS v
+              FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id % 100, (doc_id % 100 + 2) % 100
+              FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id % 100, (doc_id % 100 + 5) % 100
+              FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0),
+            e AS (SELECT DISTINCT least(u, v) AS a,
+                                  greatest(u, v) AS b
+                  FROM raw WHERE u <> v),
+            deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS degree
+                    FROM (SELECT a AS n FROM e
+                          UNION ALL SELECT b FROM e)
+                    GROUP BY n),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pern AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS triangles
+                     FROM (SELECT x AS n FROM tri
+                           UNION ALL SELECT y FROM tri
+                           UNION ALL SELECT z FROM tri)
+                     GROUP BY n)
+            SELECT d.n AS node,
+                   COALESCE(p.triangles, 0) AS triangles,
+                   d.degree,
+                   CASE WHEN d.degree >= 2
+                        THEN 2.0 * COALESCE(p.triangles, 0)
+                             / (d.degree * (d.degree - 1))
+                        ELSE 0.0 END AS coeff
+            FROM deg d LEFT JOIN pern p ON p.n = d.n
+        """,
         "crawl_delay_plan": """
             WITH t AS (
               SELECT doc_id,

@@ -96,3 +96,62 @@ class TestReciprocity:
                for r in host_reciprocity(e).take_all()}
         assert got[5] == (2, 1, 0.5)
         assert got[6] == (1, 1, 1.0)
+
+
+class TestTriangles:
+    """triangle_counts / clustering_coefficient (graph/triangles.py)."""
+
+    def _cc(self, src, dst, **kw):
+        import ray.data as rd
+        from geoflow.graph.triangles import clustering_coefficient
+        e = rd.from_arrow(pa.table({
+            "src": np.asarray(src, dtype=np.int64),
+            "dst": np.asarray(dst, dtype=np.int64)}))
+        return {r["node"]: (r["triangles"], r["degree"], r["coeff"])
+                for r in clustering_coefficient(
+                    e, num_partitions=2, **kw).take_all()}
+
+    def test_k4_with_pendant_and_decoys(self, ray_session):
+        got = self._cc([0, 0, 0, 1, 1, 2, 4, 0, 1],
+                       [1, 2, 3, 2, 3, 3, 0, 1, 0])
+        assert got[0] == (3, 4, 0.5)
+        assert got[1] == (3, 3, 1.0) and got[3] == (3, 3, 1.0)
+        assert got[4] == (0, 1, 0.0)
+
+    def test_triangle_free_bipartite(self, ray_session):
+        # K2,3: plenty of wedges, zero triangles
+        src = [0, 0, 0, 1, 1, 1]
+        dst = [10, 11, 12, 10, 11, 12]
+        got = self._cc(src, dst)
+        assert all(v[0] == 0 for v in got.values())
+        assert got[0][1] == 3 and got[10][1] == 2
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.default_rng(7)
+        n = 30
+        src, dst = [], []
+        for _ in range(120):
+            a, b = rng.integers(0, n, 2)
+            src.append(int(a)); dst.append(int(b))
+        got = self._cc(src, dst)
+        # brute force
+        import itertools
+        adj = set()
+        for a, b in zip(src, dst):
+            if a != b:
+                adj.add((min(a, b), max(a, b)))
+        tri = {k: 0 for k in set(x for e in adj for x in e)}
+        for a, b, c in itertools.combinations(sorted(tri), 3):
+            if ((a, b) in adj and (b, c) in adj and (a, c) in adj):
+                tri[a] += 1; tri[b] += 1; tri[c] += 1
+        deg = {k: 0 for k in tri}
+        for a, b in adj:
+            deg[a] += 1; deg[b] += 1
+        for k in tri:
+            assert got[k][0] == tri[k], k
+            assert got[k][1] == deg[k], k
+
+    def test_broadcast_cap_raises(self, ray_session):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            self._cc([0, 1], [1, 2], max_broadcast_nodes=1)
