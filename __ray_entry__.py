@@ -737,6 +737,30 @@ def q_triangles(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_cocitation(sf_dir: str):
+    """Co-citation counts (graph/triangles.cocitation_counts — Small
+    1973): sources cite 1+d%3 targets by formula; pairs of targets
+    co-cited by >=2 sources survive min_count. Wedge enumeration per
+    source + one pair groupby; the oracle self-joins the same formula
+    edges in SQL."""
+    from geoflow.graph.triangles import cocitation_counts
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = 1 + d % 3
+        ends = np.cumsum(k)
+        src = np.repeat(d, k)
+        j = np.arange(int(ends[-1]) if len(ends) else 0) \
+            - np.repeat(ends - k, k)
+        dst = 100000 + (src * 11 + j * 7) % 40
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return cocitation_counts(edges, min_count=2)
+
+
 def q_crawl_delay_plan(sf_dir: str):
     """Politeness with real Crawl-delay parsing (text/robots.py
     parse_crawl_delays + agent_delays): the crawl_schedule frontier
@@ -4406,6 +4430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_plan": q_recrawl_plan,
         "crawl_delay_plan": q_crawl_delay_plan,
         "triangles": q_triangles,
+        "cocitation": q_cocitation,
         "url_templates": q_url_templates,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
@@ -4633,6 +4658,21 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
         "bm25": _bm25_oracle_sql(),
+        "cocitation": """
+            WITH e AS (
+              SELECT DISTINCT doc_id AS s,
+                     100000 + (doc_id*11 + g.j*7) % 40 AS d
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1 + doc_id % 3)))
+                       AS g(j)),
+            p AS (
+              SELECT e1.d AS b, e2.d AS c,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM e e1 JOIN e e2
+                ON e1.s = e2.s AND e1.d < e2.d
+              GROUP BY e1.d, e2.d)
+            SELECT b, c, n FROM p WHERE n >= 2
+        """,
         # triangles: independent SQL triple self-join over the same
         # formula edges (degree-ordered wedge join on the Ray side)
         "triangles": """

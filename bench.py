@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "source_profile", "raster_codecs", "gif_codecs", "gopher_quality",
     "pagerank", "graph_components", "nb_train_counts", "nb_classify",
     "hits", "host_pagerank", "link_extract", "anchor_agg", "link_rank",
-    "bm25", "cooccur_top", "robots_filter", "script_profile", "trustrank", "boilerplate", "crawl_schedule", "sitemap_parse", "crawl_diff", "host_budget", "html_meta", "crawl_frontier", "canonical_resolve", "indexed_search", "indexed_bm25", "url_templates", "link_reciprocity", "feed_parse", "recrawl_plan", "crawl_delay_plan", "triangles",
+    "bm25", "cooccur_top", "robots_filter", "script_profile", "trustrank", "boilerplate", "crawl_schedule", "sitemap_parse", "crawl_diff", "host_budget", "html_meta", "crawl_frontier", "canonical_resolve", "indexed_search", "indexed_bm25", "url_templates", "link_reciprocity", "feed_parse", "recrawl_plan", "crawl_delay_plan", "triangles", "cocitation",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

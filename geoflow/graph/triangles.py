@@ -33,7 +33,8 @@ import pyarrow.compute as pc
 
 from geoflow.text.hashing import mix64
 
-__all__ = ["triangle_counts", "clustering_coefficient"]
+__all__ = ["triangle_counts", "clustering_coefficient",
+           "cocitation_counts"]
 
 _P = np.uint64(0x9E3779B97F4A7C15)
 
@@ -83,10 +84,6 @@ def triangle_counts(edges, src_col: str = "src",
     und = _distinct_undirected(edges, src_col, dst_col).materialize()
 
     # degrees (broadcast under the cap)
-    deg_map: dict[int, int] = {}
-    nodes_seen = []
-    from ray.data.aggregate import Count
-
     def endpoints(b: pa.Table) -> pa.Table:
         lo = b.column("lo").to_numpy(zero_copy_only=False)
         hi = b.column("hi").to_numpy(zero_copy_only=False)
@@ -213,3 +210,59 @@ def clustering_coefficient(edges, **kw):
         return b.append_column("coeff", pa.array(co))
 
     return t.map_batches(fin, batch_format="pyarrow")
+
+
+def cocitation_counts(edges, src_col: str = "src",
+                      dst_col: str = "dst", min_count: int = 1):
+    """Co-citation similarity (Small 1973): for each unordered pair
+    (b, c), the number of common citing sources (#a with a→b and
+    a→c). The wedge-enumeration shape of triangle_counts without the
+    closing join: distinct directed edges → per-source out-neighbor
+    pairs (map_groups; the quadratic blowup on mega-out-degree
+    sources is the documented skew caveat — cap or sample upstream
+    for crawl graphs) → one groupby-sum. Returns (b, c, n) with
+    b < c and n >= min_count."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def prep(bt: pa.Table) -> pa.Table:
+        s = bt.column(src_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = bt.column(dst_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = s != d
+        return pa.table({"k": pa.array(_key(s[m], d[m])),
+                         "s": pa.array(s[m]), "d": pa.array(d[m])})
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    dedup = edges.map_batches(prep, batch_format="pyarrow") \
+        .groupby("k").map_groups(first, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        v = np.unique(g.column("d").to_numpy(zero_copy_only=False))
+        if len(v) < 2:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(v), k=1)
+        return pa.table({"b": pa.array(v[ii]), "c": pa.array(v[jj]),
+                         "n": pa.array(np.ones(len(ii), np.int64))})
+
+    agg = dedup.groupby("s").map_groups(pairs,
+                                        batch_format="pyarrow") \
+        .groupby(["b", "c"]).aggregate(Sum("n"))
+
+    def fin(bt: pa.Table) -> pa.Table:
+        if "b" not in bt.schema.names or bt.num_rows == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        n = pc.cast(bt.column("sum(n)"), pa.int64())
+        out = pa.table({"b": bt.column("b"), "c": bt.column("c"),
+                        "n": n})
+        return out.filter(pc.greater_equal(out.column("n"),
+                                           min_count))
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -155,3 +155,18 @@ class TestTriangles:
         import pytest as _pt
         with _pt.raises(ValueError):
             self._cc([0, 1], [1, 2], max_broadcast_nodes=1)
+
+
+class TestCocitation:
+    def test_counts_and_min_count(self, ray_session):
+        import ray.data as rd
+        from geoflow.graph.triangles import cocitation_counts
+        e = rd.from_arrow(pa.table({
+            "src": np.array([0, 0, 0, 1, 1, 0, 2], np.int64),
+            "dst": np.array([10, 11, 12, 10, 11, 10, 2], np.int64)}))
+        got = sorted((r["b"], r["c"], r["n"]) for r in
+                     cocitation_counts(e).take_all())
+        assert got == [(10, 11, 2), (10, 12, 1), (11, 12, 1)]
+        got2 = sorted((r["b"], r["c"], r["n"]) for r in
+                      cocitation_counts(e, min_count=2).take_all())
+        assert got2 == [(10, 11, 2)]
