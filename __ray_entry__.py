@@ -1500,6 +1500,51 @@ def q_graph_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_seed_distance(sf_dir: str):
+    """Multi-source BFS hop distances (graph/traversal.py
+    seed_distances — crawl-depth / trust-distance signal) over the
+    same synthetic directed link graph as q_pagerank, seeds
+    {doc_id % 23 == 5}, 4 hops. Integer min-plus relaxation is
+    order-independent, so (node, dist) hash-match the unrolled-CTE
+    oracle exactly. Broadcast mode: the distance vector rides the
+    object store; each round is one map_batches pass + an O(n_nodes)
+    driver combine (no per-round hash-aggregate spin-up)."""
+    from geoflow.graph.pagerank import synth_edges_batch
+    from geoflow.graph.traversal import seed_distances
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = synth_edges_batch(
+            b.column("doc_id").to_numpy(zero_copy_only=False), n)
+        return t.select(["src", "dst"])
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    seeds = np.arange(n, dtype=np.int64)
+    return seed_distances(edges, seeds[seeds % 23 == 5], max_hops=4)
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition (graph/traversal.py kcore_nodes — Seidman
+    1983; link-graph pruning signal): 3-core of the synthetic graph
+    restricted to nodes 0..199 (converges in 5 peel rounds; rounds=6).
+    Degree counts are integers, so (node, degree) hash-match the
+    unrolled-CTE oracle that peels the identical rounds."""
+    from geoflow.graph.pagerank import synth_edges_batch
+    from geoflow.graph.traversal import kcore_nodes
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = synth_edges_batch(i[i < 200], 200)
+        return t.select(["src", "dst"])
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    return kcore_nodes(edges, k=3, rounds=6)
+
+
 def q_host_pagerank(sf_dir: str):
     """Domain-level rank composite (the CommonCrawl-style host-rank
     quality signal): every doc emits two host-graph link events
@@ -1554,6 +1599,29 @@ def q_host_pagerank(sf_dir: str):
                          "host_rank": u.astype(np.float64) / float(MASS)})
 
     return docs.map_batches(attach, batch_format="pyarrow")
+
+
+_SYNTH_EDGES_SQL = """
+SELECT d.doc_id AS src,
+       ((d.doc_id * (17 + 5 * g.j) + 3 + 7 * g.j) % {n}) AS dst
+FROM documents d,
+     LATERAL (SELECT unnest(range(1 + (d.doc_id % 3)))) AS g(j)
+{where}"""
+
+
+def _seed_distance_oracle() -> str:
+    from geoflow.graph.traversal import seed_distance_oracle_sql
+    edges = _SYNTH_EDGES_SQL.format(
+        n="(SELECT COUNT(*) FROM documents)", where="")
+    seeds = "SELECT doc_id AS node FROM documents WHERE doc_id % 23 = 5"
+    return seed_distance_oracle_sql(edges, seeds, max_hops=4)
+
+
+def _kcore_oracle() -> str:
+    from geoflow.graph.traversal import kcore_oracle_sql
+    edges = _SYNTH_EDGES_SQL.format(
+        n="200", where="WHERE d.doc_id < 200")
+    return kcore_oracle_sql(edges, k=3, rounds=6)
 
 
 def _host_pagerank_oracle_sql(iterations: int = 3) -> str:
@@ -4432,6 +4500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "cocitation": q_cocitation,
         "url_templates": q_url_templates,
+        "seed_distance": q_seed_distance,
+        "kcore": q_kcore,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4654,6 +4724,8 @@ def oracle_sql() -> dict[str, str]:
         # (graph/pagerank.py) so the two sides cannot drift
         "pagerank": pagerank_oracle_sql(),
         "trustrank": trustrank_oracle_sql(),
+        "seed_distance": _seed_distance_oracle(),
+        "kcore": _kcore_oracle(),
         "hits": hits_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),

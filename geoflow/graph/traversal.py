@@ -1,0 +1,327 @@
+"""Graph traversal operators: multi-source BFS distances + k-core.
+
+Reference scope: the reference engine has no graph operators — this is
+part of the training-data-pipeline layer (crawl-depth / trust-distance
+signals and core decomposition for link-graph pruning; public specs:
+BFS frontier relaxation, Seidman 1983 k-cores).
+
+Exactness design: both operators are pure INTEGER fixed-point
+iterations (hop counts, degree counts), so every per-round quantity is
+order-independent and hash-matches an unrolled-CTE DuckDB oracle
+generated from the same constants (graph/pagerank.py pattern).
+
+Scale shape (the repo's usual bound + escape hatch):
+- ``broadcast``: the per-node state (distance vector / alive mask)
+  lives as ONE numpy array in the object store (``ray.put`` per
+  round, zero-copy read in every task); each round is a single
+  map_batches pass over the materialized edges emitting per-batch
+  partials that are combined on the driver (O(n_nodes) rows, NOT
+  O(edges) — the per-batch combine already reduced to unique dsts).
+  Bounded by ``max_broadcast_nodes``.
+- ``join``: state lives in a Dataset; each round is edges JOIN state
+  ON src -> groupby(dst).min / count. Aggregate->join seams sanitized
+  with drop_schemaless_blocks (Ray 2.49 empty-block poisoning).
+Edges are materialized ONCE (consumed every round).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+UNREACHED = np.iinfo(np.int64).max
+
+
+def _collect_nodes(edges, cols) -> np.ndarray:
+    """Sorted unique endpoint keys (driver-side, O(n_nodes) after the
+    per-batch unique — bounded by max_broadcast_nodes at call sites)."""
+    parts = []
+    for blk in edges.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+        if blk.num_rows == 0 or cols[0] not in blk.schema.names:
+            continue
+        for c in cols:
+            parts.append(np.unique(
+                blk.column(c).to_numpy(zero_copy_only=False)))
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts)).astype(np.int64)
+
+
+# --------------------------------------------------------------------
+# multi-source BFS hop distances
+# --------------------------------------------------------------------
+
+def seed_distances(edges, seeds, max_hops: int = 4,
+                   src_col: str = "src", dst_col: str = "dst",
+                   undirected: bool = False, mode: str = "broadcast",
+                   max_broadcast_nodes: int = 50_000_000):
+    """(node, dist) hop distance from the seed set along edges, for
+    every endpoint reached within ``max_hops`` (seeds are dist 0).
+    ``seeds`` is an int array-like of node keys. Unreached endpoints
+    are omitted.
+
+    dist_{t+1}(v) = min(dist_t(v), 1 + min over in-neighbors' dist_t)
+    — integer min-plus relaxation; round results are order-independent,
+    so the output hash-matches ``seed_distance_oracle_sql``.
+    """
+    import ray
+    import ray.data
+
+    if mode not in ("broadcast", "join"):
+        raise ValueError("mode must be broadcast|join")
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    if mode == "join":
+        return _seed_distances_join(edges, seeds, max_hops,
+                                    src_col, dst_col, undirected)
+
+    if undirected:
+        def sym(b: pa.Table) -> pa.Table:
+            s = b.column(src_col).to_numpy(zero_copy_only=False)
+            d = b.column(dst_col).to_numpy(zero_copy_only=False)
+            return pa.table({src_col: np.concatenate([s, d]),
+                             dst_col: np.concatenate([d, s])})
+        edges = edges.map_batches(sym, batch_format="pyarrow")
+    edges = edges.materialize()
+
+    nodes = _collect_nodes(edges, [src_col, dst_col])
+    nodes = np.unique(np.concatenate([nodes, seeds]))
+    if len(nodes) > max_broadcast_nodes:
+        raise ValueError(
+            f"{len(nodes)} nodes exceeds max_broadcast_nodes="
+            f"{max_broadcast_nodes}; use mode='join'")
+    nodes_ref = ray.put(nodes)
+    dist = np.full(len(nodes), UNREACHED, np.int64)
+    dist[np.searchsorted(nodes, seeds)] = 0
+
+    for _ in range(max_hops):
+        dist_ref = ray.put(dist)
+
+        def relax(b: pa.Table, _n=nodes_ref, _d=dist_ref) -> pa.Table:
+            nds = ray.get(_n)
+            dv = ray.get(_d)
+            s = b.column(src_col).to_numpy(zero_copy_only=False)
+            d = b.column(dst_col).to_numpy(zero_copy_only=False)
+            ds_ = dv[np.searchsorted(nds, s)]
+            live = ds_ != UNREACHED
+            if not live.any():
+                return pa.table({"node": np.empty(0, np.int64),
+                                 "dist": np.empty(0, np.int64)})
+            d, cand = d[live], ds_[live] + 1
+            order = np.argsort(d, kind="stable")
+            d, cand = d[order], cand[order]
+            starts = np.flatnonzero(
+                np.r_[True, d[1:] != d[:-1]])
+            mins = np.minimum.reduceat(cand, starts)
+            return pa.table({"node": d[starts], "dist": mins})
+
+        new = dist.copy()
+        for blk in edges.map_batches(
+                relax, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            if blk.num_rows == 0 or "node" not in blk.schema.names:
+                continue
+            idx = np.searchsorted(
+                nodes, blk.column("node").to_numpy(zero_copy_only=False))
+            np.minimum.at(new, idx,
+                          blk.column("dist").to_numpy(
+                              zero_copy_only=False))
+        if np.array_equal(new, dist):
+            break
+        dist = new
+
+    keep = dist != UNREACHED
+    return ray.data.from_arrow(pa.table({
+        "node": nodes[keep], "dist": dist[keep]}))
+
+
+def _seed_distances_join(edges, seeds, max_hops,
+                         src_col, dst_col, undirected):
+    """Escape hatch past the node broadcast bound: state as a Dataset,
+    one edges-join + two Min aggregates per round (distributed; pytest
+    forces this path on a small graph and checks equality)."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from geoflow.join.semijoin import drop_schemaless_blocks
+
+    if undirected:
+        def sym(b: pa.Table) -> pa.Table:
+            s = b.column(src_col).to_numpy(zero_copy_only=False)
+            d = b.column(dst_col).to_numpy(zero_copy_only=False)
+            return pa.table({src_col: np.concatenate([s, d]),
+                             dst_col: np.concatenate([d, s])})
+        edges = edges.map_batches(sym, batch_format="pyarrow")
+    edges = edges.materialize()
+
+    def as_src(b: pa.Table) -> pa.Table:
+        return pa.table({src_col: b.column("node"),
+                         "__dist": b.column("dist")})
+
+    def contrib(b: pa.Table) -> pa.Table:
+        if "__dist" not in b.schema.names or b.num_rows == 0:
+            return pa.table({"node": np.empty(0, np.int64),
+                             "dist": np.empty(0, np.int64)})
+        return pa.table({
+            "node": b.column(dst_col),
+            "dist": pa.compute.add(b.column("__dist"), 1)})
+
+    state = ray.data.from_arrow(pa.table({
+        "node": seeds, "dist": np.zeros(len(seeds), np.int64)}))
+    for _ in range(max_hops):
+        st, _ka = drop_schemaless_blocks(
+            state.map_batches(as_src, batch_format="pyarrow"))
+        if st is None:
+            break
+        cand = edges.join(st, join_type="inner",
+                          num_partitions=8, on=(src_col,)) \
+            .map_batches(contrib, batch_format="pyarrow")
+        state = state.union(cand).groupby("node").aggregate(
+            Min("dist", alias_name="dist"))
+        # bound lineage per round; empty-partition hash-agg blocks are
+        # 0-column (carry no wrong schema) and union/iterate fine
+        state = state.materialize()
+    return state.map_batches(
+        lambda b: (b.select(["node", "dist"])
+                   if "node" in b.schema.names
+                   else pa.table({"node": pa.array([], pa.int64()),
+                                  "dist": pa.array([], pa.int64())})),
+        batch_format="pyarrow")
+
+
+def seed_distance_oracle_sql(edges_sql: str, seeds_sql: str,
+                             max_hops: int = 4) -> str:
+    """Unrolled-CTE DuckDB oracle for ``seed_distances`` (directed).
+    ``edges_sql`` must define a relation with (src, dst);
+    ``seeds_sql`` one with (node). Generated from the same round
+    structure as the kernel so the two cannot drift."""
+    parts = [f"WITH e AS ({edges_sql}),",
+             f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist"
+             f" FROM ({seeds_sql}))"]
+    for t in range(1, max_hops + 1):
+        parts.append(f""",
+d{t} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1 AS dist
+    FROM e JOIN d{t - 1} p ON p.node = e.src
+  ) GROUP BY node
+)""")
+    parts.append(f"\nSELECT node, dist FROM d{max_hops}")
+    return "".join(parts)
+
+
+# --------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# --------------------------------------------------------------------
+
+def kcore_nodes(edges, k: int, rounds: int = 8,
+                src_col: str = "src", dst_col: str = "dst",
+                mode: str = "broadcast",
+                max_broadcast_nodes: int = 50_000_000):
+    """(node, degree) of nodes surviving ``rounds`` of k-core peeling
+    over the undirected, deduplicated edge set (self-loops dropped):
+    each round removes every node with remaining degree < k. Converges
+    to the exact k-core when a round removes nothing (early-stops);
+    with ``rounds`` below the peeling depth the result is the
+    documented fixed-round prefix (the oracle unrolls the same count).
+
+    The alive mask is broadcast; each round is ONE map_batches pass
+    emitting per-batch (node, partial-degree) rows combined on the
+    driver (O(n_nodes)) — no hash-aggregate spin-up per round.
+    """
+    import ray
+    import ray.data
+
+    def undirect(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = b.column(dst_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        bb = np.maximum(s[m], d[m])
+        # in-batch dedup; cross-batch dups removed by the global unique
+        u = np.unique(np.stack([a, bb], axis=1), axis=0)
+        return pa.table({"a": u[:, 0], "b": u[:, 1]})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow")
+    # global dedup of undirected pairs: one hash groupby (count unused)
+    und = und.groupby(["a", "b"]).count().map_batches(
+        lambda b: (b.select(["a", "b"])
+                   if "a" in b.schema.names
+                   else pa.table({"a": pa.array([], pa.int64()),
+                                  "b": pa.array([], pa.int64())})),
+        batch_format="pyarrow").materialize()
+
+    nodes = _collect_nodes(und, ["a", "b"])
+    if len(nodes) > max_broadcast_nodes:
+        raise ValueError(
+            f"{len(nodes)} nodes exceeds max_broadcast_nodes="
+            f"{max_broadcast_nodes}")
+    nodes_ref = ray.put(nodes)
+    alive = np.ones(len(nodes), bool)
+    deg = np.zeros(len(nodes), np.int64)
+
+    for _ in range(rounds):
+        alive_ref = ray.put(alive)
+
+        def degrees(b: pa.Table, _n=nodes_ref, _a=alive_ref) -> pa.Table:
+            nds, av = ray.get(_n), ray.get(_a)
+            a = b.column("a").to_numpy(zero_copy_only=False)
+            bb = b.column("b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(nds, a)
+            ib = np.searchsorted(nds, bb)
+            m = av[ia] & av[ib]
+            ends = np.bincount(
+                np.concatenate([ia[m], ib[m]]), minlength=len(nds))
+            nz = np.flatnonzero(ends)
+            return pa.table({"node": nds[nz],
+                             "deg": ends[nz].astype(np.int64)})
+
+        deg = np.zeros(len(nodes), np.int64)
+        for blk in und.map_batches(
+                degrees, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            if blk.num_rows == 0 or "node" not in blk.schema.names:
+                continue
+            idx = np.searchsorted(
+                nodes, blk.column("node").to_numpy(zero_copy_only=False))
+            np.add.at(deg, idx,
+                      blk.column("deg").to_numpy(zero_copy_only=False))
+        new_alive = alive & (deg >= k)
+        if np.array_equal(new_alive, alive):
+            break
+        alive = new_alive
+
+    return ray.data.from_arrow(pa.table({
+        "node": nodes[alive], "degree": deg[alive]}))
+
+
+def kcore_oracle_sql(edges_sql: str, k: int, rounds: int = 8) -> str:
+    """Unrolled-CTE DuckDB oracle for ``kcore_nodes``: same undirected
+    dedup + per-round degree count + peel. ``edges_sql`` defines
+    (src, dst)."""
+    parts = [f"""WITH raw AS ({edges_sql}),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+n0 AS (SELECT a AS node FROM e UNION SELECT b FROM e)"""]
+    prev = "n0"
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+d{t} AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.a AS n FROM e
+    JOIN {prev} x ON x.node = e.a JOIN {prev} y ON y.node = e.b
+    UNION ALL
+    SELECT e.b FROM e
+    JOIN {prev} x ON x.node = e.a JOIN {prev} y ON y.node = e.b
+  ) GROUP BY n
+),
+n{t} AS (SELECT n AS node FROM d{t} WHERE deg >= {k})""")
+        prev = f"n{t}"
+    parts.append(f"""
+SELECT n.node, COALESCE(d.deg, 0) AS degree
+FROM {prev} n LEFT JOIN d{rounds} d ON d.n = n.node""")
+    return "".join(parts)
