@@ -1545,6 +1545,59 @@ def q_kcore(sf_dir: str):
     return kcore_nodes(edges, k=3, rounds=6)
 
 
+def q_label_prop(sf_dir: str):
+    """Synchronous label-propagation communities (graph/labelprop.py,
+    Raghavan et al. 2007 deterministic variant): 10 planted 12-cliques
+    (clique c = nodes 12c..12c+11, complete) + one bridge per clique
+    (anchor 12c -> 12*((c+3)%10)). Intra-clique majorities dominate
+    the bridges; 4 rounds. The (count, label-rank) argmax packs into
+    one int64 on both sides, so (node, label) hash-match the
+    unrolled-CTE oracle exactly."""
+    from geoflow.graph.labelprop import label_propagation
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        u = b.column("doc_id").to_numpy(zero_copy_only=False)
+        u = u[u < 120].astype(np.int64)
+        base = 12 * (u // 12)
+        src = np.repeat(u, 12)
+        r = np.tile(np.arange(12, dtype=np.int64), len(u))
+        dst = np.repeat(base, 12) + r
+        m = dst != src
+        anchors = u[u % 12 == 0]
+        return pa.table({
+            "src": np.concatenate([src[m], anchors]),
+            "dst": np.concatenate(
+                [dst[m], 12 * ((anchors // 12 + 3) % 10)])})
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    return label_propagation(edges, iterations=4, mode="driver")
+
+
+def q_link_predict(sf_dir: str):
+    """Link-prediction indices (graph/linkpred.py): common-neighbor
+    counts + resource-allocation units (Zhou et al. 2009) in integer
+    fixed point (K // deg, K = 2^40) over the ring+chords graph of
+    q_triangles. Integer sums are order-independent, so
+    (u, v, cn, ra_units) hash-match the SQL wedge self-join oracle."""
+    from geoflow.graph.linkpred import link_prediction
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = d[d < 100] % 100
+        u5 = u[u % 10 == 0]
+        src = np.concatenate([u, u, u5])
+        dst = np.concatenate([(u + 1) % 100, (u + 2) % 100,
+                              (u5 + 5) % 100])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return link_prediction(edges, min_cn=1)
+
+
 def q_host_pagerank(sf_dir: str):
     """Domain-level rank composite (the CommonCrawl-style host-rank
     quality signal): every doc emits two host-graph link events
@@ -1622,6 +1675,33 @@ def _kcore_oracle() -> str:
     edges = _SYNTH_EDGES_SQL.format(
         n="200", where="WHERE d.doc_id < 200")
     return kcore_oracle_sql(edges, k=3, rounds=6)
+
+
+def _label_prop_oracle() -> str:
+    from geoflow.graph.labelprop import label_prop_oracle_sql
+    edges = """
+SELECT d.doc_id AS src, (12 * (d.doc_id // 12) + g.r) AS dst
+FROM documents d, LATERAL (SELECT unnest(range(12))) AS g(r)
+WHERE d.doc_id < 120 AND g.r <> d.doc_id % 12
+UNION ALL
+SELECT d.doc_id, 12 * (((d.doc_id // 12) + 3) % 10)
+FROM documents d
+WHERE d.doc_id < 120 AND d.doc_id % 12 = 0"""
+    return label_prop_oracle_sql(edges, iterations=4)
+
+
+def _link_predict_oracle() -> str:
+    from geoflow.graph.linkpred import link_prediction_oracle_sql
+    edges = """
+SELECT doc_id % 100 AS src, (doc_id % 100 + 1) % 100 AS dst
+FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT doc_id % 100, (doc_id % 100 + 2) % 100
+FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT doc_id % 100, (doc_id % 100 + 5) % 100
+FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0"""
+    return link_prediction_oracle_sql(edges, min_cn=1)
 
 
 def _host_pagerank_oracle_sql(iterations: int = 3) -> str:
@@ -4502,6 +4582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": q_url_templates,
         "seed_distance": q_seed_distance,
         "kcore": q_kcore,
+        "label_prop": q_label_prop,
+        "link_predict": q_link_predict,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4726,6 +4808,8 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": trustrank_oracle_sql(),
         "seed_distance": _seed_distance_oracle(),
         "kcore": _kcore_oracle(),
+        "label_prop": _label_prop_oracle(),
+        "link_predict": _link_predict_oracle(),
         "hits": hits_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
