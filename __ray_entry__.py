@@ -1545,6 +1545,56 @@ def q_kcore(sf_dir: str):
     return kcore_nodes(edges, k=3, rounds=6)
 
 
+def _winnow_synth(b: pa.Table) -> pa.Table:
+    """Planted winnowing corpus: family f = d//10 shares a 12-token
+    prefix run (token values f*29+i, disjoint across families); the
+    tail is doc-unique (40000 + d*50 + i, disjoint from every
+    prefix). L(d) = 18 + d%5 tokens; tokens are "t<int>" literals so
+    the SQL oracle reproduces every gram hash through the
+    splitmix64-in-SQL chain. Shared run 12 >= w+k-1 = 6 triggers the
+    winnowing guarantee within each family."""
+    ids = b.column("doc_id")
+    d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    f = d // 10
+    L = 18 + d % 5
+    texts = []
+    for dd, ff, ll in zip(d.tolist(), f.tolist(), L.tolist()):
+        vs = [ff * 29 + i if i < 12 else 40000 + dd * 50 + i
+              for i in range(ll)]
+        texts.append(" ".join(f"t{v}" for v in vs))
+    return pa.table({"doc_id": ids, "text": pa.array(texts)})
+
+
+def q_winnow_fps(sf_dir: str):
+    """Winnowing document fingerprints (text/winnow.py — Schleimer et
+    al. 2003 / MOSS): k=3 token grams, window w=4, rightmost-min
+    selection, over the planted integer-token corpus. Every
+    fingerprint is a splitmix64 of an exact base-2^20 gram polynomial,
+    so (doc_id, fp) hash-match the SQL oracle bit-for-bit (u64 -> i64
+    two's complement on both sides)."""
+    from geoflow.text.winnow import winnow_batch
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _winnow_synth, batch_format="pyarrow").map_batches(
+        lambda b: winnow_batch(b, k=3, w=4, mode="planted"),
+        batch_format="pyarrow")
+
+
+def q_winnow_matches(sf_dir: str):
+    """Fingerprint-overlap pairs (text/winnow.fingerprint_matches):
+    groupby(fp) pair emission + one pair groupby over the q_winnow_fps
+    fingerprints; pairs sharing >= 2 fingerprints survive (the
+    intra-family duplicates by construction). Integer counts
+    hash-match the SQL self-join oracle."""
+    from geoflow.text.winnow import fingerprint_matches, winnow_batch
+
+    fps = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _winnow_synth, batch_format="pyarrow").map_batches(
+        lambda b: winnow_batch(b, k=3, w=4, mode="planted"),
+        batch_format="pyarrow")
+    return fingerprint_matches(fps, min_shared=2)
+
+
 def q_label_prop(sf_dir: str):
     """Synchronous label-propagation communities (graph/labelprop.py,
     Raghavan et al. 2007 deterministic variant): 10 planted 12-cliques
@@ -1675,6 +1725,48 @@ def _kcore_oracle() -> str:
     edges = _SYNTH_EDGES_SQL.format(
         n="200", where="WHERE d.doc_id < 200")
     return kcore_oracle_sql(edges, k=3, rounds=6)
+
+
+def _winnow_fps_oracle() -> str:
+    """SQL twin of q_winnow_fps: formula tokens -> base-2^20 gram
+    polynomial -> splitmix64 chain -> per-window rightmost-min
+    (ROW_NUMBER ORDER BY h ASC, i DESC) -> distinct, i64-normalized."""
+    grams = """(
+      SELECT a.d AS d, a.i AS i,
+             (a.v * 1099511627776 + b.v * 1048576 + c.v) AS g
+      FROM tok a
+      JOIN tok b ON b.d = a.d AND b.i = a.i + 1
+      JOIN tok c ON c.d = a.d AND c.i = a.i + 2) gr"""
+    return f"""
+WITH t AS (SELECT doc_id AS d, 18 + doc_id % 5 AS L,
+                  doc_id // 10 AS f FROM documents),
+tok AS (SELECT d, g.i AS i,
+               CASE WHEN g.i < 12 THEN f * 29 + g.i
+                    ELSE 40000 + d * 50 + g.i END AS v
+        FROM t, LATERAL (SELECT unnest(range(L))) AS g(i)),
+h AS ({_sql_mix64_chain(grams, "g", "h", ("d", "i"))}),
+win AS (SELECT d, w.j AS j
+        FROM t, LATERAL (SELECT unnest(range(L - 5))) AS w(j)),
+sel AS (SELECT win.d, h.h,
+               ROW_NUMBER() OVER (PARTITION BY win.d, win.j
+                                  ORDER BY h.h ASC, h.i DESC) AS rn
+        FROM win JOIN h ON h.d = win.d
+                       AND h.i BETWEEN win.j AND win.j + 3)
+SELECT DISTINCT d AS doc_id,
+       CASE WHEN h >= 9223372036854775808
+            THEN CAST(h - 18446744073709551616 AS BIGINT)
+            ELSE CAST(h AS BIGINT) END AS fp
+FROM sel WHERE rn = 1"""
+
+
+def _winnow_matches_oracle() -> str:
+    return f"""
+WITH fps AS ({_winnow_fps_oracle()})
+SELECT f1.doc_id AS a, f2.doc_id AS b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM fps f1 JOIN fps f2 ON f2.fp = f1.fp AND f1.doc_id < f2.doc_id
+GROUP BY f1.doc_id, f2.doc_id
+HAVING COUNT(*) >= 2"""
 
 
 def _label_prop_oracle() -> str:
@@ -4584,6 +4676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "label_prop": q_label_prop,
         "link_predict": q_link_predict,
+        "winnow_fps": q_winnow_fps,
+        "winnow_matches": q_winnow_matches,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4810,6 +4904,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_oracle(),
         "label_prop": _label_prop_oracle(),
         "link_predict": _link_predict_oracle(),
+        "winnow_fps": _winnow_fps_oracle(),
+        "winnow_matches": _winnow_matches_oracle(),
         "hits": hits_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),
