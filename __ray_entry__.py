@@ -1595,6 +1595,78 @@ def q_winnow_matches(sf_dir: str):
     return fingerprint_matches(fps, min_shared=2)
 
 
+def q_compress_quality(sf_dir: str):
+    """Compression-ratio quality filter
+    (text/analysis.compression_ratio_batch + compression_filter —
+    the too-repetitive/too-random curation heuristic): planted ratio
+    classes with wide margins — d%3==0 gets 'ab '*100 (zlib ratio
+    ~0.05), others 128 hex chars from an LCG (~0.70); keep = ratio
+    <= 0.35 selects exactly the repetitive class. zlib bytes are not
+    SQL-computable, so the oracle gates the SELECTED SET + the
+    closed-form byte length (CLAUDE.md float-selection rule)."""
+    from geoflow.text.analysis import compression_ratio_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = ["ab " * 100 if dd % 3 == 0 else
+                 "".join(format(((dd * 64 + j) * 2654435761)
+                                % 2**32, "08x") for j in range(16))
+                 for dd in d.tolist()]
+        return pa.table({"doc_id": ids, "text": pa.array(texts)})
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = compression_ratio_batch(b)
+        r = t.column("compress_ratio").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(r <= 0.35)).select(
+            ["doc_id", "n_bytes"])
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").map_batches(
+        keep, batch_format="pyarrow")
+
+
+def q_mojibake_fix(sf_dir: str):
+    """Mojibake repair (text/fixenc.py — UTF-8 mis-decoded as
+    latin-1/cp1252, the ftfy-class fix): four planted classes by
+    d%4 — plain ASCII (untouched), latin-1 mojibake (repaired,
+    enc='latin-1'), genuine accents (untouched: re-encode is invalid
+    UTF-8), cp1252 mojibake with € (latin-1 cannot encode it, so the
+    codec ladder reaches cp1252). The corrupted bytes exist only on
+    the Ray side; the oracle derives the REPAIRED text per class in
+    closed form, so (doc_id, text_out, fixed, enc) hash-match."""
+    from geoflow.text.fixenc import fix_mojibake_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = []
+        for dd in d.tolist():
+            m = dd % 4
+            if m == 0:
+                texts.append(f"plain text {dd} ok")
+            elif m == 1:
+                texts.append(f"café {dd} déjà – fin"
+                             .encode("utf-8").decode("latin-1"))
+            elif m == 2:
+                texts.append(f"naïve {dd} résumé")
+            else:
+                texts.append(f"café – ‘{dd}’ €9"
+                             .encode("utf-8").decode("cp1252"))
+        return pa.table({"doc_id": ids, "text": pa.array(texts)})
+
+    def fin(b: pa.Table) -> pa.Table:
+        t = fix_mojibake_batch(b)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text_out": t.column("text_fixed"),
+                         "fixed": t.column("fixed"),
+                         "enc": t.column("enc")})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").map_batches(
+        fin, batch_format="pyarrow")
+
+
 def q_label_prop(sf_dir: str):
     """Synchronous label-propagation communities (graph/labelprop.py,
     Raghavan et al. 2007 deterministic variant): 10 planted 12-cliques
@@ -4678,6 +4750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict": q_link_predict,
         "winnow_fps": q_winnow_fps,
         "winnow_matches": q_winnow_matches,
+        "compress_quality": q_compress_quality,
+        "mojibake_fix": q_mojibake_fix,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4906,6 +4980,24 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _link_predict_oracle(),
         "winnow_fps": _winnow_fps_oracle(),
         "winnow_matches": _winnow_matches_oracle(),
+        "compress_quality": """
+            SELECT doc_id, CAST(300 AS BIGINT) AS n_bytes
+            FROM documents WHERE doc_id % 3 = 0""",
+        "mojibake_fix": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'plain text ' || CAST(doc_id AS VARCHAR) || ' ok'
+                     WHEN 1 THEN 'café ' || CAST(doc_id AS VARCHAR) || ' déjà – fin'
+                     WHEN 2 THEN 'naïve ' || CAST(doc_id AS VARCHAR) || ' résumé'
+                     ELSE 'café – ‘' || CAST(doc_id AS VARCHAR) || '’ €9'
+                   END AS text_out,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END
+                        AS BIGINT) AS fixed,
+                   CASE doc_id % 4
+                     WHEN 1 THEN 'latin-1'
+                     WHEN 3 THEN 'cp1252'
+                     ELSE '' END AS enc
+            FROM documents""",
         "hits": hits_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
         "link_rank": _link_rank_oracle_sql(),

@@ -462,3 +462,59 @@ def script_profile_batch(batch: pa.Table, text_col="text") -> pa.Table:
     cols["script_frac"] = pa.array(
         dom_cnt.astype(np.float64) / np.maximum(total, 1))
     return pa.table(cols)
+
+
+def compression_ratio_batch(batch: pa.Table, text_col="text",
+                            level: int = 6) -> pa.Table:
+    """Compressibility quality signal (the classic "too repetitive /
+    too random" filter — e.g. the compression-ratio heuristic in
+    large-corpus curation pipelines): per document, zlib-compressed
+    size over raw UTF-8 size. Boilerplate/spam compresses far below
+    natural text; encrypted/binary junk barely compresses. zlib is
+    C-speed per doc (linear, no Python char loops); the ratio itself
+    is library-deterministic but NOT SQL-computable, so oracle gating
+    selects PLANTED ratio classes with wide margins (CLAUDE.md
+    float-selection rule) rather than hashing ratio bytes.
+
+    Emits n_bytes (UTF-8 length), c_bytes (compressed length) and
+    ratio = c_bytes / max(n_bytes, 1)."""
+    import zlib
+
+    s = pc.cast(batch.column(text_col), pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = len(s)
+    n_bytes = pc.fill_null(pc.binary_length(
+        pc.cast(s, pa.binary())), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    c_bytes = np.zeros(n, dtype=np.int64)
+    # per-doc zlib (C speed); the flat-buffer view avoids per-row
+    # Python string materialization
+    from geoflow.text.hashing import _offsets_data
+    arr = pc.cast(s, pa.binary()).combine_chunks() \
+        if isinstance(pc.cast(s, pa.binary()), pa.ChunkedArray) \
+        else pc.cast(s, pa.binary())
+    starts, lens, data = _offsets_data(arr)
+    buf = data.tobytes()
+    for i in range(n):
+        if lens[i] > 0:
+            c_bytes[i] = len(zlib.compress(
+                buf[starts[i]: starts[i] + lens[i]], level))
+    ratio = c_bytes.astype(np.float64) / np.maximum(n_bytes, 1)
+    out = batch
+    for name, arr_ in [("n_bytes", n_bytes), ("c_bytes", c_bytes),
+                       ("compress_ratio", ratio)]:
+        out = out.append_column(name, pa.array(arr_))
+    return out
+
+
+def compression_filter(ds, text_col="text", lo: float = 0.25,
+                       hi: float = 0.95):
+    """Keep documents whose compression ratio lies in [lo, hi] —
+    drops boilerplate repeats (below lo) and random junk (above hi).
+    One map_batches pass, no shuffle."""
+    def fn(b: pa.Table) -> pa.Table:
+        t = compression_ratio_batch(b, text_col)
+        r = t.column("compress_ratio").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((r >= lo) & (r <= hi)))
+    return ds.map_batches(fn, batch_format="pyarrow")
