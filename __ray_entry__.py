@@ -1595,6 +1595,51 @@ def q_winnow_matches(sf_dir: str):
     return fingerprint_matches(fps, min_shared=2)
 
 
+def q_image_phash(sf_dir: str):
+    """Perceptual image hashing (media/stages.PerceptualHash — the
+    dHash/aHash near-dup family) through the REAL PNG codec: per doc a
+    72x64 gray image of 8x8 constant blocks v(bx,by) = (7bx + 13by +
+    3p) % 251 with p = doc_id % 40 (40 duplicate families), PNG-encode
+    in synth, actor-pool decode, hash. Cell means are exact block
+    values, so dhash/ahash bits are pure modular arithmetic the SQL
+    oracle recomputes; the u64 bit packs compare as two's-complement
+    BIGINT. A decode or cell-boundary bug anywhere flips bits."""
+    from geoflow.media import MediaDecoder, PerceptualHash
+    from geoflow.raster.imageio import png_encode
+
+    bx = np.arange(72, dtype=np.int64) // 8
+    by = np.arange(64, dtype=np.int64) // 8
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for dd in ids.tolist():
+            v = (7 * bx[None, :] + 13 * by[:, None] + 3 * (dd % 40)) \
+                % 251
+            payloads.append(png_encode(v.astype(np.uint8)))
+        n = len(ids)
+        return pa.table({
+            "key": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "codec": pa.array(["png"] * n, pa.string()),
+            "width": pa.array(np.full(n, 72, np.int32)),
+            "height": pa.array(np.full(n, 64, np.int32)),
+            "channels": pa.array(np.full(n, 1, np.int32)),
+            "n_frames": pa.array(np.full(n, 1, np.int32))})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow") \
+        .map_batches(MediaDecoder, batch_format="pyarrow",
+                     concurrency=2) \
+        .map_batches(PerceptualHash(), batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("key"),
+                            "dhash": b.column("dhash"),
+                            "ahash": b.column("ahash")}),
+        batch_format="pyarrow")
+
+
 def q_compress_quality(sf_dir: str):
     """Compression-ratio quality filter
     (text/analysis.compression_ratio_batch + compression_filter —
@@ -4752,6 +4797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_matches": q_winnow_matches,
         "compress_quality": q_compress_quality,
         "mojibake_fix": q_mojibake_fix,
+        "image_phash": q_image_phash,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -4980,6 +5026,36 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _link_predict_oracle(),
         "winnow_fps": _winnow_fps_oracle(),
         "winnow_matches": _winnow_matches_oracle(),
+        "image_phash": """
+            WITH d AS (SELECT doc_id, doc_id % 40 AS p FROM documents),
+            pp AS (SELECT DISTINCT p FROM d),
+            tv AS (SELECT p, SUM(v) AS tot FROM (
+                     SELECT pp.p,
+                            ((7*gx.x + 13*gy.y + 3*pp.p) % 251) AS v
+                     FROM pp, (SELECT unnest(range(9)) AS x) gx,
+                              (SELECT unnest(range(8)) AS y) gy)
+                   GROUP BY p),
+            hh AS (SELECT pp.p,
+                     SUM(CASE WHEN ((7*gx.x + 13*gy.y + 3*pp.p) % 251)
+                              > ((7*(gx.x+1) + 13*gy.y + 3*pp.p) % 251)
+                         THEN (CAST(1 AS HUGEINT) << (gy.y*8 + gx.x))
+                         ELSE 0 END) AS dhh,
+                     SUM(CASE WHEN ((7*gx.x + 13*gy.y + 3*pp.p) % 251)
+                              * 72 > tv.tot
+                         THEN (CAST(1 AS HUGEINT) << (gy.y*8 + gx.x))
+                         ELSE 0 END) AS ahh
+                   FROM pp JOIN tv ON tv.p = pp.p,
+                        (SELECT unnest(range(8)) AS x) gx,
+                        (SELECT unnest(range(8)) AS y) gy
+                   GROUP BY pp.p)
+            SELECT d.doc_id,
+                   CASE WHEN dhh >= 9223372036854775808
+                        THEN CAST(dhh - 18446744073709551616 AS BIGINT)
+                        ELSE CAST(dhh AS BIGINT) END AS dhash,
+                   CASE WHEN ahh >= 9223372036854775808
+                        THEN CAST(ahh - 18446744073709551616 AS BIGINT)
+                        ELSE CAST(ahh AS BIGINT) END AS ahash
+            FROM d JOIN hh ON hh.p = d.p""",
         "compress_quality": """
             SELECT doc_id, CAST(300 AS BIGINT) AS n_bytes
             FROM documents WHERE doc_id % 3 = 0""",

@@ -32,11 +32,12 @@ real, vectorized and testable.
 
 from .avio import avi_decode_mjpeg, avi_encode_mjpeg
 from .stages import (AudioFeatures, FrameSampler, ImageStats, MediaDecoder,
-                     MotionFeatures,
+                     MotionFeatures, PerceptualHash,
                      MediaResize, make_media_batch)
 from .wavio import wav_decode, wav_encode
 
 __all__ = ["MediaDecoder", "MediaResize", "ImageStats", "FrameSampler",
+           "PerceptualHash",
            "MotionFeatures",
            "AudioFeatures", "make_media_batch", "wav_decode", "wav_encode",
            "avi_encode_mjpeg", "avi_decode_mjpeg"]

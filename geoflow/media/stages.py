@@ -307,3 +307,75 @@ class AudioFeatures:
             "key": batch.column("key"),
             "rms_milli": pa.array(rms),
             "zero_crossings": pa.array(zc)})
+
+
+class PerceptualHash:
+    """dHash + aHash perceptual image fingerprints over decoded pixel
+    batches (near-duplicate image detection; public spec: the
+    difference-hash / average-hash family popularized by pHash /
+    Krawetz).
+
+    Exactness design: the classic algorithm resizes to a tiny grid
+    and compares CELL MEANS. Means are computed as integer cell SUMS
+    compared by CROSS-MULTIPLICATION (sum_a * n_b > sum_b * n_a), so
+    no float division ever happens and the bits are exact for ANY
+    image dimensions — reproducible in SQL for planted images
+    (`image_phash` driver gate). Channels are summed (a shared factor
+    c on both sides of every comparison — order-preserving), so RGB
+    needs no grayscale rounding either. Bound: sum * n_cell must fit
+    int64 — images to ~50 MP at c=3 (documented, asserted).
+
+    Grid: ``grid_w`` x ``grid_h`` cells (default 9x8). dhash bit
+    (y, x) = cell(y,x) > cell(y,x+1), packed at position
+    y*(grid_w-1)+x — 64 bits at the default. ahash uses the left
+    (grid_w-1) x grid_h cells vs the global mean, same packing.
+    Both emitted as int64 (two's complement of the u64 bit pattern).
+    """
+
+    def __init__(self, grid_w: int = 9, grid_h: int = 8):
+        self.gw = grid_w
+        self.gh = grid_h
+
+    def _cells(self, px: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(cell sums, cell pixel counts) over the channel-summed
+        image via an integral image — exact int64."""
+        gray = px.sum(axis=2, dtype=np.int64)
+        h, w = gray.shape
+        ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+        np.cumsum(np.cumsum(gray, axis=0), axis=1, out=ii[1:, 1:])
+        yb = (np.arange(self.gh + 1, dtype=np.int64) * h) // self.gh
+        xb = (np.arange(self.gw + 1, dtype=np.int64) * w) // self.gw
+        s = (ii[yb[1:], :][:, xb[1:]] - ii[yb[:-1], :][:, xb[1:]]
+             - ii[yb[1:], :][:, xb[:-1]] + ii[yb[:-1], :][:, xb[:-1]])
+        n = ((yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :])
+        if int(s.max(initial=0)) * int(n.max(initial=1)) >= 2**62:
+            raise ValueError("image too large for exact int64 "
+                             "cross-multiplied cell means (~50 MP cap)")
+        return s, n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("pixels").to_pylist()
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        c = batch.column("channels").to_numpy(zero_copy_only=False)
+        dh = np.zeros(len(bufs), dtype=np.uint64)
+        ah = np.zeros(len(bufs), dtype=np.uint64)
+        pos = np.uint64(1) << np.arange(
+            (self.gw - 1) * self.gh, dtype=np.uint64)
+        for i, buf in enumerate(bufs):
+            wi, hi, ci = int(w[i]), int(h[i]), int(c[i])
+            if wi < self.gw or hi < self.gh:
+                continue  # smaller than the grid: hash stays 0
+            px = np.frombuffer(buf, dtype=np.uint8)[:wi * hi * ci] \
+                .reshape(hi, wi, ci)
+            s, n = self._cells(px)
+            dbits = (s[:, :-1] * n[:, 1:]) > (s[:, 1:] * n[:, :-1])
+            dh[i] = (pos * dbits.ravel().astype(np.uint64)).sum()
+            tot = int(s.sum())
+            npx = int(n.sum())
+            abits = (s[:, :-1] * npx) > (tot * n[:, :-1])
+            ah[i] = (pos * abits.ravel().astype(np.uint64)).sum()
+        return pa.table({
+            "key": batch.column("key"),
+            "dhash": pa.array(dh.view(np.int64)),
+            "ahash": pa.array(ah.view(np.int64))})
