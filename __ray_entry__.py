@@ -1595,6 +1595,57 @@ def q_winnow_matches(sf_dir: str):
     return fingerprint_matches(fps, min_shared=2)
 
 
+def q_html_tables(sf_dir: str):
+    """HTML table extraction (text/htmltables.py — WebTables-class
+    structured mining): planted per-doc HTML with 1+d%2 tables, a
+    header row (mixed-case <TH>/<th>, attributes) + 2+(d+t)%2 data
+    rows x 3 cols, &amp; entities and nested <b> tags in cells. The
+    HTML exists only on the Ray side; the oracle derives every
+    (table_idx, row_idx, col_idx, is_header, cell_text) from the
+    residue formulas."""
+    from geoflow.text.htmltables import extract_tables_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        d = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        htmls = []
+        for dd in d.tolist():
+            parts = ["<html><body><p>pre</p>"]
+            for t in range(1 + dd % 2):
+                parts.append('<TABLE border="1">' if dd % 3 == 0
+                             else "<table>")
+                parts.append("<tr><TH>h0</TH><th scope=\"col\">h1"
+                             "</th><th >h2</th></tr>")
+                for r in range(1, 3 + (dd + t) % 2):
+                    cells = "".join(
+                        f'<td align="l"> v&amp;'
+                        f'{dd * 100 + t * 25 + r * 5 + c} </td>'
+                        for c in range(3))
+                    parts.append(f"<TR>{cells}</TR>")
+                parts.append("</table>" if t % 2 == 0 else "</TABLE>")
+            parts.append("</body></html>")
+            htmls.append("".join(parts))
+        return pa.table({"doc_id": ids, "html": pa.array(htmls)})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").map_batches(
+        extract_tables_batch, batch_format="pyarrow")
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Per-document TF-IDF keyword extraction (text/tfidf.py) over the
+    REAL documents.text: smoothed idf = ln((1+N)/(1+df)) + 1 computed
+    with scalar math.log (glibc libm == DuckDB ln, bit-for-bit —
+    text/search.py precedent), score = one float multiply, top-3 per
+    doc by (score DESC, token ASC). Distributed df aggregate + one
+    broadcast + one scoring pass; the SQL oracle recomputes df/tf from
+    the identical RE2 tokenization."""
+    from geoflow.text.tfidf import tfidf_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(docs, k=3, min_df=2)
+
+
 def q_image_phash(sf_dir: str):
     """Perceptual image hashing (media/stages.PerceptualHash — the
     dHash/aHash near-dup family) through the REAL PNG codec: per doc a
@@ -4798,6 +4849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_quality": q_compress_quality,
         "mojibake_fix": q_mojibake_fix,
         "image_phash": q_image_phash,
+        "html_tables": q_html_tables,
+        "tfidf_topk": q_tfidf_topk,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -5026,6 +5079,51 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _link_predict_oracle(),
         "winnow_fps": _winnow_fps_oracle(),
         "winnow_matches": _winnow_matches_oracle(),
+        "html_tables": """
+            WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS nt
+                       FROM documents),
+            tb AS (SELECT doc_id, g.t AS t,
+                          2 + (doc_id + g.t) % 2 AS nr
+                   FROM d, LATERAL (SELECT unnest(range(nt))) g(t)),
+            rws AS (SELECT doc_id, t, w.r AS r
+                    FROM tb, LATERAL (SELECT unnest(range(nr))) w(r)),
+            cl AS (SELECT doc_id, t, r, c.c AS c
+                   FROM rws, LATERAL (SELECT unnest(range(3))) c(c))
+            SELECT doc_id,
+                   CAST(t AS BIGINT) AS table_idx,
+                   CAST(r AS BIGINT) AS row_idx,
+                   CAST(c AS BIGINT) AS col_idx,
+                   CAST(CASE WHEN r = 0 THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_header,
+                   CASE WHEN r = 0 THEN 'h' || CAST(c AS VARCHAR)
+                        ELSE 'v&' || CAST(doc_id*100 + t*25 + r*5 + c
+                                          AS VARCHAR)
+                   END AS cell_text
+            FROM cl""",
+        "tfidf_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                            '[\\p{L}\\p{N}_]+')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token,
+                          CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM (SELECT DISTINCT doc_id, token FROM tok)
+                   GROUP BY token),
+            voc AS (SELECT token, df FROM df WHERE df >= 2
+                    ORDER BY df DESC, token ASC LIMIT 200000),
+            sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+                          tf.tf * (ln((1.0 + (SELECT COUNT(*)
+                                              FROM documents))
+                                      / (1.0 + v.df)) + 1.0) AS score
+                   FROM tf JOIN voc v USING (token)),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, token ASC) AS rn
+                  FROM sc)
+            SELECT doc_id, token, tf, score FROM r WHERE rn <= 3""",
         "image_phash": """
             WITH d AS (SELECT doc_id, doc_id % 40 AS p FROM documents),
             pp AS (SELECT DISTINCT p FROM d),
