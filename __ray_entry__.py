@@ -1595,6 +1595,68 @@ def q_winnow_matches(sf_dir: str):
     return fingerprint_matches(fps, min_shared=2)
 
 
+def q_audio_fingerprint(sf_dir: str):
+    """Audio fingerprinting (media/stages.AudioFingerprint —
+    energy-envelope bits, the pure-integer core of the Haitsma-Kalker
+    family) through the REAL WAV codec: per doc 1024+(d%4)*128 int16
+    samples v_i = ((d*9973 + i*131) % 20001) - 10000 are wav-encoded
+    in synth, decoded by the stage, framed at 128 samples, and each
+    energy transition becomes one bit. All energies are exact int64
+    sums of squares, so (doc_id, n_frames_fp, afp) hash-match the SQL
+    frame-groupby oracle."""
+    from geoflow.media import AudioFingerprint, wav_encode
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nmax = 1024 + 3 * 128
+        idx = np.arange(nmax, dtype=np.int64)
+        mat = ((ids[:, None] * 9973 + idx[None, :] * 131)
+               % 20001) - 10000
+        ns = 1024 + (ids % 4) * 128
+        payloads = [wav_encode(mat[i, :ns[i]], 8000, bits=16)
+                    for i in range(len(ids))]
+        return pa.table({
+            "key": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "codec": pa.array(["wav"] * len(ids), type=pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").map_batches(
+        AudioFingerprint, fn_constructor_kwargs={"frame": 128},
+        batch_format="pyarrow", concurrency=2).map_batches(
+        lambda b: pa.table({"doc_id": b.column("key"),
+                            "n_frames_fp": b.column("n_frames_fp"),
+                            "afp": b.column("afp")}),
+        batch_format="pyarrow")
+
+
+def q_sentence_split(sf_dir: str):
+    """Sentence segmentation (text/sentences.py) over the REAL
+    documents.text: one RE2 rule ('[.!?]+\\s+') applied identically by
+    Arrow split_pattern_regex and DuckDB regexp_split_to_array —
+    fragments byte-identical, zero-length fragments dropped on both
+    sides, sent_idx = fragment ordinal."""
+    from geoflow.text.sentences import split_sentences
+
+    return split_sentences(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Lexical diversity (text/analysis.lexical_diversity_batch) over
+    the REAL documents.text: n_tokens / n_distinct / n_hapax integer
+    counts on the repo-standard RE2 tokenization + ttr as ONE float
+    division — all hash-exact vs the SQL grouped-token oracle."""
+    from geoflow.text.analysis import lexical_diversity_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lexical_diversity_batch, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(
+            ["doc_id", "n_tokens", "n_distinct", "n_hapax", "ttr"]),
+            batch_format="pyarrow")
+
+
 def q_html_tables(sf_dir: str):
     """HTML table extraction (text/htmltables.py — WebTables-class
     structured mining): planted per-doc HTML with 1+d%2 tables, a
@@ -4851,6 +4913,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash": q_image_phash,
         "html_tables": q_html_tables,
         "tfidf_topk": q_tfidf_topk,
+        "sentence_split": q_sentence_split,
+        "lexical_diversity": q_lexical_diversity,
+        "audio_fingerprint": q_audio_fingerprint,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -5079,11 +5144,66 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _link_predict_oracle(),
         "winnow_fps": _winnow_fps_oracle(),
         "winnow_matches": _winnow_matches_oracle(),
+        "audio_fingerprint": """
+            WITH t AS (SELECT doc_id,
+                              1024 + (doc_id % 4) * 128 AS ns
+                       FROM documents),
+            s AS (SELECT doc_id, g.i // 128 AS j,
+                         ((doc_id * 9973 + g.i * 131) % 20001)
+                           - 10000 AS v
+                  FROM t,
+                       LATERAL (SELECT unnest(range(ns))) g(i)),
+            e AS (SELECT doc_id, j, CAST(SUM(v * v) AS BIGINT) AS e
+                  FROM s GROUP BY doc_id, j),
+            fp AS (SELECT c.doc_id,
+                          CAST(SUM(CASE WHEN n.e > c.e
+                                   THEN (CAST(1 AS BIGINT) << c.j)
+                                   ELSE 0 END) AS BIGINT) AS afp
+                   FROM e c JOIN e n ON n.doc_id = c.doc_id
+                                    AND n.j = c.j + 1
+                   GROUP BY c.doc_id)
+            SELECT t.doc_id, CAST(t.ns // 128 AS BIGINT)
+                     AS n_frames_fp,
+                   fp.afp
+            FROM t JOIN fp ON fp.doc_id = t.doc_id""",
+        "sentence_split": """
+            WITH a AS (SELECT doc_id,
+                              regexp_split_to_array(
+                                coalesce(text, ''),
+                                '[.!?]+\\s+') AS arr
+                       FROM documents),
+            f AS (SELECT doc_id, g.i AS i, arr[g.i + 1] AS s
+                  FROM a,
+                       LATERAL (SELECT unnest(range(len(arr)))) g(i))
+            SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
+                   s AS sentence
+            FROM f WHERE strlen(s) > 0""",
+        "lexical_diversity": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                            '[\\p{L}\\p{N}_]+')) AS token
+              FROM documents),
+            per AS (SELECT doc_id, token, COUNT(*) AS c
+                    FROM tok GROUP BY doc_id, token),
+            agg AS (SELECT doc_id,
+                           CAST(SUM(c) AS BIGINT) AS n_tokens,
+                           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_hapax
+                    FROM per GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_distinct, 0) AS n_distinct,
+                   COALESCE(a.n_hapax, 0) AS n_hapax,
+                   CAST(COALESCE(a.n_distinct, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(a.n_tokens, 0), 1) AS ttr
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
         "html_tables": """
             WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS nt
                        FROM documents),
             tb AS (SELECT doc_id, g.t AS t,
-                          2 + (doc_id + g.t) % 2 AS nr
+                          3 + (doc_id + g.t) % 2 AS nr
                    FROM d, LATERAL (SELECT unnest(range(nt))) g(t)),
             rws AS (SELECT doc_id, t, w.r AS r
                     FROM tb, LATERAL (SELECT unnest(range(nr))) w(r)),

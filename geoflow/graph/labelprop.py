@@ -184,10 +184,10 @@ def label_prop_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
     (label_rank = dense rank of the label among node keys, matching
     the kernels' dense remap). ``edges_sql`` defines (src, dst)."""
     parts = [f"""WITH raw AS ({edges_sql}),
-sym AS (SELECT dst AS at, src AS frm FROM raw WHERE src <> dst
+sym AS MATERIALIZED (SELECT dst AS at, src AS frm FROM raw WHERE src <> dst
         UNION ALL
         SELECT src, dst FROM raw WHERE src <> dst),
-nd AS (SELECT node,
+nd AS MATERIALIZED (SELECT node,
               CAST(ROW_NUMBER() OVER (ORDER BY node) - 1 AS BIGINT)
                 AS rnk
        FROM (SELECT DISTINCT at AS node FROM sym
@@ -195,7 +195,7 @@ nd AS (SELECT node,
 l0 AS (SELECT node, node AS label FROM nd)"""]
     for t in range(1, iterations + 1):
         parts.append(f""",
-l{t} AS (
+l{t} AS MATERIALIZED (
   SELECT n.node, COALESCE(w.node, n.label) AS label
   FROM l{t - 1} n LEFT JOIN (
     SELECT at,

@@ -195,12 +195,12 @@ def seed_distance_oracle_sql(edges_sql: str, seeds_sql: str,
     ``edges_sql`` must define a relation with (src, dst);
     ``seeds_sql`` one with (node). Generated from the same round
     structure as the kernel so the two cannot drift."""
-    parts = [f"WITH e AS ({edges_sql}),",
+    parts = [f"WITH e AS MATERIALIZED ({edges_sql}),",
              f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist"
              f" FROM ({seeds_sql}))"]
     for t in range(1, max_hops + 1):
         parts.append(f""",
-d{t} AS (
+d{t} AS MATERIALIZED (
   SELECT node, MIN(dist) AS dist FROM (
     SELECT node, dist FROM d{t - 1}
     UNION ALL
@@ -304,13 +304,14 @@ def kcore_oracle_sql(edges_sql: str, k: int, rounds: int = 8) -> str:
     dedup + per-round degree count + peel. ``edges_sql`` defines
     (src, dst)."""
     parts = [f"""WITH raw AS ({edges_sql}),
-e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                     greatest(src, dst) AS b
       FROM raw WHERE src <> dst),
-n0 AS (SELECT a AS node FROM e UNION SELECT b FROM e)"""]
+n0 AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b FROM e)"""]
     prev = "n0"
     for t in range(1, rounds + 1):
         parts.append(f""",
-d{t} AS (
+d{t} AS MATERIALIZED (
   SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
     SELECT e.a AS n FROM e
     JOIN {prev} x ON x.node = e.a JOIN {prev} y ON y.node = e.b
@@ -319,7 +320,7 @@ d{t} AS (
     JOIN {prev} x ON x.node = e.a JOIN {prev} y ON y.node = e.b
   ) GROUP BY n
 ),
-n{t} AS (SELECT n AS node FROM d{t} WHERE deg >= {k})""")
+n{t} AS MATERIALIZED (SELECT n AS node FROM d{t} WHERE deg >= {k})""")
         prev = f"n{t}"
     parts.append(f"""
 SELECT n.node, COALESCE(d.deg, 0) AS degree

@@ -31,12 +31,13 @@ real, vectorized and testable.
 """
 
 from .avio import avi_decode_mjpeg, avi_encode_mjpeg
-from .stages import (AudioFeatures, FrameSampler, ImageStats, MediaDecoder,
+from .stages import (AudioFeatures, AudioFingerprint, FrameSampler, ImageStats, MediaDecoder,
                      MotionFeatures, PerceptualHash,
                      MediaResize, make_media_batch)
 from .wavio import wav_decode, wav_encode
 
 __all__ = ["MediaDecoder", "MediaResize", "ImageStats", "FrameSampler",
+           "AudioFingerprint",
            "PerceptualHash",
            "MotionFeatures",
            "AudioFeatures", "make_media_batch", "wav_decode", "wav_encode",

@@ -518,3 +518,40 @@ def compression_filter(ds, text_col="text", lo: float = 0.25,
         r = t.column("compress_ratio").to_numpy(zero_copy_only=False)
         return t.filter(pa.array((r >= lo) & (r <= hi)))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lexical_diversity_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Lexical-diversity signals per document: n_tokens, n_distinct,
+    n_hapax (tokens occurring exactly once in the doc), and
+    ttr = n_distinct / max(n_tokens, 1) (type-token ratio — ONE float
+    division of exact ints, IEEE-reproducible in SQL). Tokenization is
+    the repo-standard RE2 word pattern (hashing.tokenize, lowercased),
+    identical to DuckDB regexp_extract_all — the `lexical_diversity`
+    driver gate runs both over the real documents.text.
+
+    Distinctness is computed on 64-bit token hashes (collision odds
+    ~V^2/2^64 — the repo-wide convention, see tfidf.py)."""
+    from .hashing import hash64, tokenize
+
+    ids_n = batch.num_rows
+    flat, parent = tokenize(batch.column(text_col))
+    n_tokens = np.bincount(parent, minlength=ids_n).astype(np.int64) \
+        if len(parent) else np.zeros(ids_n, np.int64)
+    n_distinct = np.zeros(ids_n, dtype=np.int64)
+    n_hapax = np.zeros(ids_n, dtype=np.int64)
+    if len(parent):
+        h = hash64(flat)
+        order = np.lexsort((h, parent))
+        hs, ps = h[order], parent[order]
+        first = np.r_[True, (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])]
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.r_[starts, len(hs)])
+        np.add.at(n_distinct, ps[starts], 1)
+        np.add.at(n_hapax, ps[starts[runs == 1]], 1)
+    ttr = n_distinct.astype(np.float64) / np.maximum(n_tokens, 1)
+    out = batch
+    for name, arr in [("n_tokens", n_tokens),
+                      ("n_distinct", n_distinct),
+                      ("n_hapax", n_hapax)]:
+        out = out.append_column(name, pa.array(arr))
+    return out.append_column("ttr", pa.array(ttr))

@@ -40,9 +40,20 @@ def main(sf_dir, names=()):
 
     qs = entrymod.queries()
     if names:
-        qs = {k: v for k, v in qs.items() if k in names}
+        # accept space- or comma-separated names; UNKNOWN names are a
+        # hard error — a typo (or a made-up flag like "--only") used
+        # to silently filter to {} and print "failures: none" (round 4
+        # session 3: several gates were no-ops because of this)
+        wanted = [w for n in names for w in n.split(",") if w]
+        unknown = [w for w in wanted if w not in qs]
+        if unknown:
+            raise SystemExit(f"unknown query names: {unknown}")
+        qs = {k: v for k, v in qs.items() if k in wanted}
     oracles = entrymod.oracle_sql()
     failures = []
+    import gc
+    import os
+    fd_dir = f"/proc/{os.getpid()}/fd"
     for name, fn in qs.items():
         try:
             got = canon(to_pandas(fn(sf_dir)))
@@ -50,10 +61,35 @@ def main(sf_dir, names=()):
             print(f"[FAIL-RUN] {name}: {type(e).__name__}: {e}")
             failures.append(name)
             continue
+        # one process runs 140+ Ray query executions back-to-back;
+        # dataset/block refs pin plasma mmaps + ipc sockets until
+        # collected — without this the process exhausts RLIMIT_NOFILE
+        # (20k) around query ~130 ("Too many open files", round 4)
+        gc.collect()
+        nfd = len(os.listdir(fd_dir))
+        print(f"[FD] {name}: {nfd}")
         if name not in oracles:
             print(f"[ROWS-ONLY] {name}: {len(got)} rows, cols={list(got.columns)}")
             continue
-        exp = canon(con.sql(oracles[name]).df())
+        # "Too many open files" from duckdb is a TRANSIENT system
+        # condition while a Ray aggregate's worker fleet spins up
+        # (driver-process fds measured at ~52 when it fires, round 4
+        # session 3) — retry with backoff before declaring failure
+        exp = None
+        for attempt in range(4):
+            try:
+                exp = canon(con.sql(oracles[name]).df())
+                break
+            except Exception as e:
+                if attempt == 3:
+                    print(f"[FAIL-ORACLE] {name}: {type(e).__name__}:"
+                          f" {e} (fds={len(os.listdir(fd_dir))})")
+                    failures.append(name)
+                else:
+                    import time
+                    time.sleep(2.0 * (attempt + 1))
+        if exp is None:
+            continue
         ok_rows = len(got) == len(exp)
         ok_cols = list(got.columns) == list(exp.columns)
         ok_vals = False
