@@ -1595,6 +1595,35 @@ def q_winnow_matches(sf_dir: str):
     return fingerprint_matches(fps, min_shared=2)
 
 
+def q_shingle_containment(sf_dir: str):
+    """Asymmetric n-gram containment (text/containment.py — Broder
+    1997's containment measure; catches quote-in-article subset
+    duplication that Jaccard scores near 0) over the winnowing
+    planted corpus (family-shared 12-token prefixes): distinct-gram
+    intersections are integers, each containment ONE float division,
+    and the base-2^20 gram polynomial is injective for the planted
+    token ids — so (a, b, inter, n_a, n_b, cont_a, cont_b)
+    hash-match the SQL set-join oracle exactly."""
+    from geoflow.text.containment import containment_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _winnow_synth, batch_format="pyarrow")
+    return containment_pairs(docs, k=3, min_inter=2, mode="planted")
+
+
+def q_embed_int8(sf_dir: str):
+    """int8 scalar quantization (vector/quant.py — max-abs symmetric)
+    over the REAL embeddings table: scale = max|x| (order-independent,
+    no float-sum hazard), code = floor(x/scale*127+0.5) in a FIXED op
+    order mirrored by the SQL lambda expression — codes and scales
+    hash-match bit-for-bit. Flattened (vec_id, dim, code, scale) rows
+    (list columns don't survive the driver's pandas hash)."""
+    from geoflow.vector.quant import int8_quantize
+
+    return int8_quantize(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 def q_audio_fingerprint(sf_dir: str):
     """Audio fingerprinting (media/stages.AudioFingerprint —
     energy-envelope bits, the pure-integer core of the Haitsma-Kalker
@@ -4916,6 +4945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_split": q_sentence_split,
         "lexical_diversity": q_lexical_diversity,
         "audio_fingerprint": q_audio_fingerprint,
+        "embed_int8": q_embed_int8,
+        "shingle_containment": q_shingle_containment,
         "semi_join": q_semi_join,
         "dim_join": q_dim_join,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -5144,6 +5175,53 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _link_predict_oracle(),
         "winnow_fps": _winnow_fps_oracle(),
         "winnow_matches": _winnow_matches_oracle(),
+        "shingle_containment": """
+            WITH t AS MATERIALIZED (
+              SELECT doc_id AS d, 18 + doc_id % 5 AS L,
+                     doc_id // 10 AS f FROM documents),
+            tok AS MATERIALIZED (
+              SELECT d, g.i AS i,
+                     CASE WHEN g.i < 12 THEN f * 29 + g.i
+                          ELSE 40000 + d * 50 + g.i END AS v
+              FROM t, LATERAL (SELECT unnest(range(L))) AS g(i)),
+            gd AS MATERIALIZED (
+              SELECT DISTINCT a.d AS d,
+                     (a.v * 1099511627776 + b.v * 1048576 + c.v) AS g
+              FROM tok a
+              JOIN tok b ON b.d = a.d AND b.i = a.i + 1
+              JOIN tok c ON c.d = a.d AND c.i = a.i + 2),
+            cnt AS MATERIALIZED (
+              SELECT d, CAST(COUNT(*) AS BIGINT) AS n
+              FROM gd GROUP BY d),
+            pr AS (SELECT g1.d AS a, g2.d AS b,
+                          CAST(COUNT(*) AS BIGINT) AS inter
+                   FROM gd g1 JOIN gd g2
+                     ON g2.g = g1.g AND g1.d < g2.d
+                   GROUP BY g1.d, g2.d
+                   HAVING COUNT(*) >= 2)
+            SELECT pr.a, pr.b, pr.inter,
+                   ca.n AS n_a, cb.n AS n_b,
+                   CAST(pr.inter AS DOUBLE) / ca.n AS cont_a,
+                   CAST(pr.inter AS DOUBLE) / cb.n AS cont_b
+            FROM pr JOIN cnt ca ON ca.d = pr.a
+                    JOIN cnt cb ON cb.d = pr.b""",
+        "embed_int8": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+              FROM embeddings)
+            SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
+                   CASE WHEN scale > 0.0
+                        THEN CAST(floor(CAST(embedding[g.i + 1]
+                                             AS DOUBLE)
+                                        / scale * 127.0 + 0.5)
+                                  AS BIGINT)
+                        ELSE 0 END AS code,
+                   CASE WHEN len(embedding) > 0 THEN scale
+                        ELSE 0.0 END AS scale
+            FROM s,
+                 LATERAL (SELECT unnest(range(len(embedding)))) g(i)""",
         "audio_fingerprint": """
             WITH t AS (SELECT doc_id,
                               1024 + (doc_id % 4) * 128 AS ns

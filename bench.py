@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "pagerank", "graph_components", "nb_train_counts", "nb_classify",
     "hits", "host_pagerank", "link_extract", "anchor_agg", "link_rank",
     "bm25", "cooccur_top", "robots_filter", "script_profile", "trustrank", "boilerplate", "crawl_schedule", "sitemap_parse", "crawl_diff", "host_budget", "html_meta", "crawl_frontier", "canonical_resolve", "indexed_search", "indexed_bm25", "url_templates", "link_reciprocity", "feed_parse", "recrawl_plan", "crawl_delay_plan", "triangles", "cocitation",
+    "seed_distance", "kcore", "label_prop", "link_predict",
+    "winnow_fps", "winnow_matches", "shingle_containment",
+    "compress_quality", "mojibake_fix", "image_phash",
+    "audio_fingerprint", "embed_int8", "html_tables", "tfidf_topk",
+    "sentence_split", "lexical_diversity",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
