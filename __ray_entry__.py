@@ -1417,6 +1417,124 @@ def q_gopher_quality(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher §A1.2 repetition signals (text/repetition.py): duplicate
+    line/paragraph fraction + char fraction, top 2/3/4-gram char
+    fraction, dup 5..10-gram char fraction, and the combined keep flag
+    at the published thresholds (integer cross-multiplied — no float
+    literals). Every fraction is one int/int double division; gram
+    identity is the space-joined token string in SQL vs a 64-bit hash
+    chain here (injective modulo ~2^-64 collisions)."""
+    from geoflow.text.repetition import gopher_repetition_batch
+    cols = ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "n_paras", "dup_para_frac", "dup_para_char_frac",
+            "top_2gram_char_frac", "top_3gram_char_frac",
+            "top_4gram_char_frac", "dup_5gram_char_frac",
+            "dup_6gram_char_frac", "dup_7gram_char_frac",
+            "dup_8gram_char_frac", "dup_9gram_char_frac",
+            "dup_10gram_char_frac", "repetition_keep"]
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: gopher_repetition_batch(b).select(cols),
+        batch_format="pyarrow")
+
+
+def _gopher_repetition_oracle() -> str:
+    from geoflow.text.repetition import (DUP_NGRAM_THRESHOLDS,
+                                         TOP_NGRAM_THRESHOLDS)
+    ctes = [
+        r"""base AS MATERIALIZED (
+          SELECT doc_id, len(text) AS total,
+                 regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
+          FROM documents)""",
+        r"""lcnt AS MATERIALIZED (
+          SELECT doc_id, f, count(*) AS c, len(f) AS fl
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\n')) AS f
+                FROM documents)
+          WHERE f <> '' GROUP BY doc_id, f)""",
+        r"""lstat AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(c*fl) AS BIGINT) AS ch,
+                 CAST(sum(fl) AS BIGINT) AS chd
+          FROM lcnt GROUP BY doc_id)""",
+        r"""pcnt AS MATERIALIZED (
+          SELECT doc_id, f, count(*) AS c, len(f) AS fl
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\n\n+')) AS f
+                FROM documents)
+          WHERE f <> '' GROUP BY doc_id, f)""",
+        r"""pstat AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(c*fl) AS BIGINT) AS ch,
+                 CAST(sum(fl) AS BIGINT) AS chd
+          FROM pcnt GROUP BY doc_id)""",
+    ]
+    all_n = ([n for n, _, _ in TOP_NGRAM_THRESHOLDS]
+             + [n for n, _, _ in DUP_NGRAM_THRESHOLDS])
+    for n in all_n:
+        ctes.append(f"""gc{n} AS MATERIALIZED (
+          SELECT doc_id, gram, len(gram) AS gl, count(*) AS c
+          FROM (SELECT b.doc_id,
+                       array_to_string(b.tk[r.i : r.i + {n - 1}], ' ')
+                           AS gram
+                FROM base b,
+                     LATERAL (SELECT unnest(range(1,
+                         greatest(len(b.tk) - {n} + 2, 1))) AS i) r)
+          GROUP BY doc_id, gram)""")
+    for n, _, _ in TOP_NGRAM_THRESHOLDS:
+        ctes.append(f"""tt{n} AS (
+          SELECT g.doc_id, CAST(t.ct * max(g.gl) AS BIGINT) AS num
+          FROM gc{n} g
+          JOIN (SELECT doc_id, max(c) AS ct FROM gc{n}
+                GROUP BY doc_id) t USING (doc_id)
+          WHERE g.c = t.ct GROUP BY g.doc_id, t.ct)""")
+    for n, _, _ in DUP_NGRAM_THRESHOLDS:
+        ctes.append(f"""dd{n} AS (
+          SELECT doc_id, CAST(sum(c * gl) AS BIGINT) AS num
+          FROM gc{n} WHERE c > 1 GROUP BY doc_id)""")
+    joined = ["COALESCE(l.n, 0) AS ln", "COALESCE(l.nd, 0) AS lnd",
+              "COALESCE(l.ch, 0) AS lch", "COALESCE(l.chd, 0) AS lchd",
+              "COALESCE(p.n, 0) AS pn", "COALESCE(p.nd, 0) AS pnd",
+              "COALESCE(p.ch, 0) AS pch", "COALESCE(p.chd, 0) AS pchd"]
+    joins = ["LEFT JOIN lstat l USING (doc_id)",
+             "LEFT JOIN pstat p USING (doc_id)"]
+    for n, _, _ in TOP_NGRAM_THRESHOLDS:
+        joined.append(f"COALESCE(t{n}.num, 0) AS top{n}")
+        joins.append(f"LEFT JOIN tt{n} t{n} USING (doc_id)")
+    for n, _, _ in DUP_NGRAM_THRESHOLDS:
+        joined.append(f"COALESCE(d{n}.num, 0) AS dup{n}")
+        joins.append(f"LEFT JOIN dd{n} d{n} USING (doc_id)")
+    ctes.append(
+        "j AS (SELECT b.doc_id, greatest(b.total, 1) AS tot1, "
+        + ", ".join(joined) + " FROM base b " + " ".join(joins) + ")")
+    keep = ["(ln - lnd) * 10 <= 3 * ln", "(pn - pnd) * 10 <= 3 * pn",
+            "(lch - lchd) * 5 <= lch", "(pch - pchd) * 5 <= pch"]
+    for n, mn, md in TOP_NGRAM_THRESHOLDS:
+        keep.append(f"top{n} * {mn} <= {md} * tot1")
+    for n, mn, md in DUP_NGRAM_THRESHOLDS:
+        keep.append(f"dup{n} * {mn} <= {md} * tot1")
+    sel = ["doc_id", "ln AS n_lines",
+           "CAST(ln - lnd AS DOUBLE) / greatest(ln, 1) AS dup_line_frac",
+           "CAST(lch - lchd AS DOUBLE) / greatest(lch, 1)"
+           " AS dup_line_char_frac",
+           "pn AS n_paras",
+           "CAST(pn - pnd AS DOUBLE) / greatest(pn, 1) AS dup_para_frac",
+           "CAST(pch - pchd AS DOUBLE) / greatest(pch, 1)"
+           " AS dup_para_char_frac"]
+    for n, _, _ in TOP_NGRAM_THRESHOLDS:
+        sel.append(f"CAST(top{n} AS DOUBLE) / tot1"
+                   f" AS top_{n}gram_char_frac")
+    for n, _, _ in DUP_NGRAM_THRESHOLDS:
+        sel.append(f"CAST(dup{n} AS DOUBLE) / tot1"
+                   f" AS dup_{n}gram_char_frac")
+    sel.append("CAST(CASE WHEN " + " AND ".join(keep)
+               + " THEN 1 ELSE 0 END AS BIGINT) AS repetition_keep")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT "
+            + ",\n  ".join(sel) + " FROM j")
+
+
 def q_pagerank(sf_dir: str):
     """PageRank over a deterministic link graph synthesized from
     doc_ids (graph/pagerank.py — out-degree 1+(id%3), edge j targets
@@ -4999,6 +5117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_orders": q_asof_orders,
         "interval_err_window": q_interval_err_window,
         "heavy_tokens": q_heavy_tokens,
+        "gopher_repetition": q_gopher_repetition,
     }
 
 
@@ -7047,4 +7166,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) AS inter_vol,
                    CAST(4 * 4 * 3 - inter AS DOUBLE) AS diff_vol
             FROM v""",
+        "gopher_repetition": _gopher_repetition_oracle(),
     }
