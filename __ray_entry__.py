@@ -4897,6 +4897,30 @@ def q_lm_score(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity bucketing (text/lm.py
+    ccnet_buckets): same broadcast bigram LM as lm_score, integer
+    disfluency surrogate ``((oov*8 + bigram_misses*2) * 1e6) //
+    n_tokens``, NTILE(3) within each language (ties by doc_id), keep =
+    head+middle. grouped_ntile's rank*k//n buckets are proven equal to
+    SQL NTILE in tests."""
+    from geoflow.text.lm import ccnet_buckets, train_bigram_lm
+
+    def train_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    train = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        train_rows, batch_format="pyarrow")
+    ref = train_bigram_lm(train, top_unigrams=16, top_bigrams=64)
+    out = ccnet_buckets(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]), ref)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "ppl_score_q",
+                            "ppl_bucket", "ppl_keep"]),
+        batch_format="pyarrow")
+
+
 def q_warc_ingest(sf_dir: str):
     """WARC ingest (io/warc.py): spec-framed WARC/1.0 bytes are built
     per batch from the documents table (status 404 for doc_id%5==0),
@@ -5118,6 +5142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_err_window": q_interval_err_window,
         "heavy_tokens": q_heavy_tokens,
         "gopher_repetition": q_gopher_repetition,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -5143,6 +5168,71 @@ def _sql_mix64_chain(src: str, in_expr: str, out_col: str,
     q = (f"SELECT {cpre}((z * 321982955 + (((z % 4294967296) * 2496678331)"
          f" % 4294967296) * 4294967296) % {_SQL_U64}) AS z FROM ({q}) m3")
     return f"SELECT {cpre}xor(z, z >> 31) AS {out_col} FROM ({q}) m4"
+
+
+# Bigram-LM membership signals shared by the lm_score and
+# ccnet_buckets oracles: train on the doc_id%3==0 slice (top-16
+# unigrams / top-64 bigrams, (count DESC, gram ASC) tiebreak — the
+# exact train_bigram_lm pruning), score every doc. Ends with CTE
+# ``sig(doc_id, lang, n_tokens, n_unigram_oov, n_bigrams,
+# n_bigram_hits)``; append further CTEs with a leading comma.
+_LM_SIGNALS_SQL = r"""
+            WITH tk_all AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
+              FROM documents),
+            toks_train AS (
+              SELECT t.doc_id, g.i AS pos, t.tk[g.i] AS tok
+              FROM tk_all t, LATERAL (
+                SELECT unnest(range(1, len(t.tk) + 1))) AS g(i)
+              WHERE t.doc_id % 3 = 0),
+            uni AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks_train
+              GROUP BY tok ORDER BY c DESC, tok LIMIT 16),
+            bt AS (
+              SELECT doc_id, pos, tok,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS nxt
+              FROM toks_train),
+            big AS (
+              SELECT tok || ' ' || nxt AS gram,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM bt WHERE nxt IS NOT NULL
+              GROUP BY gram ORDER BY c DESC, gram LIMIT 64),
+            toks AS (
+              SELECT t.doc_id, g.i AS pos, t.tk[g.i] AS tok
+              FROM tk_all t, LATERAL (
+                SELECT unnest(range(1, len(t.tk) + 1))) AS g(i)),
+            bt_all AS (
+              SELECT doc_id, pos, tok,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS nxt
+              FROM toks),
+            per_tok AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(*) FILTER (tok NOT IN (SELECT tok FROM uni))
+                       AS n_unigram_oov
+              FROM toks GROUP BY doc_id),
+            per_big AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     count(*) FILTER ((tok || ' ' || nxt) IN
+                                      (SELECT gram FROM big))
+                       AS n_bigram_hits
+              FROM bt_all WHERE nxt IS NOT NULL GROUP BY doc_id),
+            sig AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(coalesce(pt.n_tokens, 0) AS BIGINT)
+                       AS n_tokens,
+                     CAST(coalesce(pt.n_unigram_oov, 0) AS BIGINT)
+                       AS n_unigram_oov,
+                     CAST(coalesce(pb.n_bigrams, 0) AS BIGINT)
+                       AS n_bigrams,
+                     CAST(coalesce(pb.n_bigram_hits, 0) AS BIGINT)
+                       AS n_bigram_hits
+              FROM documents d
+              LEFT JOIN per_tok pt USING (doc_id)
+              LEFT JOIN per_big pb USING (doc_id))
+"""
 
 
 _SQL_UID_U64 = ("(SELECT event_type, CASE WHEN user_id < 0 "
@@ -6931,60 +7021,28 @@ def oracle_sql() -> dict[str, str]:
                      || ' --></body></html>' AS html
               FROM documents)
             SELECT doc_id, {_html_sql('html')} AS text FROM h""",
-        "lm_score": r"""
-            WITH tk_all AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
-              FROM documents),
-            toks_train AS (
-              SELECT t.doc_id, g.i AS pos, t.tk[g.i] AS tok
-              FROM tk_all t, LATERAL (
-                SELECT unnest(range(1, len(t.tk) + 1))) AS g(i)
-              WHERE t.doc_id % 3 = 0),
-            uni AS (
-              SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks_train
-              GROUP BY tok ORDER BY c DESC, tok LIMIT 16),
-            bt AS (
-              SELECT doc_id, pos, tok,
-                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS nxt
-              FROM toks_train),
-            big AS (
-              SELECT tok || ' ' || nxt AS gram,
-                     CAST(count(*) AS BIGINT) AS c
-              FROM bt WHERE nxt IS NOT NULL
-              GROUP BY gram ORDER BY c DESC, gram LIMIT 64),
-            toks AS (
-              SELECT t.doc_id, g.i AS pos, t.tk[g.i] AS tok
-              FROM tk_all t, LATERAL (
-                SELECT unnest(range(1, len(t.tk) + 1))) AS g(i)),
-            bt_all AS (
-              SELECT doc_id, pos, tok,
-                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS nxt
-              FROM toks),
-            per_tok AS (
-              SELECT doc_id, count(*) AS n_tokens,
-                     count(*) FILTER (tok NOT IN (SELECT tok FROM uni))
-                       AS n_unigram_oov
-              FROM toks GROUP BY doc_id),
-            per_big AS (
-              SELECT doc_id, count(*) AS n_bigrams,
-                     count(*) FILTER ((tok || ' ' || nxt) IN
-                                      (SELECT gram FROM big))
-                       AS n_bigram_hits
-              FROM bt_all WHERE nxt IS NOT NULL GROUP BY doc_id)
-            SELECT d.doc_id,
-                   CAST(coalesce(pt.n_tokens, 0) AS BIGINT) AS n_tokens,
-                   CAST(coalesce(pt.n_unigram_oov, 0) AS BIGINT)
-                     AS n_unigram_oov,
-                   CAST(coalesce(pb.n_bigrams, 0) AS BIGINT)
-                     AS n_bigrams,
-                   CAST(coalesce(pb.n_bigram_hits, 0) AS BIGINT)
-                     AS n_bigram_hits
-            FROM documents d
-            LEFT JOIN per_tok pt USING (doc_id)
-            LEFT JOIN per_big pb USING (doc_id)""",
+        "lm_score": _LM_SIGNALS_SQL + """
+            SELECT doc_id, n_tokens, n_unigram_oov,
+                   n_bigrams, n_bigram_hits
+            FROM sig""",
+        "ccnet_buckets": _LM_SIGNALS_SQL + """
+            , sc AS (
+              SELECT doc_id, lang,
+                     CAST(((n_unigram_oov * 8
+                            + (n_bigrams - n_bigram_hits) * 2)
+                           * 1000000) // greatest(n_tokens, 1)
+                          AS BIGINT) AS ppl_score_q
+              FROM sig),
+            nt AS (
+              SELECT doc_id, lang, ppl_score_q,
+                     CAST(NTILE(3) OVER (PARTITION BY lang
+                          ORDER BY ppl_score_q, doc_id) - 1 AS BIGINT)
+                       AS ppl_bucket
+              FROM sc)
+            SELECT doc_id, lang, ppl_score_q, ppl_bucket,
+                   CAST(CASE WHEN ppl_bucket < 2 THEN 1 ELSE 0 END
+                        AS BIGINT) AS ppl_keep
+            FROM nt""",
         "warc_ingest": """
             SELECT 'http://ex.com/p/' || doc_id AS url, text
             FROM documents WHERE doc_id % 5 <> 0""",

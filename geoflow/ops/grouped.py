@@ -110,6 +110,35 @@ def grouped_cumsum(ds, key_col: str, val_col: str, order_col: str,
                                           batch_format="pyarrow")
 
 
+def grouped_ntile(ds, key_col: str, val_col: str, tie_col: str,
+                  k: int, out_col: str = "ntile"):
+    """0-based NTILE(k) within each ``key_col`` group ordered by
+    (``val_col``, ``tie_col``) — exact SQL NTILE semantics: with
+    n = q*k + s rows the first s buckets hold q+1 rows, the rest q
+    (fuzz-tested against DuckDB NTILE; note ``rank*k//n`` is NOT
+    NTILE — it spreads the s extra rows evenly instead of front-
+    loading them). The CCNet-style per-language quantile-bucketing
+    primitive. Same shape as grouped_rank: one groupby shuffle + an
+    in-group lexsort."""
+
+    def ntile_group(group: pa.Table) -> pa.Table:
+        vals = group.column(val_col).to_numpy(zero_copy_only=False)
+        ties = group.column(tie_col).to_numpy(zero_copy_only=False)
+        n = len(vals)
+        order = np.lexsort((ties, vals))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        q, s = divmod(n, k)
+        cut = s * (q + 1)
+        bucket = np.where(rank < cut, rank // (q + 1),
+                          s + (rank - cut) // max(q, 1))
+        return group.append_column(out_col,
+                                   pa.array(bucket.astype(np.int64)))
+
+    return ds.groupby(key_col).map_groups(ntile_group,
+                                          batch_format="pyarrow")
+
+
 def grouped_budget_filter(ds, key_col: str, val_col: str,
                           order_col: str, budget: int,
                           spent_col: str = "spent_before"):

@@ -204,3 +204,46 @@ def lm_score(ds, model_ref, text_col: str = "text"):
     return ds.map_batches(
         lambda b: lm_score_batch(b, model_ref, text_col=text_col),
         batch_format="pyarrow")
+
+
+def ccnet_buckets(ds, model_ref, lang_col: str = "lang",
+                  text_col: str = "text", n_buckets: int = 3,
+                  keep_buckets: int = 2):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020 shape): score every doc with the broadcast LM, rank within
+    its language, and NTILE into head/middle/tail. The ordering key is
+    an INTEGER perplexity surrogate — ``((oov*8 + bigram_misses*2) *
+    1e6) // n_tokens`` — monotone in disfluency and bit-reproducible
+    in SQL (the float Stupid-Backoff log-prob stays engine-side:
+    cross-engine float sums never hash). Shape: one broadcast-model
+    scoring pass + one groupby(lang) shuffle with an in-group lexsort;
+    languages are the partition key, so skew is bounded by corpus
+    language balance (salt if one language dominates at 100 TB and
+    exact global quantiles aren't required — or switch the ranking to
+    the distributed quantile sketch in ops/sketches.py).
+
+    Adds ``ppl_score_q`` (int64), ``ppl_bucket`` (0 = most fluent),
+    ``ppl_keep`` (bucket < keep_buckets — CCNet keeps head+middle)."""
+    from ..ops.grouped import grouped_ntile
+
+    def surrogate(b: pa.Table) -> pa.Table:
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        oov = b.column("n_unigram_oov").to_numpy(zero_copy_only=False)
+        nb = b.column("n_bigrams").to_numpy(zero_copy_only=False)
+        hit = b.column("n_bigram_hits").to_numpy(zero_copy_only=False)
+        score = ((oov * 8 + (nb - hit) * 2) * 1_000_000) \
+            // np.maximum(nt, 1)
+        return b.append_column("ppl_score_q",
+                               pa.array(score.astype(np.int64)))
+
+    scored = lm_score(ds, model_ref, text_col=text_col).map_batches(
+        surrogate, batch_format="pyarrow")
+    tiled = grouped_ntile(scored, lang_col, "ppl_score_q", "doc_id",
+                          n_buckets, out_col="ppl_bucket")
+
+    def keep_flag(b: pa.Table) -> pa.Table:
+        bk = b.column("ppl_bucket").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "ppl_keep", pa.array((bk < keep_buckets).astype(np.int64)))
+
+    return tiled.map_batches(keep_flag, batch_format="pyarrow")
