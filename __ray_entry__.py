@@ -4897,6 +4897,63 @@ def q_lm_score(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_scc(sf_dir: str):
+    """Strongly connected components (graph/scc.py: distributed
+    in/out-degree trim rounds + driver Tarjan under the edge cap,
+    FW-BW pivot peel past it) over a planted graph synthesized from
+    doc_ids: block b = id//4 holds a k=(b%3)+2 cycle (an SCC labeled
+    by its min member 4b when the whole cycle fits below N), the
+    block's leftover ids are tails into the cycle (trim to
+    singletons), and heads bridge FORWARD to block b+1+(b%3) (a DAG
+    over blocks — never merges SCCs). Oracle is closed-form from the
+    residues."""
+    from geoflow.graph.scc import scc_labels
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n_total = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        blk = ids // 4
+        j = ids % 4
+        k = blk % 3 + 2
+        fits = 4 * blk + k - 1 < n_total
+        m1 = (j < k) & fits
+        m2 = j >= k
+        b2 = blk + 1 + blk % 3
+        m3 = (j == 0) & fits & (4 * b2 < n_total)
+        src = np.concatenate([ids[m1], ids[m2], ids[m3]])
+        dst = np.concatenate([4 * blk[m1] + (j[m1] + 1) % k[m1],
+                              4 * blk[m2], 4 * b2[m3]])
+        return pa.table({"src": src, "dst": dst})
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    labeled = scc_labels(edges).materialize()
+    import ray
+    seen = np.sort(np.concatenate(
+        [blk.column("node").to_numpy(zero_copy_only=False)
+         for blk in labeled.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)
+         if blk.num_rows and "node" in blk.schema.names]
+        or [np.empty(0, np.int64)]))
+    seen_ref = ray.put(seen)
+
+    def isolated(b: pa.Table, _s=seen_ref) -> pa.Table:
+        sn = ray.get(_s)
+        ids = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(sn):
+            pos = np.searchsorted(sn, ids).clip(0, len(sn) - 1)
+            miss = sn[pos] != ids
+        else:
+            miss = np.ones(len(ids), bool)
+        return pa.table({"node": ids[miss], "scc": ids[miss]})
+
+    singles = docs.map_batches(isolated, batch_format="pyarrow")
+    return labeled.union(singles)
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet-style per-language perplexity bucketing (text/lm.py
     ccnet_buckets): same broadcast bigram LM as lm_score, integer
@@ -5143,6 +5200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens": q_heavy_tokens,
         "gopher_repetition": q_gopher_repetition,
         "ccnet_buckets": q_ccnet_buckets,
+        "scc": q_scc,
     }
 
 
@@ -7225,4 +7283,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 * 4 * 3 - inter AS DOUBLE) AS diff_vol
             FROM v""",
         "gopher_repetition": _gopher_repetition_oracle(),
+        "scc": """
+            WITH n AS (SELECT count(*) AS N FROM documents)
+            SELECT doc_id AS node,
+                   CAST(CASE WHEN doc_id % 4 < ((doc_id // 4) % 3) + 2
+                              AND 4 * (doc_id // 4)
+                                  + ((doc_id // 4) % 3) + 1 < n.N
+                             THEN 4 * (doc_id // 4)
+                             ELSE doc_id END AS BIGINT) AS scc
+            FROM documents, n""",
     }
