@@ -3010,6 +3010,16 @@ def q_tile_density(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Multi-zoom tile-count pyramid (cells/tiles.pyramid_counts):
+    one point-level groupby at z12, parents by integer right-shift of
+    the base-tile AGGREGATES (zooms 4/6/8/10/12) + one tile-sized
+    rollup groupby — the hierarchical heatmap shape (shuffle sees
+    point-sized data exactly once)."""
+    from geoflow.cells.tiles import pyramid_counts
+    return pyramid_counts(_doc_points_ds(sf_dir))
+
+
 def q_topk_orders(sf_dir: str):
     """Global top-k by sort (§2.6: ds.sort(desc).limit(k))."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -5201,6 +5211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": q_gopher_repetition,
         "ccnet_buckets": q_ccnet_buckets,
         "scc": q_scc,
+        "tile_pyramid": q_tile_pyramid,
     }
 
 
@@ -7292,4 +7303,20 @@ def oracle_sql() -> dict[str, str]:
                              THEN 4 * (doc_id // 4)
                              ELSE doc_id END AS BIGINT) AS scc
             FROM documents, n""",
+        "tile_pyramid": f"""
+            WITH b AS MATERIALIZED (
+              SELECT tile_x, tile_y, count(*) AS n FROM (
+                SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 4096), 0), 4095) AS BIGINT) AS tile_x,
+                       CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 4096), 0), 4095) AS BIGINT) AS tile_y
+                FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+                      FROM ({{doc_pts}})))
+              GROUP BY tile_x, tile_y),
+            e AS (
+              SELECT z.zoom, b.tile_x >> (12 - z.zoom) AS tile_x,
+                     b.tile_y >> (12 - z.zoom) AS tile_y, b.n
+              FROM b, (SELECT unnest([4, 6, 8, 10, 12]) AS zoom) z)
+            SELECT zoom, tile_x, tile_y,
+                   CAST(sum(n) AS BIGINT) AS n_points
+            FROM e GROUP BY zoom, tile_x, tile_y
+        """.replace("{doc_pts}", doc_pts),
     }

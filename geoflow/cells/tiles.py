@@ -65,3 +65,72 @@ def cover_boxes_tiles(xmin, ymin, xmax, ymax, z: int = DEFAULT_ZOOM):
     tx = (np.repeat(x0.astype(np.int64), counts) + lx).astype(np.int32)
     ty = (np.repeat(y0v.astype(np.int64), counts) + ly).astype(np.int32)
     return row_idx, tx, ty
+
+
+def pyramid_counts(ds, x_col: str = "x", y_col: str = "y",
+                   base_zoom: int = 12, zooms=(4, 6, 8, 10, 12)):
+    """Per-tile point counts at every requested zoom — the map-tile
+    heatmap pyramid, built hierarchically: ONE point-level groupby at
+    ``base_zoom`` (the only shuffle that sees point-sized data), then
+    parents derived from the base-tile AGGREGATES by integer
+    right-shift (tile_x >> (base-z)) and re-summed in a second,
+    tile-sized groupby. At 100 TB points >> tiles, so rolling up from
+    counts instead of re-keying raw points per zoom cuts the shuffle
+    volume by the point-to-tile ratio per extra level.
+
+    Returns a Dataset (zoom, tile_x, tile_y, n_points). Every zoom
+    must be <= base_zoom; shifts are exact integer ops (reproducible
+    as ``>>`` in SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    zooms = sorted(set(int(z) for z in zooms))
+    if zooms and zooms[-1] > base_zoom:
+        raise ValueError("every pyramid zoom must be <= base_zoom")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        tx, ty = lonlat_to_tile(x, y, base_zoom)
+        return pa.table({"tile_x": pa.array(tx.astype(np.int64)),
+                         "tile_y": pa.array(ty.astype(np.int64))})
+
+    base = (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby(["tile_x", "tile_y"]).count())
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if "tile_x" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table({"zoom": pa.array([], pa.int64()),
+                             "tile_x": pa.array([], pa.int64()),
+                             "tile_y": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        tx = batch.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = batch.column("tile_y").to_numpy(zero_copy_only=False)
+        n = batch.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        outs = []
+        for z in zooms:
+            s = base_zoom - z
+            outs.append(pa.table({
+                "zoom": np.full(len(tx), z, np.int64),
+                "tile_x": (tx >> s).astype(np.int64),
+                "tile_y": (ty >> s).astype(np.int64),
+                "n": n}))
+        return pa.concat_tables(outs)
+
+    rolled = (base.map_batches(expand, batch_format="pyarrow")
+              .groupby(["zoom", "tile_x", "tile_y"]).sum("n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if "zoom" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table({"zoom": pa.array([], pa.int64()),
+                             "tile_x": pa.array([], pa.int64()),
+                             "tile_y": pa.array([], pa.int64()),
+                             "n_points": pa.array([], pa.int64())})
+        return pa.table({"zoom": batch.column("zoom"),
+                         "tile_x": batch.column("tile_x"),
+                         "tile_y": batch.column("tile_y"),
+                         "n_points": pc.cast(batch.column("sum(n)"),
+                                             pa.int64())})
+
+    return rolled.map_batches(rename, batch_format="pyarrow")
