@@ -3020,6 +3020,15 @@ def q_tile_pyramid(sf_dir: str):
     return pyramid_counts(_doc_points_ds(sf_dir))
 
 
+def q_morans_i(sf_dir: str):
+    """Moran's I spatial autocorrelation of per-tile doc counts at z8
+    with rook contiguity (ops/spatialstats.py): deviations scaled by
+    n (dev = n*x - S) keep numerator/denominator exact int64 on both
+    engines; the final I is three fixed-order IEEE double ops."""
+    from geoflow.ops.spatialstats import morans_i_tiles
+    return morans_i_tiles(_doc_points_ds(sf_dir), zoom=8)
+
+
 def q_topk_orders(sf_dir: str):
     """Global top-k by sort (§2.6: ds.sort(desc).limit(k))."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -5212,6 +5221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "scc": q_scc,
         "tile_pyramid": q_tile_pyramid,
+        "morans_i": q_morans_i,
     }
 
 
@@ -7319,4 +7329,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_points
             FROM e GROUP BY zoom, tile_x, tile_y
         """.replace("{doc_pts}", doc_pts),
+        "morans_i": """
+            WITH b AS MATERIALIZED (
+              SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 256), 0), 255) AS BIGINT) AS tile_x,
+                       CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 256), 0), 255) AS BIGINT) AS tile_y
+                FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+                      FROM ({doc_pts})))
+              GROUP BY tile_x, tile_y),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS tot FROM b),
+            d AS MATERIALIZED (
+              SELECT tile_x, tile_y, s.n * b.c - s.tot AS dev
+              FROM b, s),
+            p AS (
+              SELECT d1.dev AS da, d2.dev AS db
+              FROM d d1 JOIN d d2
+                ON (abs(d1.tile_x - d2.tile_x)
+                    + abs(d1.tile_y - d2.tile_y)) = 1),
+            agg AS (
+              SELECT (SELECT n FROM s) AS n_tiles,
+                     (SELECT CAST(count(*) AS BIGINT) FROM p) AS w_pairs,
+                     (SELECT CAST(coalesce(sum(da * db), 0) AS BIGINT)
+                      FROM p) AS moran_num,
+                     (SELECT CAST(coalesce(sum(dev * dev), 0) AS BIGINT)
+                      FROM d) AS moran_den)
+            SELECT n_tiles, w_pairs, moran_num, moran_den,
+                   CASE WHEN w_pairs = 0 OR moran_den = 0 THEN 0.0
+                        ELSE (CAST(n_tiles AS DOUBLE) * moran_num)
+                             / (CAST(w_pairs AS DOUBLE) * moran_den)
+                   END AS moran_i
+            FROM agg""".replace("{doc_pts}", doc_pts),
     }

@@ -1,0 +1,84 @@
+"""Moran's I over tile counts (ops/spatialstats.py). Driver gate: the
+`morans_i` oracle query; here: sign/semantics on planted patterns and
+a brute-force check."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geoflow.cells.tiles import lonlat_to_tile, tile_bounds
+from geoflow.ops.spatialstats import morans_i_tiles
+
+
+def _tile_center(tx, ty, z):
+    # tile_bounds returns (lon0, lat0, lon1, lat1)
+    x0, y0, x1, y1 = tile_bounds(np.asarray([tx]), np.asarray([ty]), z)
+    return (x0[0] + x1[0]) / 2, (y0[0] + y1[0]) / 2
+
+
+def _points_at_tiles(counts, z=8):
+    """counts: dict (tx, ty) -> n. Place n points at each tile center."""
+    xs, ys = [], []
+    for (tx, ty), n in counts.items():
+        cx, cy = _tile_center(tx, ty, z)
+        xs.extend([cx] * n)
+        ys.extend([cy] * n)
+    return pa.table({"x": pa.array(xs, pa.float64()),
+                     "y": pa.array(ys, pa.float64())})
+
+
+def _run(counts, z=8):
+    t = _points_at_tiles(counts, z)
+    out = morans_i_tiles(ray.data.from_arrow(t), zoom=z).to_pandas()
+    return out.iloc[0]
+
+
+def _brute(counts):
+    ks = sorted(counts)
+    n = len(ks)
+    s = sum(counts.values())
+    dev = {k: n * counts[k] - s for k in ks}
+    num = w = 0
+    for (tx, ty) in ks:
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (tx + dx, ty + dy)
+            if nb in counts:
+                w += 1
+                num += dev[(tx, ty)] * dev[nb]
+    den = sum(v * v for v in dev.values())
+    return n, w, num, den
+
+
+def test_clustered_pattern_positive_i():
+    # two separated 2x2 blobs: high next to high, low next to low
+    counts = {(10, 10): 9, (11, 10): 9, (10, 11): 9, (11, 11): 9,
+              (40, 40): 1, (41, 40): 1, (40, 41): 1, (41, 41): 1}
+    row = _run(counts)
+    n, w, num, den = _brute(counts)
+    assert (row["n_tiles"], row["w_pairs"]) == (n, w)
+    assert (row["moran_num"], row["moran_den"]) == (num, den)
+    assert row["moran_i"] > 0.9
+
+
+def test_checkerboard_negative_i():
+    counts = {(x, y): (9 if (x + y) % 2 == 0 else 1)
+              for x in range(20, 24) for y in range(20, 24)}
+    row = _run(counts)
+    n, w, num, den = _brute(counts)
+    assert (row["moran_num"], row["moran_den"]) == (num, den)
+    assert row["moran_i"] < -0.9
+
+
+def test_constant_field_zero():
+    counts = {(x, y): 5 for x in range(30, 33) for y in range(30, 33)}
+    row = _run(counts)
+    assert row["moran_den"] == 0 and row["moran_i"] == 0.0
+
+
+def test_tile_cap_guard():
+    counts = {(10, 10): 3, (11, 10): 1}
+    t = _points_at_tiles(counts)
+    with pytest.raises(ValueError, match="max_broadcast_tiles"):
+        morans_i_tiles(ray.data.from_arrow(t), zoom=8,
+                       max_broadcast_tiles=1)
