@@ -3020,6 +3020,16 @@ def q_tile_pyramid(sf_dir: str):
     return pyramid_counts(_doc_points_ds(sf_dir))
 
 
+def q_funnel(sf_dir: str):
+    """Ordered first-touch funnel view->click->purchase per user
+    (ops/funnel.py): step k+1 strictly after matched step k;
+    timestamps emitted as int64 epoch-us (-1 = not reached) for exact
+    cross-engine hashing."""
+    from geoflow.ops.funnel import funnel_steps
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel_steps(ds, ["view", "click", "purchase"])
+
+
 def q_morans_i(sf_dir: str):
     """Moran's I spatial autocorrelation of per-tile doc counts at z8
     with rook contiguity (ops/spatialstats.py): deviations scaled by
@@ -5222,6 +5232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": q_scc,
         "tile_pyramid": q_tile_pyramid,
         "morans_i": q_morans_i,
+        "funnel": q_funnel,
     }
 
 
@@ -7360,4 +7371,30 @@ def oracle_sql() -> dict[str, str]:
                              / (CAST(w_pairs AS DOUBLE) * moran_den)
                    END AS moran_i
             FROM agg""".replace("{doc_pts}", doc_pts),
+        "funnel": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t
+              FROM events),
+            s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(t) AS t2 FROM e
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND t > t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(t) AS t3 FROM e
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND t > t2
+                   GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST((t1 IS NOT NULL) :: BIGINT
+                        + (t2 IS NOT NULL) :: BIGINT
+                        + (t3 IS NOT NULL) :: BIGINT AS BIGINT)
+                     AS steps_completed,
+                   CAST(coalesce(t1, -1) AS BIGINT) AS t1_us,
+                   CAST(coalesce(t2, -1) AS BIGINT) AS t2_us,
+                   CAST(coalesce(t3, -1) AS BIGINT) AS t3_us
+            FROM (SELECT DISTINCT user_id FROM e) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)""",
     }
