@@ -3030,6 +3030,16 @@ def q_funnel(sf_dir: str):
     return funnel_steps(ds, ["view", "click", "purchase"])
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention matrix (ops/funnel.py retention_cohorts):
+    cohort = first active epoch-day per user, distinct users per
+    (cohort_day, week_offset) — all-integer day/week arithmetic,
+    distinct-by-construction second groupby."""
+    from geoflow.ops.funnel import retention_cohorts
+    return retention_cohorts(_read(sf_dir, "events",
+                                   ["user_id", "ts"]))
+
+
 def q_morans_i(sf_dir: str):
     """Moran's I spatial autocorrelation of per-tile doc counts at z8
     with rook contiguity (ops/spatialstats.py): deviations scaled by
@@ -5233,6 +5243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": q_tile_pyramid,
         "morans_i": q_morans_i,
         "funnel": q_funnel,
+        "retention": q_retention,
     }
 
 
@@ -7397,4 +7408,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s1 USING (user_id)
             LEFT JOIN s2 USING (user_id)
             LEFT JOIN s3 USING (user_id)""",
+        "retention": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            c AS (SELECT user_id, min(day) AS cohort_day FROM e
+                  GROUP BY user_id),
+            o AS (SELECT DISTINCT e.user_id, c.cohort_day,
+                         (e.day - c.cohort_day) // 7 AS week_offset
+                  FROM e JOIN c USING (user_id))
+            SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+                   CAST(week_offset AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM o GROUP BY cohort_day, week_offset""",
     }

@@ -52,3 +52,61 @@ def funnel_steps(ds, steps, user_col: str = "user_id",
         return pa.table(cols)
 
     return ds.groupby(user_col).map_groups(fn, batch_format="pyarrow")
+
+
+def retention_cohorts(ds, user_col: str = "user_id",
+                      ts_col: str = "ts"):
+    """Cohort retention matrix: cohort = each user's first active DAY
+    (epoch days, integer); one output row per (cohort_day,
+    week_offset) with the count of distinct users from that cohort
+    active in that week. Day/week indices are pure int64 arithmetic
+    (epoch_us // 86_400e6, offset // 7) — exact on both engines
+    (date_trunc('week') is deliberately avoided: engine week-start
+    conventions differ).
+
+    Shape: a per-(user, day) dedup inside map_batches feeds ONE
+    groupby(user) shuffle; each group emits its distinct (cohort_day,
+    week_offset) rows (<= active days per user), and a second,
+    cohort-sized groupby counts users — distinct-by-construction, no
+    count-distinct aggregate needed."""
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = batch.column(ts_col).to_numpy(zero_copy_only=False)
+        day = (t.astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        k = np.unique(u * (1 << 20) + (day & ((1 << 20) - 1)))
+        # in-batch dedup only (cross-batch dups collapse in the
+        # group pass); day fits 20 bits until year 4840
+        return pa.table({user_col: k >> 20,
+                         "day": k & ((1 << 20) - 1)})
+
+    def per_user(group: pa.Table) -> pa.Table:
+        uid = group.column(user_col)[0].as_py()
+        days = np.unique(group.column("day").to_numpy(
+            zero_copy_only=False))
+        cohort = int(days.min())
+        offs = np.unique((days - cohort) // 7)
+        return pa.table({
+            "cohort_day": np.full(len(offs), cohort, np.int64),
+            "week_offset": offs.astype(np.int64),
+            "uid": np.full(len(offs), uid, np.int64)})
+
+    per = (ds.map_batches(to_days, batch_format="pyarrow")
+           .groupby(user_col).map_groups(per_user,
+                                         batch_format="pyarrow"))
+    out = per.groupby(["cohort_day", "week_offset"]).count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if "cohort_day" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table({"cohort_day": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        return pa.table({"cohort_day": batch.column("cohort_day"),
+                         "week_offset": batch.column("week_offset"),
+                         "n_users": pc.cast(batch.column("count()"),
+                                            pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")

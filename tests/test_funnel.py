@@ -63,3 +63,27 @@ def test_strictly_after_ties_do_not_chain():
     ]
     out = _run(rows)
     assert out.loc[1, "steps_completed"] == 1
+
+
+def test_retention_cohorts():
+    from geoflow.ops.funnel import retention_cohorts
+    rows = [
+        # user 1: first day 0, active days 0, 8 (week 1), 15 (week 2)
+        (1, "2024-01-01T10:00:00"), (1, "2024-01-01T11:00:00"),
+        (1, "2024-01-09T00:00:00"), (1, "2024-01-16T00:00:00"),
+        # user 2: same cohort day, only week 0
+        (2, "2024-01-01T23:00:00"),
+        # user 3: later cohort (day 7), weeks 0 and 1
+        (3, "2024-01-08T00:00:00"), (3, "2024-01-15T00:00:00"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1], "us") for r in rows],
+                       pa.timestamp("us"))})
+    out = retention_cohorts(ray.data.from_arrow(t)).to_pandas()
+    d0 = int(np.datetime64("2024-01-01", "us").astype(np.int64)
+             // 86_400_000_000)
+    got = {(r.cohort_day, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(d0, 0): 2, (d0, 1): 1, (d0, 2): 1,
+                   (d0 + 7, 0): 1, (d0 + 7, 1): 1}
