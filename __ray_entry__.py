@@ -3030,6 +3030,61 @@ def q_funnel(sf_dir: str):
     return funnel_steps(ds, ["view", "click", "purchase"])
 
 
+def q_random_walks(sf_dir: str):
+    """Deterministic DeepWalk-style random walks (graph/walks.py) over
+    the synthetic pagerank link graph: 2 walks x 4 steps per doc,
+    neighbor r = mix64(cur*2^21 + walk*8 + t) % outdeg picked from the
+    dst-sorted adjacency. The oracle unrolls the identical mix64
+    HUGEINT chain per step (ids here are far below 2^43, so the uint64
+    wrap in the engine never engages and the HUGEINT SQL agrees)."""
+    from geoflow.graph.pagerank import synth_edges_batch
+    from geoflow.graph.walks import random_walks
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n_total = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return synth_edges_batch(ids, n_total).select(["src", "dst"])
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    starts = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}),
+        batch_format="pyarrow")
+    return random_walks(edges, starts, walk_len=4, walks_per_node=2)
+
+
+def _random_walks_oracle() -> str:
+    from geoflow.graph.pagerank import _EDGES_SQL
+    parts = ["WITH c AS (SELECT count(*) AS n FROM documents),",
+             _EDGES_SQL.format(table="documents", id="doc_id") + ",",
+             """ranked AS MATERIALIZED (
+               SELECT src, dst,
+                      ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY dst) - 1 AS r,
+                      CAST(count(*) OVER (PARTITION BY src) AS BIGINT)
+                        AS deg
+               FROM edges),
+             f0 AS (
+               SELECT doc_id * 2 + w.w AS walk_id, doc_id AS cur
+               FROM documents, (SELECT unnest([0, 1]) AS w) w)"""]
+    for t in range(1, 4):
+        chain = _sql_mix64_chain(
+            f"f{t - 1}",
+            f"cur * 2097152 + walk_id * 8 + {t}",
+            "hz", ("walk_id", "cur"))
+        parts.append(f""",
+h{t} AS ({chain}),
+f{t} AS (
+  SELECT h.walk_id, e.dst AS cur
+  FROM h{t} h JOIN ranked e
+    ON e.src = h.cur AND e.r = CAST(h.hz % e.deg AS BIGINT))""")
+    selects = [f"SELECT walk_id, {t} AS step, cur AS node FROM f{t}"
+               for t in range(4)]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 def q_retention(sf_dir: str):
     """Cohort retention matrix (ops/funnel.py retention_cohorts):
     cohort = first active epoch-day per user, distinct users per
@@ -5244,6 +5299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i": q_morans_i,
         "funnel": q_funnel,
         "retention": q_retention,
+        "random_walks": q_random_walks,
     }
 
 
@@ -7421,4 +7477,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(week_offset AS BIGINT) AS week_offset,
                    CAST(count(*) AS BIGINT) AS n_users
             FROM o GROUP BY cohort_day, week_offset""",
+        "random_walks": _random_walks_oracle(),
     }

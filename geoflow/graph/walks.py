@@ -1,0 +1,281 @@
+"""Deterministic random-walk corpus generation over a directed link
+graph — the DeepWalk/node2vec input stage (Perozzi et al. 2014): fixed-
+length truncated walks from every start node, used downstream as
+"sentences" for embedding training.
+
+Determinism (resume/retry + oracle-gating): the neighbor choice at
+step t of walk w standing on node v is
+
+    r = mix64(v * 2^21 + w * 8 + t)  %  outdeg(v)
+    next = the r-th out-neighbor of v in ascending dst order
+           (duplicate dsts keep their multiplicity — the multiset
+           rank is deterministic because ties are equal values)
+
+mix64 is the repo's splitmix64 avalanche (text/hashing.mix64), exactly
+reproducible in DuckDB HUGEINT SQL via ``_sql_mix64_chain`` — so whole
+walks are value-gateable step by step.
+
+Modes:
+- ``broadcast``: the ranked adjacency (src-sorted dst array + CSR
+  offsets) is collected once (bounded by ``max_broadcast_edges``,
+  16 B/edge) and shipped via ray.put; ONE map_batches pass over the
+  start nodes advances all walks lockstep-vectorized — zero shuffles.
+- ``join``: escape hatch past the broadcast bound — the adjacency is
+  ranked once (groupby(src) + in-group dst sort), each step is one
+  hash join of the frontier on the packed (node, rank) key. walk_len-1
+  joins, each 24 B/row; seams sanitized with drop_schemaless_blocks
+  (map_groups lineages emit 0-column empties, CLAUDE.md).
+
+Dead ends (outdeg 0) truncate the walk (standard DeepWalk behavior).
+Output rows: (walk_id, step, node) with walk_id = start * walks_per_node
++ rep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..text.hashing import mix64
+
+_STEP_MULT = np.uint64(1 << 21)
+_WALK_MULT = np.uint64(8)
+_MAX_RANK_BITS = 20   # join mode packs (node, rank); outdeg < 2^20
+
+
+def _step_hash(cur: np.ndarray, walk_id: np.ndarray,
+               t: int) -> np.ndarray:
+    return mix64(cur.astype(np.uint64) * _STEP_MULT
+                 + walk_id.astype(np.uint64) * _WALK_MULT
+                 + np.uint64(t))
+
+
+def random_walks(edges, starts, walk_len: int = 4,
+                 walks_per_node: int = 2,
+                 src_col: str = "src", dst_col: str = "dst",
+                 start_col: str = "node", mode: str = "broadcast",
+                 max_broadcast_edges: int = 100_000_000):
+    """Dataset (walk_id, step, node). ``starts`` is a Dataset with
+    ``start_col`` int64 node keys (walks also start from nodes with no
+    out-edges — they yield a single step-0 row)."""
+    if mode not in ("broadcast", "join"):
+        raise ValueError("mode must be broadcast|join")
+    if mode == "join":
+        return _random_walks_join(edges, starts, walk_len,
+                                  walks_per_node, src_col, dst_col,
+                                  start_col)
+
+    import ray
+    import ray.data
+
+    s_l, d_l = [], []
+    n_edges = 0
+    for blk in edges.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+        if src_col not in blk.schema.names or blk.num_rows == 0:
+            continue
+        n_edges += blk.num_rows
+        if n_edges > max_broadcast_edges:
+            raise ValueError(
+                f"edge count exceeds max_broadcast_edges="
+                f"{max_broadcast_edges}; use mode='join'")
+        s_l.append(blk.column(src_col).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        d_l.append(blk.column(dst_col).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    s = np.concatenate(s_l) if s_l else np.empty(0, np.int64)
+    d = np.concatenate(d_l) if d_l else np.empty(0, np.int64)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    nodes = np.unique(s)
+    head = np.searchsorted(s, nodes)
+    head = np.append(head, len(s))
+    adj_ref = ray.put((nodes, head, d))
+
+    def walk(batch: pa.Table, _a=adj_ref) -> pa.Table:
+        nds, hd, dst = ray.get(_a)
+        st = batch.column(start_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cur = np.repeat(st, walks_per_node)
+        wid = (cur * walks_per_node
+               + np.tile(np.arange(walks_per_node, dtype=np.int64),
+                         len(st)))
+        out_w = [wid]
+        out_t = [np.zeros(len(cur), np.int64)]
+        out_n = [cur.copy()]
+        alive = np.ones(len(cur), bool)
+        for t in range(1, walk_len):
+            pos = np.searchsorted(nds, cur).clip(0, max(len(nds) - 1, 0))
+            found = (nds[pos] == cur) if len(nds) else \
+                np.zeros(len(cur), bool)
+            alive = alive & found
+            if not alive.any():
+                break
+            deg = np.where(alive, hd[pos + 1] - hd[pos], 1)
+            h = _step_hash(cur, wid, t)
+            r = (h % deg.astype(np.uint64)).astype(np.int64)
+            nxt = np.where(alive, dst[(hd[pos] + r).clip(0, len(dst) - 1)]
+                           if len(dst) else cur, cur)
+            cur = np.where(alive, nxt, cur)
+            out_w.append(wid[alive])
+            out_t.append(np.full(int(alive.sum()), t, np.int64))
+            out_n.append(cur[alive])
+        return pa.table({"walk_id": np.concatenate(out_w),
+                         "step": np.concatenate(out_t),
+                         "node": np.concatenate(out_n)})
+
+    return starts.map_batches(walk, batch_format="pyarrow")
+
+
+def _ranked_edges(edges, src_col, dst_col):
+    """(src, rank-within-src by dst asc, dst, outdeg) via one
+    groupby(src) shuffle."""
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        s = group.column(src_col).to_numpy(zero_copy_only=False)
+        d = group.column(dst_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        deg = len(d)
+        if deg >= (1 << _MAX_RANK_BITS):
+            raise ValueError("outdeg exceeds join-mode rank packing")
+        return pa.table({
+            "key": np.int64(s[0]) * (1 << _MAX_RANK_BITS)
+            + np.arange(deg, dtype=np.int64),
+            "nxt": d[order],
+            "deg": np.full(deg, deg, np.int64)})
+
+    return edges.groupby(src_col).map_groups(rank_group,
+                                             batch_format="pyarrow")
+
+
+def _random_walks_join(edges, starts, walk_len, walks_per_node,
+                       src_col, dst_col, start_col):
+    """Escape hatch: one hash join per step on the packed (node, rank)
+    key. The frontier learns outdeg from the joined edge row, so each
+    step needs TWO joins: deg lookup (key rank 0) then pick — folded
+    into one by joining on rank 0 first to fetch deg, then a second
+    join with the hashed rank. To keep it one join per step instead,
+    the frontier carries the CURRENT node's deg, fetched by joining on
+    rank-0 rows (every node with out-edges has one)."""
+    import ray.data
+
+    from ..join.semijoin import drop_schemaless_blocks
+
+    ranked, keep1 = drop_schemaless_blocks(
+        _ranked_edges(edges, src_col, dst_col))
+    if ranked is None:
+        # no edges at all: every walk is its step-0 row
+        def solo(b: pa.Table) -> pa.Table:
+            st = b.column(start_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cur = np.repeat(st, walks_per_node)
+            wid = (cur * walks_per_node
+                   + np.tile(np.arange(walks_per_node, dtype=np.int64),
+                             len(st)))
+            return pa.table({"walk_id": wid,
+                             "step": np.zeros(len(cur), np.int64),
+                             "node": cur})
+        return starts.map_batches(solo, batch_format="pyarrow")
+    ranked = ranked.materialize()
+    _ = keep1
+
+    def front0(b: pa.Table) -> pa.Table:
+        st = b.column(start_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cur = np.repeat(st, walks_per_node)
+        wid = (cur * walks_per_node
+               + np.tile(np.arange(walks_per_node, dtype=np.int64),
+                         len(st)))
+        return pa.table({"walk_id": wid, "cur": cur})
+
+    frontier = starts.map_batches(front0, batch_format="pyarrow")
+    outputs = []
+
+    def emit(step):
+        def f(b: pa.Table) -> pa.Table:
+            if "walk_id" not in b.schema.names or b.num_rows == 0:
+                return pa.table({"walk_id": pa.array([], pa.int64()),
+                                 "step": pa.array([], pa.int64()),
+                                 "node": pa.array([], pa.int64())})
+            return pa.table({
+                "walk_id": b.column("walk_id"),
+                "step": pa.array(
+                    np.full(b.num_rows, step, np.int64)),
+                "node": b.column("cur")})
+        return f
+
+    outputs.append(frontier.map_batches(emit(0),
+                                        batch_format="pyarrow"))
+    keepalives = [keep1]
+    for t in range(1, walk_len):
+        # join 1: fetch deg via the rank-0 key
+        def key0(b: pa.Table) -> pa.Table:
+            if "cur" not in b.schema.names or b.num_rows == 0:
+                return pa.table({"walk_id": pa.array([], pa.int64()),
+                                 "cur": pa.array([], pa.int64()),
+                                 "key": pa.array([], pa.int64())})
+            cur = b.column("cur").to_numpy(zero_copy_only=False)
+            return pa.table({"walk_id": b.column("walk_id"),
+                             "cur": b.column("cur"),
+                             "key": cur * (1 << _MAX_RANK_BITS)})
+
+        f0, k0 = drop_schemaless_blocks(
+            frontier.map_batches(key0, batch_format="pyarrow"))
+        if f0 is None:
+            break
+        keepalives.append(k0)
+        with_deg = f0.join(ranked, join_type="inner",
+                           num_partitions=2, on=("key",))
+
+        def pick_key(step):
+            def f(b: pa.Table) -> pa.Table:
+                if "walk_id" not in b.schema.names or b.num_rows == 0 \
+                        or "deg" not in b.schema.names:
+                    return pa.table({
+                        "walk_id": pa.array([], pa.int64()),
+                        "key": pa.array([], pa.int64())})
+                wid = b.column("walk_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                cur = b.column("cur").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                deg = b.column("deg").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                h = _step_hash(cur, wid, step)
+                r = (h % deg.astype(np.uint64)).astype(np.int64)
+                return pa.table({
+                    "walk_id": wid,
+                    "key": cur * (1 << _MAX_RANK_BITS) + r})
+            return f
+
+        f1, k1 = drop_schemaless_blocks(
+            with_deg.map_batches(pick_key(t), batch_format="pyarrow"))
+        if f1 is None:
+            break
+        keepalives.append(k1)
+        stepped = f1.join(ranked, join_type="inner", num_partitions=2,
+                          on=("key",))
+
+        def advance(b: pa.Table) -> pa.Table:
+            if "walk_id" not in b.schema.names or b.num_rows == 0 \
+                    or "nxt" not in b.schema.names:
+                return pa.table({"walk_id": pa.array([], pa.int64()),
+                                 "cur": pa.array([], pa.int64())})
+            return pa.table({"walk_id": b.column("walk_id"),
+                             "cur": b.column("nxt")})
+
+        nf, k2 = drop_schemaless_blocks(
+            stepped.map_batches(advance, batch_format="pyarrow"))
+        if nf is None:
+            break
+        keepalives.append(k2)
+        frontier = nf.materialize()
+        outputs.append(frontier.map_batches(emit(t),
+                                            batch_format="pyarrow"))
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    res = out.materialize()
+    _ = keepalives
+    return res

@@ -1,0 +1,82 @@
+"""Deterministic random walks (graph/walks.py). Driver gate: the
+`random_walks` mix64-chain oracle query (green at sf0.001/0.01/0.1);
+here: broadcast/join mode bit-equality, dead-end truncation, walk
+validity (every step follows a real edge)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geoflow.graph.walks import _step_hash, random_walks
+
+
+def _mk(edges, starts):
+    e = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    s = pa.table({"node": pa.array(starts, pa.int64())})
+    return ray.data.from_arrow(e), ray.data.from_arrow(s)
+
+
+def _walks_dict(ds):
+    df = ds.to_pandas().sort_values(["walk_id", "step"])
+    out = {}
+    for r in df.itertuples():
+        out.setdefault(r.walk_id, []).append(r.node)
+    return out
+
+
+def test_walks_follow_edges_and_are_deterministic():
+    rng = np.random.default_rng(5)
+    edges = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 30, 120), rng.integers(0, 30, 120))]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    e, s = _mk(edges, list(range(30)))
+    w1 = _walks_dict(random_walks(e, s, walk_len=5, walks_per_node=3))
+    e2, s2 = _mk(edges, list(range(30)))
+    w2 = _walks_dict(random_walks(e2, s2, walk_len=5, walks_per_node=3))
+    assert w1 == w2
+    assert len(w1) == 90
+    for wid, path in w1.items():
+        assert path[0] == wid // 3
+        for a, b in zip(path, path[1:]):
+            assert b in adj.get(a, []), (wid, path)
+        # truncated only at dead ends
+        if len(path) < 5:
+            assert path[-1] not in adj
+
+
+def test_neighbor_choice_is_sorted_rank():
+    # node 0 -> {5, 9}; rank r = mix64(...) % 2 picks from sorted [5,9]
+    e, s = _mk([(0, 9), (0, 5)], [0])
+    w = _walks_dict(random_walks(e, s, walk_len=2, walks_per_node=1))
+    h = int(_step_hash(np.array([0], np.int64),
+                       np.array([0], np.int64), 1)[0])
+    assert w[0][1] == [5, 9][h % 2]
+
+
+def test_dead_end_truncates():
+    e, s = _mk([(1, 2)], [1, 7])
+    w = _walks_dict(random_walks(e, s, walk_len=4, walks_per_node=1))
+    assert w[1] == [1, 2]      # 2 has no out-edges
+    assert w[7] == [7]         # isolated start
+
+
+def test_join_mode_matches_broadcast():
+    rng = np.random.default_rng(13)
+    edges = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 20, 60), rng.integers(0, 20, 60))]
+    e, s = _mk(edges, list(range(20)))
+    want = _walks_dict(random_walks(e, s, walk_len=4, walks_per_node=2))
+    e2, s2 = _mk(edges, list(range(20)))
+    got = _walks_dict(random_walks(e2, s2, walk_len=4,
+                                   walks_per_node=2, mode="join"))
+    assert got == want
+
+
+def test_broadcast_cap_raises():
+    e, s = _mk([(0, 1), (1, 0), (0, 2)], [0])
+    with pytest.raises(ValueError, match="max_broadcast_edges"):
+        random_walks(e, s, max_broadcast_edges=2)
