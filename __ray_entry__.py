@@ -3085,6 +3085,15 @@ f{t} AS (
     return "".join(parts)
 
 
+def q_skipgram_pairs(sf_dir: str):
+    """Skip-gram (center, context) pair counts from the deterministic
+    walks (graph/walks.py skipgram_pairs, window 2) — the DeepWalk
+    training-corpus output; oracle self-joins the unrolled-walk
+    subquery on |step delta| <= 2."""
+    from geoflow.graph.walks import skipgram_pairs
+    return skipgram_pairs(q_random_walks(sf_dir), window=2)
+
+
 def q_retention(sf_dir: str):
     """Cohort retention matrix (ops/funnel.py retention_cohorts):
     cohort = first active epoch-day per user, distinct users per
@@ -5300,6 +5309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
     }
 
 
@@ -7478,4 +7488,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM o GROUP BY cohort_day, week_offset""",
         "random_walks": _random_walks_oracle(),
+        "skipgram_pairs": f"""
+            WITH w AS MATERIALIZED ({_random_walks_oracle()})
+            SELECT a.node AS center, b.node AS context,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM w a JOIN w b
+              ON a.walk_id = b.walk_id AND a.step <> b.step
+             AND abs(a.step - b.step) <= 2
+            GROUP BY center, context""",
     }

@@ -279,3 +279,51 @@ def _random_walks_join(edges, starts, walk_len, walks_per_node,
     res = out.materialize()
     _ = keepalives
     return res
+
+
+def skipgram_pairs(walks_ds, window: int = 2,
+                   walk_col: str = "walk_id", step_col: str = "step",
+                   node_col: str = "node"):
+    """(center, context, n_pairs) skip-gram training pairs from a walk
+    Dataset — the DeepWalk output stage: every ordered pair of nodes
+    within ``window`` steps of each other on the same walk (center !=
+    position, both directions), counted over all walks. One
+    groupby(walk) shuffle (walks are short — the group pass is O(len *
+    window) per walk) + one pair-sized groupby-sum."""
+    import pyarrow.compute as pc
+
+    def per_walk(group: pa.Table) -> pa.Table:
+        st = group.column(step_col).to_numpy(zero_copy_only=False)
+        nd = group.column(node_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(st, kind="stable")
+        ns = nd[order]
+        cs, xs = [], []
+        for off in range(1, window + 1):
+            if len(ns) <= off:
+                break
+            cs.append(ns[:-off])
+            xs.append(ns[off:])
+            cs.append(ns[off:])
+            xs.append(ns[:-off])
+        if not cs:
+            return pa.table({"center": pa.array([], pa.int64()),
+                             "context": pa.array([], pa.int64())})
+        return pa.table({"center": np.concatenate(cs),
+                         "context": np.concatenate(xs)})
+
+    pairs = walks_ds.groupby(walk_col).map_groups(
+        per_walk, batch_format="pyarrow")
+    out = pairs.groupby(["center", "context"]).count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        if "center" not in b.schema.names or b.num_rows == 0:
+            return pa.table({"center": pa.array([], pa.int64()),
+                             "context": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        return pa.table({"center": b.column("center"),
+                         "context": b.column("context"),
+                         "n_pairs": pc.cast(b.column("count()"),
+                                            pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -80,3 +80,20 @@ def test_broadcast_cap_raises():
     e, s = _mk([(0, 1), (1, 0), (0, 2)], [0])
     with pytest.raises(ValueError, match="max_broadcast_edges"):
         random_walks(e, s, max_broadcast_edges=2)
+
+
+def test_skipgram_pairs_window():
+    from geoflow.graph.walks import skipgram_pairs
+    # one deterministic walk 0-1-2-3 given a path graph
+    e, s = _mk([(0, 1), (1, 2), (2, 3)], [0])
+    walks = random_walks(e, s, walk_len=4, walks_per_node=1)
+    out = skipgram_pairs(walks, window=2).to_pandas()
+    got = {(r.center, r.context): r.n_pairs for r in out.itertuples()}
+    want = {}
+    path = [0, 1, 2, 3]
+    for i in range(4):
+        for j in range(4):
+            if i != j and abs(i - j) <= 2:
+                k = (path[i], path[j])
+                want[k] = want.get(k, 0) + 1
+    assert got == want
