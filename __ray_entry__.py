@@ -3020,6 +3020,15 @@ def q_tile_pyramid(sf_dir: str):
     return pyramid_counts(_doc_points_ds(sf_dir))
 
 
+def q_getis_ord(sf_dir: str):
+    """Getis-Ord Gi* hot-spot ingredients per z8 tile
+    (ops/spatialstats.py getis_ord_tiles): queen-contiguity local sums
+    incl. self over occupied tiles — all int64, z-normalization left
+    to the client (floats never hash cross-engine)."""
+    from geoflow.ops.spatialstats import getis_ord_tiles
+    return getis_ord_tiles(_doc_points_ds(sf_dir), zoom=8)
+
+
 def q_funnel(sf_dir: str):
     """Ordered first-touch funnel view->click->purchase per user
     (ops/funnel.py): step k+1 strictly after matched step k;
@@ -5310,6 +5319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": q_retention,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
+        "getis_ord": q_getis_ord,
     }
 
 
@@ -7496,4 +7506,24 @@ def oracle_sql() -> dict[str, str]:
               ON a.walk_id = b.walk_id AND a.step <> b.step
              AND abs(a.step - b.step) <= 2
             GROUP BY center, context""",
+        "getis_ord": """
+            WITH b AS MATERIALIZED (
+              SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 256), 0), 255) AS BIGINT) AS tile_x,
+                       CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 256), 0), 255) AS BIGINT) AS tile_y
+                FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+                      FROM ({doc_pts})))
+              GROUP BY tile_x, tile_y),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS tot FROM b)
+            SELECT b1.tile_x, b1.tile_y, b1.c AS n_points,
+                   CAST(sum(b2.c) AS BIGINT) AS local_sum,
+                   CAST(count(*) AS BIGINT) AS w_i,
+                   (SELECT n FROM s) AS n_tiles,
+                   (SELECT tot FROM s) AS total
+            FROM b b1 JOIN b b2
+              ON abs(b1.tile_x - b2.tile_x) <= 1
+             AND abs(b1.tile_y - b2.tile_y) <= 1
+            GROUP BY b1.tile_x, b1.tile_y, b1.c""".replace(
+                "{doc_pts}", doc_pts),
     }

@@ -98,3 +98,68 @@ def morans_i_tiles(ds, x_col: str = "x", y_col: str = "y",
         "moran_num": pa.array([int(num)], pa.int64()),
         "moran_den": pa.array([den], pa.int64()),
         "moran_i": pa.array([moran_i], pa.float64())}))
+
+
+def getis_ord_tiles(ds, x_col: str = "x", y_col: str = "y",
+                    zoom: int = 8,
+                    max_broadcast_tiles: int = 50_000_000):
+    """Getis-Ord Gi* hot-spot ingredients per tile (queen contiguity
+    INCLUDING self, the Gi* convention): for each occupied tile,
+    ``local_sum`` = sum of counts over self + up-to-8 occupied
+    neighbors, ``w_i`` = number of contributing tiles, plus the global
+    ``n_tiles`` / ``total`` carried on every row. All int64 — the
+    z-score normalization is a client-side float step (never hashes
+    cross-engine); hot-spot RANKING only needs these integers.
+    Same collect bound and shape as morans_i_tiles."""
+    import ray
+    import ray.data
+
+    from ..cells.tiles import lonlat_to_tile
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        tx, ty = lonlat_to_tile(x, y, zoom)
+        return pa.table({"tile_x": pa.array(tx.astype(np.int64)),
+                         "tile_y": pa.array(ty.astype(np.int64))})
+
+    tiles = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby(["tile_x", "tile_y"]).count())
+    keys_l, cnts_l = [], []
+    for blk in tiles.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+        if blk.num_rows == 0 or "tile_x" not in blk.schema.names:
+            continue
+        tx = blk.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = blk.column("tile_y").to_numpy(zero_copy_only=False)
+        keys_l.append(tx * (1 << 32) + ty)
+        cnts_l.append(blk.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
+    cnts = np.concatenate(cnts_l) if cnts_l else np.empty(0, np.int64)
+    if len(keys) > max_broadcast_tiles:
+        raise ValueError(f"{len(keys)} tiles exceeds "
+                         f"max_broadcast_tiles={max_broadcast_tiles}")
+    order = np.argsort(keys)
+    keys, cnts = keys[order], cnts[order]
+    n = len(keys)
+    total = int(cnts.sum())
+    local = cnts.copy()
+    w = np.ones(n, np.int64)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nk = keys + dx * (1 << 32) + dy
+            pos = np.searchsorted(keys, nk).clip(0, max(n - 1, 0))
+            hit = (keys[pos] == nk) if n else np.zeros(0, bool)
+            local += np.where(hit, cnts[pos.clip(0, max(n - 1, 0))], 0)
+            w += hit.astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "tile_x": (keys >> 32).astype(np.int64),
+        "tile_y": (keys & ((1 << 32) - 1)).astype(np.int64),
+        "n_points": cnts,
+        "local_sum": local,
+        "w_i": w,
+        "n_tiles": np.full(n, n, np.int64),
+        "total": np.full(n, total, np.int64)}))

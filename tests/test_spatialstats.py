@@ -82,3 +82,19 @@ def test_tile_cap_guard():
     with pytest.raises(ValueError, match="max_broadcast_tiles"):
         morans_i_tiles(ray.data.from_arrow(t), zoom=8,
                        max_broadcast_tiles=1)
+
+
+def test_getis_ord_local_sums():
+    from geoflow.ops.spatialstats import getis_ord_tiles
+    counts = {(10, 10): 5, (11, 10): 3, (11, 11): 2, (30, 30): 7}
+    t = _points_at_tiles(counts)
+    out = getis_ord_tiles(ray.data.from_arrow(t),
+                          zoom=8).to_pandas().set_index(
+        ["tile_x", "tile_y"])
+    # (10,10): neighbors (11,10),(11,11) -> local 5+3+2, w=3
+    assert out.loc[(10, 10), "local_sum"] == 10
+    assert out.loc[(10, 10), "w_i"] == 3
+    # isolated hot tile: only itself
+    assert out.loc[(30, 30), "local_sum"] == 7
+    assert out.loc[(30, 30), "w_i"] == 1
+    assert (out["n_tiles"] == 4).all() and (out["total"] == 17).all()
