@@ -3103,6 +3103,76 @@ def q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(q_random_walks(sf_dir), window=2)
 
 
+def q_node2vec_walks(sf_dir: str):
+    """Second-order biased walks (graph/walks.py node2vec_walks,
+    Grover & Leskovec 2016) over the synthetic link graph with integer
+    weights 4:2:1 (return / prev-neighbor / outward == p=1/2, q=2
+    scaled integral). The oracle unrolls each step as: candidate
+    weights by CASE over the prev state + a distinct-edge membership
+    LEFT JOIN, inclusive window cumsum over dst rank, pick the row
+    with cum-w <= mix64(...) % total < cum — the identical integer
+    selection the kernel computes vectorized."""
+    from geoflow.graph.pagerank import synth_edges_batch
+    from geoflow.graph.walks import node2vec_walks
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n_total = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return synth_edges_batch(ids, n_total).select(["src", "dst"])
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    starts = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}),
+        batch_format="pyarrow")
+    return node2vec_walks(edges, starts, walk_len=4, walks_per_node=2)
+
+
+def _node2vec_oracle() -> str:
+    from geoflow.graph.pagerank import _EDGES_SQL
+    parts = ["WITH c AS (SELECT count(*) AS n FROM documents),",
+             _EDGES_SQL.format(table="documents", id="doc_id") + ",",
+             """ranked AS MATERIALIZED (
+               SELECT src, dst,
+                      ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY dst) - 1 AS r
+               FROM edges),
+             de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+             f0 AS (
+               SELECT doc_id * 2 + w.w AS walk_id, doc_id AS cur,
+                      CAST(-1 AS BIGINT) AS prev
+               FROM documents, (SELECT unnest([0, 1]) AS w) w)"""]
+    for t in range(1, 4):
+        chain = _sql_mix64_chain(
+            f"f{t - 1}",
+            f"cur * 2097152 + walk_id * 8 + {t}",
+            "hz", ("walk_id", "cur", "prev"))
+        parts.append(f""",
+h{t} AS ({chain}),
+cand{t} AS (
+  SELECT h.walk_id, h.cur, h.prev, h.hz, e.dst, e.r,
+         CASE WHEN e.dst = h.prev THEN 4
+              WHEN m.src IS NOT NULL THEN 2
+              ELSE 1 END AS w
+  FROM h{t} h JOIN ranked e ON e.src = h.cur
+  LEFT JOIN de m ON m.src = h.prev AND m.dst = e.dst),
+g{t} AS (
+  SELECT walk_id, cur, prev, dst, w,
+         CAST(SUM(w) OVER (PARTITION BY walk_id ORDER BY r
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(hz % CAST(SUM(w) OVER (PARTITION BY walk_id)
+              AS HUGEINT) AS BIGINT) AS x
+  FROM cand{t}),
+f{t} AS (
+  SELECT walk_id, dst AS cur, cur AS prev
+  FROM g{t} WHERE cum - w <= x AND x < cum)""")
+    selects = [f"SELECT walk_id, {t} AS step, cur AS node FROM f{t}"
+               for t in range(4)]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 def q_retention(sf_dir: str):
     """Cohort retention matrix (ops/funnel.py retention_cohorts):
     cohort = first active epoch-day per user, distinct users per
@@ -5320,6 +5390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "getis_ord": q_getis_ord,
+        "node2vec_walks": q_node2vec_walks,
     }
 
 
@@ -7526,4 +7597,5 @@ def oracle_sql() -> dict[str, str]:
              AND abs(b1.tile_y - b2.tile_y) <= 1
             GROUP BY b1.tile_x, b1.tile_y, b1.c""".replace(
                 "{doc_pts}", doc_pts),
+        "node2vec_walks": _node2vec_oracle(),
     }

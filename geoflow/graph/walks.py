@@ -327,3 +327,119 @@ def skipgram_pairs(walks_ds, window: int = 2,
                                             pa.int64())})
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+_N2V_RET = 4   # weight for returning to prev      (1/p with p=1/2)
+_N2V_IN = 2    # weight for prev's other neighbors (1)
+_N2V_OUT = 1   # weight for exploring outward      (1/q with q=2)
+
+
+def node2vec_walks(edges, starts, walk_len: int = 4,
+                   walks_per_node: int = 2,
+                   weights=(_N2V_RET, _N2V_IN, _N2V_OUT),
+                   src_col: str = "src", dst_col: str = "dst",
+                   start_col: str = "node",
+                   max_broadcast_edges: int = 100_000_000):
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016)
+    with INTEGER weights: a candidate next-hop x from cur (given prev)
+    weighs ``ret`` if x == prev, ``inw`` if the edge prev->x exists,
+    else ``out`` (defaults 4:2:1 == p=1/2, q=2 scaled integral). The
+    pick is x = first neighbor (dst-ascending) whose cumulative weight
+    exceeds mix64(cur*2^21 + walk*8 + t) % total_weight — every step
+    is integer arithmetic, reproducible in SQL window cumsums. Step 1
+    has no prev (sentinel -1): all candidates weigh ``out`` (uniform).
+
+    Broadcast mode only: the ranked adjacency AND the distinct-edge
+    membership key array ship once via ray.put (the second-order
+    membership test is what a join-mode variant would need an extra
+    per-step join for — documented extension). Dead ends truncate."""
+    import ray
+    import ray.data
+
+    ret_w, in_w, out_w = (int(w) for w in weights)
+    s_l, d_l = [], []
+    n_edges = 0
+    for blk in edges.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+        if src_col not in blk.schema.names or blk.num_rows == 0:
+            continue
+        n_edges += blk.num_rows
+        if n_edges > max_broadcast_edges:
+            raise ValueError(
+                f"edge count exceeds max_broadcast_edges="
+                f"{max_broadcast_edges}")
+        s_l.append(blk.column(src_col).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        d_l.append(blk.column(dst_col).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    s = np.concatenate(s_l) if s_l else np.empty(0, np.int64)
+    d = np.concatenate(d_l) if d_l else np.empty(0, np.int64)
+    if len(s) and (s.max() >= (1 << 31) or d.max() >= (1 << 31)):
+        raise ValueError("node ids must fit 31 bits for the packed "
+                         "membership key")
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    nodes = np.unique(s)
+    head = np.searchsorted(s, nodes)
+    head = np.append(head, len(s))
+    ekeys = np.unique(s * (1 << 32) + d)
+    adj_ref = ray.put((nodes, head, d, ekeys))
+
+    def walk(batch: pa.Table, _a=adj_ref) -> pa.Table:
+        nds, hd, dst, ek = ray.get(_a)
+        st = batch.column(start_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cur = np.repeat(st, walks_per_node)
+        wid = (cur * walks_per_node
+               + np.tile(np.arange(walks_per_node, dtype=np.int64),
+                         len(st)))
+        prev = np.full(len(cur), -1, np.int64)
+        out_w_l = [wid]
+        out_t = [np.zeros(len(cur), np.int64)]
+        out_n = [cur.copy()]
+        alive = np.ones(len(cur), bool)
+        for t in range(1, walk_len):
+            pos = np.searchsorted(nds, cur).clip(0, max(len(nds) - 1, 0))
+            found = (nds[pos] == cur) if len(nds) else \
+                np.zeros(len(cur), bool)
+            alive = alive & found
+            if not alive.any():
+                break
+            ai = np.nonzero(alive)[0]
+            deg = hd[pos[ai] + 1] - hd[pos[ai]]
+            # flat expansion of each alive walk's candidate list
+            total_c = int(deg.sum())
+            seg = np.repeat(np.arange(len(ai)), deg)
+            base = np.concatenate([[0], np.cumsum(deg)[:-1]])
+            local = np.arange(total_c) - np.repeat(base, deg)
+            cand = dst[np.repeat(hd[pos[ai]], deg) + local]
+            pw = np.repeat(prev[ai], deg)
+            w = np.full(total_c, out_w, np.int64)
+            mk = pw * (1 << 32) + cand
+            mp = np.searchsorted(ek, mk).clip(0, max(len(ek) - 1, 0))
+            is_in = (ek[mp] == mk) if len(ek) else \
+                np.zeros(total_c, bool)
+            w[is_in & (pw >= 0)] = in_w
+            w[cand == pw] = ret_w
+            cum = np.cumsum(w)
+            seg_tot_incl = cum[np.cumsum(deg) - 1]
+            seg_base = np.concatenate([[0], seg_tot_incl[:-1]])
+            tot = seg_tot_incl - seg_base
+            h = _step_hash(cur[ai], wid[ai], t)
+            x = (h % tot.astype(np.uint64)).astype(np.int64)
+            # pick idx = count of candidates with cum_excl <= x
+            thresh = seg_base + x
+            flag = (cum <= np.repeat(thresh, deg))
+            pick = np.zeros(len(ai), np.int64)
+            np.add.at(pick, seg, flag.astype(np.int64))
+            nxt = cand[base + pick]
+            prev[ai] = cur[ai]
+            cur[ai] = nxt
+            out_w_l.append(wid[ai])
+            out_t.append(np.full(len(ai), t, np.int64))
+            out_n.append(nxt.copy())
+        return pa.table({"walk_id": np.concatenate(out_w_l),
+                         "step": np.concatenate(out_t),
+                         "node": np.concatenate(out_n)})
+
+    return starts.map_batches(walk, batch_format="pyarrow")

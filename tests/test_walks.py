@@ -97,3 +97,96 @@ def test_skipgram_pairs_window():
                 k = (path[i], path[j])
                 want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def _node2vec_brute(edges, starts, walk_len, walks_per_node,
+                    weights=(4, 2, 1)):
+    """Independent spec reference: python-loop second-order walk."""
+    from geoflow.text.hashing import mix64
+    ret_w, in_w, out_w = weights
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    for v in adj:
+        adj[v].sort()
+    eset = set(edges)
+    out = {}
+    for st in starts:
+        for rep in range(walks_per_node):
+            wid = st * walks_per_node + rep
+            path, cur, prev = [st], st, -1
+            for t in range(1, walk_len):
+                cands = adj.get(cur)
+                if not cands:
+                    break
+                ws = [ret_w if x == prev else
+                      in_w if prev >= 0 and (prev, x) in eset else
+                      out_w for x in cands]
+                h = int(mix64(np.array(
+                    [cur * (1 << 21) + wid * 8 + t], np.uint64))[0])
+                x = h % sum(ws)
+                acc = 0
+                for cand, w in zip(cands, ws):
+                    acc += w
+                    if x < acc:
+                        break
+                path.append(cand)
+                prev, cur = cur, cand
+            out[wid] = path
+    return out
+
+
+def test_node2vec_matches_brute_force():
+    from geoflow.graph.walks import node2vec_walks
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 25, 150), rng.integers(0, 25, 150))]
+    edges = sorted(set(edges))        # distinct edges keep brute simple
+    starts = list(range(25))
+    e, s = _mk(edges, starts)
+    got = _walks_dict(node2vec_walks(e, s, walk_len=5,
+                                     walks_per_node=3))
+    want = _node2vec_brute(edges, starts, 5, 3)
+    assert got == want
+
+
+def test_node2vec_uniform_weights_equal_first_order():
+    # ret == in == out collapses the cumulative pick to h % deg: the
+    # exact first-order random_walks rule on the same hash stream.
+    from geoflow.graph.walks import node2vec_walks
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 20, 80), rng.integers(0, 20, 80))]
+    e, s = _mk(edges, list(range(20)))
+    got = _walks_dict(node2vec_walks(e, s, walk_len=4, walks_per_node=2,
+                                     weights=(1, 1, 1)))
+    e2, s2 = _mk(edges, list(range(20)))
+    want = _walks_dict(random_walks(e2, s2, walk_len=4,
+                                    walks_per_node=2))
+    assert got == want
+
+
+def test_node2vec_return_bias_dominates():
+    # cur=1 came from 0 with a back-edge; ret weight 2^20 vs two
+    # out-neighbors: pick returns unless h % (2^20+2) lands in the
+    # 2-slot tail after the ret candidate (dst-sorted: 0 first).
+    from geoflow.graph.walks import node2vec_walks
+    e, s = _mk([(0, 1), (1, 0), (1, 5), (1, 9)], [0])
+    w = _walks_dict(node2vec_walks(e, s, walk_len=3, walks_per_node=1,
+                                   weights=(1 << 20, 1, 1)))
+    h = int(_step_hash(np.array([1], np.int64),
+                       np.array([0], np.int64), 2)[0])
+    x = h % ((1 << 20) + 2)
+    want = 0 if x < (1 << 20) else (5 if x < (1 << 20) + 1 else 9)
+    assert w[0] == [0, 1, want]
+    assert want == 0  # the planted hash indeed returns
+
+
+def test_node2vec_dead_end_and_id_guard():
+    from geoflow.graph.walks import node2vec_walks
+    e, s = _mk([(1, 2)], [1, 7])
+    w = _walks_dict(node2vec_walks(e, s, walk_len=4, walks_per_node=1))
+    assert w[1] == [1, 2] and w[7] == [7]
+    e2, s2 = _mk([(1 << 31, 2)], [2])
+    with pytest.raises(ValueError, match="31 bits"):
+        node2vec_walks(e2, s2)
