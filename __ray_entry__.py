@@ -3129,6 +3129,56 @@ def q_node2vec_walks(sf_dir: str):
     return node2vec_walks(edges, starts, walk_len=4, walks_per_node=2)
 
 
+def q_curve_keys(sf_dir: str):
+    """Space-filling-curve keys per document point at z16
+    (ops/spacecurve.py): Morton interleave + classic Hilbert xy2d
+    rotation walk over the Web-Mercator tile grid — the
+    locality-preserving 1-D partitioning keys ``spatial_sort`` range-
+    sorts by at scale. All-integer bit machines; the oracle unrolls
+    the 16 Hilbert levels as a CTE chain and the Morton interleave as
+    32 arithmetic terms."""
+    from geoflow.ops.spacecurve import curve_keys
+    return curve_keys(_doc_points_ds(sf_dir), zoom=16)
+
+
+def _curve_keys_oracle(doc_pts: str) -> str:
+    bits, n = 16, 1 << 16
+    morton = " + ".join(
+        f"((tx // {1 << b}) % 2) * {1 << (2 * b)}"
+        f" + ((ty // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(bits))
+    parts = [f"""WITH p AS (
+  SELECT doc_id,
+         CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * {n}), 0),
+                    {n - 1}) AS BIGINT) AS tx,
+         CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c))
+              + 1.0/cos(radians(lat_c)))/pi())/2.0 * {n}), 0),
+                    {n - 1}) AS BIGINT) AS ty
+  FROM (SELECT doc_id, x,
+               LEAST(GREATEST(y, -85.0511287798066),
+                     85.0511287798066) AS lat_c
+        FROM ({doc_pts}))),
+h0 AS (SELECT doc_id, tx, ty, ({morton}) AS morton,
+              tx AS hx, ty AS hy, CAST(0 AS BIGINT) AS hd FROM p)"""]
+    for k, lev in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << lev
+        parts.append(f""",
+h{k} AS (
+  SELECT doc_id, tx, ty, morton,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hy
+                           ELSE hy END) ELSE hx END AS hx,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hx
+                           ELSE hx END) ELSE hy END AS hy,
+    hd + {s * s} * xor(3 * rx, ry) AS hd
+  FROM (SELECT doc_id, tx, ty, morton, hx, hy, hd,
+               (hx // {s}) % 2 AS rx, (hy // {s}) % 2 AS ry
+        FROM h{k - 1}) q{k})""")
+    parts.append(f"""
+SELECT doc_id, tx AS tile_x, ty AS tile_y, morton, hd AS hilbert
+FROM h{bits}""")
+    return "".join(parts)
+
+
 def _node2vec_oracle() -> str:
     from geoflow.graph.pagerank import _EDGES_SQL
     parts = ["WITH c AS (SELECT count(*) AS n FROM documents),",
@@ -5391,6 +5441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": q_skipgram_pairs,
         "getis_ord": q_getis_ord,
         "node2vec_walks": q_node2vec_walks,
+        "curve_keys": q_curve_keys,
     }
 
 
@@ -7598,4 +7649,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY b1.tile_x, b1.tile_y, b1.c""".replace(
                 "{doc_pts}", doc_pts),
         "node2vec_walks": _node2vec_oracle(),
+        "curve_keys": _curve_keys_oracle(doc_pts),
     }
