@@ -3039,6 +3039,16 @@ def q_funnel(sf_dir: str):
     return funnel_steps(ds, ["view", "click", "purchase"])
 
 
+def q_transitions(sf_dir: str):
+    """Markov transition counts between consecutive event types per
+    user (ops/funnel.py event_transitions), ordered by (ts, event_id)
+    — tie-total order, so the count table is a window-LEAD SQL twin."""
+    from geoflow.ops.funnel import event_transitions
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+    return event_transitions(ds)
+
+
 def q_random_walks(sf_dir: str):
     """Deterministic DeepWalk-style random walks (graph/walks.py) over
     the synthetic pagerank link graph: 2 walks x 4 steps per doc,
@@ -5442,6 +5452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord": q_getis_ord,
         "node2vec_walks": q_node2vec_walks,
         "curve_keys": q_curve_keys,
+        "transitions": q_transitions,
     }
 
 
@@ -7650,4 +7661,14 @@ def oracle_sql() -> dict[str, str]:
                 "{doc_pts}", doc_pts),
         "node2vec_walks": _node2vec_oracle(),
         "curve_keys": _curve_keys_oracle(doc_pts),
+        "transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events)
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY prev_type, next_type""",
     }

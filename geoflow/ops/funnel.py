@@ -54,6 +54,57 @@ def funnel_steps(ds, steps, user_col: str = "user_id",
     return ds.groupby(user_col).map_groups(fn, batch_format="pyarrow")
 
 
+def event_transitions(ds, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts", id_col: str = "event_id"):
+    """Markov transition counts over per-user event streams: one row
+    per (prev_type, next_type) with the number of consecutive-event
+    occurrences, ordered by (ts, id) — id breaks timestamp ties so the
+    bigram set is a total-order invariant (SQL LEAD twin).
+
+    Shape: ONE groupby(user) shuffle; each group emits its pair counts
+    pre-combined (np.unique over joined type strings — at most
+    |types|² rows per user, not |events|), then a transition-sized
+    groupby sum. Heavy users bound group size, as in funnel_steps."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        t = (group.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        eid = group.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = group.column(type_col).to_numpy(
+            zero_copy_only=False).astype(str)
+        order = np.lexsort((eid, t))
+        et = et[order]
+        if len(et) < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        key = np.char.add(np.char.add(et[:-1], "\x1f"), et[1:])
+        u, c = np.unique(key, return_counts=True)
+        split = np.char.partition(u, "\x1f")
+        return pa.table({"prev_type": pa.array(split[:, 0]),
+                         "next_type": pa.array(split[:, 2]),
+                         "n": pa.array(c.astype(np.int64))})
+
+    per = ds.groupby(user_col).map_groups(per_user,
+                                          batch_format="pyarrow")
+    out = per.groupby(["prev_type", "next_type"]).sum("n")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if "prev_type" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n_pairs": pa.array([], pa.int64())})
+        return pa.table({"prev_type": batch.column("prev_type"),
+                         "next_type": batch.column("next_type"),
+                         "n_pairs": pc.cast(batch.column("sum(n)"),
+                                            pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def retention_cohorts(ds, user_col: str = "user_id",
                       ts_col: str = "ts"):
     """Cohort retention matrix: cohort = each user's first active DAY

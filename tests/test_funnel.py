@@ -87,3 +87,39 @@ def test_retention_cohorts():
            for r in out.itertuples()}
     assert got == {(d0, 0): 2, (d0, 1): 1, (d0, 2): 1,
                    (d0 + 7, 0): 1, (d0 + 7, 1): 1}
+
+
+def test_event_transitions_counts_and_tie_order():
+    from geoflow.ops.funnel import event_transitions
+    # user 1: a->b->a (ts order), with a TS TIE broken by event_id
+    # user 2: single event (no pairs)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    tbl = pa.table({
+        "event_id": pa.array([4, 2, 3, 9], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["b", "a", "a", "x"]),
+        # events 2 and 3 tie on ts: event_id orders a(2) before a(3)?
+        # no — 2 is at t0, 3 ties with 4 at t0+1: id 3 < 4 => a then b
+        "ts": pa.array([t0 + 1, t0, t0 + 1, t0], pa.timestamp("us")),
+    })
+    out = event_transitions(ray.data.from_arrow(tbl)).to_pandas()
+    got = {(r.prev_type, r.next_type): r.n_pairs
+           for r in out.itertuples()}
+    assert got == {("a", "a"): 1, ("a", "b"): 1}
+
+
+def test_event_transitions_partial_combine():
+    from geoflow.ops.funnel import event_transitions
+    # one user, repeated bigram: per-user combiner emits n=3 once
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    n = 7
+    tbl = pa.table({
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "user_id": pa.array([5] * n, pa.int64()),
+        "event_type": pa.array(["p", "q"] * 3 + ["p"]),
+        "ts": pa.array([t0 + i for i in range(n)], pa.timestamp("us")),
+    })
+    out = event_transitions(ray.data.from_arrow(tbl)).to_pandas()
+    got = {(r.prev_type, r.next_type): r.n_pairs
+           for r in out.itertuples()}
+    assert got == {("p", "q"): 3, ("q", "p"): 3}
