@@ -3139,6 +3139,69 @@ def q_node2vec_walks(sf_dir: str):
     return node2vec_walks(edges, starts, walk_len=4, walks_per_node=2)
 
 
+def q_hyperball(sf_dir: str):
+    """HyperBall out-ball register state after 3 max-merge rounds
+    (graph/hyperball.py, Boldi & Vigna 2013) over the synthetic link
+    graph — per-node 16-register HLL of the 3-hop reachable set,
+    byte-packed into two int64 columns. Registers are integer
+    max-combines of splitmix64 (slot, rank) pairs, so the terminal
+    STATE is value-gated via the hll_registers SQL pattern unrolled
+    per round; the float ball-size estimate stays client-side."""
+    from geoflow.graph.hyperball import hyperball
+    from geoflow.graph.pagerank import synth_edges_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = synth_edges_batch(
+            b.column("doc_id").to_numpy(zero_copy_only=False), n)
+        return t.select(["src", "dst"])
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    return hyperball(edges, rounds=3)
+
+
+def _hyperball_oracle(rounds: int = 3) -> str:
+    from geoflow.graph.pagerank import _EDGES_SQL
+    parts = ["WITH c AS (SELECT count(*) AS n FROM documents),",
+             _EDGES_SQL.format(table="documents", id="doc_id") + ",",
+             "e AS MATERIALIZED (SELECT src, dst FROM edges),",
+             """nd AS MATERIALIZED (SELECT DISTINCT node FROM (
+               SELECT src AS node FROM e
+               UNION ALL SELECT dst FROM e)),""",
+             "hm AS (", _sql_mix64_chain("nd", "node", "h", ("node",)),
+             f"""),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(h >> 60 AS BIGINT) AS j,
+         LEAST(COALESCE(
+           (SELECT MIN(g.i)
+            FROM (SELECT unnest(range(1,65)) AS i) g
+            WHERE ((h << 4) % {_SQL_U64})
+                  >= (CAST(1 AS HUGEINT) << (64 - g.i))),
+           61), 61) AS rho
+  FROM hm)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+r{t} AS MATERIALIZED (
+  SELECT node, j, MAX(rho) AS rho FROM (
+    SELECT node, j, rho FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, p.j, p.rho
+    FROM e JOIN r{t - 1} p ON p.node = e.dst
+  ) GROUP BY node, j)""")
+    parts.append(f"""
+SELECT node,
+  CAST(SUM(CASE WHEN j < 8
+            THEN rho * (CAST(1 AS BIGINT) << (8 * j))
+            ELSE 0 END) AS BIGINT) AS packed_lo,
+  CAST(SUM(CASE WHEN j >= 8
+            THEN rho * (CAST(1 AS BIGINT) << (8 * (j - 8)))
+            ELSE 0 END) AS BIGINT) AS packed_hi
+FROM r{rounds} GROUP BY node""")
+    return "".join(parts)
+
+
 def q_curve_keys(sf_dir: str):
     """Space-filling-curve keys per document point at z16
     (ops/spacecurve.py): Morton interleave + classic Hilbert xy2d
@@ -5453,6 +5516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks": q_node2vec_walks,
         "curve_keys": q_curve_keys,
         "transitions": q_transitions,
+        "hyperball": q_hyperball,
     }
 
 
@@ -7671,4 +7735,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM o WHERE nxt IS NOT NULL
             GROUP BY prev_type, next_type""",
+        "hyperball": _hyperball_oracle(),
     }
