@@ -3029,6 +3029,16 @@ def q_getis_ord(sf_dir: str):
     return getis_ord_tiles(_doc_points_ds(sf_dir), zoom=8)
 
 
+def q_idw_tiles(sf_dir: str):
+    """IDW neighbor smoothing of z6 tile counts
+    (ops/spatialstats.py idw_tiles): integer weights 65536 // (dx²+dy²)
+    over occupied tiles within Chebyshev radius 2 — num/den exact
+    int64; the smoothed surface is one client-side division. z6: the
+    sparsest fixture still has occupied neighborhoods there."""
+    from geoflow.ops.spatialstats import idw_tiles
+    return idw_tiles(_doc_points_ds(sf_dir), zoom=6, radius=2)
+
+
 def q_funnel(sf_dir: str):
     """Ordered first-touch funnel view->click->purchase per user
     (ops/funnel.py): step k+1 strictly after matched step k;
@@ -5517,6 +5527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curve_keys": q_curve_keys,
         "transitions": q_transitions,
         "hyperball": q_hyperball,
+        "idw_tiles": q_idw_tiles,
     }
 
 
@@ -7736,4 +7747,27 @@ def oracle_sql() -> dict[str, str]:
             FROM o WHERE nxt IS NOT NULL
             GROUP BY prev_type, next_type""",
         "hyperball": _hyperball_oracle(),
+        "idw_tiles": """
+            WITH b AS MATERIALIZED (
+              SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 64), 0), 63) AS BIGINT) AS tile_x,
+                       CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 64), 0), 63) AS BIGINT) AS tile_y
+                FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+                      FROM ({doc_pts})))
+              GROUP BY tile_x, tile_y)
+            SELECT b1.tile_x, b1.tile_y, b1.c AS n_points,
+                   CAST(SUM(b2.c * (65536 // (
+                        (b1.tile_x - b2.tile_x)*(b1.tile_x - b2.tile_x)
+                      + (b1.tile_y - b2.tile_y)*(b1.tile_y - b2.tile_y))))
+                     AS BIGINT) AS idw_num,
+                   CAST(SUM(65536 // (
+                        (b1.tile_x - b2.tile_x)*(b1.tile_x - b2.tile_x)
+                      + (b1.tile_y - b2.tile_y)*(b1.tile_y - b2.tile_y)))
+                     AS BIGINT) AS idw_den
+            FROM b b1 JOIN b b2
+              ON abs(b1.tile_x - b2.tile_x) <= 2
+             AND abs(b1.tile_y - b2.tile_y) <= 2
+             AND NOT (b1.tile_x = b2.tile_x AND b1.tile_y = b2.tile_y)
+            GROUP BY b1.tile_x, b1.tile_y, b1.c""".replace(
+                "{doc_pts}", doc_pts),
     }

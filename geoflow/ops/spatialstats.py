@@ -100,6 +100,78 @@ def morans_i_tiles(ds, x_col: str = "x", y_col: str = "y",
         "moran_i": pa.array([moran_i], pa.float64())}))
 
 
+def _tile_counts(ds, x_col: str, y_col: str, zoom: int,
+                 max_broadcast_tiles: int):
+    """Point groupby → sorted (packed tile keys, counts) on the
+    driver — shared by the tile-lattice statistics (bounded by
+    4^zoom; the ONLY point-sized shuffle each stat pays)."""
+    from ..cells.tiles import lonlat_to_tile
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        tx, ty = lonlat_to_tile(x, y, zoom)
+        return pa.table({"tile_x": pa.array(tx.astype(np.int64)),
+                         "tile_y": pa.array(ty.astype(np.int64))})
+
+    tiles = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby(["tile_x", "tile_y"]).count())
+    keys_l, cnts_l = [], []
+    for blk in tiles.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+        if blk.num_rows == 0 or "tile_x" not in blk.schema.names:
+            continue
+        tx = blk.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = blk.column("tile_y").to_numpy(zero_copy_only=False)
+        keys_l.append(tx * (1 << 32) + ty)
+        cnts_l.append(blk.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
+    cnts = np.concatenate(cnts_l) if cnts_l else np.empty(0, np.int64)
+    if len(keys) > max_broadcast_tiles:
+        raise ValueError(f"{len(keys)} tiles exceeds "
+                         f"max_broadcast_tiles={max_broadcast_tiles}")
+    order = np.argsort(keys)
+    return keys[order], cnts[order]
+
+
+def idw_tiles(ds, x_col: str = "x", y_col: str = "y",
+              zoom: int = 8, radius: int = 2,
+              max_broadcast_tiles: int = 50_000_000):
+    """Inverse-distance-weighted neighbor smoothing of per-tile point
+    counts: for each occupied tile, ``idw_num`` = Σ c_j · w_j and
+    ``idw_den`` = Σ w_j over occupied tiles within Chebyshev
+    ``radius`` (self excluded), with the INTEGER weight
+    w = 65536 // (dx² + dy²) — exact int64 on both engines; the
+    smoothed value num/den is one client-side IEEE division. Tiles
+    with no occupied neighbor in range are omitted (den would be 0;
+    the SQL twin's inner join drops them identically)."""
+    import ray.data
+
+    keys, cnts = _tile_counts(ds, x_col, y_col, zoom,
+                              max_broadcast_tiles)
+    n = len(keys)
+    num = np.zeros(n, np.int64)
+    den = np.zeros(n, np.int64)
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            if dx == 0 and dy == 0:
+                continue
+            w = 65536 // (dx * dx + dy * dy)
+            nk = keys + dx * (1 << 32) + dy
+            pos = np.searchsorted(keys, nk).clip(0, max(n - 1, 0))
+            hit = (keys[pos] == nk) if n else np.zeros(0, bool)
+            num += np.where(hit, cnts[pos] * w, 0)
+            den += np.where(hit, w, 0)
+    keep = den > 0
+    return ray.data.from_arrow(pa.table({
+        "tile_x": (keys[keep] >> 32).astype(np.int64),
+        "tile_y": (keys[keep] & ((1 << 32) - 1)).astype(np.int64),
+        "n_points": cnts[keep],
+        "idw_num": num[keep],
+        "idw_den": den[keep]}))
+
+
 def getis_ord_tiles(ds, x_col: str = "x", y_col: str = "y",
                     zoom: int = 8,
                     max_broadcast_tiles: int = 50_000_000):

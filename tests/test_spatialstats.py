@@ -98,3 +98,42 @@ def test_getis_ord_local_sums():
     assert out.loc[(30, 30), "local_sum"] == 7
     assert out.loc[(30, 30), "w_i"] == 1
     assert (out["n_tiles"] == 4).all() and (out["total"] == 17).all()
+
+
+def test_idw_tiles_hand_grid():
+    from geoflow.ops.spatialstats import idw_tiles
+    import geoflow.cells.tiles as tiles
+    # three occupied tiles at known z8 positions: place points at tile
+    # centers via tile_bounds midpoints
+    def center(tx, ty):
+        lon0, lat0, lon1, lat1 = tiles.tile_bounds(
+            np.array([tx]), np.array([ty]), 8)
+        return (lon0[0] + lon1[0]) / 2, (lat0[0] + lat1[0]) / 2
+    pts = []
+    # (100,100)x2 points, (101,100)x1, (103,100)x5 (out of radius-2 of
+    # (100,100)? dx=3 -> excluded from its sum, included for (101,100))
+    for tx, ty, k in [(100, 100, 2), (101, 100, 1), (103, 100, 5)]:
+        lon, lat = center(tx, ty)
+        pts += [(lon, lat)] * k
+    ds = ray.data.from_arrow(pa.table({
+        "x": np.array([p[0] for p in pts]),
+        "y": np.array([p[1] for p in pts])}))
+    out = idw_tiles(ds, zoom=8, radius=2).to_pandas()
+    got = {(r.tile_x, r.tile_y): (r.n_points, r.idw_num, r.idw_den)
+           for r in out.itertuples()}
+    w1 = 65536 // 1
+    w4 = 65536 // 4
+    # (100,100): neighbor (101,100) d2=1 only -> num=1*w1 den=w1
+    assert got[(100, 100)] == (2, 1 * w1, w1)
+    # (101,100): (100,100) d2=1 c=2 ; (103,100) d2=4 c=5
+    assert got[(101, 100)] == (1, 2 * w1 + 5 * w4, w1 + w4)
+    # (103,100): (101,100) d2=4 c=1
+    assert got[(103, 100)] == (5, 1 * w4, w4)
+
+
+def test_idw_tiles_isolated_tile_omitted():
+    from geoflow.ops.spatialstats import idw_tiles
+    ds = ray.data.from_arrow(pa.table({
+        "x": np.array([0.0, 50.0]), "y": np.array([0.0, 40.0])}))
+    out = idw_tiles(ds, zoom=8, radius=2).to_pandas()
+    assert len(out) == 0
