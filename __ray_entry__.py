@@ -3029,6 +3029,17 @@ def q_getis_ord(sf_dir: str):
     return getis_ord_tiles(_doc_points_ds(sf_dir), zoom=8)
 
 
+def q_edit_distance(sf_dir: str):
+    """Byte Levenshtein distance between consecutive documents' first
+    200 chars (text/editdist.py) — the fuzzy-dedup verification
+    kernel, value-gated against DuckDB's levenshtein() (byte
+    semantics, measured). DP vectorized via the minimum.accumulate
+    row unroll; pairs co-located by ONE hash join."""
+    from geoflow.text.editdist import pair_edit_distances
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pair_edit_distances(docs, prefix_chars=200)
+
+
 def q_idw_tiles(sf_dir: str):
     """IDW neighbor smoothing of z6 tile counts
     (ops/spatialstats.py idw_tiles): integer weights 65536 // (dx²+dy²)
@@ -5528,6 +5539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions": q_transitions,
         "hyperball": q_hyperball,
         "idw_tiles": q_idw_tiles,
+        "edit_distance": q_edit_distance,
     }
 
 
@@ -7734,6 +7746,13 @@ def oracle_sql() -> dict[str, str]:
              AND abs(b1.tile_y - b2.tile_y) <= 1
             GROUP BY b1.tile_x, b1.tile_y, b1.c""".replace(
                 "{doc_pts}", doc_pts),
+        "edit_distance": """
+            SELECT a.doc_id,
+                   CAST(levenshtein(substr(a.text, 1, 200),
+                                    substr(b.text, 1, 200))
+                     AS BIGINT) AS lev
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id + 1""",
         "node2vec_walks": _node2vec_oracle(),
         "curve_keys": _curve_keys_oracle(doc_pts),
         "transitions": """
