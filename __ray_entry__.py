@@ -3029,6 +3029,43 @@ def q_getis_ord(sf_dir: str):
     return getis_ord_tiles(_doc_points_ds(sf_dir), zoom=8)
 
 
+def q_code_fences(sf_dir: str):
+    """Fenced-code-block extraction from planted markdown
+    (text/codefence.py): per doc_id class k%3 — one python fence /
+    python + bare fence / prose only (with an UNTERMINATED opener for
+    k%6==2 that must NOT be emitted). The engine does the real
+    split-based parse; the oracle emits the planted expectation
+    (html_tables pattern)."""
+    from functools import reduce
+
+    from geoflow.text.codefence import extract_code_fences
+
+    def synth(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cat = lambda *ps: reduce(np.char.add, ps)  # noqa: E731
+        a = (k * 7 % 101).astype("U8")
+        bb = (k * 13 % 97).astype("U8")
+        c = (k * 11 % 89).astype("U8")
+        h = cat("# H", (k % 7).astype("U8"), "\n")
+        fa = cat("```python\nx = ", a, "\ny = ", bb, "\n```")
+        fb = cat("```\nplain ", c, "\n```")
+        md0 = cat(h, fa, "\nend")
+        md1 = cat(h, fa, "\nmid\n", fb, "\ntail")
+        md2 = cat(h, "inline `x` only")
+        md2 = np.where(k % 6 == 2,
+                       cat(md2, "\n```lost\nq = ", a), md2)
+        md = np.where(k % 3 == 0, md0,
+                      np.where(k % 3 == 1, md1, md2))
+        return pa.table({"doc_id": pa.array(k),
+                         "text": pa.array(md.astype(object),
+                                          pa.string())})
+
+    docs = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    return extract_code_fences(docs)
+
+
 def q_edit_distance(sf_dir: str):
     """Byte Levenshtein distance between consecutive documents' first
     200 chars (text/editdist.py) — the fuzzy-dedup verification
@@ -5540,6 +5577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball": q_hyperball,
         "idw_tiles": q_idw_tiles,
         "edit_distance": q_edit_distance,
+        "code_fences": q_code_fences,
     }
 
 
@@ -7746,6 +7784,17 @@ def oracle_sql() -> dict[str, str]:
              AND abs(b1.tile_y - b2.tile_y) <= 1
             GROUP BY b1.tile_x, b1.tile_y, b1.c""".replace(
                 "{doc_pts}", doc_pts),
+        "code_fences": """
+            WITH d AS (SELECT doc_id AS k FROM documents)
+            SELECT k AS doc_id, CAST(0 AS BIGINT) AS fence_idx,
+                   'python' AS lang,
+                   'x = ' || CAST(k*7%101 AS VARCHAR) || chr(10) ||
+                   'y = ' || CAST(k*13%97 AS VARCHAR) || chr(10) AS code
+            FROM d WHERE k % 3 IN (0, 1)
+            UNION ALL
+            SELECT k, CAST(1 AS BIGINT), '',
+                   'plain ' || CAST(k*11%89 AS VARCHAR) || chr(10)
+            FROM d WHERE k % 3 = 1""",
         "edit_distance": """
             SELECT a.doc_id,
                    CAST(levenshtein(substr(a.text, 1, 200),
