@@ -3029,6 +3029,16 @@ def q_getis_ord(sf_dir: str):
     return getis_ord_tiles(_doc_points_ds(sf_dir), zoom=8)
 
 
+def q_moving_counts(sf_dir: str):
+    """Per-event-type daily counts + trailing 7-calendar-day windowed
+    sum (ops/timeseries.py moving_counts) — the anomaly-baseline
+    series; RANGE-frame semantics (gaps shrink the window), all
+    int64."""
+    from geoflow.ops.timeseries import moving_counts
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return moving_counts(ds, window_days=7)
+
+
 def q_code_fences(sf_dir: str):
     """Fenced-code-block extraction from planted markdown
     (text/codefence.py): per doc_id class k%3 — one python fence /
@@ -5578,6 +5588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_tiles": q_idw_tiles,
         "edit_distance": q_edit_distance,
         "code_fences": q_code_fences,
+        "moving_counts": q_moving_counts,
     }
 
 
@@ -7784,6 +7795,18 @@ def oracle_sql() -> dict[str, str]:
              AND abs(b1.tile_y - b2.tile_y) <= 1
             GROUP BY b1.tile_x, b1.tile_y, b1.c""".replace(
                 "{doc_pts}", doc_pts),
+        "moving_counts": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY event_type, day)
+            SELECT event_type, day, n_events,
+                   CAST(SUM(n_events) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_window
+            FROM c""",
         "code_fences": """
             WITH d AS (SELECT doc_id AS k FROM documents)
             SELECT k AS doc_id, CAST(0 AS BIGINT) AS fence_idx,

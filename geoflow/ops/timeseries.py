@@ -1,0 +1,58 @@
+"""Calendar-window time-series aggregates over event streams.
+
+``moving_counts``: per (series key, day) event counts plus the
+trailing W-day windowed sum — the traffic-trend / anomaly-baseline
+primitive. The window is over CALENDAR days (a RANGE frame), not over
+present rows: gaps in the day sequence shrink the window sum exactly
+like SQL ``RANGE BETWEEN W-1 PRECEDING AND CURRENT ROW``.
+
+Exactness: day = epoch_us // 86_400e6 (int64), counts and windowed
+sums are integers — hash-exact cross-engine.
+
+Shape: ONE (key, day) groupby collapses the stream to at most
+|keys|·|days| rows; the per-key window pass is a map_groups whose
+group size is bounded by the day span (a prefix-sum + one
+searchsorted, no quadratic window scan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+US_PER_DAY = 86_400_000_000
+
+
+def moving_counts(ds, key_col: str = "event_type",
+                  ts_col: str = "ts", window_days: int = 7):
+    """Dataset (key, day, n_events, n_window): daily counts and the
+    trailing ``window_days`` calendar-day sum per key."""
+    import pyarrow.compute as pc
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        t = (batch.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({key_col: batch.column(key_col),
+                         "day": pa.array(t // US_PER_DAY)})
+
+    daily = (ds.map_batches(to_day, batch_format="pyarrow")
+             .groupby([key_col, "day"]).count())
+
+    def window(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day)
+        day, cnt = day[order], cnt[order]
+        cs = np.concatenate([[0], np.cumsum(cnt)])
+        lo = np.searchsorted(day, day - (window_days - 1), side="left")
+        win = cs[np.arange(1, len(day) + 1)] - cs[lo]
+        key = group.column(key_col)
+        return pa.table({key_col: key.take(
+                             pa.array(order, pa.int64())),
+                         "day": pa.array(day),
+                         "n_events": pa.array(cnt),
+                         "n_window": pa.array(win)})
+
+    return daily.groupby(key_col).map_groups(window,
+                                             batch_format="pyarrow")
