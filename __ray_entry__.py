@@ -3039,6 +3039,46 @@ def q_moving_counts(sf_dir: str):
     return moving_counts(ds, window_days=7)
 
 
+def q_count_anomalies(sf_dir: str):
+    """Robust daily-count anomaly flags per event type
+    (ops/timeseries.py count_anomalies): per-key median + MAD of the
+    daily counts (both DISCRETE order statistics at 0-based index
+    (n-1)//2, reproduced in SQL as row_number = (n-1)//2 + 1) and
+    is_anomaly = |count - med| > 3*MAD — every column int64, the
+    threshold an integer compare."""
+    from geoflow.ops.timeseries import count_anomalies
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return count_anomalies(ds)
+
+
+def q_readability(sf_dir: str):
+    """Flesch readability ingredients per document
+    (text/analysis.py readability_batch): integer word / vowel-run /
+    sentence-run counts from three RE2 kernels (the float score is
+    client-side arithmetic); explicit [aeiouyAEIOUY] case class so no
+    engine's Unicode lower() version enters the hash."""
+    from geoflow.text.analysis import readability_batch
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(readability_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_words", "n_syllables",
+                             "n_sentences"]))
+
+
+def q_props_extract(sf_dir: str):
+    """Schema-on-read integer field extraction from the events JSON
+    props blob (text/analysis.py json_int_field_batch): one RE2
+    extract per row, no JSON parser; DuckDB regexp_extract group 1 is
+    the same RE2."""
+    from geoflow.text.analysis import json_int_field_batch
+
+    def ex(b: pa.Table) -> pa.Table:
+        return json_int_field_batch(b, "props", "k", "prop_k") \
+            .select(["event_id", "prop_k"])
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
 def q_code_fences(sf_dir: str):
     """Fenced-code-block extraction from planted markdown
     (text/codefence.py): per doc_id class k%3 — one python fence /
@@ -5589,6 +5629,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance": q_edit_distance,
         "code_fences": q_code_fences,
         "moving_counts": q_moving_counts,
+        "count_anomalies": q_count_anomalies,
+        "readability": q_readability,
+        "props_extract": q_props_extract,
     }
 
 
@@ -7807,6 +7850,49 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS n_window
             FROM c""",
+        "count_anomalies": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY event_type, day),
+            r1 AS (
+              SELECT event_type, n_events,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY n_events) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM c),
+            med AS (SELECT event_type, n_events AS med
+                    FROM r1 WHERE rn = (n - 1) // 2 + 1),
+            d AS (
+              SELECT c.event_type, c.day, c.n_events, med.med,
+                     abs(c.n_events - med.med) AS dev
+              FROM c JOIN med USING (event_type)),
+            r2 AS (
+              SELECT event_type, dev,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY dev) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM d),
+            mad AS (SELECT event_type, dev AS mad
+                    FROM r2 WHERE rn = (n - 1) // 2 + 1)
+            SELECT d.event_type, d.day, d.n_events, d.med, mad.mad,
+                   CAST(d.dev > 3 * mad.mad AS BIGINT) AS is_anomaly
+            FROM d JOIN mad USING (event_type)""",
+        "readability": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[\p{L}\p{N}_]+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text,
+                     '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables,
+                   CAST(len(regexp_extract_all(text,
+                     '[.!?]+')) AS BIGINT) AS n_sentences
+            FROM documents""",
+        "props_extract": r"""
+            SELECT event_id,
+                   CAST(NULLIF(regexp_extract(props,
+                     '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT) AS prop_k
+            FROM events""",
         "code_fences": """
             WITH d AS (SELECT doc_id AS k FROM documents)
             SELECT k AS doc_id, CAST(0 AS BIGINT) AS fence_idx,

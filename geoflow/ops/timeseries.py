@@ -56,3 +56,50 @@ def moving_counts(ds, key_col: str = "event_type",
 
     return daily.groupby(key_col).map_groups(window,
                                              batch_format="pyarrow")
+
+
+def count_anomalies(ds, key_col: str = "event_type",
+                    ts_col: str = "ts", mad_mult: int = 3):
+    """Robust anomaly flags over the daily count series: per key,
+    median and MAD (median absolute deviation) of the daily counts —
+    both DISCRETE order statistics at index floor((n-1)/2) of the
+    sorted values, DuckDB quantile_disc's convention — and per day
+    ``is_anomaly`` = |count - med| > mad_mult · MAD. Every quantity is
+    int64 (the robust-z THRESHOLD comparison is an integer
+    cross-multiply, never a float division) — hash-exact.
+
+    Shape: the same (key, day) groupby as moving_counts, then one
+    map_groups per key (group size = day span)."""
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        t = (batch.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({key_col: batch.column(key_col),
+                         "day": pa.array(t // US_PER_DAY)})
+
+    daily = (ds.map_batches(to_day, batch_format="pyarrow")
+             .groupby([key_col, "day"]).count())
+
+    def flag(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day)
+        day, cnt = day[order], cnt[order]
+        n = len(cnt)
+        med = int(np.sort(cnt)[(n - 1) // 2])
+        dev = np.abs(cnt - med)
+        mad = int(np.sort(dev)[(n - 1) // 2])
+        return pa.table({
+            key_col: group.column(key_col).take(
+                pa.array(order, pa.int64())),
+            "day": pa.array(day),
+            "n_events": pa.array(cnt),
+            "med": pa.array(np.full(n, med, np.int64)),
+            "mad": pa.array(np.full(n, mad, np.int64)),
+            "is_anomaly": pa.array(
+                (dev > mad_mult * mad).astype(np.int64))})
+
+    return daily.groupby(key_col).map_groups(flag,
+                                             batch_format="pyarrow")

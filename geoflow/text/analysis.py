@@ -143,6 +143,43 @@ def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
                                pc.cast(toks, pa.int64()))
 
 
+def readability_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Flesch-style readability INGREDIENTS, all integer counts (the
+    206.835 − 1.015·(w/s) − 84.6·(syll/w) score is two client-side
+    float ops — floats never hash cross-engine): n_words = token runs
+    ([\\p{L}\\p{N}_]+, the repo token rule), n_syllables = vowel-group
+    runs [aeiouyAEIOUY]+ (the standard dictionary-free syllable
+    proxy; an explicit case class instead of lower() so no engine's
+    Unicode case-mapping version can enter the hash), n_sentences =
+    [.!?]+ runs. Three RE2 count kernels, zero shuffle; DuckDB
+    regexp_extract_all is the same RE2 (CLAUDE.md bpe_tokens
+    precedent)."""
+    s = pc.cast(batch.column(text_col), pa.string())
+    out = batch.append_column(
+        "n_words", pc.cast(pc.fill_null(pc.count_substring_regex(
+            s, r"[\p{L}\p{N}_]+"), 0), pa.int64()))
+    out = out.append_column(
+        "n_syllables", pc.cast(pc.fill_null(pc.count_substring_regex(
+            s, r"[aeiouyAEIOUY]+"), 0), pa.int64()))
+    return out.append_column(
+        "n_sentences", pc.cast(pc.fill_null(pc.count_substring_regex(
+            s, r"[.!?]+"), 0), pa.int64()))
+
+
+def json_int_field_batch(batch: pa.Table, col: str, field: str,
+                         out_col: str | None = None) -> pa.Table:
+    """Extract an integer field from a flat JSON-object string column
+    via ONE RE2 extract ("field"\\s*:\\s*(-?digits)) — the
+    schema-on-read fast path for event property blobs; a full JSON
+    parser is overkill for fixed-shape telemetry and RE2 keeps the
+    DuckDB twin (regexp_extract group 1) bit-identical. Missing field
+    → null."""
+    pat = '"' + field + r'"\s*:\s*(?P<v>-?\d+)'
+    ex = pc.extract_regex(pc.cast(batch.column(col), pa.string()), pat)
+    val = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+    return batch.append_column(out_col or field, val)
+
+
 def repetition_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Gopher-style within-document repetition signals (public corpus
     filtering heuristics — Rae et al. 2021 §A1.1): over lowercased

@@ -30,3 +30,36 @@ def test_moving_counts_gaps_shrink_window():
         ("a", 20): (1, 1),    # gap: window empty except itself
         ("b", 2): (1, 1),
     }
+
+
+def test_count_anomalies_median_mad():
+    from geoflow.ops.timeseries import count_anomalies
+    # type 'a' daily counts: day0=1, day1=1, day2=1, day3=1, day4=9.
+    # sorted counts [1,1,1,1,9]: med=1 (idx 2), devs [0,0,0,0,8],
+    # MAD=0 -> day4 dev 8 > 3*0 -> anomaly; flat days dev 0 -> not.
+    days = [0, 1, 2, 3] + [4] * 9
+    ts = pa.array((np.array(days, np.int64) * US_PER_DAY
+                   + 7).astype("datetime64[us]"), pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * len(days)), "ts": ts}))
+    out = count_anomalies(ds).to_pandas().sort_values("day")
+    assert out.med.tolist() == [1] * 5
+    assert out.mad.tolist() == [0] * 5
+    assert out.is_anomaly.tolist() == [0, 0, 0, 0, 1]
+    assert out.n_events.tolist() == [1, 1, 1, 1, 9]
+
+
+def test_count_anomalies_even_n_lower_median():
+    from geoflow.ops.timeseries import count_anomalies
+    # counts [1, 3] -> discrete median at 0-based idx (2-1)//2 = 0
+    # -> med=1 (the LOWER element, quantile_disc convention).
+    days = [0, 1, 1, 1]
+    ts = pa.array((np.array(days, np.int64) * US_PER_DAY)
+                  .astype("datetime64[us]"), pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 4), "ts": ts}))
+    out = count_anomalies(ds).to_pandas().sort_values("day")
+    assert out.med.tolist() == [1, 1]
+    # devs [0, 2] -> MAD at idx 0 = 0; day1 dev 2 > 0 -> anomaly
+    assert out.mad.tolist() == [0, 0]
+    assert out.is_anomaly.tolist() == [0, 1]
