@@ -2097,6 +2097,44 @@ def _seed_distance_oracle() -> str:
     return seed_distance_oracle_sql(edges, seeds, max_hops=4)
 
 
+def q_sssp_weighted(sf_dir: str):
+    """Weighted single-source shortest paths (graph/traversal.py
+    seed_distances with weight_col — Bellman-Ford min-plus rounds;
+    latency-weighted crawl-distance signal) over the synthetic link
+    graph with integer edge weights w = (src*31 + dst*17) % 9 + 1,
+    seeds {doc_id % 37 == 2}, 6 relaxation rounds. Integer min-plus is
+    order-independent, so (node, dist) hash-match the unrolled-CTE
+    oracle exactly."""
+    from geoflow.graph.pagerank import synth_edges_batch
+    from geoflow.graph.traversal import seed_distances
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = synth_edges_batch(
+            b.column("doc_id").to_numpy(zero_copy_only=False), n)
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"src": s, "dst": d,
+                         "w": (s * 31 + d * 17) % 9 + 1})
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    seeds = np.arange(n, dtype=np.int64)
+    return seed_distances(edges, seeds[seeds % 37 == 2],
+                          max_hops=6, weight_col="w")
+
+
+def _sssp_weighted_oracle() -> str:
+    from geoflow.graph.traversal import seed_distance_oracle_sql
+    edges = ("SELECT src, dst, (src * 31 + dst * 17) % 9 + 1 AS w "
+             "FROM (" + _SYNTH_EDGES_SQL.format(
+                 n="(SELECT COUNT(*) FROM documents)", where="") + ")")
+    seeds = "SELECT doc_id AS node FROM documents WHERE doc_id % 37 = 2"
+    return seed_distance_oracle_sql(edges, seeds, max_hops=6,
+                                    weighted=True)
+
+
 def _kcore_oracle() -> str:
     from geoflow.graph.traversal import kcore_oracle_sql
     edges = _SYNTH_EDGES_SQL.format(
@@ -3049,6 +3087,26 @@ def q_count_anomalies(sf_dir: str):
     from geoflow.ops.timeseries import count_anomalies
     ds = _read(sf_dir, "events", ["event_type", "ts"])
     return count_anomalies(ds)
+
+
+def q_interarrival(sf_dir: str):
+    """Per-user inter-event gaps in microseconds
+    (ops/timeseries.py interarrival_gaps — burst / bot-rate signal):
+    LAG-equivalent deltas in deterministic (ts, event_id) order,
+    int64 with a null first gap per user."""
+    from geoflow.ops.timeseries import interarrival_gaps
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return interarrival_gaps(ds)
+
+
+def q_cusum(sf_dir: str):
+    """One-sided CUSUM drift statistic over per-event-type daily
+    counts (ops/timeseries.py cusum_counts — Page 1954): clamp
+    recursion expressed as the prefix-sum-minus-running-min identity
+    so the SQL twin needs only two window passes; all int64."""
+    from geoflow.ops.timeseries import cusum_counts
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return cusum_counts(ds)
 
 
 def q_readability(sf_dir: str):
@@ -5544,6 +5602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation": q_cocitation,
         "url_templates": q_url_templates,
         "seed_distance": q_seed_distance,
+        "sssp_weighted": q_sssp_weighted,
         "kcore": q_kcore,
         "label_prop": q_label_prop,
         "link_predict": q_link_predict,
@@ -5630,6 +5689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_fences": q_code_fences,
         "moving_counts": q_moving_counts,
         "count_anomalies": q_count_anomalies,
+        "interarrival": q_interarrival,
+        "cusum": q_cusum,
         "readability": q_readability,
         "props_extract": q_props_extract,
     }
@@ -5868,6 +5929,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_oracle_sql(),
         "trustrank": trustrank_oracle_sql(),
         "seed_distance": _seed_distance_oracle(),
+        "sssp_weighted": _sssp_weighted_oracle(),
         "kcore": _kcore_oracle(),
         "label_prop": _label_prop_oracle(),
         "link_predict": _link_predict_oracle(),
@@ -7850,6 +7912,38 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS n_window
             FROM c""",
+        "interarrival": """
+            SELECT user_id, event_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                     AS gap_us
+            FROM events""",
+        "cusum": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY event_type, day),
+            r AS (
+              SELECT event_type, n_events,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY n_events) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM c),
+            med AS (SELECT event_type, n_events AS med
+                    FROM r WHERE rn = (n - 1) // 2 + 1),
+            p AS (
+              SELECT c.event_type, c.day, c.n_events, med.med,
+                     CAST(SUM(c.n_events - med.med) OVER (
+                       PARTITION BY c.event_type ORDER BY c.day)
+                       AS BIGINT) AS pref
+              FROM c JOIN med USING (event_type))
+            SELECT event_type, day, n_events, med,
+                   pref - LEAST(CAST(0 AS BIGINT),
+                                MIN(pref) OVER (
+                                  PARTITION BY event_type
+                                  ORDER BY day)) AS cusum
+            FROM p""",
         "count_anomalies": """
             WITH c AS (
               SELECT event_type,

@@ -55,7 +55,8 @@ def _collect_nodes(edges, cols) -> np.ndarray:
 def seed_distances(edges, seeds, max_hops: int = 4,
                    src_col: str = "src", dst_col: str = "dst",
                    undirected: bool = False, mode: str = "broadcast",
-                   max_broadcast_nodes: int = 50_000_000):
+                   max_broadcast_nodes: int = 50_000_000,
+                   weight_col: str | None = None):
     """(node, dist) hop distance from the seed set along edges, for
     every endpoint reached within ``max_hops`` (seeds are dist 0).
     ``seeds`` is an int array-like of node keys. Unreached endpoints
@@ -64,6 +65,11 @@ def seed_distances(edges, seeds, max_hops: int = 4,
     dist_{t+1}(v) = min(dist_t(v), 1 + min over in-neighbors' dist_t)
     — integer min-plus relaxation; round results are order-independent,
     so the output hash-matches ``seed_distance_oracle_sql``.
+
+    With ``weight_col`` set (integer edge weights ≥ 0) the relaxation
+    is Bellman-Ford: dist_t(u) + w(u,v); ``max_hops`` is then the
+    round count (|V|-1 rounds give exact SSSP; fewer give the
+    documented fixed-round prefix the oracle unrolls identically).
     """
     import ray
     import ray.data
@@ -73,14 +79,20 @@ def seed_distances(edges, seeds, max_hops: int = 4,
     seeds = np.unique(np.asarray(seeds, dtype=np.int64))
     if mode == "join":
         return _seed_distances_join(edges, seeds, max_hops,
-                                    src_col, dst_col, undirected)
+                                    src_col, dst_col, undirected,
+                                    weight_col)
 
     if undirected:
         def sym(b: pa.Table) -> pa.Table:
             s = b.column(src_col).to_numpy(zero_copy_only=False)
             d = b.column(dst_col).to_numpy(zero_copy_only=False)
-            return pa.table({src_col: np.concatenate([s, d]),
-                             dst_col: np.concatenate([d, s])})
+            t = pa.table({src_col: np.concatenate([s, d]),
+                          dst_col: np.concatenate([d, s])})
+            if weight_col is not None:
+                w = b.column(weight_col).to_numpy(zero_copy_only=False)
+                t = t.append_column(weight_col,
+                                    pa.array(np.concatenate([w, w])))
+            return t
         edges = edges.map_batches(sym, batch_format="pyarrow")
     edges = edges.materialize()
 
@@ -107,7 +119,10 @@ def seed_distances(edges, seeds, max_hops: int = 4,
             if not live.any():
                 return pa.table({"node": np.empty(0, np.int64),
                                  "dist": np.empty(0, np.int64)})
-            d, cand = d[live], ds_[live] + 1
+            step = (b.column(weight_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)[live]
+                if weight_col is not None else 1)
+            d, cand = d[live], ds_[live] + step
             order = np.argsort(d, kind="stable")
             d, cand = d[order], cand[order]
             starts = np.flatnonzero(
@@ -136,7 +151,8 @@ def seed_distances(edges, seeds, max_hops: int = 4,
 
 
 def _seed_distances_join(edges, seeds, max_hops,
-                         src_col, dst_col, undirected):
+                         src_col, dst_col, undirected,
+                         weight_col=None):
     """Escape hatch past the node broadcast bound: state as a Dataset,
     one edges-join + two Min aggregates per round (distributed; pytest
     forces this path on a small graph and checks equality)."""
@@ -149,8 +165,13 @@ def _seed_distances_join(edges, seeds, max_hops,
         def sym(b: pa.Table) -> pa.Table:
             s = b.column(src_col).to_numpy(zero_copy_only=False)
             d = b.column(dst_col).to_numpy(zero_copy_only=False)
-            return pa.table({src_col: np.concatenate([s, d]),
-                             dst_col: np.concatenate([d, s])})
+            t = pa.table({src_col: np.concatenate([s, d]),
+                          dst_col: np.concatenate([d, s])})
+            if weight_col is not None:
+                w = b.column(weight_col).to_numpy(zero_copy_only=False)
+                t = t.append_column(weight_col,
+                                    pa.array(np.concatenate([w, w])))
+            return t
         edges = edges.map_batches(sym, batch_format="pyarrow")
     edges = edges.materialize()
 
@@ -162,9 +183,11 @@ def _seed_distances_join(edges, seeds, max_hops,
         if "__dist" not in b.schema.names or b.num_rows == 0:
             return pa.table({"node": np.empty(0, np.int64),
                              "dist": np.empty(0, np.int64)})
+        step = (b.column(weight_col)
+                if weight_col is not None else 1)
         return pa.table({
             "node": b.column(dst_col),
-            "dist": pa.compute.add(b.column("__dist"), 1)})
+            "dist": pa.compute.add(b.column("__dist"), step)})
 
     state = ray.data.from_arrow(pa.table({
         "node": seeds, "dist": np.zeros(len(seeds), np.int64)}))
@@ -190,11 +213,14 @@ def _seed_distances_join(edges, seeds, max_hops,
 
 
 def seed_distance_oracle_sql(edges_sql: str, seeds_sql: str,
-                             max_hops: int = 4) -> str:
+                             max_hops: int = 4,
+                             weighted: bool = False) -> str:
     """Unrolled-CTE DuckDB oracle for ``seed_distances`` (directed).
-    ``edges_sql`` must define a relation with (src, dst);
+    ``edges_sql`` must define a relation with (src, dst) — plus an
+    integer ``w`` when ``weighted`` (Bellman-Ford rounds);
     ``seeds_sql`` one with (node). Generated from the same round
     structure as the kernel so the two cannot drift."""
+    step = "e.w" if weighted else "1"
     parts = [f"WITH e AS MATERIALIZED ({edges_sql}),",
              f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist"
              f" FROM ({seeds_sql}))"]
@@ -204,7 +230,7 @@ d{t} AS MATERIALIZED (
   SELECT node, MIN(dist) AS dist FROM (
     SELECT node, dist FROM d{t - 1}
     UNION ALL
-    SELECT e.dst AS node, p.dist + 1 AS dist
+    SELECT e.dst AS node, p.dist + {step} AS dist
     FROM e JOIN d{t - 1} p ON p.node = e.src
   ) GROUP BY node
 )""")

@@ -103,3 +103,79 @@ def count_anomalies(ds, key_col: str = "event_type",
 
     return daily.groupby(key_col).map_groups(flag,
                                              batch_format="pyarrow")
+
+
+def interarrival_gaps(ds, key_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id"):
+    """Per-key inter-event gaps: each event annotated with
+    ``gap_us`` = microseconds since the key's previous event in
+    (ts, id) order (null for the key's first event) — the
+    burst-detection / bot-signal primitive. Exactly SQL
+    ``epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY key
+    ORDER BY ts, id)``; the (ts, id) composite makes the order (and
+    so the gaps) deterministic under same-timestamp events.
+
+    Shape: one groupby(key).map_groups, group size = events per key;
+    inside the group a lexsort + one vectorized diff."""
+
+    def gaps(group: pa.Table) -> pa.Table:
+        t = (group.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        i = group.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, t))
+        t, i = t[order], i[order]
+        gap = np.empty(len(t), np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        arr = pa.array(gap, pa.int64(),
+                       mask=np.r_[True, np.zeros(len(t) - 1, bool)])
+        return pa.table({
+            key_col: group.column(key_col).take(
+                pa.array(order, pa.int64())),
+            id_col: pa.array(i), "gap_us": arr})
+
+    return ds.groupby(key_col).map_groups(gaps, batch_format="pyarrow")
+
+
+def cusum_counts(ds, key_col: str = "event_type", ts_col: str = "ts"):
+    """One-sided CUSUM drift statistic over the per-key daily count
+    series (Page 1954): reference = the key's discrete median daily
+    count (0-based sorted index (n-1)//2), d_t = count_t - med,
+    s_t = max(0, s_{t-1} + d_t). Computed via the prefix-sum identity
+    s_t = P_t - min(0, min_{j<=t} P_j) — which is how the SQL oracle
+    expresses it with two window passes (no recursion). All int64,
+    hash-exact.
+
+    Shape: the (key, day) groupby then one map_groups per key
+    (group size = day span); cumsum + minimum.accumulate inside."""
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        t = (batch.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({key_col: batch.column(key_col),
+                         "day": pa.array(t // US_PER_DAY)})
+
+    daily = (ds.map_batches(to_day, batch_format="pyarrow")
+             .groupby([key_col, "day"]).count())
+
+    def cusum(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day)
+        day, cnt = day[order], cnt[order]
+        n = len(cnt)
+        med = int(np.sort(cnt)[(n - 1) // 2])
+        pref = np.cumsum(cnt - med)
+        floor = np.minimum(np.minimum.accumulate(pref), 0)
+        return pa.table({
+            key_col: group.column(key_col).take(
+                pa.array(order, pa.int64())),
+            "day": pa.array(day),
+            "n_events": pa.array(cnt),
+            "med": pa.array(np.full(n, med, np.int64)),
+            "cusum": pa.array(pref - floor)})
+
+    return daily.groupby(key_col).map_groups(cusum,
+                                             batch_format="pyarrow")

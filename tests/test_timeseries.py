@@ -63,3 +63,35 @@ def test_count_anomalies_even_n_lower_median():
     # devs [0, 2] -> MAD at idx 0 = 0; day1 dev 2 > 0 -> anomaly
     assert out.mad.tolist() == [0, 0]
     assert out.is_anomaly.tolist() == [0, 1]
+
+
+def test_interarrival_gaps_order_and_nulls():
+    from geoflow.ops.timeseries import interarrival_gaps
+    # user 1: events at t=10,10,40 (same-ts pair ordered by event_id);
+    # user 2: single event -> null gap only.
+    ts = pa.array(np.array([10, 40, 10, 7], np.int64)
+                  .astype("datetime64[us]"), pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([5, 9, 2, 3], pa.int64()), "ts": ts}))
+    out = interarrival_gaps(ds).to_pandas().sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+    assert out.event_id.tolist() == [2, 5, 9, 3]
+    g = out.gap_us.tolist()
+    assert np.isnan(g[0]) and g[1] == 0 and g[2] == 30
+    assert np.isnan(g[3])
+
+
+def test_cusum_clamp_identity():
+    from geoflow.ops.timeseries import cusum_counts
+    # daily counts: d0..d6 = 2,2,2,1,1,5,2 -> med=2,
+    # d = 0,0,0,-1,-1,3,0; clamped CUSUM = 0,0,0,0,0,3,3
+    counts = [2, 2, 2, 1, 1, 5, 2]
+    days = np.repeat(np.arange(7, dtype=np.int64), counts)
+    ts = pa.array((days * US_PER_DAY + 3).astype("datetime64[us]"),
+                  pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * len(days)), "ts": ts}))
+    out = cusum_counts(ds).to_pandas().sort_values("day")
+    assert out.med.tolist() == [2] * 7
+    assert out.cusum.tolist() == [0, 0, 0, 0, 0, 3, 3]

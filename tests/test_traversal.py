@@ -104,3 +104,39 @@ def test_kcore_fixed_round_prefix(ray_session):
     assert set(got1) == {1, 2, 3, 4}
     # full peel: nothing is a 2-core
     assert _core(_edges(src, dst), 2, rounds=8) == {}
+
+
+def _wedges(src, dst, w):
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "src": np.asarray(src, dtype=np.int64),
+        "dst": np.asarray(dst, dtype=np.int64),
+        "w": np.asarray(w, dtype=np.int64)}))
+
+
+def test_weighted_sssp_prefers_longer_cheaper_path(ray_session):
+    # 0->2 direct w=10; 0->1->2 w=2+3=5: Bellman-Ford picks 5 after
+    # 2 rounds (round 1 still reports the direct 10 for node 2).
+    e = _wedges([0, 0, 1], [2, 1, 2], [10, 2, 3])
+    assert _dists(e, [0], max_hops=1, weight_col="w") == \
+        {0: 0, 1: 2, 2: 10}
+    assert _dists(e, [0], max_hops=2, weight_col="w") == \
+        {0: 0, 1: 2, 2: 5}
+
+
+def test_weighted_sssp_join_mode_matches_broadcast(ray_session):
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 30, 120)
+    dst = rng.randint(0, 30, 120)
+    w = rng.randint(0, 9, 120) + 1
+    e = _wedges(src, dst, w)
+    a = _dists(e, [0, 5], max_hops=5, weight_col="w")
+    b = _dists(e, [0, 5], max_hops=5, weight_col="w", mode="join")
+    assert a == b
+
+
+def test_weighted_sssp_undirected_symmetry(ray_session):
+    e = _wedges([0, 1], [1, 2], [4, 6])
+    got = _dists(e, [2], max_hops=3, weight_col="w",
+                 undirected=True)
+    assert got == {2: 0, 1: 6, 0: 10}
