@@ -3058,6 +3058,27 @@ def q_tile_pyramid(sf_dir: str):
     return pyramid_counts(_doc_points_ds(sf_dir))
 
 
+def q_ripley_k(sf_dir: str):
+    """Ripley's K pair counts over the synthetic doc point field
+    (ops/spatialstats.py ripley_pair_counts): ordered pairs within
+    r ∈ {100,200,400,800} centi-degrees on the INTEGER centi-coord
+    plane (cx=(doc_id*7919)%36000, cy=(doc_id*104729)%17000) — every
+    distance compare exact int64; ghost-zone 3×3 cell replication
+    co-locates each pair exactly once. The float K estimate is one
+    client-side op."""
+    from geoflow.ops.spatialstats import ripley_pair_counts
+
+    def coords(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"doc_id": i, "cx": (i * 7919) % 36000,
+                         "cy": (i * 104729) % 17000})
+
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        coords, batch_format="pyarrow")
+    return ripley_pair_counts(pts, [100, 200, 400, 800])
+
+
 def q_getis_ord(sf_dir: str):
     """Getis-Ord Gi* hot-spot ingredients per z8 tile
     (ops/spatialstats.py getis_ord_tiles): queen-contiguity local sums
@@ -3183,6 +3204,19 @@ def q_edit_distance(sf_dir: str):
     from geoflow.text.editdist import pair_edit_distances
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return pair_edit_distances(docs, prefix_chars=200)
+
+
+def q_damerau(sf_dir: str):
+    """Unrestricted Damerau-Levenshtein distance between consecutive
+    documents' first 32 chars (text/editdist.py damerau_batch —
+    Lowrance-Wagner; typo-tolerant near-dup verifier), value-gated
+    against DuckDB's damerau_levenshtein() (byte semantics,
+    transposed substrings editable — fuzz-verified). Full-H DP with
+    scalar i/j loops and vector-across-pairs cell updates; pairs
+    co-located by ONE hash join."""
+    from geoflow.text.editdist import pair_damerau_distances
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pair_damerau_distances(docs, prefix_chars=32)
 
 
 def q_idw_tiles(sf_dir: str):
@@ -5680,12 +5714,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "getis_ord": q_getis_ord,
+        "ripley_k": q_ripley_k,
         "node2vec_walks": q_node2vec_walks,
         "curve_keys": q_curve_keys,
         "transitions": q_transitions,
         "hyperball": q_hyperball,
         "idw_tiles": q_idw_tiles,
         "edit_distance": q_edit_distance,
+        "damerau": q_damerau,
         "code_fences": q_code_fences,
         "moving_counts": q_moving_counts,
         "count_anomalies": q_count_anomalies,
@@ -7880,6 +7916,23 @@ def oracle_sql() -> dict[str, str]:
               ON a.walk_id = b.walk_id AND a.step <> b.step
              AND abs(a.step - b.step) <= 2
             GROUP BY center, context""",
+        "ripley_k": """
+            WITH p AS (
+              SELECT doc_id, (doc_id * 7919) % 36000 AS cx,
+                     (doc_id * 104729) % 17000 AS cy
+              FROM documents),
+            pr AS MATERIALIZED (
+              SELECT (a.cx - b.cx) * (a.cx - b.cx)
+                   + (a.cy - b.cy) * (a.cy - b.cy) AS d2
+              FROM p a JOIN p b ON a.doc_id <> b.doc_id
+              WHERE (a.cx - b.cx) * (a.cx - b.cx)
+                  + (a.cy - b.cy) * (a.cy - b.cy) <= 800 * 800),
+            rr AS (SELECT unnest([100, 200, 400, 800]) AS r)
+            SELECT rr.r AS r,
+                   CAST(COUNT(pr.d2) AS BIGINT) AS n_pairs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_points
+            FROM rr LEFT JOIN pr ON pr.d2 <= rr.r * rr.r
+            GROUP BY rr.r""",
         "getis_ord": """
             WITH b AS MATERIALIZED (
               SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS c FROM (
@@ -7998,6 +8051,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT k, CAST(1 AS BIGINT), '',
                    'plain ' || CAST(k*11%89 AS VARCHAR) || chr(10)
             FROM d WHERE k % 3 = 1""",
+        "damerau": """
+            SELECT a.doc_id,
+                   CAST(damerau_levenshtein(substr(a.text, 1, 32),
+                                            substr(b.text, 1, 32))
+                     AS BIGINT) AS dl
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id + 1""",
         "edit_distance": """
             SELECT a.doc_id,
                    CAST(levenshtein(substr(a.text, 1, 200),

@@ -235,3 +235,98 @@ def getis_ord_tiles(ds, x_col: str = "x", y_col: str = "y",
         "w_i": w,
         "n_tiles": np.full(n, n, np.int64),
         "total": np.full(n, total, np.int64)}))
+
+
+def ripley_pair_counts(ds, radii, x_col: str = "cx",
+                       y_col: str = "cy", id_col: str = "doc_id"):
+    """Ripley's K ingredient counts (Ripley 1976): for each radius r
+    in ``radii``, the number of ORDERED point pairs (i != j) with
+    (x_i-x_j)² + (y_i-y_j)² <= r² — coordinates and radii must be
+    INTEGERS (e.g. centi-degrees), so every compare is exact int64.
+    The K estimate Â·pairs/(n(n-1)) is one client-side float op.
+
+    Shape (ghost-zone pattern): grid cell = max(radii); every point
+    lands once as a HOME row in its own cell and 9× as a PROBE row in
+    the cell's 3×3 neighborhood, so every within-r pair is co-located
+    in exactly one group (cell size >= r). One groupby(cell) shuffle
+    of the 10× stream, vectorized pair counting inside the group
+    (homes chunked so the distance matrix stays bounded), then a
+    driver-side sum of the per-cell partials (|radii| rows each) —
+    the morans_i collect pattern. Returns a 1-block Dataset
+    (r, n_pairs, n_points)."""
+    import ray.data
+
+    radii = np.asarray(sorted(radii), dtype=np.int64)
+    if len(radii) == 0 or radii[0] <= 0:
+        raise ValueError("radii must be positive integers")
+    cell = int(radii[-1])
+    r2 = radii * radii
+
+    def emit(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        i = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kx, ky = x // cell, y // cell
+        keys, xs, ys, ids, home = [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                keys.append((kx + dx) * (1 << 32) + (ky + dy))
+                xs.append(x)
+                ys.append(y)
+                ids.append(i)
+                home.append(np.full(len(x), 0, np.int8))
+        keys.append(kx * (1 << 32) + ky)
+        xs.append(x); ys.append(y); ids.append(i)
+        home.append(np.full(len(x), 1, np.int8))
+        return pa.table({
+            "cell_key": np.concatenate(keys),
+            "px": np.concatenate(xs), "py": np.concatenate(ys),
+            "pid": np.concatenate(ids),
+            "is_home": np.concatenate(home)})
+
+    def count(group: pa.Table) -> pa.Table:
+        h = group.column("is_home").to_numpy(
+            zero_copy_only=False).astype(bool)
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        py = group.column("py").to_numpy(zero_copy_only=False)
+        pid = group.column("pid").to_numpy(zero_copy_only=False)
+        hx, hy, hid = px[h], py[h], pid[h]
+        qx, qy, qid = px[~h], py[~h], pid[~h]
+        acc = np.zeros(len(radii), np.int64)
+        for st in range(0, len(hx), 512):
+            sl = slice(st, st + 512)
+            dx = hx[sl][:, None] - qx[None, :]
+            dy = hy[sl][:, None] - qy[None, :]
+            d2 = dx * dx + dy * dy
+            d2[hid[sl][:, None] == qid[None, :]] = np.iinfo(np.int64).max
+            acc += np.searchsorted(np.sort(d2.ravel()), r2,
+                                   side="right")
+        return pa.table({"r": pa.array(radii),
+                         "n_pairs": pa.array(acc),
+                         "n_home": pa.array(
+                             np.full(len(radii), len(hx), np.int64))})
+
+    parts = (ds.map_batches(emit, batch_format="pyarrow")
+             .groupby("cell_key").map_groups(count,
+                                             batch_format="pyarrow"))
+    tot = np.zeros(len(radii), np.int64)
+    n_points = 0
+    for blk in parts.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+        if blk.num_rows == 0 or "r" not in blk.schema.names:
+            continue
+        r = blk.column("r").to_numpy(zero_copy_only=False)
+        np_ = blk.column("n_pairs").to_numpy(zero_copy_only=False)
+        nh = blk.column("n_home").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(radii, r)
+        np.add.at(tot, idx, np_)
+        # one row per group carries r == radii[0]; blocks may merge
+        # several groups, so harvest n_home from those rows only
+        n_points += int(nh[r == radii[0]].sum())
+    return ray.data.from_arrow(pa.table({
+        "r": pa.array(radii), "n_pairs": pa.array(tot),
+        "n_points": pa.array(
+            np.full(len(radii), n_points, np.int64))}))

@@ -137,3 +137,24 @@ def test_idw_tiles_isolated_tile_omitted():
         "x": np.array([0.0, 50.0]), "y": np.array([0.0, 40.0])}))
     out = idw_tiles(ds, zoom=8, radius=2).to_pandas()
     assert len(out) == 0
+
+
+def test_ripley_pair_counts_cross_cell(ray_session):
+    import ray
+
+    from geoflow.ops.spatialstats import ripley_pair_counts
+
+    # max radius 10 -> cell 10. Points 9 and 11 straddle a cell
+    # border 2 apart (the ghost-zone must co-locate them exactly
+    # once per direction); 30 is isolated; 9 & 9 duplicate coords of
+    # DISTINCT ids must count (id-based self-exclusion, not d2==0).
+    pts = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "cx": pa.array([9, 11, 30, 9], pa.int64()),
+        "cy": pa.array([0, 0, 0, 0], pa.int64())})
+    out = ripley_pair_counts(ray.data.from_arrow(pts), [1, 10]) \
+        .to_pandas().sort_values("r")
+    assert out.n_points.tolist() == [4, 4]
+    # r=1: (1,4) dup-coord pair both directions = 2
+    # r=10: add (1,2),(2,1),(2,4),(4,2) -> 6
+    assert out.n_pairs.tolist() == [2, 6]
