@@ -3130,6 +3130,49 @@ def q_cusum(sf_dir: str):
     return cusum_counts(ds)
 
 
+def q_freq_pairs(sf_dir: str):
+    """Frequent event-type PAIRS per user basket
+    (ops/itemsets.py frequent_pairs — apriori level-2 counting):
+    distinct items inside one basket group, sorted-combination
+    fan-out, one pair groupby; integer supports, min_support=2."""
+    from geoflow.ops.itemsets import frequent_pairs
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return frequent_pairs(ds, min_support=2)
+
+
+def q_freq_triples(sf_dir: str):
+    """Frequent event-type TRIPLES per user basket
+    (ops/itemsets.py frequent_triples — apriori level 3)."""
+    from geoflow.ops.itemsets import frequent_triples
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return frequent_triples(ds, min_support=2)
+
+
+def q_areal_interp(sf_dir: str):
+    """Areal-weighted interpolation (ops/areal.py — Goodchild & Lam
+    1980): customer source rectangles (integer corners/weights from
+    c_custkey modular arithmetic) redistributed onto a broadcast
+    10×10 target grid; per-source integer floor contributions summed
+    by ONE groupby — est_units hash-match the SQL pair floors."""
+    from geoflow.ops.areal import areal_interpolate
+
+    def rects(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x0, y0 = (k * 13) % 1000, (k * 29) % 1000
+        return pa.table({"x0": x0, "y0": y0,
+                         "x1": x0 + 5 + k % 17, "y1": y0 + 5 + k % 13,
+                         "value": 100 + k % 900})
+
+    src = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        rects, batch_format="pyarrow")
+    g = np.arange(100, dtype=np.int64)
+    targets = pa.table({
+        "target_id": g, "x0": (g // 10) * 100, "y0": (g % 10) * 100,
+        "x1": (g // 10) * 100 + 100, "y1": (g % 10) * 100 + 100})
+    return areal_interpolate(src, targets)
+
+
 def q_readability(sf_dir: str):
     """Flesch readability ingredients per document
     (text/analysis.py readability_batch): integer word / vowel-run /
@@ -5727,6 +5770,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_anomalies": q_count_anomalies,
         "interarrival": q_interarrival,
         "cusum": q_cusum,
+        "freq_pairs": q_freq_pairs,
+        "freq_triples": q_freq_triples,
+        "areal_interp": q_areal_interp,
         "readability": q_readability,
         "props_extract": q_props_extract,
     }
@@ -7965,6 +8011,55 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS n_window
             FROM c""",
+        "freq_pairs": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type
+                        FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                AND a.event_type < b.event_type
+            GROUP BY item_a, item_b HAVING count(*) >= 2""",
+        "freq_triples": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type
+                        FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   c.event_type AS item_c,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM ut a
+            JOIN ut b ON a.user_id = b.user_id
+                      AND a.event_type < b.event_type
+            JOIN ut c ON b.user_id = c.user_id
+                      AND b.event_type < c.event_type
+            GROUP BY item_a, item_b, item_c
+            HAVING count(*) >= 2""",
+        "areal_interp": """
+            WITH src AS (
+              SELECT (c_custkey * 13) % 1000 AS x0,
+                     (c_custkey * 29) % 1000 AS y0,
+                     (c_custkey * 13) % 1000 + 5 + c_custkey % 17 AS x1,
+                     (c_custkey * 29) % 1000 + 5 + c_custkey % 13 AS y1,
+                     100 + c_custkey % 900 AS val
+              FROM customer),
+            tgt AS (
+              SELECT g.i AS target_id, (g.i // 10) * 100 AS tx0,
+                     (g.i % 10) * 100 AS ty0,
+                     (g.i // 10) * 100 + 100 AS tx1,
+                     (g.i % 10) * 100 + 100 AS ty1
+              FROM (SELECT unnest(range(100)) AS i) AS g),
+            pair AS (
+              SELECT tgt.target_id,
+                     (LEAST(src.x1, tgt.tx1) - GREATEST(src.x0, tgt.tx0))
+                   * (LEAST(src.y1, tgt.ty1) - GREATEST(src.y0, tgt.ty0))
+                     AS ov,
+                     (src.x1 - src.x0) * (src.y1 - src.y0) AS area,
+                     src.val AS val
+              FROM src JOIN tgt
+                ON LEAST(src.x1, tgt.tx1) > GREATEST(src.x0, tgt.tx0)
+               AND LEAST(src.y1, tgt.ty1) > GREATEST(src.y0, tgt.ty0))
+            SELECT target_id,
+                   CAST(SUM((val * ov * 1048576) // area) AS BIGINT)
+                     AS est_units
+            FROM pair GROUP BY target_id""",
         "interarrival": """
             SELECT user_id, event_id,
                    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
