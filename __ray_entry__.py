@@ -4089,6 +4089,34 @@ def q_cms_counters(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_bloom_bits(sf_dir: str):
+    """Bloom filter BIT STATE, oracle-gated (m=4096, k=5,
+    Kirsch-Mitzenmacher double splitmix64 — ops/sketches.py
+    BloomFilter): per-batch partial filters over events.user_id,
+    merged by the OR law (distinct set-bit union == one groupby);
+    DuckDB reproduces both hash chains bit-exactly
+    (_sql_mix64_chain), value-gating the membership structure behind
+    scale-path prefilters."""
+    from geoflow.ops.sketches import BloomFilter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(1 << 12, 5)
+        bf.add_keys(batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"bit_idx": pa.array(bf.set_bit_indices())})
+
+    out = _read(sf_dir, "events", ["user_id"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bit_idx").count()
+
+    def strip(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "bit_idx" not in b.schema.names:
+            return pa.table({"bit_idx": pa.array([], pa.int64())})
+        return b.select(["bit_idx"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def q_dbscan(sf_dir: str):
     """Deterministic distributed DBSCAN (geoflow.ops.clustering.dbscan —
     eps-grid 9-replication neighbor counts, core-graph connected
@@ -5595,6 +5623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
+        "bloom_bits": q_bloom_bits,
         "table_profile": q_table_profile,
         "source_profile": q_source_profile,
         "raster_codecs": q_raster_codecs,
@@ -7159,6 +7188,15 @@ def oracle_sql() -> dict[str, str]:
                    FROM r)
             SELECT event_type, reg_idx, CAST(MAX(rnk) AS BIGINT) AS reg_rank
             FROM rk GROUP BY event_type, reg_idx""",
+        "bloom_bits": f"""
+            WITH c1 AS ({_sql_mix64_chain(_SQL_UID_U64, "u", "h1",
+                                          ("u",))}),
+            c2 AS ({_sql_mix64_chain(
+                "(SELECT h1, xor(u, 11400714819323198485) AS us"
+                " FROM c1) sx", "us", "h2", ("h1",))})
+            SELECT DISTINCT CAST((h1 + g.i * h2) % 4096 AS BIGINT)
+                     AS bit_idx
+            FROM c2, (SELECT unnest(range(5)) AS i) g""",
         "cms_counters": f"""
             WITH h1 AS ({_sql_mix64_chain(_SQL_UID_U64, "u", "h")}),
             sx AS (SELECT d.i AS depth,

@@ -114,3 +114,29 @@ def test_heavy_hitters_sketch_equals_exact(ray_session):
     assert with_sketch[0] == {"token": "common", "cnt": 900}
     # rare tokens (count 1) must be pruned out
     assert all(not r["token"].startswith("rare") for r in with_sketch)
+
+
+def test_bloom_no_false_negatives_and_merge():
+    import numpy as np
+
+    from geoflow.ops.sketches import BloomFilter
+    keys = np.arange(1000, dtype=np.int64) * 7 - 3500
+    a = BloomFilter(1 << 13, 5)
+    a.add_keys(keys[:500])
+    b = BloomFilter(1 << 13, 5)
+    b.add_keys(keys[500:])
+    a.merge(b)
+    assert a.contains(keys).all()          # never a false negative
+    probe = np.arange(10_000, 40_000, dtype=np.int64)
+    assert a.contains(probe).mean() < 0.05  # n/m=0.12, k=5 -> ~0.3%
+    # set-bit indices match a scalar recount
+    assert len(a.set_bit_indices()) == int(
+        np.unpackbits(a.words.view(np.uint8)).sum())
+
+
+def test_bloom_requires_power_of_two():
+    import pytest as _pytest
+
+    from geoflow.ops.sketches import BloomFilter
+    with _pytest.raises(ValueError):
+        BloomFilter(4095, 3)
