@@ -3173,6 +3173,35 @@ def q_areal_interp(sf_dir: str):
     return areal_interpolate(src, targets)
 
 
+def q_phrase_match(sf_dir: str):
+    """Exact phrase occurrence counts (text/phrase.py phrase_counts):
+    per-document overlapping-window hits of the token sequence
+    'merge slow' under the repo token rule — one vectorized scan, no
+    shuffle; DuckDB LATERAL window indexing is the twin."""
+    from geoflow.text.phrase import phrase_counts
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return phrase_counts(ds, "merge slow")
+
+
+def q_indexed_phrase(sf_dir: str):
+    """Phrase retrieval from a PERSISTED positional inverted index
+    (text/invindex.py build_positional_index / search_phrase_index):
+    per-occurrence postings hash-partitioned by token bucket, search
+    reads only the phrase tokens' buckets and intersects position
+    sets per doc. Same 'merge slow' semantics (and SQL twin) as the
+    scan-path phrase_match — two independent engine paths, one
+    oracle."""
+    import tempfile
+
+    from geoflow.text.invindex import (build_positional_index,
+                                       search_phrase_index)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="geoflow_posidx_")
+    build_positional_index(ds, idx, n_buckets=8)
+    return search_phrase_index(idx, "merge slow")
+
+
 def q_readability(sf_dir: str):
     """Flesch readability ingredients per document
     (text/analysis.py readability_batch): integer word / vowel-run /
@@ -5802,6 +5831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_pairs": q_freq_pairs,
         "freq_triples": q_freq_triples,
         "areal_interp": q_areal_interp,
+        "phrase_match": q_phrase_match,
+        "indexed_phrase": q_indexed_phrase,
         "readability": q_readability,
         "props_extract": q_props_extract,
     }
@@ -8098,6 +8129,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((val * ov * 1048576) // area) AS BIGINT)
                      AS est_units
             FROM pair GROUP BY target_id""",
+        "phrase_match": """
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[\\p{L}\\p{N}_]+') AS t
+              FROM documents),
+            w AS (
+              SELECT doc_id
+              FROM tk, LATERAL (SELECT unnest(range(
+                     1, greatest(len(t) - 1, 0) + 1)) AS i) g
+              WHERE t[g.i] = 'merge' AND t[g.i + 1] = 'slow')
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM w GROUP BY doc_id""",
+        "indexed_phrase": """
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[\\p{L}\\p{N}_]+') AS t
+              FROM documents),
+            w AS (
+              SELECT doc_id
+              FROM tk, LATERAL (SELECT unnest(range(
+                     1, greatest(len(t) - 1, 0) + 1)) AS i) g
+              WHERE t[g.i] = 'merge' AND t[g.i + 1] = 'slow')
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM w GROUP BY doc_id""",
         "interarrival": """
             SELECT user_id, event_id,
                    epoch_us(ts) - LAG(epoch_us(ts)) OVER (

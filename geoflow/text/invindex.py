@@ -299,3 +299,95 @@ def search_keyword_index_bm25(index_dir: str, query_tokens,
     out._geoflow_keepalive = [ka, ka2]
     return out.sort(["bm25", key_col],
                     descending=[True, False]).limit(k)
+
+
+def _positional_rows(batch: pa.Table, text_col: str, key_col: str,
+                     n_buckets: int) -> pa.Table:
+    """Per-OCCURRENCE posting rows (bucket, th, pos, key): pos is the
+    token's index within its document — the phrase-query layer. No
+    doclen sentinels (phrase search needs none)."""
+    flat, parent = tokenize(batch.column(text_col))
+    th = hash64(flat).view(np.int64)
+    # position within doc: running index reset at parent change
+    # (parent is nondecreasing from list_parent_indices)
+    starts = np.r_[0, np.flatnonzero(np.diff(parent)) + 1]
+    pos = (np.arange(len(parent), dtype=np.int64)
+           - np.repeat(starts, np.diff(np.r_[starts, len(parent)])))
+    bucket = (th.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+    keys = pc.take(batch.column(key_col), pa.array(parent))
+    return pa.table({"bucket": pa.array(bucket), "th": pa.array(th),
+                     "pos": pa.array(pos), key_col: keys})
+
+
+def build_positional_index(ds, index_dir: str, text_col: str = "text",
+                           key_col: str = "doc_id",
+                           n_buckets: int = 16) -> dict:
+    """Positional inverted index: ONE map pass + the hash-partitioned
+    parquet write (same layout discipline as build_keyword_index;
+    per-occurrence rows, so ~doc-length× larger — the standard
+    phrase-index cost)."""
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(
+        lambda b: _positional_rows(b, text_col, key_col, n_buckets),
+        batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "postings"),
+        partition_cols=["bucket"])
+    meta = {"n_buckets": int(n_buckets), "key_col": key_col,
+            "positional": True}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def search_phrase_index(index_dir: str, phrase: str):
+    """(key, n_hits) of documents containing the consecutive token
+    sequence, from a build_positional_index artifact: reads ONLY the
+    phrase tokens' bucket directories (partition pruning), filters to
+    the exact hashes, then one groupby(key) intersects position sets
+    (start+j ∈ positions(token_j)) — overlapping windows count, the
+    exact semantics of text/phrase.phrase_counts."""
+    import ray.data
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    key_col = meta["key_col"]
+    ph_flat, _ = tokenize(pa.array([phrase]))
+    p = hash64(ph_flat).view(np.int64)
+    m = len(p)
+    if m == 0:
+        raise ValueError("phrase has no tokens")
+    buckets = sorted({int(h % np.uint64(meta["n_buckets"]))
+                      for h in p.view(np.uint64)})
+    files = []
+    for b in buckets:
+        d = os.path.join(index_dir, "postings", f"bucket={b}")
+        files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(files, columns=["th", "pos", key_col])
+
+    want = np.sort(np.unique(p))
+
+    def prune(b: pa.Table) -> pa.Table:
+        th = b.column("th").to_numpy(zero_copy_only=False)
+        i = np.searchsorted(want, th).clip(0, len(want) - 1)
+        return b.filter(pa.array(want[i] == th))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+
+    def hits(group: pa.Table) -> pa.Table:
+        th = group.column("th").to_numpy(zero_copy_only=False)
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        start = np.sort(pos[th == p[0]])
+        for j in range(1, m):
+            if len(start) == 0:
+                break
+            pj = pos[th == p[j]]
+            start = start[np.isin(start + j, pj)]
+        if len(start) == 0:
+            return pa.table({key_col: group.column(key_col).slice(0, 0),
+                             "n_hits": pa.array([], pa.int64())})
+        return pa.table({key_col: group.column(key_col).slice(0, 1),
+                         "n_hits": pa.array([len(start)], pa.int64())})
+
+    return pruned.groupby(key_col).map_groups(hits,
+                                              batch_format="pyarrow")
