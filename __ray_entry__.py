@@ -4119,20 +4119,21 @@ def q_cms_counters(sf_dir: str):
 
 
 def q_bloom_bits(sf_dir: str):
-    """Bloom filter BIT STATE, oracle-gated (m=4096, k=5,
-    Kirsch-Mitzenmacher double splitmix64 — ops/sketches.py
-    BloomFilter): per-batch partial filters over events.user_id,
-    merged by the OR law (distinct set-bit union == one groupby);
-    DuckDB reproduces both hash chains bit-exactly
-    (_sql_mix64_chain), value-gating the membership structure behind
-    scale-path prefilters."""
-    from geoflow.ops.sketches import BloomFilter
+    """Bloom filter BIT STATE, oracle-gated (m=4096, k=5 —
+    ops/sketches.py BloomFilter, the engine's bloom_semi_join /
+    bloom_aggregate probe structure): per-batch partial filters over
+    events.user_id merged by the OR law (distinct set-bit union ==
+    one groupby); DuckDB reproduces h1 = mix64(u) and
+    h2 = mix64(h1)|1 bit-exactly (_sql_mix64_chain), value-gating the
+    membership sketch behind the scale-path semi-joins."""
+    from geoflow.ops.sketches import (BloomFilter, _column_hashes,
+                                      bloom_set_bit_indices)
 
     def partial(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(1 << 12, 5)
-        bf.add_keys(batch.column("user_id").to_numpy(
-            zero_copy_only=False).astype(np.int64))
-        return pa.table({"bit_idx": pa.array(bf.set_bit_indices())})
+        bf = BloomFilter(4096, 5)
+        bf.add_hashes(_column_hashes(batch.column("user_id")))
+        return pa.table({"bit_idx": pa.array(
+            bloom_set_bit_indices(bf.bits))})
 
     out = _read(sf_dir, "events", ["user_id"]) \
         .map_batches(partial, batch_format="pyarrow") \
@@ -5652,7 +5653,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
-        "bloom_bits": q_bloom_bits,
         "table_profile": q_table_profile,
         "source_profile": q_source_profile,
         "raster_codecs": q_raster_codecs,
@@ -5835,6 +5835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexed_phrase": q_indexed_phrase,
         "readability": q_readability,
         "props_extract": q_props_extract,
+        "bloom_bits": q_bloom_bits,
     }
 
 
@@ -7220,14 +7221,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, reg_idx, CAST(MAX(rnk) AS BIGINT) AS reg_rank
             FROM rk GROUP BY event_type, reg_idx""",
         "bloom_bits": f"""
-            WITH c1 AS ({_sql_mix64_chain(_SQL_UID_U64, "u", "h1",
-                                          ("u",))}),
-            c2 AS ({_sql_mix64_chain(
-                "(SELECT h1, xor(u, 11400714819323198485) AS us"
-                " FROM c1) sx", "us", "h2", ("h1",))})
+            WITH c1 AS ({_sql_mix64_chain(_SQL_UID_U64, "u", "h1")}),
+            c2 AS ({_sql_mix64_chain("c1", "h1", "hh", ("h1",))}),
+            c3 AS (SELECT h1, hh - (hh % 2) + 1 AS h2 FROM c2)
             SELECT DISTINCT CAST((h1 + g.i * h2) % 4096 AS BIGINT)
                      AS bit_idx
-            FROM c2, (SELECT unnest(range(5)) AS i) g""",
+            FROM c3, (SELECT unnest(range(5)) AS i) g""",
         "cms_counters": f"""
             WITH h1 AS ({_sql_mix64_chain(_SQL_UID_U64, "u", "h")}),
             sx AS (SELECT d.i AS depth,

@@ -375,58 +375,12 @@ def bloom_aggregate(col: str, m_bits: int = 1 << 23, k: int = 7,
                        finalize=lambda bits: bits,
                        name=name or f"bloom({col})")
 
-
-BLOOM_SALT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio constant
-
-
-class BloomFilter:
-    """Classic Bloom filter (Bloom 1970) with Kirsch-Mitzenmacher
-    double hashing: bit_i(key) = (h1 + i·h2) mod m, h1 =
-    splitmix64(key), h2 = splitmix64(key ^ BLOOM_SALT) — both
-    reproducible in SQL via the splitmix64 chain, so the SET BIT
-    PATTERN is oracle-gateable (the hll_registers/cms_counters
-    precedent). m must be a POWER OF TWO: the engine's (h1+i·h2)
-    wraps mod 2^64 in uint64 while SQL computes the exact int128 sum,
-    and the two agree under mod m only when m divides 2^64.
-
-    Bits are packed little-endian into uint64 words; merge is
-    bitwise OR (the Bloom merge law), so per-batch partials combine
-    associatively in any order. No false negatives ever; FP rate
-    ~(1-e^{-kn/m})^k."""
-
-    def __init__(self, m_bits: int = 1 << 12, k: int = 5):
-        if m_bits & (m_bits - 1):
-            raise ValueError("m_bits must be a power of two")
-        self.m = m_bits
-        self.k = k
-        self.words = np.zeros(m_bits // 64, np.uint64)
-
-    def _positions(self, keys: np.ndarray) -> np.ndarray:
-        from geoflow.text.hashing import mix64
-        u = keys.astype(np.uint64)
-        h1 = mix64(u)
-        h2 = mix64(u ^ BLOOM_SALT)
-        i = np.arange(self.k, dtype=np.uint64)
-        return ((h1[:, None] + i[None, :] * h2[:, None])
-                % np.uint64(self.m))
-
-    def add_keys(self, keys: np.ndarray) -> None:
-        pos = self._positions(np.asarray(keys)).ravel()
-        np.bitwise_or.at(self.words, (pos >> np.uint64(6)),
-                         np.uint64(1) << (pos & np.uint64(63)))
-
-    def contains(self, keys: np.ndarray) -> np.ndarray:
-        pos = self._positions(np.asarray(keys))
-        hit = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
-               >> (pos & np.uint64(63))) & np.uint64(1)
-        return hit.all(axis=1)
-
-    def merge(self, other: "BloomFilter") -> "BloomFilter":
-        self.words |= other.words
-        return self
-
-    def set_bit_indices(self) -> np.ndarray:
-        """Sorted int64 indices of set bits (little-endian unpack)."""
-        bits = np.unpackbits(self.words.view(np.uint8),
-                             bitorder="little")
-        return np.flatnonzero(bits).astype(np.int64)
+def bloom_set_bit_indices(bits: np.ndarray) -> np.ndarray:
+    """Sorted int64 indices of set bits in a BloomFilter bit array
+    (little-endian unpack of the uint64 words) — the oracle-gateable
+    representation of the filter state (splitmix64-in-SQL reproduces
+    both probe hashes; power-of-two m_bits required for parity, since
+    the engine's h1+i·h2 wraps mod 2^64 while SQL sums exactly, and
+    the two agree under mod m only when m divides 2^64)."""
+    flat = np.unpackbits(bits.view(np.uint8), bitorder="little")
+    return np.flatnonzero(flat).astype(np.int64)

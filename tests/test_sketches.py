@@ -116,27 +116,20 @@ def test_heavy_hitters_sketch_equals_exact(ray_session):
     assert all(not r["token"].startswith("rare") for r in with_sketch)
 
 
-def test_bloom_no_false_negatives_and_merge():
+def test_bloom_set_bit_indices_roundtrip():
     import numpy as np
+    import pyarrow as pa
 
-    from geoflow.ops.sketches import BloomFilter
-    keys = np.arange(1000, dtype=np.int64) * 7 - 3500
+    from geoflow.ops.sketches import (BloomFilter, _column_hashes,
+                                      bloom_set_bit_indices)
+    keys = pa.array(np.arange(1000, dtype=np.int64) * 7 - 3500)
     a = BloomFilter(1 << 13, 5)
-    a.add_keys(keys[:500])
-    b = BloomFilter(1 << 13, 5)
-    b.add_keys(keys[500:])
-    a.merge(b)
-    assert a.contains(keys).all()          # never a false negative
-    probe = np.arange(10_000, 40_000, dtype=np.int64)
-    assert a.contains(probe).mean() < 0.05  # n/m=0.12, k=5 -> ~0.3%
-    # set-bit indices match a scalar recount
-    assert len(a.set_bit_indices()) == int(
-        np.unpackbits(a.words.view(np.uint8)).sum())
-
-
-def test_bloom_requires_power_of_two():
-    import pytest as _pytest
-
-    from geoflow.ops.sketches import BloomFilter
-    with _pytest.raises(ValueError):
-        BloomFilter(4095, 3)
+    a.add_hashes(_column_hashes(keys))
+    assert a.contains_hashes(_column_hashes(keys)).all()
+    idx = bloom_set_bit_indices(a.bits)
+    assert len(idx) == int(np.unpackbits(a.bits.view(np.uint8)).sum())
+    # reconstruct the words from the indices: exact inverse
+    back = np.zeros_like(a.bits)
+    np.bitwise_or.at(back, idx // 64,
+                     np.uint64(1) << (idx % 64).astype(np.uint64))
+    assert np.array_equal(back, a.bits)
