@@ -58,6 +58,14 @@ BENCH_QUERIES = [
     "compress_quality", "mojibake_fix", "image_phash",
     "audio_fingerprint", "embed_int8", "html_tables", "tfidf_topk",
     "sentence_split", "lexical_diversity",
+    "gopher_repetition", "ccnet_buckets", "scc", "tile_pyramid",
+    "morans_i", "funnel", "retention", "random_walks",
+    "skipgram_pairs", "getis_ord", "node2vec_walks", "curve_keys",
+    "transitions", "hyperball", "idw_tiles", "edit_distance",
+    "code_fences", "moving_counts", "sssp_weighted", "ripley_k",
+    "damerau", "count_anomalies", "interarrival", "cusum",
+    "freq_pairs", "freq_triples", "areal_interp", "phrase_match",
+    "indexed_phrase", "readability", "props_extract", "bloom_bits",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
