@@ -3202,6 +3202,57 @@ def q_indexed_phrase(sf_dir: str):
     return search_phrase_index(idx, "merge slow")
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking pairs (join/sortneighbor.py —
+    Hernández & Stolfo 1995): global rank by the synthetic attribute
+    (doc_id*7919)%36000 via range buckets + driver offsets (never a
+    single-group sort), window-5 candidate pairs co-located by rank
+    chunk with a b-home emission rule (each pair exactly once).
+    Hash-matches the SQL row_number self-join."""
+    from geoflow.join.sortneighbor import sorted_neighborhood_pairs
+
+    def attr(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"doc_id": i, "k": (i * 7919) % 36000})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        attr, batch_format="pyarrow")
+    return sorted_neighborhood_pairs(ds, "k", "doc_id", window=5,
+                                     bucket_width=360)
+
+
+def q_status_pivot(sf_dir: str):
+    """Order-status crosstab per customer (ops/pivot.py pivot_counts):
+    declared pivot values {P,O,F} fanned to columns via per-batch
+    partial crosstabs (combine-before-shuffle), ONE groupby-sum —
+    SQL COUNT(*) FILTER twins."""
+    from geoflow.ops.pivot import pivot_counts
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    return pivot_counts(ds, "o_custkey", "o_orderstatus",
+                        ["P", "O", "F"])
+
+
+def q_staypoints(sf_dir: str):
+    """Stay-point anchors over per-user event streams
+    (ops/staypoints.py — Li et al. 2008, per-anchor runs): synthetic
+    integer positions px=(event_id*13)%100, py=(event_id*29)%100,
+    r²=1000, 1-hour minimum dwell; first-violation run ends and int64
+    durations hash-match the SQL min-over-self-join."""
+    from geoflow.ops.staypoints import staypoint_anchors
+
+    def pos(b: pa.Table) -> pa.Table:
+        e = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": e, "ts": b.column("ts"),
+                         "px": (e * 13) % 100, "py": (e * 29) % 100})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"]) \
+        .map_batches(pos, batch_format="pyarrow")
+    return staypoint_anchors(ds)
+
+
 def q_readability(sf_dir: str):
     """Flesch readability ingredients per document
     (text/analysis.py readability_batch): integer word / vowel-run /
@@ -5833,6 +5884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "areal_interp": q_areal_interp,
         "phrase_match": q_phrase_match,
         "indexed_phrase": q_indexed_phrase,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "status_pivot": q_status_pivot,
+        "staypoints": q_staypoints,
         "readability": q_readability,
         "props_extract": q_props_extract,
         "bloom_bits": q_bloom_bits,
@@ -8154,6 +8208,51 @@ def oracle_sql() -> dict[str, str]:
               WHERE t[g.i] = 'merge' AND t[g.i + 1] = 'slow')
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
             FROM w GROUP BY doc_id""",
+        "sorted_neighborhood": """
+            WITH s AS (SELECT doc_id, (doc_id * 7919) % 36000 AS k
+                       FROM documents),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY k, doc_id) - 1
+                           AS rnk
+                  FROM s)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   b.rnk - a.rnk AS gap
+            FROM r a JOIN r b
+              ON b.rnk > a.rnk AND b.rnk < a.rnk + 5""",
+        "status_pivot": """
+            SELECT o_custkey,
+                   CAST(count(*) FILTER (o_orderstatus = 'P')
+                     AS BIGINT) AS n_P,
+                   CAST(count(*) FILTER (o_orderstatus = 'O')
+                     AS BIGINT) AS n_O,
+                   CAST(count(*) FILTER (o_orderstatus = 'F')
+                     AS BIGINT) AS n_F,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM orders GROUP BY o_custkey""",
+        "staypoints": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     (event_id * 13) % 100 AS px,
+                     (event_id * 29) % 100 AS py,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            viol AS (
+              SELECT a.user_id, a.rn, MIN(b.rn) AS stop_rn
+              FROM e a JOIN e b ON a.user_id = b.user_id
+                AND b.rn > a.rn
+                AND (a.px - b.px) * (a.px - b.px)
+                  + (a.py - b.py) * (a.py - b.py) > 1000
+              GROUP BY a.user_id, a.rn)
+            SELECT a.user_id, a.event_id,
+                   COALESCE(v.stop_rn, a.n + 1) - a.rn AS n_pts,
+                   tl.t - a.t AS dur_us,
+                   CAST(tl.t - a.t >= 3600000000 AS BIGINT) AS is_stay
+            FROM e a
+            LEFT JOIN viol v ON v.user_id = a.user_id AND v.rn = a.rn
+            JOIN e tl ON tl.user_id = a.user_id
+                     AND tl.rn = COALESCE(v.stop_rn, a.n + 1) - 1""",
         "interarrival": """
             SELECT user_id, event_id,
                    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
