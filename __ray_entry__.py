@@ -5692,6 +5692,19 @@ def entry() -> Any:
     return q_sjoin_nation(sf_dir)
 
 
+def q_textrank(sf_dir: str):
+    """Per-document TextRank keywords (text/textrank.py, Mihalcea &
+    Tarau 2004): window-2 word graphs per doc, 4 integer fixed-point
+    PageRank rounds (mass 1e12, damping 17/20) run for EVERY doc of a
+    batch simultaneously in flat numpy arrays — one stateless
+    map_batches pass, no shuffle. Top-5 tokens per doc hash-match the
+    unrolled-CTE oracle generated from the same constants."""
+    from geoflow.text.textrank import textrank_keywords
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textrank_keywords(docs, window=2, iterations=4, k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the
     # FIRST 50 entries (observed rounds 1-3). Round 3 gated entries
@@ -5890,6 +5903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q_readability,
         "props_extract": q_props_extract,
         "bloom_bits": q_bloom_bits,
+        "textrank": q_textrank,
     }
 
 
@@ -5985,6 +5999,11 @@ _LM_SIGNALS_SQL = r"""
 _SQL_UID_U64 = ("(SELECT event_type, CASE WHEN user_id < 0 "
                 f"THEN CAST(user_id AS HUGEINT) + {_SQL_U64} "
                 "ELSE CAST(user_id AS HUGEINT) END AS u FROM events) uu")
+
+
+def _textrank_oracle() -> str:
+    from geoflow.text.textrank import textrank_oracle_sql
+    return textrank_oracle_sql(window=2, iterations=4, k=5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8389,4 +8408,5 @@ def oracle_sql() -> dict[str, str]:
              AND NOT (b1.tile_x = b2.tile_x AND b1.tile_y = b2.tile_y)
             GROUP BY b1.tile_x, b1.tile_y, b1.c""".replace(
                 "{doc_pts}", doc_pts),
+        "textrank": _textrank_oracle(),
     }

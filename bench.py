@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "damerau", "count_anomalies", "interarrival", "cusum",
     "freq_pairs", "freq_triples", "areal_interp", "phrase_match",
     "indexed_phrase", "readability", "props_extract", "bloom_bits",
-    "sorted_neighborhood", "status_pivot", "staypoints",
+    "sorted_neighborhood", "status_pivot", "staypoints", "textrank",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
