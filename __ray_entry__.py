@@ -5705,6 +5705,19 @@ def q_textrank(sf_dir: str):
     return textrank_keywords(docs, window=2, iterations=4, k=5)
 
 
+def q_mann_kendall(sf_dir: str):
+    """Mann-Kendall trend ingredients over per-event-type daily counts
+    (ops/timeseries.py mann_kendall_counts — the temporal half of the
+    'emerging hot spot' pattern; getis_ord is the spatial half):
+    s_stat = Σ sign(c_j − c_i) over day-ordered pairs and the
+    tie-corrected 18·Var(S), all int64, gated vs a pairwise self-join
+    SQL oracle."""
+    from geoflow.ops.timeseries import mann_kendall_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return mann_kendall_counts(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the
     # FIRST 50 entries (observed rounds 1-3). Round 3 gated entries
@@ -5904,6 +5917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         "bloom_bits": q_bloom_bits,
         "textrank": q_textrank,
+        "mann_kendall": q_mann_kendall,
     }
 
 
@@ -8409,4 +8423,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY b1.tile_x, b1.tile_y, b1.c""".replace(
                 "{doc_pts}", doc_pts),
         "textrank": _textrank_oracle(),
+        "mann_kendall": """
+            WITH d AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY event_type, day),
+            s AS (SELECT a.event_type,
+                         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                                       WHEN b.c < a.c THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s_stat
+                  FROM d a JOIN d b ON b.event_type = a.event_type
+                                   AND b.day > a.day
+                  GROUP BY a.event_type),
+            n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+                  FROM d GROUP BY event_type),
+            ties AS (SELECT event_type,
+                            CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS t18
+                     FROM (SELECT event_type, c,
+                                  CAST(COUNT(*) AS BIGINT) AS t
+                           FROM d GROUP BY event_type, c)
+                     GROUP BY event_type)
+            SELECT n.event_type, n.n_days,
+                   COALESCE(s.s_stat, 0) AS s_stat,
+                   n.n_days*(n.n_days-1)*(2*n.n_days+5) - ties.t18
+                     AS var18
+            FROM n JOIN ties USING (event_type)
+            LEFT JOIN s USING (event_type)""",
     }

@@ -179,3 +179,62 @@ def cusum_counts(ds, key_col: str = "event_type", ts_col: str = "ts"):
 
     return daily.groupby(key_col).map_groups(cusum,
                                              batch_format="pyarrow")
+
+
+def mann_kendall_counts(ds, key_col: str = "event_type",
+                        ts_col: str = "ts"):
+    """Mann-Kendall trend test ingredients over the per-key daily
+    count series (Mann 1945 / Kendall 1975 — the temporal half of the
+    'emerging hot spot' pattern; Getis-Ord Gi* in ops/spatialstats.py
+    is the spatial half): per key,
+
+      ``s_stat``  = Σ_{i<j} sign(c_j − c_i)   (days ascending)
+      ``var18``   = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)   (= 18·Var(S),
+                    tie-corrected — Kendall 1975 eq. 4.6)
+      ``n_days``  = series length
+
+    Everything is int64 (the z-score's sqrt/division is left to the
+    client — floats never hash cross-engine), so the row set is
+    hash-exact vs a pairwise self-join SQL oracle.
+
+    Shape: the same (key, day) groupby as moving_counts collapses the
+    stream to |keys|·|days| rows, then ONE map_groups per key. The
+    sign sum is computed in column-chunked numpy broadcasts —
+    O(n²) work but n is the day span (bounded, ~years), never the
+    event count."""
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        t = (batch.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({key_col: batch.column(key_col),
+                         "day": pa.array(t // US_PER_DAY)})
+
+    daily = (ds.map_batches(to_day, batch_format="pyarrow")
+             .groupby([key_col, "day"]).count())
+
+    def mk(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cnt = cnt[np.argsort(day)]
+        n = len(cnt)
+        s = 0
+        idx = np.arange(n)
+        for j0 in range(0, n, 2048):
+            blk = cnt[j0:j0 + 2048]
+            cmp = np.sign(blk[None, :] - cnt[:, None])
+            before = idx[:, None] < (j0 + np.arange(len(blk)))[None, :]
+            s += int((cmp * before).sum())
+        _, t = np.unique(cnt, return_counts=True)
+        t = t.astype(np.int64)
+        tie18 = int((t * (t - 1) * (2 * t + 5)).sum())
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        return pa.table({
+            key_col: group.column(key_col).slice(0, 1),
+            "n_days": pa.array([n], pa.int64()),
+            "s_stat": pa.array([s], pa.int64()),
+            "var18": pa.array([var18], pa.int64())})
+
+    return daily.groupby(key_col).map_groups(mk,
+                                             batch_format="pyarrow")

@@ -95,3 +95,44 @@ def test_cusum_clamp_identity():
     out = cusum_counts(ds).to_pandas().sort_values("day")
     assert out.med.tolist() == [2] * 7
     assert out.cusum.tolist() == [0, 0, 0, 0, 0, 3, 3]
+
+
+def test_mann_kendall_known_series():
+    from geoflow.ops.timeseries import mann_kendall_counts
+    # daily counts 1,2,2,3 -> pairs: (1,2)+ (1,2)+ (1,3)+ (2,2)0
+    # (2,3)+ (2,3)+  => S = 5; ties: one group of 2 (value 2):
+    # tie18 = 2*1*9 = 18; var18 = 4*3*13 - 18 = 138
+    counts = [1, 2, 2, 3]
+    days = np.repeat(np.arange(4, dtype=np.int64), counts)
+    ts = pa.array((days * US_PER_DAY + 3).astype("datetime64[us]"),
+                  pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * len(days)), "ts": ts}))
+    out = mann_kendall_counts(ds).to_pandas()
+    assert out.n_days.tolist() == [4]
+    assert out.s_stat.tolist() == [5]
+    assert out.var18.tolist() == [138]
+
+
+def test_mann_kendall_matches_bruteforce_chunking():
+    from geoflow.ops.timeseries import mann_kendall_counts
+    # > 2048 days exercises the chunked broadcast path
+    rng = np.random.default_rng(7)
+    n = 3000
+    cnt = rng.integers(1, 4, n)
+    days = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    ts = pa.array((days * US_PER_DAY).astype("datetime64[us]"),
+                  pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * len(days)), "ts": ts}))
+    out = mann_kendall_counts(ds).to_pandas()
+    c = cnt.astype(np.int64)
+    s = int(np.sign(c[None, :] - c[:, None])[
+        np.triu_indices(n, 1)].sum())
+    _, t = np.unique(c, return_counts=True)
+    t = t.astype(np.int64)
+    var18 = n * (n - 1) * (2 * n + 5) - int(
+        (t * (t - 1) * (2 * t + 5)).sum())
+    assert out.s_stat.tolist() == [s]
+    assert out.var18.tolist() == [var18]
+    assert out.n_days.tolist() == [n]
