@@ -5718,6 +5718,50 @@ def q_mann_kendall(sf_dir: str):
     return mann_kendall_counts(ds)
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (text/cdc.py — LBFS/rsync boundary
+    rule): boundary after codepoint i iff mix64(4-gram poly) % 64 ==
+    0; one stateless map pass emits (doc_id, chunk_idx, start,
+    chunk_len, chunk_head), hash-matching a LAG-window +
+    splitmix64-in-SQL oracle."""
+    from geoflow.text.cdc import cdc_chunks
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_chunks(docs)
+
+
+def _cdc_oracle() -> str:
+    hv = """(SELECT doc_id, i, hraw FROM (
+      SELECT doc_id, g.i AS i,
+             unicode(cs[g.i]) + 257*LAG(unicode(cs[g.i]), 1) OVER w
+               + 66049*LAG(unicode(cs[g.i]), 2) OVER w
+               + 16974593*LAG(unicode(cs[g.i]), 3) OVER w AS hraw
+      FROM (SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs
+            FROM documents) ch,
+           LATERAL (SELECT unnest(range(1, len(cs) + 1))) AS g(i)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY g.i))
+      WHERE hraw IS NOT NULL) hv"""
+    return f"""
+WITH hm AS MATERIALIZED ({_sql_mix64_chain(hv, "hraw", "h",
+                                           ("doc_id", "i"))}),
+b AS MATERIALIZED (
+  SELECT doc_id, i AS e FROM hm WHERE h % 64 = 0
+  UNION
+  SELECT doc_id, length(text) FROM documents WHERE length(text) > 0),
+cku AS MATERIALIZED (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) AS chunk_idx,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+           AS start,
+         e
+  FROM b)
+SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
+       CAST(k.e - k.start + 1 AS BIGINT) AS chunk_len,
+       substr(d.text, CAST(k.start AS BIGINT),
+              LEAST(k.e - k.start + 1, 32)) AS chunk_head
+FROM cku k JOIN documents d USING (doc_id)"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the
     # FIRST 50 entries (observed rounds 1-3). Round 3 gated entries
@@ -5918,6 +5962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_bits": q_bloom_bits,
         "textrank": q_textrank,
         "mann_kendall": q_mann_kendall,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -8449,4 +8494,5 @@ def oracle_sql() -> dict[str, str]:
                      AS var18
             FROM n JOIN ties USING (event_type)
             LEFT JOIN s USING (event_type)""",
+        "cdc_chunks": _cdc_oracle(),
     }
