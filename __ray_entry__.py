@@ -2184,9 +2184,7 @@ GROUP BY f1.doc_id, f2.doc_id
 HAVING COUNT(*) >= 2"""
 
 
-def _label_prop_oracle() -> str:
-    from geoflow.graph.labelprop import label_prop_oracle_sql
-    edges = """
+_LABELPROP_EDGES_SQL = """
 SELECT d.doc_id AS src, (12 * (d.doc_id // 12) + g.r) AS dst
 FROM documents d, LATERAL (SELECT unnest(range(12))) AS g(r)
 WHERE d.doc_id < 120 AND g.r <> d.doc_id % 12
@@ -2194,7 +2192,43 @@ UNION ALL
 SELECT d.doc_id, 12 * (((d.doc_id // 12) + 3) % 10)
 FROM documents d
 WHERE d.doc_id < 120 AND d.doc_id % 12 = 0"""
-    return label_prop_oracle_sql(edges, iterations=4)
+
+
+def _label_prop_oracle() -> str:
+    from geoflow.graph.labelprop import label_prop_oracle_sql
+    return label_prop_oracle_sql(_LABELPROP_EDGES_SQL, iterations=4)
+
+
+def _modularity_oracle() -> str:
+    """Modularity ingredients of the label_prop communities over the
+    SAME planted clique+bridge graph — the label CTE is the full
+    label-propagation oracle nested as a subquery."""
+    lp = _label_prop_oracle()
+    return f"""
+WITH lp AS MATERIALIZED ({lp}),
+ue AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({_LABELPROP_EDGES_SQL}) WHERE src <> dst),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue),
+ed AS MATERIALIZED (
+  SELECT la.label AS ls, lb.label AS ld
+  FROM ue JOIN lp la ON la.node = ue.a
+          JOIN lp lb ON lb.node = ue.b),
+i AS (SELECT ls AS label, CAST(COUNT(*) AS BIGINT) AS intra
+      FROM ed WHERE ls = ld GROUP BY ls),
+dsm AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS dsum
+        FROM (SELECT ls AS label FROM ed
+              UNION ALL SELECT ld FROM ed) GROUP BY label),
+nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       FROM lp GROUP BY label)
+SELECT nn.label, nn.n_nodes,
+       COALESCE(i.intra, 0) AS intra_edges,
+       COALESCE(dsm.dsum, 0) AS degree_sum,
+       m.m AS m_edges,
+       4*m.m*COALESCE(i.intra, 0)
+         - COALESCE(dsm.dsum, 0)*COALESCE(dsm.dsum, 0) AS q_num4m2
+FROM nn CROSS JOIN m
+LEFT JOIN i USING (label) LEFT JOIN dsm USING (label)"""
 
 
 def _link_predict_oracle() -> str:
@@ -5762,6 +5796,37 @@ SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
 FROM cku k JOIN documents d USING (doc_id)"""
 
 
+def q_modularity(sf_dir: str):
+    """Partition modularity in exact integers
+    (graph/modularity.py, Newman & Girvan 2004): Q·4m² per community
+    over the label_prop clique+bridge graph labeled by 4 LPA rounds —
+    undirected-dedup groupby + broadcast label lookup + ONE
+    union-schema groupby-sum; hash-gated vs the nested
+    label-propagation oracle composed with plain SQL counts."""
+    from geoflow.graph.labelprop import label_propagation
+    from geoflow.graph.modularity import modularity_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        u = b.column("doc_id").to_numpy(zero_copy_only=False)
+        u = u[u < 120].astype(np.int64)
+        base = 12 * (u // 12)
+        src = np.repeat(u, 12)
+        r = np.tile(np.arange(12, dtype=np.int64), len(u))
+        dst = np.repeat(base, 12) + r
+        m = dst != src
+        anchors = u[u % 12 == 0]
+        return pa.table({
+            "src": np.concatenate([src[m], anchors]),
+            "dst": np.concatenate(
+                [dst[m], 12 * ((anchors // 12 + 3) % 10)])})
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    labels = label_propagation(edges, iterations=4, mode="driver")
+    return modularity_counts(edges, labels)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the
     # FIRST 50 entries (observed rounds 1-3). Round 3 gated entries
@@ -5963,6 +6028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank": q_textrank,
         "mann_kendall": q_mann_kendall,
         "cdc_chunks": q_cdc_chunks,
+        "modularity": q_modularity,
     }
 
 
@@ -8495,4 +8561,5 @@ def oracle_sql() -> dict[str, str]:
             FROM n JOIN ties USING (event_type)
             LEFT JOIN s USING (event_type)""",
         "cdc_chunks": _cdc_oracle(),
+        "modularity": _modularity_oracle(),
     }
