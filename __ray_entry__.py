@@ -5796,6 +5796,43 @@ SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
 FROM cku k JOIN documents d USING (doc_id)"""
 
 
+_HARMONIC_LANDMARKS = tuple(2 + 31 * k for k in range(8))
+
+
+def q_harmonic(sf_dir: str):
+    """Landmark harmonic centrality (graph/traversal.py
+    landmark_distances + harmonic_centrality — Eppstein & Wang 2004
+    landmark sampling): 8 fixed landmarks over the synthetic link
+    graph, 4 hops, PER-LANDMARK distances relaxed simultaneously via
+    one broadcast (L × n) matrix per round; H(v) = Σ 2^40 // d in
+    integer fixed point, hash-gated vs the single-chain
+    (landmark, node) unrolled-CTE oracle."""
+    from geoflow.graph.pagerank import synth_edges_batch
+    from geoflow.graph.traversal import harmonic_centrality
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = synth_edges_batch(
+            b.column("doc_id").to_numpy(zero_copy_only=False), n)
+        return t.select(["src", "dst"])
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    return harmonic_centrality(edges,
+                               np.array(_HARMONIC_LANDMARKS),
+                               max_hops=4)
+
+
+def _harmonic_oracle() -> str:
+    from geoflow.graph.traversal import harmonic_oracle_sql
+    edges = _SYNTH_EDGES_SQL.format(
+        n="(SELECT COUNT(*) FROM documents)", where="")
+    lms = " UNION ALL ".join(f"SELECT CAST({v} AS BIGINT) AS node"
+                             for v in _HARMONIC_LANDMARKS)
+    return harmonic_oracle_sql(edges, lms, max_hops=4)
+
+
 def q_modularity(sf_dir: str):
     """Partition modularity in exact integers
     (graph/modularity.py, Newman & Girvan 2004): Q·4m² per community
@@ -6029,6 +6066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall": q_mann_kendall,
         "cdc_chunks": q_cdc_chunks,
         "modularity": q_modularity,
+        "harmonic": q_harmonic,
     }
 
 
@@ -8562,4 +8600,5 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s USING (event_type)""",
         "cdc_chunks": _cdc_oracle(),
         "modularity": _modularity_oracle(),
+        "harmonic": _harmonic_oracle(),
     }

@@ -67,7 +67,7 @@ BENCH_QUERIES = [
     "freq_pairs", "freq_triples", "areal_interp", "phrase_match",
     "indexed_phrase", "readability", "props_extract", "bloom_bits",
     "sorted_neighborhood", "status_pivot", "staypoints", "textrank",
-    "mann_kendall", "cdc_chunks", "modularity",
+    "mann_kendall", "cdc_chunks", "modularity", "harmonic",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

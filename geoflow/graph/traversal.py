@@ -352,3 +352,180 @@ n{t} AS MATERIALIZED (SELECT n AS node FROM d{t} WHERE deg >= {k})""")
 SELECT n.node, COALESCE(d.deg, 0) AS degree
 FROM {prev} n LEFT JOIN d{rounds} d ON d.n = n.node""")
     return "".join(parts)
+
+
+# --------------------------------------------------------------------
+# landmark (per-seed) BFS distances + harmonic centrality
+# --------------------------------------------------------------------
+
+def landmark_distances(edges, landmarks, max_hops: int = 4,
+                       src_col: str = "src", dst_col: str = "dst",
+                       undirected: bool = False,
+                       max_broadcast_cells: int = 200_000_000):
+    """(landmark, node, dist) — PER-LANDMARK hop distances (unlike
+    seed_distances, which min-reduces over the whole seed set): the
+    landmark-BFS primitive of closeness/harmonic centrality (Eppstein
+    & Wang 2004 style landmark sampling). All landmarks relax
+    SIMULTANEOUSLY: the state is an (L × n_nodes) int64 matrix
+    broadcast per round, each round is one map_batches pass whose
+    per-batch kernel fancy-indexes the matrix by edge sources and
+    min-reduces per destination — L never multiplies the number of
+    passes. Unreached (landmark, node) pairs are omitted."""
+    import ray
+    import ray.data
+
+    landmarks = np.unique(np.asarray(landmarks, dtype=np.int64))
+    if undirected:
+        def sym(b: pa.Table) -> pa.Table:
+            s = b.column(src_col).to_numpy(zero_copy_only=False)
+            d = b.column(dst_col).to_numpy(zero_copy_only=False)
+            return pa.table({src_col: np.concatenate([s, d]),
+                             dst_col: np.concatenate([d, s])})
+        edges = edges.map_batches(sym, batch_format="pyarrow")
+    edges = edges.materialize()
+
+    nodes = _collect_nodes(edges, [src_col, dst_col])
+    nodes = np.unique(np.concatenate([nodes, landmarks]))
+    L, n = len(landmarks), len(nodes)
+    if L * n > max_broadcast_cells:
+        raise ValueError(
+            f"landmark_distances: {L}x{n} distance matrix exceeds "
+            f"max_broadcast_cells={max_broadcast_cells}")
+    nodes_ref = ray.put(nodes)
+    dist = np.full((L, n), UNREACHED, np.int64)
+    dist[np.arange(L), np.searchsorted(nodes, landmarks)] = 0
+
+    for _ in range(max_hops):
+        dist_ref = ray.put(dist)
+
+        def relax(b: pa.Table, _n=nodes_ref, _d=dist_ref) -> pa.Table:
+            nds = ray.get(_n)
+            dv = ray.get(_d)
+            s = b.column(src_col).to_numpy(zero_copy_only=False)
+            d = b.column(dst_col).to_numpy(zero_copy_only=False)
+            di = np.searchsorted(nds, d)
+            order = np.argsort(di, kind="stable")
+            di = di[order]
+            si = np.searchsorted(nds, s)[order]
+            starts = np.flatnonzero(np.r_[True, di[1:] != di[:-1]])
+            cand = dv[:, si]                       # (L, E)
+            live = cand != UNREACHED
+            cand = np.where(live, cand + 1, UNREACHED)
+            mins = np.minimum.reduceat(cand, starts, axis=1)
+            keep = (mins != UNREACHED).any(axis=0)
+            if not keep.any():
+                return pa.table({"l": np.empty(0, np.int64),
+                                 "node": np.empty(0, np.int64),
+                                 "dist": np.empty(0, np.int64)})
+            dsts = di[starts][keep]
+            mins = mins[:, keep]                   # (L, K)
+            K = len(dsts)
+            return pa.table({
+                "l": pa.array(np.repeat(np.arange(L, dtype=np.int64),
+                                        K)),
+                "node": pa.array(np.tile(dsts, L)),
+                "dist": pa.array(mins.ravel())})
+
+        new = dist.copy()
+        for blk in edges.map_batches(
+                relax, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            if blk.num_rows == 0 or "node" not in blk.schema.names:
+                continue
+            li = blk.column("l").to_numpy(zero_copy_only=False)
+            ni = np.searchsorted(
+                nodes, blk.column("node").to_numpy(
+                    zero_copy_only=False))
+            np.minimum.at(new, (li, ni),
+                          blk.column("dist").to_numpy(
+                              zero_copy_only=False))
+        if np.array_equal(new, dist):
+            break
+        dist = new
+
+    li, ni = np.nonzero(dist != UNREACHED)
+    return ray.data.from_arrow(pa.table({
+        "landmark": pa.array(landmarks[li]),
+        "node": pa.array(nodes[ni]),
+        "dist": pa.array(dist[li, ni])}))
+
+
+def harmonic_centrality(edges, landmarks, max_hops: int = 4,
+                        scale: int = 2 ** 40,
+                        src_col: str = "src", dst_col: str = "dst",
+                        undirected: bool = False):
+    """(node, h_units, n_reached): landmark-estimated harmonic
+    centrality H(v) = Σ_landmarks scale // d(l, v) over 0 < d ≤
+    max_hops — integer fixed point (scale // d; float Σ1/d would
+    never hash cross-engine, same trick as linkpred's resource
+    allocation). n_reached counts contributing landmarks."""
+    ld = landmark_distances(edges, landmarks, max_hops,
+                            src_col=src_col, dst_col=dst_col,
+                            undirected=undirected)
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dist" not in b.schema.names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "h_part": pa.array([], pa.int64()),
+                             "r_part": pa.array([], pa.int64())})
+        d = b.column("dist").to_numpy(zero_copy_only=False)
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        m = d > 0
+        return pa.table({"node": pa.array(node[m]),
+                         "h_part": pa.array(scale // d[m]),
+                         "r_part": pa.array(np.ones(m.sum(),
+                                                    np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = ld.map_batches(score, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("h_part"), Sum("r_part"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.schema.names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "h_units": pa.array([], pa.int64()),
+                             "n_reached": pa.array([], pa.int64())})
+        return pa.table({
+            "node": b.column("node"),
+            "h_units": b.column("sum(h_part)"),
+            "n_reached": b.column("sum(r_part)")})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def landmark_distance_oracle_sql(edges_sql: str, landmarks_sql: str,
+                                 max_hops: int = 4) -> str:
+    """Unrolled-CTE oracle for ``landmark_distances``: ONE chain over
+    (landmark, node) pairs — each round relaxes every landmark's
+    frontier in the same GROUP BY (mirroring the kernel's matrix
+    relaxation). ``landmarks_sql`` defines a relation with (node)."""
+    parts = [f"WITH e AS MATERIALIZED ({edges_sql}),",
+             f"p0 AS (SELECT node AS landmark, node,"
+             f" CAST(0 AS BIGINT) AS dist FROM ({landmarks_sql}))"]
+    for t in range(1, max_hops + 1):
+        parts.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT landmark, node, MIN(dist) AS dist FROM (
+    SELECT landmark, node, dist FROM p{t - 1}
+    UNION ALL
+    SELECT p.landmark, e.dst AS node, p.dist + 1 AS dist
+    FROM e JOIN p{t - 1} p ON p.node = e.src
+  ) GROUP BY landmark, node
+)""")
+    parts.append(f"\nSELECT landmark, node, dist FROM p{max_hops}")
+    return "".join(parts)
+
+
+def harmonic_oracle_sql(edges_sql: str, landmarks_sql: str,
+                        max_hops: int = 4, scale: int = 2 ** 40) -> str:
+    """Oracle for ``harmonic_centrality`` over the landmark-distance
+    chain."""
+    ld = landmark_distance_oracle_sql(edges_sql, landmarks_sql,
+                                      max_hops)
+    return f"""
+WITH ld AS MATERIALIZED ({ld})
+SELECT node,
+       CAST(SUM({scale} // dist) AS BIGINT) AS h_units,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM ld WHERE dist > 0 GROUP BY node"""
