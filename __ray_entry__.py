@@ -5796,6 +5796,36 @@ SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
 FROM cku k JOIN documents d USING (doc_id)"""
 
 
+def q_rendezvous(sf_dir: str):
+    """Highest-random-weight (rendezvous) shard assignment
+    (ops/sampling.py hrw_shard — Thaler & Ravishankar 1998): shard =
+    argmax over 8 shards of mix64(mix64(doc_id) ^ c_s); removing a
+    shard reassigns only its own keys (the consistent-placement /
+    resumable-output property, pytest-pinned). Hash-gated via the
+    double splitmix64-in-SQL chain."""
+    from geoflow.ops.sampling import rendezvous_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return rendezvous_shards(docs, "doc_id", n_shards=8)
+
+
+def _rendezvous_oracle() -> str:
+    cs = [(s + 1) * 0x9E3779B97F4A7C15 % (1 << 64) for s in range(8)]
+    case = " ".join(f"WHEN {s} THEN {c}" for s, c in enumerate(cs))
+    return f"""
+WITH k0 AS ({_sql_mix64_chain("documents", "doc_id", "k",
+                              ("doc_id",))}),
+sx AS (SELECT doc_id, s.i AS s,
+              xor(k, CASE s.i {case} END) AS hs
+       FROM k0, (SELECT unnest(range(8)) AS i) s),
+h2 AS ({_sql_mix64_chain("sx", "hs", "h", ("doc_id", "s"))}),
+r AS (SELECT doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY h DESC, s ASC) AS rn
+      FROM h2)
+SELECT doc_id, CAST(s AS BIGINT) AS shard FROM r WHERE rn = 1"""
+
+
 _HARMONIC_LANDMARKS = tuple(2 + 31 * k for k in range(8))
 
 
@@ -6067,6 +6097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q_cdc_chunks,
         "modularity": q_modularity,
         "harmonic": q_harmonic,
+        "rendezvous": q_rendezvous,
     }
 
 
@@ -8601,4 +8632,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_oracle(),
         "modularity": _modularity_oracle(),
         "harmonic": _harmonic_oracle(),
+        "rendezvous": _rendezvous_oracle(),
     }

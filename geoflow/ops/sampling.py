@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 __all__ = ["sample_slot", "hash_sample", "stratified_sample",
            "split_column", "order_key32", "order_key32_sql",
-           "token_budget_sample"]
+           "token_budget_sample", "hrw_shard", "rendezvous_shards"]
 
 _M32 = np.int64(1 << 32)
 _LCG_A = np.int64(69069)
@@ -215,3 +215,41 @@ def token_budget_sample(ds, source_col: str, ntok_col: str,
 
 
 _KEEP_CACHE: dict = {}
+
+
+_HRW_GAMMA = 0x9E3779B97F4A7C15  # splitmix64 gamma (public constant)
+
+
+def hrw_shard(keys, n_shards: int, salt: int = 0) -> np.ndarray:
+    """Highest-random-weight (rendezvous) shard per key (Thaler &
+    Ravishankar 1998): shard = argmax_s mix64(mix64(key + salt) ^
+    c_s) with c_s = (s+1)·GAMMA mod 2^64. Unlike ``key % S``,
+    removing one shard reassigns ONLY the keys that lived on it —
+    the resumable-output / consistent-placement property. Ties (a
+    2^-64 event) break to the LOWEST shard id, mirroring the SQL
+    (h DESC, s ASC) row-number order."""
+    from ..text.hashing import mix64
+
+    k = mix64(np.asarray(keys).astype(np.int64).view(np.uint64)
+              + np.uint64(salt))
+    best_h = np.zeros(len(k), np.uint64)
+    best_s = np.zeros(len(k), np.int64)
+    for s in range(n_shards):
+        c = np.uint64((s + 1) * _HRW_GAMMA % (1 << 64))
+        h = mix64(k ^ c)
+        upd = h > best_h
+        best_h[upd] = h[upd]
+        best_s[upd] = s
+    return best_s
+
+
+def rendezvous_shards(ds, key_col: str, n_shards: int, salt: int = 0):
+    """Append an HRW ``shard`` column — one stateless map pass."""
+    import pyarrow as _pa
+
+    def lab(batch):
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", _pa.array(hrw_shard(keys, n_shards, salt)))
+
+    return ds.map_batches(lab, batch_format="pyarrow")
