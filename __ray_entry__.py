@@ -5796,6 +5796,15 @@ SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
 FROM cku k JOIN documents d USING (doc_id)"""
 
 
+def q_geohash(sf_dir: str):
+    """Geohash cell keys per document point (cells/geohash.py,
+    precision 8): closed integer form — identical IEEE floor chains +
+    bit interleave on both engines, characters via the alphabet
+    literal; published vectors (ezs42, u4pruydqqvj) pytest-pinned."""
+    from geoflow.cells.geohash import geohash_cells
+    return geohash_cells(_doc_points_ds(sf_dir), precision=8)
+
+
 def q_rendezvous(sf_dir: str):
     """Highest-random-weight (rendezvous) shard assignment
     (ops/sampling.py hrw_shard — Thaler & Ravishankar 1998): shard =
@@ -6098,6 +6107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity": q_modularity,
         "harmonic": q_harmonic,
         "rendezvous": q_rendezvous,
+        "geohash": q_geohash,
     }
 
 
@@ -6198,6 +6208,11 @@ _SQL_UID_U64 = ("(SELECT event_type, CASE WHEN user_id < 0 "
 def _textrank_oracle() -> str:
     from geoflow.text.textrank import textrank_oracle_sql
     return textrank_oracle_sql(window=2, iterations=4, k=5)
+
+
+def _geohash_oracle_wired(doc_pts: str) -> str:
+    from geoflow.cells.geohash import geohash_oracle_sql
+    return geohash_oracle_sql(doc_pts, precision=8)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8633,4 +8648,5 @@ def oracle_sql() -> dict[str, str]:
         "modularity": _modularity_oracle(),
         "harmonic": _harmonic_oracle(),
         "rendezvous": _rendezvous_oracle(),
+        "geohash": _geohash_oracle_wired(doc_pts),
     }
