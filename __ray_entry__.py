@@ -5796,6 +5796,17 @@ SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
 FROM cku k JOIN documents d USING (doc_id)"""
 
 
+def q_autocorr(sf_dir: str):
+    """Daily-count autocorrelation ingredients per event type, lags
+    1..7 (ops/timeseries.py autocorr_counts): calendar-aligned lagged
+    products, all int64 — Pearson r is one client-side division.
+    Gated vs a day self-join SQL oracle."""
+    from geoflow.ops.timeseries import autocorr_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return autocorr_counts(ds, max_lag=7)
+
+
 def q_geohash(sf_dir: str):
     """Geohash cell keys per document point (cells/geohash.py,
     precision 8): closed integer form — identical IEEE floor chains +
@@ -6108,6 +6119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic": q_harmonic,
         "rendezvous": q_rendezvous,
         "geohash": q_geohash,
+        "autocorr": q_autocorr,
     }
 
 
@@ -8649,4 +8661,26 @@ def oracle_sql() -> dict[str, str]:
         "harmonic": _harmonic_oracle(),
         "rendezvous": _rendezvous_oracle(),
         "geohash": _geohash_oracle_wired(doc_pts),
+        "autocorr": """
+            WITH d AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY event_type, day),
+            lg AS (SELECT unnest(range(1, 8)) AS lag)
+            SELECT a.event_type, CAST(lg.lag AS BIGINT) AS lag,
+                   CAST(COUNT(b.c) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(a.c) FILTER (b.c IS NOT NULL), 0)
+                        AS BIGINT) AS sum_x,
+                   CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS sum_y,
+                   CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+                     AS sum_xy,
+                   CAST(COALESCE(SUM(a.c * a.c)
+                                 FILTER (b.c IS NOT NULL), 0)
+                        AS BIGINT) AS sum_x2,
+                   CAST(COALESCE(SUM(b.c * b.c), 0) AS BIGINT)
+                     AS sum_y2
+            FROM d a CROSS JOIN lg
+            LEFT JOIN d b ON b.event_type = a.event_type
+                         AND b.day = a.day + lg.lag
+            GROUP BY a.event_type, lg.lag""",
     }

@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     "indexed_phrase", "readability", "props_extract", "bloom_bits",
     "sorted_neighborhood", "status_pivot", "staypoints", "textrank",
     "mann_kendall", "cdc_chunks", "modularity", "harmonic",
-    "rendezvous", "geohash",
+    "rendezvous", "geohash", "autocorr",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -238,3 +238,61 @@ def mann_kendall_counts(ds, key_col: str = "event_type",
 
     return daily.groupby(key_col).map_groups(mk,
                                              batch_format="pyarrow")
+
+
+def autocorr_counts(ds, key_col: str = "event_type",
+                    ts_col: str = "ts", max_lag: int = 7):
+    """Lagged-product ingredients of the daily-count autocorrelation
+    per key: for each lag k in 1..max_lag, over the CALENDAR-aligned
+    pairs (day, day+k) where both days exist,
+
+      n_pairs, sum_x, sum_y, sum_xy, sum_x2, sum_y2   (x=count(day),
+                                                       y=count(day+k))
+
+    — every column int64 so rows hash-match a calendar self-join SQL
+    oracle; Pearson r_k is one float division left to the client
+    (floats never hash cross-engine). Shape: the (key, day) groupby
+    then one map_groups per key; alignment is a searchsorted of
+    day+k into the sorted day array — no quadratic scan."""
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        t = (batch.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({key_col: batch.column(key_col),
+                         "day": pa.array(t // US_PER_DAY)})
+
+    daily = (ds.map_batches(to_day, batch_format="pyarrow")
+             .groupby([key_col, "day"]).count())
+
+    def ac(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day)
+        day, cnt = day[order], cnt[order]
+        lags, rows = [], []
+        for k in range(1, max_lag + 1):
+            i = np.searchsorted(day, day + k)
+            ok = (i < len(day))
+            ok[ok] &= day[i[ok]] == day[ok] + k
+            x, y = cnt[ok], cnt[i[ok]]
+            lags.append(k)
+            rows.append((len(x), int(x.sum()), int(y.sum()),
+                         int((x * y).sum()), int((x * x).sum()),
+                         int((y * y).sum())))
+        n, sx, sy, sxy, sx2, sy2 = zip(*rows)
+        kv = group.column(key_col)[0].as_py()
+        return pa.table({
+            key_col: pa.array([kv] * max_lag,
+                              group.column(key_col).type),
+            "lag": pa.array(lags, pa.int64()),
+            "n_pairs": pa.array(n, pa.int64()),
+            "sum_x": pa.array(sx, pa.int64()),
+            "sum_y": pa.array(sy, pa.int64()),
+            "sum_xy": pa.array(sxy, pa.int64()),
+            "sum_x2": pa.array(sx2, pa.int64()),
+            "sum_y2": pa.array(sy2, pa.int64())})
+
+    return daily.groupby(key_col).map_groups(ac,
+                                             batch_format="pyarrow")

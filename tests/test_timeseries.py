@@ -136,3 +136,25 @@ def test_mann_kendall_matches_bruteforce_chunking():
     assert out.s_stat.tolist() == [s]
     assert out.var18.tolist() == [var18]
     assert out.n_days.tolist() == [n]
+
+
+def test_autocorr_known_series():
+    from geoflow.ops.timeseries import autocorr_counts
+    # days 0..4 with counts 1,2,3,1,2 and a GAP at day 5, day 6=4
+    counts = {0: 1, 1: 2, 2: 3, 3: 1, 4: 2, 6: 4}
+    days = np.concatenate([np.full(c, d) for d, c in counts.items()]) \
+        .astype(np.int64)
+    ts = pa.array((days * US_PER_DAY + 9).astype("datetime64[us]"),
+                  pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * len(days)), "ts": ts}))
+    out = autocorr_counts(ds, max_lag=2).to_pandas() \
+        .sort_values("lag").reset_index(drop=True)
+    # lag 1 pairs: (0,1)(1,2)(2,3)(3,4) -> x=1,2,3,1 y=2,3,1,2
+    assert out.loc[0, ["n_pairs", "sum_x", "sum_y", "sum_xy",
+                       "sum_x2", "sum_y2"]].tolist() == \
+        [4, 7, 8, 13, 15, 18]
+    # lag 2 pairs: (0,2)(1,3)(2,4)(4,6) -> x=1,2,3,2 y=3,1,2,4
+    assert out.loc[1, ["n_pairs", "sum_x", "sum_y", "sum_xy",
+                       "sum_x2", "sum_y2"]].tolist() == \
+        [4, 8, 10, 19, 18, 30]
