@@ -5796,6 +5796,41 @@ SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
 FROM cku k JOIN documents d USING (doc_id)"""
 
 
+def q_rake_candidates(sf_dir: str):
+    """RAKE candidate phrases (text/rake.py, Rose et al. 2010):
+    maximal non-stopword token runs per doc, islands found with one
+    vectorized run-start cumsum, phrases assembled via ListArray
+    offsets + binary_join. Gated vs a gaps-and-islands SQL oracle."""
+    from geoflow.text.rake import rake_candidates
+    return rake_candidates(_read(sf_dir, "documents",
+                                 ["doc_id", "text"]))
+
+
+def q_rake_scores(sf_dir: str):
+    """RAKE word scores (text/rake.py): freq = in-phrase occurrences,
+    deg = Σ containing-phrase length — the paper's two integers
+    (score = deg/freq left to the client). Per-batch bincount partials
+    → one token groupby-sum."""
+    from geoflow.text.rake import rake_word_scores
+    return rake_word_scores(_read(sf_dir, "documents", ["text"]))
+
+
+def _rake_islands_sql() -> str:
+    from geoflow.text.rake import RAKE_STOPWORDS
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return rf"""tk AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text),
+                                    '[\p{{L}}\p{{N}}_]+') AS tk
+  FROM documents),
+tok AS MATERIALIZED (
+  SELECT doc_id, g.i AS i, tk[g.i] AS tok
+  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) + 1))) AS g(i)),
+ns AS MATERIALIZED (
+  SELECT doc_id, i, tok,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM tok WHERE tok NOT IN ({stops}))"""
+
+
 def q_autocorr(sf_dir: str):
     """Daily-count autocorrelation ingredients per event type, lags
     1..7 (ops/timeseries.py autocorr_counts): calendar-aligned lagged
@@ -6120,6 +6155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous": q_rendezvous,
         "geohash": q_geohash,
         "autocorr": q_autocorr,
+        "rake_candidates": q_rake_candidates,
+        "rake_scores": q_rake_scores,
     }
 
 
@@ -8683,4 +8720,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN d b ON b.event_type = a.event_type
                          AND b.day = a.day + lg.lag
             GROUP BY a.event_type, lg.lag""",
+        "rake_candidates": f"""
+            WITH {_rake_islands_sql()}
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY MIN(i)) AS phrase_idx,
+                   string_agg(tok, ' ' ORDER BY i) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM ns GROUP BY doc_id, grp""",
+        "rake_scores": f"""
+            WITH {_rake_islands_sql()},
+            wl AS (SELECT tok,
+                          CAST(COUNT(*) OVER (PARTITION BY doc_id, grp)
+                               AS BIGINT) AS L
+                   FROM ns)
+            SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(L) AS BIGINT) AS deg
+            FROM wl GROUP BY tok""",
     }

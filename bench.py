@@ -68,7 +68,8 @@ BENCH_QUERIES = [
     "indexed_phrase", "readability", "props_extract", "bloom_bits",
     "sorted_neighborhood", "status_pivot", "staypoints", "textrank",
     "mann_kendall", "cdc_chunks", "modularity", "harmonic",
-    "rendezvous", "geohash", "autocorr",
+    "rendezvous", "geohash", "autocorr", "rake_candidates",
+    "rake_scores",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
