@@ -5796,6 +5796,79 @@ SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
 FROM cku k JOIN documents d USING (doc_id)"""
 
 
+def q_hull_extract(sf_dir: str):
+    """Per-group convex hull vertices (geom/algorithms.convex_hull —
+    Andrew's monotone chain; collinear and duplicate points dropped)
+    over planted 25-point groups: 8 octagon hull vertices + interior
+    + on-edge-collinear + duplicate classes, scale s = grp%5+1. The
+    chain starts at the lexicographically smallest vertex and walks
+    CCW, so (grp, ordinal, x, y) match the closed-form oracle rows."""
+    from geoflow.geom.algorithms import convex_hull
+    from geoflow.geom.types import LINESTRING, Geometry
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    ax = np.array([6, 4, 0, -4, -6, -4, 0, 4] + [0] * 8
+                  + [5, 2, 6, 0] + [0] * 5, np.int64)
+    ay = np.array([0, 4, 6, 4, 0, -4, -6, -4] + [0] * 8
+                  + [2, -5, 0, 6] + [0] * 5, np.int64)
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g, c = d // 25, d % 25
+        s = g % 5 + 1
+        interior = (c >= 8) & (c < 16)
+        bx = np.where(interior, (c - 8) % 3 - 1, 0)
+        by = np.where(interior, (c - 8) // 3 - 1, 0)
+        return pa.table({"grp": pa.array(g),
+                         "x": pa.array((ax[c] * s + bx).astype(
+                             np.float64)),
+                         "y": pa.array((ay[c] * s + by).astype(
+                             np.float64))})
+
+    def hull(group: pa.Table) -> pa.Table:
+        if group.num_rows != 25:      # partial tail group: skip (the
+            return pa.table({         # oracle filters the same way)
+                "grp": pa.array([], pa.int64()),
+                "ordinal": pa.array([], pa.int64()),
+                "x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64())})
+        coords = np.stack([
+            group.column("x").to_numpy(zero_copy_only=False),
+            group.column("y").to_numpy(zero_copy_only=False)], axis=1)
+        h = convex_hull(Geometry(LINESTRING, coords=coords))
+        ring = h.rings[0][:-1]
+        n = len(ring)
+        return pa.table({
+            "grp": pa.array(np.full(
+                n, group.column("grp")[0].as_py(), np.int64)),
+            "ordinal": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "x": pa.array(ring[:, 0].astype(np.int64)),
+            "y": pa.array(ring[:, 1].astype(np.int64))})
+
+    return docs.map_batches(synth, batch_format="pyarrow") \
+        .groupby("grp").map_groups(hull, batch_format="pyarrow")
+
+
+_HULL_ORACLE_SQL = """
+    WITH gs AS (
+      SELECT doc_id // 25 AS grp, (doc_id // 25) % 5 + 1 AS s
+      FROM documents GROUP BY doc_id // 25 HAVING COUNT(*) = 25),
+    o AS (SELECT unnest(range(1, 9)) AS i)
+    SELECT gs.grp, CAST(o.i AS BIGINT) AS ordinal,
+           CAST(CASE o.i WHEN 1 THEN -6*s WHEN 2 THEN -4*s
+                         WHEN 3 THEN 0    WHEN 4 THEN 4*s
+                         WHEN 5 THEN 6*s  WHEN 6 THEN 4*s
+                         WHEN 7 THEN 0    WHEN 8 THEN -4*s
+                END AS BIGINT) AS x,
+           CAST(CASE o.i WHEN 1 THEN 0    WHEN 2 THEN -4*s
+                         WHEN 3 THEN -6*s WHEN 4 THEN -4*s
+                         WHEN 5 THEN 0    WHEN 6 THEN 4*s
+                         WHEN 7 THEN 6*s  WHEN 8 THEN 4*s
+                END AS BIGINT) AS y
+    FROM gs CROSS JOIN o"""
+
+
 def q_rake_candidates(sf_dir: str):
     """RAKE candidate phrases (text/rake.py, Rose et al. 2010):
     maximal non-stopword token runs per doc, islands found with one
@@ -6157,6 +6230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr": q_autocorr,
         "rake_candidates": q_rake_candidates,
         "rake_scores": q_rake_scores,
+        "hull_extract": q_hull_extract,
     }
 
 
@@ -8737,4 +8811,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS freq,
                    CAST(SUM(L) AS BIGINT) AS deg
             FROM wl GROUP BY tok""",
+        "hull_extract": _HULL_ORACLE_SQL,
     }

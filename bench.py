@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     "sorted_neighborhood", "status_pivot", "staypoints", "textrank",
     "mann_kendall", "cdc_chunks", "modularity", "harmonic",
     "rendezvous", "geohash", "autocorr", "rake_candidates",
-    "rake_scores",
+    "rake_scores", "hull_extract",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
