@@ -5796,6 +5796,74 @@ SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
 FROM cku k JOIN documents d USING (doc_id)"""
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth (text/vocab.py): distinct-token
+    and token-total counts below doc-id thresholds — one streaming
+    pass with per-batch (token, first-doc min, per-k count) partials,
+    one token groupby, driver reduction over the vocab-bounded
+    table."""
+    from geoflow.text.vocab import vocab_growth
+    return vocab_growth(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_rfm_users(sf_dir: str):
+    """Per-user RFM (recency/frequency/monetary): recency = max event
+    epoch-us, frequency = count, monetary = Σ round-half-up integer
+    cents (floor(value·100+0.5) per row — the identical IEEE chain in
+    SQL; raw float sums never hash cross-engine). One groupby."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = (b.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"), "t": pa.array(t),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5)
+                              .astype(np.int64))})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("t"), Count(),
+                                      Sum("cents"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.schema.names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "recency_us": pa.array([], pa.int64()),
+                "frequency": pa.array([], pa.int64()),
+                "monetary_cents": pa.array([], pa.int64())})
+        return pa.table({"user_id": b.column("user_id"),
+                         "recency_us": b.column("max(t)"),
+                         "frequency": b.column("count()"),
+                         "monetary_cents": b.column("sum(cents)")})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_od_flows(sf_dir: str):
+    """Origin-destination flows between consecutive stay anchors
+    (ops/staypoints.py stay_od_flows — the trajectory-mining OD
+    matrix): same planted positions as q_staypoints, 5×5 cell grid
+    (//20); one map_groups computes stays AND trip partials, one
+    groupby-sum makes the matrix. Gated vs the staypoint oracle +
+    LEAD window."""
+    from geoflow.ops.staypoints import stay_od_flows
+
+    def pos(b: pa.Table) -> pa.Table:
+        e = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": e, "ts": b.column("ts"),
+                         "px": (e * 13) % 100, "py": (e * 29) % 100})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"]) \
+        .map_batches(pos, batch_format="pyarrow")
+    return stay_od_flows(ds)
+
+
 def q_hull_extract(sf_dir: str):
     """Per-group convex hull vertices (geom/algorithms.convex_hull —
     Andrew's monotone chain; collinear and duplicate points dropped)
@@ -6231,6 +6299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_candidates": q_rake_candidates,
         "rake_scores": q_rake_scores,
         "hull_extract": q_hull_extract,
+        "od_flows": q_od_flows,
+        "vocab_growth": q_vocab_growth,
+        "rfm_users": q_rfm_users,
     }
 
 
@@ -8812,4 +8883,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(L) AS BIGINT) AS deg
             FROM wl GROUP BY tok""",
         "hull_extract": _HULL_ORACLE_SQL,
+        "od_flows": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     (event_id * 13) % 100 AS px,
+                     (event_id * 29) % 100 AS py,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            viol AS (
+              SELECT a.user_id, a.rn, MIN(b.rn) AS stop_rn
+              FROM e a JOIN e b ON a.user_id = b.user_id
+                AND b.rn > a.rn
+                AND (a.px - b.px) * (a.px - b.px)
+                  + (a.py - b.py) * (a.py - b.py) > 1000
+              GROUP BY a.user_id, a.rn),
+            st AS (
+              SELECT a.user_id, a.rn,
+                     a.px // 20 AS cx, a.py // 20 AS cy
+              FROM e a
+              LEFT JOIN viol v ON v.user_id = a.user_id
+                              AND v.rn = a.rn
+              JOIN e tl ON tl.user_id = a.user_id
+                       AND tl.rn = COALESCE(v.stop_rn, a.n + 1) - 1
+              WHERE tl.t - a.t >= 3600000000),
+            tr AS (
+              SELECT user_id, cx AS from_cx, cy AS from_cy,
+                     LEAD(cx) OVER w AS to_cx,
+                     LEAD(cy) OVER w AS to_cy
+              FROM st WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+            SELECT from_cx, from_cy, to_cx, to_cy,
+                   CAST(COUNT(*) AS BIGINT) AS n_trips
+            FROM tr WHERE to_cx IS NOT NULL
+            GROUP BY from_cx, from_cy, to_cx, to_cy""",
+        "vocab_growth": r"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[\p{L}\p{N}_]+'))
+                       AS tok
+              FROM documents),
+            ks AS (SELECT unnest([32, 64, 128, 256, 500]) AS k)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COUNT(DISTINCT CASE WHEN doc_id < ks.k
+                                            THEN tok END) AS BIGINT)
+                     AS vocab,
+                   CAST(COUNT(CASE WHEN doc_id < ks.k THEN 1 END)
+                        AS BIGINT) AS total_tokens
+            FROM tok CROSS JOIN ks GROUP BY ks.k""",
+        "rfm_users": """
+            SELECT user_id,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS recency_us,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM events GROUP BY user_id""",
     }

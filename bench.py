@@ -69,7 +69,8 @@ BENCH_QUERIES = [
     "sorted_neighborhood", "status_pivot", "staypoints", "textrank",
     "mann_kendall", "cdc_chunks", "modularity", "harmonic",
     "rendezvous", "geohash", "autocorr", "rake_candidates",
-    "rake_scores", "hull_extract",
+    "rake_scores", "hull_extract", "od_flows", "vocab_growth",
+    "rfm_users",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
