@@ -5796,6 +5796,17 @@ SELECT k.doc_id, k.chunk_idx, CAST(k.start AS BIGINT) AS start,
 FROM cku k JOIN documents d USING (doc_id)"""
 
 
+def q_local_volume(sf_dir: str):
+    """TPC-H Q5 shape (pipelines/tpch.py local_supplier_volume):
+    revenue per ASIA nation where customer and supplier share the
+    nation, orders 1996-1998. ONE all-to-all (lineitem ⋈ filtered
+    orders hash join); customer/supplier nation keys broadcast as
+    sorted arrays; revenue as round-half-up integer cents so nation
+    sums hash-match the SQL exactly."""
+    from geoflow.pipelines.tpch import local_supplier_volume
+    return local_supplier_volume(sf_dir)
+
+
 def q_vocab_growth(sf_dir: str):
     """Heaps'-law vocabulary growth (text/vocab.py): distinct-token
     and token-total counts below doc-id thresholds — one streaming
@@ -6302,6 +6313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_flows": q_od_flows,
         "vocab_growth": q_vocab_growth,
         "rfm_users": q_rfm_users,
+        "local_volume": q_local_volume,
     }
 
 
@@ -8939,4 +8951,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
                         AS BIGINT) AS monetary_cents
             FROM events GROUP BY user_id""",
+        "local_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(floor(l.l_extendedprice
+                                       * (1.0 - l.l_discount) * 100.0
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND s.s_nationkey = c.c_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name""",
     }

@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     "mann_kendall", "cdc_chunks", "modularity", "harmonic",
     "rendezvous", "geohash", "autocorr", "rake_candidates",
     "rake_scores", "hull_extract", "od_flows", "vocab_growth",
-    "rfm_users",
+    "rfm_users", "local_volume",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
