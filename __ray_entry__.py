@@ -5807,6 +5807,62 @@ def q_local_volume(sf_dir: str):
     return local_supplier_volume(sf_dir)
 
 
+def q_kwic(sf_dir: str):
+    """Keyword-in-context concordance (text/kwic.py, Luhn 1960 KWIC):
+    every occurrence of the bm25 query terms with 3 tokens of context
+    each side — one vectorized is_in over the flat token stream +
+    gather-matrix context assembly; gated vs the LATERAL list-slice
+    SQL."""
+    from geoflow.text.kwic import kwic
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return kwic(docs, _BM25_TERMS, window=3)
+
+
+_KWIC_ORACLE_SQL = r"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text),
+                                        '[\p{L}\p{N}_]+') AS tk
+      FROM documents),
+    hits AS (
+      SELECT doc_id, g.i AS pos, tk[g.i] AS term, tk,
+             len(tk) AS L
+      FROM tk, LATERAL (SELECT unnest(range(1, len(tk) + 1))) g(i)
+      WHERE tk[g.i] IN ('join', 'query', 'spark'))
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, term,
+           COALESCE(array_to_string(tk[GREATEST(pos - 3, 1):pos - 1],
+                                    ' '), '') AS left_ctx,
+           COALESCE(array_to_string(tk[pos + 1:LEAST(pos + 3, L)],
+                                    ' '), '') AS right_ctx
+    FROM hits"""
+
+
+_MIPS_QUERY_IDS = (0, 17, 101, 333)
+
+
+def q_int8_mips(sf_dir: str):
+    """Integer-exact MIPS over int8-quantized embeddings
+    (vector/quant.py int8_mips_topk): max-abs per-vector codes, int32
+    code matmul against 4 broadcast query vectors, top-10 by
+    (score DESC, vec_id ASC) excluding self — the quantized-scan
+    retrieval baseline with hash-exact integer scores."""
+    from geoflow.vector.quant import int8_mips_topk
+
+    return int8_mips_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _MIPS_QUERY_IDS, k=10)
+
+
+def q_ship_priority(sf_dir: str):
+    """TPC-H Q3 shape (pipelines/tpch.py ship_priority): top-10 open
+    BUILDING-segment orders by revenue around 1997-06-15 — segment
+    membership broadcast into the order filter, one lineitem⋈orders
+    hash join, per-(order,date) cents groupby, deterministic
+    (revenue DESC, orderkey ASC) top-k."""
+    from geoflow.pipelines.tpch import ship_priority
+    return ship_priority(sf_dir)
+
+
 def q_vocab_growth(sf_dir: str):
     """Heaps'-law vocabulary growth (text/vocab.py): distinct-token
     and token-total counts below doc-id thresholds — one streaming
@@ -6314,6 +6370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "rfm_users": q_rfm_users,
         "local_volume": q_local_volume,
+        "ship_priority": q_ship_priority,
+        "int8_mips": q_int8_mips,
+        "kwic": q_kwic,
     }
 
 
@@ -8968,4 +9027,50 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n.n_name""",
+        "ship_priority": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   CAST(SUM(CAST(floor(l.l_extendedprice
+                                       * (1.0 - l.l_discount) * 100.0
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-06-15'
+              AND l.l_shipdate > TIMESTAMP '1997-06-15'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_cents DESC, l.l_orderkey
+            LIMIT 10""",
+        "int8_mips": f"""
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+              FROM embeddings),
+            codes AS (
+              SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
+                     CASE WHEN scale > 0.0
+                          THEN CAST(floor(CAST(embedding[g.i + 1]
+                                               AS DOUBLE)
+                                          / scale * 127.0 + 0.5)
+                                    AS BIGINT)
+                          ELSE 0 END AS code
+              FROM s,
+                   LATERAL (SELECT unnest(range(len(embedding))))
+                     g(i)),
+            q AS (SELECT vec_id AS qid, dim, code FROM codes
+                  WHERE vec_id IN {_MIPS_QUERY_IDS!r}),
+            sc AS (SELECT q.qid, c.vec_id,
+                          CAST(SUM(q.code * c.code) AS BIGINT)
+                            AS score
+                   FROM q JOIN codes c ON c.dim = q.dim
+                   GROUP BY q.qid, c.vec_id),
+            r AS (SELECT qid, vec_id, score,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY score DESC,
+                                                     vec_id) AS rn
+                  FROM sc WHERE vec_id <> qid)
+            SELECT qid, vec_id, score FROM r WHERE rn <= 10""",
+        "kwic": _KWIC_ORACLE_SQL,
     }

@@ -70,7 +70,8 @@ BENCH_QUERIES = [
     "mann_kendall", "cdc_chunks", "modularity", "harmonic",
     "rendezvous", "geohash", "autocorr", "rake_candidates",
     "rake_scores", "hull_extract", "od_flows", "vocab_growth",
-    "rfm_users", "local_volume",
+    "rfm_users", "local_volume", "ship_priority", "int8_mips",
+    "kwic",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["local_supplier_volume"]
+__all__ = ["local_supplier_volume", "ship_priority"]
 
 
 def _read(sf_dir, name, columns):
@@ -141,3 +141,100 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
             "revenue_cents": b.column("sum(cents)")})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def ship_priority(sf_dir: str, segment: str = "BUILDING",
+                  date_mid: str = "1997-06-15", k: int = 10):
+    """TPC-H Q3 shape: top-``k`` open orders by revenue — customers
+    in ``segment``, orders placed before ``date_mid``, line items
+    shipped after it. Join plan: the o_custkey→segment test is a
+    broadcast membership probe folded into the order filter (customer
+    is the dimension side), so the only all-to-all is again
+    lineitem ⋈ filtered orders. Output (l_orderkey, o_orderdate,
+    revenue_cents), ordered (revenue DESC, orderkey ASC), k rows —
+    integer cents as in local_supplier_volume."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = []
+    for b in cust.iter_batches(batch_format="pyarrow",
+                               batch_size=None):
+        if b.num_rows == 0 or "c_custkey" not in b.schema.names:
+            continue
+        m = pa.compute.equal(b.column("c_mktsegment"), segment)
+        keys.append(b.column("c_custkey").filter(m)
+                    .to_numpy(zero_copy_only=False))
+    ckeys = ray.put(np.sort(np.concatenate(keys).astype(np.int64)))
+
+    mid = np.datetime64(date_mid, "us").astype(np.int64)
+
+    def ord_prep(b: pa.Table, _c=ckeys) -> pa.Table:
+        ck = ray.get(_c)
+        t = (b.column("o_orderdate").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        o = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(ck, o), len(ck) - 1)
+        m = (t < mid) & (ck[pos] == o)
+        return pa.table({
+            "l_orderkey": b.column("o_orderkey").filter(pa.array(m)),
+            "o_date": pa.array(t[m])})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_prep, batch_format="pyarrow")
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        t = (b.column("l_shipdate").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        m = t > mid
+        ep = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        dc = b.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey").filter(pa.array(m)),
+            "cents": pa.array(np.floor(ep * (1.0 - dc) * 100.0 + 0.5)
+                              .astype(np.int64))})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_shipdate", "l_extendedprice",
+                  "l_discount"]) \
+        .map_batches(line_prep, batch_format="pyarrow")
+    joined = line.join(orders, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",))
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_date" not in b.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "o_date": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        return b.select(["l_orderkey", "o_date", "cents"])
+
+    agg = joined.map_batches(part, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "o_date"]).aggregate(Sum("cents"))
+
+    rows = []
+    for b in agg.iter_batches(batch_format="pyarrow",
+                              batch_size=None):
+        if b.num_rows == 0 or "l_orderkey" not in b.schema.names:
+            continue
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        od = b.column("o_date").to_numpy(zero_copy_only=False)
+        cents = b.column("sum(cents)").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((okey, -cents))[:k]   # per-block prune
+        rows.append((okey[sel], od[sel], cents[sel]))
+    if rows:
+        okey = np.concatenate([r[0] for r in rows])
+        od = np.concatenate([r[1] for r in rows])
+        cents = np.concatenate([r[2] for r in rows])
+        sel = np.lexsort((okey, -cents))[:k]
+    else:
+        okey = od = cents = np.empty(0, np.int64)
+        sel = np.empty(0, np.int64)
+    return ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array(okey[sel].astype(np.int64)),
+        "o_orderdate": pa.array(od[sel].astype("datetime64[us]"),
+                                pa.timestamp("us")),
+        "revenue_cents": pa.array(cents[sel].astype(np.int64))}))

@@ -78,3 +78,94 @@ def int8_quantize(ds, vec_col: str = "embedding",
     return ds.map_batches(
         lambda b: int8_quantize_batch(b, vec_col, id_col),
         batch_format="pyarrow")
+
+
+def int8_mips_topk(ds, query_ids, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Top-k maximum-inner-product search over int8-quantized vectors
+    (the integer-exact MIPS baseline: per-vector max-abs symmetric
+    quantization — int8_quantize_batch's op order — then int32 code
+    dot products). Scores are exact integers, so (qid, vec_id, score)
+    hash-match the SQL oracle; cosine/IP ranking over the ORIGINAL
+    floats is ann.py's domain — this is the quantized-scan variant a
+    100-TB corpus actually runs (4× smaller reads, integer SIMD).
+
+    Shape: query codes broadcast once via ray.put; one map_batches
+    pass quantizes each batch and matmuls against the query matrix
+    (per-batch top-k partials), driver merges the bounded candidate
+    set (|queries|·k per block)."""
+    import ray
+    import ray.data
+
+    query_ids = sorted(int(q) for q in query_ids)
+
+    def _codes(batch: pa.Table):
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vals, offs = _flat_list(batch.column(vec_col))
+        lens = offs[1:] - offs[:-1]
+        if len(lens) == 0 or (lens != lens[0]).any():
+            raise ValueError("int8_mips_topk: ragged embedding dims")
+        m = vals.astype(np.float64).reshape(len(lens), lens[0])
+        scale = np.abs(m).max(axis=1)
+        ok = scale > 0.0
+        c = np.zeros_like(m)
+        c[ok] = np.floor(m[ok] / scale[ok, None] * 127.0 + 0.5)
+        return ids, c.astype(np.int32)
+
+    # ---- collect + quantize the query vectors (tiny)
+    qset = set(query_ids)
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pa.compute.is_in(b.column(id_col),
+                             value_set=pa.array(query_ids,
+                                                pa.int64()))
+        return b.filter(m)
+
+    qtab = pa.concat_tables(
+        [b for b in ds.map_batches(pick, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows and id_col in b.schema.names])
+    if set(qtab.column(id_col).to_pylist()) != qset:
+        raise KeyError("int8_mips_topk: missing query vec_ids")
+    qids, qcodes = _codes(qtab)
+    order = np.argsort(qids)
+    qref = ray.put((qids[order], qcodes[order]))
+
+    def score(b: pa.Table, _q=qref) -> pa.Table:
+        qi, qc = ray.get(_q)
+        ids, dc = _codes(b)
+        s = dc @ qc.T.astype(np.int32)          # (n, Q) int32 exact
+        out_q, out_d, out_s = [], [], []
+        for j, q in enumerate(qi):
+            col = s[:, j].astype(np.int64)
+            m = ids != q                        # exclude self
+            idx = np.nonzero(m)[0]
+            sel = idx[np.lexsort((ids[idx], -col[idx]))[:k]]
+            out_q.append(np.full(len(sel), q, np.int64))
+            out_d.append(ids[sel])
+            out_s.append(col[sel])
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_d)),
+                         "score": pa.array(np.concatenate(out_s))})
+
+    qs, ds_, ss = [], [], []
+    for b in ds.map_batches(score, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0 or "qid" not in b.schema.names:
+            continue
+        qs.append(b.column("qid").to_numpy(zero_copy_only=False))
+        ds_.append(b.column("vec_id").to_numpy(zero_copy_only=False))
+        ss.append(b.column("score").to_numpy(zero_copy_only=False))
+    q = np.concatenate(qs)
+    d = np.concatenate(ds_)
+    s = np.concatenate(ss)
+    keep = []
+    for qv in np.unique(q):
+        i = np.nonzero(q == qv)[0]
+        keep.append(i[np.lexsort((d[i], -s[i]))[:k]])
+    keep = np.concatenate(keep)
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "qid": pa.array(q[keep]), "vec_id": pa.array(d[keep]),
+        "score": pa.array(s[keep])}))
