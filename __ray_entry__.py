@@ -5807,6 +5807,39 @@ def q_local_volume(sf_dir: str):
     return local_supplier_volume(sf_dir)
 
 
+def q_burstiness(sf_dir: str):
+    """Token burstiness ingredients (text/analysis.py
+    token_burstiness, Church & Gale 1995): per-token n_docs / Σc /
+    Σc² over per-document counts — Fano factor left to the client.
+    Per-batch pre-summed partials, one token groupby-sum."""
+    from geoflow.text.analysis import token_burstiness
+    return token_burstiness(_read(sf_dir, "documents", ["text"]))
+
+
+def q_assortativity(sf_dir: str):
+    """Degree-assortativity ingredients (graph/triangles.py
+    degree_assortativity, Newman 2002) over the triangles ring+chords
+    graph: (2m, Σdeg, Σdeg², Σdeg_u·deg_v) in exact integers —
+    Pearson r is client-side; gated vs the SQL dedup + degree-join
+    oracle."""
+    from geoflow.graph.triangles import degree_assortativity
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = d[d < 100] % 100
+        u5 = u[u % 10 == 0]
+        src = np.concatenate([u, u, u5, u[:1], u[:1]])
+        dst = np.concatenate([(u + 1) % 100, (u + 2) % 100,
+                              (u5 + 5) % 100, (u[:1] + 1) % 100,
+                              u[:1]])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return degree_assortativity(edges)
+
+
 def q_kwic(sf_dir: str):
     """Keyword-in-context concordance (text/kwic.py, Luhn 1960 KWIC):
     every occurrence of the bm25 query terms with 3 tokens of context
@@ -6373,6 +6406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_priority": q_ship_priority,
         "int8_mips": q_int8_mips,
         "kwic": q_kwic,
+        "burstiness": q_burstiness,
+        "assortativity": q_assortativity,
     }
 
 
@@ -9073,4 +9108,42 @@ def oracle_sql() -> dict[str, str]:
                   FROM sc WHERE vec_id <> qid)
             SELECT qid, vec_id, score FROM r WHERE rn <= 10""",
         "kwic": _KWIC_ORACLE_SQL,
+        "burstiness": r"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[\p{L}\p{N}_]+'))
+                       AS tok
+              FROM documents),
+            dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tok GROUP BY doc_id, tok)
+            SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(c) AS BIGINT) AS sum_c,
+                   CAST(SUM(c*c) AS BIGINT) AS sum_c2
+            FROM dc GROUP BY tok""",
+        "assortativity": """
+            WITH raw AS (
+              SELECT doc_id % 100 AS u,
+                     (doc_id % 100 + 1) % 100 AS v
+              FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id % 100, (doc_id % 100 + 2) % 100
+              FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id % 100, (doc_id % 100 + 5) % 100
+              FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0),
+            ue AS (SELECT DISTINCT least(u, v) AS a,
+                                   greatest(u, v) AS b
+                   FROM raw WHERE u <> v),
+            d AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                    SELECT a AS n FROM ue
+                    UNION ALL SELECT b FROM ue) GROUP BY n),
+            p AS (SELECT da.deg AS x, db.deg AS y
+                  FROM ue JOIN d da ON da.n = ue.a
+                          JOIN d db ON db.n = ue.b)
+            SELECT CAST(2*COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(x) + SUM(y) AS BIGINT) AS sum_x,
+                   CAST(SUM(x*x) + SUM(y*y) AS BIGINT) AS sum_x2,
+                   CAST(2*SUM(x*y) AS BIGINT) AS sum_xy
+            FROM p""",
     }

@@ -266,3 +266,70 @@ def cocitation_counts(edges, src_col: str = "src",
                                            min_count))
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def degree_assortativity(edges, src_col: str = "src",
+                         dst_col: str = "dst",
+                         max_broadcast_nodes: int = 50_000_000):
+    """Degree-assortativity ingredients (Newman 2002) over the
+    deduplicated undirected simple graph: with each edge contributing
+    BOTH ordered endpoint pairs (x, y) = (deg_u, deg_v), emit the one
+    row (n_pairs=2m, sum_x, sum_x2, sum_xy) — Σy ≡ Σx and Σy² ≡ Σx²
+    by symmetry; Pearson r is client-side float arithmetic. All
+    int64, hash-exact vs the SQL dedup + degree join oracle.
+
+    Shape: one undirected-dedup groupby (shared machinery), one
+    degree groupby, degrees broadcast sorted, then per-batch integer
+    partials combined on the driver (four scalars per block)."""
+    import ray
+    import ray.data
+
+    und = _distinct_undirected(edges, src_col, dst_col).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        lo = b.column("lo").to_numpy(zero_copy_only=False)
+        hi = b.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(np.concatenate([lo, hi]))})
+
+    dg = und.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("n").count()
+    nd, dc = [], []
+    for b in dg.iter_batches(batch_format="pyarrow"):
+        if "n" not in b.schema.names or b.num_rows == 0:
+            continue
+        nd.append(b.column("n").to_numpy(zero_copy_only=False))
+        dc.append(b.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    nodes = np.concatenate(nd) if nd else np.empty(0, np.int64)
+    degs = np.concatenate(dc) if dc else np.empty(0, np.int64)
+    if len(nodes) > max_broadcast_nodes:
+        raise ValueError("degree table exceeds max_broadcast_nodes")
+    order = np.argsort(nodes)
+    ref = ray.put((nodes[order], degs[order]))
+
+    def part(b: pa.Table, _r=ref) -> pa.Table:
+        ns, ds_ = ray.get(_r)
+        lo = b.column("lo").to_numpy(zero_copy_only=False)
+        hi = b.column("hi").to_numpy(zero_copy_only=False)
+        dl = ds_[np.searchsorted(ns, lo)]
+        dh = ds_[np.searchsorted(ns, hi)]
+        return pa.table({
+            "n_pairs": pa.array([2 * len(lo)], pa.int64()),
+            "sum_x": pa.array([int(dl.sum() + dh.sum())], pa.int64()),
+            "sum_x2": pa.array([int((dl * dl).sum()
+                                    + (dh * dh).sum())], pa.int64()),
+            "sum_xy": pa.array([int(2 * (dl * dh).sum())],
+                               pa.int64())})
+
+    tot = np.zeros(4, np.int64)
+    for b in und.map_batches(part, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0 or "n_pairs" not in b.schema.names:
+            continue
+        for j, c in enumerate(("n_pairs", "sum_x", "sum_x2",
+                               "sum_xy")):
+            tot[j] += int(b.column(c).to_numpy(
+                zero_copy_only=False).sum())
+    return ray.data.from_arrow(pa.table({
+        "n_pairs": pa.array([tot[0]]), "sum_x": pa.array([tot[1]]),
+        "sum_x2": pa.array([tot[2]]), "sum_xy": pa.array([tot[3]])}))

@@ -592,3 +592,65 @@ def lexical_diversity_batch(batch: pa.Table, text_col="text") -> pa.Table:
                       ("n_hapax", n_hapax)]:
         out = out.append_column(name, pa.array(arr))
     return out.append_column("ttr", pa.array(ttr))
+
+
+def token_burstiness(ds, text_col: str = "text"):
+    """Per-token burstiness ingredients (Church & Gale 1995): over
+    the per-document count series of each token, n_docs (documents
+    containing it), sum_c and sum_c2 — the Fano factor var/mean is
+    one client-side division. All int64, hash-exact vs a per-doc
+    GROUP BY oracle.
+
+    Shape: each document's counts are complete inside its batch row,
+    so one map pass emits per-batch PRE-SUMMED (token, nd, s, s2)
+    partials (value_counts per doc via a (doc, token) lexsort) and a
+    single token groupby-sum finishes."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from .hashing import tokenize
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "nd": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.int64()),
+                      "s2": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, parent = tokenize(b.column(text_col))
+        if len(flat) == 0:
+            return empty
+        enc = _pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nv = len(enc.dictionary)
+        key = parent * nv + codes
+        uk, c = np.unique(key, return_counts=True)
+        c = c.astype(np.int64)
+        tok = (uk % nv)
+        nd = np.bincount(tok, minlength=nv).astype(np.int64)
+        s = np.bincount(tok, weights=c.astype(np.float64),
+                        minlength=nv).astype(np.int64)
+        s2 = np.bincount(tok, weights=(c * c).astype(np.float64),
+                         minlength=nv).astype(np.int64)
+        return pa.table({"token": enc.dictionary,
+                         "nd": pa.array(nd), "s": pa.array(s),
+                         "s2": pa.array(s2)})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("nd"), Sum("s"), Sum("s2"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "token" not in b.schema.names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "sum_c": pa.array([], pa.int64()),
+                             "sum_c2": pa.array([], pa.int64())})
+        return pa.table({"token": b.column("token"),
+                         "n_docs": b.column("sum(nd)"),
+                         "sum_c": b.column("sum(s)"),
+                         "sum_c2": b.column("sum(s2)")})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
