@@ -5964,6 +5964,90 @@ def q_od_flows(sf_dir: str):
     return stay_od_flows(ds)
 
 
+_HULL_AX = (6, 4, 0, -4, -6, -4, 0, 4) + (0,) * 8 + (5, 2, 6, 0) \
+    + (0,) * 5
+_HULL_AY = (0, 4, 6, 4, 0, -4, -6, -4) + (0,) * 8 + (2, -5, 0, 6) \
+    + (0,) * 5
+
+
+def _hull_points(b: pa.Table):
+    """(group, x, y) int arrays for the planted 25-point octagon
+    groups (scale s = grp % 5 + 1; classes: 0-7 hull vertices, 8-15
+    interior ±1 offsets, 16-17 on-edge collinear, 18-24 duplicates)."""
+    d = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    g, c = d // 25, d % 25
+    s = g % 5 + 1
+    interior = (c >= 8) & (c < 16)
+    bx = np.where(interior, (c - 8) % 3 - 1, 0)
+    by = np.where(interior, (c - 8) // 3 - 1, 0)
+    ax = np.array(_HULL_AX, np.int64)
+    ay = np.array(_HULL_AY, np.int64)
+    return g, ax[c] * s + bx, ay[c] * s + by
+
+
+def _hull_points_sql() -> str:
+    """SQL twin of _hull_points: (grp, x, y) per doc_id."""
+    cx = " ".join(f"WHEN {i} THEN {v}*s"
+                  for i, v in enumerate(_HULL_AX) if v)
+    cy = " ".join(f"WHEN {i} THEN {v}*s"
+                  for i, v in enumerate(_HULL_AY) if v)
+    return f"""
+      SELECT doc_id // 25 AS grp,
+             COALESCE(CASE c {cx} END, 0)
+               + CASE WHEN c BETWEEN 8 AND 15 THEN (c - 8) % 3 - 1
+                      ELSE 0 END AS x,
+             COALESCE(CASE c {cy} END, 0)
+               + CASE WHEN c BETWEEN 8 AND 15 THEN (c - 8) // 3 - 1
+                      ELSE 0 END AS y
+      FROM (SELECT doc_id, doc_id % 25 AS c,
+                   (doc_id // 25) % 5 + 1 AS s FROM documents)"""
+
+
+def q_hausdorff(sf_dir: str):
+    """Squared Hausdorff distances between point-set pairs
+    (ops/spatialstats.py hausdorff_pairs): adjacent planted octagon
+    groups form pairs (pair = grp//2, side = grp%2 — different scales
+    so distances are asymmetric-rich); integer d² matrix per
+    map_groups; gated vs the SQL cross-join min/max oracle."""
+    from geoflow.ops.spatialstats import hausdorff_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        g, x, y = _hull_points(b)
+        return pa.table({"pair": pa.array(g // 2),
+                         "side": pa.array(g % 2),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    return hausdorff_pairs(
+        docs.map_batches(synth, batch_format="pyarrow"))
+
+
+def _hausdorff_oracle() -> str:
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT grp // 2 AS pair, grp % 2 AS side, x, y
+  FROM ({_hull_points_sql()})),
+d AS MATERIALIZED (
+  SELECT a.pair, a.x AS axx, a.y AS ayy, b.x AS bx, b.y AS byy,
+         (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS d2
+  FROM p a JOIN p b ON b.pair = a.pair
+  WHERE a.side = 0 AND b.side = 1),
+ab AS (SELECT pair, CAST(MAX(m) AS BIGINT) AS h2_ab FROM (
+         SELECT pair, axx, ayy, MIN(d2) AS m FROM d
+         GROUP BY pair, axx, ayy) GROUP BY pair),
+ba AS (SELECT pair, CAST(MAX(m) AS BIGINT) AS h2_ba FROM (
+         SELECT pair, bx, byy, MIN(d2) AS m FROM d
+         GROUP BY pair, bx, byy) GROUP BY pair),
+n AS (SELECT pair,
+             CAST(COUNT(*) FILTER (side = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (side = 1) AS BIGINT) AS n_b
+      FROM p GROUP BY pair)
+SELECT n.pair, n.n_a, n.n_b, ab.h2_ab, ba.h2_ba
+FROM n JOIN ab USING (pair) JOIN ba USING (pair)"""
+
+
 def q_hull_extract(sf_dir: str):
     """Per-group convex hull vertices (geom/algorithms.convex_hull —
     Andrew's monotone chain; collinear and duplicate points dropped)
@@ -5975,24 +6059,12 @@ def q_hull_extract(sf_dir: str):
     from geoflow.geom.types import LINESTRING, Geometry
 
     docs = _read(sf_dir, "documents", ["doc_id"])
-    ax = np.array([6, 4, 0, -4, -6, -4, 0, 4] + [0] * 8
-                  + [5, 2, 6, 0] + [0] * 5, np.int64)
-    ay = np.array([0, 4, 6, 4, 0, -4, -6, -4] + [0] * 8
-                  + [2, -5, 0, 6] + [0] * 5, np.int64)
 
     def synth(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        g, c = d // 25, d % 25
-        s = g % 5 + 1
-        interior = (c >= 8) & (c < 16)
-        bx = np.where(interior, (c - 8) % 3 - 1, 0)
-        by = np.where(interior, (c - 8) // 3 - 1, 0)
+        g, x, y = _hull_points(b)
         return pa.table({"grp": pa.array(g),
-                         "x": pa.array((ax[c] * s + bx).astype(
-                             np.float64)),
-                         "y": pa.array((ay[c] * s + by).astype(
-                             np.float64))})
+                         "x": pa.array(x.astype(np.float64)),
+                         "y": pa.array(y.astype(np.float64))})
 
     def hull(group: pa.Table) -> pa.Table:
         if group.num_rows != 25:      # partial tail group: skip (the
@@ -6408,6 +6480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic": q_kwic,
         "burstiness": q_burstiness,
         "assortativity": q_assortativity,
+        "hausdorff": q_hausdorff,
     }
 
 
@@ -8989,6 +9062,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(L) AS BIGINT) AS deg
             FROM wl GROUP BY tok""",
         "hull_extract": _HULL_ORACLE_SQL,
+        "hausdorff": _hausdorff_oracle(),
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

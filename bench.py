@@ -71,7 +71,7 @@ BENCH_QUERIES = [
     "rendezvous", "geohash", "autocorr", "rake_candidates",
     "rake_scores", "hull_extract", "od_flows", "vocab_growth",
     "rfm_users", "local_volume", "ship_priority", "int8_mips",
-    "kwic", "burstiness", "assortativity",
+    "kwic", "burstiness", "assortativity", "hausdorff",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -330,3 +330,46 @@ def ripley_pair_counts(ds, radii, x_col: str = "cx",
         "r": pa.array(radii), "n_pairs": pa.array(tot),
         "n_points": pa.array(
             np.full(len(radii), n_points, np.int64))}))
+
+
+def hausdorff_pairs(ds, pair_col: str = "pair", set_col: str = "side",
+                    x_col: str = "x", y_col: str = "y"):
+    """Squared directed Hausdorff distances between the two point
+    sets of each pair (trajectory/footprint similarity — the exact
+    integer sibling of ops/measures.st_hausdorffdistance's float
+    geometry op): rows tagged (pair, side ∈ {0,1}, x, y) →
+    (pair, n_a, n_b, h2_ab, h2_ba) with h2_ab = max_{a∈A} min_{b∈B}
+    d²(a,b). Squared distances stay int64, so rows hash-match the
+    SQL cross-join min/max oracle.
+
+    Shape: one map_groups per pair key (group = both sides); the
+    kernel is a vectorized (n_a × n_b) squared-distance matrix —
+    pairs with huge sets should pre-tile, documented bound."""
+    empty = pa.table({"pair": pa.array([], pa.int64()),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64()),
+                      "h2_ab": pa.array([], pa.int64()),
+                      "h2_ba": pa.array([], pa.int64())})
+
+    def hd(group: pa.Table) -> pa.Table:
+        side = group.column(set_col).to_numpy(zero_copy_only=False)
+        x = group.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = group.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        a, b = side == 0, side == 1
+        if not a.any() or not b.any():
+            return empty
+        dx = x[a][:, None] - x[b][None, :]
+        dy = y[a][:, None] - y[b][None, :]
+        d2 = dx * dx + dy * dy
+        return pa.table({
+            "pair": pa.array([group.column(pair_col)[0].as_py()],
+                             pa.int64()),
+            "n_a": pa.array([int(a.sum())], pa.int64()),
+            "n_b": pa.array([int(b.sum())], pa.int64()),
+            "h2_ab": pa.array([int(d2.min(axis=1).max())], pa.int64()),
+            "h2_ba": pa.array([int(d2.min(axis=0).max())],
+                              pa.int64())})
+
+    return ds.groupby(pair_col).map_groups(hd, batch_format="pyarrow")
