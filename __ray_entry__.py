@@ -6004,6 +6004,64 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_emerging_hotspots(sf_dir: str):
+    """Emerging-hot-spot composite (ops/spatialstats.py
+    emerging_hotspots — ESRI EHSA shape in exact integers): planted
+    event positions → per-(tile, day) counts → queen local sums per
+    day (dense-grid shifted adds) → Mann-Kendall trend per tile's
+    local-sum series. Gated vs the two-level GROUP BY + neighbor
+    self-join + MK pairwise SQL."""
+    from geoflow.ops.spatialstats import emerging_hotspots
+
+    def pos(b: pa.Table) -> pa.Table:
+        e = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"ts": b.column("ts"),
+                         "px": (e * 13) % 100, "py": (e * 29) % 100})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"]) \
+        .map_batches(pos, batch_format="pyarrow")
+    return emerging_hotspots(ds)
+
+
+_EMERGING_ORACLE_SQL = """
+    WITH e AS MATERIALIZED (
+      SELECT ((event_id * 13) % 100) // 20 AS cx,
+             ((event_id * 29) % 100) // 20 AS cy,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    c AS MATERIALIZED (
+      SELECT cx, cy, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY cx, cy, day),
+    g AS MATERIALIZED (
+      SELECT a.cx, a.cy, a.day, CAST(SUM(b.n) AS BIGINT) AS gsum
+      FROM c a JOIN c b ON abs(a.cx - b.cx) <= 1
+                       AND abs(a.cy - b.cy) <= 1
+                       AND b.day = a.day
+      GROUP BY a.cx, a.cy, a.day),
+    s AS (SELECT a.cx, a.cy,
+                 CAST(SUM(CASE WHEN b.gsum > a.gsum THEN 1
+                               WHEN b.gsum < a.gsum THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM g a JOIN g b ON b.cx = a.cx AND b.cy = a.cy
+                           AND b.day > a.day
+          GROUP BY a.cx, a.cy),
+    nn AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM g GROUP BY cx, cy),
+    ties AS (SELECT cx, cy,
+                    CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS t18
+             FROM (SELECT cx, cy, gsum,
+                          CAST(COUNT(*) AS BIGINT) AS t
+                   FROM g GROUP BY cx, cy, gsum)
+             GROUP BY cx, cy)
+    SELECT nn.cx, nn.cy, nn.n_days,
+           COALESCE(s.s_stat, 0) AS s_stat,
+           nn.n_days*(nn.n_days-1)*(2*nn.n_days+5) - ties.t18
+             AS var18
+    FROM nn JOIN ties USING (cx, cy)
+    LEFT JOIN s USING (cx, cy)"""
+
+
 def q_hausdorff(sf_dir: str):
     """Squared Hausdorff distances between point-set pairs
     (ops/spatialstats.py hausdorff_pairs): adjacent planted octagon
@@ -6481,6 +6539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burstiness": q_burstiness,
         "assortativity": q_assortativity,
         "hausdorff": q_hausdorff,
+        "emerging_hotspots": q_emerging_hotspots,
     }
 
 
@@ -9063,6 +9122,7 @@ def oracle_sql() -> dict[str, str]:
             FROM wl GROUP BY tok""",
         "hull_extract": _HULL_ORACLE_SQL,
         "hausdorff": _hausdorff_oracle(),
+        "emerging_hotspots": _EMERGING_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

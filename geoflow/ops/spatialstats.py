@@ -373,3 +373,98 @@ def hausdorff_pairs(ds, pair_col: str = "pair", set_col: str = "side",
                               pa.int64())})
 
     return ds.groupby(pair_col).map_groups(hd, batch_format="pyarrow")
+
+
+def emerging_hotspots(ds, key_x: str = "px", key_y: str = "py",
+                      ts_col: str = "ts", cell_div: int = 20,
+                      grid: int = 5):
+    """Emerging-hot-spot ingredients (the space-time-cube composite:
+    Getis-Ord-style queen local sums per (tile, day), then the
+    Mann-Kendall trend of each tile's local-sum series — ESRI's
+    published EHSA shape, in exact integers): output (cx, cy,
+    n_days, s_stat, var18). Local sums are defined for every
+    (tile, day) where the TILE ITSELF is occupied; the MK series is
+    that tile's occupied days in order (mirrored by the SQL).
+
+    Shape: events collapse via ONE (tile, day) groupby; per-day queen
+    sums are a dense grid scatter + 8 shifted adds inside
+    groupby(day).map_groups; the per-tile MK pass reuses the
+    chunked-broadcast sign sum (series length = day span)."""
+    from ..ops.timeseries import US_PER_DAY
+
+    def to_cell(batch: pa.Table) -> pa.Table:
+        t = (batch.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        x = batch.column(key_x).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = batch.column(key_y).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"cx": pa.array(x // cell_div),
+                         "cy": pa.array(y // cell_div),
+                         "day": pa.array(t // US_PER_DAY)})
+
+    daily = ds.map_batches(to_cell, batch_format="pyarrow") \
+        .groupby(["cx", "cy", "day"]).count()
+
+    def queen(group: pa.Table) -> pa.Table:
+        cx = group.column("cx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cy = group.column("cy").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = np.zeros((grid + 2, grid + 2), np.int64)
+        g[cx + 1, cy + 1] = n
+        tot = np.zeros_like(g)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tot[1:grid + 1, 1:grid + 1] += \
+                    g[1 + dx:grid + 1 + dx, 1 + dy:grid + 1 + dy]
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "day": group.column("day"),
+            "gsum": pa.array(tot[cx + 1, cy + 1])})
+
+    local = daily.groupby("day").map_groups(queen,
+                                            batch_format="pyarrow")
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "cx" not in b.schema.names:
+            return pa.table({"tile": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int64()),
+                             "gsum": pa.array([], pa.int64())})
+        cx = b.column("cx").to_numpy(zero_copy_only=False)
+        cy = b.column("cy").to_numpy(zero_copy_only=False)
+        return pa.table({"tile": pa.array(cx * grid + cy),
+                         "day": b.column("day"),
+                         "gsum": b.column("gsum")})
+
+    def mk(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = group.column("gsum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = v[np.argsort(day)]
+        n = len(v)
+        s = 0
+        idx = np.arange(n)
+        for j0 in range(0, n, 2048):
+            blk = v[j0:j0 + 2048]
+            cmp = np.sign(blk[None, :] - v[:, None])
+            before = idx[:, None] < (j0
+                                     + np.arange(len(blk)))[None, :]
+            s += int((cmp * before).sum())
+        _, t = np.unique(v, return_counts=True)
+        t = t.astype(np.int64)
+        var18 = n * (n - 1) * (2 * n + 5) \
+            - int((t * (t - 1) * (2 * t + 5)).sum())
+        tile = int(group.column("tile")[0].as_py())
+        return pa.table({
+            "cx": pa.array([tile // grid], pa.int64()),
+            "cy": pa.array([tile % grid], pa.int64()),
+            "n_days": pa.array([n], pa.int64()),
+            "s_stat": pa.array([s], pa.int64()),
+            "var18": pa.array([var18], pa.int64())})
+
+    return local.map_batches(prep, batch_format="pyarrow") \
+        .groupby("tile").map_groups(mk, batch_format="pyarrow")
