@@ -6004,6 +6004,56 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_snap_points(sf_dir: str):
+    """Map-matching snap (ops/snap.py snap_to_segments): nearest
+    axis-aligned staircase segment per planted integer point — d² is
+    a per-axis clamp, pure int64, argmin ties to the lowest segment
+    index; gated vs a CROSS JOIN + ROW_NUMBER SQL oracle."""
+    from geoflow.ops.snap import snap_to_segments
+
+    segs = []
+    for j in range(9):
+        segs.append((10 * j, 5 * j, 10 * j + 10, 5 * j))
+        segs.append((10 * j + 10, 5 * j, 10 * j + 10, 5 * j + 5))
+
+    def pos(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d),
+                         "x": pa.array((d * 37) % 120 - 10),
+                         "y": pa.array((d * 53) % 80 - 10)})
+
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        pos, batch_format="pyarrow")
+    return snap_to_segments(pts, segs)
+
+
+_SNAP_ORACLE_SQL = """
+    WITH segs AS (
+      SELECT 2*j AS seg, 10*j AS lx, 10*j + 10 AS hx,
+             5*j AS ly, 5*j AS hy
+      FROM (SELECT unnest(range(9)) AS j)
+      UNION ALL
+      SELECT 2*j + 1, 10*j + 10, 10*j + 10, 5*j, 5*j + 5
+      FROM (SELECT unnest(range(9)) AS j)),
+    p AS (SELECT doc_id, (doc_id*37) % 120 - 10 AS x,
+                 (doc_id*53) % 80 - 10 AS y
+          FROM documents),
+    d AS (SELECT p.doc_id, s.seg,
+                 (p.x - LEAST(GREATEST(p.x, s.lx), s.hx))
+                   * (p.x - LEAST(GREATEST(p.x, s.lx), s.hx))
+                 + (p.y - LEAST(GREATEST(p.y, s.ly), s.hy))
+                   * (p.y - LEAST(GREATEST(p.y, s.ly), s.hy)) AS d2
+          FROM p CROSS JOIN segs s),
+    r AS (SELECT doc_id, seg, d2,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY d2, seg) AS rn
+          FROM d)
+    SELECT doc_id, CAST(seg AS BIGINT) AS seg_idx,
+           CAST(d2 AS BIGINT) AS d2
+    FROM r WHERE rn = 1"""
+
+
 def q_emerging_hotspots(sf_dir: str):
     """Emerging-hot-spot composite (ops/spatialstats.py
     emerging_hotspots — ESRI EHSA shape in exact integers): planted
@@ -6540,6 +6590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": q_assortativity,
         "hausdorff": q_hausdorff,
         "emerging_hotspots": q_emerging_hotspots,
+        "snap_points": q_snap_points,
     }
 
 
@@ -9123,6 +9174,7 @@ def oracle_sql() -> dict[str, str]:
         "hull_extract": _HULL_ORACLE_SQL,
         "hausdorff": _hausdorff_oracle(),
         "emerging_hotspots": _EMERGING_ORACLE_SQL,
+        "snap_points": _SNAP_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -1,0 +1,56 @@
+"""Axis-aligned point snapping (ops/snap.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geoflow.ops.snap import snap_to_segments
+
+
+def _pts(rows):
+    i, x, y = zip(*rows)
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(i, pa.int64()),
+        "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())}))
+
+
+def test_snap_basics(ray_session):
+    segs = [(0, 0, 10, 0),     # seg 0: horizontal
+            (10, 0, 10, 5)]    # seg 1: vertical
+    out = snap_to_segments(
+        _pts([(1, 5, 3),       # above seg0 interior: d2=9
+              (2, 12, 2),      # right of seg1: d2=4
+              (3, 10, 0),      # shared corner: tie -> seg 0
+              (4, -2, -1)]),   # beyond left endpoint: d2=4+1
+        segs).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [0, 9]
+    assert out.loc[2].tolist() == [1, 4]
+    assert out.loc[3].tolist() == [0, 0]
+    assert out.loc[4].tolist() == [0, 5]
+
+
+def test_oblique_rejected(ray_session):
+    with pytest.raises(ValueError):
+        snap_to_segments(_pts([(1, 0, 0)]), [(0, 0, 3, 4)])
+
+
+def test_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(2)
+    segs = [(int(a), int(b), int(a + (10 if h else 0)),
+             int(b + (0 if h else 7)))
+            for (a, b), h in zip(rng.integers(-20, 20, (12, 2)),
+                                 rng.integers(0, 2, 12).astype(bool))]
+    pts = [(i, int(x), int(y)) for i, (x, y)
+           in enumerate(rng.integers(-30, 30, (50, 2)))]
+    out = snap_to_segments(_pts(pts), segs).to_pandas() \
+        .set_index("doc_id")
+    for i, x, y in pts:
+        best = None
+        for j, (x0, y0, x1, y1) in enumerate(segs):
+            nx = min(max(x, min(x0, x1)), max(x0, x1))
+            ny = min(max(y, min(y0, y1)), max(y0, y1))
+            d2 = (x - nx) ** 2 + (y - ny) ** 2
+            if best is None or d2 < best[1]:
+                best = (j, d2)
+        assert out.loc[i].tolist() == list(best)
