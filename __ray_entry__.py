@@ -6004,6 +6004,66 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_crossings(sf_dir: str):
+    """Proper segment-crossing counts per planted 20-segment group
+    (ops/spatialstats.py segment_crossings): strict orientation
+    straddle tests in exact integers (touches/collinear excluded);
+    gated vs the SQL pairwise self-join oracle."""
+    from geoflow.ops.spatialstats import segment_crossings
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g, c = d // 20, d % 20
+        return pa.table({"grp": pa.array(g),
+                         "x1": pa.array((g * 7 + c * 13) % 50),
+                         "y1": pa.array((g * 11 + c * 17) % 50),
+                         "x2": pa.array((g * 5 + c * 23) % 50),
+                         "y2": pa.array((g * 3 + c * 29) % 50)})
+
+    segs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return segment_crossings(segs)
+
+
+_CROSSINGS_ORACLE_SQL = """
+    WITH s AS MATERIALIZED (
+      SELECT doc_id, doc_id // 20 AS grp,
+             ((doc_id // 20) * 7 + (doc_id % 20) * 13) % 50 AS x1,
+             ((doc_id // 20) * 11 + (doc_id % 20) * 17) % 50 AS y1,
+             ((doc_id // 20) * 5 + (doc_id % 20) * 23) % 50 AS x2,
+             ((doc_id // 20) * 3 + (doc_id % 20) * 29) % 50 AS y2
+      FROM documents),
+    c AS (
+      SELECT a.grp, CAST(SUM(CASE WHEN
+          ((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1))
+        * ((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) < 0
+        AND
+          ((b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1))
+        * ((b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)) < 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+      FROM s a JOIN s b ON b.grp = a.grp AND b.doc_id > a.doc_id
+      GROUP BY a.grp),
+    n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_segments
+          FROM s GROUP BY grp)
+    SELECT n.grp, n.n_segments,
+           COALESCE(c.n_crossings, 0) AS n_crossings
+    FROM n LEFT JOIN c USING (grp)"""
+
+
+def q_latest_by_key(sf_dir: str):
+    """CDC upsert collapse (ops/grouped.py latest_by_key): each
+    user's latest event by (ts, event_id) — the materialize-current-
+    snapshot primitive; one groupby, per-group lexsort pick; value
+    doubles pass through untouched so the hash is safe."""
+    from geoflow.ops.grouped import latest_by_key
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+    return latest_by_key(ds, "user_id", ["ts", "event_id"],
+                         ["event_type", "value"])
+
+
 def q_snap_points(sf_dir: str):
     """Map-matching snap (ops/snap.py snap_to_segments): nearest
     axis-aligned staircase segment per planted integer point — d² is
@@ -6591,6 +6651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hausdorff": q_hausdorff,
         "emerging_hotspots": q_emerging_hotspots,
         "snap_points": q_snap_points,
+        "latest_by_key": q_latest_by_key,
+        "crossings": q_crossings,
     }
 
 
@@ -9175,6 +9237,14 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff": _hausdorff_oracle(),
         "emerging_hotspots": _EMERGING_ORACLE_SQL,
         "snap_points": _SNAP_ORACLE_SQL,
+        "latest_by_key": """
+            SELECT user_id, ts, event_id, event_type, value FROM (
+              SELECT user_id, ts, event_id, event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC,
+                                                 event_id DESC) AS rn
+              FROM events) WHERE rn = 1""",
+        "crossings": _CROSSINGS_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -72,7 +72,7 @@ BENCH_QUERIES = [
     "rake_scores", "hull_extract", "od_flows", "vocab_growth",
     "rfm_users", "local_volume", "ship_priority", "int8_mips",
     "kwic", "burstiness", "assortativity", "hausdorff",
-    "emerging_hotspots", "snap_points",
+    "emerging_hotspots", "snap_points", "latest_by_key", "crossings",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["grouped_topk", "grouped_rank", "grouped_cumsum",
-           "grouped_budget_filter"]
+           "grouped_budget_filter", "latest_by_key"]
 
 
 def _topk_table(batch: pa.Table, key_col, val_col, tie_col, k,
@@ -155,3 +155,25 @@ def grouped_budget_filter(ds, key_col: str, val_col: str,
         return b.filter(pc.less(b.column(spent_col), budget))
 
     return cum.map_batches(keep, batch_format="pyarrow")
+
+
+def latest_by_key(ds, key_col: str, order_cols, value_cols):
+    """CDC-style upsert collapse: keep each key's LATEST row by the
+    ``order_cols`` tuple (lexicographic; ties impossible when the
+    tuple is unique, e.g. (ts, event_id)) — the materialize-current-
+    snapshot primitive of log-structured ingestion. One groupby;
+    per-group argmax is a single lexsort row pick. Output: key,
+    order cols, value cols of the winning row (int64/typed
+    passthrough — hash-exact vs the SQL ROW_NUMBER oracle)."""
+    order_cols = list(order_cols)
+    value_cols = list(value_cols)
+
+    def pick(group: pa.Table) -> pa.Table:
+        keys = [group.column(c).to_numpy(zero_copy_only=False)
+                for c in reversed(order_cols)]
+        i = int(np.lexsort(keys)[-1])
+        return group.slice(i, 1).select(
+            [key_col] + order_cols + value_cols)
+
+    return ds.groupby(key_col).map_groups(pick,
+                                          batch_format="pyarrow")

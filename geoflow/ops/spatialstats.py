@@ -468,3 +468,52 @@ def emerging_hotspots(ds, key_x: str = "px", key_y: str = "py",
 
     return local.map_batches(prep, batch_format="pyarrow") \
         .groupby("tile").map_groups(mk, batch_format="pyarrow")
+
+
+def segment_crossings(ds, grp_col: str = "grp",
+                      cols=("x1", "y1", "x2", "y2")):
+    """Proper-crossing pair counts per segment group (the sweep-line
+    workload's correctness kernel, in exact integers): segments
+    (p1, p2), (q1, q2) properly cross iff the endpoint orientations
+    strictly straddle — cross(p2−p1, q1−p1)·cross(p2−p1, q2−p1) < 0
+    AND the symmetric test — which excludes touches, shared
+    endpoints, collinear overlaps and zero-length segments. Output
+    (grp, n_segments, n_crossings), int64, hash-exact vs the SQL
+    pairwise self-join.
+
+    Shape: one map_groups per group with a fully vectorized
+    (n × n) orientation tensor — group sizes are the planted
+    bucket, not the corpus."""
+    x1c, y1c, x2c, y2c = cols
+
+    def cross_count(group: pa.Table) -> pa.Table:
+        x1 = group.column(x1c).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y1 = group.column(y1c).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x2 = group.column(x2c).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y2 = group.column(y2c).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(x1)
+        dx, dy = x2 - x1, y2 - y1
+
+        def orient(px, py):
+            # cross(p2-p1, (px,py)-p1) for every (segment i, point j)
+            return dx[:, None] * (py[None, :] - y1[:, None]) \
+                - dy[:, None] * (px[None, :] - x1[:, None])
+
+        o1 = orient(x1, y1)          # i's line vs j's first endpoint
+        o2 = orient(x2, y2)
+        straddle_ij = (o1 * o2) < 0  # j straddles i's line
+        crossing = straddle_ij & straddle_ij.T
+        iu = np.triu_indices(n, 1)
+        return pa.table({
+            "grp": pa.array([group.column(grp_col)[0].as_py()],
+                            pa.int64()),
+            "n_segments": pa.array([n], pa.int64()),
+            "n_crossings": pa.array([int(crossing[iu].sum())],
+                                    pa.int64())})
+
+    return ds.groupby(grp_col).map_groups(cross_count,
+                                          batch_format="pyarrow")

@@ -54,3 +54,24 @@ def test_matches_bruteforce(ray_session):
             if best is None or d2 < best[1]:
                 best = (j, d2)
         assert out.loc[i].tolist() == list(best)
+
+
+def test_segment_crossings_cases(ray_session):
+    from geoflow.ops.spatialstats import segment_crossings
+    # group 0: X-crossing pair + a touching pair (not proper) + a
+    # parallel pair; group 1: single segment
+    rows = [
+        (0, 0, 0, 2, 2),    # a
+        (0, 0, 2, 2, 0),    # b: crosses a at (1,1)
+        (0, 0, 5, 9, 5),    # c: horizontal
+        (0, 5, 5, 5, 9),    # d: touches c at (5,5) -> excluded
+        (1, 0, 0, 3, 3),
+    ]
+    g, x1, y1, x2, y2 = zip(*rows)
+    ds = ray.data.from_arrow(pa.table({
+        "grp": pa.array(g, pa.int64()),
+        "x1": pa.array(x1, pa.int64()), "y1": pa.array(y1, pa.int64()),
+        "x2": pa.array(x2, pa.int64()), "y2": pa.array(y2, pa.int64())}))
+    out = segment_crossings(ds).to_pandas().set_index("grp")
+    assert out.loc[0].tolist() == [4, 1]
+    assert out.loc[1].tolist() == [1, 0]
