@@ -6004,6 +6004,41 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_mix_allocation(sf_dir: str):
+    """Temperature-scaled data-mixture allocation (ops/mixture.py,
+    α=0.5 p^α sampling made integer-exact): budget 10000 docs split
+    across languages by ⌊sqrt(count)⌋ weights with largest-remainder
+    apportionment — Σalloc == budget, all hashed columns int."""
+    from geoflow.ops.mixture import mixture_allocation
+
+    docs = _read(sf_dir, "documents", ["lang"])
+    return mixture_allocation(docs, budget=10_000)
+
+
+_MIX_ORACLE_SQL = """
+    WITH c AS (SELECT lang AS source,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    w AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                   AS w
+          FROM c),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM w),
+    b AS (SELECT source, n_docs,
+                 (10000 * w) // t.tot AS base,
+                 (10000 * w) % t.tot AS rem
+          FROM w, t),
+    m AS (SELECT 10000 - CAST(SUM(base) AS BIGINT) AS missing FROM b),
+    r AS (SELECT source, n_docs, base,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                   AS rk
+          FROM b)
+    SELECT r.source, r.n_docs,
+           CAST(r.base + CASE WHEN r.rk <= m.missing THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r, m"""
+
+
 def q_crossings(sf_dir: str):
     """Proper segment-crossing counts per planted 20-segment group
     (ops/spatialstats.py segment_crossings): strict orientation
@@ -6653,6 +6688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snap_points": q_snap_points,
         "latest_by_key": q_latest_by_key,
         "crossings": q_crossings,
+        "mix_allocation": q_mix_allocation,
     }
 
 
@@ -9245,6 +9281,7 @@ def oracle_sql() -> dict[str, str]:
                                                  event_id DESC) AS rn
               FROM events) WHERE rn = 1""",
         "crossings": _CROSSINGS_ORACLE_SQL,
+        "mix_allocation": _MIX_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,
