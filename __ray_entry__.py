@@ -6004,6 +6004,90 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_trimmed_stats(sf_dir: str):
+    """10%-trimmed daily-count statistics per event type
+    (ops/timeseries.py trimmed_count_stats): drop the k = n//10
+    lowest/highest days, report n/kept/sum/min/max — robust-mean
+    ingredients, multiset-determined int64; gated vs a ROW_NUMBER
+    window oracle."""
+    from geoflow.ops.timeseries import trimmed_count_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return trimmed_count_stats(ds)
+
+
+_TRIMMED_ORACLE_SQL = """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day),
+    r AS (SELECT event_type, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY c) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM d),
+    k AS (SELECT event_type, c, rn, n, n * 1 // 10 AS k FROM r)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) FILTER (rn > k AND rn <= n - k) AS BIGINT)
+             AS n_kept,
+           CAST(COALESCE(SUM(c) FILTER (rn > k AND rn <= n - k), 0)
+                AS BIGINT) AS trimmed_sum,
+           CAST(COALESCE(MIN(c) FILTER (rn > k AND rn <= n - k), 0)
+                AS BIGINT) AS min_kept,
+           CAST(COALESCE(MAX(c) FILTER (rn > k AND rn <= n - k), 0)
+                AS BIGINT) AS max_kept
+    FROM k GROUP BY event_type"""
+
+
+def q_twohop(sf_dir: str):
+    """Exact ≤2-hop neighborhood sizes (graph/triangles.py
+    twohop_counts — exact sibling of hyperball's r=2 estimate) over
+    the triangles ring+chords graph: CSR adjacency broadcast, per-node
+    sorted-merge union; gated vs the SQL distinct 2-path oracle."""
+    from geoflow.graph.triangles import twohop_counts
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = d[d < 100] % 100
+        u5 = u[u % 10 == 0]
+        src = np.concatenate([u, u, u5])
+        dst = np.concatenate([(u + 1) % 100, (u + 2) % 100,
+                              (u5 + 5) % 100])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return twohop_counts(edges)
+
+
+_TWOHOP_ORACLE_SQL = """
+    WITH raw AS (
+      SELECT doc_id % 100 AS u, (doc_id % 100 + 1) % 100 AS v
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id % 100, (doc_id % 100 + 2) % 100
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id % 100, (doc_id % 100 + 5) % 100
+      FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0),
+    ue AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+           FROM raw WHERE u <> v),
+    adj AS (SELECT a AS u, b AS v FROM ue
+            UNION ALL SELECT b, a FROM ue),
+    n1 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM adj GROUP BY u),
+    p2 AS (SELECT DISTINCT x.u AS u, y.v AS w
+           FROM adj x JOIN adj y ON y.u = x.v WHERE y.v <> x.u),
+    p2x AS (SELECT p2.u, p2.w FROM p2
+            LEFT JOIN adj ON adj.u = p2.u AND adj.v = p2.w
+            WHERE adj.u IS NULL),
+    n2 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM p2x GROUP BY u)
+    SELECT n1.u AS node, n1.n1, COALESCE(n2.n2, 0) AS n2
+    FROM n1 LEFT JOIN n2 USING (u)"""
+
+
 def q_mix_allocation(sf_dir: str):
     """Temperature-scaled data-mixture allocation (ops/mixture.py,
     α=0.5 p^α sampling made integer-exact): budget 10000 docs split
@@ -6689,6 +6773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_by_key": q_latest_by_key,
         "crossings": q_crossings,
         "mix_allocation": q_mix_allocation,
+        "twohop": q_twohop,
+        "trimmed_stats": q_trimmed_stats,
     }
 
 
@@ -9282,6 +9368,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events) WHERE rn = 1""",
         "crossings": _CROSSINGS_ORACLE_SQL,
         "mix_allocation": _MIX_ORACLE_SQL,
+        "twohop": _TWOHOP_ORACLE_SQL,
+        "trimmed_stats": _TRIMMED_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

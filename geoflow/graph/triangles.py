@@ -333,3 +333,64 @@ def degree_assortativity(edges, src_col: str = "src",
     return ray.data.from_arrow(pa.table({
         "n_pairs": pa.array([tot[0]]), "sum_x": pa.array([tot[1]]),
         "sum_x2": pa.array([tot[2]]), "sum_xy": pa.array([tot[3]])}))
+
+
+def twohop_counts(edges, src_col: str = "src", dst_col: str = "dst",
+                  max_broadcast_nodes: int = 50_000_000):
+    """Exact ≤2-hop neighborhood sizes over the undirected simple
+    graph (the exact sibling of HyperBall's r=2 estimate): per node,
+    n1 = degree, n2 = |{v : dist(u,v) = 2}|. Self and duplicate
+    edges dropped.
+
+    Shape: undirected dedup (shared groupby), adjacency broadcast as
+    CSR (sorted flat arrays via ray.put), then ONE map pass over
+    nodes unions each node's neighbors' adjacency lists with a
+    sorted-merge np.unique — work Σ_u Σ_{v∈N(u)} deg(v), the wedge
+    volume, same as the triangle kernel's bound."""
+    import ray
+    import ray.data
+
+    und = _distinct_undirected(edges, src_col, dst_col).materialize()
+    los, his = [], []
+    for b in und.iter_batches(batch_format="pyarrow",
+                              batch_size=None):
+        if b.num_rows == 0 or "lo" not in b.schema.names:
+            continue
+        los.append(b.column("lo").to_numpy(zero_copy_only=False))
+        his.append(b.column("hi").to_numpy(zero_copy_only=False))
+    lo = np.concatenate(los) if los else np.empty(0, np.int64)
+    hi = np.concatenate(his) if his else np.empty(0, np.int64)
+    s = np.concatenate([lo, hi]).astype(np.int64)
+    d = np.concatenate([hi, lo]).astype(np.int64)
+    nodes = np.unique(s)
+    if len(nodes) > max_broadcast_nodes:
+        raise ValueError("twohop_counts: adjacency exceeds "
+                         "max_broadcast_nodes")
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    starts = np.searchsorted(s, nodes)
+    ends = np.searchsorted(s, nodes, side="right")
+    ref = ray.put((nodes, s, d, starts, ends))
+    nd = ray.data.from_arrow(pa.table({"node": pa.array(nodes)}))
+
+    def hop2(b: pa.Table, _r=ref) -> pa.Table:
+        ns, s_, d_, st, en = ray.get(_r)
+        out_n, out_1, out_2 = [], [], []
+        for u in b.column("node").to_numpy(zero_copy_only=False):
+            i = np.searchsorted(ns, u)
+            nbrs = d_[st[i]:en[i]]
+            ii = np.searchsorted(ns, nbrs)
+            two = np.unique(np.concatenate(
+                [d_[st[j]:en[j]] for j in ii])) if len(ii) else \
+                np.empty(0, np.int64)
+            n2 = len(np.setdiff1d(two, np.append(nbrs, u),
+                                  assume_unique=False))
+            out_n.append(u)
+            out_1.append(len(nbrs))
+            out_2.append(n2)
+        return pa.table({"node": pa.array(out_n, pa.int64()),
+                         "n1": pa.array(out_1, pa.int64()),
+                         "n2": pa.array(out_2, pa.int64())})
+
+    return nd.map_batches(hop2, batch_format="pyarrow",
+                          batch_size=4096)

@@ -296,3 +296,42 @@ def autocorr_counts(ds, key_col: str = "event_type",
 
     return daily.groupby(key_col).map_groups(ac,
                                              batch_format="pyarrow")
+
+
+def trimmed_count_stats(ds, key_col: str = "event_type",
+                        ts_col: str = "ts", trim_pct10: int = 1):
+    """Trimmed statistics of the per-key daily counts: drop the k
+    lowest and k highest days with k = n·trim_pct10 // 10 (10%-steps)
+    and report (n_days, n_kept, trimmed_sum, min_kept, max_kept) —
+    the robust-mean ingredients, all int64 (the mean is one division
+    left to the client). Multiset-determined, so ties need no order
+    column; hash-exact vs a ROW_NUMBER-window SQL oracle."""
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        t = (batch.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({key_col: batch.column(key_col),
+                         "day": pa.array(t // US_PER_DAY)})
+
+    daily = (ds.map_batches(to_day, batch_format="pyarrow")
+             .groupby([key_col, "day"]).count())
+
+    def trim(group: pa.Table) -> pa.Table:
+        cnt = np.sort(group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        n = len(cnt)
+        k = n * trim_pct10 // 10
+        kept = cnt[k:n - k] if n - 2 * k > 0 else cnt[:0]
+        kv = group.column(key_col)[0].as_py()
+        return pa.table({
+            key_col: pa.array([kv], group.column(key_col).type),
+            "n_days": pa.array([n], pa.int64()),
+            "n_kept": pa.array([len(kept)], pa.int64()),
+            "trimmed_sum": pa.array([int(kept.sum())], pa.int64()),
+            "min_kept": pa.array(
+                [int(kept[0]) if len(kept) else 0], pa.int64()),
+            "max_kept": pa.array(
+                [int(kept[-1]) if len(kept) else 0], pa.int64())})
+
+    return daily.groupby(key_col).map_groups(trim,
+                                             batch_format="pyarrow")
