@@ -6004,6 +6004,35 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_late_windows(sf_dir: str):
+    """Watermark late-data accounting (ops/watermark.py — the
+    Dataflow/Beam semantic replayed deterministically): arrival order
+    = event_id, watermark = strict-prefix max event-time − 12 h,
+    tumbling 6 h windows; the distributed prefix-scan runs over
+    arrival buckets (driver carry-in combine). Gated vs the SQL
+    prefix-MAX window oracle."""
+    from geoflow.ops.watermark import watermark_window_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+    return watermark_window_counts(ds)
+
+
+_LATE_ORACLE_SQL = """
+    WITH w AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             MAX(epoch_us(ts)) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wm
+      FROM events)
+    SELECT event_type, t // 21600000000 AS win,
+           CAST(COUNT(*) FILTER ((t < wm - 43200000000) IS NOT TRUE)
+                AS BIGINT) AS n_ok,
+           CAST(COUNT(*) FILTER ((t < wm - 43200000000) IS TRUE)
+                AS BIGINT) AS n_late
+    FROM w GROUP BY event_type, t // 21600000000"""
+
+
 def q_trimmed_stats(sf_dir: str):
     """10%-trimmed daily-count statistics per event type
     (ops/timeseries.py trimmed_count_stats): drop the k = n//10
@@ -6775,6 +6804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_allocation": q_mix_allocation,
         "twohop": q_twohop,
         "trimmed_stats": q_trimmed_stats,
+        "late_windows": q_late_windows,
     }
 
 
@@ -9370,6 +9400,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_allocation": _MIX_ORACLE_SQL,
         "twohop": _TWOHOP_ORACLE_SQL,
         "trimmed_stats": _TRIMMED_ORACLE_SQL,
+        "late_windows": _LATE_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -73,7 +73,7 @@ BENCH_QUERIES = [
     "rfm_users", "local_volume", "ship_priority", "int8_mips",
     "kwic", "burstiness", "assortativity", "hausdorff",
     "emerging_hotspots", "snap_points", "latest_by_key", "crossings",
-    "mix_allocation", "twohop", "trimmed_stats",
+    "mix_allocation", "twohop", "trimmed_stats", "late_windows",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
