@@ -6004,6 +6004,136 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_bot_flags(sf_dir: str):
+    """Per-user bot-signal ingredients: event count, gap count,
+    minimum inter-event gap (−1 when fewer than 2 events), gaps
+    under 1 s, distinct event types — the rate/burst features of
+    crawl-abuse detection, all int64 from one groupby(user)
+    map_groups (lexsort + diff + unique)."""
+
+    def sig(group: pa.Table) -> pa.Table:
+        t = (group.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        e = group.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ty = group.column("event_type").to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((e, t))
+        gaps = np.diff(t[o])
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_events": pa.array([len(t)], pa.int64()),
+            "n_gaps": pa.array([len(gaps)], pa.int64()),
+            "min_gap_us": pa.array(
+                [int(gaps.min()) if len(gaps) else -1], pa.int64()),
+            "n_fast": pa.array([int((gaps < 1_000_000).sum())],
+                               pa.int64()),
+            "n_types": pa.array([len(np.unique(ty))], pa.int64())})
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type"])
+    return ds.groupby("user_id").map_groups(sig,
+                                            batch_format="pyarrow")
+
+
+_BOT_ORACLE_SQL = """
+    WITH g AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(MIN(gap), -1) AS BIGINT) AS min_gap_us,
+           CAST(COUNT(*) FILTER (gap < 1000000) AS BIGINT) AS n_fast,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM g GROUP BY user_id"""
+
+
+def q_k_anon(sf_dir: str):
+    """k-anonymity audit over quasi-identifier tuples (event_type,
+    day-of-week, user-id bucket): group sizes + the k<5 disclosure
+    flag — the privacy-risk pass a curation pipeline runs before
+    release. One groupby; all int64."""
+
+    def qid(b: pa.Table) -> pa.Table:
+        t = (b.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "dow": pa.array((t // 86_400_000_000) % 7),
+                         "ub": pa.array(u % 10)})
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"]) \
+        .map_batches(qid, batch_format="pyarrow")
+    agg = ds.groupby(["event_type", "dow", "ub"]).count()
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "event_type" not in b.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "dow": pa.array([], pa.int64()),
+                             "ub": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "is_small": pa.array([], pa.int64())})
+        n = b.column("count()").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "dow": b.column("dow"), "ub": b.column("ub"),
+                         "n": pa.array(n),
+                         "is_small": pa.array(
+                             (n < 5).astype(np.int64))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_KANON_ORACLE_SQL = """
+    SELECT event_type,
+           (epoch_us(ts) // 86400000000) % 7 AS dow,
+           user_id % 10 AS ub,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) < 5 AS BIGINT) AS is_small
+    FROM events GROUP BY event_type, dow, ub"""
+
+
+def q_quadkey(sf_dir: str):
+    """Bing Maps quadkeys at z12 (cells/tiles.tiles_to_quadkey —
+    published spec, vector '213' pinned): web-mercator tile coords →
+    base-4 digit matrix viewed as U-strings; gated char-for-char vs
+    the substr-composition SQL."""
+    from geoflow.cells import tiles
+    from geoflow.cells.tiles import tiles_to_quadkey
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        tx, ty = tiles.lonlat_to_tile(x, y, 12)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "quadkey": pa.array(tiles_to_quadkey(tx, ty, 12),
+                                pa.string())})
+
+    return _doc_points_ds(sf_dir).map_batches(assign,
+                                              batch_format="pyarrow")
+
+
+def _quadkey_oracle(doc_pts: str) -> str:
+    chars = " || ".join(
+        "substr('0123', CAST(((ty // {s}) % 2) * 2"
+        " + ((tx // {s}) % 2) AS INT) + 1, 1)".format(s=1 << (11 - i))
+        for i in range(12))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 4096), 0), 4095) AS BIGINT) AS tx,
+             CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 4096), 0), 4095) AS BIGINT) AS ty
+      FROM (SELECT doc_id, x,
+                   LEAST(GREATEST(y, -85.0511287798066),
+                         85.0511287798066) AS lat_c
+            FROM ({doc_pts})))
+    SELECT doc_id, {chars} AS quadkey FROM t"""
+
+
 def q_late_windows(sf_dir: str):
     """Watermark late-data accounting (ops/watermark.py — the
     Dataflow/Beam semantic replayed deterministically): arrival order
@@ -6805,6 +6935,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twohop": q_twohop,
         "trimmed_stats": q_trimmed_stats,
         "late_windows": q_late_windows,
+        "quadkey": q_quadkey,
+        "bot_flags": q_bot_flags,
+        "k_anon": q_k_anon,
     }
 
 
@@ -9401,6 +9534,9 @@ def oracle_sql() -> dict[str, str]:
         "twohop": _TWOHOP_ORACLE_SQL,
         "trimmed_stats": _TRIMMED_ORACLE_SQL,
         "late_windows": _LATE_ORACLE_SQL,
+        "quadkey": _quadkey_oracle(doc_pts),
+        "bot_flags": _BOT_ORACLE_SQL,
+        "k_anon": _KANON_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -134,3 +134,19 @@ def pyramid_counts(ds, x_col: str = "x", y_col: str = "y",
                                              pa.int64())})
 
     return rolled.map_batches(rename, batch_format="pyarrow")
+
+
+def tiles_to_quadkey(tx, ty, zoom: int):
+    """Bing Maps quadkeys (published spec: digit i from the MSB is
+    (ybit << 1) | xbit of tile coords at level i+1) — numpy 'U'
+    strings assembled from a digit matrix, no per-row Python."""
+    import numpy as np
+
+    tx = np.asarray(tx, dtype=np.int64)
+    ty = np.asarray(ty, dtype=np.int64)
+    shifts = zoom - 1 - np.arange(zoom, dtype=np.int64)
+    dig = (((ty[:, None] >> shifts[None, :]) & 1) << 1) \
+        | ((tx[:, None] >> shifts[None, :]) & 1)
+    cp = (dig + ord("0")).astype("<u4")
+    import numpy as _np
+    return _np.ascontiguousarray(cp).view(f"<U{zoom}").ravel()
