@@ -6004,6 +6004,106 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_dict_candidates(sf_dir: str):
+    """Compression-dictionary sample selection (the zstd --train
+    front half): content-defined chunks (text/cdc.py) → duplicate
+    counting by the (chunk_len, chunk_head) identity proxy → global
+    top-32 by (count DESC, head ASC, len ASC), count ≥ 2. Per-block
+    partial top-k + driver merge; oracle nests the full CDC SQL."""
+    from geoflow.text.cdc import cdc_chunks
+    from ray.data.aggregate import Count
+
+    chunks = cdc_chunks(_read(sf_dir, "documents",
+                              ["doc_id", "text"]))
+
+    def proj(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "chunk_head" not in b.schema.names:
+            return pa.table({"chunk_len": pa.array([], pa.int64()),
+                             "chunk_head": pa.array([], pa.string())})
+        return b.select(["chunk_len", "chunk_head"])
+
+    agg = chunks.map_batches(proj, batch_format="pyarrow") \
+        .groupby(["chunk_len", "chunk_head"]).count()
+
+    rows = []
+    for b in agg.iter_batches(batch_format="pyarrow",
+                              batch_size=None):
+        if b.num_rows == 0 or "chunk_len" not in b.schema.names:
+            continue
+        ln = b.column("chunk_len").to_numpy(zero_copy_only=False)
+        hd = np.asarray(b.column("chunk_head").to_pylist(),
+                        dtype=object)
+        c = b.column("count()").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = c >= 2
+        ln, hd, c = ln[m], hd[m], c[m]
+        sel = np.lexsort((ln, hd, -c))[:32]
+        rows.append((ln[sel], hd[sel], c[sel]))
+    if rows:
+        ln = np.concatenate([r[0] for r in rows])
+        hd = np.concatenate([r[1] for r in rows])
+        c = np.concatenate([r[2] for r in rows])
+        sel = np.lexsort((ln, hd, -c))[:32]
+    else:
+        ln = c = np.empty(0, np.int64)
+        hd = np.empty(0, object)
+        sel = np.empty(0, np.int64)
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "chunk_len": pa.array(ln[sel].astype(np.int64)),
+        "chunk_head": pa.array(list(hd[sel]), pa.string()),
+        "n_dups": pa.array(c[sel].astype(np.int64))}))
+
+
+def _dict_candidates_oracle() -> str:
+    return f"""
+    WITH cdc AS MATERIALIZED ({_cdc_oracle()})
+    SELECT chunk_len, chunk_head, CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM cdc GROUP BY chunk_len, chunk_head
+    HAVING COUNT(*) >= 2
+    ORDER BY n_dups DESC, chunk_head ASC, chunk_len ASC
+    LIMIT 32"""
+
+
+def q_focal_majority(sf_dir: str):
+    """Focal MAJORITY filter over the occupied z8 doc-tile lattice
+    (ops/spatialstats.py focal_majority_tiles — raster focal
+    statistics): per-tile modal neighbor count value, ties to the
+    smallest; one lexsort + run-length mode, no per-tile Python.
+    Gated vs the neighbor self-join + ROW_NUMBER SQL."""
+    from geoflow.ops.spatialstats import focal_majority_tiles
+    return focal_majority_tiles(_doc_points_ds(sf_dir), zoom=8)
+
+
+def _focal_majority_oracle(doc_pts: str) -> str:
+    return """
+    WITH b AS MATERIALIZED (
+      SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 256), 0), 255) AS BIGINT) AS tile_x,
+               CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 256), 0), 255) AS BIGINT) AS tile_y
+        FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+              FROM ({doc_pts})))
+      GROUP BY tile_x, tile_y),
+    nb AS (SELECT b1.tile_x, b1.tile_y, b2.c AS v
+           FROM b b1 JOIN b b2
+             ON abs(b1.tile_x - b2.tile_x) <= 1
+            AND abs(b1.tile_y - b2.tile_y) <= 1),
+    vc AS (SELECT tile_x, tile_y, v,
+                  CAST(COUNT(*) AS BIGINT) AS m
+           FROM nb GROUP BY tile_x, tile_y, v),
+    tot AS (SELECT tile_x, tile_y,
+                   CAST(SUM(m) AS BIGINT) AS n_contrib
+            FROM vc GROUP BY tile_x, tile_y),
+    r AS (SELECT tile_x, tile_y, v,
+                 ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                                    ORDER BY m DESC, v ASC) AS rk
+          FROM vc)
+    SELECT r.tile_x, r.tile_y, tot.n_contrib,
+           r.v AS majority_value
+    FROM r JOIN tot USING (tile_x, tile_y)
+    WHERE r.rk = 1""".replace("{doc_pts}", doc_pts)
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -6938,6 +7038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadkey": q_quadkey,
         "bot_flags": q_bot_flags,
         "k_anon": q_k_anon,
+        "focal_majority": q_focal_majority,
+        "dict_candidates": q_dict_candidates,
     }
 
 
@@ -9537,6 +9639,8 @@ def oracle_sql() -> dict[str, str]:
         "quadkey": _quadkey_oracle(doc_pts),
         "bot_flags": _BOT_ORACLE_SQL,
         "k_anon": _KANON_ORACLE_SQL,
+        "focal_majority": _focal_majority_oracle(doc_pts),
+        "dict_candidates": _dict_candidates_oracle(),
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

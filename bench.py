@@ -74,7 +74,8 @@ BENCH_QUERIES = [
     "kwic", "burstiness", "assortativity", "hausdorff",
     "emerging_hotspots", "snap_points", "latest_by_key", "crossings",
     "mix_allocation", "twohop", "trimmed_stats", "late_windows",
-    "quadkey", "bot_flags", "k_anon",
+    "quadkey", "bot_flags", "k_anon", "focal_majority",
+    "dict_candidates",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -517,3 +517,61 @@ def segment_crossings(ds, grp_col: str = "grp",
 
     return ds.groupby(grp_col).map_groups(cross_count,
                                           batch_format="pyarrow")
+
+
+def focal_majority_tiles(ds, x_col: str = "x", y_col: str = "y",
+                         zoom: int = 8,
+                         max_broadcast_tiles: int = 50_000_000):
+    """Focal majority filter over the occupied tile lattice (the
+    raster focal-statistics MAJORITY op): for each occupied tile, the
+    modal COUNT VALUE among itself + its up-to-8 occupied queen
+    neighbors — ties break to the SMALLEST value (deterministic, the
+    SQL (cnt DESC, value ASC) row-number order). Output (tile_x,
+    tile_y, n_contrib, majority_value), all int64.
+
+    Shape: the shared _tile_counts collect (bounded by 4^zoom), then
+    one vectorized pass: the 9 shifted neighbor lookups build a
+    (n_tiles × 9) value matrix whose per-row mode is computed by one
+    lexsort + run-length scan — no Python loop over tiles."""
+    import ray.data
+
+    keys, cnts = _tile_counts(ds, x_col, y_col, zoom,
+                              max_broadcast_tiles)
+    n = len(keys)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "n_contrib": pa.array([], pa.int64()),
+            "majority_value": pa.array([], pa.int64())}))
+    tx, ty = keys // (1 << 32), keys % (1 << 32)
+    vals = np.zeros((n, 9), np.int64)
+    ok = np.zeros((n, 9), bool)
+    j = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nk = (tx + dx) * (1 << 32) + (ty + dy)
+            pos = np.searchsorted(keys, nk)
+            hit = (pos < n) & (keys[np.minimum(pos, n - 1)] == nk)
+            vals[hit, j] = cnts[np.minimum(pos, n - 1)][hit]
+            ok[:, j] = hit
+            j += 1
+    # per-row mode with (count DESC, value ASC) tiebreak: flatten the
+    # valid (row, value) pairs, sort, run-length, then per-row argbest
+    rows = np.repeat(np.arange(n), 9)[ok.ravel()]
+    v = vals.ravel()[ok.ravel()]
+    o = np.lexsort((v, rows))
+    rows, v = rows[o], v[o]
+    start = np.r_[True, (rows[1:] != rows[:-1]) | (v[1:] != v[:-1])]
+    si = np.flatnonzero(start)
+    rl = np.diff(np.r_[si, len(v)])          # multiplicity per run
+    rrow, rval = rows[si], v[si]
+    # best run per row: order by (row, -count, value) and take first
+    o2 = np.lexsort((rval, -rl, rrow))
+    first = np.r_[True, rrow[o2][1:] != rrow[o2][:-1]]
+    maj = np.empty(n, np.int64)
+    maj[rrow[o2][first]] = rval[o2][first]
+    return ray.data.from_arrow(pa.table({
+        "tile_x": pa.array(tx), "tile_y": pa.array(ty),
+        "n_contrib": pa.array(ok.sum(axis=1).astype(np.int64)),
+        "majority_value": pa.array(maj)}))
