@@ -6004,6 +6004,95 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_cell_terms(sf_dir: str):
+    """Regional vocabulary (the text×geo cross): per z4 web-mercator
+    tile of the doc points, the top-3 tokens of the docs in that tile
+    by (count DESC, token ASC). One pass emits per-batch pre-combined
+    (tile, token, cnt) partials → one groupby-sum → per-tile top-k
+    map_groups. Gated vs the tile-assignment + token LATERAL +
+    ROW_NUMBER SQL."""
+    from ray.data.aggregate import Sum
+
+    from geoflow.cells.tiles import lonlat_to_tile
+    from geoflow.text.hashing import tokenize
+
+    # coords derive from doc_id (the _doc_points_ds formula), so one
+    # documents read carries text AND position
+    def partial2(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat = _doc_lonlat(ids)
+        tx, ty = lonlat_to_tile(lon, lat, 4)
+        tile = tx.astype(np.int64) * 16 + ty.astype(np.int64)
+        flat, parent = tokenize(b.column("text"))
+        if len(flat) == 0:
+            return pa.table({"tile": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nv = len(enc.dictionary)
+        key = tile[parent] * nv + codes
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "tile": pa.array(uk // nv),
+            "token": enc.dictionary.take(pa.array(uk % nv,
+                                                  pa.int64())),
+            "cnt": pa.array(c.astype(np.int64))})
+
+    parts = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(partial2, batch_format="pyarrow")
+    agg = parts.groupby(["tile", "token"]).aggregate(Sum("cnt"))
+
+    def topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "tile" not in group.schema.names:
+            return pa.table({"tile_x": pa.array([], pa.int64()),
+                             "tile_y": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        c = group.column("sum(cnt)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        toks = np.asarray(group.column("token").to_pylist(),
+                          dtype=object)
+        sel = np.lexsort((toks, -c))[:3]
+        tile = int(group.column("tile")[0].as_py())
+        return pa.table({
+            "tile_x": pa.array([tile // 16] * len(sel), pa.int64()),
+            "tile_y": pa.array([tile % 16] * len(sel), pa.int64()),
+            "token": pa.array(list(toks[sel]), pa.string()),
+            "n": pa.array(c[sel])})
+
+    return agg.groupby("tile").map_groups(topk,
+                                          batch_format="pyarrow")
+
+
+_CELL_TERMS_ORACLE_SQL = r"""
+    WITH pts AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 16), 0), 15) AS BIGINT) AS tile_x,
+             CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 16), 0), 15) AS BIGINT) AS tile_y
+      FROM (SELECT doc_id, x,
+                   LEAST(GREATEST(y, -85.0511287798066),
+                         85.0511287798066) AS lat_c
+            FROM ({doc_pts}))),
+    tok AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                                       '[\p{L}\p{N}_]+')) AS tok
+      FROM documents),
+    c AS (SELECT p.tile_x, p.tile_y, t.tok,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok t JOIN pts p USING (doc_id)
+          GROUP BY p.tile_x, p.tile_y, t.tok),
+    r AS (SELECT tile_x, tile_y, tok, n,
+                 ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                                    ORDER BY n DESC, tok ASC) AS rk
+          FROM c)
+    SELECT tile_x, tile_y, tok AS token, n FROM r WHERE rk <= 3"""
+
+
 def q_dict_candidates(sf_dir: str):
     """Compression-dictionary sample selection (the zstd --train
     front half): content-defined chunks (text/cdc.py) → duplicate
@@ -7040,6 +7129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anon": q_k_anon,
         "focal_majority": q_focal_majority,
         "dict_candidates": q_dict_candidates,
+        "cell_terms": q_cell_terms,
     }
 
 
@@ -9641,6 +9731,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anon": _KANON_ORACLE_SQL,
         "focal_majority": _focal_majority_oracle(doc_pts),
         "dict_candidates": _dict_candidates_oracle(),
+        "cell_terms": _CELL_TERMS_ORACLE_SQL.replace("{doc_pts}",
+                                                     doc_pts),
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,
