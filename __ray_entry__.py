@@ -6004,6 +6004,42 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_tile_clusters(sf_dir: str):
+    """Occupied-tile cluster labels (ops/spatialstats.py
+    tile_cluster_labels): 8 synchronous min-label rounds over z8
+    4-connectivity — raster region grouping; fixed-round prefix
+    semantic unrolled identically by the oracle (kcore/labelprop
+    convention)."""
+    from geoflow.ops.spatialstats import tile_cluster_labels
+    return tile_cluster_labels(_doc_points_ds(sf_dir), zoom=8,
+                               rounds=8)
+
+
+def _tile_clusters_oracle(doc_pts: str, rounds: int = 8) -> str:
+    parts = ["""
+    WITH b AS MATERIALIZED (
+      SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 256), 0), 255) AS BIGINT) AS tile_x,
+               CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 256), 0), 255) AS BIGINT) AS tile_y
+        FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+              FROM ({doc_pts})))
+      GROUP BY tile_x, tile_y),
+    l0 AS MATERIALIZED (
+      SELECT tile_x, tile_y, c,
+             tile_x * 256 + tile_y AS lab FROM b)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+l{t} AS MATERIALIZED (
+  SELECT a.tile_x, a.tile_y, a.c, CAST(MIN(n.lab) AS BIGINT) AS lab
+  FROM l{t - 1} a JOIN l{t - 1} n
+    ON abs(a.tile_x - n.tile_x) + abs(a.tile_y - n.tile_y) <= 1
+  GROUP BY a.tile_x, a.tile_y, a.c)""")
+    parts.append(f"""
+    SELECT tile_x, tile_y, c AS n_points, lab AS label
+    FROM l{rounds}""")
+    return "".join(parts).replace("{doc_pts}", doc_pts)
+
+
 def q_cell_terms(sf_dir: str):
     """Regional vocabulary (the text×geo cross): per z4 web-mercator
     tile of the doc points, the top-3 tokens of the docs in that tile
@@ -7130,6 +7166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_majority": q_focal_majority,
         "dict_candidates": q_dict_candidates,
         "cell_terms": q_cell_terms,
+        "tile_clusters": q_tile_clusters,
     }
 
 
@@ -9733,6 +9770,7 @@ def oracle_sql() -> dict[str, str]:
         "dict_candidates": _dict_candidates_oracle(),
         "cell_terms": _CELL_TERMS_ORACLE_SQL.replace("{doc_pts}",
                                                      doc_pts),
+        "tile_clusters": _tile_clusters_oracle(doc_pts),
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -75,7 +75,7 @@ BENCH_QUERIES = [
     "emerging_hotspots", "snap_points", "latest_by_key", "crossings",
     "mix_allocation", "twohop", "trimmed_stats", "late_windows",
     "quadkey", "bot_flags", "k_anon", "focal_majority",
-    "dict_candidates", "cell_terms",
+    "dict_candidates", "cell_terms", "tile_clusters",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the

@@ -575,3 +575,47 @@ def focal_majority_tiles(ds, x_col: str = "x", y_col: str = "y",
         "tile_x": pa.array(tx), "tile_y": pa.array(ty),
         "n_contrib": pa.array(ok.sum(axis=1).astype(np.int64)),
         "majority_value": pa.array(maj)}))
+
+
+def tile_cluster_labels(ds, x_col: str = "x", y_col: str = "y",
+                        zoom: int = 8, rounds: int = 8,
+                        max_broadcast_tiles: int = 50_000_000):
+    """Connected-cluster labels over the occupied tile lattice
+    (4-connectivity) by ``rounds`` synchronous min-label relaxations
+    — the raster region-grouping op. Labels start as the packed tile
+    key (tx·2^zoom + ty) and converge to the component minimum;
+    with ``rounds`` below a component's diameter the result is the
+    documented fixed-round prefix, which the SQL oracle unrolls
+    identically (kcore/labelprop convention). Output (tile_x,
+    tile_y, n_points, label), all int64.
+
+    Shape: the shared _tile_counts collect (4^zoom bound), then
+    ``rounds`` vectorized searchsorted min-relaxations on the
+    driver arrays — no per-tile Python."""
+    import ray.data
+
+    keys, cnts = _tile_counts(ds, x_col, y_col, zoom,
+                              max_broadcast_tiles)
+    n = len(keys)
+    side = 1 << zoom
+    tx, ty = keys // (1 << 32), keys % (1 << 32)
+    pk = tx * side + ty
+    lab = pk.copy()
+    nbr_keys = [(tx + dx) * (1 << 32) + (ty + dy)
+                for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))]
+    pos_hit = []
+    for nk in nbr_keys:
+        pos = np.searchsorted(keys, nk)
+        hit = (pos < n) & (keys[np.minimum(pos, n - 1)] == nk)
+        pos_hit.append((np.minimum(pos, n - 1), hit))
+    for _ in range(rounds):
+        new = lab.copy()
+        for pos, hit in pos_hit:
+            cand = np.where(hit, lab[pos], lab)
+            np.minimum(new, cand, out=new)
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return ray.data.from_arrow(pa.table({
+        "tile_x": pa.array(tx), "tile_y": pa.array(ty),
+        "n_points": pa.array(cnts), "label": pa.array(lab)}))
