@@ -6004,6 +6004,68 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_network_travel(sf_dir: str):
+    """Map-matched odometer (ops/snap.py network_travel_stats): each
+    planted event position snaps to the staircase network, linearizes
+    to an arc position (prefix length + offset), and per user the
+    (ts, event_id)-ordered |Δarc| steps sum to the along-network
+    travel. Gated vs the snap + LAG SQL oracle."""
+    from geoflow.ops.snap import network_travel_stats
+
+    segs = []
+    for j in range(9):
+        segs.append((10 * j, 5 * j, 10 * j + 10, 5 * j))
+        segs.append((10 * j + 10, 5 * j, 10 * j + 10, 5 * j + 5))
+
+    def pos(b: pa.Table) -> pa.Table:
+        e = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": pa.array(e),
+                         "ts": b.column("ts"),
+                         "px": (e * 13) % 100, "py": (e * 29) % 100})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"]) \
+        .map_batches(pos, batch_format="pyarrow")
+    return network_travel_stats(ds, segs)
+
+
+_NETWORK_TRAVEL_ORACLE_SQL = """
+    WITH segs AS (
+      SELECT 2*j AS seg, 10*j AS lx, 10*j + 10 AS hx,
+             5*j AS ly, 5*j AS hy, 15*j AS pre
+      FROM (SELECT unnest(range(9)) AS j)
+      UNION ALL
+      SELECT 2*j + 1, 10*j + 10, 10*j + 10, 5*j, 5*j + 5, 15*j + 10
+      FROM (SELECT unnest(range(9)) AS j)),
+    p AS (SELECT user_id, event_id, ts,
+                 (event_id*13) % 100 AS x, (event_id*29) % 100 AS y
+          FROM events),
+    d AS (SELECT p.user_id, p.event_id, p.ts,
+                 s.pre + (LEAST(GREATEST(p.x, s.lx), s.hx) - s.lx)
+                       + (LEAST(GREATEST(p.y, s.ly), s.hy) - s.ly)
+                   AS arc,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.user_id, p.event_id
+                   ORDER BY (p.x - LEAST(GREATEST(p.x, s.lx), s.hx))
+                            * (p.x - LEAST(GREATEST(p.x, s.lx), s.hx))
+                          + (p.y - LEAST(GREATEST(p.y, s.ly), s.hy))
+                            * (p.y - LEAST(GREATEST(p.y, s.ly), s.hy)),
+                            s.seg) AS rn
+          FROM p CROSS JOIN segs s),
+    a AS (SELECT user_id, event_id, ts, arc FROM d WHERE rn = 1),
+    g AS (SELECT user_id,
+                 abs(arc - LAG(arc) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                   AS step
+          FROM a)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(step), 0) AS BIGINT)
+             AS total_network_dist,
+           CAST(COALESCE(MAX(step), 0) AS BIGINT) AS max_step
+    FROM g GROUP BY user_id"""
+
+
 def q_tile_clusters(sf_dir: str):
     """Occupied-tile cluster labels (ops/spatialstats.py
     tile_cluster_labels): 8 synchronous min-label rounds over z8
@@ -7167,6 +7229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_candidates": q_dict_candidates,
         "cell_terms": q_cell_terms,
         "tile_clusters": q_tile_clusters,
+        "network_travel": q_network_travel,
     }
 
 
@@ -9771,6 +9834,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_terms": _CELL_TERMS_ORACLE_SQL.replace("{doc_pts}",
                                                      doc_pts),
         "tile_clusters": _tile_clusters_oracle(doc_pts),
+        "network_travel": _NETWORK_TRAVEL_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

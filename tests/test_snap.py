@@ -75,3 +75,29 @@ def test_segment_crossings_cases(ray_session):
     out = segment_crossings(ds).to_pandas().set_index("grp")
     assert out.loc[0].tolist() == [4, 1]
     assert out.loc[1].tolist() == [1, 0]
+
+
+def test_network_positions_and_travel(ray_session):
+    from geoflow.ops.snap import network_positions, network_travel_stats
+    segs = [(0, 0, 10, 0), (10, 0, 10, 5)]  # L-shape, total 15
+    pts = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "x": pa.array([3, 12, 10], pa.int64()),
+        "y": pa.array([1, 4, 5], pa.int64())}))
+    out = network_positions(pts, segs).to_pandas().set_index("doc_id")
+    # p1 -> seg0 at x=3: arc 3; p2 -> seg1 at y=4: arc 10+4; p3 end
+    assert out.loc[1].tolist() == [0, 3]
+    assert out.loc[2].tolist() == [1, 14]
+    assert out.loc[3].tolist() == [1, 15]
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(np.array([10, 20, 30], np.int64)
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "px": pa.array([3, 10, 12], pa.int64()),
+        "py": pa.array([1, 5, 4], pa.int64())}))
+    st = network_travel_stats(ev, segs).to_pandas()
+    # arcs 3 -> 15 -> 14: steps 12, 1
+    assert st.n_events.tolist() == [3]
+    assert st.total_network_dist.tolist() == [13]
+    assert st.max_step.tolist() == [12]
