@@ -6004,6 +6004,80 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_hist_overlap(sf_dir: str):
+    """Day-over-day hourly-histogram intersection per event type
+    (distribution-drift signal): overlap(d) = Σ_hours min(c(d,h),
+    c(d+1,h)) — exact integers from one (type, day, hour) groupby +
+    a per-type map_groups that aligns consecutive CALENDAR days via
+    a dense (day, hour) matrix. Gated vs the self-join LEAST SQL."""
+    from ray.data.aggregate import Count
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = (b.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"event_type": b.column("event_type"),
+                         "day": pa.array(t // 86_400_000_000),
+                         "hour": pa.array(
+                             (t // 3_600_000_000) % 24)})
+
+    daily = _read(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby(["event_type", "day", "hour"]).count()
+
+    def overlap(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hour = group.column("hour").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        days = np.unique(day)
+        di = np.searchsorted(days, day)
+        grid = np.zeros((len(days), 24), np.int64)
+        grid[di, hour] = c
+        # overlap defined for day d when day d+1 is ALSO present
+        nxt = np.searchsorted(days, days + 1)
+        ok = (nxt < len(days))
+        ok[ok] &= days[nxt[ok]] == days[ok] + 1
+        ov = np.minimum(grid[ok], grid[nxt[ok]]).sum(axis=1)
+        kv = group.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([kv] * int(ok.sum()), pa.string()),
+            "day": pa.array(days[ok]),
+            "overlap": pa.array(ov),
+            "n_day": pa.array(grid[ok].sum(axis=1)),
+            "n_next": pa.array(grid[nxt[ok]].sum(axis=1))})
+
+    return daily.groupby("event_type").map_groups(
+        overlap, batch_format="pyarrow")
+
+
+_HIST_OVERLAP_ORACLE_SQL = """
+    WITH c AS MATERIALIZED (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             (epoch_us(ts) // 3600000000) % 24 AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day, hour),
+    days AS (SELECT DISTINCT event_type, day FROM c),
+    pairs AS (SELECT a.event_type, a.day
+              FROM days a JOIN days b ON b.event_type = a.event_type
+                                     AND b.day = a.day + 1),
+    j AS (SELECT p.event_type, p.day,
+                 COALESCE(x.n, 0) AS na, COALESCE(y.n, 0) AS nb,
+                 h.h AS hour
+          FROM pairs p
+          CROSS JOIN (SELECT unnest(range(24)) AS h) h
+          LEFT JOIN c x ON x.event_type = p.event_type
+                       AND x.day = p.day AND x.hour = h.h
+          LEFT JOIN c y ON y.event_type = p.event_type
+                       AND y.day = p.day + 1 AND y.hour = h.h)
+    SELECT event_type, day,
+           CAST(SUM(LEAST(na, nb)) AS BIGINT) AS overlap,
+           CAST(SUM(na) AS BIGINT) AS n_day,
+           CAST(SUM(nb) AS BIGINT) AS n_next
+    FROM j GROUP BY event_type, day"""
+
+
 def q_network_travel(sf_dir: str):
     """Map-matched odometer (ops/snap.py network_travel_stats): each
     planted event position snaps to the staircase network, linearizes
@@ -7230,6 +7304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_terms": q_cell_terms,
         "tile_clusters": q_tile_clusters,
         "network_travel": q_network_travel,
+        "hist_overlap": q_hist_overlap,
     }
 
 
@@ -9835,6 +9910,7 @@ def oracle_sql() -> dict[str, str]:
                                                      doc_pts),
         "tile_clusters": _tile_clusters_oracle(doc_pts),
         "network_travel": _NETWORK_TRAVEL_ORACLE_SQL,
+        "hist_overlap": _HIST_OVERLAP_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,
