@@ -6004,6 +6004,34 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_novelty(sf_dir: str):
+    """Token-3-gram novelty per document (text/novelty.py — the
+    memorization/boilerplate curation signal): gram → global
+    min(doc_id) via one groupby-min, occurrences hash-joined back
+    (aggregate→join seam sanitized per CLAUDE.md), per-doc
+    seen-before counts. Gated vs the LATERAL gram + MIN join SQL."""
+    from geoflow.text.novelty import ngram_novelty
+    return ngram_novelty(_read(sf_dir, "documents",
+                               ["doc_id", "text"]))
+
+
+_NOVELTY_ORACLE_SQL = r"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text),
+                                        '[\p{L}\p{N}_]+') AS tk
+      FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id,
+             tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2] AS gram
+      FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 1))) g(i)),
+    f AS MATERIALIZED (
+      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (f.first_doc < g.doc_id) AS BIGINT)
+             AS n_seen_before
+    FROM g JOIN f USING (gram) GROUP BY g.doc_id"""
+
+
 def q_hist_overlap(sf_dir: str):
     """Day-over-day hourly-histogram intersection per event type
     (distribution-drift signal): overlap(d) = Σ_hours min(c(d,h),
@@ -7305,6 +7333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_clusters": q_tile_clusters,
         "network_travel": q_network_travel,
         "hist_overlap": q_hist_overlap,
+        "novelty": q_novelty,
     }
 
 
@@ -9911,6 +9940,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_clusters": _tile_clusters_oracle(doc_pts),
         "network_travel": _NETWORK_TRAVEL_ORACLE_SQL,
         "hist_overlap": _HIST_OVERLAP_ORACLE_SQL,
+        "novelty": _NOVELTY_ORACLE_SQL,
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,
