@@ -6004,6 +6004,76 @@ def _hull_points_sql() -> str:
                    (doc_id // 25) % 5 + 1 AS s FROM documents)"""
 
 
+def q_tile_lang_mix(sf_dir: str):
+    """Per-z4-tile language mix: doc counts, distinct languages, and
+    the plurality language (count DESC, lang ASC tiebreak) — the
+    regional-composition profile. One (tile, lang) groupby + per-tile
+    argmax map_groups."""
+    from geoflow.cells.tiles import lonlat_to_tile
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat = _doc_lonlat(ids)
+        tx, ty = lonlat_to_tile(lon, lat, 4)
+        return pa.table({
+            "tile": pa.array(tx.astype(np.int64) * 16
+                             + ty.astype(np.int64)),
+            "lang": b.column("lang")})
+
+    agg = _read(sf_dir, "documents", ["doc_id", "lang"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby(["tile", "lang"]).count()
+
+    def mix(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "tile" not in group.schema.names:
+            return pa.table({"tile_x": pa.array([], pa.int64()),
+                             "tile_y": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_langs": pa.array([], pa.int64()),
+                             "top_lang": pa.array([], pa.string()),
+                             "top_n": pa.array([], pa.int64())})
+        c = group.column("count()").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        langs = np.asarray(group.column("lang").to_pylist(),
+                           dtype=object)
+        best = np.lexsort((langs, -c))[0]
+        tile = int(group.column("tile")[0].as_py())
+        return pa.table({
+            "tile_x": pa.array([tile // 16], pa.int64()),
+            "tile_y": pa.array([tile % 16], pa.int64()),
+            "n_docs": pa.array([int(c.sum())], pa.int64()),
+            "n_langs": pa.array([len(c)], pa.int64()),
+            "top_lang": pa.array([langs[best]], pa.string()),
+            "top_n": pa.array([int(c[best])], pa.int64())})
+
+    return agg.groupby("tile").map_groups(mix,
+                                          batch_format="pyarrow")
+
+
+_TILE_LANG_ORACLE_SQL = """
+    WITH pts AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 16), 0), 15) AS BIGINT) AS tile_x,
+             CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 16), 0), 15) AS BIGINT) AS tile_y
+      FROM (SELECT doc_id, lang, x,
+                   LEAST(GREATEST(y, -85.0511287798066),
+                         85.0511287798066) AS lat_c
+            FROM ({doc_pts}))),
+    c AS (SELECT tile_x, tile_y, lang,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM pts GROUP BY tile_x, tile_y, lang),
+    r AS (SELECT tile_x, tile_y, lang, n,
+                 ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                                    ORDER BY n DESC, lang ASC) AS rk,
+                 SUM(n) OVER (PARTITION BY tile_x, tile_y) AS tot,
+                 COUNT(*) OVER (PARTITION BY tile_x, tile_y) AS nl
+          FROM c)
+    SELECT tile_x, tile_y, CAST(tot AS BIGINT) AS n_docs,
+           CAST(nl AS BIGINT) AS n_langs, lang AS top_lang,
+           n AS top_n
+    FROM r WHERE rk = 1"""
+
+
 def q_novelty(sf_dir: str):
     """Token-3-gram novelty per document (text/novelty.py — the
     memorization/boilerplate curation signal): gram → global
@@ -7334,6 +7404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_travel": q_network_travel,
         "hist_overlap": q_hist_overlap,
         "novelty": q_novelty,
+        "tile_lang_mix": q_tile_lang_mix,
     }
 
 
@@ -9941,6 +10012,8 @@ def oracle_sql() -> dict[str, str]:
         "network_travel": _NETWORK_TRAVEL_ORACLE_SQL,
         "hist_overlap": _HIST_OVERLAP_ORACLE_SQL,
         "novelty": _NOVELTY_ORACLE_SQL,
+        "tile_lang_mix": _TILE_LANG_ORACLE_SQL.replace("{doc_pts}",
+                                                       doc_pts),
         "od_flows": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -76,7 +76,7 @@ BENCH_QUERIES = [
     "mix_allocation", "twohop", "trimmed_stats", "late_windows",
     "quadkey", "bot_flags", "k_anon", "focal_majority",
     "dict_candidates", "cell_terms", "tile_clusters",
-    "network_travel", "hist_overlap", "novelty",
+    "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
