@@ -5943,6 +5943,131 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_tile_rank(sf_dir: str):
+    """Popular-place ranking (geo×graph composite): the stay-anchor
+    OD flow matrix becomes a weighted 25-node cell graph ranked by 4
+    integer fixed-point PageRank rounds (graph/pagerank.py weighted
+    mode) — the host_pagerank shape over trajectory flows. Oracle:
+    the od_flows SQL nested as the edge CTE + unrolled rounds from
+    the same constants."""
+    import ray.data
+
+    from geoflow.graph.pagerank import pagerank
+    from geoflow.ops.staypoints import stay_od_flows
+
+    def pos(b: pa.Table) -> pa.Table:
+        e = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": pa.array(e),
+                         "ts": b.column("ts"),
+                         "px": (e * 13) % 100, "py": (e * 29) % 100})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"]) \
+        .map_batches(pos, batch_format="pyarrow")
+    flows = stay_od_flows(ds)
+    srcs, dsts, ws = [], [], []
+    for b in flows.iter_batches(batch_format="pyarrow",
+                                batch_size=None):
+        if b.num_rows == 0 or "from_cx" not in b.schema.names:
+            continue
+        srcs.append(b.column("from_cx").to_numpy(zero_copy_only=False)
+                    * 5 + b.column("from_cy").to_numpy(
+                        zero_copy_only=False))
+        dsts.append(b.column("to_cx").to_numpy(zero_copy_only=False)
+                    * 5 + b.column("to_cy").to_numpy(
+                        zero_copy_only=False))
+        ws.append(b.column("n_trips").to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+    src = np.concatenate(srcs).astype(np.int64)
+    dst = np.concatenate(dsts).astype(np.int64)
+    w = np.concatenate(ws)
+    outw = np.zeros(25, np.int64)
+    np.add.at(outw, src, w)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "w": pa.array(w), "outw": pa.array(outw[src])}))
+    pr = pagerank(edges, n_nodes=25, outdeg_col="outw",
+                  weight_col="w", iterations=4,
+                  materialize_edges=False)
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.schema.names:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "rank_units": pa.array([], pa.int64())})
+        return pa.table({"cell": b.column("node"),
+                         "rank_units": b.column("rank_units")})
+
+    return pr.map_batches(fin, batch_format="pyarrow")
+
+
+def _tile_rank_oracle(iterations: int = 4) -> str:
+    from geoflow.graph.pagerank import MASS
+    r0 = MASS // 25
+    base = (r0 * 3) // 20
+    parts = [f"""
+    WITH od AS MATERIALIZED ({_OD_FLOWS_ORACLE_SQL}),
+    edges AS (SELECT from_cx*5 + from_cy AS src,
+                     to_cx*5 + to_cy AS dst, n_trips AS w FROM od),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+             FROM edges GROUP BY src),
+    e2 AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w, o.ow
+      FROM edges e JOIN outw o ON o.src = e.src),
+    nodes AS (SELECT unnest(range(25)) AS node),
+    r0 AS (SELECT node, {r0} AS rank_units FROM nodes)"""]
+    for t in range(1, iterations + 1):
+        parts.append(f""",
+    r{t} AS MATERIALIZED (
+      SELECT nd.node,
+             {base} + (17 * COALESCE(s.s, 0)) // 20 AS rank_units
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.rank_units * e.w) // e.ow) AS BIGINT) AS s
+        FROM e2 e JOIN r{t - 1} r ON r.node = e.src
+        GROUP BY e.dst) s ON s.node = nd.node)""")
+    parts.append(f"""
+    SELECT CAST(node AS BIGINT) AS cell, rank_units
+    FROM r{iterations}""")
+    return "".join(parts)
+
+
+_OD_FLOWS_ORACLE_SQL = """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     (event_id * 13) % 100 AS px,
+                     (event_id * 29) % 100 AS py,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            viol AS (
+              SELECT a.user_id, a.rn, MIN(b.rn) AS stop_rn
+              FROM e a JOIN e b ON a.user_id = b.user_id
+                AND b.rn > a.rn
+                AND (a.px - b.px) * (a.px - b.px)
+                  + (a.py - b.py) * (a.py - b.py) > 1000
+              GROUP BY a.user_id, a.rn),
+            st AS (
+              SELECT a.user_id, a.rn,
+                     a.px // 20 AS cx, a.py // 20 AS cy
+              FROM e a
+              LEFT JOIN viol v ON v.user_id = a.user_id
+                              AND v.rn = a.rn
+              JOIN e tl ON tl.user_id = a.user_id
+                       AND tl.rn = COALESCE(v.stop_rn, a.n + 1) - 1
+              WHERE tl.t - a.t >= 3600000000),
+            tr AS (
+              SELECT user_id, cx AS from_cx, cy AS from_cy,
+                     LEAD(cx) OVER w AS to_cx,
+                     LEAD(cy) OVER w AS to_cy
+              FROM st WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+            SELECT from_cx, from_cy, to_cx, to_cy,
+                   CAST(COUNT(*) AS BIGINT) AS n_trips
+            FROM tr WHERE to_cx IS NOT NULL
+            GROUP BY from_cx, from_cy, to_cx, to_cy"""
+
+
 def q_od_flows(sf_dir: str):
     """Origin-destination flows between consecutive stay anchors
     (ops/staypoints.py stay_od_flows — the trajectory-mining OD
@@ -7405,6 +7530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_overlap": q_hist_overlap,
         "novelty": q_novelty,
         "tile_lang_mix": q_tile_lang_mix,
+        "tile_rank": q_tile_rank,
     }
 
 
@@ -10014,40 +10140,8 @@ def oracle_sql() -> dict[str, str]:
         "novelty": _NOVELTY_ORACLE_SQL,
         "tile_lang_mix": _TILE_LANG_ORACLE_SQL.replace("{doc_pts}",
                                                        doc_pts),
-        "od_flows": """
-            WITH e AS (
-              SELECT user_id, event_id, epoch_us(ts) AS t,
-                     (event_id * 13) % 100 AS px,
-                     (event_id * 29) % 100 AS py,
-                     row_number() OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS rn,
-                     count(*) OVER (PARTITION BY user_id) AS n
-              FROM events),
-            viol AS (
-              SELECT a.user_id, a.rn, MIN(b.rn) AS stop_rn
-              FROM e a JOIN e b ON a.user_id = b.user_id
-                AND b.rn > a.rn
-                AND (a.px - b.px) * (a.px - b.px)
-                  + (a.py - b.py) * (a.py - b.py) > 1000
-              GROUP BY a.user_id, a.rn),
-            st AS (
-              SELECT a.user_id, a.rn,
-                     a.px // 20 AS cx, a.py // 20 AS cy
-              FROM e a
-              LEFT JOIN viol v ON v.user_id = a.user_id
-                              AND v.rn = a.rn
-              JOIN e tl ON tl.user_id = a.user_id
-                       AND tl.rn = COALESCE(v.stop_rn, a.n + 1) - 1
-              WHERE tl.t - a.t >= 3600000000),
-            tr AS (
-              SELECT user_id, cx AS from_cx, cy AS from_cy,
-                     LEAD(cx) OVER w AS to_cx,
-                     LEAD(cy) OVER w AS to_cy
-              FROM st WINDOW w AS (PARTITION BY user_id ORDER BY rn))
-            SELECT from_cx, from_cy, to_cx, to_cy,
-                   CAST(COUNT(*) AS BIGINT) AS n_trips
-            FROM tr WHERE to_cx IS NOT NULL
-            GROUP BY from_cx, from_cy, to_cx, to_cy""",
+        "od_flows": _OD_FLOWS_ORACLE_SQL,
+        "tile_rank": _tile_rank_oracle(),
         "vocab_growth": r"""
             WITH tok AS MATERIALIZED (
               SELECT doc_id,
