@@ -5943,6 +5943,48 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_gini(sf_dir: str):
+    """Usage-concentration (Gini) ingredients per event type: over
+    per-user event counts, n_users / total / Σ_{i,j}|x_i−x_j| — the
+    Gini coefficient is the client-side division. The kernel uses the
+    sorted identity Σ|x_i−x_j| = 2·Σ_i (2i−n+1)·x_(i) (O(n log n));
+    the oracle is the naive O(n²) SQL self-join — agreeing exactly is
+    the point."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    per_user = ds.groupby(["event_type", "user_id"]).count()
+
+    def gini(group: pa.Table) -> pa.Table:
+        c = np.sort(group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        n = len(c)
+        i = np.arange(n, dtype=np.int64)
+        abs_sum = 2 * int(((2 * i - n + 1) * c).sum())
+        kv = group.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([kv], pa.string()),
+            "n_users": pa.array([n], pa.int64()),
+            "total": pa.array([int(c.sum())], pa.int64()),
+            "abs_diff_sum": pa.array([abs_sum], pa.int64())})
+
+    return per_user.groupby("event_type").map_groups(
+        gini, batch_format="pyarrow")
+
+
+_GINI_ORACLE_SQL = """
+    WITH c AS MATERIALIZED (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, user_id)
+    SELECT a.event_type,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(a.n) / COUNT(DISTINCT b.user_id) AS BIGINT)
+             AS total,
+           CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS abs_diff_sum
+    FROM c a JOIN c b ON b.event_type = a.event_type
+    GROUP BY a.event_type"""
+
+
 def q_tile_rank(sf_dir: str):
     """Popular-place ranking (geo×graph composite): the stay-anchor
     OD flow matrix becomes a weighted 25-node cell graph ranked by 4
@@ -7531,6 +7573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty": q_novelty,
         "tile_lang_mix": q_tile_lang_mix,
         "tile_rank": q_tile_rank,
+        "gini": q_gini,
     }
 
 
@@ -10142,6 +10185,7 @@ def oracle_sql() -> dict[str, str]:
                                                        doc_pts),
         "od_flows": _OD_FLOWS_ORACLE_SQL,
         "tile_rank": _tile_rank_oracle(),
+        "gini": _GINI_ORACLE_SQL,
         "vocab_growth": r"""
             WITH tok AS MATERIALIZED (
               SELECT doc_id,
