@@ -5943,6 +5943,55 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_toponym_hits(sf_dir: str):
+    """Lexicon mention counting (the gazetteer/brand-watch
+    primitive): per document, case-folded substring occurrence counts
+    of each broadcast lexicon entry (nation names — the gazetteer —
+    plus the bm25 probe terms, which actually occur in the corpus) via
+    one vectorized pc.count_substring pass per entry. Rows with
+    n_hits > 0; the SQL twin is the replace-length counting
+    identity."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    nations = _read(sf_dir, "nation", ["n_name"]).to_pandas()
+    names = sorted({n.lower() for n in nations.n_name}
+                   | set(_BM25_TERMS))
+
+    def hits(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b.column("text"))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out_d, out_n, out_c = [], [], []
+        for nm in names:
+            c = pc.count_substring(low, nm).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m = c > 0
+            if m.any():
+                out_d.append(ids[m])
+                out_n.append(np.full(int(m.sum()), nm, object))
+                out_c.append(c[m])
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "n_hits": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "term": pa.array(list(np.concatenate(out_n)),
+                             pa.string()),
+            "n_hits": pa.array(np.concatenate(out_c))})
+
+    return docs.map_batches(hits, batch_format="pyarrow")
+
+
+_TOPONYM_ORACLE_SQL = """
+    WITH lex AS (SELECT DISTINCT lower(n_name) AS w FROM nation
+                 UNION SELECT unnest(['query', 'join', 'spark'])),
+    h AS (SELECT d.doc_id, lex.w AS term,
+                 CAST((length(lower(d.text))
+                       - length(replace(lower(d.text), lex.w, '')))
+                      // length(lex.w) AS BIGINT) AS n_hits
+          FROM documents d CROSS JOIN lex)
+    SELECT doc_id, term, n_hits FROM h WHERE n_hits > 0"""
+
+
 def q_gini(sf_dir: str):
     """Usage-concentration (Gini) ingredients per event type: over
     per-user event counts, n_users / total / Σ_{i,j}|x_i−x_j| — the
@@ -7574,6 +7623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_lang_mix": q_tile_lang_mix,
         "tile_rank": q_tile_rank,
         "gini": q_gini,
+        "toponym_hits": q_toponym_hits,
     }
 
 
@@ -10186,6 +10236,7 @@ def oracle_sql() -> dict[str, str]:
         "od_flows": _OD_FLOWS_ORACLE_SQL,
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
+        "toponym_hits": _TOPONYM_ORACLE_SQL,
         "vocab_growth": r"""
             WITH tok AS MATERIALIZED (
               SELECT doc_id,
