@@ -5943,6 +5943,154 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_user_streaks(sf_dir: str):
+    """Engagement streaks: per user, distinct active days and the
+    longest run of CONSECUTIVE days — the gaps-and-islands integer
+    (day − rank) grouping, computed per group with one sort + run
+    scan; gated vs the SQL islands oracle."""
+
+    def streak(group: pa.Table) -> pa.Table:
+        day = np.unique(group.column("day").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        # lengths of consecutive-day islands
+        start = np.flatnonzero(np.r_[True, np.diff(day) != 1])
+        lens = np.diff(np.r_[start, len(day)])
+        kv = group.column("user_id")[0].as_py()
+        return pa.table({
+            "user_id": pa.array([kv], pa.int64()),
+            "n_days": pa.array([len(day)], pa.int64()),
+            "max_streak": pa.array([int(lens.max())], pa.int64())})
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = (b.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"user_id": b.column("user_id"),
+                         "day": pa.array(t // 86_400_000_000)})
+
+    return _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).count() \
+        .groupby("user_id").map_groups(streak, batch_format="pyarrow")
+
+
+_STREAK_ORACLE_SQL = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    g AS (SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+          FROM d),
+    runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+             FROM g GROUP BY user_id, grp)
+    SELECT user_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d x
+            WHERE x.user_id = runs.user_id) AS n_days,
+           CAST(MAX(len) AS BIGINT) AS max_streak
+    FROM runs GROUP BY user_id"""
+
+
+def q_join_counts(sf_dir: str):
+    """Join-count spatial statistics (Cliff & Ord — categorical
+    autocorrelation): over z4 tiles labeled by plurality language
+    (tile_lang_mix's argmax), count queen-adjacent occupied-tile
+    pairs that AGREE (BB, per language) vs global disagreeing pairs
+    carried on every row. All int64."""
+    from geoflow.cells.tiles import lonlat_to_tile
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat = _doc_lonlat(ids)
+        tx, ty = lonlat_to_tile(lon, lat, 4)
+        return pa.table({
+            "tile": pa.array(tx.astype(np.int64) * 16
+                             + ty.astype(np.int64)),
+            "lang": b.column("lang")})
+
+    agg = _read(sf_dir, "documents", ["doc_id", "lang"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby(["tile", "lang"]).count()
+
+    # plurality label per tile on the driver (tile-bounded table)
+    tiles, langs, counts = [], [], []
+    for b in agg.iter_batches(batch_format="pyarrow",
+                              batch_size=None):
+        if b.num_rows == 0 or "tile" not in b.schema.names:
+            continue
+        tiles.append(b.column("tile").to_numpy(zero_copy_only=False))
+        langs += b.column("lang").to_pylist()
+        counts.append(b.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    tile = np.concatenate(tiles)
+    cnt = np.concatenate(counts)
+    lang = np.asarray(langs, dtype=object)
+    o = np.lexsort((lang, -cnt, tile))
+    first = np.r_[True, tile[o][1:] != tile[o][:-1]]
+    ptile, plang = tile[o][first], lang[o][first]
+    s = np.argsort(ptile)
+    ptile, plang = ptile[s], plang[s]
+    tx, ty = ptile // 16, ptile % 16
+    bb: dict = {}
+    bw = 0
+    for dx, dy in ((1, 0), (0, 1), (1, 1), (1, -1)):
+        nk = (tx + dx) * 16 + (ty + dy)
+        valid = (tx + dx < 16) & (ty + dy >= 0) & (ty + dy < 16)
+        pos = np.searchsorted(ptile, nk)
+        hit = valid & (pos < len(ptile)) \
+            & (ptile[np.minimum(pos, len(ptile) - 1)] == nk)
+        la = plang[hit]
+        lb = plang[np.minimum(pos, len(ptile) - 1)][hit]
+        same = la == lb
+        bw += int((~same).sum())
+        for lg in np.unique(la[same]):
+            bb[lg] = bb.get(lg, 0) + int((la[same] == lg).sum())
+    import ray.data
+    out_langs = sorted(set(plang))
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(out_langs, pa.string()),
+        "bb_pairs": pa.array([bb.get(lg, 0) for lg in out_langs],
+                             pa.int64()),
+        "bw_pairs": pa.array([bw] * len(out_langs), pa.int64()),
+        "n_tiles": pa.array([len(ptile)] * len(out_langs),
+                            pa.int64())}))
+
+
+_JOIN_COUNTS_ORACLE_SQL = """
+    WITH pts AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 16), 0), 15) AS BIGINT) AS tile_x,
+             CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 16), 0), 15) AS BIGINT) AS tile_y
+      FROM (SELECT doc_id, lang, x,
+                   LEAST(GREATEST(y, -85.0511287798066),
+                         85.0511287798066) AS lat_c
+            FROM ({doc_pts}))),
+    c AS (SELECT tile_x, tile_y, lang,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM pts GROUP BY tile_x, tile_y, lang),
+    p AS (SELECT tile_x, tile_y, lang FROM (
+            SELECT tile_x, tile_y, lang,
+                   ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                                      ORDER BY n DESC, lang ASC)
+                     AS rk
+            FROM c) WHERE rk = 1),
+    pr AS (SELECT a.lang AS la, b.lang AS lb
+           FROM p a JOIN p b
+             ON abs(a.tile_x - b.tile_x) <= 1
+            AND abs(a.tile_y - b.tile_y) <= 1
+            AND (a.tile_x * 16 + a.tile_y)
+                < (b.tile_x * 16 + b.tile_y)),
+    bwv AS (SELECT CAST(COUNT(*) FILTER (la <> lb) AS BIGINT) AS bw
+            FROM pr),
+    ntv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM p),
+    lv AS (SELECT DISTINCT lang FROM p)
+    SELECT lv.lang,
+           CAST(COALESCE((SELECT COUNT(*) FROM pr
+                          WHERE la = lb AND la = lv.lang), 0)
+                AS BIGINT) AS bb_pairs,
+           bwv.bw AS bw_pairs, ntv.nt AS n_tiles
+    FROM lv, bwv, ntv"""
+
+
 def q_toponym_hits(sf_dir: str):
     """Lexicon mention counting (the gazetteer/brand-watch
     primitive): per document, case-folded substring occurrence counts
@@ -7624,6 +7772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "user_streaks": q_user_streaks,
+        "join_counts": q_join_counts,
     }
 
 
@@ -10237,6 +10387,9 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "user_streaks": _STREAK_ORACLE_SQL,
+        "join_counts": _JOIN_COUNTS_ORACLE_SQL.replace("{doc_pts}",
+                                                       doc_pts),
         "vocab_growth": r"""
             WITH tok AS MATERIALIZED (
               SELECT doc_id,

@@ -77,7 +77,8 @@ BENCH_QUERIES = [
     "quadkey", "bot_flags", "k_anon", "focal_majority",
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
-    "tile_rank", "gini", "toponym_hits",
+    "tile_rank", "gini", "toponym_hits", "user_streaks",
+    "join_counts",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
