@@ -5943,6 +5943,59 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_shape_stats(sf_dir: str):
+    """Shape statistics per planted point group: convex-hull vertex
+    count, DOUBLED shoelace hull area (integer for integer coords)
+    and bbox area — convexity/compactness ingredients through the
+    REAL monotone-chain + shoelace kernels; the octagon planting
+    makes them closed-form (2A = 192·s², bbox = 144·s², 8 verts)."""
+    from geoflow.geom.algorithms import convex_hull
+    from geoflow.geom.types import LINESTRING, Geometry
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        g, x, y = _hull_points(b)
+        return pa.table({"grp": pa.array(g),
+                         "x": pa.array(x.astype(np.float64)),
+                         "y": pa.array(y.astype(np.float64))})
+
+    def stats(group: pa.Table) -> pa.Table:
+        if group.num_rows != 25:
+            return pa.table({"grp": pa.array([], pa.int64()),
+                             "n_hull": pa.array([], pa.int64()),
+                             "hull_area2": pa.array([], pa.int64()),
+                             "bbox_area": pa.array([], pa.int64())})
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        h = convex_hull(Geometry(LINESTRING,
+                                 coords=np.stack([x, y], axis=1)))
+        ring = h.rings[0][:-1]
+        rx, ry = ring[:, 0], ring[:, 1]
+        area2 = int(round((rx * np.roll(ry, -1)
+                           - np.roll(rx, -1) * ry).sum()))
+        bbox = int(round((x.max() - x.min()) * (y.max() - y.min())))
+        return pa.table({
+            "grp": pa.array([group.column("grp")[0].as_py()],
+                            pa.int64()),
+            "n_hull": pa.array([len(ring)], pa.int64()),
+            "hull_area2": pa.array([area2], pa.int64()),
+            "bbox_area": pa.array([bbox], pa.int64())})
+
+    return docs.map_batches(synth, batch_format="pyarrow") \
+        .groupby("grp").map_groups(stats, batch_format="pyarrow")
+
+
+_SHAPE_ORACLE_SQL = """
+    WITH gs AS (
+      SELECT doc_id // 25 AS grp, (doc_id // 25) % 5 + 1 AS s
+      FROM documents GROUP BY doc_id // 25 HAVING COUNT(*) = 25)
+    SELECT grp, CAST(8 AS BIGINT) AS n_hull,
+           CAST(192 * s * s AS BIGINT) AS hull_area2,
+           CAST(144 * s * s AS BIGINT) AS bbox_area
+    FROM gs"""
+
+
 def q_user_streaks(sf_dir: str):
     """Engagement streaks: per user, distinct active days and the
     longest run of CONSECUTIVE days — the gaps-and-islands integer
@@ -7772,6 +7825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "shape_stats": q_shape_stats,
         "user_streaks": q_user_streaks,
         "join_counts": q_join_counts,
     }
@@ -10387,6 +10441,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "shape_stats": _SHAPE_ORACLE_SQL,
         "user_streaks": _STREAK_ORACLE_SQL,
         "join_counts": _JOIN_COUNTS_ORACLE_SQL.replace("{doc_pts}",
                                                        doc_pts),
