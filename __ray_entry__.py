@@ -5943,6 +5943,72 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_value_outliers(sf_dir: str):
+    """Tukey-fence outlier counts over integer event-value cents per
+    type: discrete Q1/Q3 at 0-based indices (n−1)//4 and 3(n−1)//4
+    (quantile_disc convention), outlier tests as integer
+    cross-multiplies 2x < 2·Q1 − 3·IQR / 2x > 2·Q3 + 3·IQR — no
+    float fence ever materializes."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b.column("event_type"),
+                         "cents": pa.array(
+                             np.floor(v * 100.0 + 0.5)
+                             .astype(np.int64))})
+
+    def fences(group: pa.Table) -> pa.Table:
+        c = np.sort(group.column("cents").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        n = len(c)
+        q1 = int(c[(n - 1) // 4])
+        q3 = int(c[3 * (n - 1) // 4])
+        iqr = q3 - q1
+        low = int((2 * c < 2 * q1 - 3 * iqr).sum())
+        high = int((2 * c > 2 * q3 + 3 * iqr).sum())
+        kv = group.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([kv], pa.string()),
+            "n": pa.array([n], pa.int64()),
+            "q1": pa.array([q1], pa.int64()),
+            "q3": pa.array([q3], pa.int64()),
+            "n_low": pa.array([low], pa.int64()),
+            "n_high": pa.array([high], pa.int64())})
+
+    return _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(fences,
+                                          batch_format="pyarrow")
+
+
+_OUTLIER_ORACLE_SQL = """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    r AS (SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+    q AS (SELECT event_type, MAX(n) AS n,
+                 MAX(CASE WHEN rn = (n - 1) // 4 + 1
+                          THEN cents END) AS q1,
+                 MAX(CASE WHEN rn = 3 * (n - 1) // 4 + 1
+                          THEN cents END) AS q3
+          FROM r GROUP BY event_type)
+    SELECT q.event_type, CAST(q.n AS BIGINT) AS n,
+           CAST(q.q1 AS BIGINT) AS q1, CAST(q.q3 AS BIGINT) AS q3,
+           CAST(COUNT(*) FILTER (
+             2 * v.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)) AS BIGINT)
+             AS n_low,
+           CAST(COUNT(*) FILTER (
+             2 * v.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS BIGINT)
+             AS n_high
+    FROM q JOIN v ON v.event_type = q.event_type
+    GROUP BY q.event_type, q.n, q.q1, q.q3"""
+
+
 def q_shape_stats(sf_dir: str):
     """Shape statistics per planted point group: convex-hull vertex
     count, DOUBLED shoelace hull area (integer for integer coords)
@@ -7825,6 +7891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "value_outliers": q_value_outliers,
         "shape_stats": q_shape_stats,
         "user_streaks": q_user_streaks,
         "join_counts": q_join_counts,
@@ -10441,6 +10508,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "value_outliers": _OUTLIER_ORACLE_SQL,
         "shape_stats": _SHAPE_ORACLE_SQL,
         "user_streaks": _STREAK_ORACLE_SQL,
         "join_counts": _JOIN_COUNTS_ORACLE_SQL.replace("{doc_pts}",

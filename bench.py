@@ -78,7 +78,7 @@ BENCH_QUERIES = [
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",
-    "join_counts", "shape_stats",
+    "join_counts", "shape_stats", "value_outliers",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
