@@ -5943,6 +5943,76 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_rank_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the
+    PageRank and HITS-authority orderings over the shared synthetic
+    link graph: rrf_units = 2^40//(60+r_pr) + 2^40//(60+r_auth) with
+    (units DESC, node ASC) ranking — integer fixed point end to end;
+    oracle nests both unrolled-CTE generators."""
+    import ray.data
+
+    from geoflow.graph.hits import hits
+    from geoflow.graph.pagerank import pagerank, synth_edges_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        return synth_edges_batch(
+            b.column("doc_id").to_numpy(zero_copy_only=False), n)
+
+    edges = docs.map_batches(synth, batch_format="pyarrow") \
+        .materialize()
+    pr = pagerank(edges, n_nodes=n, iterations=4)
+    ht = hits(edges, n_nodes=n, iterations=2)
+
+    def collect(ds, col):
+        ids, units = [], []
+        for b in ds.iter_batches(batch_format="pyarrow",
+                                 batch_size=None):
+            if b.num_rows == 0 or "node" not in b.schema.names:
+                continue
+            ids.append(b.column("node").to_numpy(
+                zero_copy_only=False))
+            units.append(b.column(col).to_numpy(
+                zero_copy_only=False))
+        i = np.concatenate(ids).astype(np.int64)
+        u = np.concatenate(units).astype(np.int64)
+        rank = np.empty(len(i), np.int64)
+        rank[np.lexsort((i, -u))] = np.arange(1, len(i) + 1)
+        o = np.argsort(i)
+        return i[o], rank[o]
+
+    pi, prank = collect(pr, "rank_units")
+    hi, arank = collect(ht, "auth_units")
+    assert np.array_equal(pi, hi)
+    K = 1 << 40
+    rrf = K // (60 + prank) + K // (60 + arank)
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(pi), "rrf_units": pa.array(rrf)}))
+
+
+def _rank_fusion_oracle() -> str:
+    from geoflow.graph.hits import hits_oracle_sql
+    from geoflow.graph.pagerank import pagerank_oracle_sql
+    K = 1 << 40
+    return f"""
+WITH pr AS MATERIALIZED ({pagerank_oracle_sql()}),
+ht AS MATERIALIZED ({hits_oracle_sql()}),
+rp AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY rank_units DESC, doc_id)
+                AS r
+       FROM pr),
+ra AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY auth_units DESC, doc_id)
+                AS r
+       FROM ht)
+SELECT rp.doc_id,
+       CAST({K} // (60 + rp.r) + {K} // (60 + ra.r) AS BIGINT)
+         AS rrf_units
+FROM rp JOIN ra USING (doc_id)"""
+
+
 def q_value_outliers(sf_dir: str):
     """Tukey-fence outlier counts over integer event-value cents per
     type: discrete Q1/Q3 at 0-based indices (n−1)//4 and 3(n−1)//4
@@ -7891,6 +7961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "rank_fusion": q_rank_fusion,
         "value_outliers": q_value_outliers,
         "shape_stats": q_shape_stats,
         "user_streaks": q_user_streaks,
@@ -10508,6 +10579,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "rank_fusion": _rank_fusion_oracle(),
         "value_outliers": _OUTLIER_ORACLE_SQL,
         "shape_stats": _SHAPE_ORACLE_SQL,
         "user_streaks": _STREAK_ORACLE_SQL,
