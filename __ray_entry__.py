@@ -5943,6 +5943,87 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_nation_trend(sf_dir: str):
+    """Monthly order-volume trend per nation (TPC-H × Mann-Kendall
+    composite): orders dimension-joined to customer nations via the
+    broadcast sorted-key arrays (pipelines/tpch machinery), monthly
+    counts per nation, then the shared mk_stats core per nation.
+    Months are calendar ((year−1970)·12 + month−1), identical in
+    numpy datetime64[M] and SQL date_part."""
+    from ray.data.aggregate import Count
+
+    from geoflow.ops.timeseries import mk_stats
+    from geoflow.pipelines.tpch import _collect_pairs, _read as _tr
+
+    import ray
+
+    cust = _tr(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ck, cn = _collect_pairs(cust, "c_custkey", "c_nationkey")
+    ref = ray.put((ck, cn))
+
+    def prep(b: pa.Table, _r=ref) -> pa.Table:
+        ck_, cn_ = ray.get(_r)
+        o = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype("datetime64[M]") \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(ck_, o), len(ck_) - 1)
+        m = ck_[pos] == o
+        return pa.table({"nation": pa.array(cn_[pos][m]),
+                         "month": pa.array(t[m])})
+
+    monthly = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby(["nation", "month"]).count()
+
+    def mk(group: pa.Table) -> pa.Table:
+        mo = group.column("month").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = group.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = c[np.argsort(mo)]
+        s, var18 = mk_stats(c)
+        kv = int(group.column("nation")[0].as_py())
+        return pa.table({
+            "nation": pa.array([kv], pa.int64()),
+            "n_months": pa.array([len(c)], pa.int64()),
+            "s_stat": pa.array([s], pa.int64()),
+            "var18": pa.array([var18], pa.int64())})
+
+    return monthly.groupby("nation").map_groups(
+        mk, batch_format="pyarrow")
+
+
+_NATION_TREND_ORACLE_SQL = """
+    WITH m AS MATERIALIZED (
+      SELECT c.c_nationkey AS nation,
+             (date_part('year', o.o_orderdate) - 1970) * 12
+               + date_part('month', o.o_orderdate) - 1 AS month,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY nation, month),
+    s AS (SELECT a.nation,
+                 CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                               WHEN b.c < a.c THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM m a JOIN m b ON b.nation = a.nation
+                           AND b.month > a.month
+          GROUP BY a.nation),
+    n AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+          FROM m GROUP BY nation),
+    ties AS (SELECT nation,
+                    CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS t18
+             FROM (SELECT nation, c, CAST(COUNT(*) AS BIGINT) AS t
+                   FROM m GROUP BY nation, c) GROUP BY nation)
+    SELECT CAST(n.nation AS BIGINT) AS nation, n.n_months,
+           COALESCE(s.s_stat, 0) AS s_stat,
+           n.n_months*(n.n_months-1)*(2*n.n_months+5) - ties.t18
+             AS var18
+    FROM n JOIN ties USING (nation)
+    LEFT JOIN s USING (nation)"""
+
+
 def q_rank_fusion(sf_dir: str):
     """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the
     PageRank and HITS-authority orderings over the shared synthetic
@@ -7961,6 +8042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "nation_trend": q_nation_trend,
         "rank_fusion": q_rank_fusion,
         "value_outliers": q_value_outliers,
         "shape_stats": q_shape_stats,
@@ -10579,6 +10661,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "nation_trend": _NATION_TREND_ORACLE_SQL,
         "rank_fusion": _rank_fusion_oracle(),
         "value_outliers": _OUTLIER_ORACLE_SQL,
         "shape_stats": _SHAPE_ORACLE_SQL,

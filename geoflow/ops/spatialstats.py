@@ -444,20 +444,10 @@ def emerging_hotspots(ds, key_x: str = "px", key_y: str = "py",
             .astype(np.int64)
         v = group.column("gsum").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        from ..ops.timeseries import mk_stats
         v = v[np.argsort(day)]
         n = len(v)
-        s = 0
-        idx = np.arange(n)
-        for j0 in range(0, n, 2048):
-            blk = v[j0:j0 + 2048]
-            cmp = np.sign(blk[None, :] - v[:, None])
-            before = idx[:, None] < (j0
-                                     + np.arange(len(blk)))[None, :]
-            s += int((cmp * before).sum())
-        _, t = np.unique(v, return_counts=True)
-        t = t.astype(np.int64)
-        var18 = n * (n - 1) * (2 * n + 5) \
-            - int((t * (t - 1) * (2 * t + 5)).sum())
+        s, var18 = mk_stats(v)
         tile = int(group.column("tile")[0].as_py())
         return pa.table({
             "cx": pa.array([tile // grid], pa.int64()),

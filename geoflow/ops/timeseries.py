@@ -219,17 +219,7 @@ def mann_kendall_counts(ds, key_col: str = "event_type",
             zero_copy_only=False).astype(np.int64)
         cnt = cnt[np.argsort(day)]
         n = len(cnt)
-        s = 0
-        idx = np.arange(n)
-        for j0 in range(0, n, 2048):
-            blk = cnt[j0:j0 + 2048]
-            cmp = np.sign(blk[None, :] - cnt[:, None])
-            before = idx[:, None] < (j0 + np.arange(len(blk)))[None, :]
-            s += int((cmp * before).sum())
-        _, t = np.unique(cnt, return_counts=True)
-        t = t.astype(np.int64)
-        tie18 = int((t * (t - 1) * (2 * t + 5)).sum())
-        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        s, var18 = mk_stats(cnt)
         return pa.table({
             key_col: group.column(key_col).slice(0, 1),
             "n_days": pa.array([n], pa.int64()),
@@ -335,3 +325,24 @@ def trimmed_count_stats(ds, key_col: str = "event_type",
 
     return daily.groupby(key_col).map_groups(trim,
                                              batch_format="pyarrow")
+
+
+def mk_stats(values_in_time_order: np.ndarray):
+    """(s_stat, var18) of a time-ordered int series — the shared
+    Mann-Kendall core (chunked broadcast sign sum + tie-corrected
+    18·Var(S)); used by mann_kendall_counts, emerging_hotspots and
+    the nation order-trend composite."""
+    v = np.asarray(values_in_time_order, dtype=np.int64)
+    n = len(v)
+    s = 0
+    idx = np.arange(n)
+    for j0 in range(0, n, 2048):
+        blk = v[j0:j0 + 2048]
+        cmp = np.sign(blk[None, :] - v[:, None])
+        before = idx[:, None] < (j0 + np.arange(len(blk)))[None, :]
+        s += int((cmp * before).sum())
+    _, t = np.unique(v, return_counts=True)
+    t = t.astype(np.int64)
+    var18 = n * (n - 1) * (2 * n + 5) \
+        - int((t * (t - 1) * (2 * t + 5)).sum())
+    return s, var18
