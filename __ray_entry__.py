@@ -5943,6 +5943,75 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label centroid ingredients over int8-quantized embeddings
+    (the class-prototype pass of nearest-centroid classification):
+    flattened (label, dim, n_vecs, sum_code) with the exact
+    int8_quantize_batch codes — integer sums, so rows hash-match the
+    SQL quantization CTE + GROUP BY."""
+    from ray.data.aggregate import Sum
+
+    from geoflow.vector.quant import int8_quantize_batch
+
+    ds = _read(sf_dir, "embeddings",
+               ["vec_id", "embedding", "label"])
+
+    def codes(b: pa.Table) -> pa.Table:
+        q = int8_quantize_batch(b)
+        # attach label via vec_id -> label of this batch
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        labs = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lab_of = dict(zip(ids.tolist(), labs.tolist()))
+        v = q.column("vec_id").to_numpy(zero_copy_only=False)
+        lab = np.array([lab_of[int(x)] for x in v], np.int64)
+        dim = q.column("dim").to_numpy(zero_copy_only=False)
+        code = q.column("code").to_numpy(zero_copy_only=False)
+        key = lab * (1 << 20) + dim
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=code.astype(np.float64)) \
+            .astype(np.int64)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({"label": pa.array(uk >> 20),
+                         "dim": pa.array(uk & ((1 << 20) - 1)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    agg = ds.map_batches(codes, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(Sum("n"), Sum("s"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "label" not in b.schema.names:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             "sum_code": pa.array([], pa.int64())})
+        return pa.table({"label": b.column("label"),
+                         "dim": b.column("dim"),
+                         "n_vecs": b.column("sum(n)"),
+                         "sum_code": b.column("sum(s)")})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_LABEL_CENTROID_ORACLE_SQL = """
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+      FROM embeddings),
+    codes AS (
+      SELECT label, CAST(g.i AS BIGINT) AS dim,
+             CASE WHEN scale > 0.0
+                  THEN CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE)
+                                  / scale * 127.0 + 0.5) AS BIGINT)
+                  ELSE 0 END AS code
+      FROM s, LATERAL (SELECT unnest(range(len(embedding)))) g(i))
+    SELECT CAST(label AS BIGINT) AS label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(code) AS BIGINT) AS sum_code
+    FROM codes GROUP BY label, dim"""
+
+
 def q_nation_trend(sf_dir: str):
     """Monthly order-volume trend per nation (TPC-H × Mann-Kendall
     composite): orders dimension-joined to customer nations via the
@@ -8042,6 +8111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "label_centroids": q_label_centroids,
         "nation_trend": q_nation_trend,
         "rank_fusion": q_rank_fusion,
         "value_outliers": q_value_outliers,
@@ -10661,6 +10731,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "label_centroids": _LABEL_CENTROID_ORACLE_SQL,
         "nation_trend": _NATION_TREND_ORACLE_SQL,
         "rank_fusion": _rank_fusion_oracle(),
         "value_outliers": _OUTLIER_ORACLE_SQL,

@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",
     "join_counts", "shape_stats", "value_outliers",
-    "rank_fusion", "nation_trend",
+    "rank_fusion", "nation_trend", "label_centroids",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
