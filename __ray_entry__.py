@@ -5943,6 +5943,93 @@ def q_rfm_users(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_mips_recall(sf_dir: str):
+    """Retrieval-quality evaluation: overlap@10 between the EXACT
+    cosine ranking (BruteForceTopK — the ann_topk machinery, ordering
+    proven against list_cosine_similarity) and the int8-quantized
+    MIPS ranking, per query (vec_id < 5), self excluded. The overlap
+    COUNT is an integer, so the metric row hash-matches SQL
+    recomputing both rankings."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from geoflow.vector import BruteForceTopK, QuerySet, global_topk
+    from geoflow.vector.quant import int8_mips_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(pc.less(emb.column("vec_id"), 5))
+    qmat = np.array(qrows.column("embedding").to_pylist(),
+                    dtype=np.float64)
+    qids = qrows.column("vec_id").to_numpy().astype(np.int64)
+    qref = ray.put(QuerySet(qids, qmat))
+    ds = _read(sf_dir, "embeddings")
+    cand = ds.map_batches(BruteForceTopK(qref, k_local=11),
+                          batch_format="pyarrow")
+    exact = global_topk(cand, 11).to_pandas()
+    ex_sets = {}
+    for q in qids:
+        rows = exact[exact.query_id == q].sort_values("rank")
+        ids = [int(v) for v in rows.vec_id if int(v) != int(q)][:10]
+        ex_sets[int(q)] = set(ids)
+    i8 = int8_mips_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        sorted(int(q) for q in qids), k=10).to_pandas()
+    out_q, out_o = [], []
+    for q in sorted(ex_sets):
+        got = set(int(v) for v in i8[i8.qid == q].vec_id)
+        out_q.append(q)
+        out_o.append(len(ex_sets[q] & got))
+    return ray.data.from_arrow(pa.table({
+        "qid": pa.array(out_q, pa.int64()),
+        "k": pa.array([10] * len(out_q), pa.int64()),
+        "n_overlap": pa.array(out_o, pa.int64())}))
+
+
+def _mips_recall_oracle() -> str:
+    return """
+WITH ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(e.embedding,
+                                             q.embedding) DESC,
+                      e.vec_id) AS r
+    FROM embeddings e,
+         (SELECT * FROM embeddings WHERE vec_id < 5) q
+    WHERE e.vec_id <> q.vec_id) WHERE r <= 10),
+s AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
+         CASE WHEN scale > 0.0
+              THEN CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE)
+                              / scale * 127.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS code
+  FROM s, LATERAL (SELECT unnest(range(len(embedding)))) g(i)),
+qc AS (SELECT vec_id AS qid, dim, code FROM codes
+       WHERE vec_id < 5),
+sc AS (SELECT q.qid, c.vec_id,
+              CAST(SUM(q.code * c.code) AS BIGINT) AS score
+       FROM qc q JOIN codes c ON c.dim = q.dim
+       GROUP BY q.qid, c.vec_id),
+i8 AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id)
+                  AS rn
+         FROM sc WHERE vec_id <> qid) WHERE rn <= 10)
+SELECT ex.query_id AS qid, CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(i8.vec_id) AS BIGINT) AS n_overlap
+FROM ex LEFT JOIN i8 ON i8.qid = ex.query_id
+                    AND i8.vec_id = ex.vec_id
+GROUP BY ex.query_id"""
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label centroid ingredients over int8-quantized embeddings
     (the class-prototype pass of nearest-centroid classification):
@@ -8111,6 +8198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "mips_recall": q_mips_recall,
         "label_centroids": q_label_centroids,
         "nation_trend": q_nation_trend,
         "rank_fusion": q_rank_fusion,
@@ -10731,6 +10819,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "mips_recall": _mips_recall_oracle(),
         "label_centroids": _LABEL_CENTROID_ORACLE_SQL,
         "nation_trend": _NATION_TREND_ORACLE_SQL,
         "rank_fusion": _rank_fusion_oracle(),
