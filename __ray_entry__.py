@@ -1855,6 +1855,71 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(docs, k=3, min_df=2)
 
 
+def q_phash_pairs(sf_dir: str):
+    """Multimodal exact-dup detection end to end: the image_phash
+    pipeline (planted PNGs → REAL codec decode → PerceptualHash)
+    grouped by dhash — per hash family, member and pair counts (the
+    image-dedup blocking step). Oracle nests the modular-arithmetic
+    phash SQL."""
+    from ray.data.aggregate import Count
+
+    ds = q_image_phash(sf_dir)
+    agg = ds.groupby("dhash").count()
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dhash" not in b.schema.names:
+            return pa.table({"dhash": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        n = b.column("count()").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"dhash": b.column("dhash"),
+                         "n_docs": pa.array(n),
+                         "n_pairs": pa.array(n * (n - 1) // 2)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def _phash_pairs_oracle() -> str:
+    return f"""
+WITH ph AS MATERIALIZED ({_IMAGE_PHASH_ORACLE_SQL})
+SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs
+FROM ph GROUP BY dhash"""
+
+
+_IMAGE_PHASH_ORACLE_SQL = """
+            WITH d AS (SELECT doc_id, doc_id % 40 AS p FROM documents),
+            pp AS (SELECT DISTINCT p FROM d),
+            tv AS (SELECT p, SUM(v) AS tot FROM (
+                     SELECT pp.p,
+                            ((7*gx.x + 13*gy.y + 3*pp.p) % 251) AS v
+                     FROM pp, (SELECT unnest(range(9)) AS x) gx,
+                              (SELECT unnest(range(8)) AS y) gy)
+                   GROUP BY p),
+            hh AS (SELECT pp.p,
+                     SUM(CASE WHEN ((7*gx.x + 13*gy.y + 3*pp.p) % 251)
+                              > ((7*(gx.x+1) + 13*gy.y + 3*pp.p) % 251)
+                         THEN (CAST(1 AS HUGEINT) << (gy.y*8 + gx.x))
+                         ELSE 0 END) AS dhh,
+                     SUM(CASE WHEN ((7*gx.x + 13*gy.y + 3*pp.p) % 251)
+                              * 72 > tv.tot
+                         THEN (CAST(1 AS HUGEINT) << (gy.y*8 + gx.x))
+                         ELSE 0 END) AS ahh
+                   FROM pp JOIN tv ON tv.p = pp.p,
+                        (SELECT unnest(range(8)) AS x) gx,
+                        (SELECT unnest(range(8)) AS y) gy
+                   GROUP BY pp.p)
+            SELECT d.doc_id,
+                   CASE WHEN dhh >= 9223372036854775808
+                        THEN CAST(dhh - 18446744073709551616 AS BIGINT)
+                        ELSE CAST(dhh AS BIGINT) END AS dhash,
+                   CASE WHEN ahh >= 9223372036854775808
+                        THEN CAST(ahh - 18446744073709551616 AS BIGINT)
+                        ELSE CAST(ahh AS BIGINT) END AS ahash
+            FROM d JOIN hh ON hh.p = d.p"""
+
+
 def q_image_phash(sf_dir: str):
     """Perceptual image hashing (media/stages.PerceptualHash — the
     dHash/aHash near-dup family) through the REAL PNG codec: per doc a
@@ -8198,6 +8263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "phash_pairs": q_phash_pairs,
         "mips_recall": q_mips_recall,
         "label_centroids": q_label_centroids,
         "nation_trend": q_nation_trend,
@@ -8605,36 +8671,7 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, token ASC) AS rn
                   FROM sc)
             SELECT doc_id, token, tf, score FROM r WHERE rn <= 3""",
-        "image_phash": """
-            WITH d AS (SELECT doc_id, doc_id % 40 AS p FROM documents),
-            pp AS (SELECT DISTINCT p FROM d),
-            tv AS (SELECT p, SUM(v) AS tot FROM (
-                     SELECT pp.p,
-                            ((7*gx.x + 13*gy.y + 3*pp.p) % 251) AS v
-                     FROM pp, (SELECT unnest(range(9)) AS x) gx,
-                              (SELECT unnest(range(8)) AS y) gy)
-                   GROUP BY p),
-            hh AS (SELECT pp.p,
-                     SUM(CASE WHEN ((7*gx.x + 13*gy.y + 3*pp.p) % 251)
-                              > ((7*(gx.x+1) + 13*gy.y + 3*pp.p) % 251)
-                         THEN (CAST(1 AS HUGEINT) << (gy.y*8 + gx.x))
-                         ELSE 0 END) AS dhh,
-                     SUM(CASE WHEN ((7*gx.x + 13*gy.y + 3*pp.p) % 251)
-                              * 72 > tv.tot
-                         THEN (CAST(1 AS HUGEINT) << (gy.y*8 + gx.x))
-                         ELSE 0 END) AS ahh
-                   FROM pp JOIN tv ON tv.p = pp.p,
-                        (SELECT unnest(range(8)) AS x) gx,
-                        (SELECT unnest(range(8)) AS y) gy
-                   GROUP BY pp.p)
-            SELECT d.doc_id,
-                   CASE WHEN dhh >= 9223372036854775808
-                        THEN CAST(dhh - 18446744073709551616 AS BIGINT)
-                        ELSE CAST(dhh AS BIGINT) END AS dhash,
-                   CASE WHEN ahh >= 9223372036854775808
-                        THEN CAST(ahh - 18446744073709551616 AS BIGINT)
-                        ELSE CAST(ahh AS BIGINT) END AS ahash
-            FROM d JOIN hh ON hh.p = d.p""",
+        "image_phash": _IMAGE_PHASH_ORACLE_SQL,
         "compress_quality": """
             SELECT doc_id, CAST(300 AS BIGINT) AS n_bytes
             FROM documents WHERE doc_id % 3 = 0""",
@@ -10819,6 +10856,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "phash_pairs": _phash_pairs_oracle(),
         "mips_recall": _mips_recall_oracle(),
         "label_centroids": _LABEL_CENTROID_ORACLE_SQL,
         "nation_trend": _NATION_TREND_ORACLE_SQL,
