@@ -1855,6 +1855,77 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(docs, k=3, min_df=2)
 
 
+def q_props_keys(sf_dir: str):
+    """JSON key-presence profile over events.props (semi-structured
+    schema discovery): per key, carrying-event count and total
+    occurrences — one RE2 extract_all pass (identical pattern in
+    DuckDB), per-batch pre-combined."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["props"])
+
+    def partial2(b: pa.Table) -> pa.Table:
+        # vectorized all-matches: split at '":' then take the \w+ run
+        # ending each NON-LAST segment (RE2 on both engines)
+        lst = pc.split_pattern(b.column("props"), pattern='":')
+        seg = pc.list_flatten(lst)
+        parent_all = pc.list_parent_indices(lst).to_numpy(
+            zero_copy_only=False)
+        # drop each row's final segment (nothing follows it)
+        lens = pc.list_value_length(lst).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ends = np.cumsum(lens) - 1
+        keep = np.ones(len(seg), bool)
+        keep[ends[lens > 0]] = False
+        seg = seg.take(pa.array(np.nonzero(keep)[0], pa.int64()))
+        parent = parent_all[keep]
+        ext = pc.extract_regex(seg, r'"(?P<k>\w+)$')
+        flat = pc.struct_field(ext, "k")
+        ok = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        flat = flat.drop_null()
+        parent = parent[ok]
+        if len(flat) == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "ne": pa.array([], pa.int64()),
+                             "occ": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nv = len(enc.dictionary)
+        occ = np.bincount(codes, minlength=nv).astype(np.int64)
+        pk = np.unique(parent * nv + codes)
+        ne = np.bincount(pk % nv, minlength=nv).astype(np.int64)
+        return pa.table({"key": enc.dictionary,
+                         "ne": pa.array(ne), "occ": pa.array(occ)})
+
+    agg = ds.map_batches(partial2, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("ne"), Sum("occ"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "key" not in b.schema.names:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_occurrences": pa.array([], pa.int64())})
+        return pa.table({"key": b.column("key"),
+                         "n_events": b.column("sum(ne)"),
+                         "n_occurrences": b.column("sum(occ)")})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_PROPS_KEYS_ORACLE_SQL = r"""
+    WITH k AS (
+      SELECT event_id,
+             unnest(regexp_extract_all(props, '"(\w+)"\s*:', 1))
+               AS key
+      FROM events)
+    SELECT key, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM k GROUP BY key"""
+
+
 def q_phash_pairs(sf_dir: str):
     """Multimodal exact-dup detection end to end: the image_phash
     pipeline (planted PNGs → REAL codec decode → PerceptualHash)
@@ -8263,6 +8334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "props_keys": q_props_keys,
         "phash_pairs": q_phash_pairs,
         "mips_recall": q_mips_recall,
         "label_centroids": q_label_centroids,
@@ -10856,6 +10928,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "props_keys": _PROPS_KEYS_ORACLE_SQL,
         "phash_pairs": _phash_pairs_oracle(),
         "mips_recall": _mips_recall_oracle(),
         "label_centroids": _LABEL_CENTROID_ORACLE_SQL,

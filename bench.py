@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     "tile_rank", "gini", "toponym_hits", "user_streaks",
     "join_counts", "shape_stats", "value_outliers",
     "rank_fusion", "nation_trend", "label_centroids",
-    "mips_recall", "phash_pairs",
+    "mips_recall", "phash_pairs", "props_keys",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
