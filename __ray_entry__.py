@@ -1855,6 +1855,61 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(docs, k=3, min_df=2)
 
 
+def q_priority_sample(sf_dir: str):
+    """Deterministic weighted sampling (priority/bottom-k sampling,
+    Duffield et al.: select the k keys maximizing weight/hash):
+    weight = text length, hash = mix64(doc_id + 1) — replayable, no
+    RNG (the +1 dodges mix64(0) = 0, the bijection's only zero).
+    The ratio is ONE double division of the same two integers on both
+    engines (IEEE exact rounding ⇒ identical bits ⇒ identical
+    ordering); only (doc_id, weight) integers are hashed. Per-batch
+    partial top-k + driver merge."""
+    from geoflow.text.hashing import mix64
+
+    k = 64
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = pc.utf8_length(b.column("text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = mix64((ids + 1).view(np.uint64)).astype(np.float64)
+        pr = w.astype(np.float64) / h
+        sel = np.lexsort((ids, -pr))[:k]
+        return pa.table({"doc_id": pa.array(ids[sel]),
+                         "weight": pa.array(w[sel]),
+                         "pr": pa.array(pr[sel])})
+
+    rows = []
+    for b in ds.map_batches(part, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0 or "doc_id" not in b.schema.names:
+            continue
+        rows.append((b.column("doc_id").to_numpy(zero_copy_only=False),
+                     b.column("weight").to_numpy(zero_copy_only=False),
+                     b.column("pr").to_numpy(zero_copy_only=False)))
+    ids = np.concatenate([r[0] for r in rows])
+    w = np.concatenate([r[1] for r in rows])
+    pr = np.concatenate([r[2] for r in rows])
+    sel = np.lexsort((ids, -pr))[:k]
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids[sel].astype(np.int64)),
+        "weight": pa.array(w[sel].astype(np.int64))}))
+
+
+def _priority_sample_oracle() -> str:
+    return f"""
+WITH h AS ({_sql_mix64_chain("documents", "doc_id + 1", "h",
+                             ("doc_id", "text"))})
+SELECT doc_id, CAST(length(text) AS BIGINT) AS weight
+FROM h
+ORDER BY CAST(length(text) AS DOUBLE) / CAST(h AS DOUBLE) DESC,
+         doc_id
+LIMIT 64"""
+
+
 def q_props_keys(sf_dir: str):
     """JSON key-presence profile over events.props (semi-structured
     schema discovery): per key, carrying-event count and total
@@ -8334,6 +8389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "priority_sample": q_priority_sample,
         "props_keys": q_props_keys,
         "phash_pairs": q_phash_pairs,
         "mips_recall": q_mips_recall,
@@ -10928,6 +10984,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "priority_sample": _priority_sample_oracle(),
         "props_keys": _PROPS_KEYS_ORACLE_SQL,
         "phash_pairs": _phash_pairs_oracle(),
         "mips_recall": _mips_recall_oracle(),
