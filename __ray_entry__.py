@@ -1855,6 +1855,129 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(docs, k=3, min_df=2)
 
 
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the undirected triangles graph
+    (ring+chords): (degree, n_nodes) — the power-law tail diagnostic;
+    undirected-dedup groupby + one endpoint count + one histogram
+    count."""
+    from geoflow.graph.triangles import _distinct_undirected
+    from ray.data.aggregate import Count
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = d[d < 100] % 100
+        u5 = u[u % 10 == 0]
+        return pa.table({
+            "src": pa.array(np.concatenate([u, u, u5])),
+            "dst": pa.array(np.concatenate(
+                [(u + 1) % 100, (u + 2) % 100, (u5 + 5) % 100]))})
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    und = _distinct_undirected(edges, "src", "dst")
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lo" not in b.schema.names:
+            return pa.table({"n": pa.array([], pa.int64())})
+        lo = b.column("lo").to_numpy(zero_copy_only=False)
+        hi = b.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(np.concatenate([lo, hi]))})
+
+    deg = und.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("n").count()
+
+    def hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "count()" not in b.schema.names:
+            return pa.table({"degree": pa.array([], pa.int64()),
+                             "dn": pa.array([], pa.int64())})
+        d = b.column("count()").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ud, c = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(ud),
+                         "dn": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = deg.map_batches(hist, batch_format="pyarrow") \
+        .groupby("degree").aggregate(Sum("dn"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "degree" not in b.schema.names:
+            return pa.table({"degree": pa.array([], pa.int64()),
+                             "n_nodes": pa.array([], pa.int64())})
+        return pa.table({"degree": b.column("degree"),
+                         "n_nodes": b.column("sum(dn)")})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_DEGREE_HIST_ORACLE_SQL = """
+    WITH raw AS (
+      SELECT doc_id % 100 AS u, (doc_id % 100 + 1) % 100 AS v
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id % 100, (doc_id % 100 + 2) % 100
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id % 100, (doc_id % 100 + 5) % 100
+      FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0),
+    ue AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+           FROM raw WHERE u <> v),
+    d AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS n FROM ue UNION ALL SELECT b FROM ue)
+          GROUP BY n)
+    SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY deg"""
+
+
+def q_cold_start(sf_dir: str):
+    """New-user acquisition curve: per day, users whose FIRST event
+    falls on it — one (user → min day) groupby then a day histogram;
+    the growth-analytics primitive."""
+    from ray.data.aggregate import Min, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = (b.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"user_id": b.column("user_id"),
+                         "day": pa.array(t // 86_400_000_000)})
+
+    first = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("day"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "min(day)" not in b.schema.names:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "dn": pa.array([], pa.int64())})
+        d = b.column("min(day)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ud, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(ud),
+                         "dn": pa.array(c.astype(np.int64))})
+
+    agg = first.map_batches(hist, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("dn"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "day" not in b.schema.names:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n_new_users": pa.array([], pa.int64())})
+        return pa.table({"day": b.column("day"),
+                         "n_new_users": b.column("sum(dn)")})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_COLD_START_ORACLE_SQL = """
+    WITH f AS (SELECT user_id,
+                      MIN(epoch_us(ts) // 86400000000) AS day
+               FROM events GROUP BY user_id)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+    FROM f GROUP BY day"""
+
+
 def q_priority_sample(sf_dir: str):
     """Deterministic weighted sampling (priority/bottom-k sampling,
     Duffield et al.: select the k keys maximizing weight/hash):
@@ -8389,6 +8512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "degree_hist": q_degree_hist,
+        "cold_start": q_cold_start,
         "priority_sample": q_priority_sample,
         "props_keys": q_props_keys,
         "phash_pairs": q_phash_pairs,
@@ -10984,6 +11109,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "degree_hist": _DEGREE_HIST_ORACLE_SQL,
+        "cold_start": _COLD_START_ORACLE_SQL,
         "priority_sample": _priority_sample_oracle(),
         "props_keys": _PROPS_KEYS_ORACLE_SQL,
         "phash_pairs": _phash_pairs_oracle(),

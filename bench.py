@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "join_counts", "shape_stats", "value_outliers",
     "rank_fusion", "nation_trend", "label_centroids",
     "mips_recall", "phash_pairs", "props_keys",
-    "priority_sample",
+    "priority_sample", "degree_hist", "cold_start",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
