@@ -1855,6 +1855,120 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(docs, k=3, min_df=2)
 
 
+def q_rect_iou(sf_dir: str):
+    """Pairwise IoU ingredients of overlapping nation rectangles
+    (the bbox-matching primitive of detection/dedup): per ordered
+    pair with positive intersection, inter and union areas as exact
+    integers (IoU is the client-side ratio). All-pairs per batch
+    against the broadcast rect table — n_nations is dim-bounded."""
+    import ray
+
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    k = nat.n_nationkey.astype(int).to_numpy()
+    cx = (k * 131) % 340 - 170
+    cy = (k * 37) % 160 - 80
+    w = 3 + k % 5
+    h = 2 + k % 7
+    x0, x1 = cx - w, cx + w
+    y0, y1 = cy - h, cy + h
+    out_a, out_b, out_i, out_u = [], [], [], []
+    for i in range(len(k)):
+        for j in range(len(k)):
+            if k[i] >= k[j]:
+                continue
+            ix = min(x1[i], x1[j]) - max(x0[i], x0[j])
+            iy = min(y1[i], y1[j]) - max(y0[i], y0[j])
+            if ix <= 0 or iy <= 0:
+                continue
+            inter = ix * iy
+            union = (2 * w[i]) * (2 * h[i]) \
+                + (2 * w[j]) * (2 * h[j]) - inter
+            out_a.append(int(k[i]))
+            out_b.append(int(k[j]))
+            out_i.append(int(inter))
+            out_u.append(int(union))
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "a": pa.array(out_a, pa.int64()),
+        "b": pa.array(out_b, pa.int64()),
+        "inter_area": pa.array(out_i, pa.int64()),
+        "union_area": pa.array(out_u, pa.int64())}))
+
+
+_RECT_IOU_ORACLE_SQL = f"""
+    WITH r AS (SELECT n_nationkey AS k, {_NATION_RECT_SQL}
+               FROM nation),
+    p AS (SELECT a.k AS a, b.k AS b,
+                 LEAST(a.cx + a.w, b.cx + b.w)
+                   - GREATEST(a.cx - a.w, b.cx - b.w) AS ix,
+                 LEAST(a.cy + a.h, b.cy + b.h)
+                   - GREATEST(a.cy - a.h, b.cy - b.h) AS iy,
+                 4 * a.w * a.h AS aa, 4 * b.w * b.h AS ab
+          FROM r a JOIN r b ON a.k < b.k)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(ix * iy AS BIGINT) AS inter_area,
+           CAST(aa + ab - ix * iy AS BIGINT) AS union_area
+    FROM p WHERE ix > 0 AND iy > 0"""
+
+
+def q_first_paths(sf_dir: str):
+    """User journey prefixes: each user's event types in FIRST-
+    OCCURRENCE order joined to a path string, counted across users —
+    the funnel-discovery primitive. One (user, type) min-rank
+    groupby, per-user path assembly, one path count."""
+    from ray.data.aggregate import Min, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = (b.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        e = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # rank key: (ts, event_id) packed — ts dominates; event_id
+        # mod 512 disambiguates equal timestamps (t*512 stays well
+        # inside int64 for any plausible epoch-us)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_type": b.column("event_type"),
+                         "rk": pa.array(t * 512 + e % 512)})
+
+    first = _read(sf_dir, "events",
+                  ["user_id", "event_id", "event_type", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).aggregate(Min("rk"))
+
+    def path(group: pa.Table) -> pa.Table:
+        tys = np.asarray(group.column("event_type").to_pylist(),
+                         dtype=object)
+        rk = group.column("min(rk)").to_numpy(zero_copy_only=False)
+        p = ">".join(tys[np.argsort(rk)])
+        return pa.table({"path": pa.array([p], pa.string()),
+                         "c": pa.array([1], pa.int64())})
+
+    agg = first.groupby("user_id").map_groups(
+        path, batch_format="pyarrow").groupby("path") \
+        .aggregate(Sum("c"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "path" not in b.schema.names:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        return pa.table({"path": b.column("path"),
+                         "n_users": b.column("sum(c)")})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_FIRST_PATHS_ORACLE_SQL = """
+    WITH f AS (
+      SELECT user_id, event_type,
+             MIN(epoch_us(ts) * 512 + event_id % 512) AS rk
+      FROM events GROUP BY user_id, event_type),
+    p AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rk) AS path
+          FROM f GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path"""
+
+
 def q_degree_hist(sf_dir: str):
     """Degree distribution of the undirected triangles graph
     (ring+chords): (degree, n_nodes) — the power-law tail diagnostic;
@@ -8512,6 +8626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "rect_iou": q_rect_iou,
+        "first_paths": q_first_paths,
         "degree_hist": q_degree_hist,
         "cold_start": q_cold_start,
         "priority_sample": q_priority_sample,
@@ -11109,6 +11225,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "rect_iou": _RECT_IOU_ORACLE_SQL,
+        "first_paths": _FIRST_PATHS_ORACLE_SQL,
         "degree_hist": _DEGREE_HIST_ORACLE_SQL,
         "cold_start": _COLD_START_ORACLE_SQL,
         "priority_sample": _priority_sample_oracle(),
