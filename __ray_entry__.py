@@ -1855,6 +1855,71 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(docs, k=3, min_df=2)
 
 
+def q_order_gaps(sf_dir: str):
+    """Repeat-purchase intervals per customer (≥2 orders): gap days
+    between consecutive orders in (date, orderkey) order — n_orders,
+    min/median/max gap (median = the discrete (n−1)//2 order stat,
+    quantile_disc convention). All int64."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = (b.column("o_orderdate").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"cust": b.column("o_custkey"),
+                         "okey": b.column("o_orderkey"),
+                         "day": pa.array(t // 86_400_000_000)})
+
+    def gaps(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = group.column("okey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        o = np.lexsort((ok, day))
+        g = np.diff(day[o])
+        if len(g) == 0:
+            return pa.table({"cust": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "min_gap": pa.array([], pa.int64()),
+                             "med_gap": pa.array([], pa.int64()),
+                             "max_gap": pa.array([], pa.int64())})
+        gs = np.sort(g)
+        kv = group.column("cust")[0].as_py()
+        return pa.table({
+            "cust": pa.array([kv], pa.int64()),
+            "n_orders": pa.array([len(day)], pa.int64()),
+            "min_gap": pa.array([int(gs[0])], pa.int64()),
+            "med_gap": pa.array([int(gs[(len(gs) - 1) // 2])],
+                                pa.int64()),
+            "max_gap": pa.array([int(gs[-1])], pa.int64())})
+
+    return _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_orderdate"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("cust").map_groups(gaps, batch_format="pyarrow")
+
+
+_ORDER_GAPS_ORACLE_SQL = """
+    WITH o AS (
+      SELECT o_custkey AS cust, o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders),
+    g AS (SELECT cust,
+                 day - LAG(day) OVER (PARTITION BY cust
+                                      ORDER BY day, o_orderkey)
+                   AS gap
+          FROM o),
+    gg AS (SELECT cust, gap,
+                  ROW_NUMBER() OVER (PARTITION BY cust
+                                     ORDER BY gap) AS rn,
+                  COUNT(*) OVER (PARTITION BY cust) AS ng
+           FROM g WHERE gap IS NOT NULL)
+    SELECT cust, CAST(MAX(ng) + 1 AS BIGINT) AS n_orders,
+           CAST(MIN(gap) AS BIGINT) AS min_gap,
+           CAST(MAX(CASE WHEN rn = (ng - 1) // 2 + 1
+                         THEN gap END) AS BIGINT) AS med_gap,
+           CAST(MAX(gap) AS BIGINT) AS max_gap
+    FROM gg GROUP BY cust"""
+
+
 def q_rect_iou(sf_dir: str):
     """Pairwise IoU ingredients of overlapping nation rectangles
     (the bbox-matching primitive of detection/dedup): per ordered
@@ -8626,6 +8691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
         "first_paths": q_first_paths,
         "degree_hist": q_degree_hist,
@@ -11225,6 +11291,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "order_gaps": _ORDER_GAPS_ORACLE_SQL,
         "rect_iou": _RECT_IOU_ORACLE_SQL,
         "first_paths": _FIRST_PATHS_ORACLE_SQL,
         "degree_hist": _DEGREE_HIST_ORACLE_SQL,
