@@ -1855,6 +1855,82 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(docs, k=3, min_df=2)
 
 
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 shape: revenue share of promo parts (p_type LIKE
+    'PROMO%'-style prefix test — here the first word of p_type) over
+    a ship-date window, as integer cents numerator/denominator (the
+    percentage is the client-side division). Part flags broadcast as
+    a sorted key array; lineitem never shuffles."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    keys = part.p_partkey.astype(int).to_numpy()
+    promo = part.p_type.str.split(" ").str[0].eq("PROMO").to_numpy()
+    o = np.argsort(keys)
+    ref = ray.put((keys[o].astype(np.int64), promo[o]))
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    def part_fn(b: pa.Table, _r=ref) -> pa.Table:
+        pk, pf = ray.get(_r)
+        t = (b.column("l_shipdate").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        m = (t >= lo) & (t < hi)
+        if not m.any():
+            return pa.table({"promo_cents": pa.array([0], pa.int64()),
+                             "total_cents": pa.array([0], pa.int64())})
+        key = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        ep = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        dc = b.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(pk, key), len(pk) - 1)
+        hit = pk[pos] == key
+        isp = np.zeros(len(key), bool)
+        isp[hit] = pf[pos[hit]]
+        return pa.table({
+            "promo_cents": pa.array([int(cents[isp].sum())],
+                                    pa.int64()),
+            "total_cents": pa.array([int(cents[hit].sum())],
+                                    pa.int64())})
+
+    tot = np.zeros(2, np.int64)
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"]).map_batches(part_fn,
+                                           batch_format="pyarrow")
+    for b in ds.iter_batches(batch_format="pyarrow",
+                             batch_size=None):
+        if b.num_rows == 0 or "promo_cents" not in b.schema.names:
+            continue
+        tot[0] += int(b.column("promo_cents").to_numpy(
+            zero_copy_only=False).sum())
+        tot[1] += int(b.column("total_cents").to_numpy(
+            zero_copy_only=False).sum())
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "promo_cents": pa.array([tot[0]]),
+        "total_cents": pa.array([tot[1]])}))
+
+
+_PROMO_SHARE_ORACLE_SQL = """
+    SELECT CAST(COALESCE(SUM(CASE WHEN split_part(p.p_type, ' ', 1)
+                                       = 'PROMO'
+                  THEN CAST(floor(l.l_extendedprice
+                                  * (1.0 - l.l_discount) * 100.0
+                                  + 0.5) AS BIGINT) ELSE 0 END), 0)
+                AS BIGINT) AS promo_cents,
+           CAST(COALESCE(SUM(CAST(floor(l.l_extendedprice
+                                        * (1.0 - l.l_discount)
+                                        * 100.0 + 0.5) AS BIGINT)),
+                         0) AS BIGINT) AS total_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'"""
+
+
 def q_order_gaps(sf_dir: str):
     """Repeat-purchase intervals per customer (≥2 orders): gap days
     between consecutive orders in (date, orderkey) order — n_orders,
@@ -8691,6 +8767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank": q_tile_rank,
         "gini": q_gini,
         "toponym_hits": q_toponym_hits,
+        "promo_share": q_promo_share,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
         "first_paths": q_first_paths,
@@ -11291,6 +11368,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "gini": _GINI_ORACLE_SQL,
         "toponym_hits": _TOPONYM_ORACLE_SQL,
+        "promo_share": _PROMO_SHARE_ORACLE_SQL,
         "order_gaps": _ORDER_GAPS_ORACLE_SQL,
         "rect_iou": _RECT_IOU_ORACLE_SQL,
         "first_paths": _FIRST_PATHS_ORACLE_SQL,

@@ -82,7 +82,7 @@ BENCH_QUERIES = [
     "rank_fusion", "nation_trend", "label_centroids",
     "mips_recall", "phash_pairs", "props_keys",
     "priority_sample", "degree_hist", "cold_start",
-    "rect_iou", "first_paths", "order_gaps",
+    "rect_iou", "first_paths", "order_gaps", "promo_share",
 ]
 
 # flagship scaling-run corpus size (rows); generated in-task, never on the
