@@ -159,7 +159,8 @@ def _seed_distances_join(edges, seeds, max_hops,
     import ray.data
     from ray.data.aggregate import Min
 
-    from geoflow.join.semijoin import drop_schemaless_blocks
+    from geoflow.join.semijoin import (cluster_join_partitions,
+                                       drop_schemaless_blocks)
 
     if undirected:
         def sym(b: pa.Table) -> pa.Table:
@@ -191,13 +192,14 @@ def _seed_distances_join(edges, seeds, max_hops,
 
     state = ray.data.from_arrow(pa.table({
         "node": seeds, "dist": np.zeros(len(seeds), np.int64)}))
+    nparts = cluster_join_partitions()
     for _ in range(max_hops):
         st, _ka = drop_schemaless_blocks(
             state.map_batches(as_src, batch_format="pyarrow"))
         if st is None:
             break
         cand = edges.join(st, join_type="inner",
-                          num_partitions=8, on=(src_col,)) \
+                          num_partitions=nparts, on=(src_col,)) \
             .map_batches(contrib, batch_format="pyarrow")
         state = state.union(cand).groupby("node").aggregate(
             Min("dist", alias_name="dist"))

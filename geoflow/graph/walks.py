@@ -160,7 +160,8 @@ def _random_walks_join(edges, starts, walk_len, walks_per_node,
     rank-0 rows (every node with out-edges has one)."""
     import ray.data
 
-    from ..join.semijoin import drop_schemaless_blocks
+    from ..join.semijoin import (cluster_join_partitions,
+                                 drop_schemaless_blocks)
 
     ranked, keep1 = drop_schemaless_blocks(
         _ranked_edges(edges, src_col, dst_col))
@@ -208,6 +209,7 @@ def _random_walks_join(edges, starts, walk_len, walks_per_node,
     outputs.append(frontier.map_batches(emit(0),
                                         batch_format="pyarrow"))
     keepalives = [keep1]
+    nparts = cluster_join_partitions()
     for t in range(1, walk_len):
         # join 1: fetch deg via the rank-0 key
         def key0(b: pa.Table) -> pa.Table:
@@ -226,7 +228,7 @@ def _random_walks_join(edges, starts, walk_len, walks_per_node,
             break
         keepalives.append(k0)
         with_deg = f0.join(ranked, join_type="inner",
-                           num_partitions=2, on=("key",))
+                           num_partitions=nparts, on=("key",))
 
         def pick_key(step):
             def f(b: pa.Table) -> pa.Table:
@@ -253,8 +255,8 @@ def _random_walks_join(edges, starts, walk_len, walks_per_node,
         if f1 is None:
             break
         keepalives.append(k1)
-        stepped = f1.join(ranked, join_type="inner", num_partitions=2,
-                          on=("key",))
+        stepped = f1.join(ranked, join_type="inner",
+                          num_partitions=nparts, on=("key",))
 
         def advance(b: pa.Table) -> pa.Table:
             if "walk_id" not in b.schema.names or b.num_rows == 0 \

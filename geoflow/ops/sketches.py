@@ -163,17 +163,20 @@ def hll_aggregate(col: str, p: int = 14, name: str | None = None):
         return np.zeros(1 << p, dtype=np.uint8)
 
     def accumulate_block(regs: np.ndarray, block: pa.Table) -> np.ndarray:
+        regs = np.asarray(regs, dtype=np.uint8)
+        if not regs.flags.writeable:        # zero-copy from Arrow
+            regs = regs.copy()
         hll = HyperLogLog(p)
         hll.registers = regs
         hll.add_hashes(_column_hashes(block.column(col)))
         return hll.registers
 
     def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return np.maximum(a, b)
+        return np.maximum(np.asarray(a, np.uint8), np.asarray(b, np.uint8))
 
     def finalize(regs: np.ndarray) -> float:
         hll = HyperLogLog(p)
-        hll.registers = regs
+        hll.registers = np.asarray(regs, dtype=np.uint8)
         return hll.estimate()
 
     return AggregateFn(init=init, merge=merge,
@@ -186,21 +189,49 @@ def cms_aggregate(key_col: str, weight_col: str | None = None,
                   depth: int = 4, width: int = 1 << 15,
                   name: str | None = None):
     """AggregateFn building a global CountMinSketch over ``key_col``
-    (optionally weighted); finalize returns the sketch object."""
+    (optionally weighted); finalize returns the FLAT int64 counter
+    array (rebuild with ``cms_from_counts``).
+
+    Both the ACCUMULATOR and the finalized value are flat int64 numpy
+    arrays (depth×width), not sketch objects: Ray stores partial
+    accumulators AND the finalized aggregate in Arrow blocks, and a
+    Python object there falls back to pickled-object columns
+    (ArrowConversionError warning per hop — r4 VERDICT ask #3).
+    Fixed-shape numpy rides the tensor extension type zero-copy;
+    merge is plain vector +."""
     from ray.data.aggregate import AggregateFn
 
     def init(_key):
-        return CountMinSketch(depth, width)
+        return np.zeros(depth * width, dtype=np.int64)
 
-    def accumulate_block(s: CountMinSketch, block: pa.Table):
+    def accumulate_block(counts: np.ndarray, block: pa.Table):
+        counts = np.asarray(counts, dtype=np.int64)
+        if not counts.flags.writeable:      # zero-copy from Arrow
+            counts = counts.copy()
+        s = CountMinSketch(depth, width)
+        s.counts = counts.reshape(depth, width)
         w = (block.column(weight_col).to_numpy(zero_copy_only=False)
              .astype(np.int64) if weight_col is not None else None)
         s.add_hashes(_column_hashes(block.column(key_col)), w)
-        return s
+        return counts
 
-    return AggregateFn(init=init, merge=lambda a, b: a.merge(b),
+    def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.asarray(a, dtype=np.int64) + np.asarray(b, np.int64)
+
+    return AggregateFn(init=init, merge=merge,
                        accumulate_block=accumulate_block,
+                       finalize=lambda counts: np.asarray(counts,
+                                                          np.int64),
                        name=name or f"cms({key_col})")
+
+
+def cms_from_counts(counts, depth: int = 4,
+                    width: int = 1 << 15) -> "CountMinSketch":
+    """Rebuild a CountMinSketch from cms_aggregate's flat counter
+    array (same depth/width/seed ⇒ same salts)."""
+    s = CountMinSketch(depth, width)
+    s.counts = np.array(counts, dtype=np.int64).reshape(depth, width)
+    return s
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +278,7 @@ def heavy_hitter_tokens(ds, text_col: str = "text", min_count: int = 10,
         parts = parts.materialize()   # consumed twice: CMS pass + filter
         sk = parts.aggregate(cms_aggregate("token", "cnt",
                                            depth=depth, width=width))
-        sketch: CountMinSketch = sk[f"cms(token)"]
+        sketch = cms_from_counts(sk["cms(token)"], depth, width)
 
         def prune(batch: pa.Table) -> pa.Table:
             est = sketch.estimate_hashes(_column_hashes(
@@ -366,6 +397,9 @@ def bloom_aggregate(col: str, m_bits: int = 1 << 23, k: int = 7,
         return np.zeros((m_bits + 63) // 64, dtype=np.uint64)
 
     def accumulate_block(bits, block):
+        bits = np.asarray(bits, dtype=np.uint64)
+        if not bits.flags.writeable:        # zero-copy from Arrow
+            bits = bits.copy()
         bf = BloomFilter(m_bits, k, bits)
         bf.add_hashes(_column_hashes(block.column(col)))
         return bf.bits

@@ -28,6 +28,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from geoflow.join.semijoin import cluster_join_partitions
+
 __all__ = ["local_supplier_volume", "ship_priority"]
 
 
@@ -94,7 +96,8 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_suppkey", "l_extendedprice",
                   "l_discount"])
-    joined = line.join(orders, join_type="inner", num_partitions=8,
+    joined = line.join(orders, join_type="inner",
+                       num_partitions=cluster_join_partitions(),
                        on=("l_orderkey",))
 
     def partial(b: pa.Table, _d=dims) -> pa.Table:
@@ -202,7 +205,8 @@ def ship_priority(sf_dir: str, segment: str = "BUILDING",
                  ["l_orderkey", "l_shipdate", "l_extendedprice",
                   "l_discount"]) \
         .map_batches(line_prep, batch_format="pyarrow")
-    joined = line.join(orders, join_type="inner", num_partitions=8,
+    joined = line.join(orders, join_type="inner",
+                       num_partitions=cluster_join_partitions(),
                        on=("l_orderkey",))
 
     def part(b: pa.Table) -> pa.Table:

@@ -7,8 +7,11 @@ Distributed shape (100 TB):
 - TRAIN: unigram and bigram counts stream through per-batch partial
   counters (one np.unique per batch — Zipfian text collapses the head
   massively before the exchange) into a (gram, int64) groupby-sum;
-  the model is then PRUNED to the top-V grams by ``(count DESC, gram
-  ASC)`` — a deterministic, SQL-reproducible tiebreak — and broadcast
+  a DISTRIBUTED per-block top-K prune (exact: aggregate blocks carry
+  global sums, so the global top-K under (count DESC, gram ASC) is a
+  subset of the union of block-local top-Ks) bounds the driver drain
+  to O(blocks × K) rows; the model is then PRUNED to the top-V grams
+  by the same deterministic, SQL-reproducible tiebreak and broadcast
   once via ``ray.put`` (vocab-bounded: V grams × ~16 B of hash+count,
   independent of corpus size), read through the per-worker cache.
 - SCORE: one pure map_batches pass per document computing
@@ -100,6 +103,40 @@ def train_bigram_lm(ds, text_col: str = "text", top_unigrams: int = 4096,
     agg = ds.map_batches(partials, batch_format="pyarrow") \
         .groupby(["kind", "h", "gram"]).aggregate(Sum("c"))
 
+    def preprune(b: pa.Table, _ku=top_unigrams, _kb=top_bigrams
+                 ) -> pa.Table:
+        # DISTRIBUTED prune ahead of the driver drain (r4 VERDICT ask
+        # #2): each aggregate-output block carries the GLOBAL sum for
+        # every gram it holds (groupby shuffles by key), so the global
+        # top-K under (count DESC, gram ASC) is a subset of the union
+        # of per-block top-Ks under the same comparator — keeping the
+        # block-local top-K per kind is EXACT, and the drain below
+        # shrinks from O(distinct bigrams) to O(blocks × K). The
+        # unigram total needs every count, so each block also emits
+        # ONE sentinel row (kind=2) carrying its unigram-count sum.
+        if b.num_rows == 0 or "kind" not in b.schema.names:
+            return b
+        kind_ = b.column("kind").to_numpy(zero_copy_only=False)
+        c_ = b.column("sum(c)").to_numpy(zero_copy_only=False)
+        g_ = np.asarray(b.column("gram").to_pylist(), dtype=str)
+        keep = []
+        for kv, kk in ((0, _ku), (1, _kb)):
+            idx = np.nonzero(kind_ == kv)[0]
+            if len(idx) > kk:
+                idx = idx[np.lexsort((g_[idx], -c_[idx]))[:kk]]
+            keep.append(idx)
+        out = b.take(pa.array(np.sort(np.concatenate(keep)),
+                              type=pa.int64()))
+        subtotal = int(c_[kind_ == 0].sum())
+        sentinel = pa.table({
+            "kind": pa.array([2], pa.int8()),
+            "h": pa.array([0], pa.int64()),
+            "gram": pa.array([""], pa.string()),
+            "sum(c)": pa.array([subtotal], pa.int64())})
+        return pa.concat_tables([out.cast(sentinel.schema), sentinel])
+
+    agg = agg.map_batches(preprune, batch_format="pyarrow")
+
     kinds, hs, cs, gs = [], [], [], []
     for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
         if b.num_rows == 0 or "kind" not in b.schema.names:
@@ -116,7 +153,9 @@ def train_bigram_lm(ds, text_col: str = "text", top_unigrams: int = 4096,
     h = np.concatenate(hs)
     c = np.concatenate(cs).astype(np.int64)
     g = np.concatenate(gs)
-    total = int(c[kind == 0].sum())
+    # kind==2 rows are the per-block unigram-count subtotals emitted
+    # by preprune (the full unigram multiset never reaches the driver)
+    total = int(c[kind == 2].sum())
 
     def prune(mask, k):
         # top-k by (count DESC, gram-string ASC) — one lexsort, then

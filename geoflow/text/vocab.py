@@ -8,9 +8,10 @@ GROUP BY with conditional counts.
 
 Shape: one streaming pass emits per-batch pre-combined rows
 (token, first_doc partial-min, per-threshold count partials) → ONE
-token groupby with Min + Sum aggregates → the final reduction over
-the vocab-bounded token table happens on the driver (the tfidf
-bounded-vocab pattern; token cardinality, not corpus cardinality).
+token groupby with Min + Sum aggregates → a per-block map collapses
+each aggregate block to len(thresholds) partial-sum rows, so the
+driver drains O(blocks × thresholds) rows — the distinct-token table
+itself never leaves the cluster.
 """
 
 from __future__ import annotations
@@ -61,17 +62,34 @@ def vocab_growth(ds, thresholds=(32, 64, 128, 256, 500),
         .groupby("token").aggregate(Min("first_doc"),
                                     *[Sum(c) for c in cols])
 
+    def reduce_block(b: pa.Table, _ths=tuple(ths)) -> pa.Table:
+        # DISTRIBUTED per-block reduction (r4 VERDICT ask #2): each
+        # aggregate block collapses to len(ths) partial rows here, so
+        # the driver drains O(blocks × thresholds) rows instead of the
+        # whole distinct-token table.
+        if b.num_rows == 0 or "min(first_doc)" not in b.schema.names:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "v_part": pa.array([], pa.int64()),
+                             "t_part": pa.array([], pa.int64())})
+        md = b.column("min(first_doc)").to_numpy(zero_copy_only=False)
+        v = np.array([(md < k).sum() for k in _ths], np.int64)
+        t = np.array([int(b.column(f"sum(c{j})")
+                          .to_numpy(zero_copy_only=False).sum())
+                      for j in range(len(_ths))], np.int64)
+        return pa.table({"j": pa.array(np.arange(len(_ths), dtype=np.int64)),
+                         "v_part": pa.array(v), "t_part": pa.array(t)})
+
     vocab = np.zeros(len(ths), np.int64)
     total = np.zeros(len(ths), np.int64)
-    for b in agg.iter_batches(batch_format="pyarrow",
-                              batch_size=None):
-        if b.num_rows == 0 or "min(first_doc)" not in b.schema.names:
+    for b in agg.map_batches(reduce_block, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0 or "j" not in b.schema.names:
             continue
-        md = b.column("min(first_doc)").to_numpy(zero_copy_only=False)
-        for j, k in enumerate(ths):
-            vocab[j] += int((md < k).sum())
-            total[j] += int(b.column(f"sum({cols[j]})")
-                            .to_numpy(zero_copy_only=False).sum())
+        j = b.column("j").to_numpy(zero_copy_only=False)
+        np.add.at(vocab, j,
+                  b.column("v_part").to_numpy(zero_copy_only=False))
+        np.add.at(total, j,
+                  b.column("t_part").to_numpy(zero_copy_only=False))
     return ray.data.from_arrow(pa.table({
         "k": pa.array(ths, pa.int64()),
         "vocab": pa.array(vocab),
