@@ -7822,6 +7822,133 @@ def _focal_majority_oracle(doc_pts: str) -> str:
     WHERE r.rk = 1""".replace("{doc_pts}", doc_pts)
 
 
+# shared z8 occupied-tile-count CTE for the focal-kernel oracles
+# (identical to the focal_majority base)
+_TILE_B_CTE = """
+    WITH b AS MATERIALIZED (
+      SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 256), 0), 255) AS BIGINT) AS tile_x,
+               CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 256), 0), 255) AS BIGINT) AS tile_y
+        FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+              FROM ({doc_pts})))
+      GROUP BY tile_x, tile_y)"""
+
+
+def q_focal_slope(sf_dir: str):
+    """Horn-1981 focal gradient (raster slope/aspect map algebra,
+    integer-exact) over the occupied z8 doc-tile lattice
+    (ops/spatialstats.py focal_slope_tiles): int64 gx/gy with the
+    1-2-1 kernel over missing-as-zero neighbors, slope_sq = gx²+gy²,
+    and an 8-sector aspect class from integer comparisons only (axis
+    sectors + exact 45° diagonals — no trigonometry). Gated vs the
+    weighted neighbor self-join SQL (weights (Δx)(2−|Δy|) /
+    (Δy)(2−|Δx|) reproduce the Horn stencil)."""
+    from geoflow.ops.spatialstats import focal_slope_tiles
+    return focal_slope_tiles(_doc_points_ds(sf_dir), zoom=8)
+
+
+def _focal_slope_oracle(doc_pts: str) -> str:
+    return (_TILE_B_CTE + """,
+    g AS (
+      SELECT b1.tile_x, b1.tile_y,
+             CAST(SUM((b2.tile_x - b1.tile_x)
+                      * (2 - abs(b2.tile_y - b1.tile_y)) * b2.c)
+                  AS BIGINT) AS gx,
+             CAST(SUM((b2.tile_y - b1.tile_y)
+                      * (2 - abs(b2.tile_x - b1.tile_x)) * b2.c)
+                  AS BIGINT) AS gy
+      FROM b b1 JOIN b b2
+        ON abs(b1.tile_x - b2.tile_x) <= 1
+       AND abs(b1.tile_y - b2.tile_y) <= 1
+      GROUP BY b1.tile_x, b1.tile_y)
+    SELECT tile_x, tile_y, gx, gy,
+           gx * gx + gy * gy AS slope_sq,
+           CAST(CASE WHEN gx = 0 AND gy = 0 THEN 0
+                     WHEN abs(gx) > abs(gy) THEN
+                          CASE WHEN gx > 0 THEN 1 ELSE 2 END
+                     WHEN abs(gy) > abs(gx) THEN
+                          CASE WHEN gy > 0 THEN 3 ELSE 4 END
+                     WHEN gx > 0 AND gy > 0 THEN 5
+                     WHEN gx > 0 THEN 6
+                     WHEN gy > 0 THEN 7
+                     ELSE 8 END AS BIGINT) AS aspect_class
+    FROM g""").replace("{doc_pts}", doc_pts)
+
+
+def q_tile_peaks(sf_dir: str):
+    """Local-extrema detection (raster TOP/pit map algebra) over the
+    occupied z8 doc-tile lattice (ops/spatialstats.py tile_peaks):
+    per tile the point count, occupied-queen-neighbor count, how many
+    neighbors are ≥ / ≤ it, and strict is_peak / is_pit flags — all
+    int64, one 9-shift vectorized gather. Gated vs the LEFT-JOIN
+    neighbor aggregate SQL (isolated tiles keep n_neighbors=0)."""
+    from geoflow.ops.spatialstats import tile_peaks
+    return tile_peaks(_doc_points_ds(sf_dir), zoom=8)
+
+
+def _tile_peaks_oracle(doc_pts: str) -> str:
+    return (_TILE_B_CTE + """,
+    s AS (
+      SELECT b1.tile_x, b1.tile_y, b1.c,
+             CAST(COUNT(b2.c) AS BIGINT) AS n_neighbors,
+             CAST(COALESCE(SUM(CASE WHEN b2.c >= b1.c
+                                    THEN 1 END), 0) AS BIGINT) AS n_ge,
+             CAST(COALESCE(SUM(CASE WHEN b2.c <= b1.c
+                                    THEN 1 END), 0) AS BIGINT) AS n_le
+      FROM b b1 LEFT JOIN b b2
+        ON abs(b1.tile_x - b2.tile_x) <= 1
+       AND abs(b1.tile_y - b2.tile_y) <= 1
+       AND NOT (b2.tile_x = b1.tile_x AND b2.tile_y = b1.tile_y)
+      GROUP BY b1.tile_x, b1.tile_y, b1.c)
+    SELECT tile_x, tile_y, c, n_neighbors, n_ge, n_le,
+           CAST(CASE WHEN n_ge = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_peak,
+           CAST(CASE WHEN n_le = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_pit
+    FROM s""").replace("{doc_pts}", doc_pts)
+
+
+def q_tile_morphology(sf_dir: str):
+    """Binary 3×3 morphology (raster dilation/erosion map algebra)
+    over the occupied z8 doc-tile lattice (ops/spatialstats.py
+    tile_morphology): output lattice = the DILATION (in-range tiles
+    within Chebyshev 1 of an occupied tile), each row carrying
+    occupied, occupied-neighbor count and eroded = occupied AND all
+    8 neighbors occupied. Gated vs the VALUES-shift DISTINCT union +
+    LEFT-JOIN count SQL."""
+    from geoflow.ops.spatialstats import tile_morphology
+    return tile_morphology(_doc_points_ds(sf_dir), zoom=8)
+
+
+def _tile_morphology_oracle(doc_pts: str) -> str:
+    return (_TILE_B_CTE + """,
+    d AS (
+      SELECT DISTINCT b.tile_x + dx.i AS tile_x,
+                      b.tile_y + dy.i AS tile_y
+      FROM b, (VALUES (-1), (0), (1)) dx(i),
+               (VALUES (-1), (0), (1)) dy(i)
+      WHERE b.tile_x + dx.i BETWEEN 0 AND 255
+        AND b.tile_y + dy.i BETWEEN 0 AND 255),
+    s AS (
+      SELECT d.tile_x, d.tile_y,
+             CAST(COUNT(b2.tile_x) AS BIGINT) AS n_occ_neighbors
+      FROM d LEFT JOIN b b2
+        ON abs(d.tile_x - b2.tile_x) <= 1
+       AND abs(d.tile_y - b2.tile_y) <= 1
+       AND NOT (b2.tile_x = d.tile_x AND b2.tile_y = d.tile_y)
+      GROUP BY d.tile_x, d.tile_y)
+    SELECT s.tile_x, s.tile_y,
+           CAST(CASE WHEN b.tile_x IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS occupied,
+           s.n_occ_neighbors,
+           CAST(CASE WHEN b.tile_x IS NOT NULL
+                      AND s.n_occ_neighbors = 8 THEN 1 ELSE 0 END
+                AS BIGINT) AS eroded
+    FROM s LEFT JOIN b ON b.tile_x = s.tile_x
+                      AND b.tile_y = s.tile_y""").replace(
+        "{doc_pts}", doc_pts)
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -8581,14 +8708,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_by_key": q_latest_by_key,
         "crossings": q_crossings,
         "novelty": q_novelty,
-        "gini": q_gini,
-        "order_gaps": q_order_gaps,
-        "rect_iou": q_rect_iou,
-        # --- the 50-entry driver window ends HERE (rect_iou is
-        # #50); below: first the remaining never-driver-gated
+        "focal_slope": q_focal_slope,
+        "tile_peaks": q_tile_peaks,
+        "tile_morphology": q_tile_morphology,
+        # --- the 50-entry driver window ends HERE (tile_morphology
+        # is #50); below: first the remaining never-driver-gated
         # queries (all green under tools/check_oracles.py at two
         # scales — rotate into future windows), then the 101
         # driver-green rows from CORRECTNESS_r01-r04. ---
+        "gini": q_gini,
+        "order_gaps": q_order_gaps,
+        "rect_iou": q_rect_iou,
         "hll_users": q_hll_users,
         "semantic_clusters": q_semantic_clusters,
         "gif_codecs": q_gif_codecs,
@@ -11354,6 +11484,9 @@ def oracle_sql() -> dict[str, str]:
         "bot_flags": _BOT_ORACLE_SQL,
         "k_anon": _KANON_ORACLE_SQL,
         "focal_majority": _focal_majority_oracle(doc_pts),
+        "focal_slope": _focal_slope_oracle(doc_pts),
+        "tile_peaks": _tile_peaks_oracle(doc_pts),
+        "tile_morphology": _tile_morphology_oracle(doc_pts),
         "dict_candidates": _dict_candidates_oracle(),
         "cell_terms": _CELL_TERMS_ORACLE_SQL.replace("{doc_pts}",
                                                      doc_pts),

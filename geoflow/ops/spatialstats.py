@@ -609,3 +609,176 @@ def tile_cluster_labels(ds, x_col: str = "x", y_col: str = "y",
     return ray.data.from_arrow(pa.table({
         "tile_x": pa.array(tx), "tile_y": pa.array(ty),
         "n_points": pa.array(cnts), "label": pa.array(lab)}))
+
+
+def _neighbor_matrix(keys: np.ndarray, cnts: np.ndarray):
+    """(vals, ok) 9-column neighbor-count matrices over the occupied
+    tile lattice, column order (dx,dy) row-major over (-1,0,1)² —
+    the shared gather behind the focal kernels (focal_majority /
+    slope / peaks). Missing neighbors: ok False, val 0."""
+    n = len(keys)
+    tx, ty = keys // (1 << 32), keys % (1 << 32)
+    vals = np.zeros((n, 9), np.int64)
+    ok = np.zeros((n, 9), bool)
+    j = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nk = (tx + dx) * (1 << 32) + (ty + dy)
+            pos = np.searchsorted(keys, nk)
+            hit = (pos < n) & (keys[np.minimum(pos, n - 1)] == nk)
+            vals[hit, j] = cnts[np.minimum(pos, n - 1)][hit]
+            ok[:, j] = hit
+            j += 1
+    return tx, ty, vals, ok
+
+
+# _neighbor_matrix column index per (dx,dy): dx→west/east, dy→north/
+# south in tile coords (tile_y grows southward on the slippy grid)
+_NW, _W, _SW, _N, _C, _S, _NE, _E, _SE = range(9)
+
+
+def focal_slope_tiles(ds, x_col: str = "x", y_col: str = "y",
+                      zoom: int = 8,
+                      max_broadcast_tiles: int = 50_000_000):
+    """Horn-1981 focal gradient over the occupied tile lattice,
+    treating the per-tile point count as elevation (the raster
+    slope/aspect map-algebra op, integer-exact form): with missing
+    (unoccupied) neighbors contributing 0,
+
+        gx = (zNE + 2·zE + zSE) − (zNW + 2·zW + zSW)
+        gy = (zSW + 2·zS + zSE) − (zNW + 2·zN + zNE)
+
+    plus slope_sq = gx² + gy² and an 8-sector aspect class decided by
+    INTEGER comparisons only (boundaries on the axes and the exact
+    45° diagonals — no trigonometry, hash-exact on both engines):
+
+        0 flat (gx=gy=0);  1 +x / 2 −x when |gx| > |gy|;
+        3 +y / 4 −y when |gy| > |gx|;  5..8 the |gx| == |gy|
+        diagonals by (sign gx, sign gy): (+,+)=5 (+,−)=6 (−,+)=7
+        (−,−)=8.
+
+    Output (tile_x, tile_y, gx, gy, slope_sq, aspect_class), all
+    int64. Shape: the shared _tile_counts collect (4^zoom bound) +
+    one vectorized 9-shift gather — no per-tile Python."""
+    import ray.data
+
+    keys, cnts = _tile_counts(ds, x_col, y_col, zoom,
+                              max_broadcast_tiles)
+    if len(keys) == 0:
+        return ray.data.from_arrow(pa.table({
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "gx": pa.array([], pa.int64()),
+            "gy": pa.array([], pa.int64()),
+            "slope_sq": pa.array([], pa.int64()),
+            "aspect_class": pa.array([], pa.int64())}))
+    tx, ty, v, _ok = _neighbor_matrix(keys, cnts)
+    gx = (v[:, _NE] + 2 * v[:, _E] + v[:, _SE]) \
+        - (v[:, _NW] + 2 * v[:, _W] + v[:, _SW])
+    gy = (v[:, _SW] + 2 * v[:, _S] + v[:, _SE]) \
+        - (v[:, _NW] + 2 * v[:, _N] + v[:, _NE])
+    ax, ay = np.abs(gx), np.abs(gy)
+    aspect = np.zeros(len(keys), np.int64)
+    m = ax > ay
+    aspect[m] = np.where(gx[m] > 0, 1, 2)
+    m = ay > ax
+    aspect[m] = np.where(gy[m] > 0, 3, 4)
+    m = (ax == ay) & (ax > 0)
+    diag = np.where(gx > 0, np.where(gy > 0, 5, 6),
+                    np.where(gy > 0, 7, 8))
+    aspect[m] = diag[m]
+    return ray.data.from_arrow(pa.table({
+        "tile_x": pa.array(tx), "tile_y": pa.array(ty),
+        "gx": pa.array(gx), "gy": pa.array(gy),
+        "slope_sq": pa.array(gx * gx + gy * gy),
+        "aspect_class": pa.array(aspect)}))
+
+
+def tile_peaks(ds, x_col: str = "x", y_col: str = "y",
+               zoom: int = 8,
+               max_broadcast_tiles: int = 50_000_000):
+    """Local extrema over the occupied tile lattice: per occupied
+    tile, its point count c, the number of occupied queen neighbors,
+    how many of them have count ≥ c (n_ge) / ≤ c (n_le), and the
+    is_peak / is_pit flags (no neighbor ≥ / ≤ — strict extrema;
+    an isolated tile is both). The raster TOP/pit-detection op in
+    integer form. Output (tile_x, tile_y, c, n_neighbors, n_ge,
+    n_le, is_peak, is_pit), all int64."""
+    import ray.data
+
+    keys, cnts = _tile_counts(ds, x_col, y_col, zoom,
+                              max_broadcast_tiles)
+    if len(keys) == 0:
+        return ray.data.from_arrow(pa.table({
+            k: pa.array([], pa.int64())
+            for k in ("tile_x", "tile_y", "c", "n_neighbors",
+                      "n_ge", "n_le", "is_peak", "is_pit")}))
+    tx, ty, v, ok = _neighbor_matrix(keys, cnts)
+    ok = ok.copy()
+    ok[:, _C] = False                       # self is not a neighbor
+    c = cnts[:, None]
+    n_nb = ok.sum(axis=1).astype(np.int64)
+    n_ge = (ok & (v >= c)).sum(axis=1).astype(np.int64)
+    n_le = (ok & (v <= c)).sum(axis=1).astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "tile_x": pa.array(tx), "tile_y": pa.array(ty),
+        "c": pa.array(cnts), "n_neighbors": pa.array(n_nb),
+        "n_ge": pa.array(n_ge), "n_le": pa.array(n_le),
+        "is_peak": pa.array((n_ge == 0).astype(np.int64)),
+        "is_pit": pa.array((n_le == 0).astype(np.int64))}))
+
+
+def tile_morphology(ds, x_col: str = "x", y_col: str = "y",
+                    zoom: int = 8,
+                    max_broadcast_tiles: int = 50_000_000):
+    """Binary morphology over the occupied tile lattice with the 3×3
+    queen structuring element: the output lattice is the DILATION
+    (every in-range tile within Chebyshev distance 1 of an occupied
+    tile); each row carries whether the tile itself is occupied, its
+    occupied-neighbor count (self excluded), and eroded = occupied
+    AND all 8 neighbors occupied (in-range only — border tiles can
+    never be eroded, the standard zero-padding convention). Output
+    (tile_x, tile_y, occupied, n_occ_neighbors, eroded), int64.
+
+    Shape: _tile_counts collect (4^zoom bound), 9-shift union +
+    9-shift membership — no per-tile Python."""
+    import ray.data
+
+    keys, cnts = _tile_counts(ds, x_col, y_col, zoom,
+                              max_broadcast_tiles)
+    side = 1 << zoom
+    if len(keys) == 0:
+        return ray.data.from_arrow(pa.table({
+            k: pa.array([], pa.int64())
+            for k in ("tile_x", "tile_y", "occupied",
+                      "n_occ_neighbors", "eroded")}))
+    tx, ty = keys // (1 << 32), keys % (1 << 32)
+    shifted = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nx, ny = tx + dx, ty + dy
+            m = (nx >= 0) & (nx < side) & (ny >= 0) & (ny < side)
+            shifted.append(nx[m] * (1 << 32) + ny[m])
+    dil = np.unique(np.concatenate(shifted))
+    dtx, dty = dil // (1 << 32), dil % (1 << 32)
+    occ = np.zeros(len(dil), np.int64)
+    pos = np.searchsorted(keys, dil)
+    hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)]
+                               == dil)
+    occ[hit] = 1
+    n_occ = np.zeros(len(dil), np.int64)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nk = (dtx + dx) * (1 << 32) + (dty + dy)
+            pos = np.searchsorted(keys, nk)
+            h = (pos < len(keys)) & \
+                (keys[np.minimum(pos, len(keys) - 1)] == nk)
+            n_occ += h
+    return ray.data.from_arrow(pa.table({
+        "tile_x": pa.array(dtx), "tile_y": pa.array(dty),
+        "occupied": pa.array(occ),
+        "n_occ_neighbors": pa.array(n_occ),
+        "eroded": pa.array(((occ == 1) & (n_occ == 8))
+                           .astype(np.int64))}))

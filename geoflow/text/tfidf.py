@@ -19,13 +19,16 @@ codepoints, DuckDB compares UTF-8 bytes — identical orders (UTF-8 is
 codepoint-order-preserving).
 
 Scale shape: one distributed df aggregate (doc_frequency_partials —
-per-batch distinct collapses Zipf heads before the shuffle), vocab
-pruned to (min_df, max_vocab) on the driver (bounded, the BPE-vocab
-cap class), idf broadcast once via ray.put, then ONE scoring
-map_batches pass (tokenize → hash membership → per-doc tf via packed
-unique → vectorized per-doc top-k). Assumes each document lives
-wholly in one block (read_parquet row granularity — the repo-wide
-convention)."""
+per-batch distinct collapses Zipf heads before the shuffle), then a
+DISTRIBUTED per-block top-max_vocab prune under (df DESC, token ASC)
+— exact, because aggregate blocks carry global df, so the global
+top-max_vocab is a subset of the union of block-local ones — bounding
+the driver drain to O(blocks × max_vocab) regardless of corpus vocab;
+the final (min_df, max_vocab) cut merges those partials, idf is
+broadcast once via ray.put, then ONE scoring map_batches pass
+(tokenize → hash membership → per-doc tf via packed unique →
+vectorized per-doc top-k). Assumes each document lives wholly in one
+block (read_parquet row granularity — the repo-wide convention)."""
 
 from __future__ import annotations
 
