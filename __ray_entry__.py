@@ -7949,6 +7949,93 @@ def _tile_morphology_oracle(doc_pts: str) -> str:
         "{doc_pts}", doc_pts)
 
 
+def q_symspell_pairs(sf_dir: str):
+    """SymSpell fuzzy self-join (text/fuzzyjoin.py — deletion-
+    neighborhood blocking + vectorized verify): planted token
+    families derived from doc_id (base26 4-char bases m=doc_id%59;
+    v=doc_id%5 selects a substitution / deletion / 'q'-insertion
+    variant at position p=(doc_id//5)%4), all pairs at Levenshtein
+    distance EXACTLY 1. The oracle is an INDEPENDENT brute-force
+    cross join with DuckDB's levenshtein() — it never sees the
+    blocking, so the gate covers candidate completeness AND the
+    false-candidate verify (shared deletion keys can pair
+    distance-2 tokens, e.g. abcd/acdx over 'acd')."""
+    from geoflow.text.fuzzyjoin import deletion_key_pairs
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = d % 59
+        v = d % 5
+        p = ((d // 5) % 4).astype(np.int64)
+        n = len(d)
+        c = np.zeros((n, 4), np.uint32)
+        c[:, 0] = 97 + (m // 17576) % 26
+        c[:, 1] = 97 + (m // 676) % 26
+        c[:, 2] = 97 + (m // 26) % 26
+        c[:, 3] = 97 + m % 26
+        out = [np.ascontiguousarray(c).view("<U4").reshape(-1)]
+        r = v == 2                       # substitution at p with z/y
+        if r.any():
+            s = c[r].copy()
+            pr = p[r]
+            ch = s[np.arange(len(s)), pr]
+            s[np.arange(len(s)), pr] = np.where(ch == 122, 121, 122)
+            out.append(np.ascontiguousarray(s).view("<U4").reshape(-1))
+        r = v == 3                       # deletion at p
+        if r.any():
+            s, pr = c[r], p[r]
+            idx = np.arange(3)[None, :] + (np.arange(3)[None, :]
+                                           >= pr[:, None])
+            dm = np.take_along_axis(s, idx, axis=1)
+            out.append(np.ascontiguousarray(dm).view("<U3").reshape(-1))
+        r = v == 4                       # insertion of 'q' at p
+        if r.any():
+            s, pr = c[r], p[r]
+            j = np.arange(5)[None, :]
+            src = np.clip(j - (j > pr[:, None]).astype(np.int64), 0, 3)
+            im = np.take_along_axis(s, src, axis=1).astype(np.uint32)
+            im[j == pr[:, None]] = 113   # 'q'
+            out.append(np.ascontiguousarray(im).view("<U5").reshape(-1))
+        return pa.table({"tok": pa.array(np.concatenate(out),
+                                         pa.string())})
+
+    toks = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return deletion_key_pairs(toks)
+
+
+_SYMSPELL_ORACLE_SQL = """
+    WITH t0 AS (
+      SELECT doc_id % 59 AS m, doc_id % 5 AS v, (doc_id // 5) % 4 AS p
+      FROM documents),
+    w AS (
+      SELECT v, p,
+             chr(97 + CAST((m // 17576) % 26 AS INT))
+             || chr(97 + CAST((m // 676) % 26 AS INT))
+             || chr(97 + CAST((m // 26) % 26 AS INT))
+             || chr(97 + CAST(m % 26 AS INT)) AS w
+      FROM t0),
+    toks AS (
+      SELECT DISTINCT tok FROM (
+        SELECT w AS tok FROM w
+        UNION ALL
+        SELECT substr(w, 1, CAST(p AS INT))
+               || (CASE WHEN substr(w, CAST(p AS INT) + 1, 1) = 'z'
+                        THEN 'y' ELSE 'z' END)
+               || substr(w, CAST(p AS INT) + 2) FROM w WHERE v = 2
+        UNION ALL
+        SELECT substr(w, 1, CAST(p AS INT))
+               || substr(w, CAST(p AS INT) + 2) FROM w WHERE v = 3
+        UNION ALL
+        SELECT substr(w, 1, CAST(p AS INT)) || 'q'
+               || substr(w, CAST(p AS INT) + 1) FROM w WHERE v = 4))
+    SELECT a.tok AS tok1, b.tok AS tok2,
+           CAST(abs(len(a.tok) - len(b.tok)) AS BIGINT) AS len_delta
+    FROM toks a JOIN toks b
+      ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1"""
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -8706,8 +8793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emerging_hotspots": q_emerging_hotspots,
         "snap_points": q_snap_points,
         "latest_by_key": q_latest_by_key,
-        "crossings": q_crossings,
         "novelty": q_novelty,
+        "symspell_pairs": q_symspell_pairs,
         "focal_slope": q_focal_slope,
         "tile_peaks": q_tile_peaks,
         "tile_morphology": q_tile_morphology,
@@ -8716,6 +8803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # queries (all green under tools/check_oracles.py at two
         # scales — rotate into future windows), then the 101
         # driver-green rows from CORRECTNESS_r01-r04. ---
+        "crossings": q_crossings,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
@@ -11484,6 +11572,7 @@ def oracle_sql() -> dict[str, str]:
         "bot_flags": _BOT_ORACLE_SQL,
         "k_anon": _KANON_ORACLE_SQL,
         "focal_majority": _focal_majority_oracle(doc_pts),
+        "symspell_pairs": _SYMSPELL_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),
         "tile_peaks": _tile_peaks_oracle(doc_pts),
         "tile_morphology": _tile_morphology_oracle(doc_pts),

@@ -75,7 +75,7 @@ BENCH_QUERIES = [
     "emerging_hotspots", "snap_points", "latest_by_key", "crossings",
     "mix_allocation", "twohop", "trimmed_stats", "late_windows",
     "quadkey", "bot_flags", "k_anon", "focal_majority",
-    "focal_slope", "tile_peaks", "tile_morphology",
+    "focal_slope", "tile_peaks", "tile_morphology", "symspell_pairs",
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",
