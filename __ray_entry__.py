@@ -8036,6 +8036,92 @@ _SYMSPELL_ORACLE_SQL = """
       ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1"""
 
 
+def q_soundex_keys(sf_dir: str):
+    """American Soundex phonetic keys (text/phonetic.py — NARA
+    standard incl. the h/w-transparent and vowel-separator rules,
+    published vectors pinned in pytest): planted 6-letter names from
+    doc_id modular arithmetic, one distinct pass + the vectorized
+    column-scan kernel. The oracle rebuilds the algorithm
+    independently in SQL (LATERAL char positions → CASE code map →
+    h/w-filtered LAG collapse → first-3 digits + rpad)."""
+    from ray.data.aggregate import Count
+
+    from geoflow.text.phonetic import soundex
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        m = np.zeros((n, 6), np.uint32)
+        # base-26 digits keep names injective up to 26^3 docs; the
+        # multiplied tail positions vary vowels/h/w coverage
+        m[:, 0] = 97 + d % 26
+        m[:, 1] = 97 + (d // 26) % 26
+        m[:, 2] = 97 + (d // 676) % 26
+        m[:, 3] = 97 + (d * 7) % 26
+        m[:, 4] = 97 + (d * 11 + 3) % 26
+        m[:, 5] = 97 + (d * 13 + 5) % 26
+        nm = np.unique(np.ascontiguousarray(m).view("<U6").reshape(-1))
+        return pa.table({"nm": pa.array(nm, pa.string())})
+
+    names = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").groupby("nm").aggregate(Count())
+
+    def key(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "nm" not in b.schema.names:
+            return pa.table({"nm": pa.array([], pa.string()),
+                             "sndx": pa.array([], pa.string())})
+        nm = np.asarray(b.column("nm"), dtype=str)
+        return pa.table({"nm": pa.array(nm),
+                         "sndx": pa.array(soundex(nm), pa.string())})
+
+    return names.map_batches(key, batch_format="pyarrow")
+
+
+_SOUNDEX_ORACLE_SQL = """
+    WITH names AS MATERIALIZED (
+      SELECT DISTINCT
+             chr(97 + CAST(doc_id % 26 AS INT))
+             || chr(97 + CAST((doc_id // 26) % 26 AS INT))
+             || chr(97 + CAST((doc_id // 676) % 26 AS INT))
+             || chr(97 + CAST((doc_id * 7) % 26 AS INT))
+             || chr(97 + CAST((doc_id * 11 + 3) % 26 AS INT))
+             || chr(97 + CAST((doc_id * 13 + 5) % 26 AS INT)) AS nm
+      FROM documents),
+    chars AS (
+      SELECT nm, g.i AS i, substr(nm, CAST(g.i AS INT), 1) AS ch
+      FROM names, LATERAL (SELECT unnest(range(1, 7))) AS g(i)),
+    coded AS (
+      SELECT nm, i,
+             CASE WHEN ch IN ('b','f','p','v') THEN 1
+                  WHEN ch IN ('c','g','j','k','q','s','x','z') THEN 2
+                  WHEN ch IN ('d','t') THEN 3
+                  WHEN ch = 'l' THEN 4
+                  WHEN ch IN ('m','n') THEN 5
+                  WHEN ch = 'r' THEN 6
+                  WHEN ch IN ('h','w') THEN 7
+                  ELSE 0 END AS code
+      FROM chars),
+    flt AS (
+      SELECT nm, i, code,
+             LAG(code) OVER (PARTITION BY nm ORDER BY i) AS pc
+      FROM coded WHERE code != 7),
+    digits AS (
+      SELECT nm, i, code,
+             ROW_NUMBER() OVER (PARTITION BY nm ORDER BY i) AS rn
+      FROM flt
+      WHERE i > 1 AND code BETWEEN 1 AND 6
+        AND (pc IS NULL OR code != pc)),
+    agg AS (
+      SELECT nm, string_agg(CAST(code AS VARCHAR), '' ORDER BY i)
+               AS ds
+      FROM digits WHERE rn <= 3 GROUP BY nm)
+    SELECT n.nm,
+           upper(substr(n.nm, 1, 1))
+           || rpad(coalesce(a.ds, ''), 3, '0') AS sndx
+    FROM names n LEFT JOIN agg a ON a.nm = n.nm"""
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -8792,9 +8878,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hausdorff": q_hausdorff,
         "emerging_hotspots": q_emerging_hotspots,
         "snap_points": q_snap_points,
-        "latest_by_key": q_latest_by_key,
         "novelty": q_novelty,
         "symspell_pairs": q_symspell_pairs,
+        "soundex_keys": q_soundex_keys,
         "focal_slope": q_focal_slope,
         "tile_peaks": q_tile_peaks,
         "tile_morphology": q_tile_morphology,
@@ -8803,6 +8889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # queries (all green under tools/check_oracles.py at two
         # scales — rotate into future windows), then the 101
         # driver-green rows from CORRECTNESS_r01-r04. ---
+        "latest_by_key": q_latest_by_key,
         "crossings": q_crossings,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
@@ -11573,6 +11660,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anon": _KANON_ORACLE_SQL,
         "focal_majority": _focal_majority_oracle(doc_pts),
         "symspell_pairs": _SYMSPELL_ORACLE_SQL,
+        "soundex_keys": _SOUNDEX_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),
         "tile_peaks": _tile_peaks_oracle(doc_pts),
         "tile_morphology": _tile_morphology_oracle(doc_pts),
