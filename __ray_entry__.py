@@ -8122,6 +8122,95 @@ _SOUNDEX_ORACLE_SQL = """
     FROM names n LEFT JOIN agg a ON a.nm = n.nm"""
 
 
+def q_char_trigrams(sf_dir: str):
+    """Per-language character-trigram profiles (text/chargram.py —
+    the Cavnar–Trenkle n-gram-profile shape behind classic language
+    ID): top-10 trigrams per lang by (count DESC, gram ASC), windows
+    never crossing document boundaries, UTF-32 flat-array kernel
+    with per-batch pre-combine. Oracle: LATERAL substr windows +
+    ROW_NUMBER — DuckDB substr is codepoint-based like the numpy
+    view, so grams and tiebreak order match byte-exactly."""
+    from geoflow.text.chargram import char_trigram_profiles
+    return char_trigram_profiles(
+        _read(sf_dir, "documents", ["text", "lang"]), k=10)
+
+
+_CHAR_TRIGRAMS_ORACLE_SQL = """
+    WITH grams AS (
+      SELECT lang, substr(text, CAST(g.i AS INT), 3) AS gram
+      FROM documents, LATERAL (
+        SELECT unnest(range(1, len(text) - 1))) AS g(i)),
+    c AS (
+      SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY lang, gram),
+    r AS (
+      SELECT lang, gram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, gram ASC) AS rk
+      FROM c)
+    SELECT lang, gram, cnt, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford / last-digit distribution of order totals in integer
+    cents (the fraud-profiling data-quality op, complementing
+    table_profile): per leading digit 1-9 and trailing digit 0-9 the
+    global count, merged into one (digit, n_first, n_last) table.
+    cents = floor(price·100 + 0.5) — the repo-wide float→cents
+    parity convention; the leading digit goes through the decimal
+    string on BOTH engines (no float log10)."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        s = pc.cast(pa.array(cents), pa.string())
+        first = pc.utf8_slice_codeunits(s, 0, 1)
+        fd = np.asarray(first, dtype=str).astype(np.int64)
+        ld = cents % 10
+        digit = np.arange(10, dtype=np.int64)
+        return pa.table({
+            "digit": pa.array(digit),
+            "nf": pa.array(np.bincount(fd, minlength=10)
+                           .astype(np.int64)),
+            "nl": pa.array(np.bincount(ld, minlength=10)
+                           .astype(np.int64))})
+
+    agg = _read(sf_dir, "orders", ["o_totalprice"]) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("nf"), Sum("nl"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "digit" not in b.schema.names:
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "n_first": pa.array([], pa.int64()),
+                             "n_last": pa.array([], pa.int64())})
+        return pa.table({
+            "digit": b.column("digit"),
+            "n_first": pc.cast(b.column("sum(nf)"), pa.int64()),
+            "n_last": pc.cast(b.column("sum(nl)"), pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_BENFORD_ORACLE_SQL = """
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               AS cents
+      FROM orders),
+    d AS (SELECT unnest(range(0, 10)) AS digit),
+    f AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+                 CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+    l AS (SELECT cents % 10 AS digit,
+                 CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1)
+    SELECT d.digit,
+           CAST(coalesce(f.n, 0) AS BIGINT) AS n_first,
+           CAST(coalesce(l.n, 0) AS BIGINT) AS n_last
+    FROM d LEFT JOIN f USING (digit) LEFT JOIN l USING (digit)"""
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -8875,11 +8964,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic": q_kwic,
         "burstiness": q_burstiness,
         "assortativity": q_assortativity,
-        "hausdorff": q_hausdorff,
         "emerging_hotspots": q_emerging_hotspots,
-        "snap_points": q_snap_points,
         "novelty": q_novelty,
         "symspell_pairs": q_symspell_pairs,
+        "char_trigrams": q_char_trigrams,
+        "benford_digits": q_benford_digits,
         "soundex_keys": q_soundex_keys,
         "focal_slope": q_focal_slope,
         "tile_peaks": q_tile_peaks,
@@ -8891,6 +8980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-green rows from CORRECTNESS_r01-r04. ---
         "latest_by_key": q_latest_by_key,
         "crossings": q_crossings,
+        "hausdorff": q_hausdorff,
+        "snap_points": q_snap_points,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
@@ -11661,6 +11752,8 @@ def oracle_sql() -> dict[str, str]:
         "focal_majority": _focal_majority_oracle(doc_pts),
         "symspell_pairs": _SYMSPELL_ORACLE_SQL,
         "soundex_keys": _SOUNDEX_ORACLE_SQL,
+        "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
+        "benford_digits": _BENFORD_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),
         "tile_peaks": _tile_peaks_oracle(doc_pts),
         "tile_morphology": _tile_morphology_oracle(doc_pts),
