@@ -8211,6 +8211,154 @@ _BENFORD_ORACLE_SQL = """
     FROM d LEFT JOIN f USING (digit) LEFT JOIN l USING (digit)"""
 
 
+def q_token_drift(sf_dir: str):
+    """Token distribution-shift detection between two corpus epochs
+    (the drift monitor of a continuously-crawled training corpus):
+    epoch = doc_id parity, per token the epoch counts and an integer
+    CROSS-MULTIPLY drift flag (share at least doubled → 1, at most
+    halved → −1, else 0 — no float division; the perceptual-hash
+    exactness lever applied to frequency ratios). Epoch totals ride
+    the SAME groupby as one sentinel row (single-shuffle totals
+    trick, text/boilerplate.py convention)."""
+    from ray.data.aggregate import Sum
+
+    from geoflow.text.hashing import tokenize
+
+    def partials(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat, parent = tokenize(b.column("text"))
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "ca": pa.array([], pa.int64()),
+                          "cb": pa.array([], pa.int64())})
+        if len(parent) == 0:
+            return empty
+        epoch = (d % 2)[parent]
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nv = len(enc.dictionary)
+        cnt = np.bincount(codes * 2 + epoch,
+                          minlength=2 * nv).reshape(nv, 2)
+        tot = np.bincount(epoch, minlength=2).astype(np.int64)
+        return pa.table({
+            "token": pa.concat_arrays([
+                pc.cast(enc.dictionary, pa.string()).combine_chunks()
+                if isinstance(enc.dictionary, pa.ChunkedArray)
+                else pc.cast(enc.dictionary, pa.string()),
+                pa.array([""], pa.string())]),
+            "ca": pa.array(np.r_[cnt[:, 0], tot[0]].astype(np.int64)),
+            "cb": pa.array(np.r_[cnt[:, 1], tot[1]].astype(np.int64))})
+
+    agg = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("ca"), Sum("cb")) \
+        .materialize()
+
+    ta = tb = 0
+    for blk in agg.iter_batches(batch_format="pyarrow",
+                                batch_size=None):
+        if blk.num_rows == 0 or "token" not in blk.schema.names:
+            continue
+        m = pc.equal(blk.column("token"), "").to_numpy(
+            zero_copy_only=False)
+        if m.any():
+            i = int(np.nonzero(m)[0][0])
+            ta = int(blk.column("sum(ca)")[i].as_py())
+            tb = int(blk.column("sum(cb)")[i].as_py())
+
+    def fin(b: pa.Table, _ta=ta, _tb=tb) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "ca": pa.array([], pa.int64()),
+                          "cb": pa.array([], pa.int64()),
+                          "drift": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "token" not in b.schema.names:
+            return empty
+        keep = pc.invert(pc.equal(b.column("token"), ""))
+        t = b.filter(keep)
+        ca = pc.cast(t.column("sum(ca)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cb = pc.cast(t.column("sum(cb)"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        up = cb * _ta >= 2 * ca * _tb
+        dn = 2 * cb * _ta <= ca * _tb
+        drift = np.where(up, 1, np.where(dn, -1, 0)).astype(np.int64)
+        return pa.table({"token": t.column("token"),
+                         "ca": pa.array(ca), "cb": pa.array(cb),
+                         "drift": pa.array(drift)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_TOKEN_DRIFT_ORACLE_SQL = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                                       '[\p{L}\p{N}_]+')) AS tok
+      FROM documents),
+    c AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM tk GROUP BY tok),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+                 CAST(SUM(cb) AS BIGINT) AS tb FROM c)
+    SELECT c.tok AS token, c.ca, c.cb,
+           CAST(CASE WHEN c.cb * t.ta >= 2 * c.ca * t.tb THEN 1
+                     WHEN 2 * c.cb * t.ta <= c.ca * t.tb THEN -1
+                     ELSE 0 END AS BIGINT) AS drift
+    FROM c, t"""
+
+
+def q_adaptive_cells(sf_dir: str):
+    """Adaptive quadtree aggregation over the doc points
+    (ops/spatialstats.py quadtree_cells — the vector-tile
+    generalization op): zoom ladder 4→6→8, threshold 3; each point
+    lands in the coarsest cell whose count fits, the finest level
+    absorbs the rest. Gated vs a three-level GROUP BY + ancestor
+    anti-threshold join SQL."""
+    from geoflow.ops.spatialstats import quadtree_cells
+    return quadtree_cells(_doc_points_ds(sf_dir), zooms=(4, 6, 8),
+                          threshold=3)
+
+
+def _adaptive_cells_oracle(doc_pts: str) -> str:
+    return """
+    WITH b8 AS MATERIALIZED (
+      SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 256), 0), 255) AS BIGINT) AS tile_x,
+               CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 256), 0), 255) AS BIGINT) AS tile_y
+        FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+              FROM ({doc_pts})))
+      GROUP BY tile_x, tile_y),
+    b6 AS MATERIALIZED (
+      SELECT tile_x // 4 AS tile_x, tile_y // 4 AS tile_y,
+             CAST(SUM(c) AS BIGINT) AS c
+      FROM b8 GROUP BY 1, 2),
+    b4 AS MATERIALIZED (
+      SELECT tile_x // 4 AS tile_x, tile_y // 4 AS tile_y,
+             CAST(SUM(c) AS BIGINT) AS c
+      FROM b6 GROUP BY 1, 2)
+    SELECT CAST(4 AS BIGINT) AS z, tile_x, tile_y, c AS n_pts
+    FROM b4 WHERE c <= 3
+    UNION ALL
+    SELECT CAST(6 AS BIGINT), b6.tile_x, b6.tile_y, b6.c
+    FROM b6 JOIN b4 ON b4.tile_x = b6.tile_x // 4
+                   AND b4.tile_y = b6.tile_y // 4
+    WHERE b6.c <= 3 AND b4.c > 3
+    UNION ALL
+    SELECT CAST(8 AS BIGINT), b8.tile_x, b8.tile_y, b8.c
+    FROM b8 JOIN b6 ON b6.tile_x = b8.tile_x // 4
+                   AND b6.tile_y = b8.tile_y // 4
+             JOIN b4 ON b4.tile_x = b8.tile_x // 16
+                    AND b4.tile_y = b8.tile_y // 16
+    WHERE b6.c > 3 AND b4.c > 3""".replace("{doc_pts}", doc_pts)
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -8962,11 +9110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_users": q_rfm_users,
         "int8_mips": q_int8_mips,
         "kwic": q_kwic,
-        "burstiness": q_burstiness,
-        "assortativity": q_assortativity,
         "emerging_hotspots": q_emerging_hotspots,
         "novelty": q_novelty,
         "symspell_pairs": q_symspell_pairs,
+        "token_drift": q_token_drift,
+        "adaptive_cells": q_adaptive_cells,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
         "soundex_keys": q_soundex_keys,
@@ -8982,6 +9130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossings": q_crossings,
         "hausdorff": q_hausdorff,
         "snap_points": q_snap_points,
+        "assortativity": q_assortativity,
+        "burstiness": q_burstiness,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
@@ -11752,6 +11902,8 @@ def oracle_sql() -> dict[str, str]:
         "focal_majority": _focal_majority_oracle(doc_pts),
         "symspell_pairs": _SYMSPELL_ORACLE_SQL,
         "soundex_keys": _SOUNDEX_ORACLE_SQL,
+        "token_drift": _TOKEN_DRIFT_ORACLE_SQL,
+        "adaptive_cells": _adaptive_cells_oracle(doc_pts),
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),

@@ -76,7 +76,8 @@ BENCH_QUERIES = [
     "mix_allocation", "twohop", "trimmed_stats", "late_windows",
     "quadkey", "bot_flags", "k_anon", "focal_majority",
     "focal_slope", "tile_peaks", "tile_morphology", "symspell_pairs",
-    "soundex_keys", "char_trigrams", "benford_digits",
+    "soundex_keys", "char_trigrams", "benford_digits", "token_drift",
+    "adaptive_cells",
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",

@@ -782,3 +782,70 @@ def tile_morphology(ds, x_col: str = "x", y_col: str = "y",
         "n_occ_neighbors": pa.array(n_occ),
         "eroded": pa.array(((occ == 1) & (n_occ == 8))
                            .astype(np.int64))}))
+
+
+def quadtree_cells(ds, x_col: str = "x", y_col: str = "y",
+                   zooms: tuple = (4, 6, 8), threshold: int = 3,
+                   max_broadcast_tiles: int = 50_000_000):
+    """Adaptive quadtree aggregation (the vector-tile generalization
+    op): every point is assigned to the COARSEST cell of the zoom
+    ladder whose total count is ≤ ``threshold`` (the finest level
+    takes whatever remains, however large). Because all points of a
+    finer tile share their ancestors' counts, the output is a set of
+    CELLS: a level-z cell appears iff its count fits the threshold
+    (or z is the finest) and every coarser ancestor's count does not.
+    Output (z, tile_x, tile_y, n_pts), all int64.
+
+    Shape: the shared _tile_counts collect at the FINEST zoom
+    (4^zoom bound), coarser levels derived by integer-shift
+    aggregation on the driver arrays — points are shuffled once."""
+    import ray.data
+
+    zs = sorted(int(z) for z in zooms)
+    zf = zs[-1]
+    keys, cnts = _tile_counts(ds, x_col, y_col, zf,
+                              max_broadcast_tiles)
+    if len(keys) == 0:
+        return ray.data.from_arrow(pa.table({
+            k: pa.array([], pa.int64())
+            for k in ("z", "tile_x", "tile_y", "n_pts")}))
+    tx = keys // (1 << 32)
+    ty = keys % (1 << 32)
+    # per-level (key -> count) tables, finest first
+    lvl = {zf: (keys, cnts)}
+    for z in reversed(zs[:-1]):
+        # aggregate from the next finer level present
+        fz = min(k for k in lvl if k > z)
+        fk, fc = lvl[fz]
+        s = 1 << (fz - z)
+        ck = (fk // (1 << 32)) // s * (1 << 32) + (fk % (1 << 32)) // s
+        uq, inv = np.unique(ck, return_inverse=True)
+        cs = np.zeros(len(uq), np.int64)
+        np.add.at(cs, inv, fc)
+        lvl[z] = (uq, cs)
+    out_z, out_x, out_y, out_n = [], [], [], []
+    # a level-z cell emits iff its count <= T (or z == finest) AND
+    # every coarser ancestor count > T
+    for i, z in enumerate(zs):
+        k, c = lvl[z]
+        anc_over = np.ones(len(k), bool)
+        for za in zs[:i]:
+            ak, ac = lvl[za]
+            s = 1 << (z - za)
+            ck = (k // (1 << 32)) // s * (1 << 32) + \
+                (k % (1 << 32)) // s
+            pos = np.searchsorted(ak, ck)
+            anc_over &= ac[np.minimum(pos, len(ak) - 1)] > threshold
+        # finest level takes whatever its ancestors rejected,
+        # regardless of its own count
+        keep = anc_over if z == zf else (c <= threshold) & anc_over
+        kk = k[keep]
+        out_z.append(np.full(keep.sum(), z, np.int64))
+        out_x.append(kk // (1 << 32))
+        out_y.append(kk % (1 << 32))
+        out_n.append(c[keep])
+    return ray.data.from_arrow(pa.table({
+        "z": pa.array(np.concatenate(out_z)),
+        "tile_x": pa.array(np.concatenate(out_x)),
+        "tile_y": pa.array(np.concatenate(out_y)),
+        "n_pts": pa.array(np.concatenate(out_n))}))
