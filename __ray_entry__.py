@@ -7949,18 +7949,11 @@ def _tile_morphology_oracle(doc_pts: str) -> str:
         "{doc_pts}", doc_pts)
 
 
-def q_symspell_pairs(sf_dir: str):
-    """SymSpell fuzzy self-join (text/fuzzyjoin.py — deletion-
-    neighborhood blocking + vectorized verify): planted token
-    families derived from doc_id (base26 4-char bases m=doc_id%59;
-    v=doc_id%5 selects a substitution / deletion / 'q'-insertion
-    variant at position p=(doc_id//5)%4), all pairs at Levenshtein
-    distance EXACTLY 1. The oracle is an INDEPENDENT brute-force
-    cross join with DuckDB's levenshtein() — it never sees the
-    blocking, so the gate covers candidate completeness AND the
-    false-candidate verify (shared deletion keys can pair
-    distance-2 tokens, e.g. abcd/acdx over 'acd')."""
-    from geoflow.text.fuzzyjoin import deletion_key_pairs
+def _symspell_tokens(sf_dir: str):
+    """Planted fuzzy-join token families (shared by symspell_pairs
+    and fuzzy_components): base26 4-char bases m=doc_id%59; v=doc_id%5
+    selects a substitution / deletion / 'q'-insertion variant at
+    position p=(doc_id//5)%4."""
 
     def synth(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(
@@ -8000,12 +7993,24 @@ def q_symspell_pairs(sf_dir: str):
         return pa.table({"tok": pa.array(np.concatenate(out),
                                          pa.string())})
 
-    toks = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
         synth, batch_format="pyarrow")
-    return deletion_key_pairs(toks)
 
 
-_SYMSPELL_ORACLE_SQL = """
+def q_symspell_pairs(sf_dir: str):
+    """SymSpell fuzzy self-join (text/fuzzyjoin.py — deletion-
+    neighborhood blocking + vectorized verify) over the planted
+    token families of _symspell_tokens: all pairs at Levenshtein
+    distance EXACTLY 1. The oracle is an INDEPENDENT brute-force
+    cross join with DuckDB's levenshtein() — it never sees the
+    blocking, so the gate covers candidate completeness AND the
+    false-candidate verify (shared deletion keys can pair
+    distance-2 tokens, e.g. abcd/acdx over 'acd')."""
+    from geoflow.text.fuzzyjoin import deletion_key_pairs
+    return deletion_key_pairs(_symspell_tokens(sf_dir))
+
+
+_SYMSPELL_TOKS_CTE = """
     WITH t0 AS (
       SELECT doc_id % 59 AS m, doc_id % 5 AS v, (doc_id // 5) % 4 AS p
       FROM documents),
@@ -8016,7 +8021,7 @@ _SYMSPELL_ORACLE_SQL = """
              || chr(97 + CAST((m // 26) % 26 AS INT))
              || chr(97 + CAST(m % 26 AS INT)) AS w
       FROM t0),
-    toks AS (
+    toks AS MATERIALIZED (
       SELECT DISTINCT tok FROM (
         SELECT w AS tok FROM w
         UNION ALL
@@ -8029,7 +8034,9 @@ _SYMSPELL_ORACLE_SQL = """
                || substr(w, CAST(p AS INT) + 2) FROM w WHERE v = 3
         UNION ALL
         SELECT substr(w, 1, CAST(p AS INT)) || 'q'
-               || substr(w, CAST(p AS INT) + 1) FROM w WHERE v = 4))
+               || substr(w, CAST(p AS INT) + 1) FROM w WHERE v = 4))"""
+
+_SYMSPELL_ORACLE_SQL = _SYMSPELL_TOKS_CTE + """
     SELECT a.tok AS tok1, b.tok AS tok2,
            CAST(abs(len(a.tok) - len(b.tok)) AS BIGINT) AS len_delta
     FROM toks a JOIN toks b
@@ -8357,6 +8364,452 @@ def _adaptive_cells_oracle(doc_pts: str) -> str:
              JOIN b4 ON b4.tile_x = b8.tile_x // 16
                     AND b4.tile_y = b8.tile_y // 16
     WHERE b6.c > 3 AND b4.c > 3""".replace("{doc_pts}", doc_pts)
+
+
+def q_line_cells(sf_dir: str):
+    """Integer line rasterization (the midpoint/Bresenham DDA —
+    the vector→raster bridge op behind segment supercover/viewshed):
+    planted segments on a 64×64 grid from doc_id, one cell per
+    major-axis step with the EXACT floor rule
+    j = (2·i·minor + major) // (2·major) — non-negative integer
+    division, identical in numpy and SQL. Output (doc_id, cx, cy),
+    fully vectorized via repeat-expansion (no per-segment Python)."""
+
+    def cells(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x0 = (d * 13) % 64
+        y0 = (d * 29) % 64
+        x1 = (d * 37 + 11) % 64
+        y1 = (d * 53 + 7) % 64
+        adx = np.abs(x1 - x0)
+        ady = np.abs(y1 - y0)
+        sx = np.where(x1 >= x0, 1, -1)
+        sy = np.where(y1 >= y0, 1, -1)
+        xmaj = adx >= ady
+        am = np.where(xmaj, adx, ady)          # major span
+        an = np.where(xmaj, ady, adx)          # minor span
+        n = am + 1
+        rid = np.repeat(np.arange(len(d)), n)
+        i = np.arange(int(n.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n) - n, n)
+        amr, anr = am[rid], an[rid]
+        j = np.where(amr > 0, (2 * i * anr + amr)
+                     // np.maximum(2 * amr, 1), 0)
+        cx = np.where(xmaj[rid], x0[rid] + sx[rid] * i,
+                      x0[rid] + sx[rid] * j)
+        cy = np.where(xmaj[rid], y0[rid] + sy[rid] * j,
+                      y0[rid] + sy[rid] * i)
+        return pa.table({"doc_id": pa.array(d[rid]),
+                         "cx": pa.array(cx), "cy": pa.array(cy)})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        cells, batch_format="pyarrow")
+
+
+_LINE_CELLS_ORACLE_SQL = """
+    WITH seg AS (
+      SELECT doc_id,
+             (doc_id * 13) % 64 AS x0, (doc_id * 29) % 64 AS y0,
+             (doc_id * 37 + 11) % 64 AS x1,
+             (doc_id * 53 + 7) % 64 AS y1
+      FROM documents),
+    p AS (
+      SELECT doc_id, x0, y0,
+             abs(x1 - x0) AS adx, abs(y1 - y0) AS ady,
+             CASE WHEN x1 >= x0 THEN 1 ELSE -1 END AS sx,
+             CASE WHEN y1 >= y0 THEN 1 ELSE -1 END AS sy,
+             abs(x1 - x0) >= abs(y1 - y0) AS xmaj,
+             GREATEST(abs(x1 - x0), abs(y1 - y0)) AS am,
+             LEAST(abs(x1 - x0), abs(y1 - y0)) AS an
+      FROM seg),
+    st AS (
+      SELECT p.doc_id, p.x0, p.y0, p.sx, p.sy, p.xmaj, p.am, p.an,
+             g.i
+      FROM p, LATERAL (SELECT unnest(range(0, p.am + 1))) AS g(i)),
+    c AS (
+      SELECT doc_id, x0, y0, sx, sy, xmaj, i,
+             CASE WHEN am > 0
+                  THEN (2 * i * an + am) // (2 * am)
+                  ELSE 0 END AS j
+      FROM st)
+    SELECT doc_id,
+           CAST(CASE WHEN xmaj THEN x0 + sx * i
+                     ELSE x0 + sx * j END AS BIGINT) AS cx,
+           CAST(CASE WHEN xmaj THEN y0 + sy * j
+                     ELSE y0 + sy * i END AS BIGINT) AS cy
+    FROM c"""
+
+
+# documented UTS #39 confusable SUBSET (Cyrillic/Greek lookalikes +
+# the l/1/I and 0/o folds) — source → ASCII skeleton target
+_CONFUSABLES = [
+    ("а", "a"), ("е", "e"), ("о", "o"),
+    ("р", "p"), ("с", "c"), ("х", "x"),
+    ("у", "y"), ("і", "i"), ("ѕ", "s"),
+    ("ј", "j"), ("ο", "o"), ("ν", "v"),
+    ("ρ", "p"), ("ι", "i"),
+    ("1", "l"), ("I", "l"), ("|", "l"), ("0", "o"),
+]
+
+
+def q_homoglyph_skeleton(sf_dir: str):
+    """Homoglyph skeleton folding (UTS #39 confusables, documented
+    subset — the IDN-spoof / content-cloaking detector of a web
+    corpus): planted strings mixing ASCII with Cyrillic/Greek
+    lookalikes per doc_id, folded through a vectorized codepoint LUT
+    (sorted-source searchsorted — no per-char Python). Oracle: the
+    same table as a nested replace() chain."""
+
+    src = np.array([ord(s) for s, _ in _CONFUSABLES], np.uint32)
+    dst = np.array([ord(t) for _, t in _CONFUSABLES], np.uint32)
+    o = np.argsort(src)
+    src, dst = src[o], dst[o]
+    # planted 8-char strings: alphabet = 8 ASCII letters + the 18
+    # confusables, chosen per position by doc_id mixing
+    alpha = np.array([ord(c) for c in "aeopsxiv"]
+                     + [ord(s) for s, _ in _CONFUSABLES], np.uint32)
+
+    def fold(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        m = np.empty((n, 8), np.uint32)
+        for k in range(8):
+            m[:, k] = alpha[(d * (2 * k + 3) + 5 * k) % len(alpha)]
+        s = np.ascontiguousarray(m).view("<U8").reshape(-1)
+        pos = np.searchsorted(src, m.ravel())
+        hit = (pos < len(src)) & \
+            (src[np.minimum(pos, len(src) - 1)] == m.ravel())
+        folded = m.ravel().copy()
+        folded[hit] = dst[np.minimum(pos, len(src) - 1)][hit]
+        skel = np.ascontiguousarray(
+            folded.reshape(n, 8)).view("<U8").reshape(-1)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "s": pa.array(s, pa.string()),
+            "skel": pa.array(skel, pa.string()),
+            "changed": pa.array((s != skel).astype(np.int64))})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fold, batch_format="pyarrow")
+
+
+def _homoglyph_oracle() -> str:
+    alpha = "aeopsxiv" + "".join(s for s, _ in _CONFUSABLES)
+    pos_terms = []
+    for k in range(8):
+        arms = " ".join(f"WHEN {i} THEN '{c}'"
+                        for i, c in enumerate(alpha))
+        pos_terms.append(
+            f"(CASE (doc_id * {2 * k + 3} + {5 * k}) % {len(alpha)} "
+            f"{arms} END)")
+    s_expr = " || ".join(pos_terms)
+    rep = "s"
+    for srcc, dstc in _CONFUSABLES:
+        rep = f"replace({rep}, '{srcc}', '{dstc}')"
+    return f"""
+    WITH built AS (
+      SELECT doc_id, {s_expr} AS s FROM documents)
+    SELECT doc_id, s, {rep} AS skel,
+           CAST(CASE WHEN s != {rep} THEN 1 ELSE 0 END AS BIGINT)
+             AS changed
+    FROM built"""
+
+
+def q_corr_moments(sf_dir: str):
+    """Grouped correlation/regression ingredient moments (the
+    distributed Pearson/OLS gate): per order priority the exact
+    int64 moments (n, Σx, Σy, Σxy, Σx², Σy²) of x = whole-dollar
+    order total, y = epoch day — r/slope are client-side IEEE ops on
+    exact integers, so the gate covers everything distributed. One
+    map_batches partial + one groupby-sum (dollar units keep
+    Σx²·n < 2^63)."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = np.floor(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        y = (b.column("o_orderdate").to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        pr = b.column("o_orderpriority")
+        return pa.table({
+            "pri": pr, "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y)})
+
+    agg = _read(sf_dir, "orders",
+                ["o_orderpriority", "o_totalprice", "o_orderdate"]) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .groupby("pri").aggregate(*[Sum(c) for c in
+                                    ("n", "sx", "sy", "sxx", "syy",
+                                     "sxy")])
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "pri" not in b.schema.names:
+            return pa.table({k: pa.array([], pa.int64() if k != "pri"
+                                         else pa.string())
+                             for k in ("pri", "n", "sx", "sy", "sxx",
+                                       "syy", "sxy")})
+        out = {"pri": b.column("pri")}
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            out[c] = pc.cast(b.column(f"sum({c})"), pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_CORR_MOMENTS_ORACLE_SQL = """
+    SELECT o_orderpriority AS pri,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM (SELECT o_orderpriority,
+                 CAST(floor(o_totalprice) AS BIGINT) AS x,
+                 CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                      // 86400000000 AS BIGINT) AS y
+          FROM orders)
+    GROUP BY o_orderpriority"""
+
+
+def q_contour_cases(sf_dir: str):
+    """Marching-squares case classification over the occupied z8
+    doc-tile lattice (ops/spatialstats.py contour_cases — the
+    contour-extraction step of raster isoline generation): 4-bit
+    corner case per 2×2 block, corner inside iff the tile is
+    occupied (threshold 1 — the synthetic doc points are sparse at
+    z8, so the isoline IS the occupancy boundary), blocks with ≥1
+    inside corner. Gated vs the 4-corner LEFT-JOIN SQL."""
+    from geoflow.ops.spatialstats import contour_cases
+    return contour_cases(_doc_points_ds(sf_dir), zoom=8, threshold=1)
+
+
+def _contour_cases_oracle(doc_pts: str) -> str:
+    return (_TILE_B_CTE + """,
+    ins AS (SELECT tile_x, tile_y FROM b WHERE c >= 1),
+    anchors AS (
+      SELECT DISTINCT ins.tile_x - dx.i AS tile_x,
+                      ins.tile_y - dy.i AS tile_y
+      FROM ins, (VALUES (0), (1)) dx(i), (VALUES (0), (1)) dy(i))
+    SELECT a.tile_x, a.tile_y,
+           CAST((CASE WHEN c0.tile_x IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN c1.tile_x IS NOT NULL THEN 2 ELSE 0 END)
+              + (CASE WHEN c2.tile_x IS NOT NULL THEN 4 ELSE 0 END)
+              + (CASE WHEN c3.tile_x IS NOT NULL THEN 8 ELSE 0 END)
+             AS BIGINT) AS mcase
+    FROM anchors a
+    LEFT JOIN ins c0 ON c0.tile_x = a.tile_x
+                    AND c0.tile_y = a.tile_y
+    LEFT JOIN ins c1 ON c1.tile_x = a.tile_x + 1
+                    AND c1.tile_y = a.tile_y
+    LEFT JOIN ins c2 ON c2.tile_x = a.tile_x + 1
+                    AND c2.tile_y = a.tile_y + 1
+    LEFT JOIN ins c3 ON c3.tile_x = a.tile_x
+                    AND c3.tile_y = a.tile_y + 1
+    WHERE c0.tile_x IS NOT NULL OR c1.tile_x IS NOT NULL
+       OR c2.tile_x IS NOT NULL OR c3.tile_x IS NOT NULL""").replace(
+        "{doc_pts}", doc_pts)
+
+
+def q_grid_los(sf_dir: str):
+    """Grid line-of-sight / viewshed rays (the raster visibility
+    op): the planted 64×64 segments of line_cells walked with the
+    same midpoint DDA, heights = z6 doc-tile point counts (the z6
+    lattice IS 64×64, so grids align), observer/target get a +2
+    mast; an intermediate cell blocks iff n·h_i > (n−i)·h0 + i·ht —
+    the sight-line comparison cross-multiplied to exact integers.
+    Output (doc_id, n_steps, n_blockers, visible)."""
+    import ray
+
+    from geoflow.ops.spatialstats import _tile_counts
+
+    keys, cnts = _tile_counts(_doc_points_ds(sf_dir), "x", "y", 6,
+                              50_000_000)
+    ref = ray.put((keys, cnts))
+
+    def los(b: pa.Table, _r=ref) -> pa.Table:
+        k6, c6 = ray.get(_r)
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x0 = (d * 13) % 64
+        y0 = (d * 29) % 64
+        x1 = (d * 37 + 11) % 64
+        y1 = (d * 53 + 7) % 64
+        adx = np.abs(x1 - x0)
+        ady = np.abs(y1 - y0)
+        sx = np.where(x1 >= x0, 1, -1)
+        sy = np.where(y1 >= y0, 1, -1)
+        xmaj = adx >= ady
+        am = np.where(xmaj, adx, ady)
+        an = np.where(xmaj, ady, adx)
+        n = am + 1
+        rid = np.repeat(np.arange(len(d)), n)
+        i = np.arange(int(n.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n) - n, n)
+        amr, anr = am[rid], an[rid]
+        j = np.where(amr > 0, (2 * i * anr + amr)
+                     // np.maximum(2 * amr, 1), 0)
+        cx = np.where(xmaj[rid], x0[rid] + sx[rid] * i,
+                      x0[rid] + sx[rid] * j)
+        cy = np.where(xmaj[rid], y0[rid] + sy[rid] * j,
+                      y0[rid] + sy[rid] * i)
+        ck = cx * (1 << 32) + cy
+        pos = np.searchsorted(k6, ck)
+        hit = (pos < len(k6)) & \
+            (k6[np.minimum(pos, max(len(k6) - 1, 0))] == ck) \
+            if len(k6) else np.zeros(len(ck), bool)
+        h = np.where(hit, c6[np.minimum(pos, max(len(k6) - 1, 0))]
+                     if len(k6) else 0, 0)
+        # per segment: h at i=0 and i=am
+        first = np.r_[True, rid[1:] != rid[:-1]]
+        h0 = np.repeat(h[first], n)                 # start height
+        lastidx = np.r_[np.nonzero(first)[0][1:] - 1, len(rid) - 1]
+        ht = np.repeat(h[lastidx], n)               # end height
+        inner = (i > 0) & (i < amr)
+        blocked = inner & (amr * h > (amr - i) * (h0 + 2)
+                           + i * (ht + 2))
+        nb = np.zeros(len(d), np.int64)
+        np.add.at(nb, rid, blocked.astype(np.int64))
+        return pa.table({
+            "doc_id": pa.array(d),
+            "n_steps": pa.array(am),
+            "n_blockers": pa.array(nb),
+            "visible": pa.array((nb == 0).astype(np.int64))})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        los, batch_format="pyarrow")
+
+
+def _grid_los_oracle(doc_pts: str) -> str:
+    return """
+    WITH b6 AS MATERIALIZED (
+      SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT CAST(LEAST(GREATEST(floor((x + 180.0)/360.0 * 64), 0), 63) AS BIGINT) AS tile_x,
+               CAST(LEAST(GREATEST(floor((1.0 - ln(tan(radians(lat_c)) + 1.0/cos(radians(lat_c)))/pi())/2.0 * 64), 0), 63) AS BIGINT) AS tile_y
+        FROM (SELECT x, LEAST(GREATEST(y, -85.0511287798066), 85.0511287798066) AS lat_c
+              FROM ({doc_pts})))
+      GROUP BY tile_x, tile_y),
+    seg AS (
+      SELECT doc_id,
+             (doc_id * 13) % 64 AS x0, (doc_id * 29) % 64 AS y0,
+             (doc_id * 37 + 11) % 64 AS x1,
+             (doc_id * 53 + 7) % 64 AS y1
+      FROM documents),
+    p AS (
+      SELECT doc_id, x0, y0,
+             CASE WHEN x1 >= x0 THEN 1 ELSE -1 END AS sx,
+             CASE WHEN y1 >= y0 THEN 1 ELSE -1 END AS sy,
+             abs(x1 - x0) >= abs(y1 - y0) AS xmaj,
+             GREATEST(abs(x1 - x0), abs(y1 - y0)) AS am,
+             LEAST(abs(x1 - x0), abs(y1 - y0)) AS an
+      FROM seg),
+    st AS (
+      SELECT p.*, g.i,
+             CASE WHEN p.am > 0
+                  THEN (2 * g.i * p.an + p.am) // (2 * p.am)
+                  ELSE 0 END AS j
+      FROM p, LATERAL (SELECT unnest(range(0, p.am + 1))) AS g(i)),
+    cells AS (
+      SELECT doc_id, am, i,
+             CASE WHEN xmaj THEN x0 + sx * i ELSE x0 + sx * j END
+               AS cx,
+             CASE WHEN xmaj THEN y0 + sy * j ELSE y0 + sy * i END
+               AS cy
+      FROM st),
+    hh AS MATERIALIZED (
+      SELECT c.doc_id, c.am, c.i, COALESCE(b6.c, 0) AS h
+      FROM cells c LEFT JOIN b6 ON b6.tile_x = c.cx
+                               AND b6.tile_y = c.cy),
+    ends AS (
+      SELECT doc_id, MAX(am) AS n,
+             MAX(CASE WHEN i = 0 THEN h END) AS hs,
+             MAX(CASE WHEN i = am THEN h END) AS he
+      FROM hh GROUP BY doc_id),
+    blk AS (
+      SELECT hh.doc_id,
+             CAST(SUM(CASE WHEN hh.i > 0 AND hh.i < e.n
+                            AND e.n * hh.h >
+                                (e.n - hh.i) * (e.hs + 2)
+                                + hh.i * (e.he + 2)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM hh JOIN ends e USING (doc_id) GROUP BY hh.doc_id)
+    SELECT e.doc_id, CAST(e.n AS BIGINT) AS n_steps,
+           CAST(coalesce(blk.nb, 0) AS BIGINT) AS n_blockers,
+           CAST(CASE WHEN coalesce(blk.nb, 0) = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS visible
+    FROM ends e LEFT JOIN blk USING (doc_id)""".replace(
+        "{doc_pts}", doc_pts)
+
+
+def q_fuzzy_components(sf_dir: str):
+    """Record-linkage entity clustering: connected components over
+    the Levenshtein-distance-1 graph of the planted fuzzy-join
+    tokens (blocking → verify → cluster — the full SymSpell entity-
+    resolution composite). 6 fixed synchronous min-label rounds over
+    lexicographic ranks (fixed-round-prefix convention, kcore/
+    labelprop); vocabulary-bounded label arrays, vectorized rounds.
+    Output (tok, root) where root is the component's lexicographic
+    minimum reachable in 6 rounds."""
+    import ray.data
+
+    from geoflow.text.fuzzyjoin import deletion_key_pairs
+
+    toks_ds = _symspell_tokens(sf_dir)
+    pairs = deletion_key_pairs(toks_ds)
+    a_l, b_l = [], []
+    for blk in pairs.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+        if blk.num_rows == 0 or "tok1" not in blk.schema.names:
+            continue
+        a_l.append(np.asarray(blk.column("tok1"), dtype=str))
+        b_l.append(np.asarray(blk.column("tok2"), dtype=str))
+    ta = np.concatenate(a_l) if a_l else np.empty(0, "<U8")
+    tb = np.concatenate(b_l) if b_l else np.empty(0, "<U8")
+    vocab_l = []
+    for blk in toks_ds.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+        if blk.num_rows and "tok" in blk.schema.names:
+            vocab_l.append(np.unique(
+                np.asarray(blk.column("tok"), dtype=str)))
+    vocab = np.unique(np.concatenate(vocab_l)) if vocab_l else \
+        np.empty(0, "<U8")
+    lab = np.arange(len(vocab), dtype=np.int64)
+    src = np.r_[np.searchsorted(vocab, ta),
+                np.searchsorted(vocab, tb)]
+    dst = np.r_[np.searchsorted(vocab, tb),
+                np.searchsorted(vocab, ta)]
+    for _ in range(6):
+        new = lab.copy()
+        np.minimum.at(new, src, lab[dst])
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return ray.data.from_arrow(pa.table({
+        "tok": pa.array(vocab, pa.string()),
+        "root": pa.array(vocab[lab], pa.string())}))
+
+
+def _fuzzy_components_oracle() -> str:
+    q = _SYMSPELL_TOKS_CTE + """,
+    edges AS MATERIALIZED (
+      SELECT a.tok AS a, b.tok AS b FROM toks a JOIN toks b
+        ON levenshtein(a.tok, b.tok) <= 1),
+    r0 AS MATERIALIZED (SELECT tok, tok AS lab FROM toks)"""
+    prev = "r0"
+    for t in range(1, 7):
+        q += f""",
+    r{t} AS MATERIALIZED (
+      SELECT e.a AS tok, MIN(l.lab) AS lab
+      FROM edges e JOIN {prev} l ON l.tok = e.b
+      GROUP BY e.a)"""
+        prev = f"r{t}"
+    q += f"""
+    SELECT tok, lab AS root FROM {prev}"""
+    return "\n" + q
 
 
 def q_bot_flags(sf_dir: str):
@@ -9102,19 +9555,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity": q_modularity,
         "rendezvous": q_rendezvous,
         "geohash": q_geohash,
-        "autocorr": q_autocorr,
-        "rake_candidates": q_rake_candidates,
         "rake_scores": q_rake_scores,
         "hull_extract": q_hull_extract,
-        "vocab_growth": q_vocab_growth,
-        "rfm_users": q_rfm_users,
-        "int8_mips": q_int8_mips,
-        "kwic": q_kwic,
         "emerging_hotspots": q_emerging_hotspots,
         "novelty": q_novelty,
         "symspell_pairs": q_symspell_pairs,
         "token_drift": q_token_drift,
         "adaptive_cells": q_adaptive_cells,
+        "line_cells": q_line_cells,
+        "grid_los": q_grid_los,
+        "contour_cases": q_contour_cases,
+        "fuzzy_components": q_fuzzy_components,
+        "homoglyph_skeleton": q_homoglyph_skeleton,
+        "corr_moments": q_corr_moments,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
         "soundex_keys": q_soundex_keys,
@@ -9132,6 +9585,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snap_points": q_snap_points,
         "assortativity": q_assortativity,
         "burstiness": q_burstiness,
+        "kwic": q_kwic,
+        "rfm_users": q_rfm_users,
+        "rake_candidates": q_rake_candidates,
+        "vocab_growth": q_vocab_growth,
+        "int8_mips": q_int8_mips,
+        "autocorr": q_autocorr,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
@@ -11904,6 +12363,12 @@ def oracle_sql() -> dict[str, str]:
         "soundex_keys": _SOUNDEX_ORACLE_SQL,
         "token_drift": _TOKEN_DRIFT_ORACLE_SQL,
         "adaptive_cells": _adaptive_cells_oracle(doc_pts),
+        "line_cells": _LINE_CELLS_ORACLE_SQL,
+        "grid_los": _grid_los_oracle(doc_pts),
+        "contour_cases": _contour_cases_oracle(doc_pts),
+        "fuzzy_components": _fuzzy_components_oracle(),
+        "homoglyph_skeleton": _homoglyph_oracle(),
+        "corr_moments": _CORR_MOMENTS_ORACLE_SQL,
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),

@@ -77,7 +77,8 @@ BENCH_QUERIES = [
     "quadkey", "bot_flags", "k_anon", "focal_majority",
     "focal_slope", "tile_peaks", "tile_morphology", "symspell_pairs",
     "soundex_keys", "char_trigrams", "benford_digits", "token_drift",
-    "adaptive_cells",
+    "adaptive_cells", "line_cells", "homoglyph_skeleton",
+    "corr_moments", "grid_los", "contour_cases", "fuzzy_components",
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",

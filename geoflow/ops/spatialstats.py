@@ -849,3 +849,50 @@ def quadtree_cells(ds, x_col: str = "x", y_col: str = "y",
         "tile_x": pa.array(np.concatenate(out_x)),
         "tile_y": pa.array(np.concatenate(out_y)),
         "n_pts": pa.array(np.concatenate(out_n))}))
+
+
+def contour_cases(ds, x_col: str = "x", y_col: str = "y",
+                  zoom: int = 8, threshold: int = 2,
+                  max_broadcast_tiles: int = 50_000_000):
+    """Marching-squares case classification over the occupied tile
+    lattice (the contour-extraction step of raster isoline
+    generation): a 2×2 corner block anchored at (tx, ty) gets the
+    4-bit case index with bit0=(tx,ty), bit1=(tx+1,ty),
+    bit2=(tx+1,ty+1), bit3=(tx,ty+1) — the standard CCW corner
+    order — where a corner is "inside" iff its tile exists AND its
+    point count ≥ ``threshold``. Only blocks with ≥1 inside corner
+    are emitted (case 0 blocks are the empty plane). Output
+    (tile_x, tile_y, mcase), all int64."""
+    import ray.data
+
+    keys, cnts = _tile_counts(ds, x_col, y_col, zoom,
+                              max_broadcast_tiles)
+    inside = cnts >= threshold
+    ik = keys[inside]
+    if len(ik) == 0:
+        return ray.data.from_arrow(pa.table({
+            k: pa.array([], pa.int64())
+            for k in ("tile_x", "tile_y", "mcase")}))
+    itx, ity = ik // (1 << 32), ik % (1 << 32)
+    # candidate anchors: every block having at least one inside
+    # corner = inside corners shifted by the 4 corner offsets.
+    # Anchors can sit at coordinate −1, so they are packed with a +1
+    # OFFSET — a negative tile_y in the plain packing would bleed
+    # into the previous column's key range and decode wrongly.
+    corners = ((0, 0), (1, 0), (1, 1), (0, 1))
+    anchors = np.unique(np.concatenate(
+        [(itx - dx + 1) * (1 << 32) + (ity - dy + 1)
+         for dx, dy in corners]))
+    atx = anchors // (1 << 32) - 1
+    aty = anchors % (1 << 32) - 1
+    case = np.zeros(len(anchors), np.int64)
+    for bit, (dx, dy) in enumerate(corners):
+        ck = (atx + dx) * (1 << 32) + (aty + dy)
+        pos = np.searchsorted(ik, ck)
+        hit = (pos < len(ik)) & (ik[np.minimum(pos, len(ik) - 1)]
+                                 == ck)
+        case |= hit.astype(np.int64) << bit
+    keep = case > 0
+    return ray.data.from_arrow(pa.table({
+        "tile_x": pa.array(atx[keep]), "tile_y": pa.array(aty[keep]),
+        "mcase": pa.array(case[keep])}))
