@@ -8812,6 +8812,67 @@ def _fuzzy_components_oracle() -> str:
     return "\n" + q
 
 
+def q_interval_coverage(sf_dir: str):
+    """Interval-union coverage per user (the classic gaps-and-
+    islands MERGE, distinct from user_streaks' day islands): each
+    event opens a [ts, ts+30 s) activity interval; overlapping /
+    touching intervals merge, and the query reports per user the
+    island count and total covered microseconds — the session-
+    coverage measure of engagement analytics. One groupby(user)
+    map_groups with a sort + running-max scan; oracle is the
+    prefix-max window + island-id cumsum SQL."""
+
+    def cover(group: pa.Table) -> pa.Table:
+        t = np.sort(group.column("ts").to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]").astype(np.int64))
+        e = t + 30_000_000
+        pmax = np.maximum.accumulate(e)
+        newisl = np.r_[True, t[1:] > pmax[:-1]]
+        gid = np.cumsum(newisl) - 1
+        n = int(gid[-1]) + 1
+        st0 = t[newisl]
+        e1 = np.zeros(n, np.int64)
+        np.maximum.at(e1, gid, e)
+        kv = group.column("user_id")[0].as_py()
+        return pa.table({
+            "user_id": pa.array([kv], pa.int64()),
+            "n_islands": pa.array([n], pa.int64()),
+            "covered_us": pa.array([int((e1 - st0).sum())],
+                                   pa.int64())})
+
+    return _read(sf_dir, "events", ["user_id", "ts"]) \
+        .groupby("user_id").map_groups(cover, batch_format="pyarrow")
+
+
+_INTERVAL_COVERAGE_ORACLE_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 30000000 AS en
+      FROM events),
+    w AS (
+      SELECT user_id, s, en,
+             MAX(en) OVER (PARTITION BY user_id ORDER BY s, en
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmax
+      FROM e),
+    isl AS (
+      SELECT user_id, s, en,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+               AS st
+      FROM w),
+    g AS (
+      SELECT user_id, s, en,
+             SUM(st) OVER (PARTITION BY user_id ORDER BY s, en
+                           ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl),
+    per AS (
+      SELECT user_id, gid, MIN(s) AS st0, MAX(en) AS e1
+      FROM g GROUP BY user_id, gid)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(SUM(e1 - st0) AS BIGINT) AS covered_us
+    FROM per GROUP BY user_id"""
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -9553,7 +9614,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_int8": q_embed_int8,
         "shingle_containment": q_shingle_containment,
         "modularity": q_modularity,
-        "rendezvous": q_rendezvous,
         "geohash": q_geohash,
         "rake_scores": q_rake_scores,
         "hull_extract": q_hull_extract,
@@ -9568,6 +9628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_components": q_fuzzy_components,
         "homoglyph_skeleton": q_homoglyph_skeleton,
         "corr_moments": q_corr_moments,
+        "interval_coverage": q_interval_coverage,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
         "soundex_keys": q_soundex_keys,
@@ -9591,6 +9652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "int8_mips": q_int8_mips,
         "autocorr": q_autocorr,
+        "rendezvous": q_rendezvous,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
@@ -12369,6 +12431,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_components": _fuzzy_components_oracle(),
         "homoglyph_skeleton": _homoglyph_oracle(),
         "corr_moments": _CORR_MOMENTS_ORACLE_SQL,
+        "interval_coverage": _INTERVAL_COVERAGE_ORACLE_SQL,
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),
