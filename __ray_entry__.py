@@ -8873,6 +8873,90 @@ _INTERVAL_COVERAGE_ORACLE_SQL = """
     FROM per GROUP BY user_id"""
 
 
+def q_surt_keys(sf_dir: str):
+    """SURT canonical keys (text/urls.py surt_keys — the Heritrix /
+    web-archive Sort-friendly URI Reordering Transform): host labels
+    lowercased, REVERSED and comma-joined + ')' + path, '' for
+    non-URLs; the reversal is an offsets-arithmetic permutation over
+    the flattened label split (no per-URL Python). Same planted URL
+    mix as url_host (www/non-www + non-URL decoys)."""
+    from geoflow.text.urls import surt_keys
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        s = pc.cast(ids, pa.string())
+        srcn = pc.cast(pa.array(idn % 20), pa.string())
+        url = pc.binary_join_element_wise(
+            pa.array(np.where(idn % 3 == 0, "https://www.Src",
+                              "https://src"), type=pa.string()),
+            srcn, pa.scalar(".example.com/p/"), s, "")
+        url = pc.if_else(pa.array(idn % 11 == 0),
+                         pc.binary_join_element_wise(
+                             pa.scalar("not a url "), s, ""), url)
+        return pa.table({"doc_id": ids,
+                         "surt": surt_keys(url)})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+
+
+_SURT_ORACLE_SQL = """
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                  ELSE (CASE WHEN doc_id % 3 = 0
+                             THEN 'https://www.Src'
+                             ELSE 'https://src' END)
+                       || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.com/p/'
+                       || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents),
+    hp AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^https?://([^/?#]+)', 1))
+               AS host,
+             regexp_replace(url, '^https?://[^/?#]*', '') AS path
+      FROM u)
+    SELECT doc_id,
+           CASE WHEN host = '' THEN ''
+                ELSE array_to_string(
+                       list_reverse(string_split(host, '.')), ',')
+                     || ')' || path END AS surt
+    FROM hp"""
+
+
+def q_tile_distance(sf_dir: str):
+    """Bounded Chebyshev distance transform over the occupied z8
+    doc-tile lattice (ops/spatialstats.py tile_distance_transform —
+    the raster proximity op): every in-range tile within radius 3 of
+    an occupied tile gets the distance to its nearest occupied tile
+    (0 = occupied). Gated vs the shift-join MIN(GREATEST(|Δx|,|Δy|))
+    SQL."""
+    from geoflow.ops.spatialstats import tile_distance_transform
+    return tile_distance_transform(_doc_points_ds(sf_dir), zoom=8,
+                                   radius=3)
+
+
+def _tile_distance_oracle(doc_pts: str) -> str:
+    return (_TILE_B_CTE + """,
+    d AS (
+      SELECT DISTINCT b.tile_x + dx.i AS tile_x,
+                      b.tile_y + dy.i AS tile_y
+      FROM b, (SELECT unnest(range(-3, 4))) dx(i),
+               (SELECT unnest(range(-3, 4))) dy(i)
+      WHERE b.tile_x + dx.i BETWEEN 0 AND 255
+        AND b.tile_y + dy.i BETWEEN 0 AND 255)
+    SELECT d.tile_x, d.tile_y,
+           CAST(MIN(GREATEST(abs(d.tile_x - b.tile_x),
+                             abs(d.tile_y - b.tile_y))) AS BIGINT)
+             AS dist
+    FROM d JOIN b ON abs(d.tile_x - b.tile_x) <= 3
+                 AND abs(d.tile_y - b.tile_y) <= 3
+    GROUP BY d.tile_x, d.tile_y""").replace("{doc_pts}", doc_pts)
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -9612,8 +9696,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": q_lexical_diversity,
         "audio_fingerprint": q_audio_fingerprint,
         "embed_int8": q_embed_int8,
-        "shingle_containment": q_shingle_containment,
-        "modularity": q_modularity,
         "geohash": q_geohash,
         "rake_scores": q_rake_scores,
         "hull_extract": q_hull_extract,
@@ -9629,6 +9711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "homoglyph_skeleton": q_homoglyph_skeleton,
         "corr_moments": q_corr_moments,
         "interval_coverage": q_interval_coverage,
+        "surt_keys": q_surt_keys,
+        "tile_distance": q_tile_distance,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
         "soundex_keys": q_soundex_keys,
@@ -9653,6 +9737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "int8_mips": q_int8_mips,
         "autocorr": q_autocorr,
         "rendezvous": q_rendezvous,
+        "modularity": q_modularity,
+        "shingle_containment": q_shingle_containment,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
@@ -12432,6 +12518,8 @@ def oracle_sql() -> dict[str, str]:
         "homoglyph_skeleton": _homoglyph_oracle(),
         "corr_moments": _CORR_MOMENTS_ORACLE_SQL,
         "interval_coverage": _INTERVAL_COVERAGE_ORACLE_SQL,
+        "surt_keys": _SURT_ORACLE_SQL,
+        "tile_distance": _tile_distance_oracle(doc_pts),
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),

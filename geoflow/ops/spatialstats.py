@@ -896,3 +896,51 @@ def contour_cases(ds, x_col: str = "x", y_col: str = "y",
     return ray.data.from_arrow(pa.table({
         "tile_x": pa.array(atx[keep]), "tile_y": pa.array(aty[keep]),
         "mcase": pa.array(case[keep])}))
+
+
+def tile_distance_transform(ds, x_col: str = "x", y_col: str = "y",
+                            zoom: int = 8, radius: int = 3,
+                            max_broadcast_tiles: int = 50_000_000):
+    """Bounded Chebyshev distance transform over the occupied tile
+    lattice (the raster proximity op): every in-range tile within
+    ``radius`` of an occupied tile gets the distance to its nearest
+    occupied tile (0 for occupied tiles themselves); farther tiles
+    are absent (unbounded transforms don't stream). Output
+    (tile_x, tile_y, dist), int64.
+
+    Shape: _tile_counts collect (4^zoom bound) + (2r+1)² vectorized
+    shift-membership passes — no per-tile Python."""
+    import ray.data
+
+    keys, _cnts = _tile_counts(ds, x_col, y_col, zoom,
+                               max_broadcast_tiles)
+    side = 1 << zoom
+    if len(keys) == 0:
+        return ray.data.from_arrow(pa.table({
+            k: pa.array([], pa.int64())
+            for k in ("tile_x", "tile_y", "dist")}))
+    tx, ty = keys // (1 << 32), keys % (1 << 32)
+    shifted = []
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            nx, ny = tx + dx, ty + dy
+            m = (nx >= 0) & (nx < side) & (ny >= 0) & (ny < side)
+            # +radius offset pack: shifted coords stay non-negative
+            shifted.append((nx[m] + radius) * (1 << 32)
+                           + (ny[m] + radius))
+    cand = np.unique(np.concatenate(shifted))
+    ctx = cand // (1 << 32) - radius
+    cty = cand % (1 << 32) - radius
+    dist = np.full(len(cand), radius + 1, np.int64)
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            ck = (ctx + dx) * (1 << 32) + (cty + dy)
+            pos = np.searchsorted(keys, ck)
+            hit = (pos < len(keys)) & \
+                (keys[np.minimum(pos, len(keys) - 1)] == ck)
+            d = max(abs(dx), abs(dy))
+            dist[hit] = np.minimum(dist[hit], d)
+    keep = dist <= radius
+    return ray.data.from_arrow(pa.table({
+        "tile_x": pa.array(ctx[keep]), "tile_y": pa.array(cty[keep]),
+        "dist": pa.array(dist[keep])}))

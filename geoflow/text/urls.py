@@ -162,3 +162,44 @@ def url_template_counts(ds, path_col: str = "path",
                          "n": pc.cast(b.column("sum(c)"), pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def surt_keys(url_col) -> pa.Array:
+    """SURT (Sort-friendly URI Reordering Transform, the Heritrix /
+    web-archive canonical key): lowercase host labels REVERSED and
+    comma-joined, then ')' + path — 'http://www.example.com/p/1' →
+    'com,example,www)/p/1'. Strings without a scheme+host prefix map
+    to '' (not archivable). Fully vectorized: the label reversal is
+    an offsets-arithmetic permutation over the flattened split
+    (no per-URL Python)."""
+    import numpy as np
+
+    s = pc.cast(url_col, pa.string())
+    ex = pc.extract_regex(s, r"^https?://(?P<host>[^/?#]+)")
+    host = pc.fill_null(pc.struct_field(ex, "host"), "")
+    host = pc.utf8_lower(host)
+    path = pc.replace_substring_regex(s, r"^https?://[^/?#]*", "")
+    lists = pc.split_pattern(host, ".")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(
+        zero_copy_only=False)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    starts = np.cumsum(lens) - lens
+    if len(parent):
+        pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+        perm = starts[parent] + (lens[parent] - 1) - pos
+        flat = flat.take(pa.array(perm, pa.int64()))
+    offsets = pa.array(np.r_[np.int32(0),
+                             np.cumsum(lens).astype(np.int32)])
+    rev = pa.ListArray.from_arrays(offsets, flat.combine_chunks()
+                                   if isinstance(flat, pa.ChunkedArray)
+                                   else flat)
+    joined = pc.binary_join(rev, ",")
+    out = pc.binary_join_element_wise(joined, path, ")")
+    out = pc.if_else(pc.equal(host, ""), pa.scalar("", pa.string()),
+                     out)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) \
+        else out
