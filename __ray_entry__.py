@@ -8957,6 +8957,36 @@ def _tile_distance_oracle(doc_pts: str) -> str:
     GROUP BY d.tile_x, d.tile_y""").replace("{doc_pts}", doc_pts)
 
 
+def q_spatial_index(sf_dir: str):
+    """Persisted tile-partitioned spatial index + pruned bbox query
+    (io/spatialindex.py — the geo twin of the inverted index's
+    build-once/search-many shape): doc points written partitioned by
+    z4 tile bucket, then a bbox query reads ONLY intersecting bucket
+    directories and applies the exact row filter. The oracle is the
+    plain SQL bbox filter — pruning must be invisible in the result.
+    Timed region includes the index build (indexed_bm25
+    convention)."""
+    import tempfile
+
+    from geoflow.io.spatialindex import bbox_query, build_spatial_index
+
+    idx = tempfile.mkdtemp(prefix="geoflow_sidx_")
+    build_spatial_index(
+        _doc_points_ds(sf_dir).select_columns(["doc_id", "x", "y"]),
+        idx, zoom=4)
+    out = bbox_query(idx, -60.0, -30.0, 75.0, 55.0, zoom=4,
+                     columns=["doc_id"])
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "x", "y"]),
+        batch_format="pyarrow")
+
+
+def _spatial_index_oracle(doc_pts: str) -> str:
+    return f"""
+    SELECT doc_id, x, y FROM ({doc_pts})
+    WHERE x >= -60.0 AND x <= 75.0 AND y >= -30.0 AND y <= 55.0"""
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -9713,6 +9743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": q_interval_coverage,
         "surt_keys": q_surt_keys,
         "tile_distance": q_tile_distance,
+        "spatial_index": q_spatial_index,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
         "soundex_keys": q_soundex_keys,
@@ -12520,6 +12551,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage": _INTERVAL_COVERAGE_ORACLE_SQL,
         "surt_keys": _SURT_ORACLE_SQL,
         "tile_distance": _tile_distance_oracle(doc_pts),
+        "spatial_index": _spatial_index_oracle(doc_pts),
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),

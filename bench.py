@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "soundex_keys", "char_trigrams", "benford_digits", "token_drift",
     "adaptive_cells", "line_cells", "homoglyph_skeleton",
     "corr_moments", "grid_los", "contour_cases", "fuzzy_components",
-    "interval_coverage", "surt_keys", "tile_distance",
+    "interval_coverage", "surt_keys", "tile_distance", "spatial_index",
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",
