@@ -8987,6 +8987,52 @@ def _spatial_index_oracle(doc_pts: str) -> str:
     WHERE x >= -60.0 AND x <= 75.0 AND y >= -30.0 AND y <= 55.0"""
 
 
+def q_lattice_rle(sf_dir: str):
+    """Run-length structure of the occupancy lattice (the RLE raster
+    compression measure): per z8 tile ROW (tile_y), the number of
+    occupied tiles and the number of maximal runs of consecutive
+    occupied tile_x — the gaps-and-islands grouping applied to the
+    raster row direction. One _tile_counts collect + one vectorized
+    diff per row batch (flat arrays, no per-row Python)."""
+    import ray.data
+
+    from geoflow.ops.spatialstats import _tile_counts
+
+    keys, _c = _tile_counts(_doc_points_ds(sf_dir), "x", "y", 8,
+                            50_000_000)
+    if len(keys) == 0:
+        return ray.data.from_arrow(pa.table({
+            k: pa.array([], pa.int64())
+            for k in ("tile_y", "n_occupied", "n_runs")}))
+    tx, ty = keys // (1 << 32), keys % (1 << 32)
+    # sort by (ty, tx): runs are breaks in tx within a ty group
+    o = np.lexsort((tx, ty))
+    tx, ty = tx[o], ty[o]
+    newrow = np.r_[True, ty[1:] != ty[:-1]]
+    newrun = newrow | np.r_[True, (tx[1:] - tx[:-1]) != 1]
+    ys = ty[newrow]
+    n_occ = np.diff(np.r_[np.flatnonzero(newrow), len(ty)])
+    rid = np.cumsum(newrow) - 1
+    n_runs = np.zeros(len(ys), np.int64)
+    np.add.at(n_runs, rid, newrun.astype(np.int64))
+    return ray.data.from_arrow(pa.table({
+        "tile_y": pa.array(ys),
+        "n_occupied": pa.array(n_occ.astype(np.int64)),
+        "n_runs": pa.array(n_runs)}))
+
+
+def _lattice_rle_oracle(doc_pts: str) -> str:
+    return (_TILE_B_CTE + """,
+    r AS (
+      SELECT tile_y, tile_x,
+             tile_x - ROW_NUMBER() OVER (PARTITION BY tile_y
+                                         ORDER BY tile_x) AS grp
+      FROM b)
+    SELECT tile_y, CAST(count(*) AS BIGINT) AS n_occupied,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_runs
+    FROM r GROUP BY tile_y""").replace("{doc_pts}", doc_pts)
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -9703,7 +9749,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "label_prop": q_label_prop,
         "winnow_fps": q_winnow_fps,
-        "winnow_matches": q_winnow_matches,
         "cdc_chunks": q_cdc_chunks,
         "image_phash": q_image_phash,
         "tfidf_topk": q_tfidf_topk,
@@ -9727,7 +9772,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_fingerprint": q_audio_fingerprint,
         "embed_int8": q_embed_int8,
         "geohash": q_geohash,
-        "rake_scores": q_rake_scores,
         "hull_extract": q_hull_extract,
         "emerging_hotspots": q_emerging_hotspots,
         "novelty": q_novelty,
@@ -9744,6 +9788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surt_keys": q_surt_keys,
         "tile_distance": q_tile_distance,
         "spatial_index": q_spatial_index,
+        "lattice_rle": q_lattice_rle,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
         "soundex_keys": q_soundex_keys,
@@ -9764,12 +9809,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic": q_kwic,
         "rfm_users": q_rfm_users,
         "rake_candidates": q_rake_candidates,
+        "rake_scores": q_rake_scores,
         "vocab_growth": q_vocab_growth,
         "int8_mips": q_int8_mips,
         "autocorr": q_autocorr,
         "rendezvous": q_rendezvous,
         "modularity": q_modularity,
         "shingle_containment": q_shingle_containment,
+        "winnow_matches": q_winnow_matches,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
@@ -12552,6 +12599,7 @@ def oracle_sql() -> dict[str, str]:
         "surt_keys": _SURT_ORACLE_SQL,
         "tile_distance": _tile_distance_oracle(doc_pts),
         "spatial_index": _spatial_index_oracle(doc_pts),
+        "lattice_rle": _lattice_rle_oracle(doc_pts),
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),
