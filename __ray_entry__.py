@@ -9033,6 +9033,136 @@ def _lattice_rle_oracle(doc_pts: str) -> str:
     FROM r GROUP BY tile_y""").replace("{doc_pts}", doc_pts)
 
 
+def q_triangle_fill(sf_dir: str):
+    """Polygon rasterization (the areal vector→raster bridge,
+    completing line_cells): planted integer triangles on a 32×32
+    grid; every lattice point inside or on the triangle (three
+    integer cross-product sign tests against the orientation,
+    degenerate triangles emit nothing). Vectorized bbox expansion +
+    sign tests — no per-triangle Python. Oracle: LATERAL bbox ranges
+    with the same three conditions."""
+
+    def fill(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ax_, ay_ = (d * 13) % 32, (d * 29) % 32
+        bx_, by_ = (d * 37 + 11) % 32, (d * 53 + 7) % 32
+        cx_, cy_ = (d * 17 + 3) % 32, (d * 23 + 9) % 32
+        cross = (bx_ - ax_) * (cy_ - ay_) - (by_ - ay_) * (cx_ - ax_)
+        keep = cross != 0
+        d, ax_, ay_, bx_, by_, cx_, cy_, cross = (
+            v[keep] for v in (d, ax_, ay_, bx_, by_, cx_, cy_, cross))
+        s = np.where(cross > 0, 1, -1)
+        x0 = np.minimum(np.minimum(ax_, bx_), cx_)
+        x1 = np.maximum(np.maximum(ax_, bx_), cx_)
+        y0 = np.minimum(np.minimum(ay_, by_), cy_)
+        y1 = np.maximum(np.maximum(ay_, by_), cy_)
+        w = x1 - x0 + 1
+        h = y1 - y0 + 1
+        n = w * h
+        rid = np.repeat(np.arange(len(d)), n)
+        off = np.arange(int(n.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n) - n, n)
+        px = x0[rid] + off % w[rid]
+        py = y0[rid] + off // w[rid]
+        sr = s[rid]
+        e1 = sr * ((bx_ - ax_)[rid] * (py - ay_[rid])
+                   - (by_ - ay_)[rid] * (px - ax_[rid]))
+        e2 = sr * ((cx_ - bx_)[rid] * (py - by_[rid])
+                   - (cy_ - by_)[rid] * (px - bx_[rid]))
+        e3 = sr * ((ax_ - cx_)[rid] * (py - cy_[rid])
+                   - (ay_ - cy_)[rid] * (px - cx_[rid]))
+        inside = (e1 >= 0) & (e2 >= 0) & (e3 >= 0)
+        return pa.table({"doc_id": pa.array(d[rid][inside]),
+                         "px": pa.array(px[inside]),
+                         "py": pa.array(py[inside])})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fill, batch_format="pyarrow")
+
+
+_TRIANGLE_FILL_ORACLE_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             (doc_id * 13) % 32 AS ax, (doc_id * 29) % 32 AS ay,
+             (doc_id * 37 + 11) % 32 AS bx,
+             (doc_id * 53 + 7) % 32 AS by_,
+             (doc_id * 17 + 3) % 32 AS cx,
+             (doc_id * 23 + 9) % 32 AS cy
+      FROM documents),
+    o AS (
+      SELECT *,
+             (bx - ax) * (cy - ay) - (by_ - ay) * (cx - ax) AS cr
+      FROM t),
+    k AS (
+      SELECT *, CASE WHEN cr > 0 THEN 1 ELSE -1 END AS s,
+             LEAST(ax, bx, cx) AS x0, GREATEST(ax, bx, cx) AS x1,
+             LEAST(ay, by_, cy) AS y0, GREATEST(ay, by_, cy) AS y1
+      FROM o WHERE cr != 0),
+    pts AS (
+      SELECT k.doc_id, k.s, k.ax, k.ay, k.bx, k.by_, k.cx, k.cy,
+             gx.i AS px, gy.i AS py
+      FROM k,
+           LATERAL (SELECT unnest(range(k.x0, k.x1 + 1))) gx(i),
+           LATERAL (SELECT unnest(range(k.y0, k.y1 + 1))) gy(i))
+    SELECT doc_id, px, py FROM pts
+    WHERE s * ((bx - ax) * (py - ay) - (by_ - ay) * (px - ax)) >= 0
+      AND s * ((cx - bx) * (py - by_) - (cy - by_) * (px - bx)) >= 0
+      AND s * ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) >= 0"""
+
+
+def q_hull_diameter(sf_dir: str):
+    """Squared diameter per planted point group: the kernel reduces
+    each 25-point group to its CONVEX HULL first (geom convex_hull —
+    at most 8 vertices) and takes the pairwise max over hull
+    vertices (the diameter lies on the hull); the oracle is the
+    INDEPENDENT brute-force 25×25 self-join max, so the gate covers
+    the hull reduction. Integer coords → exact int64."""
+    from geoflow.geom.algorithms import convex_hull
+    from geoflow.geom.types import LINESTRING, Geometry
+
+    def synth(b: pa.Table) -> pa.Table:
+        g, x, y = _hull_points(b)
+        return pa.table({"grp": pa.array(g),
+                         "x": pa.array(x.astype(np.float64)),
+                         "y": pa.array(y.astype(np.float64))})
+
+    def diam(group: pa.Table) -> pa.Table:
+        if group.num_rows != 25:
+            return pa.table({"grp": pa.array([], pa.int64()),
+                             "diam_sq": pa.array([], pa.int64())})
+        coords = np.stack([
+            group.column("x").to_numpy(zero_copy_only=False),
+            group.column("y").to_numpy(zero_copy_only=False)], axis=1)
+        h = convex_hull(Geometry(LINESTRING, coords=coords))
+        hc = h.rings[0][:-1].astype(np.int64)
+        dx = hc[:, 0][:, None] - hc[:, 0][None, :]
+        dy = hc[:, 1][:, None] - hc[:, 1][None, :]
+        best = int((dx * dx + dy * dy).max())
+        return pa.table({
+            "grp": pa.array([group.column("grp")[0].as_py()],
+                            pa.int64()),
+            "diam_sq": pa.array([best], pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow").groupby("grp") \
+        .map_groups(diam, batch_format="pyarrow")
+
+
+def _hull_diameter_oracle() -> str:
+    return f"""
+    WITH pts AS MATERIALIZED ({_hull_points_sql()}),
+    full_grp AS (
+      SELECT grp FROM pts GROUP BY grp HAVING count(*) = 25)
+    SELECT a.grp,
+           CAST(MAX((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y)) AS BIGINT)
+             AS diam_sq
+    FROM pts a JOIN pts b USING (grp)
+    WHERE a.grp IN (SELECT grp FROM full_grp)
+    GROUP BY a.grp"""
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -9761,8 +9891,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_parse": q_sitemap_parse,
         "indexed_bm25": q_indexed_bm25,
         "triangles": q_triangles,
-        "seed_distance": q_seed_distance,
-        "sssp_weighted": q_sssp_weighted,
         "link_predict": q_link_predict,
         "compress_quality": q_compress_quality,
         "mojibake_fix": q_mojibake_fix,
@@ -9789,6 +9917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_distance": q_tile_distance,
         "spatial_index": q_spatial_index,
         "lattice_rle": q_lattice_rle,
+        "triangle_fill": q_triangle_fill,
+        "hull_diameter": q_hull_diameter,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
         "soundex_keys": q_soundex_keys,
@@ -9817,6 +9947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity": q_modularity,
         "shingle_containment": q_shingle_containment,
         "winnow_matches": q_winnow_matches,
+        "seed_distance": q_seed_distance,
+        "sssp_weighted": q_sssp_weighted,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
@@ -12600,6 +12732,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_distance": _tile_distance_oracle(doc_pts),
         "spatial_index": _spatial_index_oracle(doc_pts),
         "lattice_rle": _lattice_rle_oracle(doc_pts),
+        "triangle_fill": _TRIANGLE_FILL_ORACLE_SQL,
+        "hull_diameter": _hull_diameter_oracle(),
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),
