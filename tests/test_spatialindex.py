@@ -51,3 +51,19 @@ def test_bbox_query_no_match(ray_session, tmp_path):
     build_spatial_index(_pts(tmp_path), idx, zoom=4)
     out = bbox_query(idx, 60.0, -80.0, 61.0, -79.0, zoom=4)
     assert out.count() == 0
+
+
+def test_index_append(ray_session, tmp_path):
+    # a second build into the same dir APPENDS (Ray writes unique
+    # file names; bucket dirs merge) — the incremental-ingest shape
+    idx = str(tmp_path / "sidx3")
+    a = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "x": pa.array([1.0, 2.0]), "y": pa.array([1.0, 2.0])}))
+    b = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+        "x": pa.array([1.5]), "y": pa.array([1.5])}))
+    build_spatial_index(a, idx, zoom=4)
+    build_spatial_index(b, idx, zoom=4)
+    out = bbox_query(idx, 0.0, 0.0, 3.0, 3.0, zoom=4).to_pandas()
+    assert sorted(out.doc_id) == [1, 2, 3]
