@@ -9163,6 +9163,90 @@ def _hull_diameter_oracle() -> str:
     GROUP BY a.grp"""
 
 
+def _ingest_rows(sf_dir: str):
+    """(doc_id, lang, tricky) rows for the CSV/JSONL round-trip
+    gates; ``tricky`` exercises delimiter/quote/escape handling:
+    'x,"y{doc_id}' contains a comma AND a double quote."""
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        tricky = pc.binary_join_element_wise(
+            pa.scalar('x,"y'), pc.cast(ids, pa.string()), "")
+        return pa.table({"doc_id": ids, "lang": b.column("lang"),
+                         "tricky": tricky})
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        synth, batch_format="pyarrow")
+
+
+def _ingest_finish(ds):
+    """Round-tripped rows → per-lang (n, sum_id, sum_len): any
+    corruption in the sink→source cycle (quoting, escapes, type
+    coercion) breaks one of the three integer aggregates."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b.column("lang"),
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "len": pc.cast(pc.utf8_length(b.column("tricky")),
+                           pa.int64())})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Count(), Sum("doc_id"), Sum("len"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lang" not in b.schema.names:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_id": pa.array([], pa.int64()),
+                             "sum_len": pa.array([], pa.int64())})
+        return pa.table({
+            "lang": b.column("lang"),
+            "n": pc.cast(b.column("count()"), pa.int64()),
+            "sum_id": pc.cast(b.column("sum(doc_id)"), pa.int64()),
+            "sum_len": pc.cast(b.column("sum(len)"), pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_csv_ingest(sf_dir: str):
+    """CSV sink → source round trip (the delimited-text ingest
+    surface): rows with comma+quote-bearing strings written via
+    Dataset.write_csv and read back via ray.data.read_csv, then
+    aggregated; the oracle computes the SAME aggregates directly
+    from the parquet table, so any quoting/escape/type corruption in
+    the CSV cycle hash-mismatches."""
+    import tempfile
+
+    import ray.data
+
+    d = tempfile.mkdtemp(prefix="geoflow_csv_")
+    _ingest_rows(sf_dir).write_csv(d)
+    return _ingest_finish(ray.data.read_csv(d))
+
+
+def q_jsonl_ingest(sf_dir: str):
+    """JSONL sink → source round trip (the newline-delimited-JSON
+    ingest surface): same planted rows via Dataset.write_json /
+    ray.data.read_json; same direct-aggregate oracle."""
+    import tempfile
+
+    import ray.data
+
+    d = tempfile.mkdtemp(prefix="geoflow_jsonl_")
+    _ingest_rows(sf_dir).write_json(d)
+    return _ingest_finish(ray.data.read_json(d))
+
+
+_INGEST_ORACLE_SQL = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(4 + len(CAST(doc_id AS VARCHAR))) AS BIGINT)
+             AS sum_len
+    FROM documents GROUP BY lang"""
+
+
 def q_bot_flags(sf_dir: str):
     """Per-user bot-signal ingredients: event count, gap count,
     minimum inter-event gap (−1 when fewer than 2 events), gaps
@@ -9885,7 +9969,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall": q_mann_kendall,
         "harmonic": q_harmonic,
         "od_flows": q_od_flows,
-        "local_volume": q_local_volume,
         "ship_priority": q_ship_priority,
         "robots_filter": q_robots_filter,
         "sitemap_parse": q_sitemap_parse,
@@ -9894,7 +9977,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict": q_link_predict,
         "compress_quality": q_compress_quality,
         "mojibake_fix": q_mojibake_fix,
-        "html_tables": q_html_tables,
         "sentence_split": q_sentence_split,
         "lexical_diversity": q_lexical_diversity,
         "audio_fingerprint": q_audio_fingerprint,
@@ -9919,6 +10001,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lattice_rle": q_lattice_rle,
         "triangle_fill": q_triangle_fill,
         "hull_diameter": q_hull_diameter,
+        "csv_ingest": q_csv_ingest,
+        "jsonl_ingest": q_jsonl_ingest,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
         "soundex_keys": q_soundex_keys,
@@ -9949,6 +10033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_matches": q_winnow_matches,
         "seed_distance": q_seed_distance,
         "sssp_weighted": q_sssp_weighted,
+        "local_volume": q_local_volume,
+        "html_tables": q_html_tables,
         "gini": q_gini,
         "order_gaps": q_order_gaps,
         "rect_iou": q_rect_iou,
@@ -12734,6 +12820,8 @@ def oracle_sql() -> dict[str, str]:
         "lattice_rle": _lattice_rle_oracle(doc_pts),
         "triangle_fill": _TRIANGLE_FILL_ORACLE_SQL,
         "hull_diameter": _hull_diameter_oracle(),
+        "csv_ingest": _INGEST_ORACLE_SQL,
+        "jsonl_ingest": _INGEST_ORACLE_SQL,
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
         "focal_slope": _focal_slope_oracle(doc_pts),

@@ -80,7 +80,8 @@ BENCH_QUERIES = [
     "adaptive_cells", "line_cells", "homoglyph_skeleton",
     "corr_moments", "grid_los", "contour_cases", "fuzzy_components",
     "interval_coverage", "surt_keys", "tile_distance", "spatial_index",
-    "lattice_rle", "triangle_fill", "hull_diameter",
+    "lattice_rle", "triangle_fill", "hull_diameter", "csv_ingest",
+    "jsonl_ingest",
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",
