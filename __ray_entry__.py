@@ -8957,6 +8957,132 @@ def _tile_distance_oracle(doc_pts: str) -> str:
     GROUP BY d.tile_x, d.tile_y""").replace("{doc_pts}", doc_pts)
 
 
+# Shared D8 direction CTE (raster/hydrology.py semantics): per
+# occupied tile the steepest-descent neighbor of 8, slopes
+# distance-weighted by exact cross-multiplied squares (rank key
+# d^2*w, w=2 orthogonal / 1 diagonal), ties to the smallest
+# clockwise-from-east code; no positive drop -> code 0, self target.
+_D8_DIR_CTE = """,
+    dd AS (SELECT * FROM (VALUES (1, 1, 0, 2), (2, 1, 1, 1),
+             (3, 0, 1, 2), (4, -1, 1, 1), (5, -1, 0, 2),
+             (6, -1, -1, 1), (7, 0, -1, 2), (8, 1, -1, 1))
+           AS t(code, dx, dy, w)),
+    cand AS (
+      SELECT b1.tile_x, b1.tile_y, b1.c, dd.code, dd.dx, dd.dy,
+             b1.c - COALESCE(b2.c, 0) AS dr, dd.w
+      FROM b b1 CROSS JOIN dd
+      LEFT JOIN b b2 ON b2.tile_x = b1.tile_x + dd.dx
+                    AND b2.tile_y = b1.tile_y + dd.dy),
+    dir AS MATERIALIZED (
+      SELECT tile_x, tile_y, c,
+             CAST(CASE WHEN dr > 0 THEN code ELSE 0 END AS BIGINT)
+               AS flow_code,
+             CAST(CASE WHEN dr > 0 THEN dr ELSE 0 END AS BIGINT)
+               AS drop_v,
+             CAST(tile_x + CASE WHEN dr > 0 THEN dx ELSE 0 END
+                  AS BIGINT) AS flow_tx,
+             CAST(tile_y + CASE WHEN dr > 0 THEN dy ELSE 0 END
+                  AS BIGINT) AS flow_ty
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY tile_x, tile_y
+              ORDER BY CASE WHEN dr > 0 THEN dr * dr * w
+                            ELSE -1 END DESC, code ASC) AS rn
+            FROM cand)
+      WHERE rn = 1)"""
+
+
+def q_flow_dir(sf_dir: str):
+    """D8 flow direction over the occupied z8 doc-tile lattice
+    (raster/hydrology.py flow_direction_tiles — the O'Callaghan-Mark
+    1984 hydrology op, integer-exact): steepest downhill neighbor of
+    8 with distance weighting compared via cross-multiplied squares
+    (d²·w, w=2 orth / 1 diag — no sqrt, no float), ties to the
+    smallest clockwise-from-east code, pits/flats code 0. Gated vs
+    the 8-row direction-spine LEFT-JOIN + ROW_NUMBER argmax SQL."""
+    from geoflow.raster.hydrology import flow_direction_tiles
+    return flow_direction_tiles(_doc_points_ds(sf_dir), zoom=8)
+
+
+def _flow_dir_oracle(doc_pts: str) -> str:
+    return (_TILE_B_CTE + _D8_DIR_CTE + """
+    SELECT tile_x, tile_y, c AS z, flow_code, drop_v,
+           flow_tx, flow_ty
+    FROM dir""").replace("{doc_pts}", doc_pts)
+
+
+def q_flow_acc(sf_dir: str):
+    """Bounded-round D8 flow accumulation (raster/hydrology.py
+    flow_accumulation_tiles): acc counts the cells whose flow path
+    reaches each tile in ≤5 steps (self included) — the kcore-style
+    bounded-round contract over the acyclic strict-drop flow graph.
+    Gated vs 5 unrolled MATERIALIZED inflow-join rounds."""
+    from geoflow.raster.hydrology import flow_accumulation_tiles
+    return flow_accumulation_tiles(_doc_points_ds(sf_dir), zoom=8,
+                                   rounds=5)
+
+
+def _flow_acc_oracle(doc_pts: str) -> str:
+    rounds = []
+    for t in range(1, 6):
+        rounds.append(f""",
+    i{t} AS (SELECT e.tx2 AS tile_x, e.ty2 AS tile_y,
+                    SUM(a{t - 1}.acc) AS s
+             FROM e JOIN a{t - 1}
+               ON a{t - 1}.tile_x = e.sx AND a{t - 1}.tile_y = e.sy
+             GROUP BY e.tx2, e.ty2),
+    a{t} AS MATERIALIZED (
+      SELECT b.tile_x, b.tile_y,
+             CAST(1 + COALESCE(i{t}.s, 0) AS BIGINT) AS acc
+      FROM b LEFT JOIN i{t} ON i{t}.tile_x = b.tile_x
+                           AND i{t}.tile_y = b.tile_y)""")
+    return (_TILE_B_CTE + _D8_DIR_CTE + """,
+    e AS MATERIALIZED (
+      SELECT dir.tile_x AS sx, dir.tile_y AS sy,
+             dir.flow_tx AS tx2, dir.flow_ty AS ty2
+      FROM dir JOIN b bt ON bt.tile_x = dir.flow_tx
+                        AND bt.tile_y = dir.flow_ty
+      WHERE dir.flow_code > 0),
+    a0 AS MATERIALIZED (
+      SELECT tile_x, tile_y, CAST(1 AS BIGINT) AS acc FROM b)"""
+            + "".join(rounds) + """
+    SELECT tile_x, tile_y, acc FROM a5""").replace(
+        "{doc_pts}", doc_pts)
+
+
+def q_flow_basins(sf_dir: str):
+    """Pointer-jumping D8 basin labels (raster/hydrology.py
+    flow_basin_tiles): each tile's position after following flow
+    pointers for 2³=8 steps (pits and off-lattice drains self-point,
+    so converged cells carry their terminal sink) — the binary-
+    doubling distributed shape. Gated vs 3 unrolled self-join
+    doubling rounds."""
+    from geoflow.raster.hydrology import flow_basin_tiles
+    return flow_basin_tiles(_doc_points_ds(sf_dir), zoom=8,
+                            doublings=3)
+
+
+def _flow_basins_oracle(doc_pts: str) -> str:
+    rounds = []
+    for t in range(1, 4):
+        rounds.append(f""",
+    p{t} AS MATERIALIZED (
+      SELECT a.tile_x, a.tile_y, q.px, q.py
+      FROM p{t - 1} a JOIN p{t - 1} q
+        ON q.tile_x = a.px AND q.tile_y = a.py)""")
+    return (_TILE_B_CTE + _D8_DIR_CTE + """,
+    p0 AS MATERIALIZED (
+      SELECT dir.tile_x, dir.tile_y,
+             CASE WHEN bt.tile_x IS NOT NULL AND dir.flow_code > 0
+                  THEN dir.flow_tx ELSE dir.tile_x END AS px,
+             CASE WHEN bt.tile_x IS NOT NULL AND dir.flow_code > 0
+                  THEN dir.flow_ty ELSE dir.tile_y END AS py
+      FROM dir LEFT JOIN b bt ON bt.tile_x = dir.flow_tx
+                             AND bt.tile_y = dir.flow_ty)"""
+            + "".join(rounds) + """
+    SELECT tile_x, tile_y, px AS sink_x, py AS sink_y FROM p3""")\
+        .replace("{doc_pts}", doc_pts)
+
+
 def q_spatial_index(sf_dir: str):
     """Persisted tile-partitioned spatial index + pruned bbox query
     (io/spatialindex.py — the geo twin of the inverted index's
@@ -9959,6 +10085,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # session-3/4 surface first per VERDICT.md ask #1. Keep any
     # NEW query inside the first 50 (displace from the window tail).
     return {
+        "flow_dir": q_flow_dir,
+        "flow_acc": q_flow_acc,
+        "flow_basins": q_flow_basins,
         "textrank": q_textrank,
         "kcore": q_kcore,
         "label_prop": q_label_prop,
@@ -12816,6 +12945,9 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage": _INTERVAL_COVERAGE_ORACLE_SQL,
         "surt_keys": _SURT_ORACLE_SQL,
         "tile_distance": _tile_distance_oracle(doc_pts),
+        "flow_dir": _flow_dir_oracle(doc_pts),
+        "flow_acc": _flow_acc_oracle(doc_pts),
+        "flow_basins": _flow_basins_oracle(doc_pts),
         "spatial_index": _spatial_index_oracle(doc_pts),
         "lattice_rle": _lattice_rle_oracle(doc_pts),
         "triangle_fill": _TRIANGLE_FILL_ORACLE_SQL,
