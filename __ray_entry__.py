@@ -4709,6 +4709,23 @@ def q_hll_registers(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_kmv_registers(sf_dir: str):
+    """KMV (k-minimum-values) distinct-sketch REGISTER STATE,
+    oracle-gated (k=64): the k smallest distinct splitmix64(user_id)
+    hashes per event_type in unsigned order (ops/sketches.py
+    kmv_bottom_k — Bar-Yossef 2002 bottom-k; supports the
+    (k-1)·2^64/h_k estimator and sketch-union/Jaccard set ops).
+    Completes the value-gated sketch family next to hll_registers /
+    cms_counters / bloom_bits. Per-batch partials keep ≤k distinct
+    hashes per group; ONE map_groups merge sees blocks×k rows, never
+    the cardinality. DuckDB twin: mix64-in-SQL + ROW_NUMBER over
+    unsigned HUGEINT order, signed-bit-pattern cast at the edge."""
+    from geoflow.ops.sketches import kmv_bottom_k
+    return kmv_bottom_k(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", k=64)
+
+
 def q_table_profile(sf_dir: str):
     """Distributed data-quality PROFILE of lineitem (ops/profile.py):
     per-column row/null counts + min/max in one streaming pass —
@@ -10085,6 +10102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # session-3/4 surface first per VERDICT.md ask #1. Keep any
     # NEW query inside the first 50 (displace from the window tail).
     return {
+        "kmv_registers": q_kmv_registers,
         "flow_dir": q_flow_dir,
         "flow_acc": q_flow_acc,
         "flow_basins": q_flow_basins,
@@ -11726,6 +11744,19 @@ def oracle_sql() -> dict[str, str]:
                    FROM r)
             SELECT event_type, reg_idx, CAST(MAX(rnk) AS BIGINT) AS reg_rank
             FROM rk GROUP BY event_type, reg_idx""",
+        "kmv_registers": f"""
+            WITH m AS ({_sql_mix64_chain(_SQL_UID_U64, "u", "h",
+                                         ("event_type",))}),
+            d AS (SELECT DISTINCT event_type, h FROM m),
+            rk AS (SELECT event_type, h,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY h ASC) AS rnk
+                   FROM d)
+            SELECT event_type, CAST(rnk AS BIGINT) AS rank_i,
+                   CAST(CASE WHEN h >= 9223372036854775808
+                        THEN h - {_SQL_U64} ELSE h END AS BIGINT)
+                     AS hval
+            FROM rk WHERE rnk <= 64""",
         "bloom_bits": f"""
             WITH c1 AS ({_sql_mix64_chain(_SQL_UID_U64, "u", "h1")}),
             c2 AS ({_sql_mix64_chain("c1", "h1", "hh", ("h1",))}),

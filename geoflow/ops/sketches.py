@@ -418,3 +418,60 @@ def bloom_set_bit_indices(bits: np.ndarray) -> np.ndarray:
     the two agree under mod m only when m divides 2^64)."""
     flat = np.unpackbits(bits.view(np.uint8), bitorder="little")
     return np.flatnonzero(flat).astype(np.int64)
+
+
+def kmv_bottom_k(ds, group_col: str, key_col: str, k: int = 64):
+    """KMV (k-minimum-values / bottom-k) distinct sketch per group
+    (Bar-Yossef 2002): the k smallest DISTINCT splitmix64 hashes of
+    ``key_col`` in UNSIGNED order. The sketch supports the classic
+    estimator D ≈ (k-1)·2^64 / h_(k) and bottom-k set operations
+    (union = bottom-k of the merged registers; intersection via
+    Jaccard over the union sketch); here the REGISTER STATE itself is
+    the (hash-gateable) product: rows (group, rank_i 1..k, hval).
+
+    Distributed shape: per-batch partials keep at most k distinct
+    hashes per group (sort + segment-offset prune, no Python loop),
+    then ONE groupby.map_groups merges partials — each group's final
+    input is bounded by blocks×k rows, never by its cardinality.
+    Hashes travel and sort as uint64 (the int64-order trap,
+    CLAUDE.md) and are EMITTED as int64 bit patterns."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = pc.dictionary_encode(
+            pc.cast(batch.column(group_col), pa.string())) \
+            .combine_chunks()
+        codes = g.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = _column_hashes(batch.column(key_col))
+        order = np.lexsort((h, codes))
+        codes, h = codes[order], h[order]
+        keep = np.ones(len(h), bool)
+        keep[1:] = (codes[1:] != codes[:-1]) | (h[1:] != h[:-1])
+        codes, h = codes[keep], h[keep]
+        # per-group offset of each row; prune offsets >= k
+        starts = np.flatnonzero(
+            np.r_[True, codes[1:] != codes[:-1]])
+        seg = np.zeros(len(codes), np.int64)
+        seg[starts] = 1
+        seg = np.cumsum(seg) - 1
+        off = np.arange(len(codes)) - starts[seg]
+        m = off < k
+        return pa.table({
+            group_col: g.dictionary.take(
+                pa.array(codes[m], type=pa.int64())),
+            "hval": pa.array(h[m].view(np.int64))})
+
+    def finish(group: pa.Table) -> pa.Table:
+        name = group.column(group_col)[0]
+        h = np.unique(group.column("hval").to_numpy(
+            zero_copy_only=False).view(np.uint64))[:k]
+        return pa.table({
+            group_col: pa.array([name.as_py()] * len(h)),
+            "rank_i": pa.array(np.arange(1, len(h) + 1,
+                                         dtype=np.int64)),
+            "hval": pa.array(h.view(np.int64))})
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(finish, batch_format="pyarrow"))

@@ -133,3 +133,46 @@ def test_bloom_set_bit_indices_roundtrip():
     np.bitwise_or.at(back, idx // 64,
                      np.uint64(1) << (idx % 64).astype(np.uint64))
     assert np.array_equal(back, a.bits)
+
+
+def test_kmv_bottom_k_matches_brute_force():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geoflow.ops.sketches import kmv_bottom_k
+    from geoflow.text.hashing import mix64
+
+    rng = np.random.default_rng(11)
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, 5000)]
+    keys = rng.integers(0, 400, 5000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(groups), "k": pa.array(keys)})) \
+        .repartition(6)
+    out = kmv_bottom_k(ds, "g", "k", k=16).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["g"], []).append((r["rank_i"], r["hval"]))
+    for g in ("a", "b", "c"):
+        ks = np.unique(keys[groups == g])
+        h = np.unique(mix64(ks.view(np.uint64).astype(np.uint64)))[:16]
+        want = [(i + 1, int(v)) for i, v in
+                enumerate(h.view(np.int64))]
+        assert sorted(got[g]) == want, g
+
+
+def test_kmv_estimator_in_range():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geoflow.ops.sketches import kmv_bottom_k
+
+    n_distinct = 5000
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["x"] * n_distinct),
+        "k": pa.array(np.arange(n_distinct, dtype=np.int64))}))
+    rows = kmv_bottom_k(ds, "g", "k", k=64).take_all()
+    h = np.array([r["hval"] for r in rows], np.int64).view(np.uint64)
+    est = (len(h) - 1) * (2.0 ** 64) / float(h.max())
+    assert 0.5 * n_distinct < est < 2.0 * n_distinct
