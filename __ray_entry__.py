@@ -9369,6 +9369,26 @@ def q_csv_ingest(sf_dir: str):
     return _ingest_finish(ray.data.read_csv(d))
 
 
+def q_avro_ingest(sf_dir: str):
+    """Avro object-container sink → source round trip through the
+    pure-stdlib codec (io/avroio.py, Avro 1.11 spec: zigzag varints,
+    nullable unions, RAW-deflate blocks, sync markers): the same
+    planted comma+quote rows written one .avro file per block
+    (vectorized varint-matrix encode) and read back via
+    read_binary_files + decode, then aggregated; oracle aggregates
+    the parquet table directly, so any varint/union/deflate/sync
+    corruption in the cycle hash-mismatches."""
+    import tempfile
+
+    from geoflow.io.avroio import read_avro, write_avro
+
+    d = tempfile.mkdtemp(prefix="geoflow_avro_")
+    for _ in write_avro(_ingest_rows(sf_dir), d,
+                        codec="deflate").iter_batches():
+        pass
+    return _ingest_finish(read_avro(d))
+
+
 def q_jsonl_ingest(sf_dir: str):
     """JSONL sink → source round trip (the newline-delimited-JSON
     ingest surface): same planted rows via Dataset.write_json /
@@ -10149,6 +10169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_fill": q_triangle_fill,
         "hull_diameter": q_hull_diameter,
         "csv_ingest": q_csv_ingest,
+        "avro_ingest": q_avro_ingest,
         "jsonl_ingest": q_jsonl_ingest,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
@@ -12984,6 +13005,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_fill": _TRIANGLE_FILL_ORACLE_SQL,
         "hull_diameter": _hull_diameter_oracle(),
         "csv_ingest": _INGEST_ORACLE_SQL,
+        "avro_ingest": _INGEST_ORACLE_SQL,
         "jsonl_ingest": _INGEST_ORACLE_SQL,
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
