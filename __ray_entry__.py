@@ -9389,6 +9389,26 @@ def q_avro_ingest(sf_dir: str):
     return _ingest_finish(read_avro(d))
 
 
+def q_pb_ingest(sf_dir: str):
+    """Protobuf varint-delimited stream sink → source round trip
+    (io/protostream.py, protobuf wire format: sint64 zigzag varints,
+    proto3 optional field-presence nulls, unknown-field skipping):
+    planted rows encoded via the vectorized tag/varint scatter
+    assembly, one .pb file per block + schema.json sidecar, read
+    back and aggregated; same direct-parquet oracle as the other
+    ingest gates."""
+    import tempfile
+
+    from geoflow.io.protostream import read_protostream, \
+        write_protostream
+
+    d = tempfile.mkdtemp(prefix="geoflow_pb_")
+    for _ in write_protostream(_ingest_rows(sf_dir),
+                               d).iter_batches():
+        pass
+    return _ingest_finish(read_protostream(d))
+
+
 def q_jsonl_ingest(sf_dir: str):
     """JSONL sink → source round trip (the newline-delimited-JSON
     ingest surface): same planted rows via Dataset.write_json /
@@ -10170,6 +10190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hull_diameter": q_hull_diameter,
         "csv_ingest": q_csv_ingest,
         "avro_ingest": q_avro_ingest,
+        "pb_ingest": q_pb_ingest,
         "jsonl_ingest": q_jsonl_ingest,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
@@ -13006,6 +13027,7 @@ def oracle_sql() -> dict[str, str]:
         "hull_diameter": _hull_diameter_oracle(),
         "csv_ingest": _INGEST_ORACLE_SQL,
         "avro_ingest": _INGEST_ORACLE_SQL,
+        "pb_ingest": _INGEST_ORACLE_SQL,
         "jsonl_ingest": _INGEST_ORACLE_SQL,
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,
