@@ -9409,6 +9409,69 @@ def q_pb_ingest(sf_dir: str):
     return _ingest_finish(read_protostream(d))
 
 
+def q_table_snapshots(sf_dir: str):
+    """Snapshot-table layer end to end (io/snapshots.py — atomic
+    manifest commits, time travel, copy-on-write deletes, manifest
+    key-range pruning): append docs with doc_id%3≠0 (snap 1), append
+    the rest (snap 2), copy-on-write delete doc_id%5=0 within
+    [0,200) (snap 3; out-of-range files carry over unrewritten),
+    then aggregate EVERY snapshot via time travel plus a
+    manifest-PRUNED window read of snap 3. The oracle is the four
+    closed-form filters over documents — any atomicity, time-travel,
+    rewrite or pruning defect changes a row."""
+    import tempfile
+
+    import ray.data
+
+    from geoflow.io.snapshots import (append, delete_where,
+                                      read_snapshot)
+
+    td = tempfile.mkdtemp(prefix="geoflow_snap_")
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def only(rem_eq):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 3 == 0) == rem_eq))
+        return f
+
+    append(docs.map_batches(only(False), batch_format="pyarrow"),
+           td, "doc_id")
+    append(docs.map_batches(only(True), batch_format="pyarrow"),
+           td, "doc_id")
+
+    def pred(b: pa.Table):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return ids % 5 == 0
+
+    delete_where(td, "doc_id", 0, 199, predicate=pred)
+
+    def agg(ds, lo=None, hi=None):
+        def partial(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            if lo is not None:
+                ids = ids[(ids >= lo) & (ids <= hi)]
+            return pa.table({
+                "n": pa.array([len(ids)], pa.int64()),
+                "s": pa.array([int(ids.sum())], pa.int64())})
+        rows = ds.map_batches(partial,
+                              batch_format="pyarrow").take_all()
+        return (sum(r["n"] for r in rows),
+                sum(r["s"] for r in rows))
+
+    out_rows = []
+    for snap in (1, 2, 3):
+        n, s = agg(read_snapshot(td, snap))
+        out_rows.append((snap, n, s))
+    n, s = agg(read_snapshot(td, 3, key_lo=100, key_hi=300),
+               lo=100, hi=300)
+    out_rows.append((4, n, s))
+    return ray.data.from_arrow(pa.table({
+        "snap": pa.array([r[0] for r in out_rows], pa.int64()),
+        "n": pa.array([r[1] for r in out_rows], pa.int64()),
+        "sum_id": pa.array([r[2] for r in out_rows], pa.int64())}))
+
+
 def q_jsonl_ingest(sf_dir: str):
     """JSONL sink → source round trip (the newline-delimited-JSON
     ingest surface): same planted rows via Dataset.write_json /
@@ -10191,6 +10254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest": q_csv_ingest,
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
+        "table_snapshots": q_table_snapshots,
         "jsonl_ingest": q_jsonl_ingest,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
@@ -13028,6 +13092,23 @@ def oracle_sql() -> dict[str, str]:
         "csv_ingest": _INGEST_ORACLE_SQL,
         "avro_ingest": _INGEST_ORACLE_SQL,
         "pb_ingest": _INGEST_ORACLE_SQL,
+        "table_snapshots": """
+            SELECT CAST(1 AS BIGINT) AS snap,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_id
+            FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT 2, COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 3, COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents
+            WHERE NOT (doc_id % 5 = 0 AND doc_id < 200)
+            UNION ALL
+            SELECT 4, COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents
+            WHERE doc_id BETWEEN 100 AND 300
+              AND NOT (doc_id % 5 = 0 AND doc_id < 200)""",
         "jsonl_ingest": _INGEST_ORACLE_SQL,
         "char_trigrams": _CHAR_TRIGRAMS_ORACLE_SQL,
         "benford_digits": _BENFORD_ORACLE_SQL,

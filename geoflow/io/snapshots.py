@@ -1,0 +1,214 @@
+"""Snapshot table layer over Parquet: atomic appends, copy-on-write
+deletes, time travel, and manifest-level pruning — the minimal
+lakehouse-table shape (Iceberg/Delta-style, from public designs) a
+100-TB engine needs for incremental processing.
+
+Layout:
+    table_dir/
+      data/part-<contenthash>.parquet     immutable data files
+      meta/snap-00000001.json             one manifest per snapshot
+
+A manifest is the COMPLETE file list of its snapshot plus per-file
+stats (rows, byte size, min/max of a declared ``key_col``) and a
+parent pointer:
+    {"snapshot": n, "parent": n-1, "operation": "append"|"rewrite",
+     "key_col": ..., "files": [{"path", "rows", "bytes",
+                                "key_min", "key_max"}]}
+
+Commit protocol: data files are written first (content-hash names —
+writing the same rows twice is a no-op), then the manifest lands via
+tmp+rename, then nothing else: the highest ``snap-*.json`` IS the
+current table state, so a crash before the rename leaves the
+previous snapshot intact (atomic), and a re-run of the same append
+commits an identical snapshot body. Readers list manifests once and
+never see partial state. Time travel = read any older manifest.
+
+Deletes are COPY-ON-WRITE at file granularity: files whose key-range
+stats can't contain matches are carried over untouched; the rest are
+read, filtered, and rewritten as new files (the old files stay for
+older snapshots — this is why manifests are complete lists, not
+deltas). ``prune`` on read skips files by key range before any I/O
+— the manifest-stats pushdown that makes a needle query O(matching
+files) instead of O(table).
+
+Scale shape: manifests are O(#files) JSON read once on the driver;
+all data I/O is ``ray.data.read_parquet`` over the (pruned) file
+list; appends write one file per Ray block inside the map tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def _meta_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "meta")
+
+
+def _data_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "data")
+
+
+def _snap_path(table_dir: str, n: int) -> str:
+    return os.path.join(_meta_dir(table_dir), f"snap-{n:08d}.json")
+
+
+def list_snapshots(table_dir: str) -> list[int]:
+    md = _meta_dir(table_dir)
+    if not os.path.isdir(md):
+        return []
+    out = []
+    for f in os.listdir(md):
+        if f.startswith("snap-") and f.endswith(".json"):
+            out.append(int(f[5:-5]))
+    return sorted(out)
+
+
+def read_manifest(table_dir: str, snapshot: int | None = None) -> dict:
+    snaps = list_snapshots(table_dir)
+    if not snaps:
+        return {"snapshot": 0, "parent": None, "operation": "empty",
+                "key_col": None, "files": []}
+    n = snaps[-1] if snapshot is None else snapshot
+    if n not in snaps:
+        raise ValueError(f"snapshot {n} not in {snaps}")
+    with open(_snap_path(table_dir, n)) as f:
+        return json.load(f)
+
+
+def _commit(table_dir: str, manifest: dict) -> int:
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    n = manifest["snapshot"]
+    path = _snap_path(table_dir, n)
+    if os.path.exists(path):
+        raise RuntimeError(f"snapshot {n} already exists "
+                           "(concurrent commit)")
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+    return n
+
+
+def _write_data_files(ds, table_dir: str, key_col: str):
+    """Write one content-hash-named parquet file per block inside the
+    map tasks; returns the per-file stats rows (driver-side list,
+    O(#files))."""
+    import pyarrow.parquet as pq
+
+    dd = _data_dir(table_dir)
+    os.makedirs(dd, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        sink = pa.BufferOutputStream()
+        pq.write_table(batch, sink)
+        data = sink.getvalue()
+        h = hashlib.blake2b(data.to_pybytes(),
+                            digest_size=12).hexdigest()
+        fp = os.path.join(dd, f"part-{h}.parquet")
+        if not os.path.exists(fp):
+            tmp = fp + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data.to_pybytes())
+            os.replace(tmp, fp)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "path": pa.array([fp]),
+            "rows": pa.array([batch.num_rows], pa.int64()),
+            "bytes": pa.array([len(data)], pa.int64()),
+            "key_min": pa.array([int(k.min())], pa.int64()),
+            "key_max": pa.array([int(k.max())], pa.int64())})
+
+    stats = ds.map_batches(write_block, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    return [{k: r[k] for k in
+             ("path", "rows", "bytes", "key_min", "key_max")}
+            for r in stats]
+
+
+def append(ds, table_dir: str, key_col: str) -> int:
+    """Commit a new snapshot = parent files + this Dataset's rows.
+    Returns the new snapshot id."""
+    cur = read_manifest(table_dir)
+    if cur["files"] and cur.get("key_col") != key_col:
+        raise ValueError("key_col mismatch with existing table")
+    new_files = _write_data_files(ds, table_dir, key_col)
+    manifest = {
+        "snapshot": cur["snapshot"] + 1,
+        "parent": cur["snapshot"] or None,
+        "operation": "append",
+        "key_col": key_col,
+        "files": cur["files"] + new_files,
+    }
+    return _commit(table_dir, manifest)
+
+
+def delete_where(table_dir: str, key_col: str,
+                 key_lo: int, key_hi: int,
+                 predicate=None) -> int:
+    """Copy-on-write delete of rows with key in [key_lo, key_hi]
+    (optionally refined by ``predicate(batch) -> bool mask``): files
+    whose [key_min, key_max] is disjoint from the range carry over
+    untouched; the rest are rewritten filtered. Returns the new
+    snapshot id."""
+    import ray.data
+
+    cur = read_manifest(table_dir)
+    if cur.get("key_col") != key_col:
+        raise ValueError("key_col mismatch")
+    keep, rewrite = [], []
+    for f in cur["files"]:
+        if f["key_max"] < key_lo or f["key_min"] > key_hi:
+            keep.append(f)
+        else:
+            rewrite.append(f)
+    new_files = []
+    if rewrite:
+        src = ray.data.read_parquet([f["path"] for f in rewrite])
+
+        def drop(batch: pa.Table) -> pa.Table:
+            k = batch.column(key_col).to_numpy(zero_copy_only=False)
+            hit = (k >= key_lo) & (k <= key_hi)
+            if predicate is not None:
+                hit &= predicate(batch)
+            return batch.filter(pa.array(~hit))
+
+        # fully-emptied blocks are forwarded untouched by Ray and
+        # never reach the write UDF — no 0-row data file is written
+        filtered = src.map_batches(drop, batch_format="pyarrow")
+        new_files = _write_data_files(filtered, table_dir, key_col)
+    manifest = {
+        "snapshot": cur["snapshot"] + 1,
+        "parent": cur["snapshot"],
+        "operation": "rewrite",
+        "key_col": key_col,
+        "files": keep + new_files,
+    }
+    return _commit(table_dir, manifest)
+
+
+def read_snapshot(table_dir: str, snapshot: int | None = None,
+                  key_lo: int | None = None,
+                  key_hi: int | None = None,
+                  columns: list[str] | None = None):
+    """Dataset over a snapshot's files — optionally pruned by the
+    manifest key-range stats BEFORE any file I/O. Empty snapshot ->
+    None (caller decides the schema of nothing)."""
+    import ray.data
+
+    man = read_manifest(table_dir, snapshot)
+    files = man["files"]
+    if key_lo is not None or key_hi is not None:
+        lo = -(1 << 62) if key_lo is None else key_lo
+        hi = (1 << 62) if key_hi is None else key_hi
+        files = [f for f in files
+                 if not (f["key_max"] < lo or f["key_min"] > hi)]
+    if not files:
+        return None
+    return ray.data.read_parquet([f["path"] for f in files],
+                                 columns=columns)

@@ -1,46 +1,108 @@
-"""Crawl snapshot diffing — text/snapshots.py."""
+"""Snapshot table layer (geoflow/io/snapshots.py): atomic commits,
+time travel, copy-on-write file carry-over, manifest pruning,
+idempotent re-append, stale-tmp tolerance, concurrent-commit
+detection."""
+import json
+import os
+
+import numpy as np
 import pyarrow as pa
+import pytest
+import ray.data
 
-from geoflow.text.snapshots import snapshot_diff
-
-
-def _ds(rows):
-    import ray.data as rd
-    return rd.from_arrow(pa.Table.from_pylist(rows))
-
-
-def _diff(old, new):
-    out = snapshot_diff(_ds(old), _ds(new), num_partitions=2)
-    return {r["url"]: (r["sig_old"], r["sig_new"], r["status"])
-            for r in out.take_all()}
+from geoflow.io.snapshots import (append, delete_where,
+                                  list_snapshots, read_manifest,
+                                  read_snapshot)
 
 
-def test_all_four_statuses(ray_session):
-    old = [{"url": "a", "sig": 1}, {"url": "b", "sig": 2},
-           {"url": "c", "sig": 3}]
-    new = [{"url": "b", "sig": 2}, {"url": "c", "sig": 9},
-           {"url": "d", "sig": 4}]
-    got = _diff(old, new)
-    assert got == {"a": (1, None, "deleted"),
-                   "b": (2, 2, "same"),
-                   "c": (3, 9, "changed"),
-                   "d": (None, 4, "added")}
+def _ds(ids):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.asarray(ids, np.int64)),
+        "v": pa.array(np.asarray(ids, np.int64) * 10)}))
 
 
-def test_empty_sides(ray_session):
-    got = _diff([], [{"url": "x", "sig": 7}])
-    assert got == {"x": (None, 7, "added")}
-    got = _diff([{"url": "y", "sig": 5}], [])
-    assert got == {"y": (5, None, "deleted")}
-    assert _diff([], []) == {}
+def test_append_time_travel_and_delete(tmp_path):
+    td = str(tmp_path / "t")
+    s1 = append(_ds(range(0, 100)).repartition(4), td, "doc_id")
+    s2 = append(_ds(range(100, 200)).repartition(4), td, "doc_id")
+    assert (s1, s2) == (1, 2)
+    assert read_snapshot(td, 1).count() == 100
+    assert read_snapshot(td, 2).count() == 200
+    # COW delete of even ids in [0, 50)
+    s3 = delete_where(td, "doc_id", 0, 49,
+                      predicate=lambda b: b.column("doc_id")
+                      .to_numpy(zero_copy_only=False) % 2 == 0)
+    assert s3 == 3
+    ids3 = sorted(r["doc_id"] for r in read_snapshot(td, 3).take_all())
+    want = [i for i in range(200) if not (i < 50 and i % 2 == 0)]
+    assert ids3 == want
+    # older snapshots untouched (time travel)
+    assert read_snapshot(td, 2).count() == 200
+    assert read_snapshot(td, 1).count() == 100
 
 
-def test_disjoint_snapshots(ray_session):
-    old = [{"url": f"o{i}", "sig": i} for i in range(20)]
-    new = [{"url": f"n{i}", "sig": i} for i in range(20)]
-    got = _diff(old, new)
-    assert len(got) == 40
-    assert all(v[2] == "deleted" for k, v in got.items()
-               if k.startswith("o"))
-    assert all(v[2] == "added" for k, v in got.items()
-               if k.startswith("n"))
+def test_cow_carries_disjoint_files(tmp_path):
+    td = str(tmp_path / "t")
+    append(_ds(range(0, 50)), td, "doc_id")
+    append(_ds(range(1000, 1050)), td, "doc_id")
+    man2 = read_manifest(td, 2)
+    delete_where(td, "doc_id", 0, 10)
+    man3 = read_manifest(td, 3)
+    # the [1000,1050) file(s) must be carried over by path identity
+    hi = {f["path"] for f in man2["files"] if f["key_min"] >= 1000}
+    assert hi and hi <= {f["path"] for f in man3["files"]}
+    assert read_snapshot(td, 3).count() == 50 + 50 - 11
+
+
+def test_manifest_pruning_reads_fewer_files(tmp_path):
+    td = str(tmp_path / "t")
+    for lo in (0, 1000, 2000, 3000):
+        append(_ds(range(lo, lo + 100)), td, "doc_id")
+    pruned = read_snapshot(td, None, key_lo=2000, key_hi=2099)
+    assert pruned.count() == 100
+    full = read_snapshot(td)
+    assert full.count() == 400
+    # pruning happened at the manifest level: fewer input files
+    assert len(pruned.input_files()) < len(full.input_files())
+
+
+def test_idempotent_reappend_and_empty(tmp_path):
+    td = str(tmp_path / "t")
+    append(_ds(range(10)), td, "doc_id")
+    n_files = len(os.listdir(os.path.join(td, "data")))
+    append(_ds(range(10)), td, "doc_id")  # same content
+    assert len(os.listdir(os.path.join(td, "data"))) == n_files
+    assert read_snapshot(td, 2).count() == 20  # same file listed twice
+    with pytest.raises(ValueError):
+        read_manifest(td, 999)
+    assert read_snapshot(str(tmp_path / "nope"), None) is None
+
+
+def test_stale_tmp_ignored_and_concurrent_commit(tmp_path):
+    td = str(tmp_path / "t")
+    append(_ds(range(10)), td, "doc_id")
+    # a crashed commit leaves a .tmp — readers must ignore it
+    stale = os.path.join(td, "meta", "snap-00000009.json.tmp-999")
+    with open(stale, "w") as f:
+        f.write("{")
+    assert list_snapshots(td) == [1]
+    # simulating a concurrent winner: same snapshot id already present
+    man = read_manifest(td)
+    man2 = dict(man, snapshot=man["snapshot"])
+    from geoflow.io.snapshots import _commit
+    with pytest.raises(RuntimeError):
+        _commit(td, man2)
+    # key_col mismatch guard
+    with pytest.raises(ValueError):
+        append(_ds(range(5)), td, "v")
+
+
+def test_delete_everything_yields_empty_snapshot(tmp_path):
+    td = str(tmp_path / "t")
+    append(_ds(range(20)), td, "doc_id")
+    delete_where(td, "doc_id", 0, 100)
+    man = read_manifest(td)
+    assert man["files"] == []
+    assert read_snapshot(td) is None
+    # lineage intact: snapshot 1 still reads
+    assert read_snapshot(td, 1).count() == 20
