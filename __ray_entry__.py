@@ -9409,6 +9409,65 @@ def q_pb_ingest(sf_dir: str):
     return _ingest_finish(read_protostream(d))
 
 
+def q_simplify_rounds(sf_dir: str):
+    """Bounded-round Visvalingam–Whyatt polyline simplification
+    (ops/linestring.py vw_round_simplify): 30 integer polylines
+    derived from orders (x=(key·37)%1000, y=(key·91)%1000, sequence
+    = orderkey rank per o_custkey%30 group); 3 rounds each remove
+    the group's single smallest-|cross| interior point (ties to the
+    smallest seq). Integer areas make the surviving point set
+    hash-exact — the oracle-gated witness for the simplification
+    family (st_simplify/st_simplifyvw are tolerance-based, pytest
+    only). Oracle = 3 unrolled LAG/LEAD + argmin anti-join rounds."""
+    from geoflow.ops.linestring import vw_round_simplify
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "grp": pa.array(c % 30),
+            "o_orderkey": pa.array(k),
+            "x": pa.array((k * 37) % 1000),
+            "y": pa.array((k * 91) % 1000)})
+
+    pts = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return vw_round_simplify(pts, "grp", "o_orderkey", "x", "y",
+                             rounds=3)
+
+
+def _simplify_rounds_oracle() -> str:
+    rounds = []
+    for t in range(1, 4):
+        rounds.append(f""",
+    a{t} AS (SELECT grp, seq,
+           abs((x - LAG(x) OVER w) * (LEAD(y) OVER w - LAG(y) OVER w)
+             - (LEAD(x) OVER w - LAG(x) OVER w)
+               * (y - LAG(y) OVER w)) AS area
+         FROM r{t - 1}
+         WINDOW w AS (PARTITION BY grp ORDER BY seq)),
+    s{t} AS (SELECT grp, seq, ROW_NUMBER() OVER (
+               PARTITION BY grp ORDER BY area ASC, seq ASC) AS rn
+             FROM a{t} WHERE area IS NOT NULL),
+    r{t} AS MATERIALIZED (
+      SELECT r.grp, r.seq, r.x, r.y FROM r{t - 1} r
+      WHERE NOT EXISTS (SELECT 1 FROM s{t}
+                        WHERE s{t}.grp = r.grp AND s{t}.seq = r.seq
+                          AND s{t}.rn = 1))""")
+    return ("""
+    WITH r0 AS MATERIALIZED (
+      SELECT o_custkey % 30 AS grp,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey % 30
+                                     ORDER BY o_orderkey)
+                  AS BIGINT) AS seq,
+             (o_orderkey * 37) % 1000 AS x,
+             (o_orderkey * 91) % 1000 AS y
+      FROM orders)""" + "".join(rounds) + """
+    SELECT grp, seq, x, y FROM r3""")
+
+
 def q_table_snapshots(sf_dir: str):
     """Snapshot-table layer end to end (io/snapshots.py — atomic
     manifest commits, time travel, copy-on-write deletes, manifest
@@ -10255,6 +10314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
         "table_snapshots": q_table_snapshots,
+        "simplify_rounds": q_simplify_rounds,
         "jsonl_ingest": q_jsonl_ingest,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
@@ -13092,6 +13152,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_ingest": _INGEST_ORACLE_SQL,
         "avro_ingest": _INGEST_ORACLE_SQL,
         "pb_ingest": _INGEST_ORACLE_SQL,
+        "simplify_rounds": _simplify_rounds_oracle(),
         "table_snapshots": """
             SELECT CAST(1 AS BIGINT) AS snap,
                    CAST(COUNT(*) AS BIGINT) AS n,

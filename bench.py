@@ -81,7 +81,8 @@ BENCH_QUERIES = [
     "corr_moments", "grid_los", "contour_cases", "fuzzy_components",
     "interval_coverage", "surt_keys", "tile_distance", "spatial_index",
     "lattice_rle", "triangle_fill", "hull_diameter", "csv_ingest",
-    "jsonl_ingest",
+    "jsonl_ingest", "flow_dir", "flow_acc", "flow_basins",
+    "kmv_registers", "avro_ingest", "pb_ingest", "table_snapshots",
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",

@@ -428,3 +428,51 @@ def st_frechetdistance(col_a, col_b):
                                    ca[i, j - 1]), d[i, j])
         return float(ca[n - 1, m - 1])
     return binary_float(col_a, col_b, f)
+
+
+def vw_round_simplify(ds, grp_col: str, order_col: str,
+                      x_col: str, y_col: str, rounds: int = 3):
+    """Bounded-round Visvalingam–Whyatt simplification over integer
+    polylines (Visvalingam & Whyatt 1993, the round-based exact
+    variant): each round removes, per group, THE single interior
+    point with the smallest effective triangle area
+    |cross((p-prev),(next-prev))| (ties to the smallest sequence
+    position); endpoints never move. Integer coordinates make every
+    area comparison int64-exact, so the surviving point set is
+    hash-gateable — the oracle witness for the simplification family
+    (st_simplify / st_simplifyvw are tolerance-based and
+    pytest-gated only). Fixed round count = unrolled SQL twin, the
+    kcore bounded-round contract.
+
+    Output (grp, seq, x, y): seq is the rank of ``order_col`` within
+    the group (ROW_NUMBER semantics). One groupby shuffle; per-group
+    work is ``rounds`` vectorized area passes, never a per-point
+    Python loop."""
+
+    def simp(group: pa.Table) -> pa.Table:
+        o = group.column(order_col).to_numpy(zero_copy_only=False)
+        x = group.column(x_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = group.column(y_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(o, kind="stable")
+        x, y = x[order], y[order]
+        seq = np.arange(1, len(x) + 1, dtype=np.int64)
+        for _ in range(rounds):
+            if len(x) <= 2:
+                break
+            area = np.abs((x[1:-1] - x[:-2]) * (y[2:] - y[:-2])
+                          - (x[2:] - x[:-2]) * (y[1:-1] - y[:-2]))
+            i = int(np.argmin(area)) + 1  # first min = smallest seq
+            keep = np.ones(len(x), bool)
+            keep[i] = False
+            x, y, seq = x[keep], y[keep], seq[keep]
+        gcol = group.column(grp_col)
+        return pa.table({
+            "grp": pa.array([gcol[0].as_py()] * len(x),
+                            type=gcol.type),
+            "seq": pa.array(seq),
+            "x": pa.array(x), "y": pa.array(y)})
+
+    return ds.groupby(grp_col).map_groups(simp,
+                                          batch_format="pyarrow")

@@ -151,3 +151,40 @@ def test_flow_basins_pointer_jumping():
     for i in range(6):
         assert rows[(200 + i, 40)] == (200, 40)
     assert rows[(10, 10)] == (10, 10)
+
+
+def test_vw_round_simplify_hand_case():
+    # lives here with the other integer-exact bounded-round kernels
+    import pyarrow as pa
+    import ray.data
+
+    from geoflow.ops.linestring import vw_round_simplify
+
+    # polyline: (0,0) (1,5) (2,0) (3,1) (4,0): areas of interior
+    # points (seq 2,3,4): p2: |cross((1,5)-(0,0),(2,0)-(0,0))|=10
+    # p3: |cross((3,1)-(1,5)... recompute each round. Round 1 areas:
+    # p2=|1*0-2*5|=10, p3=|... (2,0),(1,5),(3,1): ((2-1)(1-5)-(3-1)(0-5))=6
+    # p4: (3,1) between (2,0),(4,0): |1*0-2*1|=2 -> remove p4(seq 4)
+    t = pa.table({
+        "g": pa.array([7] * 5, pa.int64()),
+        "o": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        "x": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "y": pa.array([0, 5, 0, 1, 0], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    out = {r["seq"]: (r["x"], r["y"]) for r in
+           vw_round_simplify(ds, "g", "o", "x", "y",
+                             rounds=1).take_all()}
+    assert set(out) == {1, 2, 3, 5}
+    # rounds=3 on 5 points leaves only endpoints + 0 interior? 3
+    # rounds remove 3 interior points -> 2 points left
+    out3 = vw_round_simplify(ds, "g", "o", "x", "y",
+                             rounds=3).take_all()
+    assert sorted(r["seq"] for r in out3) == [1, 5]
+    # a 2-point group is untouched at any round count
+    t2 = pa.table({"g": pa.array([1, 1], pa.int64()),
+                   "o": pa.array([1, 2], pa.int64()),
+                   "x": pa.array([0, 9], pa.int64()),
+                   "y": pa.array([0, 9], pa.int64())})
+    out2 = vw_round_simplify(ray.data.from_arrow(t2), "g", "o",
+                             "x", "y", rounds=5).take_all()
+    assert sorted(r["seq"] for r in out2) == [1, 2]
