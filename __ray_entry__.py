@@ -10310,11 +10310,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lattice_rle": q_lattice_rle,
         "triangle_fill": q_triangle_fill,
         "hull_diameter": q_hull_diameter,
+        "simplify_rounds": q_simplify_rounds,
         "csv_ingest": q_csv_ingest,
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
         "table_snapshots": q_table_snapshots,
-        "simplify_rounds": q_simplify_rounds,
         "jsonl_ingest": q_jsonl_ingest,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
