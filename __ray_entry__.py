@@ -9468,6 +9468,33 @@ def _simplify_rounds_oracle() -> str:
     SELECT grp, seq, x, y FROM r3""")
 
 
+def q_copart_join(sf_dir: str):
+    """Co-partitioned SHUFFLE-FREE equi-join (io/bucketed.py — the
+    Hive/Iceberg bucketing lever): orders and customer are written
+    bucketed by splitmix64(custkey)%16 once, then the join runs as
+    one independent task per bucket (local pyarrow hash join over
+    that bucket's files on both sides) with NO all-to-all exchange —
+    the build-once/join-many shape that replaces the shuffle for
+    repeated joins at 100 TB. Timed region includes both bucketed
+    writes (indexed_bm25 convention). Oracle: plain SQL join."""
+    import tempfile
+
+    from geoflow.io.bucketed import copartitioned_join, write_bucketed
+
+    lo = tempfile.mkdtemp(prefix="geoflow_bko_")
+    rc = tempfile.mkdtemp(prefix="geoflow_bkc_")
+    for _ in write_bucketed(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+            lo, "o_custkey", 16).iter_batches():
+        pass
+    for _ in write_bucketed(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            rc, "c_custkey", 16).iter_batches():
+        pass
+    return copartitioned_join(lo, rc, "o_custkey", "c_custkey",
+                              n_buckets=16)
+
+
 def q_table_snapshots(sf_dir: str):
     """Snapshot-table layer end to end (io/snapshots.py — atomic
     manifest commits, time travel, copy-on-write deletes, manifest
@@ -10311,6 +10338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_fill": q_triangle_fill,
         "hull_diameter": q_hull_diameter,
         "simplify_rounds": q_simplify_rounds,
+        "copart_join": q_copart_join,
         "csv_ingest": q_csv_ingest,
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
@@ -13153,6 +13181,9 @@ def oracle_sql() -> dict[str, str]:
         "avro_ingest": _INGEST_ORACLE_SQL,
         "pb_ingest": _INGEST_ORACLE_SQL,
         "simplify_rounds": _simplify_rounds_oracle(),
+        "copart_join": """
+            SELECT o_orderkey, o_custkey, c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey""",
         "table_snapshots": """
             SELECT CAST(1 AS BIGINT) AS snap,
                    CAST(COUNT(*) AS BIGINT) AS n,
