@@ -10334,15 +10334,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surt_keys": q_surt_keys,
         "tile_distance": q_tile_distance,
         "spatial_index": q_spatial_index,
-        "lattice_rle": q_lattice_rle,
         "triangle_fill": q_triangle_fill,
         "hull_diameter": q_hull_diameter,
         "simplify_rounds": q_simplify_rounds,
         "copart_join": q_copart_join,
-        "csv_ingest": q_csv_ingest,
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
         "table_snapshots": q_table_snapshots,
+        "csv_ingest": q_csv_ingest,
+        "lattice_rle": q_lattice_rle,
         "jsonl_ingest": q_jsonl_ingest,
         "char_trigrams": q_char_trigrams,
         "benford_digits": q_benford_digits,
