@@ -9100,6 +9100,55 @@ def _flow_basins_oracle(doc_pts: str) -> str:
         .replace("{doc_pts}", doc_pts)
 
 
+def q_focal_smooth(sf_dir: str):
+    """Integer triangular-kernel focal smoothing over the occupied
+    z8 doc-tile lattice (ops/spatialstats.py focal_smooth_tiles —
+    the raster low-pass / lattice-KDE op): smooth = Σ
+    (3−|Δx|)(3−|Δy|)·count over the 5×5 window, wsum = kernel mass
+    actually hit; both int64, no float division. Gated vs the
+    weighted neighbor self-join SQL."""
+    from geoflow.ops.spatialstats import focal_smooth_tiles
+    return focal_smooth_tiles(_doc_points_ds(sf_dir), zoom=8,
+                              radius=2)
+
+
+def _focal_smooth_oracle(doc_pts: str) -> str:
+    return (_TILE_B_CTE + """
+    SELECT b1.tile_x, b1.tile_y,
+           CAST(SUM((3 - abs(b2.tile_x - b1.tile_x))
+                    * (3 - abs(b2.tile_y - b1.tile_y)) * b2.c)
+                AS BIGINT) AS smooth,
+           CAST(SUM((3 - abs(b2.tile_x - b1.tile_x))
+                    * (3 - abs(b2.tile_y - b1.tile_y)))
+                AS BIGINT) AS wsum
+    FROM b b1 JOIN b b2
+      ON abs(b1.tile_x - b2.tile_x) <= 2
+     AND abs(b1.tile_y - b2.tile_y) <= 2
+    GROUP BY b1.tile_x, b1.tile_y""").replace("{doc_pts}", doc_pts)
+
+
+def q_tile_equalize(sf_dir: str):
+    """Histogram-equalization ranks over the occupied z8 lattice
+    (ops/spatialstats.py tile_rank_equalize): dense rank by count,
+    distinct level count, and strictly-darker tile count (the CDF
+    numerator of raster contrast stretching) — all int64, exact SQL
+    window twins."""
+    from geoflow.ops.spatialstats import tile_rank_equalize
+    return tile_rank_equalize(_doc_points_ds(sf_dir), zoom=8)
+
+
+def _tile_equalize_oracle(doc_pts: str) -> str:
+    return (_TILE_B_CTE + """
+    SELECT tile_x, tile_y,
+           CAST(DENSE_RANK() OVER (ORDER BY c) AS BIGINT) AS rnk,
+           CAST((SELECT COUNT(DISTINCT c) FROM b) AS BIGINT)
+             AS n_levels,
+           CAST(COUNT(*) OVER (ORDER BY c
+                  RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS BIGINT) AS n_darker
+    FROM b""").replace("{doc_pts}", doc_pts)
+
+
 def q_spatial_index(sf_dir: str):
     """Persisted tile-partitioned spatial index + pruned bbox query
     (io/spatialindex.py — the geo twin of the inverted index's
@@ -10341,6 +10390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
         "table_snapshots": q_table_snapshots,
+        "focal_smooth": q_focal_smooth,
+        "tile_equalize": q_tile_equalize,
         "csv_ingest": q_csv_ingest,
         "lattice_rle": q_lattice_rle,
         "jsonl_ingest": q_jsonl_ingest,
@@ -13171,6 +13222,8 @@ def oracle_sql() -> dict[str, str]:
         "surt_keys": _SURT_ORACLE_SQL,
         "tile_distance": _tile_distance_oracle(doc_pts),
         "flow_dir": _flow_dir_oracle(doc_pts),
+        "focal_smooth": _focal_smooth_oracle(doc_pts),
+        "tile_equalize": _tile_equalize_oracle(doc_pts),
         "flow_acc": _flow_acc_oracle(doc_pts),
         "flow_basins": _flow_basins_oracle(doc_pts),
         "spatial_index": _spatial_index_oracle(doc_pts),

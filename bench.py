@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "lattice_rle", "triangle_fill", "hull_diameter", "csv_ingest",
     "jsonl_ingest", "flow_dir", "flow_acc", "flow_basins",
     "kmv_registers", "avro_ingest", "pb_ingest", "table_snapshots",
-    "simplify_rounds", "copart_join",
+    "simplify_rounds", "copart_join", "focal_smooth", "tile_equalize",
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",

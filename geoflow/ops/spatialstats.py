@@ -944,3 +944,78 @@ def tile_distance_transform(ds, x_col: str = "x", y_col: str = "y",
     return ray.data.from_arrow(pa.table({
         "tile_x": pa.array(ctx[keep]), "tile_y": pa.array(cty[keep]),
         "dist": pa.array(dist[keep])}))
+
+
+def focal_smooth_tiles(ds, x_col: str = "x", y_col: str = "y",
+                       zoom: int = 8, radius: int = 2,
+                       max_broadcast_tiles: int = 50_000_000):
+    """Integer triangular-kernel focal smoothing (the raster
+    low-pass / KDE-on-a-lattice op, exact form): per occupied tile,
+
+        smooth = sum over |dx|,|dy| <= r of
+                 (r+1-|dx|)·(r+1-|dy|)·count(tile+d)
+
+    plus the kernel mass actually hit (wsum) so callers can form the
+    normalized estimate; both int64 (no float division — the same
+    cross-multiply discipline as PerceptualHash). Missing neighbors
+    contribute 0 but NOT to wsum (occupied-support normalization).
+    One _tile_counts collect + (2r+1)² vectorized shifted
+    searchsorted gathers."""
+    import ray.data
+
+    keys, cnts = _tile_counts(ds, x_col, y_col, zoom,
+                              max_broadcast_tiles)
+    if len(keys) == 0:
+        return ray.data.from_arrow(pa.table({
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "smooth": pa.array([], pa.int64()),
+            "wsum": pa.array([], pa.int64())}))
+    n = len(keys)
+    tx, ty = keys // (1 << 32), keys % (1 << 32)
+    smooth = np.zeros(n, np.int64)
+    wsum = np.zeros(n, np.int64)
+    r = radius
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            w = (r + 1 - abs(dx)) * (r + 1 - abs(dy))
+            nk = (tx + dx) * (1 << 32) + (ty + dy)
+            pos = np.searchsorted(keys, nk)
+            hit = (pos < n) & (keys[np.minimum(pos, n - 1)] == nk)
+            v = cnts[np.minimum(pos, n - 1)]
+            smooth += np.where(hit, v * w, 0)
+            wsum += np.where(hit, w, 0)
+    return ray.data.from_arrow(pa.table({
+        "tile_x": pa.array(tx), "tile_y": pa.array(ty),
+        "smooth": pa.array(smooth), "wsum": pa.array(wsum)}))
+
+
+def tile_rank_equalize(ds, x_col: str = "x", y_col: str = "y",
+                       zoom: int = 8,
+                       max_broadcast_tiles: int = 50_000_000):
+    """Histogram-equalization ranks over the occupied lattice: per
+    tile its DENSE RANK by count (1 = sparsest), the number of
+    distinct count levels, and the count of strictly-darker occupied
+    tiles (the classic CDF numerator) — the integer core of raster
+    contrast stretching, exactly reproducible in SQL windows."""
+    import ray.data
+
+    keys, cnts = _tile_counts(ds, x_col, y_col, zoom,
+                              max_broadcast_tiles)
+    if len(keys) == 0:
+        return ray.data.from_arrow(pa.table({
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+            "n_levels": pa.array([], pa.int64()),
+            "n_darker": pa.array([], pa.int64())}))
+    tx, ty = keys // (1 << 32), keys % (1 << 32)
+    levels, inv = np.unique(cnts, return_inverse=True)
+    counts_per_level = np.bincount(inv)
+    darker = np.concatenate(([0], np.cumsum(counts_per_level)[:-1]))
+    return ray.data.from_arrow(pa.table({
+        "tile_x": pa.array(tx), "tile_y": pa.array(ty),
+        "rnk": pa.array((inv + 1).astype(np.int64)),
+        "n_levels": pa.array(
+            np.full(len(keys), len(levels), np.int64)),
+        "n_darker": pa.array(darker[inv].astype(np.int64))}))

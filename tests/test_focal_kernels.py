@@ -127,3 +127,31 @@ def test_tile_morphology_border_clip(ray_session):
                                               (1, 1)}
     got = {(r.tile_x, r.tile_y): r for r in df.itertuples()}
     assert got[(0, 0)].occupied == 1 and got[(0, 0)].eroded == 0
+
+
+def test_focal_smooth_hand_grid():
+    from geoflow.ops.spatialstats import focal_smooth_tiles
+    counts = {(100, 100): 4, (101, 100): 2, (102, 102): 1}
+    ds = _points_at_tiles(counts)
+    rows = {(r["tile_x"], r["tile_y"]): (r["smooth"], r["wsum"])
+            for r in focal_smooth_tiles(ds, zoom=8,
+                                        radius=2).take_all()}
+    # (100,100): self 9*4 + (101,100) d=(1,0) w=6 -> 12 + (102,102)
+    # d=(2,2) w=1 -> 1; wsum 9+6+1
+    assert rows[(100, 100)] == (36 + 12 + 1, 16)
+    # (102,102): self 9*1 + (101,100) d=(-1,-2) w=2 -> 4 + (100,100)
+    # d=(-2,-2) w=1 -> 4; wsum 9+2+1
+    assert rows[(102, 102)] == (9 + 4 + 4, 12)
+
+
+def test_tile_rank_equalize_hand_grid():
+    from geoflow.ops.spatialstats import tile_rank_equalize
+    counts = {(10, 10): 5, (11, 10): 2, (12, 10): 5, (13, 10): 9}
+    ds = _points_at_tiles(counts)
+    rows = {(r["tile_x"], r["tile_y"]):
+            (r["rnk"], r["n_levels"], r["n_darker"])
+            for r in tile_rank_equalize(ds, zoom=8).take_all()}
+    assert rows[(11, 10)] == (1, 3, 0)
+    assert rows[(10, 10)] == (2, 3, 1)
+    assert rows[(12, 10)] == (2, 3, 1)
+    assert rows[(13, 10)] == (3, 3, 3)
