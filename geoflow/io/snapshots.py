@@ -212,3 +212,44 @@ def read_snapshot(table_dir: str, snapshot: int | None = None,
         return None
     return ray.data.read_parquet([f["path"] for f in files],
                                  columns=columns)
+
+
+def compact(table_dir: str, target_rows: int = 1 << 20) -> int:
+    """Compaction: rewrite groups of small files into fewer larger
+    ones (content-preserving; a new ``rewrite`` snapshot). Files are
+    greedily binned by manifest row counts until a bin reaches
+    ``target_rows``; single-file bins carry over UNREWRITTEN (their
+    bytes already have the target shape). The read side of each bin
+    is one ``read_parquet`` over its file list; the write side
+    reuses the content-hash block writer, so compacting twice is a
+    no-op. Returns the new snapshot id."""
+    import ray.data
+
+    cur = read_manifest(table_dir)
+    key_col = cur.get("key_col")
+    bins, binrows, cur_bin = [], 0, []
+    for f in sorted(cur["files"], key=lambda f: f["rows"]):
+        cur_bin.append(f)
+        binrows += f["rows"]
+        if binrows >= target_rows:
+            bins.append(cur_bin)
+            cur_bin, binrows = [], 0
+    if cur_bin:
+        bins.append(cur_bin)
+    keep, new_files = [], []
+    for b in bins:
+        if len(b) <= 1:
+            keep.extend(b)
+            continue
+        src = ray.data.read_parquet([f["path"] for f in b]) \
+            .repartition(max(1, sum(f["rows"] for f in b)
+                             // target_rows + 1))
+        new_files.extend(_write_data_files(src, table_dir, key_col))
+    manifest = {
+        "snapshot": cur["snapshot"] + 1,
+        "parent": cur["snapshot"],
+        "operation": "rewrite",
+        "key_col": key_col,
+        "files": keep + new_files,
+    }
+    return _commit(table_dir, manifest)

@@ -106,3 +106,22 @@ def test_delete_everything_yields_empty_snapshot(tmp_path):
     assert read_snapshot(td) is None
     # lineage intact: snapshot 1 still reads
     assert read_snapshot(td, 1).count() == 20
+
+
+def test_compaction_preserves_content_and_shrinks_files(tmp_path):
+    from geoflow.io.snapshots import compact
+    td = str(tmp_path / "t")
+    # many tiny appends -> many small files
+    for lo in range(0, 100, 10):
+        append(_ds(range(lo, lo + 10)), td, "doc_id")
+    man = read_manifest(td)
+    assert len(man["files"]) == 10
+    s = compact(td, target_rows=40)
+    man2 = read_manifest(td, s)
+    assert len(man2["files"]) < 10
+    ids = sorted(r["doc_id"] for r in read_snapshot(td, s).take_all())
+    assert ids == list(range(100))
+    # time travel still intact; stats present on compacted files
+    assert read_snapshot(td, 5).count() == 50
+    for f in man2["files"]:
+        assert f["key_min"] <= f["key_max"]
