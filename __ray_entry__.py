@@ -9458,6 +9458,54 @@ def q_pb_ingest(sf_dir: str):
     return _ingest_finish(read_protostream(d))
 
 
+def q_ivm_counts(sf_dir: str):
+    """Incremental view maintenance over the snapshot layer
+    (io/ivm.py): a per-lang count view advanced across four
+    snapshots — append doc_id%3≠0, append the rest, copy-on-write
+    delete doc_id%5=0 in [0,200), then a COMPACTION (which adds and
+    removes equal row multisets — any miscount in the signed-weight
+    diff machinery would surface) — each step processing ONLY the
+    manifest file diff. The oracle is the single closed-form
+    group-by; equality proves the incremental path reproduces the
+    full recompute exactly."""
+    import tempfile
+
+    import ray.data
+
+    from geoflow.io.ivm import read_view, update_view
+    from geoflow.io.snapshots import append, compact, delete_where
+
+    td = tempfile.mkdtemp(prefix="geoflow_ivmt_")
+    sd = tempfile.mkdtemp(prefix="geoflow_ivms_")
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def only(rem_eq):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 3 == 0) == rem_eq))
+        return f
+
+    append(docs.map_batches(only(False), batch_format="pyarrow"),
+           td, "doc_id")
+    update_view(td, sd, "lang")
+    append(docs.map_batches(only(True), batch_format="pyarrow"),
+           td, "doc_id")
+    update_view(td, sd, "lang")
+
+    def pred(b: pa.Table):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return ids % 5 == 0
+
+    delete_where(td, "doc_id", 0, 199, predicate=pred)
+    update_view(td, sd, "lang")
+    compact(td, target_rows=1 << 18)
+    update_view(td, sd, "lang")
+    _snap, counts = read_view(sd)
+    return ray.data.from_arrow(pa.table({
+        "lang": counts.column("lang"),
+        "n": counts.column("cnt")}))
+
+
 def q_simplify_rounds(sf_dir: str):
     """Bounded-round Visvalingam–Whyatt polyline simplification
     (ops/linestring.py vw_round_simplify): 30 integer polylines
@@ -10392,6 +10440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_snapshots": q_table_snapshots,
         "focal_smooth": q_focal_smooth,
         "tile_equalize": q_tile_equalize,
+        "ivm_counts": q_ivm_counts,
         "csv_ingest": q_csv_ingest,
         "lattice_rle": q_lattice_rle,
         "jsonl_ingest": q_jsonl_ingest,
@@ -13224,6 +13273,11 @@ def oracle_sql() -> dict[str, str]:
         "flow_dir": _flow_dir_oracle(doc_pts),
         "focal_smooth": _focal_smooth_oracle(doc_pts),
         "tile_equalize": _tile_equalize_oracle(doc_pts),
+        "ivm_counts": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            WHERE NOT (doc_id % 5 = 0 AND doc_id < 200)
+            GROUP BY lang""",
         "flow_acc": _flow_acc_oracle(doc_pts),
         "flow_basins": _flow_basins_oracle(doc_pts),
         "spatial_index": _spatial_index_oracle(doc_pts),
