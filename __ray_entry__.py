@@ -10414,7 +10414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": q_lexical_diversity,
         "audio_fingerprint": q_audio_fingerprint,
         "embed_int8": q_embed_int8,
-        "geohash": q_geohash,
+        "ivm_counts": q_ivm_counts,
         "hull_extract": q_hull_extract,
         "emerging_hotspots": q_emerging_hotspots,
         "novelty": q_novelty,
@@ -10438,9 +10438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
         "table_snapshots": q_table_snapshots,
+        "geohash": q_geohash,
         "focal_smooth": q_focal_smooth,
         "tile_equalize": q_tile_equalize,
-        "ivm_counts": q_ivm_counts,
         "csv_ingest": q_csv_ingest,
         "lattice_rle": q_lattice_rle,
         "jsonl_ingest": q_jsonl_ingest,
