@@ -9458,6 +9458,55 @@ def q_pb_ingest(sf_dir: str):
     return _ingest_finish(read_protostream(d))
 
 
+def q_snapshot_cdc(sf_dir: str):
+    """Row-level change-data-capture between snapshots
+    (io/snapshots.py snapshot_row_diff): the same
+    append/append/COW-delete table as table_snapshots, then the
+    manifest-file-diff row deltas for snapshots 1→2 (pure inserts:
+    the doc_id%3=0 append) and 2→3 (pure deletes: the %5 range
+    delete) — rows carried through the rewrite cancel via signed
+    counts, so any carry/rewrite defect leaves a nonzero residue.
+    Cost O(changed files). Oracle: the two closed-form filters."""
+    import tempfile
+
+    import ray.data
+
+    from geoflow.io.snapshots import (append, delete_where,
+                                      snapshot_row_diff)
+
+    td = tempfile.mkdtemp(prefix="geoflow_cdc_")
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def only(rem_eq):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 3 == 0) == rem_eq))
+        return f
+
+    append(docs.map_batches(only(False), batch_format="pyarrow"),
+           td, "doc_id")
+    append(docs.map_batches(only(True), batch_format="pyarrow"),
+           td, "doc_id")
+
+    def pred(b: pa.Table):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return ids % 5 == 0
+
+    delete_where(td, "doc_id", 0, 199, predicate=pred)
+
+    def tag(p):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "pair", pa.array([p] * b.num_rows, pa.int64()))
+        return f
+
+    d12 = snapshot_row_diff(td, 1, 2, "doc_id") \
+        .map_batches(tag(1), batch_format="pyarrow")
+    d23 = snapshot_row_diff(td, 2, 3, "doc_id") \
+        .map_batches(tag(2), batch_format="pyarrow")
+    return d12.union(d23)
+
+
 def q_ivm_counts(sf_dir: str):
     """Incremental view maintenance over the snapshot layer
     (io/ivm.py): a per-lang count view advanced across four
@@ -10415,6 +10464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_fingerprint": q_audio_fingerprint,
         "embed_int8": q_embed_int8,
         "ivm_counts": q_ivm_counts,
+        "snapshot_cdc": q_snapshot_cdc,
         "hull_extract": q_hull_extract,
         "emerging_hotspots": q_emerging_hotspots,
         "novelty": q_novelty,
@@ -13273,6 +13323,13 @@ def oracle_sql() -> dict[str, str]:
         "flow_dir": _flow_dir_oracle(doc_pts),
         "focal_smooth": _focal_smooth_oracle(doc_pts),
         "tile_equalize": _tile_equalize_oracle(doc_pts),
+        "snapshot_cdc": """
+            SELECT doc_id, CAST(1 AS BIGINT) AS delta,
+                   CAST(1 AS BIGINT) AS pair
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, -1, 2 FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id < 200""",
         "ivm_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
             FROM documents

@@ -253,3 +253,112 @@ def compact(table_dir: str, target_rows: int = 1 << 20) -> int:
         "files": keep + new_files,
     }
     return _commit(table_dir, manifest)
+
+
+def snapshot_row_diff(table_dir: str, snap_a: int, snap_b: int,
+                      key_col: str):
+    """Row-level CDC between two snapshots from the manifest FILE
+    diff: read files only in B with weight +1 and files only in A
+    with weight -1, sum per key, keep net != 0 — rows carried
+    through rewrites/compactions cancel, so the result is exactly
+    the logical inserts (+1) and deletes (-1). Cost is O(changed
+    files), never O(table). Returns a Dataset (key, delta)."""
+    import ray.data
+
+    fa = {f["path"] for f in read_manifest(table_dir, snap_a)["files"]}
+    fb = {f["path"] for f in read_manifest(table_dir, snap_b)["files"]}
+    added = sorted(fb - fa)
+    removed = sorted(fa - fb)
+
+    def partial(w):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch.column(key_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ks, cnt = np.unique(k, return_counts=True)
+            return pa.table({key_col: pa.array(ks),
+                             "delta": pa.array(
+                                 cnt.astype(np.int64) * w)})
+        return f
+
+    parts = []
+    for paths, w in ((added, 1), (removed, -1)):
+        if paths:
+            parts.append(
+                ray.data.read_parquet(paths, columns=[key_col])
+                .map_batches(partial(w), batch_format="pyarrow"))
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            "delta": pa.array([], pa.int64())}))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum(delta)" not in \
+                batch.schema.names:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "delta": pa.array([], pa.int64())})
+        d = batch.column("sum(delta)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({key_col: batch.column(key_col),
+                      "delta": pa.array(d)})
+        return t.filter(pa.array(d != 0))
+
+    return ds.groupby(key_col).sum("delta") \
+        .map_batches(fin, batch_format="pyarrow")
+
+
+def upsert(ds_new, table_dir: str, key_col: str) -> int:
+    """MERGE-INTO: replace rows whose key appears in ``ds_new`` and
+    append the new rows — implemented as key-level copy-on-write
+    (files whose key range may contain an upsert key are rewritten
+    with those keys dropped; disjoint files carry over) + append,
+    committed as ONE snapshot. The upsert key set is collected and
+    broadcast (bounded: one upsert batch, not the table). Returns
+    the new snapshot id."""
+    import ray
+
+    import ray.data
+
+    cur = read_manifest(table_dir)
+    if cur["files"] and cur.get("key_col") != key_col:
+        raise ValueError("key_col mismatch")
+    new_files = _write_data_files(ds_new, table_dir, key_col)
+    keys = np.unique(np.concatenate([
+        np.asarray([], np.int64)] + [
+        _read_keys(f["path"], key_col) for f in new_files]))
+    keep, rewrite = [], []
+    for f in cur["files"]:
+        lo = keys.searchsorted(f["key_min"], side="left")
+        hi = keys.searchsorted(f["key_max"], side="right")
+        (rewrite if hi > lo else keep).append(f)
+    rewritten = []
+    if rewrite:
+        key_ref = ray.put(keys)
+
+        def drop(batch: pa.Table) -> pa.Table:
+            ks = ray.get(key_ref)
+            k = batch.column(key_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return batch.filter(pa.array(~np.isin(k, ks)))
+
+        src = ray.data.read_parquet([f["path"] for f in rewrite])
+        rewritten = _write_data_files(
+            src.map_batches(drop, batch_format="pyarrow"),
+            table_dir, key_col)
+    manifest = {
+        "snapshot": cur["snapshot"] + 1,
+        "parent": cur["snapshot"] or None,
+        "operation": "upsert",
+        "key_col": key_col,
+        "files": keep + rewritten + new_files,
+    }
+    return _commit(table_dir, manifest)
+
+
+def _read_keys(path: str, key_col: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    return pq.read_table(path, columns=[key_col]) \
+        .column(key_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)

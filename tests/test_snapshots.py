@@ -125,3 +125,50 @@ def test_compaction_preserves_content_and_shrinks_files(tmp_path):
     assert read_snapshot(td, 5).count() == 50
     for f in man2["files"]:
         assert f["key_min"] <= f["key_max"]
+
+
+def test_snapshot_row_diff_cdc(tmp_path):
+    from geoflow.io.snapshots import snapshot_row_diff
+    td = str(tmp_path / "t")
+    append(_ds(range(0, 40)), td, "doc_id")
+    append(_ds(range(40, 60)), td, "doc_id")
+    delete_where(td, "doc_id", 10, 19)
+    d12 = {r["doc_id"]: r["delta"] for r in
+           snapshot_row_diff(td, 1, 2, "doc_id").take_all()}
+    assert d12 == {i: 1 for i in range(40, 60)}
+    d23 = {r["doc_id"]: r["delta"] for r in
+           snapshot_row_diff(td, 2, 3, "doc_id").take_all()}
+    assert d23 == {i: -1 for i in range(10, 20)}
+    # carried rows cancel: 1->3 is insert(40..60) minus delete(10..20)
+    d13 = {r["doc_id"]: r["delta"] for r in
+           snapshot_row_diff(td, 1, 3, "doc_id").take_all()}
+    want = {i: 1 for i in range(40, 60)}
+    want.update({i: -1 for i in range(10, 20)})
+    assert d13 == want
+    # identical snapshots: empty diff
+    assert snapshot_row_diff(td, 2, 2, "doc_id").count() == 0
+
+
+def test_upsert_replaces_and_appends(tmp_path):
+    from geoflow.io.snapshots import upsert
+    td = str(tmp_path / "t")
+    append(_ds(range(0, 30)), td, "doc_id")
+    # upsert: replace ids 5..9 with new v values, add 100..104
+    newt = pa.table({
+        "doc_id": pa.array(list(range(5, 10)) + list(range(100, 105)),
+                           pa.int64()),
+        "v": pa.array([-1] * 10, pa.int64())})
+    s = upsert(ray.data.from_arrow(newt), td, "doc_id")
+    rows = {r["doc_id"]: r["v"] for r in
+            read_snapshot(td, s).take_all()}
+    assert len(rows) == 35
+    for i in range(5, 10):
+        assert rows[i] == -1
+    for i in range(100, 105):
+        assert rows[i] == -1
+    for i in list(range(0, 5)) + list(range(10, 30)):
+        assert rows[i] == i * 10
+    # pre-upsert snapshot unchanged (time travel)
+    old = {r["doc_id"]: r["v"] for r in
+           read_snapshot(td, 1).take_all()}
+    assert old[5] == 50 and len(old) == 30
