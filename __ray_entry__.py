@@ -10459,7 +10459,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict": q_link_predict,
         "compress_quality": q_compress_quality,
         "mojibake_fix": q_mojibake_fix,
-        "sentence_split": q_sentence_split,
         "lexical_diversity": q_lexical_diversity,
         "audio_fingerprint": q_audio_fingerprint,
         "embed_int8": q_embed_int8,
@@ -10488,6 +10487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
         "table_snapshots": q_table_snapshots,
+        "sentence_split": q_sentence_split,
         "geohash": q_geohash,
         "focal_smooth": q_focal_smooth,
         "tile_equalize": q_tile_equalize,
