@@ -2666,6 +2666,38 @@ def _seed_distance_oracle() -> str:
     return seed_distance_oracle_sql(edges, seeds, max_hops=4)
 
 
+def q_path_counts(sf_dir: str):
+    """Shortest-path COUNTS (graph/traversal.py shortest_path_counts
+    — the σ stage of Brandes 2001 betweenness, the integer-exact
+    hash-gateable part): BFS layers from seeds {doc_id%23=5} over
+    the synthetic link graph, each newly-reached node's sig = Σ of
+    its frontier predecessors' sig (parallel edges = distinct
+    paths). 4 hops; gated vs the unrolled layer/settled CTE twin."""
+    from geoflow.graph.pagerank import synth_edges_batch
+    from geoflow.graph.traversal import shortest_path_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = synth_edges_batch(
+            b.column("doc_id").to_numpy(zero_copy_only=False), n)
+        return t.select(["src", "dst"])
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    seeds = np.arange(n, dtype=np.int64)
+    return shortest_path_counts(edges, seeds[seeds % 23 == 5],
+                                max_hops=4)
+
+
+def _path_counts_oracle() -> str:
+    from geoflow.graph.traversal import path_counts_oracle_sql
+    edges = _SYNTH_EDGES_SQL.format(
+        n="(SELECT COUNT(*) FROM documents)", where="")
+    seeds = "SELECT doc_id AS node FROM documents WHERE doc_id % 23 = 5"
+    return path_counts_oracle_sql(edges, seeds, max_hops=4)
+
+
 def q_sssp_weighted(sf_dir: str):
     """Weighted single-source shortest paths (graph/traversal.py
     seed_distances with weight_col — Bellman-Ford min-plus rounds;
@@ -10464,6 +10496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_int8": q_embed_int8,
         "ivm_counts": q_ivm_counts,
         "snapshot_cdc": q_snapshot_cdc,
+        "path_counts": q_path_counts,
         "hull_extract": q_hull_extract,
         "emerging_hotspots": q_emerging_hotspots,
         "novelty": q_novelty,
@@ -10969,6 +11002,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_oracle_sql(),
         "trustrank": trustrank_oracle_sql(),
         "seed_distance": _seed_distance_oracle(),
+        "path_counts": _path_counts_oracle(),
         "sssp_weighted": _sssp_weighted_oracle(),
         "kcore": _kcore_oracle(),
         "label_prop": _label_prop_oracle(),

@@ -531,3 +531,104 @@ SELECT node,
        CAST(SUM({scale} // dist) AS BIGINT) AS h_units,
        CAST(COUNT(*) AS BIGINT) AS n_reached
 FROM ld WHERE dist > 0 GROUP BY node"""
+
+
+def shortest_path_counts(edges, seeds, max_hops: int = 4,
+                         src_col: str = "src", dst_col: str = "dst",
+                         max_broadcast_nodes: int = 50_000_000):
+    """(node, dist, sig): BFS hop distance from the seed set plus the
+    NUMBER of distinct shortest edge-paths realizing it — the σ
+    (sigma) stage of Brandes' betweenness (Brandes 2001), the part
+    that is integer-exact and therefore hash-gateable. Seeds have
+    dist 0, sig 1; a node first reached at layer t gets
+    sig = Σ over frontier in-edges of the predecessor's sig (layer
+    sums are order-independent — exact on both engines). Parallel
+    (duplicate) edges count as distinct paths, mirrored by the SQL
+    twin. Broadcast mode: the (dist, sig) vectors ride the object
+    store; each layer is one map_batches pass emitting per-batch
+    partial sums + an O(n_nodes) driver combine."""
+    import ray
+    import ray.data
+
+    edges = edges.materialize()
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    nodes = _collect_nodes(edges, [src_col, dst_col])
+    nodes = np.unique(np.concatenate([nodes, seeds]))
+    if len(nodes) > max_broadcast_nodes:
+        raise ValueError(f"{len(nodes)} nodes exceeds "
+                         f"max_broadcast_nodes={max_broadcast_nodes}")
+    nodes_ref = ray.put(nodes)
+    dist = np.full(len(nodes), UNREACHED, np.int64)
+    sig = np.zeros(len(nodes), np.int64)
+    si = np.searchsorted(nodes, seeds)
+    dist[si] = 0
+    sig[si] = 1
+
+    for t in range(1, max_hops + 1):
+        dist_ref = ray.put(dist)
+        sig_ref = ray.put(sig)
+
+        def contrib(b: pa.Table, _n=nodes_ref, _d=dist_ref,
+                    _s=sig_ref, _t=t) -> pa.Table:
+            nds, dv, sv = ray.get(_n), ray.get(_d), ray.get(_s)
+            s = b.column(src_col).to_numpy(zero_copy_only=False)
+            d = b.column(dst_col).to_numpy(zero_copy_only=False)
+            sidx = np.searchsorted(nds, s)
+            didx = np.searchsorted(nds, d)
+            m = (dv[sidx] == _t - 1) & (dv[didx] == UNREACHED)
+            if not m.any():
+                return pa.table({"node": np.empty(0, np.int64),
+                                 "c": np.empty(0, np.int64)})
+            tgt, c = didx[m], sv[sidx[m]]
+            order = np.argsort(tgt, kind="stable")
+            tgt, c = tgt[order], c[order]
+            starts = np.flatnonzero(np.r_[True, tgt[1:] != tgt[:-1]])
+            return pa.table({
+                "node": pa.array(nodes[tgt[starts]]),
+                "c": pa.array(np.add.reduceat(c, starts))})
+
+        add = np.zeros(len(nodes), np.int64)
+        for blk in edges.map_batches(
+                contrib, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            if blk.num_rows == 0 or "node" not in blk.schema.names:
+                continue
+            idx = np.searchsorted(nodes, blk.column("node")
+                                  .to_numpy(zero_copy_only=False))
+            np.add.at(add, idx,
+                      blk.column("c").to_numpy(zero_copy_only=False))
+        hit = add > 0
+        if not hit.any():
+            break
+        dist[hit] = t
+        sig[hit] = add[hit]
+
+    reached = dist != UNREACHED
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes[reached]),
+        "dist": pa.array(dist[reached]),
+        "sig": pa.array(sig[reached])}))
+
+
+def path_counts_oracle_sql(edges_sql: str, seeds_sql: str,
+                           max_hops: int = 4) -> str:
+    """Unrolled-CTE DuckDB oracle for ``shortest_path_counts`` —
+    generated from the same layer structure as the kernel."""
+    parts = [f"WITH e AS MATERIALIZED ({edges_sql}),",
+             "l0 AS MATERIALIZED (SELECT node,"
+             " CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sig"
+             f" FROM ({seeds_sql})),",
+             "s0 AS MATERIALIZED (SELECT * FROM l0)"]
+    for t in range(1, max_hops + 1):
+        parts.append(f""",
+l{t} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST({t} AS BIGINT) AS dist,
+         CAST(SUM(p.sig) AS BIGINT) AS sig
+  FROM e JOIN l{t - 1} p ON p.node = e.src
+  LEFT JOIN s{t - 1} st ON st.node = e.dst
+  WHERE st.node IS NULL
+  GROUP BY e.dst),
+s{t} AS MATERIALIZED (
+  SELECT * FROM s{t - 1} UNION ALL SELECT * FROM l{t})""")
+    parts.append(f"\nSELECT node, dist, sig FROM s{max_hops}")
+    return "".join(parts)

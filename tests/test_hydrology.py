@@ -188,3 +188,31 @@ def test_vw_round_simplify_hand_case():
     out2 = vw_round_simplify(ray.data.from_arrow(t2), "g", "o",
                              "x", "y", rounds=5).take_all()
     assert sorted(r["seq"] for r in out2) == [1, 2]
+
+
+def test_shortest_path_counts_hand_graph():
+    import pyarrow as pa
+    import ray.data
+
+    from geoflow.graph.traversal import shortest_path_counts
+
+    # diamond with a parallel edge: 0->1, 0->2, 1->3, 2->3, 2->3
+    # sig(3) = sig(1) + 2*sig(2) = 3; plus tail 3->4
+    edges = pa.table({
+        "src": pa.array([0, 0, 1, 2, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 3, 3, 4], pa.int64())})
+    out = {r["node"]: (r["dist"], r["sig"]) for r in
+           shortest_path_counts(ray.data.from_arrow(edges), [0],
+                                max_hops=4).take_all()}
+    assert out == {0: (0, 1), 1: (1, 1), 2: (1, 1),
+                   3: (2, 3), 4: (3, 3)}
+    # bounded hops truncate the frontier
+    out2 = {r["node"]: (r["dist"], r["sig"]) for r in
+            shortest_path_counts(ray.data.from_arrow(edges), [0],
+                                 max_hops=2).take_all()}
+    assert 4 not in out2 and out2[3] == (2, 3)
+    # shorter path wins over longer: seed at 2 AND 0 -> 3 at dist 1
+    out3 = {r["node"]: (r["dist"], r["sig"]) for r in
+            shortest_path_counts(ray.data.from_arrow(edges), [0, 2],
+                                 max_hops=3).take_all()}
+    assert out3[3] == (1, 2)  # two parallel edges from seed 2
