@@ -10491,7 +10491,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict": q_link_predict,
         "compress_quality": q_compress_quality,
         "mojibake_fix": q_mojibake_fix,
-        "lexical_diversity": q_lexical_diversity,
         "audio_fingerprint": q_audio_fingerprint,
         "embed_int8": q_embed_int8,
         "ivm_counts": q_ivm_counts,
@@ -10520,6 +10519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
         "table_snapshots": q_table_snapshots,
+        "lexical_diversity": q_lexical_diversity,
         "sentence_split": q_sentence_split,
         "geohash": q_geohash,
         "focal_smooth": q_focal_smooth,
