@@ -2698,6 +2698,53 @@ def _path_counts_oracle() -> str:
     return path_counts_oracle_sql(edges, seeds, max_hops=4)
 
 
+def q_temporal_reach(sf_dir: str):
+    """Time-respecting reachability over a TEMPORAL graph
+    (graph/traversal.py temporal_reach): the synthetic link graph
+    with per-edge integer timestamps t=(src·13+29·j)%64; an edge is
+    traversable only when its timestamp is at or after the current
+    arrival, unit delay. 4 min-arrival rounds from seeds
+    {doc_id%23=5} — the time constraint breaks BFS layer
+    monotonicity, which is what distinguishes this from
+    seed_distance. Gated vs the unrolled conditional-join rounds."""
+    from geoflow.graph.pagerank import synth_edges_batch
+    from geoflow.graph.traversal import temporal_reach
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = synth_edges_batch(ids, n)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        # per-edge j index: position within each src's contiguous
+        # run (ids are unique per batch, runs are contiguous)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        j = np.arange(len(src), dtype=np.int64) \
+            - np.repeat(starts, np.diff(np.r_[starts, len(src)]))
+        ts = (src * 13 + 29 * j) % 64
+        return pa.table({"src": t.column("src"),
+                         "dst": t.column("dst"),
+                         "t": pa.array(ts)})
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    seeds = np.arange(n, dtype=np.int64)
+    return temporal_reach(edges, seeds[seeds % 23 == 5], rounds=4)
+
+
+def _temporal_reach_oracle() -> str:
+    from geoflow.graph.traversal import temporal_reach_oracle_sql
+    edges = """
+SELECT d.doc_id AS src,
+       ((d.doc_id * (17 + 5 * g.j) + 3 + 7 * g.j)
+        % (SELECT COUNT(*) FROM documents)) AS dst,
+       (d.doc_id * 13 + 29 * g.j) % 64 AS t
+FROM documents d,
+     LATERAL (SELECT unnest(range(1 + (d.doc_id % 3)))) AS g(j)"""
+    seeds = "SELECT doc_id AS node FROM documents WHERE doc_id % 23 = 5"
+    return temporal_reach_oracle_sql(edges, seeds, rounds=4)
+
+
 def q_sssp_weighted(sf_dir: str):
     """Weighted single-source shortest paths (graph/traversal.py
     seed_distances with weight_col — Bellman-Ford min-plus rounds;
@@ -10490,12 +10537,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "link_predict": q_link_predict,
         "compress_quality": q_compress_quality,
-        "mojibake_fix": q_mojibake_fix,
         "audio_fingerprint": q_audio_fingerprint,
         "embed_int8": q_embed_int8,
         "ivm_counts": q_ivm_counts,
         "snapshot_cdc": q_snapshot_cdc,
         "path_counts": q_path_counts,
+        "temporal_reach": q_temporal_reach,
         "hull_extract": q_hull_extract,
         "emerging_hotspots": q_emerging_hotspots,
         "novelty": q_novelty,
@@ -10519,6 +10566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
         "table_snapshots": q_table_snapshots,
+        "mojibake_fix": q_mojibake_fix,
         "lexical_diversity": q_lexical_diversity,
         "sentence_split": q_sentence_split,
         "geohash": q_geohash,
@@ -11003,6 +11051,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": trustrank_oracle_sql(),
         "seed_distance": _seed_distance_oracle(),
         "path_counts": _path_counts_oracle(),
+        "temporal_reach": _temporal_reach_oracle(),
         "sssp_weighted": _sssp_weighted_oracle(),
         "kcore": _kcore_oracle(),
         "label_prop": _label_prop_oracle(),

@@ -632,3 +632,99 @@ s{t} AS MATERIALIZED (
   SELECT * FROM s{t - 1} UNION ALL SELECT * FROM l{t})""")
     parts.append(f"\nSELECT node, dist, sig FROM s{max_hops}")
     return "".join(parts)
+
+
+def temporal_reach(edges, seeds, rounds: int = 4,
+                   src_col: str = "src", dst_col: str = "dst",
+                   t_col: str = "t",
+                   max_broadcast_nodes: int = 50_000_000):
+    """Time-respecting reachability (temporal-graph min-arrival):
+    an edge (u, v, t) is traversable only when t >= arrival(u), and
+    arriving through it costs unit delay —
+
+        arr_{r+1}(v) = min(arr_r(v),
+                           min over edges (u,v,t), t >= arr_r(u)
+                               of t + 1)
+
+    Seeds start at arrival 0. Integer min per round is order-
+    independent (hash-exact); ``rounds`` below the temporal diameter
+    gives the documented fixed-round prefix the oracle unrolls
+    identically (unlike BFS, later rounds can still improve early
+    nodes — time constraints break layer monotonicity, which is
+    exactly what makes this operator distinct). Broadcast shape:
+    one map_batches pass per round + O(n_nodes) driver combine."""
+    import ray
+    import ray.data
+
+    edges = edges.materialize()
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    nodes = _collect_nodes(edges, [src_col, dst_col])
+    nodes = np.unique(np.concatenate([nodes, seeds]))
+    if len(nodes) > max_broadcast_nodes:
+        raise ValueError(f"{len(nodes)} nodes exceeds "
+                         f"max_broadcast_nodes={max_broadcast_nodes}")
+    nodes_ref = ray.put(nodes)
+    arr = np.full(len(nodes), UNREACHED, np.int64)
+    arr[np.searchsorted(nodes, seeds)] = 0
+
+    for _ in range(rounds):
+        arr_ref = ray.put(arr)
+
+        def relax(b: pa.Table, _n=nodes_ref, _a=arr_ref) -> pa.Table:
+            nds, av = ray.get(_n), ray.get(_a)
+            s = b.column(src_col).to_numpy(zero_copy_only=False)
+            d = b.column(dst_col).to_numpy(zero_copy_only=False)
+            t = b.column(t_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            asrc = av[np.searchsorted(nds, s)]
+            m = (asrc != UNREACHED) & (t >= asrc)
+            if not m.any():
+                return pa.table({"node": np.empty(0, np.int64),
+                                 "arr": np.empty(0, np.int64)})
+            tgt, cand = d[m], t[m] + 1
+            order = np.argsort(tgt, kind="stable")
+            tgt, cand = tgt[order], cand[order]
+            starts = np.flatnonzero(np.r_[True, tgt[1:] != tgt[:-1]])
+            return pa.table({
+                "node": pa.array(tgt[starts]),
+                "arr": pa.array(np.minimum.reduceat(cand, starts))})
+
+        new = arr.copy()
+        for blk in edges.map_batches(
+                relax, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            if blk.num_rows == 0 or "node" not in blk.schema.names:
+                continue
+            idx = np.searchsorted(nodes, blk.column("node")
+                                  .to_numpy(zero_copy_only=False))
+            np.minimum.at(new, idx, blk.column("arr")
+                          .to_numpy(zero_copy_only=False))
+        if (new == arr).all():
+            break
+        arr = new
+
+    reached = arr != UNREACHED
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes[reached]),
+        "arr": pa.array(arr[reached])}))
+
+
+def temporal_reach_oracle_sql(edges_sql: str, seeds_sql: str,
+                              rounds: int = 4) -> str:
+    """Unrolled-CTE DuckDB oracle for ``temporal_reach`` — same
+    round structure as the kernel."""
+    parts = [f"WITH e AS MATERIALIZED ({edges_sql}),",
+             "a0 AS (SELECT node, CAST(0 AS BIGINT) AS arr"
+             f" FROM ({seeds_sql}))"]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT node, MIN(arr) AS arr FROM (
+    SELECT node, arr FROM a{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, e.t + 1 AS arr
+    FROM e JOIN a{r - 1} p ON p.node = e.src AND e.t >= p.arr
+  ) GROUP BY node
+)""")
+    parts.append(f"\nSELECT node, arr FROM a{rounds}")
+    return "".join(parts)

@@ -216,3 +216,30 @@ def test_shortest_path_counts_hand_graph():
             shortest_path_counts(ray.data.from_arrow(edges), [0, 2],
                                  max_hops=3).take_all()}
     assert out3[3] == (1, 2)  # two parallel edges from seed 2
+
+
+def test_temporal_reach_hand_graph():
+    import pyarrow as pa
+    import ray.data
+
+    from geoflow.graph.traversal import temporal_reach
+
+    # 0 -(t=5)-> 1 -(t=3)-> 2 : edge to 2 has t=3 < arr(1)=6 -> blocked
+    # 0 -(t=1)-> 3 -(t=2)-> 4 : time-respecting chain reaches 4 at 3
+    edges = pa.table({
+        "src": pa.array([0, 1, 0, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4], pa.int64()),
+        "t": pa.array([5, 3, 1, 2], pa.int64())})
+    out = {r["node"]: r["arr"] for r in
+           temporal_reach(ray.data.from_arrow(edges), [0],
+                          rounds=4).take_all()}
+    assert out == {0: 0, 1: 6, 3: 2, 4: 3}
+    # a later edge unlocks 2: add 1 -(t=7)-> 2
+    edges2 = pa.table({
+        "src": pa.array([0, 1, 1], pa.int64()),
+        "dst": pa.array([1, 2, 2], pa.int64()),
+        "t": pa.array([5, 3, 7], pa.int64())})
+    out2 = {r["node"]: r["arr"] for r in
+            temporal_reach(ray.data.from_arrow(edges2), [0],
+                           rounds=3).take_all()}
+    assert out2 == {0: 0, 1: 6, 2: 8}
