@@ -106,30 +106,26 @@ def update_view(table_dir: str, state_dir: str, group_col: str,
 
         parts.append(src.map_batches(partial,
                                      batch_format="pyarrow"))
-    if prev_counts is not None and prev_counts.num_rows:
-        parts.append(ray.data.from_arrow(prev_counts))
-    if parts:
-        ds = parts[0]
-        for p in parts[1:]:
-            ds = ds.union(p)
-        merged = ds.groupby(group_col).sum("cnt")
-        rows = {"g": [], "c": []}
-        for blk in merged.iter_batches(batch_format="pyarrow",
-                                       batch_size=None):
+    # combine per-block partials on the driver: the view is bounded-
+    # cardinality by contract, so this is the standard O(blocks × K)
+    # drain — no hash-aggregate actor spin-up per update
+    acc: dict = {}
+    if prev_counts is not None:
+        for g, c in zip(prev_counts.column(group_col).to_pylist(),
+                        prev_counts.column("cnt").to_pylist()):
+            acc[g] = acc.get(g, 0) + c
+    for p in parts:
+        for blk in p.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
             if blk.num_rows == 0 or group_col not in blk.schema.names:
                 continue
-            rows["g"].extend(blk.column(group_col).to_pylist())
-            rows["c"].extend(blk.column("sum(cnt)").to_pylist())
-        order = np.argsort(np.asarray(rows["g"], dtype=object))
-        gs = [rows["g"][i] for i in order]
-        cs = np.asarray(rows["c"], np.int64)[order]
-        nz = cs != 0
-        out = pa.table({group_col: pa.array(
-            [g for g, keep in zip(gs, nz) if keep], pa.string()),
-            "cnt": pa.array(cs[nz])})
-    else:
-        out = pa.table({group_col: pa.array([], pa.string()),
-                        "cnt": pa.array([], pa.int64())})
+            for g, c in zip(blk.column(group_col).to_pylist(),
+                            blk.column("cnt").to_pylist()):
+                acc[g] = acc.get(g, 0) + c
+    gs = sorted(g for g, c in acc.items() if c != 0)
+    out = pa.table({group_col: pa.array(gs, pa.string()),
+                    "cnt": pa.array([acc[g] for g in gs],
+                                    pa.int64())})
 
     pqp = os.path.join(state_dir, f"state-{target:08d}.parquet")
     jp = os.path.join(state_dir, f"state-{target:08d}.json")
