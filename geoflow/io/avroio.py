@@ -430,7 +430,7 @@ def write_avro(ds, path: str, codec: str = "deflate"):
         h = hashlib.blake2b(data, digest_size=12).hexdigest()
         fp = os.path.join(path, f"part-{h}.avro")
         if not os.path.exists(fp):
-            tmp = fp + ".tmp"
+            tmp = fp + f".tmp-{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, fp)

@@ -105,7 +105,7 @@ def write_geojson(ds, path, wkb_col="geom_wkb", prop_cols=None):
         os.makedirs(path, exist_ok=True)
         final = os.path.join(path, f"part-{h}.geojsonl")
         if not os.path.exists(final):
-            tmp = final + ".tmp"
+            tmp = final + f".tmp-{os.getpid()}"
             with open(tmp, "w") as f:
                 f.write(data)
             os.replace(tmp, final)

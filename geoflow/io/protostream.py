@@ -252,7 +252,7 @@ def write_protostream(ds, path: str):
         specs = _pb_schema(batch.schema)
         sp = os.path.join(path, "schema.json")
         if not os.path.exists(sp):
-            tmp = sp + ".tmp"
+            tmp = sp + f".tmp-{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(specs, f)
             os.replace(tmp, sp)
@@ -260,7 +260,7 @@ def write_protostream(ds, path: str):
         h = hashlib.blake2b(data, digest_size=12).hexdigest()
         fp = os.path.join(path, f"part-{h}.pb")
         if not os.path.exists(fp):
-            tmp = fp + ".tmp"
+            tmp = fp + f".tmp-{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, fp)
