@@ -546,7 +546,10 @@ def shortest_path_counts(edges, seeds, max_hops: int = 4,
     (duplicate) edges count as distinct paths, mirrored by the SQL
     twin. Broadcast mode: the (dist, sig) vectors ride the object
     store; each layer is one map_batches pass emitting per-batch
-    partial sums + an O(n_nodes) driver combine."""
+    partial sums + an O(n_nodes) driver combine; beyond
+    ``max_broadcast_nodes`` (loud ValueError) the layer recursion
+    distributes as ``_seed_distances_join``-style rounds (frontier
+    join + Sum aggregate + settled-set anti-join)."""
     import ray
     import ray.data
 
@@ -652,7 +655,10 @@ def temporal_reach(edges, seeds, rounds: int = 4,
     identically (unlike BFS, later rounds can still improve early
     nodes — time constraints break layer monotonicity, which is
     exactly what makes this operator distinct). Broadcast shape:
-    one map_batches pass per round + O(n_nodes) driver combine."""
+    one map_batches pass per round + O(n_nodes) driver combine;
+    beyond ``max_broadcast_nodes`` (loud ValueError) the
+    state-as-Dataset round shape of ``_seed_distances_join`` applies
+    with the relax condition as a post-join filter."""
     import ray
     import ray.data
 
