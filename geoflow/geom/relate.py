@@ -315,6 +315,12 @@ def _fill_interactions(m, a, b, da, db):
         lloc = _pt_location(rsamp[:, 0], rsamp[:, 1], line)
         if (lloc == "E").any():
             put(2, 1, "1")
+        # a ring vertex/midpoint lying ON the line's interior is an
+        # I(line)∩B(poly) touch no line sample, proper cross, or
+        # collinear run detects (e.g. a line passing exactly through
+        # a polygon vertex tangentially — found by overlay fuzz)
+        if (lloc == "I").any():
+            put(0, 1, "0")
         put(2, 0, "2")  # polygon interior always exceeds a line
         return
     # --- areal/areal ---
