@@ -734,3 +734,135 @@ a{r} AS MATERIALIZED (
 )""")
     parts.append(f"\nSELECT node, arr FROM a{rounds}")
     return "".join(parts)
+
+
+def temporal_reach_join(edges, seeds, rounds: int = 4,
+                        src_col: str = "src", dst_col: str = "dst",
+                        t_col: str = "t"):
+    """Distributed ``temporal_reach``: arrival state as a Dataset —
+    per round one edges⋈state hash join, a post-join time filter
+    (t >= arr), and a groupby-min merge. The aggregate→join seam is
+    sanitized per the drop_schemaless_blocks contract. Same fixed-
+    round semantics as the broadcast kernel (pytest forces this path
+    and checks equality)."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from geoflow.join.semijoin import (cluster_join_partitions,
+                                       drop_schemaless_blocks)
+
+    edges = edges.materialize()
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    state = ray.data.from_arrow(pa.table({
+        "node": pa.array(seeds),
+        "arr": pa.array(np.zeros(len(seeds), np.int64))}))
+    nparts = cluster_join_partitions()
+    keep = []
+    for _ in range(rounds):
+        def as_src(b: pa.Table) -> pa.Table:
+            return pa.table({src_col: b.column("node"),
+                             "__arr": b.column("arr")})
+
+        st, ka = drop_schemaless_blocks(
+            state.map_batches(as_src, batch_format="pyarrow"))
+        if st is None:
+            break
+        keep.append(ka)
+        cand = edges.join(st, join_type="inner",
+                          num_partitions=nparts, on=(src_col,))
+
+        def relax(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "__arr" not in b.schema.names:
+                return pa.table({"node": np.empty(0, np.int64),
+                                 "arr": np.empty(0, np.int64)})
+            t = b.column(t_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            arr = b.column("__arr").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ok = t >= arr
+            return pa.table({
+                "node": b.column(dst_col).filter(pa.array(ok)),
+                "arr": pa.array(t[ok] + 1)})
+
+        nxt = cand.map_batches(relax, batch_format="pyarrow")
+        state = state.union(nxt).groupby("node") \
+            .aggregate(Min("arr", alias_name="arr"))
+        state = state.materialize()
+    return state
+
+
+def shortest_path_counts_join(edges, seeds, max_hops: int = 4,
+                              src_col: str = "src",
+                              dst_col: str = "dst"):
+    """Distributed ``shortest_path_counts``: layered BFS with the
+    frontier and settled set as Datasets — per layer one
+    edges⋈frontier join, a groupby-sum of predecessor sigs, and a
+    duplicate-safe ANTI key filter against the settled set
+    (join/semijoin.partitioned_key_filter). Same semantics as the
+    broadcast kernel (pytest forces this path and checks
+    equality)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from geoflow.join.semijoin import (cluster_join_partitions,
+                                       drop_schemaless_blocks,
+                                       partitioned_key_filter)
+
+    edges = edges.materialize()
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    settled = ray.data.from_arrow(pa.table({
+        "node": pa.array(seeds),
+        "dist": pa.array(np.zeros(len(seeds), np.int64)),
+        "sig": pa.array(np.ones(len(seeds), np.int64))}))
+    frontier = settled
+    nparts = cluster_join_partitions()
+    keepalive = []
+    for t in range(1, max_hops + 1):
+        def as_src(b: pa.Table) -> pa.Table:
+            return pa.table({src_col: b.column("node"),
+                             "__sig": b.column("sig")})
+
+        fr, ka = drop_schemaless_blocks(
+            frontier.map_batches(as_src, batch_format="pyarrow"))
+        if fr is None:
+            break
+        keepalive.append(ka)
+        cand = edges.join(fr, join_type="inner",
+                          num_partitions=nparts, on=(src_col,))
+
+        def emit(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "__sig" not in b.schema.names:
+                return pa.table({"node": np.empty(0, np.int64),
+                                 "__sig": np.empty(0, np.int64)})
+            return pa.table({"node": b.column(dst_col),
+                             "__sig": b.column("__sig")})
+
+        summed = cand.map_batches(emit, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("__sig",
+                                           alias_name="__sig"))
+        summed, ka2 = drop_schemaless_blocks(summed)
+        if summed is None:
+            break
+        keepalive.append(ka2)
+        new = partitioned_key_filter(summed, settled, "node",
+                                     anti=True,
+                                     num_partitions=nparts)
+
+        def fin(b: pa.Table, _t=t) -> pa.Table:
+            if b.num_rows == 0 or "__sig" not in b.schema.names:
+                return pa.table({
+                    "node": np.empty(0, np.int64),
+                    "dist": np.empty(0, np.int64),
+                    "sig": np.empty(0, np.int64)})
+            return pa.table({
+                "node": b.column("node"),
+                "dist": pa.array(np.full(b.num_rows, _t, np.int64)),
+                "sig": b.column("__sig")})
+
+        frontier = new.map_batches(fin,
+                                   batch_format="pyarrow") \
+            .materialize()
+        if frontier.count() == 0:
+            break
+        settled = settled.union(frontier).materialize()
+    return settled

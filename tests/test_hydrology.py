@@ -243,3 +243,39 @@ def test_temporal_reach_hand_graph():
             temporal_reach(ray.data.from_arrow(edges2), [0],
                            rounds=3).take_all()}
     assert out2 == {0: 0, 1: 6, 2: 8}
+
+
+def test_join_mode_graph_kernels_match_broadcast():
+    import pyarrow as pa
+    import ray.data
+
+    from geoflow.graph.traversal import (shortest_path_counts,
+                                         shortest_path_counts_join,
+                                         temporal_reach,
+                                         temporal_reach_join)
+
+    rng = np.random.default_rng(31)
+    n = 120
+    src = rng.integers(0, 60, n).astype(np.int64)
+    dst = rng.integers(0, 60, n).astype(np.int64)
+    ts = rng.integers(0, 12, n).astype(np.int64)
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                      "t": pa.array(ts)})
+    seeds = [0, 7, 13]
+
+    a = sorted((r["node"], r["arr"]) for r in temporal_reach(
+        ray.data.from_arrow(edges), seeds, rounds=3).take_all())
+    b = sorted((r["node"], r["arr"]) for r in temporal_reach_join(
+        ray.data.from_arrow(edges), seeds, rounds=3).take_all())
+    assert a == b and len(a) >= len(seeds)
+
+    e2 = edges.select(["src", "dst"])
+    c = sorted((r["node"], r["dist"], r["sig"])
+               for r in shortest_path_counts(
+                   ray.data.from_arrow(e2), seeds,
+                   max_hops=3).take_all())
+    d = sorted((r["node"], r["dist"], r["sig"])
+               for r in shortest_path_counts_join(
+                   ray.data.from_arrow(e2), seeds,
+                   max_hops=3).take_all())
+    assert c == d and len(c) > len(seeds)
