@@ -152,3 +152,62 @@ def copartitioned_join(left_path: str, right_path: str,
 
     return buckets.map_batches(join_bucket, batch_format="pyarrow",
                                batch_size=None)
+
+
+def rebucket(path: str, out_path: str, key_col: str,
+             n_buckets: int, factor: int = 2):
+    """Partition evolution WITHOUT a shuffle: grow a bucketed layout
+    from B to B·factor buckets. Because bucket assignment is
+    ``hash % B``, every row of old bucket b lands in one of the
+    ``factor`` new buckets {b, b+B, b+2B, …} (hash % (B·f) ≡ b mod
+    B) — so each old bucket splits LOCALLY in one task, no data
+    crosses bucket boundaries and no all-to-all runs. This is how a
+    bucketed table keeps per-bucket size bounded as it grows at
+    100 TB: double the bucket count when buckets outgrow a task's
+    heap, paying one linear read+write. Returns per-file stats rows
+    (the same shape as write_bucketed)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    nb2 = n_buckets * factor
+    os.makedirs(out_path, exist_ok=True)
+    buckets = ray.data.from_arrow(pa.table(
+        {"bucket": pa.array(np.arange(n_buckets, dtype=np.int64))}))
+    buckets = buckets.repartition(n_buckets)
+
+    def split_bucket(batch: pa.Table) -> pa.Table:
+        out_b, out_p, out_r = [], [], []
+        for bid in batch.column("bucket").to_pylist():
+            files = _bucket_files(path, bid)
+            if not files:
+                continue
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            k = t.column(key_col).to_numpy(zero_copy_only=False)
+            nb = _bucket_of(k, nb2)
+            assert (nb % n_buckets == bid).all(), \
+                "rebucket invariant violated"
+            for sub in np.unique(nb):
+                part = t.filter(pa.array(nb == sub))
+                bd = os.path.join(out_path, f"bucket={int(sub):04d}")
+                os.makedirs(bd, exist_ok=True)
+                sink = pa.BufferOutputStream()
+                pq.write_table(part, sink)
+                data = sink.getvalue().to_pybytes()
+                h = hashlib.blake2b(data,
+                                    digest_size=12).hexdigest()
+                fp = os.path.join(bd, f"part-{h}.parquet")
+                if not os.path.exists(fp):
+                    tmp = fp + f".tmp-{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    os.replace(tmp, fp)
+                out_b.append(int(sub))
+                out_p.append(fp)
+                out_r.append(part.num_rows)
+        return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                         "path": pa.array(out_p),
+                         "rows": pa.array(out_r, pa.int64())})
+
+    return buckets.map_batches(split_bucket, batch_format="pyarrow",
+                               batch_size=None)

@@ -76,3 +76,28 @@ def test_missing_buckets_and_left_outer(tmp_path):
                             join_type="left outer").take_all()
     assert sorted((r["k"], r["rv"]) for r in lo) == \
         [(1, None), (2, 99), (3, None)]
+
+
+def test_rebucket_locally_splits_and_preserves_join(tmp_path):
+    from geoflow.io.bucketed import rebucket
+    rng = np.random.default_rng(5)
+    lt = pa.table({"k": pa.array(rng.integers(0, 200, 500),
+                                 pa.int64()),
+                   "lv": pa.array(np.arange(500), pa.int64())})
+    rt = pa.table({"k2": pa.array(rng.integers(0, 200, 80),
+                                  pa.int64()),
+                   "rv": pa.array(np.arange(80), pa.int64())})
+    lp = _write(tmp_path, "l", "k", lt, n=4)
+    rp = _write(tmp_path, "r", "k2", rt, n=8)
+    # grow left 4 -> 8 buckets, then join co-partitioned at 8
+    lp2 = str(tmp_path / "l8")
+    stats = rebucket(lp, lp2, "k", 4, factor=2).take_all()
+    assert sum(r["rows"] for r in stats) == 500
+    assert {int(d.split("=")[1]) for d in os.listdir(lp2)} <= set(range(8))
+    out = copartitioned_join(lp2, rp, "k", "k2",
+                             n_buckets=8).take_all()
+    import pandas as pd
+    want = lt.to_pandas().merge(rt.to_pandas(), left_on="k",
+                                right_on="k2")
+    assert sorted((r["k"], r["lv"], r["rv"]) for r in out) == \
+        sorted(map(tuple, want[["k", "lv", "rv"]].values.tolist()))
