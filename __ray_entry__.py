@@ -9586,6 +9586,64 @@ def q_snapshot_cdc(sf_dir: str):
     return d12.union(d23)
 
 
+def q_st_clusters(sf_dir: str):
+    """Grid ST-DBSCAN (ops/clustering.py st_grid_clusters — Birant &
+    Kut 2007 spatio-temporal density clustering, integer-exact grid
+    form): events binned to (x, y, 6-hour) cells; cells with ≥2
+    events are core; core cells 26-box-adjacent across space AND
+    time connect; 4 bounded min-label rounds propagate packed-key
+    labels. Gated vs the unrolled 26-offset-spine min-label CTE
+    rounds."""
+    from geoflow.ops.clustering import st_grid_clusters
+
+    def cells(b: pa.Table) -> pa.Table:
+        e = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"cx": pa.array((e * 7) % 20),
+                         "cy": pa.array((e * 13) % 20),
+                         "ct": pa.array(us // 86_400_000_000)})
+
+    pts = _read(sf_dir, "events", ["event_id", "ts"]) \
+        .map_batches(cells, batch_format="pyarrow")
+    return st_grid_clusters(pts, rounds=4, min_pts=2)
+
+
+def _st_clusters_oracle() -> str:
+    offs = ", ".join(
+        f"({dx}, {dy}, {dt})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        for dt in (-1, 0, 1))
+    rounds = []
+    for r in range(1, 5):
+        rounds.append(f""",
+    l{r} AS MATERIALIZED (
+      SELECT a.cx, a.cy, a.ct, MIN(b.label) AS label
+      FROM l{r - 1} a CROSS JOIN o
+      JOIN l{r - 1} b ON b.cx = a.cx + o.dx
+                     AND b.cy = a.cy + o.dy
+                     AND b.ct = a.ct + o.dt
+      GROUP BY a.cx, a.cy, a.ct)""")
+    return (f"""
+    WITH pts AS (
+      SELECT (event_id * 7) % 20 AS cx,
+             (event_id * 13) % 20 AS cy,
+             epoch_us(ts) // 86400000000 AS ct
+      FROM events),
+    c AS MATERIALIZED (
+      SELECT cx, cy, ct, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY cx, cy, ct HAVING COUNT(*) >= 2),
+    o AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, dt)),
+    l0 AS MATERIALIZED (
+      SELECT cx, cy, ct,
+             cx * 1099511627776 + cy * 1048576 + ct AS label
+      FROM c)""" + "".join(rounds) + """
+    SELECT l4.cx, l4.cy, l4.ct, l4.label, c.n
+    FROM l4 JOIN c ON c.cx = l4.cx AND c.cy = l4.cy
+                  AND c.ct = l4.ct""")
+
+
 def q_ivm_counts(sf_dir: str):
     """Incremental view maintenance over the snapshot layer
     (io/ivm.py): a per-lang count view advanced across four
@@ -10570,6 +10628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": q_lexical_diversity,
         "sentence_split": q_sentence_split,
         "geohash": q_geohash,
+        "st_clusters": q_st_clusters,
         "focal_smooth": q_focal_smooth,
         "tile_equalize": q_tile_equalize,
         "csv_ingest": q_csv_ingest,
@@ -11052,6 +11111,7 @@ def oracle_sql() -> dict[str, str]:
         "seed_distance": _seed_distance_oracle(),
         "path_counts": _path_counts_oracle(),
         "temporal_reach": _temporal_reach_oracle(),
+        "st_clusters": _st_clusters_oracle(),
         "sssp_weighted": _sssp_weighted_oracle(),
         "kcore": _kcore_oracle(),
         "label_prop": _label_prop_oracle(),

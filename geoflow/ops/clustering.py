@@ -1007,3 +1007,91 @@ def semdedup(ds, *, key_col: str = "key", vec_col: str = "embedding",
 
     return tagged.groupby("cluster").map_groups(
         greedy, batch_format="pyarrow")
+
+
+def st_grid_clusters(ds, x_col: str = "cx", y_col: str = "cy",
+                     t_col: str = "ct", rounds: int = 4,
+                     min_pts: int = 2,
+                     max_broadcast_cells: int = 50_000_000):
+    """Grid ST-DBSCAN (Birant & Kut 2007, the integer-exact grid
+    form): density clustering over SPACE × TIME — occupied (x, y, t)
+    cells with at least ``min_pts`` points are CORE cells; core
+    cells box-adjacent in all three dimensions (|Δ| ≤ 1, the 26-
+    neighborhood) connect, and ``rounds`` bounded min-label rounds
+    propagate component labels (labels = packed cell keys,
+    x·2⁴⁰ + y·2²⁰ + t — all coordinates must be non-negative and
+    < 2²⁰, asserted). Fixed rounds = the kcore/fuzzy_components
+    bounded-round contract; converged components carry the true
+    min-key label. Output (x, y, t, label, n) int64.
+
+    Shape: ONE point-sized groupby to cell counts; the bounded cell
+    table (≤ occupied cells, guarded) iterates driver-side with 26
+    shifted searchsorted gathers per round — the _tile_counts
+    discipline with a third dimension."""
+    import ray.data
+
+    counts = ds.groupby([x_col, y_col, t_col]).count()
+    keys_l, cnts_l = [], []
+    for blk in counts.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        if blk.num_rows == 0 or x_col not in blk.schema.names:
+            continue
+        cx = blk.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cy = blk.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ct = blk.column(t_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = blk.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(cx) and (cx.min() < 0 or cy.min() < 0 or ct.min() < 0
+                        or max(cx.max(), cy.max(),
+                               ct.max()) >= (1 << 20)):
+            raise ValueError("cell coords must be in [0, 2^20)")
+        keys_l.append((cx << 40) | (cy << 20) | ct)
+        cnts_l.append(n)
+    if not keys_l:
+        return ray.data.from_arrow(pa.table({
+            c: pa.array([], pa.int64())
+            for c in (x_col, y_col, t_col, "label", "n")}))
+    keys = np.concatenate(keys_l)
+    cnts = np.concatenate(cnts_l)
+    if len(keys) > max_broadcast_cells:
+        raise ValueError(f"{len(keys)} cells exceeds "
+                         f"max_broadcast_cells={max_broadcast_cells}")
+    core = cnts >= min_pts
+    keys, cnts = keys[core], cnts[core]
+    order = np.argsort(keys)
+    keys, cnts = keys[order], cnts[order]
+    label = keys.copy()
+    offs = [(dx, dy, dt)
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dt in (-1, 0, 1) if (dx, dy, dt) != (0, 0, 0)]
+    nkeys = len(keys)
+    cx_, cy_, ct_ = keys >> 40, (keys >> 20) & ((1 << 20) - 1), \
+        keys & ((1 << 20) - 1)
+    lim = 1 << 20
+    for _ in range(rounds):
+        new = label.copy()
+        for dx, dy, dt in offs:
+            # packed-key wrap guard: a shift below 0 / above 2^20-1
+            # bleeds into the adjacent field and could falsely match
+            ok = ((cx_ + dx >= 0) & (cx_ + dx < lim)
+                  & (cy_ + dy >= 0) & (cy_ + dy < lim)
+                  & (ct_ + dt >= 0) & (ct_ + dt < lim))
+            nk = keys + (np.int64(dx) << 40) \
+                + (np.int64(dy) << 20) + np.int64(dt)
+            pos = np.searchsorted(keys, nk)
+            hit = ok & (pos < nkeys) \
+                & (keys[np.minimum(pos, nkeys - 1)] == nk)
+            np.minimum.at(new, np.nonzero(hit)[0],
+                          label[np.minimum(pos, nkeys - 1)[hit]])
+        if (new == label).all():
+            break
+        label = new
+    return ray.data.from_arrow(pa.table({
+        x_col: pa.array(keys >> 40),
+        y_col: pa.array((keys >> 20) & ((1 << 20) - 1)),
+        t_col: pa.array(keys & ((1 << 20) - 1)),
+        "label": pa.array(label),
+        "n": pa.array(cnts)}))

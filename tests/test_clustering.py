@@ -395,3 +395,41 @@ def test_semdedup_greedy_semantics(ray_session):
     # cluster labels: seeds are the 2 lowest keys (0 → cid 0, 1 → cid 1)
     assert out[0][0] == out[2][0] == out[4][0] == out[10][0] == 0
     assert out[1][0] == out[3][0] == 1
+
+
+def test_st_grid_clusters_hand_case():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geoflow.ops.clustering import st_grid_clusters
+
+    # two ST clusters: cells A=(1,1,10),(2,2,11) diag+time adjacent;
+    # B=(8,8,10) isolated; (5,5,10) has only 1 point -> not core
+    rows = []
+    for cell, k in (((1, 1, 10), 2), ((2, 2, 11), 3),
+                    ((8, 8, 10), 2), ((5, 5, 10), 1)):
+        rows += [cell] * k
+    t = pa.table({"cx": pa.array([r[0] for r in rows], pa.int64()),
+                  "cy": pa.array([r[1] for r in rows], pa.int64()),
+                  "ct": pa.array([r[2] for r in rows], pa.int64())})
+    out = {(r["cx"], r["cy"], r["ct"]): (r["label"], r["n"])
+           for r in st_grid_clusters(ray.data.from_arrow(t),
+                                     rounds=4,
+                                     min_pts=2).take_all()}
+    assert set(out) == {(1, 1, 10), (2, 2, 11), (8, 8, 10)}
+    la = (1 << 40) | (1 << 20) | 10
+    assert out[(1, 1, 10)][0] == la
+    assert out[(2, 2, 11)][0] == la          # same component
+    assert out[(8, 8, 10)][0] == (8 << 40) | (8 << 20) | 10
+    assert out[(2, 2, 11)][1] == 3
+    # time gap breaks adjacency: (2,2,13) would NOT join A
+    t2 = pa.concat_tables([t, pa.table({
+        "cx": pa.array([2, 2], pa.int64()),
+        "cy": pa.array([2, 2], pa.int64()),
+        "ct": pa.array([13, 13], pa.int64())})])
+    out2 = {(r["cx"], r["cy"], r["ct"]): r["label"]
+            for r in st_grid_clusters(ray.data.from_arrow(t2),
+                                      rounds=4,
+                                      min_pts=2).take_all()}
+    assert out2[(2, 2, 13)] == (2 << 40) | (2 << 20) | 13
