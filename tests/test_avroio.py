@@ -116,3 +116,19 @@ def test_ray_write_read_roundtrip(tmp_path):
     before = sorted(os.listdir(out))
     write_avro(ds, out, codec="deflate").take_all()
     assert sorted(os.listdir(out)) == before
+
+
+def test_malformed_inputs_raise_cleanly():
+    t = _typed_table()
+    data = write_avro_bytes(t, codec="deflate")
+    # wrong magic
+    with pytest.raises(ValueError):
+        read_avro_bytes(b"NOPE" + data[4:])
+    # corrupted sync marker between blocks
+    bad = bytearray(data)
+    bad[-1] ^= 0xFF  # last byte is part of the trailing sync
+    with pytest.raises(ValueError):
+        read_avro_bytes(bytes(bad))
+    # unsupported codec name in metadata round-trips to an error
+    with pytest.raises(ValueError):
+        write_avro_bytes(t, codec="snappy")

@@ -81,3 +81,20 @@ def test_ray_write_read_roundtrip(tmp_path):
     got = sorted((r["doc_id"], r["txt"]) for r in back)
     assert got == sorted(zip(range(1500),
                              (f"r{i}" for i in range(1500))))
+
+
+def test_malformed_stream_raises():
+    import pytest
+
+    t = pa.table({"a": pa.array([1, 2], pa.int64()),
+                  "s": pa.array(["x", "y"], pa.string())})
+    specs = _pb_schema(t.schema)
+    data = encode_records(t)
+    # truncated mid-record: length prefix overruns the buffer
+    with pytest.raises((IndexError, ValueError)):
+        decode_records(data[:-2] + b"\x7f", specs)
+    # record overruns its declared length
+    raw = b"\x08\x02\x12\x03abc"
+    framed = bytes([3]) + raw  # declared 3, actual longer
+    with pytest.raises(ValueError):
+        decode_records(framed + b"", specs)
