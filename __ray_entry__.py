@@ -9586,6 +9586,53 @@ def q_snapshot_cdc(sf_dir: str):
     return d12.union(d23)
 
 
+def q_setsim_pairs(sf_dir: str):
+    """EXACT set-similarity join via prefix filtering
+    (join/setsim.py — Chaudhuri 2006 / PPJoin family, the
+    deterministic counterpart to LSH): planted token-set families
+    (docs i share base i//3; sizes 5-7) joined at Jaccard ≥ 1/2 with
+    integer cross-multiplied thresholding; rare-first global prefix
+    ordering makes the candidate generator complete AND bucket-
+    bounded. Oracle: independent brute-force token self-join — gates
+    both the prefix-completeness theorem and the verify."""
+    from geoflow.join.setsim import setsim_join
+
+    def toks(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sizes = 5 + (ids % 3)
+        doc = np.repeat(ids, sizes)
+        base = np.repeat(ids // 3, sizes)
+        ends = np.cumsum(sizes)
+        j = np.arange(int(ends[-1]) if len(ends) else 0,
+                      dtype=np.int64) - np.repeat(ends - sizes, sizes)
+        tok = (base * (3 + j) * 7919) % 4001
+        return pa.table({"doc": pa.array(doc), "tok": pa.array(tok)})
+
+    flat = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(toks, batch_format="pyarrow")
+    return setsim_join(flat, "doc", "tok", tau_num=1, tau_den=2)
+
+
+_SETSIM_ORACLE = """
+    WITH tok AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS doc,
+             ((doc_id // 3) * (3 + g.j) * 7919) % 4001 AS tok
+      FROM documents,
+           LATERAL (SELECT unnest(range(5 + (doc_id % 3))))
+             AS g(j)),
+    sz AS (SELECT doc, COUNT(*) AS n FROM tok GROUP BY doc),
+    pr AS (SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
+           FROM tok a JOIN tok b ON a.tok = b.tok
+                                AND a.doc < b.doc
+           GROUP BY a.doc, b.doc)
+    SELECT pr.a, pr.b, CAST(pr.inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - pr.inter AS BIGINT) AS uni
+    FROM pr JOIN sz sa ON sa.doc = pr.a
+            JOIN sz sb ON sb.doc = pr.b
+    WHERE 2 * pr.inter >= sa.n + sb.n - pr.inter"""
+
+
 def q_st_clusters(sf_dir: str):
     """Grid ST-DBSCAN (ops/clustering.py st_grid_clusters — Birant &
     Kut 2007 spatio-temporal density clustering, integer-exact grid
@@ -10629,6 +10676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_split": q_sentence_split,
         "geohash": q_geohash,
         "st_clusters": q_st_clusters,
+        "setsim_pairs": q_setsim_pairs,
         "focal_smooth": q_focal_smooth,
         "tile_equalize": q_tile_equalize,
         "csv_ingest": q_csv_ingest,
@@ -11112,6 +11160,7 @@ def oracle_sql() -> dict[str, str]:
         "path_counts": _path_counts_oracle(),
         "temporal_reach": _temporal_reach_oracle(),
         "st_clusters": _st_clusters_oracle(),
+        "setsim_pairs": _SETSIM_ORACLE,
         "sssp_weighted": _sssp_weighted_oracle(),
         "kcore": _kcore_oracle(),
         "label_prop": _label_prop_oracle(),
