@@ -10641,7 +10641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexed_bm25": q_indexed_bm25,
         "triangles": q_triangles,
         "link_predict": q_link_predict,
-        "compress_quality": q_compress_quality,
+        "setsim_pairs": q_setsim_pairs,
         "audio_fingerprint": q_audio_fingerprint,
         "embed_int8": q_embed_int8,
         "ivm_counts": q_ivm_counts,
@@ -10671,12 +10671,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_ingest": q_avro_ingest,
         "pb_ingest": q_pb_ingest,
         "table_snapshots": q_table_snapshots,
+        "compress_quality": q_compress_quality,
         "mojibake_fix": q_mojibake_fix,
         "lexical_diversity": q_lexical_diversity,
         "sentence_split": q_sentence_split,
         "geohash": q_geohash,
         "st_clusters": q_st_clusters,
-        "setsim_pairs": q_setsim_pairs,
         "focal_smooth": q_focal_smooth,
         "tile_equalize": q_tile_equalize,
         "csv_ingest": q_csv_ingest,
