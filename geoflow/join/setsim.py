@@ -54,12 +54,47 @@ def setsim_join(ds, doc_col: str, tok_col: str,
     """All document pairs with Jaccard(token sets) >= tau_num /
     tau_den, with exact intersection/union counts: rows
     (a, b, inter, uni), a < b. ``ds`` holds flat (doc, token) int64
-    rows (duplicate pairs fine)."""
+    rows (duplicate pairs fine). Jaccard prefix length
+    p = n - ceil(tau*n) + 1; threshold cross-multiplied."""
+
+    def prefix(sizes):
+        ceil_tau_n = -((-tau_num * sizes) // tau_den)
+        return np.clip(sizes - ceil_tau_n + 1, 1, sizes)
+
+    return _prefix_join(ds, doc_col, tok_col, prefix=prefix,
+                        keep=lambda it, uni:
+                            tau_den * it >= tau_num * uni,
+                        bucket_cap=bucket_cap,
+                        max_broadcast_tokens=max_broadcast_tokens)
+
+
+def overlap_join(ds, doc_col: str, tok_col: str, min_overlap: int = 2,
+                 bucket_cap: int = 4096,
+                 max_broadcast_tokens: int = 100_000_000):
+    """All document pairs sharing at least ``min_overlap`` tokens
+    (the T-overlap set join): rows (a, b, inter, uni), a < b. Same
+    prefix-filtering machinery with the overlap bound's prefix
+    length p = n - c + 1 (a pair with |A∩B| >= c must share a token
+    in either set's first n-c+1 rare-first tokens — the standard
+    overlap prefix; trivially complete since missing all of them
+    leaves fewer than c shared)."""
+    return _prefix_join(ds, doc_col, tok_col,
+                        prefix=lambda sizes: np.clip(
+                            sizes - min_overlap + 1, 1, sizes),
+                        keep=lambda it, uni: it >= min_overlap,
+                        bucket_cap=bucket_cap,
+                        max_broadcast_tokens=max_broadcast_tokens)
+
+
+def _prefix_join(ds, doc_col, tok_col, prefix, keep, bucket_cap,
+                 max_broadcast_tokens):
+    """Shared prefix-filter join core: ``prefix(sizes)->p`` chooses
+    per-set prefix lengths; ``keep(inter, uni)->mask`` the pair
+    predicate. setsim_join/overlap_join wrap it."""
     import ray
     import ray.data
     from ray.data.aggregate import Min
 
-    # ---- pass 1: document frequencies -> global rare-first ranks
     df = ds.groupby(tok_col).count()
     toks_l, dfs_l = [], []
     for blk in df.iter_batches(batch_format="pyarrow",
@@ -78,16 +113,13 @@ def setsim_join(ds, doc_col: str, tok_col: str,
     dfs = np.concatenate(dfs_l)
     if len(toks) > max_broadcast_tokens:
         raise ValueError("token universe exceeds broadcast bound")
-    order = np.lexsort((toks, dfs))       # rare first, ties by id
+    order = np.lexsort((toks, dfs))
     rank_of = np.empty(len(toks), np.int64)
     rank_of[order] = np.arange(len(toks))
     sort_idx = np.argsort(toks, kind="stable")
-    tok_sorted = toks[sort_idx]
-    rank_sorted = rank_of[sort_idx]
-    toks_ref = ray.put(tok_sorted)
-    rank_ref = ray.put(rank_sorted)
+    toks_ref = ray.put(toks[sort_idx])
+    rank_ref = ray.put(rank_of[sort_idx])
 
-    # ---- pass 2: vectorized prefix emission
     def emit(batch: pa.Table) -> pa.Table:
         tv, rk = ray.get(toks_ref), ray.get(rank_ref)
         d = batch.column(doc_col).to_numpy(
@@ -103,17 +135,13 @@ def setsim_join(ds, doc_col: str, tok_col: str,
         sizes = np.diff(offs)
         seg = np.repeat(np.arange(ndocs), sizes)
         ranks = rk[np.searchsorted(tv, flat)]
-        o2 = np.lexsort((ranks, seg))     # rank-sort within each doc
+        o2 = np.lexsort((ranks, seg))
         r_sorted = ranks[o2]
-        # per-doc binary sets, zero-copy from the flat rank buffer
-        data = r_sorted.astype("<i8").tobytes()
         pset = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), ndocs,
             [None, pa.py_buffer((offs * 8).tobytes()),
-             pa.py_buffer(data)])
-        # prefix length p = n - ceil(tau*n) + 1 (>= 1)
-        ceil_tau_n = -((-tau_num * sizes) // tau_den)
-        p = np.clip(sizes - ceil_tau_n + 1, 1, sizes)
+             pa.py_buffer(r_sorted.astype("<i8").tobytes())])
+        p = prefix(sizes)
         intra = np.arange(len(r_sorted)) \
             - np.repeat(offs[:-1], sizes)
         sel = intra < np.repeat(p, sizes)
@@ -125,7 +153,6 @@ def setsim_join(ds, doc_col: str, tok_col: str,
 
     em = ds.map_batches(emit, batch_format="pyarrow")
 
-    # ---- pass 3: per-bucket chunked pairwise verify
     def verify(group: pa.Table) -> pa.Table:
         empty = pa.table({c: pa.array([], pa.int64())
                           for c in ("a", "b", "inter", "uni")})
@@ -138,49 +165,43 @@ def setsim_join(ds, doc_col: str, tok_col: str,
         docs = group.column("doc").to_numpy(zero_copy_only=False)
         psets = group.column("pset").combine_chunks()
         offs = np.frombuffer(psets.buffers()[1], np.int64,
-                             count=k + 1,
-                             offset=psets.offset * 8)
+                             count=k + 1, offset=psets.offset * 8)
         flat = np.frombuffer(psets.buffers()[2], "<i8")
         lens = (offs[1:] - offs[:-1]) // 8
         L = int(lens.max())
         m = np.empty((k, L), np.int64)
-        for i in range(k):                # pad with per-row sentinel
+        for i in range(k):
             s = flat[offs[i] // 8: offs[i + 1] // 8]
             m[i, :len(s)] = s
             m[i, len(s):] = -(i + 1)
-        outs_a, outs_b, outs_i, outs_u = [], [], [], []
+        outs = ([], [], [], [])
         step = max(1, (1 << 24) // max(1, k * L * L))
         for lo in range(0, k - 1, step):
             hi = min(lo + step, k - 1)
-            blockm = m[lo:hi]
-            eq = (blockm[:, None, :, None] == m[None, :, :, None]
-                  .swapaxes(2, 3))
+            eq = (m[lo:hi][:, None, :, None]
+                  == m[None, :, :, None].swapaxes(2, 3))
             inter = eq.sum(axis=(2, 3))
             bi0, bj0 = np.nonzero(np.ones((hi - lo, k), bool))
-            keep = (bi0 + lo) < bj0       # each unordered pair once
-            bi0, bj0 = bi0[keep], bj0[keep]
+            sel2 = (bi0 + lo) < bj0
+            bi0, bj0 = bi0[sel2], bj0[sel2]
             gi = bi0 + lo
             it = inter[bi0, bj0]
             uni = lens[gi] + lens[bj0] - it
-            ok = (docs[gi] != docs[bj0]) \
-                & (tau_den * it >= tau_num * uni)
-            a = np.minimum(docs[gi][ok], docs[bj0][ok])
-            b = np.maximum(docs[gi][ok], docs[bj0][ok])
-            outs_a.append(a)
-            outs_b.append(b)
-            outs_i.append(it[ok])
-            outs_u.append(uni[ok])
-        if not outs_a:
+            ok = (docs[gi] != docs[bj0]) & keep(it, uni)
+            outs[0].append(np.minimum(docs[gi][ok], docs[bj0][ok]))
+            outs[1].append(np.maximum(docs[gi][ok], docs[bj0][ok]))
+            outs[2].append(it[ok])
+            outs[3].append(uni[ok])
+        if not outs[0]:
             return empty
         return pa.table({
-            "a": pa.array(np.concatenate(outs_a)),
-            "b": pa.array(np.concatenate(outs_b)),
-            "inter": pa.array(np.concatenate(outs_i)),
-            "uni": pa.array(np.concatenate(outs_u))})
+            "a": pa.array(np.concatenate(outs[0])),
+            "b": pa.array(np.concatenate(outs[1])),
+            "inter": pa.array(np.concatenate(outs[2])),
+            "uni": pa.array(np.concatenate(outs[3]))})
 
     pairs = em.groupby("pk").map_groups(verify,
                                         batch_format="pyarrow")
-    # ---- pass 4: dedup identical emissions across shared prefixes
     agg = pairs.groupby(["a", "b"]).aggregate(
         Min("inter", alias_name="inter"),
         Min("uni", alias_name="uni"))

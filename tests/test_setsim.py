@@ -82,3 +82,20 @@ def test_bucket_cap_raises():
         "tok": pa.array(rows_t, pa.int64())}))
     with pytest.raises(Exception):
         setsim_join(ds, "doc", "tok", 1, 2, bucket_cap=10).take_all()
+
+
+def test_overlap_join_brute_force():
+    from geoflow.join.setsim import overlap_join
+    rng = np.random.default_rng(23)
+    ds, sets = _corpus(rng, 200, 80, 3, 9)
+    out = overlap_join(ds, "doc", "tok", min_overlap=3,
+                       bucket_cap=1_000_000).take_all()
+    got = {(r["a"], r["b"]): (r["inter"], r["uni"]) for r in out}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                it = len(sets[a] & sets[b])
+                if it >= 3:
+                    want[(a, b)] = (it, len(sets[a] | sets[b]))
+    assert got == want
