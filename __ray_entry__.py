@@ -9633,6 +9633,50 @@ _SETSIM_ORACLE = """
     WHERE 2 * pr.inter >= sa.n + sb.n - pr.inter"""
 
 
+def q_overlap_pairs(sf_dir: str):
+    """EXACT T-overlap set join (join/setsim.py overlap_join —
+    prefix p = n−c+1, trivially complete): pairs sharing ≥3 tokens
+    over the same planted family corpus as setsim_pairs. Same
+    independent brute-force token self-join oracle with the overlap
+    predicate."""
+    from geoflow.join.setsim import overlap_join
+
+    def toks(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sizes = 5 + (ids % 3)
+        doc = np.repeat(ids, sizes)
+        base = np.repeat(ids // 3, sizes)
+        ends = np.cumsum(sizes)
+        j = np.arange(int(ends[-1]) if len(ends) else 0,
+                      dtype=np.int64) - np.repeat(ends - sizes, sizes)
+        tok = (base * (3 + j) * 7919) % 4001
+        return pa.table({"doc": pa.array(doc), "tok": pa.array(tok)})
+
+    flat = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(toks, batch_format="pyarrow")
+    return overlap_join(flat, "doc", "tok", min_overlap=3)
+
+
+_OVERLAP_ORACLE = """
+    WITH tok AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS doc,
+             ((doc_id // 3) * (3 + g.j) * 7919) % 4001 AS tok
+      FROM documents,
+           LATERAL (SELECT unnest(range(5 + (doc_id % 3))))
+             AS g(j)),
+    sz AS (SELECT doc, COUNT(*) AS n FROM tok GROUP BY doc),
+    pr AS (SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
+           FROM tok a JOIN tok b ON a.tok = b.tok
+                                AND a.doc < b.doc
+           GROUP BY a.doc, b.doc)
+    SELECT pr.a, pr.b, CAST(pr.inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - pr.inter AS BIGINT) AS uni
+    FROM pr JOIN sz sa ON sa.doc = pr.a
+            JOIN sz sb ON sb.doc = pr.b
+    WHERE pr.inter >= 3"""
+
+
 def q_st_clusters(sf_dir: str):
     """Grid ST-DBSCAN (ops/clustering.py st_grid_clusters — Birant &
     Kut 2007 spatio-temporal density clustering, integer-exact grid
@@ -10677,6 +10721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_split": q_sentence_split,
         "geohash": q_geohash,
         "st_clusters": q_st_clusters,
+        "overlap_pairs": q_overlap_pairs,
         "focal_smooth": q_focal_smooth,
         "tile_equalize": q_tile_equalize,
         "csv_ingest": q_csv_ingest,
@@ -11161,6 +11206,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reach": _temporal_reach_oracle(),
         "st_clusters": _st_clusters_oracle(),
         "setsim_pairs": _SETSIM_ORACLE,
+        "overlap_pairs": _OVERLAP_ORACLE,
         "sssp_weighted": _sssp_weighted_oracle(),
         "kcore": _kcore_oracle(),
         "label_prop": _label_prop_oracle(),
