@@ -362,3 +362,37 @@ def _read_keys(path: str, key_col: str) -> np.ndarray:
     return pq.read_table(path, columns=[key_col]) \
         .column(key_col).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
+    """Retention/GC: drop all but the newest ``keep_last`` manifests
+    and delete data files referenced ONLY by expired snapshots.
+    Time travel shrinks to the kept window; the CURRENT snapshot is
+    never touched. Order is crash-safe: manifests are removed first
+    (a crash mid-GC leaves orphaned data files — harmless, retried
+    by the next expire — never a kept snapshot missing files).
+    Returns {"kept": [...], "expired": [...], "files_deleted": n}."""
+    snaps = list_snapshots(table_dir)
+    if len(snaps) <= keep_last:
+        return {"kept": snaps, "expired": [], "files_deleted": 0}
+    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+    live: set = set()
+    for n in kept:
+        live.update(f["path"] for f in
+                    read_manifest(table_dir, n)["files"])
+    dead: set = set()
+    for n in expired:
+        dead.update(f["path"] for f in
+                    read_manifest(table_dir, n)["files"])
+    dead -= live
+    for n in expired:
+        os.remove(_snap_path(table_dir, n))
+    deleted = 0
+    for p in sorted(dead):
+        try:
+            os.remove(p)
+            deleted += 1
+        except FileNotFoundError:
+            pass
+    return {"kept": kept, "expired": expired,
+            "files_deleted": deleted}

@@ -8,6 +8,7 @@ the `ray job submit` surface for the lakehouse layer.
     python jobs/snapshot_table.py read    T [--snapshot N] [--lo A --hi B]
                                             [--output DIR]
     python jobs/snapshot_table.py log     T            # snapshot history
+    python jobs/snapshot_table.py expire  T --keep-last 2  # retention GC
     python jobs/snapshot_table.py diff    T --a 1 --b 3 --key doc_id
 
 Each mutating command prints one JSON line {"snapshot": n, ...};
@@ -30,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("cmd", choices=["append", "upsert", "delete",
-                                    "compact", "read", "log", "diff"])
+                                    "compact", "read", "log", "diff",
+                                    "expire"])
     ap.add_argument("table")
     ap.add_argument("--input")
     ap.add_argument("--key", default="doc_id")
@@ -39,6 +41,7 @@ def main() -> int:
     ap.add_argument("--snapshot", type=int)
     ap.add_argument("--target-rows", type=int, default=1 << 20)
     ap.add_argument("--a", type=int)
+    ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--b", type=int)
     ap.add_argument("--output")
     args = ap.parse_args()
@@ -49,6 +52,12 @@ def main() -> int:
                  logging_level="ERROR")
 
     from geoflow.io import snapshots as st
+
+    if args.cmd == "expire":
+        res = st.expire_snapshots(args.table,
+                                  keep_last=args.keep_last)
+        print(json.dumps(res))
+        return 0
 
     if args.cmd == "log":
         for n in st.list_snapshots(args.table):

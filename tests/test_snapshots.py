@@ -172,3 +172,36 @@ def test_upsert_replaces_and_appends(tmp_path):
     old = {r["doc_id"]: r["v"] for r in
            read_snapshot(td, 1).take_all()}
     assert old[5] == 50 and len(old) == 30
+
+
+def test_expire_snapshots_gc(tmp_path):
+    from geoflow.io.snapshots import expire_snapshots, list_snapshots
+    td = str(tmp_path / "t")
+    append(_ds(range(0, 20)), td, "doc_id")        # snap 1
+    append(_ds(range(20, 40)), td, "doc_id")       # snap 2
+    delete_where(td, "doc_id", 0, 39)              # snap 3 (empty)
+    append(_ds(range(50, 60)), td, "doc_id")       # snap 4
+    res = expire_snapshots(td, keep_last=2)
+    assert res["expired"] == [1, 2] and res["kept"] == [3, 4]
+    # snaps 1-2's files are referenced by nobody kept -> deleted
+    assert res["files_deleted"] > 0
+    assert list_snapshots(td) == [3, 4]
+    # kept snapshots still read fine
+    assert read_snapshot(td, 4).count() == 10
+    assert read_snapshot(td, 3) is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        read_manifest(td, 1)
+    # expiring again is a no-op
+    res2 = expire_snapshots(td, keep_last=2)
+    assert res2["expired"] == [] and res2["files_deleted"] == 0
+
+
+def test_expire_keeps_files_shared_with_kept_snapshots(tmp_path):
+    from geoflow.io.snapshots import expire_snapshots
+    td = str(tmp_path / "t")
+    append(_ds(range(0, 30)), td, "doc_id")        # snap 1
+    append(_ds(range(30, 40)), td, "doc_id")       # snap 2 shares 1's files
+    expire_snapshots(td, keep_last=1)
+    # snap 2 references snap 1's data files -> they must survive
+    assert read_snapshot(td, 2).count() == 40
