@@ -4700,6 +4700,70 @@ def q_event_quantiles(sf_dir: str):
                                    qs=(0.5, 0.9, 0.99))
 
 
+def q_mad_stats(sf_dir: str):
+    """Robust dispersion per event type: exact MEDIAN and MEDIAN
+    ABSOLUTE DEVIATION over the quantized value domain (two passes
+    through the bounded-histogram exact-quantile path — the
+    distributed robust-statistics shape: medians are a tiny
+    broadcastable table, deviations are one vectorized LUT map).
+    quantile_disc semantics on both passes; all int64."""
+    from geoflow.ops.sketches import exact_grouped_quantiles
+
+    def milli(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_milli": pc.cast(pc.round(pc.multiply(
+                b.column("value"), 1000.0)), pa.int64())})
+
+    ds = _read(sf_dir, "events",
+               ["event_type", "value"]).map_batches(
+        milli, batch_format="pyarrow")
+    med_tbl = exact_grouped_quantiles(ds, "event_type",
+                                      "value_milli", qs=(0.5,))
+    med = dict(zip(med_tbl.column("event_type").to_pylist(),
+                   med_tbl.column("q50").to_pylist()))
+
+    def dev(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(pc.cast(
+            b.column("event_type"), pa.string())).combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lut = np.array([med[d] for d in
+                        enc.dictionary.to_pylist()], np.int64)
+        vm = b.column("value_milli").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "dev": pa.array(np.abs(vm - lut[codes]))})
+
+    mad_tbl = exact_grouped_quantiles(
+        ds.map_batches(dev, batch_format="pyarrow"),
+        "event_type", "dev", qs=(0.5,))
+    mad = dict(zip(mad_tbl.column("event_type").to_pylist(),
+                   mad_tbl.column("q50").to_pylist()))
+    types = sorted(med)
+    return pa.table({
+        "event_type": pa.array(types),
+        "med": pa.array([med[t] for t in types], pa.int64()),
+        "mad": pa.array([mad[t] for t in types], pa.int64())})
+
+
+_MAD_ORACLE = """
+    WITH q AS (SELECT event_type,
+                      CAST(round(value * 1000.0) AS BIGINT) AS vm
+               FROM events),
+    med AS (SELECT event_type, quantile_disc(vm, 0.5) AS med
+            FROM q GROUP BY event_type),
+    d AS (SELECT q.event_type, abs(q.vm - med.med) AS dev
+          FROM q JOIN med USING (event_type))
+    SELECT med.event_type, CAST(med.med AS BIGINT) AS med,
+           CAST(m2.mad AS BIGINT) AS mad
+    FROM med JOIN (SELECT event_type,
+                          quantile_disc(dev, 0.5) AS mad
+                   FROM d GROUP BY event_type) m2
+      USING (event_type)"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact distinct users per event type, fully distributed: inner
     groupby(type, user) collapses duplicates (combiner inside blocks via
@@ -10722,6 +10786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash": q_geohash,
         "st_clusters": q_st_clusters,
         "overlap_pairs": q_overlap_pairs,
+        "mad_stats": q_mad_stats,
         "focal_smooth": q_focal_smooth,
         "tile_equalize": q_tile_equalize,
         "csv_ingest": q_csv_ingest,
@@ -11207,6 +11272,7 @@ def oracle_sql() -> dict[str, str]:
         "st_clusters": _st_clusters_oracle(),
         "setsim_pairs": _SETSIM_ORACLE,
         "overlap_pairs": _OVERLAP_ORACLE,
+        "mad_stats": _MAD_ORACLE,
         "sssp_weighted": _sssp_weighted_oracle(),
         "kcore": _kcore_oracle(),
         "label_prop": _label_prop_oracle(),

@@ -371,6 +371,10 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     never touched. Order is crash-safe: manifests are removed first
     (a crash mid-GC leaves orphaned data files — harmless, retried
     by the next expire — never a kept snapshot missing files).
+    Single-writer assumption (as for commits): run GC from the table
+    owner; a reader holding an EXPIRED manifest's file list may see
+    missing files — the standard lakehouse retention caveat (pick
+    keep_last above the longest reader horizon).
     Returns {"kept": [...], "expired": [...], "files_deleted": n}."""
     snaps = list_snapshots(table_dir)
     if len(snaps) <= keep_last:
