@@ -4764,6 +4764,74 @@ _MAD_ORACLE = """
       USING (event_type)"""
 
 
+def q_theilsen_trend(sf_dir: str):
+    """Theil–Sen robust trend per customer (median of pairwise
+    slopes — Sen 1968): slope = (cents_b − cents_a)/(day_b − day_a)
+    over all order pairs with distinct days, oriented by orderkey;
+    per-group median via the quantile_disc rank rule. Each slope is
+    ONE integer division — IEEE-identical in numpy and DuckDB (the
+    single-op float rule); −0.0 normalized by +0.0 in both engines.
+    Groups are natural o_custkey (≈10 orders each — pairwise is 45
+    per group, bounded by the TPC-H shape, never corpus-quadratic)."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "g": b.column("o_custkey"),
+            "k": b.column("o_orderkey"),
+            "x": pa.array(d // 86_400_000_000),
+            "y": pa.array(np.round(
+                b.column("o_totalprice").to_numpy(
+                    zero_copy_only=False) * 100.0).astype(np.int64))})
+
+    def ts(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        o = np.argsort(k)
+        x = group.column("x").to_numpy(
+            zero_copy_only=False)[o].astype(np.int64)
+        y = group.column("y").to_numpy(
+            zero_copy_only=False)[o].astype(np.int64)
+        ii, jj = np.triu_indices(len(x), 1)
+        dx = x[jj] - x[ii]
+        m = dx != 0
+        if not m.any():
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "slope_med": pa.array([],
+                                                   pa.float64())})
+        s = (y[jj][m] - y[ii][m]).astype(np.float64) \
+            / dx[m].astype(np.float64) + 0.0
+        s.sort(kind="stable")
+        n = len(s)
+        rank = max(int(np.ceil(0.5 * n)), 1)
+        return pa.table({
+            "g": group.column("g").slice(0, 1),
+            "n_pairs": pa.array([n], pa.int64()),
+            "slope_med": pa.array([s[rank - 1]], pa.float64())})
+
+    return _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("g").map_groups(ts, batch_format="pyarrow")
+
+
+_THEILSEN_ORACLE = """
+    WITH o AS (SELECT o_custkey AS g, o_orderkey AS k,
+                      epoch_us(o_orderdate) // 86400000000 AS x,
+                      CAST(round(o_totalprice * 100.0) AS BIGINT)
+                        AS y
+               FROM orders),
+    p AS (SELECT a.g,
+                 CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) + 0.0 AS s
+          FROM o a JOIN o b ON a.g = b.g AND a.k < b.k
+                           AND a.x <> b.x)
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           quantile_disc(s, 0.5) AS slope_med
+    FROM p GROUP BY g"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact distinct users per event type, fully distributed: inner
     groupby(type, user) collapses duplicates (combiner inside blocks via
@@ -10787,6 +10855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_clusters": q_st_clusters,
         "overlap_pairs": q_overlap_pairs,
         "mad_stats": q_mad_stats,
+        "theilsen_trend": q_theilsen_trend,
         "focal_smooth": q_focal_smooth,
         "tile_equalize": q_tile_equalize,
         "csv_ingest": q_csv_ingest,
@@ -11273,6 +11342,7 @@ def oracle_sql() -> dict[str, str]:
         "setsim_pairs": _SETSIM_ORACLE,
         "overlap_pairs": _OVERLAP_ORACLE,
         "mad_stats": _MAD_ORACLE,
+        "theilsen_trend": _THEILSEN_ORACLE,
         "sssp_weighted": _sssp_weighted_oracle(),
         "kcore": _kcore_oracle(),
         "label_prop": _label_prop_oracle(),
