@@ -117,18 +117,38 @@ def _write_data_files(ds, table_dir: str, key_col: str):
                 f.write(data.to_pybytes())
             os.replace(tmp, fp)
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        # per-file min/max for EVERY integer/timestamp column — the
+        # manifest-stats pushdown then prunes on any of them, not
+        # just the key (Iceberg-style column metrics)
+        import json as _json
+        cols = {}
+        for name in batch.schema.names:
+            col = batch.column(name)
+            t = col.type
+            if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+                v = col.cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) \
+                    if pa.types.is_timestamp(t) else \
+                    col.to_numpy(zero_copy_only=False)
+                if len(v):
+                    cols[name] = [int(v.min()), int(v.max())]
         return pa.table({
             "path": pa.array([fp]),
             "rows": pa.array([batch.num_rows], pa.int64()),
             "bytes": pa.array([len(data)], pa.int64()),
             "key_min": pa.array([int(k.min())], pa.int64()),
-            "key_max": pa.array([int(k.max())], pa.int64())})
+            "key_max": pa.array([int(k.max())], pa.int64()),
+            "col_stats": pa.array([_json.dumps(cols)])})
 
     stats = ds.map_batches(write_block, batch_format="pyarrow",
                            batch_size=None).take_all()
-    return [{k: r[k] for k in
-             ("path", "rows", "bytes", "key_min", "key_max")}
-            for r in stats]
+    out = []
+    for r in stats:
+        rec = {k: r[k] for k in
+               ("path", "rows", "bytes", "key_min", "key_max")}
+        rec["cols"] = json.loads(r["col_stats"])
+        out.append(rec)
+    return out
 
 
 def append(ds, table_dir: str, key_col: str) -> int:
@@ -195,10 +215,15 @@ def delete_where(table_dir: str, key_col: str,
 def read_snapshot(table_dir: str, snapshot: int | None = None,
                   key_lo: int | None = None,
                   key_hi: int | None = None,
-                  columns: list[str] | None = None):
+                  columns: list[str] | None = None,
+                  where: dict | None = None):
     """Dataset over a snapshot's files — optionally pruned by the
-    manifest key-range stats BEFORE any file I/O. Empty snapshot ->
-    None (caller decides the schema of nothing)."""
+    manifest stats BEFORE any file I/O: key range via
+    key_lo/key_hi, and ANY integer/timestamp column via
+    ``where={col: (lo, hi)}`` (Iceberg-style column metrics; files
+    written before the metrics existed are conservatively kept).
+    Empty snapshot -> None (caller decides the schema of
+    nothing)."""
     import ray.data
 
     man = read_manifest(table_dir, snapshot)
@@ -208,6 +233,16 @@ def read_snapshot(table_dir: str, snapshot: int | None = None,
         hi = (1 << 62) if key_hi is None else key_hi
         files = [f for f in files
                  if not (f["key_max"] < lo or f["key_min"] > hi)]
+    if where:
+        def _keep(f):
+            cs = f.get("cols")
+            if not cs:
+                return True          # legacy file: no metrics
+            for c, (lo, hi) in where.items():
+                if c in cs and (cs[c][1] < lo or cs[c][0] > hi):
+                    return False
+            return True
+        files = [f for f in files if _keep(f)]
     if not files:
         return None
     return ray.data.read_parquet([f["path"] for f in files],

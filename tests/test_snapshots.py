@@ -222,3 +222,18 @@ def test_mad_and_theilsen_queries_smoke():
     rows = ds.take_all()
     assert len(rows) == 150
     assert all(r["n_pairs"] > 0 for r in rows)
+
+
+def test_column_metrics_pruning(tmp_path):
+    td = str(tmp_path / "t")
+    # v ranges disjoint per append -> prunable on the NON-key column
+    append(_ds(range(0, 50)), td, "doc_id")      # v in [0, 490]
+    append(_ds(range(100, 150)), td, "doc_id")   # v in [1000, 1490]
+    full = read_snapshot(td)
+    pruned = read_snapshot(td, where={"v": (1000, 1200)})
+    assert pruned.count() == 50                  # file-level prune
+    assert len(pruned.input_files()) < len(full.input_files())
+    # range matching nothing -> all files pruned away
+    assert read_snapshot(td, where={"v": (5000, 6000)}) is None
+    # unknown column: conservatively keeps everything
+    assert read_snapshot(td, where={"zzz": (0, 1)}).count() == 100
