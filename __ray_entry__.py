@@ -9867,6 +9867,47 @@ def _st_clusters_oracle() -> str:
                   AND c.ct = l4.ct""")
 
 
+def q_snapshot_prune(sf_dir: str):
+    """Column-metrics pruning end to end (io/snapshots.py — the
+    Iceberg-style per-column min/max pushdown): documents appended
+    in doc_id order (so the derived v=(doc_id·37)%1000+doc_id column
+    is range-clustered across files), then a windowed read prunes
+    files by the NON-key column's manifest stats before I/O and
+    applies the exact residual filter. The oracle is the plain
+    filter — any over-pruning loses rows, any metric corruption
+    changes nothing (under-pruning is invisible, which is why the
+    pytest also asserts the file-count drop)."""
+    import tempfile
+
+    from geoflow.io.snapshots import append, read_snapshot
+
+    td = tempfile.mkdtemp(prefix="geoflow_sprune_")
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "v": pa.array((ids * 37) % 1000 + ids)})
+
+    append(docs.map_batches(derive, batch_format="pyarrow"),
+           td, "doc_id")
+    lo, hi = 300, 900
+    ds = read_snapshot(td, where={"v": (lo, hi)})
+
+    def residual(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return ds.map_batches(residual, batch_format="pyarrow")
+
+
+_SNAPSHOT_PRUNE_ORACLE = """
+    SELECT doc_id, (doc_id * 37) % 1000 + doc_id AS v
+    FROM documents
+    WHERE (doc_id * 37) % 1000 + doc_id BETWEEN 300 AND 900"""
+
+
 def q_ivm_counts(sf_dir: str):
     """Incremental view maintenance over the snapshot layer
     (io/ivm.py): a per-lang count view advanced across four
@@ -10853,6 +10894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_split": q_sentence_split,
         "geohash": q_geohash,
         "st_clusters": q_st_clusters,
+        "snapshot_prune": q_snapshot_prune,
         "overlap_pairs": q_overlap_pairs,
         "mad_stats": q_mad_stats,
         "theilsen_trend": q_theilsen_trend,
@@ -11341,6 +11383,7 @@ def oracle_sql() -> dict[str, str]:
         "st_clusters": _st_clusters_oracle(),
         "setsim_pairs": _SETSIM_ORACLE,
         "overlap_pairs": _OVERLAP_ORACLE,
+        "snapshot_prune": _SNAPSHOT_PRUNE_ORACLE,
         "mad_stats": _MAD_ORACLE,
         "theilsen_trend": _THEILSEN_ORACLE,
         "sssp_weighted": _sssp_weighted_oracle(),

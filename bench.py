@@ -85,7 +85,7 @@ BENCH_QUERIES = [
     "kmv_registers", "avro_ingest", "pb_ingest", "table_snapshots",
     "simplify_rounds", "copart_join", "focal_smooth", "tile_equalize",
     "ivm_counts", "snapshot_cdc", "path_counts", "temporal_reach",
-    "st_clusters", "setsim_pairs", "overlap_pairs", "mad_stats", "theilsen_trend",
+    "st_clusters", "setsim_pairs", "overlap_pairs", "mad_stats", "theilsen_trend", "snapshot_prune",
     "dict_candidates", "cell_terms", "tile_clusters",
     "network_travel", "hist_overlap", "novelty", "tile_lang_mix",
     "tile_rank", "gini", "toponym_hits", "user_streaks",
